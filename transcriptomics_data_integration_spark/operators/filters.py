@@ -1,0 +1,155 @@
+"""Filter / predicate operators (SURVEY.md section 2.2, F1-F12).
+
+Each function is a lazy transformation; Catalyst pushes the resulting
+predicates/semi-joins down to the parquet scan where possible.  Scale
+notes: the "list" inputs (exclusion lists, outlier sheets, probe maps)
+are dimension tables of at most a few million rows — every join here is
+broadcast-able and is marked as such so no shuffle of the fact table
+occurs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exclude_ids(df: DataFrame, exclusion: DataFrame, key: str) -> DataFrame:
+    """F2 — drop rows whose ``key`` appears in ``exclusion``.
+
+    Reference: gene exclusion list via ``%!in%``
+    (`scripts/data_integration/DiffExpression_closedPlatform.R:77-78,341-344`).
+    Spark: broadcast left-anti join — no shuffle of the fact side.
+    """
+    return df.join(F.broadcast(exclusion.select(key).distinct()), key, "left_anti")
+
+
+def keep_ids(df: DataFrame, keep: DataFrame, key: str) -> DataFrame:
+    """F1/F12 — keep only rows whose ``key`` appears in ``keep``.
+
+    Reference: sample projection via target sheet
+    (`DiffExpression_closedPlatform.R:348-355`); detection-call subset
+    (`GenExpressionComb_Illum_HT_12_V3.R:182-185`).
+    """
+    return df.join(F.broadcast(keep.select(key).distinct()), key, "left_semi")
+
+
+def remove_outlier_samples(
+    df: DataFrame,
+    outliers: DataFrame,
+    packed_col: str,
+    sample_col: str,
+) -> DataFrame:
+    """F3 — drop samples named in a comma-packed exclusion column.
+
+    Reference: ``outliers_<study>.txt`` has ``Samples2exclude`` as a
+    comma-joined string (`QC_Affy_U133Plus2.R:162-164`), consumed by
+    splitting (`GenExpressionComb_Affy_U133Plus2.R:115-129`).  Spark:
+    ``split`` + ``explode`` turns the packed string into rows, then a
+    broadcast anti-join removes them.
+    """
+    excl = (
+        outliers.where(F.col(packed_col).isNotNull() & (F.col(packed_col) != ""))
+        .select(F.explode(F.split(F.col(packed_col), ",")).alias(sample_col))
+        .select(F.trim(F.col(sample_col)).alias(sample_col))
+        .distinct()
+    )
+    return df.join(F.broadcast(excl), sample_col, "left_anti")
+
+
+def zero_variance_filter(df: DataFrame, gene_col: str, value_col: str) -> DataFrame:
+    """F4 — keep genes whose value has sd > 0 across samples.
+
+    Reference: `DiffExpression_closedPlatform.R:375-376`,
+    `Study_effect.R:539-540`.  Partial aggregation (map-side combine)
+    makes the stddev pass one shuffle of (gene, sum/cnt/m2) triples, not
+    raw rows.
+    """
+    keep = (
+        df.groupBy(gene_col)
+        .agg(F.stddev(value_col).alias("_sd"))
+        .where(F.col("_sd") > 0)
+        .select(gene_col)
+    )
+    return df.join(keep, gene_col, "left_semi")
+
+
+def nonspecific_filter_topk(
+    df: DataFrame, gene_col: str, value_col: str, k: int
+) -> DataFrame:
+    """F5/W1 — keep the top-k genes by stddev of value.
+
+    Reference: non-specific filter, 60%/50%/fixed-k variants
+    (`DiffExpression_closedPlatform.R:443-450`,
+    `DiffExpression_openPlatform.R:403-409`, `Study_effect.R:183-237`).
+    NOTE (semantics, SURVEY.md section 4): this is a *semantic* filter —
+    it changes downstream results and must not be optimized away.
+
+    Scale: the per-gene aggregate is small (one row per gene); the
+    global top-k ranking runs on that aggregate, never on raw rows.
+    Deterministic tie-break on gene id.
+    """
+    sd = df.groupBy(gene_col).agg(F.stddev(value_col).alias("_sd"))
+    w = Window.orderBy(F.col("_sd").desc(), F.col(gene_col))
+    keep = sd.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k).select(gene_col)
+    return df.join(F.broadcast(keep), gene_col, "left_semi")
+
+
+def reliability_filter(
+    df: DataFrame,
+    group_col: str,
+    unreliable_pred: Column,
+    gene_col: str,
+    max_unreliable: int,
+    require_single_gene: bool = True,
+) -> DataFrame:
+    """F6/F7 — per probeset, count "unreliable" members and retain
+    probesets with at most ``max_unreliable`` of them and (optionally)
+    all members mapping to a single gene.
+
+    Reference: `scripts/microarray_data_processing/ProbeFilter.pl:99-160`
+    (exon threshold ``<=1`` at `:153`; 3'IVT ``<=2`` at `:439`);
+    Illumina exact-match variant `:1372-1430`.
+    Returns the retained *group* rows (group key + counts), the
+    engine-side analogue of the ``.flat`` file.
+    """
+    agg = df.groupBy(group_col).agg(
+        F.sum(F.when(unreliable_pred, 1).otherwise(0)).alias("n_unreliable"),
+        F.countDistinct(gene_col).alias("n_genes"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    cond = F.col("n_unreliable") <= max_unreliable
+    if require_single_gene:
+        cond = cond & (F.col("n_genes") == 1)
+    return agg.where(cond)
+
+
+def low_value_floor(
+    df: DataFrame, value_col: str, threshold: float, floor: float = 0.0
+) -> DataFrame:
+    """F10 — floor values below ``threshold`` to ``floor``.
+
+    Reference: CQN log2 values < 2 set to 0
+    (`GenExpressionComb_RNAseq.R:246-249`, rationale `README.md:90`).
+    """
+    return df.withColumn(
+        value_col,
+        F.when(F.col(value_col) < threshold, F.lit(floor)).otherwise(F.col(value_col)),
+    )
+
+
+def zero_repair(df: DataFrame, sample_col: str, value_col: str) -> DataFrame:
+    """F11 — replace zero values with the per-sample minimum non-zero
+    value (Illumina RSN pre-step).
+
+    Reference: `GenExpressionComb_Illum_HT_12_V3.R:57-67`.  Implemented
+    as a window min over the sample partition — one shuffle by sample,
+    reusable by the per-sample rank stage that follows in the pipeline
+    (SURVEY.md section 4 partitioning discipline).
+    """
+    w = Window.partitionBy(sample_col)
+    min_nonzero = F.min(F.when(F.col(value_col) > 0, F.col(value_col))).over(w)
+    return df.withColumn(
+        value_col,
+        F.when(F.col(value_col) == 0, min_nonzero).otherwise(F.col(value_col)),
+    )

@@ -1,0 +1,21 @@
+"""Statistical kernels (SURVEY.md sections 2.4-2.5).
+
+Closed-form kernels (BH, quantile norm, pooled t, Stouffer, FEM/REM) are
+pure Spark SQL expressions/windows — codegen'd, shuffle-minimal, and
+oracle-checkable.  Iterative kernels (ComBat EB shrinkage, general limma
+designs) use Arrow-vectorized grouped-map pandas.
+"""
+
+from transcriptomics_data_integration_spark.stats.bh import bh_adjust
+from transcriptomics_data_integration_spark.stats.quantile_norm import quantile_normalize
+from transcriptomics_data_integration_spark.stats.ttest import two_group_ttest
+from transcriptomics_data_integration_spark.stats.stouffer import stouffer_combine
+from transcriptomics_data_integration_spark.stats.genemeta import fem_rem_effects
+
+__all__ = [
+    "bh_adjust",
+    "fem_rem_effects",
+    "quantile_normalize",
+    "stouffer_combine",
+    "two_group_ttest",
+]

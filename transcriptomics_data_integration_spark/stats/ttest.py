@@ -1,0 +1,160 @@
+"""Two-group differential expression: pooled-variance t (SURVEY.md M8
+closed form) with normal-approximation p-values and log2 fold change.
+
+Reference: limma ``lmFit -> contrasts.fit -> eBayes -> topTable``
+(`scripts/data_integration/DiffExpression_closedPlatform.R:474-633`).
+For a 2-group contrast with unit weights, the unmoderated fit is the
+classical pooled t-test — closed form in SQL (SURVEY.md section 7 step
+4).  Empirical-Bayes variance moderation (eBayes) is layered on top in
+``moderated_t`` using the two-pass global-prior scheme.
+
+All per-gene statistics come from one partial+final aggregation over
+(gene, group); the t/p/fc arithmetic is whole-stage-codegen'd column
+math, so the operator is a single shuffle at any scale.
+
+``exact_scale``: when set (default 2), group sums/sums-of-squares are
+accumulated in DECIMAL so the derived means/variances/t are
+bitwise-reproducible regardless of partitioning/summation order — the
+property the DuckDB correctness oracle relies on (functions/exact.py).
+Set to None for plain float aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from transcriptomics_data_integration_spark.functions.normal import two_sided_p_sql
+
+
+def _group_moments(
+    df: DataFrame,
+    gene_col: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    exact_scale: int | None,
+):
+    g = F.col(group_col)
+    v = F.col(value_col)
+    va = F.when(g == F.lit(group_a), v)
+    vb = F.when(g == F.lit(group_b), v)
+    if exact_scale is not None:
+        s, s2 = exact_scale, 2 * exact_scale
+        ca, cb = va.cast(f"decimal(18,{s})"), vb.cast(f"decimal(18,{s})")
+        sum_a = F.sum(ca).cast("double")
+        sum_b = F.sum(cb).cast("double")
+        sum2_a = F.sum((ca * ca).cast(f"decimal(38,{s2})")).cast("double")
+        sum2_b = F.sum((cb * cb).cast(f"decimal(38,{s2})")).cast("double")
+    else:
+        sum_a, sum_b = F.sum(va), F.sum(vb)
+        sum2_a, sum2_b = F.sum(va * va), F.sum(vb * vb)
+    return (
+        df.where(g.isin([group_a, group_b]))
+        .groupBy(gene_col)
+        .agg(
+            F.count(va).alias("n_a"),
+            F.count(vb).alias("n_b"),
+            sum_a.alias("_sa"),
+            sum_b.alias("_sb"),
+            sum2_a.alias("_sa2"),
+            sum2_b.alias("_sb2"),
+        )
+        .where((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+        .withColumn("mean_a", F.col("_sa") / F.col("n_a"))
+        .withColumn("mean_b", F.col("_sb") / F.col("n_b"))
+        .withColumn(
+            "var_a",
+            (F.col("_sa2") - F.col("_sa") * F.col("_sa") / F.col("n_a")) / (F.col("n_a") - 1),
+        )
+        .withColumn(
+            "var_b",
+            (F.col("_sb2") - F.col("_sb") * F.col("_sb") / F.col("n_b")) / (F.col("n_b") - 1),
+        )
+        .drop("_sa", "_sb", "_sa2", "_sb2")
+    )
+
+
+def two_group_ttest(
+    df: DataFrame,
+    gene_col: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    exact_scale: int | None = 2,
+) -> DataFrame:
+    """Per-gene pooled-variance t between ``group_a`` and ``group_b``.
+
+    Output: gene, n_a, n_b, mean_a, mean_b, var_a, var_b, log2fc,
+    t_statistic, p_value (two-sided, normal approximation).  Genes
+    lacking >= 2 obs per group or with zero pooled variance are dropped
+    (reference applies the F4 zero-variance filter upstream,
+    `DiffExpression_closedPlatform.R:375-376`).
+    """
+    agg = _group_moments(df, gene_col, group_col, value_col, group_a, group_b, exact_scale)
+    sp2 = (
+        (F.col("n_a") - 1) * F.col("var_a") + (F.col("n_b") - 1) * F.col("var_b")
+    ) / (F.col("n_a") + F.col("n_b") - 2)
+    se = F.sqrt(sp2 * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    out = (
+        agg.withColumn("log2fc", F.log2(F.col("mean_a") / F.col("mean_b")))
+        .withColumn("_se", se)
+        .where(F.col("_se") > 0)
+        .withColumn("t_statistic", (F.col("mean_a") - F.col("mean_b")) / F.col("_se"))
+        .drop("_se")
+    )
+    return out.withColumn("p_value", F.expr(two_sided_p_sql("t_statistic")))
+
+
+def ttest_moments_sql(
+    value_case_a: str, value_case_b: str, scale: int = 2
+) -> dict[str, str]:
+    """Oracle-SQL twins of the exact-decimal group moments; the caller
+    embeds them in a GROUP BY.  ``value_case_a/b`` are SQL expressions
+    (CASE WHEN ... THEN value END)."""
+    s2 = 2 * scale
+
+    def dec(e: str) -> str:
+        return f"CAST({e} AS DECIMAL(18,{scale}))"
+
+    return {
+        "n_a": f"COUNT({value_case_a})",
+        "n_b": f"COUNT({value_case_b})",
+        "sa": f"CAST(SUM({dec(value_case_a)}) AS DOUBLE)",
+        "sb": f"CAST(SUM({dec(value_case_b)}) AS DOUBLE)",
+        "sa2": f"CAST(SUM(CAST({dec(value_case_a)} * {dec(value_case_a)} AS DECIMAL(38,{s2}))) AS DOUBLE)",
+        "sb2": f"CAST(SUM(CAST({dec(value_case_b)} * {dec(value_case_b)} AS DECIMAL(38,{s2}))) AS DOUBLE)",
+    }
+
+
+def moderated_t(ttest_df: DataFrame) -> DataFrame:
+    """eBayes-style variance moderation over a two-group t table.
+
+    Two-pass scheme (SURVEY.md M8): per-gene pooled variances are shrunk
+    toward the global prior ``s2_prior = mean(s2)`` with prior df ``d0``
+    from the spread of log variances (method-of-moments simplification
+    of limma's ``fitFDist``).  The global moments are a tiny aggregate
+    broadcast back as literals — no second shuffle of the data.
+    """
+    sp2 = (
+        (F.col("n_a") - 1) * F.col("var_a") + (F.col("n_b") - 1) * F.col("var_b")
+    ) / (F.col("n_a") + F.col("n_b") - 2)
+    with_s2 = ttest_df.withColumn("_s2", sp2).withColumn(
+        "_df", F.col("n_a") + F.col("n_b") - 2
+    )
+    moments = with_s2.agg(
+        F.avg("_s2").alias("s2_prior"), F.var_samp(F.log("_s2")).alias("logvar")
+    ).collect()[0]
+    s2_prior = float(moments["s2_prior"])
+    logvar = float(moments["logvar"] or 1.0)
+    d0 = max(1.0, 2.0 / max(logvar, 1e-6))
+    post = (F.lit(d0) * F.lit(s2_prior) + F.col("_df") * F.col("_s2")) / (
+        F.lit(d0) + F.col("_df")
+    )
+    shrink = F.sqrt(F.col("_s2") / post)
+    return (
+        with_s2.withColumn("t_moderated", F.col("t_statistic") * shrink)
+        .drop("_s2", "_df")
+    )

@@ -1,0 +1,1022 @@
+"""Declared query inventory: SURVEY.md section 2 operators instantiated
+on the driver's synthetic tables (TESTDATA.md), each paired with an
+ANSI-SQL oracle that DuckDB runs on the same parquet files.
+
+Mapping conventions (gene-expression semantics onto the star schema):
+
+- *expression fact*: ``lineitem`` — gene ~ ``l_partkey``, sample ~
+  ``l_suppkey``, value ~ ``l_extendedprice``, platform ~
+  ``l_linestatus``, biological group ~ ``l_returnflag``;
+- *probe map / annotation dims*: ``part`` (probe->gene via
+  ``p_brand``), ``customer``/``nation`` (sample sheets);
+- *documents*/*embeddings*: the llmdata operator targets.
+
+FP-reproducibility policy (functions/exact.py): sums/means/variances of
+the fixed-precision fact columns are accumulated in DECIMAL and cast
+back to double, making them bitwise-identical across engines with no
+rounding; only outputs tainted by transcendental functions (ln / exp /
+log2) carry a final round(6), since libm implementations may differ in
+the last ulp.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from transcriptomics_data_integration_spark.functions.normal import norm_ppf_sql, two_sided_p_sql
+from transcriptomics_data_integration_spark.operators import (
+    argmax_dedup,
+    bitmask_venn,
+    exclude_ids,
+    frequency_table,
+    library_size,
+    reliability_filter,
+    remove_outlier_samples,
+    set_compare,
+)
+from transcriptomics_data_integration_spark.operators.filters import (
+    low_value_floor,
+    zero_repair,
+)
+from transcriptomics_data_integration_spark.stats import (
+    bh_adjust,
+    fem_rem_effects,
+    quantile_normalize,
+    stouffer_combine,
+    two_group_ttest,
+)
+from transcriptomics_data_integration_spark.stats.genemeta import effect_sizes
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dec(col, scale: int = 2):
+    return col.cast(f"decimal(18,{scale})")
+
+
+def _dsum(col, scale: int = 2):
+    """Exact SUM via decimal accumulation, back to double."""
+    return F.sum(_dec(col, scale)).cast("double")
+
+
+def _dsum2(col, scale: int = 2):
+    c = _dec(col, scale)
+    return F.sum((c * c).cast(f"decimal(38,{2 * scale})")).cast("double")
+
+
+def _dsum_sql(expr: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def _dsum2_sql(expr: str, scale: int = 2) -> str:
+    c = f"CAST({expr} AS DECIMAL(18,{scale}))"
+    return f"CAST(SUM(CAST({c} * {c} AS DECIMAL(38,{2 * scale}))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Core relational queries (SURVEY.md sections 2.1-2.4, 2.6)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline scan+agg (bench anchor; TPC-H Q1 shape).
+
+    Exercises S1-style scan -> filter -> partial+final hash aggregation.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,2)") - _dec(F.col("l_discount"))
+    )
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(38,4)")).cast("double").alias("sum_disc_price"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            (_dsum(F.col("l_extendedprice")) / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING = f"""
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       {_dsum_sql('l_extendedprice')} AS sum_base_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(38,4))) AS DOUBLE) AS sum_disc_price,
+       SUM(l_quantity) / COUNT(*) AS avg_qty,
+       {_dsum_sql('l_extendedprice')} / COUNT(*) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_gene_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 — per-gene mean/sd/count (gene ~ l_partkey) with
+    decimal-exact moments (`MultiGene2ProbeFilter.R:31`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_partkey").agg(
+        _dsum(F.col("l_extendedprice")).alias("_s"),
+        _dsum2(F.col("l_extendedprice")).alias("_s2"),
+        F.count("l_extendedprice").alias("n_obs"),
+    )
+    return agg.select(
+        "l_partkey",
+        (F.col("_s") / F.col("n_obs")).alias("mean_value"),
+        F.sqrt(
+            (F.col("_s2") - F.col("_s") * F.col("_s") / F.col("n_obs"))
+            / (F.col("n_obs") - 1)
+        ).alias("sd_value"),
+        "n_obs",
+    )
+
+
+ORACLE_GENE_STATS = f"""
+WITH agg AS (
+  SELECT l_partkey,
+         {_dsum_sql('l_extendedprice')} AS s,
+         {_dsum2_sql('l_extendedprice')} AS s2,
+         COUNT(l_extendedprice) AS n_obs
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey,
+       s / n_obs AS mean_value,
+       sqrt((s2 - s * s / n_obs) / (n_obs - 1)) AS sd_value,
+       n_obs
+FROM agg
+"""
+
+
+def q_library_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — per-sample library size (sample ~ l_suppkey); quantities are
+    integer-valued so the double sum is exact in any order."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = library_size(li, "l_suppkey", "l_quantity")
+    return out.select("l_suppkey", "lib_size")
+
+
+ORACLE_LIBRARY_SIZE = """
+SELECT l_suppkey, SUM(l_quantity) AS lib_size
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+def q_gene_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — anti-join exclusion list (drop large parts), summarized."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    excl = part.where(F.col("p_size") > 45).select(F.col("p_partkey").alias("l_partkey"))
+    kept = exclude_ids(li, excl, "l_partkey")
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _dsum(F.col("l_extendedprice")).alias("sum_price"),
+    )
+
+
+ORACLE_GENE_EXCLUSION = f"""
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       {_dsum_sql('l_extendedprice')} AS sum_price
+FROM lineitem
+WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size > 45)
+GROUP BY l_returnflag
+"""
+
+
+def q_outlier_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — comma-packed outlier list -> split/explode -> anti-join.
+
+    The packed dim is built from ``nation`` (nations with even key are
+    "outlier samples" of their region), mirroring ``outliers_<study>.txt``
+    (`QC_Affy_U133Plus2.R:162-164`).
+    """
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    packed = (
+        nation.where(F.col("n_nationkey") % 2 == 0)
+        .groupBy("n_regionkey")
+        .agg(F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("samples2exclude"))
+    )
+    cust = customer.join(
+        nation.select("n_nationkey", "n_name"),
+        customer.c_nationkey == nation.n_nationkey,
+    )
+    kept = remove_outlier_samples(cust, packed, "samples2exclude", "n_name")
+    return kept.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _dsum(F.col("c_acctbal")).alias("sum_acctbal"),
+    )
+
+
+ORACLE_OUTLIER_REMOVAL = f"""
+WITH packed AS (
+  SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS samples2exclude
+  FROM nation WHERE n_nationkey % 2 = 0 GROUP BY n_regionkey
+), excl AS (
+  SELECT DISTINCT TRIM(UNNEST(STRING_SPLIT(samples2exclude, ','))) AS n_name FROM packed
+)
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       {_dsum_sql('c_acctbal')} AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE n_name NOT IN (SELECT n_name FROM excl)
+GROUP BY c_mktsegment
+"""
+
+
+def q_zero_variance_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — drop genes whose value (l_tax) has zero variance.
+
+    The variance predicate is computed from decimal-exact moments so the
+    keep/drop decision is identical on both engines even for
+    all-equal-value groups (`DiffExpression_closedPlatform.R:375-376`).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    var = (F.col("_s2") - F.col("_s") * F.col("_s") / F.col("_n")) / (F.col("_n") - 1)
+    keep = (
+        li.groupBy("l_partkey")
+        .agg(
+            _dsum(F.col("l_tax")).alias("_s"),
+            _dsum2(F.col("l_tax")).alias("_s2"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .where(F.col("_n") >= 2)
+        .where(var > 0)
+        .select("l_partkey")
+    )
+    kept = li.join(keep, "l_partkey", "left_semi")
+    return kept.agg(
+        F.countDistinct("l_partkey").alias("n_genes"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE_ZERO_VARIANCE = f"""
+WITH agg AS (
+  SELECT l_partkey,
+         {_dsum_sql('l_tax')} AS s,
+         {_dsum2_sql('l_tax')} AS s2,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY l_partkey
+), keep AS (
+  SELECT l_partkey FROM agg
+  WHERE n >= 2 AND (s2 - s * s / n) / (n - 1) > 0
+)
+SELECT COUNT(DISTINCT l_partkey) AS n_genes, COUNT(*) AS n_rows
+FROM lineitem WHERE l_partkey IN (SELECT l_partkey FROM keep)
+"""
+
+
+def q_nonspecific_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/W1 — keep top-200 genes by (decimal-exact) sd, summarize the
+    surviving rows (`DiffExpression_closedPlatform.R:443-450`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    var = (F.col("_s2") - F.col("_s") * F.col("_s") / F.col("_n")) / (F.col("_n") - 1)
+    sd = li.groupBy("l_partkey").agg(
+        _dsum(F.col("l_extendedprice")).alias("_s"),
+        _dsum2(F.col("l_extendedprice")).alias("_s2"),
+        F.count(F.lit(1)).alias("_n"),
+    ).where(F.col("_n") >= 2).withColumn("_sd", F.sqrt(var))
+    w = Window.orderBy(F.col("_sd").desc(), F.col("l_partkey"))
+    keep = sd.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= 200).select("l_partkey")
+    kept = li.join(F.broadcast(keep), "l_partkey", "left_semi")
+    return kept.groupBy("l_linestatus").agg(
+        F.countDistinct("l_partkey").alias("n_genes"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE_NONSPECIFIC = f"""
+WITH agg AS (
+  SELECT l_partkey,
+         {_dsum_sql('l_extendedprice')} AS s,
+         {_dsum2_sql('l_extendedprice')} AS s2,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY l_partkey
+), sd AS (
+  SELECT l_partkey, sqrt((s2 - s * s / n) / (n - 1)) AS sdv
+  FROM agg WHERE n >= 2
+), ranked AS (
+  SELECT l_partkey, ROW_NUMBER() OVER (ORDER BY sdv DESC, l_partkey) AS rn FROM sd
+)
+SELECT l_linestatus, COUNT(DISTINCT l_partkey) AS n_genes, COUNT(*) AS n_rows
+FROM lineitem WHERE l_partkey IN (SELECT l_partkey FROM ranked WHERE rn <= 200)
+GROUP BY l_linestatus
+"""
+
+
+def q_reliability_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — probeset reliability: per order, count "unreliable" lines
+    (discount > 0.05 or tax > 0.05), require <= 2 and a single
+    returnflag (~ single mapped gene) (`ProbeFilter.pl:99-160`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pred = (F.col("l_discount") > 0.05) | (F.col("l_tax") > 0.05)
+    out = reliability_filter(li, "l_orderkey", pred, "l_returnflag", 2)
+    return out.select("l_orderkey", "n_unreliable", "n_genes", "n_members")
+
+
+ORACLE_RELIABILITY = """
+SELECT l_orderkey,
+       SUM(CASE WHEN l_discount > 0.05 OR l_tax > 0.05 THEN 1 ELSE 0 END) AS n_unreliable,
+       COUNT(DISTINCT l_returnflag) AS n_genes,
+       COUNT(*) AS n_members
+FROM lineitem GROUP BY l_orderkey
+HAVING SUM(CASE WHEN l_discount > 0.05 OR l_tax > 0.05 THEN 1 ELSE 0 END) <= 2
+   AND COUNT(DISTINCT l_returnflag) = 1
+"""
+
+
+def q_value_conditioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10+F11 — low-value floor then per-sample zero repair.
+
+    Discounts below 0.02 are floored to 0 (F10,
+    `GenExpressionComb_RNAseq.R:246-249`), then zeros are replaced by the
+    per-supplier minimum non-zero discount (F11,
+    `GenExpressionComb_Illum_HT_12_V3.R:57-67`).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    floored = low_value_floor(li, "l_discount", 0.02, 0.0)
+    repaired = zero_repair(floored, "l_suppkey", "l_discount")
+    return repaired.groupBy("l_suppkey").agg(
+        _dsum(F.col("l_discount")).alias("sum_discount"),
+        F.count(F.when(F.col("l_discount") == 0, 1)).alias("n_zero"),
+    )
+
+
+ORACLE_VALUE_CONDITIONING = f"""
+WITH floored AS (
+  SELECT l_suppkey,
+         CASE WHEN l_discount < 0.02 THEN 0.0 ELSE l_discount END AS d
+  FROM lineitem
+), repaired AS (
+  SELECT l_suppkey,
+         CASE WHEN d = 0 THEN MIN(CASE WHEN d > 0 THEN d END) OVER (PARTITION BY l_suppkey)
+              ELSE d END AS d
+  FROM floored
+)
+SELECT l_suppkey, {_dsum_sql('d')} AS sum_discount,
+       COUNT(CASE WHEN d = 0 THEN 1 END) AS n_zero
+FROM repaired GROUP BY l_suppkey
+"""
+
+
+def q_merge_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — MergeFiles.pl-style keyed left-outer merge with NULL pad.
+
+    Build side: customers in the BUILDING segment only, so non-matches
+    exercise the NA-padding path (`MergeFiles.pl:113`).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    joined = orders.join(
+        F.broadcast(customer),
+        orders.o_custkey == customer.c_custkey,
+        "left",
+    )
+    return joined.select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+ORACLE_MERGE_LEFT_JOIN = """
+SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+ON o_custkey = c_custkey
+"""
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — genomic interval join with bucketed equi-key.
+
+    Probes derived from ``part`` (25-bp loci), gene spans from
+    ``customer`` (5-kb loci) on 23 synthetic chromosomes.  Per probe:
+    first overlapping gene (by span start, then id) + overlap count
+    (`ArrayAnnot.pl:116-155`).  The bucketed equi-prejoin turns Spark's
+    broadcast-nested-loop theta join into a hash join (SURVEY.md
+    section 4.4).
+    """
+    part = _t(spark, sf_dir, "part")
+    customer = _t(spark, sf_dir, "customer")
+    probes = part.select(
+        F.col("p_partkey").alias("probe_id"),
+        (F.col("p_partkey") % 23).cast("string").alias("chrom"),
+        ((F.col("p_partkey") * 97) % 1000000).alias("start"),
+    ).withColumn("end", F.col("start") + 24)
+    genes = customer.select(
+        F.col("c_custkey").alias("gene_id"),
+        (F.col("c_custkey") % 23).cast("string").alias("chrom"),
+        ((F.col("c_custkey") * 61) % 1000000).alias("g_start"),
+    ).withColumn("g_end", F.col("g_start") + 5000)
+
+    bucket = 65536
+    g = genes.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.col("g_start") / bucket).cast("long"),
+                (F.col("g_end") / bucket).cast("long"),
+            )
+        ),
+    )
+    p = probes.withColumn(
+        "bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    (F.col("start") / bucket).cast("long"),
+                    (F.col("end") / bucket).cast("long"),
+                )
+            )
+        ),
+    )
+    matches = (
+        p.join(g, ["chrom", "bucket"])
+        .where((F.col("start") <= F.col("g_end")) & (F.col("end") >= F.col("g_start")))
+        .select("probe_id", "gene_id", "g_start")
+        .dropDuplicates(["probe_id", "gene_id"])
+    )
+    return matches.groupBy("probe_id").agg(
+        F.min(F.struct("g_start", "gene_id"))["gene_id"].alias("first_gene"),
+        F.countDistinct("gene_id").alias("gene_no"),
+    )
+
+
+ORACLE_INTERVAL_JOIN = """
+WITH probes AS (
+  SELECT p_partkey AS probe_id,
+         CAST(p_partkey % 23 AS VARCHAR) AS chrom,
+         (p_partkey * 97) % 1000000 AS s,
+         (p_partkey * 97) % 1000000 + 24 AS e
+  FROM part
+), genes AS (
+  SELECT c_custkey AS gene_id,
+         CAST(c_custkey % 23 AS VARCHAR) AS chrom,
+         (c_custkey * 61) % 1000000 AS gs,
+         (c_custkey * 61) % 1000000 + 5000 AS ge
+  FROM customer
+), matches AS (
+  SELECT probe_id, gene_id, gs
+  FROM probes JOIN genes USING (chrom)
+  WHERE s <= ge AND e >= gs
+), ranked AS (
+  SELECT probe_id, gene_id,
+         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY gs, gene_id) AS rn
+  FROM matches
+), counts AS (
+  SELECT probe_id, COUNT(DISTINCT gene_id) AS gene_no FROM matches GROUP BY probe_id
+)
+SELECT r.probe_id, r.gene_id AS first_gene, c.gene_no
+FROM ranked r JOIN counts c ON r.probe_id = c.probe_id
+WHERE r.rn = 1
+"""
+
+
+def q_argmax_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/W2 — one-probe-one-gene collapse: per brand keep the part with
+    the max (decimal-exact) price variance (`MultiGene2ProbeFilter.R:50-64`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    var = (F.col("_s") * F.col("_s") / F.col("_n") - F.col("_s2")) * -1
+    var_per_part = (
+        li.groupBy("l_partkey")
+        .agg(
+            _dsum(F.col("l_extendedprice")).alias("_s"),
+            _dsum2(F.col("l_extendedprice")).alias("_s2"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .where(F.col("_n") >= 2)
+        .withColumn(
+            "var_value",
+            (F.col("_s2") - F.col("_s") * F.col("_s") / F.col("_n")) / (F.col("_n") - 1),
+        )
+        .select("l_partkey", "var_value")
+    )
+    annotated = var_per_part.join(
+        F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"), "p_brand")),
+        "l_partkey",
+    )
+    best = argmax_dedup(annotated, "p_brand", "var_value", "l_partkey")
+    return best.select("p_brand", F.col("l_partkey").alias("best_part"), "var_value")
+
+
+ORACLE_ARGMAX_DEDUP = f"""
+WITH agg AS (
+  SELECT l_partkey,
+         {_dsum_sql('l_extendedprice')} AS s,
+         {_dsum2_sql('l_extendedprice')} AS s2,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY l_partkey
+), v AS (
+  SELECT l_partkey, (s2 - s * s / n) / (n - 1) AS var_value
+  FROM agg WHERE n >= 2
+), a AS (
+  SELECT p_brand, l_partkey, var_value,
+         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY var_value DESC, l_partkey) AS rn
+  FROM v JOIN part ON l_partkey = p_partkey
+)
+SELECT p_brand, l_partkey AS best_part, var_value
+FROM a WHERE rn = 1
+"""
+
+
+def q_dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — deterministic dropDuplicates: first order per customer
+    (`Meta_analysis.R:201,211` !duplicated)."""
+    orders = _t(spark, sf_dir, "orders")
+    first = argmax_dedup(
+        orders.withColumn("_neg", -F.col("o_orderkey")), "o_custkey", "_neg", "o_orderkey"
+    )
+    return first.select("o_custkey", F.col("o_orderkey").alias("first_orderkey"))
+
+
+ORACLE_DEDUP_ROWS = """
+SELECT o_custkey, MIN(o_orderkey) AS first_orderkey
+FROM orders GROUP BY o_custkey
+"""
+
+
+def q_set_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — union/intersect/setdiff cardinalities of two gene sets
+    (parts shipped 1995-H1 vs 1995-H2) (`Meta_analysis.R:1060-1066`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.where(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1995-07-01")
+    ).select(F.col("l_partkey").alias("k"))
+    b = li.where(
+        (F.col("l_shipdate") >= "1995-07-01") & (F.col("l_shipdate") < "1996-01-01")
+    ).select(F.col("l_partkey").alias("k"))
+    return set_compare(a, b, "k")
+
+
+ORACLE_SET_COMPARE = """
+WITH a AS (
+  SELECT DISTINCT l_partkey AS k FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-07-01'
+), b AS (
+  SELECT DISTINCT l_partkey AS k FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-07-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+), f AS (
+  SELECT COALESCE(a.k, b.k) AS k, a.k IS NOT NULL AS in_a, b.k IS NOT NULL AS in_b
+  FROM a FULL OUTER JOIN b ON a.k = b.k
+)
+SELECT COUNT(*) AS n_union,
+       SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS n_intersect,
+       SUM(CASE WHEN NOT in_b THEN 1 ELSE 0 END) AS n_only_a,
+       SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS n_only_b
+FROM f
+"""
+
+
+def q_frequency_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — histogram of lines-per-order (`ProbeFilter.pl:166-216`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return frequency_table(li, "l_orderkey")
+
+
+ORACLE_FREQUENCY = """
+WITH sizes AS (
+  SELECT l_orderkey, COUNT(*) AS group_size FROM lineitem GROUP BY l_orderkey
+)
+SELECT group_size, COUNT(*) AS n_groups FROM sizes GROUP BY group_size
+"""
+
+
+def q_venn_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — k-set Venn counts via membership bitmask
+    (`overLapper.R:52-79`): parts x the set of return flags seen."""
+    li = _t(spark, sf_dir, "lineitem")
+    return bitmask_venn(li, "l_partkey", "l_returnflag")
+
+
+ORACLE_VENN = """
+WITH m AS (
+  SELECT l_partkey, STRING_AGG(DISTINCT l_returnflag, '|' ORDER BY l_returnflag) AS membership
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT membership, COUNT(*) AS n_elements FROM m GROUP BY membership
+"""
+
+
+def q_quantile_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — exact percentiles of order totals
+    (`Meta_analysis.R:1360-1368` top/bottom deciles)."""
+    orders = _t(spark, sf_dir, "orders")
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    agg = orders.agg(F.percentile("o_totalprice", F.lit(qs)).alias("_p"))
+    return agg.select(F.posexplode("_p").alias("pos", "threshold")).select(
+        "pos", F.round("threshold", 4).alias("threshold")
+    )
+
+
+ORACLE_QUANTILES = """
+WITH q AS (
+  SELECT UNNEST(ARRAY[0, 1, 2, 3, 4]) AS pos,
+         UNNEST(quantile_cont(o_totalprice, [0.1, 0.25, 0.5, 0.75, 0.9])) AS threshold
+  FROM orders
+)
+SELECT pos, ROUND(threshold, 4) AS threshold FROM q
+"""
+
+
+def q_sample_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — per-sample Pearson correlation of price vs quantity from
+    decimal-exact cross-moments (`Study_effect.R:320-398`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = _dec(F.col("l_extendedprice"), 2)
+    y = _dec(F.col("l_quantity"), 0)
+    agg = li.groupBy("l_suppkey").agg(
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(38,2)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(38,4)")).cast("double").alias("sx2"),
+        F.sum((y * y).cast("decimal(38,0)")).cast("double").alias("sy2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy"))
+    )
+    # a*b - c*d patterns may compile to FMA in DuckDB (ulp drift) —
+    # round(6) absorbs it; r is irrational so no decimal-tie risk.
+    return agg.select("l_suppkey", F.round(r, 6).alias("r"))
+
+
+ORACLE_CORRELATION = """
+WITH agg AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,0)) AS DECIMAL(38,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sx2,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,0)) * CAST(l_quantity AS DECIMAL(18,0)) AS DECIMAL(38,0))) AS DOUBLE) AS sy2,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey,
+       ROUND((n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6) AS r
+FROM agg
+"""
+
+
+def q_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/W6 — quantile normalization of the (sample ~ supplier) value
+    distributions (`GenExpressionComb_Affy_U133Plus2.R:149-156`).  The
+    reference distribution (mean per rank) uses decimal-exact sums."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "row_id", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(F.col("l_extendedprice").asc(), F.col("row_id").asc())
+    ranked = li.withColumn("_rank", F.row_number().over(w))
+    ref = ranked.groupBy("_rank").agg(
+        (_dsum(F.col("l_extendedprice")) / F.count(F.lit(1))).alias("qn_value")
+    )
+    joined = ranked.join(F.broadcast(ref), "_rank")
+    return joined.select("l_suppkey", "row_id", "qn_value")
+
+
+ORACLE_QUANTILE_NORM = f"""
+WITH ranked AS (
+  SELECT l_suppkey, l_orderkey * 10 + l_linenumber AS row_id, l_extendedprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_extendedprice, l_orderkey * 10 + l_linenumber
+         ) AS rank
+  FROM lineitem
+), ref AS (
+  SELECT rank, {_dsum_sql('l_extendedprice')} / COUNT(*) AS qn_value
+  FROM ranked GROUP BY rank
+)
+SELECT ranked.l_suppkey, ranked.row_id, ref.qn_value
+FROM ranked JOIN ref ON ranked.rank = ref.rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Statistical kernels (SURVEY.md section 2.5) — shared oracle fragments
+# ---------------------------------------------------------------------------
+
+
+def _ttest_cte(group_by: str, extra_col: str, table_filter: str) -> str:
+    """Oracle CTE chain computing the exact-moment pooled t per group.
+
+    Mirrors stats/ttest.py `_group_moments` + `two_group_ttest` op
+    shapes exactly (same IEEE op sequence on identical inputs).
+    """
+    case_a = "CASE WHEN l_returnflag = 'R' THEN l_extendedprice END"
+    case_b = "CASE WHEN l_returnflag = 'A' THEN l_extendedprice END"
+    return f"""
+agg AS (
+  SELECT {group_by}{extra_col},
+         COUNT({case_a}) AS n_a,
+         COUNT({case_b}) AS n_b,
+         {_dsum_sql(case_a)} AS sa,
+         {_dsum_sql(case_b)} AS sb,
+         {_dsum2_sql(case_a)} AS sa2,
+         {_dsum2_sql(case_b)} AS sb2
+  FROM lineitem
+  WHERE l_returnflag IN ('R', 'A'){table_filter}
+  GROUP BY ALL
+  HAVING COUNT({case_a}) >= 2 AND COUNT({case_b}) >= 2
+), m AS (
+  SELECT * EXCLUDE (sa, sb, sa2, sb2),
+         sa / n_a AS mean_a, sb / n_b AS mean_b,
+         (sa2 - sa * sa / n_a) / (n_a - 1) AS var_a,
+         (sb2 - sb * sb / n_b) / (n_b - 1) AS var_b
+  FROM agg
+), t0 AS (
+  SELECT *,
+         log2(mean_a / mean_b) AS log2fc,
+         sqrt((((n_a - 1) * var_a + (n_b - 1) * var_b) / (n_a + n_b - 2))
+              * (1.0e0 / n_a + 1.0e0 / n_b)) AS se
+  FROM m
+), tt AS (
+  SELECT * EXCLUDE (se), (mean_a - mean_b) / se AS t_statistic
+  FROM t0 WHERE se > 0
+), de AS (
+  SELECT *, {two_sided_p_sql('t_statistic')} AS p_value FROM tt
+)
+"""
+
+
+def q_diff_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 closed form + M10 — per-gene pooled t between return flags
+    'R' and 'A' on price, normal-approx p, BH adjustment
+    (`DiffExpression_closedPlatform.R:474-633`, `:566` adjust="BH")."""
+    li = _t(spark, sf_dir, "lineitem")
+    tt = two_group_ttest(li, "l_partkey", "l_returnflag", "l_extendedprice", "R", "A")
+    adj = bh_adjust(tt, "p_value", "adj_p_value", tiebreak_col="l_partkey")
+    return adj.select(
+        "l_partkey",
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        "t_statistic",
+        F.round("log2fc", 6).alias("log2fc"),
+        F.round("p_value", 8).alias("p_value"),
+        F.round("adj_p_value", 8).alias("adj_p_value"),
+    )
+
+
+def _oracle_diff_expression() -> str:
+    return f"""
+WITH {_ttest_cte("l_partkey", "", "")}, b AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY p_value, l_partkey) AS rnk,
+         COUNT(*) OVER () AS nn
+  FROM de
+), adj AS (
+  SELECT *,
+         MIN(LEAST(p_value * nn / rnk, 1.0e0)) OVER (
+           ORDER BY p_value DESC, l_partkey DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS adj_p_value
+  FROM b
+)
+SELECT l_partkey, n_a, n_b, mean_a, mean_b, t_statistic,
+       ROUND(log2fc, 6) AS log2fc,
+       ROUND(p_value, 8) AS p_value,
+       ROUND(adj_p_value, 8) AS adj_p_value
+FROM adj
+"""
+
+
+def q_stouffer_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 — weighted Stouffer combination of per-platform DE results
+    (platform ~ l_linestatus), ICC-weighted (`Meta_analysis.R:76-121,
+    1211-1228`)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_linestatus").isin(["O", "F"]))
+    per_platform = []
+    for status in ["O", "F"]:
+        sub = li.where(F.col("l_linestatus") == status)
+        tt = two_group_ttest(sub, "l_partkey", "l_returnflag", "l_extendedprice", "R", "A")
+        per_platform.append(tt.withColumn("platform", F.lit(status)))
+    de = per_platform[0].unionByName(per_platform[1])
+    de = de.withColumn("icc", ((F.col("l_partkey") % 100) - 50) / 62.5)
+    comb = stouffer_combine(de, "l_partkey", "platform", "p_value", "log2fc", "icc")
+    return comb.select(
+        "l_partkey",
+        "n_platforms",
+        F.round("avg_log2fc", 6).alias("avg_log2fc"),
+        F.round("z_comb", 6).alias("z_comb"),
+        F.round("p_comb", 8).alias("p_comb"),
+    )
+
+
+def _oracle_stouffer() -> str:
+    qn = norm_ppf_sql("((p_value) / 2.0e0)")
+    z_expr = f"CASE WHEN (log2fc) > 0 THEN {qn} ELSE -({qn}) END"
+    p_comb = two_sided_p_sql("z_comb")
+    return f"""
+WITH {_ttest_cte("l_partkey", ", l_linestatus AS platform", " AND l_linestatus IN ('O', 'F')")}, z AS (
+  SELECT l_partkey, log2fc,
+         {z_expr} AS z,
+         GREATEST(ABS(log2fc) + ABS(log2fc)
+                  * ((CAST(l_partkey % 100 AS DOUBLE) - 50) / 62.5)
+                  * ((CAST(l_partkey % 100 AS DOUBLE) - 50) / 62.5), 0.0e0) AS w_raw
+  FROM de
+), comb AS (
+  SELECT l_partkey,
+         COUNT(*) AS n_platforms,
+         AVG(log2fc) AS avg_log2fc,
+         SUM(SQRT(ABS(log2fc)) * z) / SQRT(SUM(w_raw)) AS z_comb
+  FROM z GROUP BY l_partkey HAVING COUNT(*) > 1
+)
+SELECT l_partkey, n_platforms,
+       ROUND(avg_log2fc, 6) AS avg_log2fc,
+       ROUND(z_comb, 6) AS z_comb,
+       ROUND({p_comb}, 8) AS p_comb
+FROM comb
+"""
+
+
+def q_fem_rem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 — FEM/REM effect-size meta-analysis across platforms
+    (`Meta_analysis.R:756-840`; Choi et al. 2003).  All outputs are
+    rational/sqrt chains of decimal-exact moments — no rounding."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_linestatus").isin(["O", "F"]))
+    eff = effect_sizes(
+        li, "l_partkey", "l_linestatus", "l_returnflag", "l_extendedprice", "A", "R"
+    )
+    out = fem_rem_effects(eff, "l_partkey")
+    return out.select(
+        "l_partkey", "n_studies", "q_stat", "tau2", "mu_fem", "z_fem", "mu_rem", "z_rem"
+    )
+
+
+def _oracle_fem_rem() -> str:
+    case_a = "CASE WHEN l_returnflag = 'A' THEN l_extendedprice END"
+    case_r = "CASE WHEN l_returnflag = 'R' THEN l_extendedprice END"
+    return f"""
+WITH agg AS (
+  SELECT l_partkey, l_linestatus AS platform,
+         COUNT({case_a}) AS n0,
+         COUNT({case_r}) AS n1,
+         {_dsum_sql(case_a)} AS s0,
+         {_dsum_sql(case_r)} AS s1,
+         {_dsum2_sql(case_a)} AS s02,
+         {_dsum2_sql(case_r)} AS s12
+  FROM lineitem
+  WHERE l_returnflag IN ('A', 'R') AND l_linestatus IN ('O', 'F')
+  GROUP BY ALL
+  HAVING COUNT({case_a}) >= 2 AND COUNT({case_r}) >= 2
+), m AS (
+  SELECT l_partkey, platform, n0, n1,
+         s0 / n0 AS m0, s1 / n1 AS m1,
+         (s02 - s0 * s0 / n0) / (n0 - 1) AS v0,
+         (s12 - s1 * s1 / n1) / (n1 - 1) AS v1
+  FROM agg
+), d AS (
+  SELECT l_partkey, platform, n0, n1, m0, m1,
+         sqrt(((n0 - 1) * v0 + (n1 - 1) * v1) / (n0 + n1 - 2)) AS sp
+  FROM m
+), d2 AS (
+  SELECT l_partkey, platform, n0, n1, (m1 - m0) / sp AS d_raw
+  FROM d WHERE sp > 0
+), eff AS (
+  SELECT l_partkey, platform, n0, n1,
+         d_raw - 3.0e0 * d_raw / (4.0e0 * (n0 + n1) - 9.0e0) AS d_adj
+  FROM d2
+), eff2 AS (
+  SELECT *,
+         1.0e0 / n0 + 1.0e0 / n1 + d_adj * d_adj / (2.0e0 * (n0 + n1)) AS var_d
+  FROM eff
+), fem AS (
+  SELECT l_partkey,
+         COUNT(*) AS n_studies,
+         SUM(1.0e0 / var_d) AS sw,
+         SUM((1.0e0 / var_d) * (1.0e0 / var_d)) AS sw2,
+         SUM((1.0e0 / var_d) * d_adj) AS swd,
+         SUM((1.0e0 / var_d) * d_adj * d_adj) AS swd2
+  FROM eff2 GROUP BY l_partkey HAVING COUNT(*) > 1
+), fem2 AS (
+  SELECT l_partkey, n_studies,
+         swd / sw AS mu_fem,
+         swd2 - swd * swd / sw AS q_stat,
+         (swd / sw) * sqrt(sw) AS z_fem,
+         GREATEST((swd2 - swd * swd / sw - (n_studies - 1)) / (sw - sw2 / sw), 0.0e0) AS tau2
+  FROM fem
+), rem AS (
+  SELECT e.l_partkey,
+         SUM(1.0e0 / (e.var_d + f.tau2)) AS swr,
+         SUM((1.0e0 / (e.var_d + f.tau2)) * e.d_adj) AS swrd
+  FROM eff2 e JOIN fem2 f ON e.l_partkey = f.l_partkey
+  GROUP BY e.l_partkey
+)
+SELECT f.l_partkey, f.n_studies, f.q_stat, f.tau2, f.mu_fem, f.z_fem,
+       r.swrd / r.swr AS mu_rem,
+       (r.swrd / r.swr) * sqrt(r.swr) AS z_rem
+FROM fem2 f JOIN rem r ON f.l_partkey = r.l_partkey
+"""
+
+
+def q_p_improvement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 — per-platform p-value improvement log2(p / p_comb)
+    (`Meta_analysis.R:1267-1284`)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_linestatus").isin(["O", "F"]))
+    per_platform = []
+    for status in ["O", "F"]:
+        sub = li.where(F.col("l_linestatus") == status)
+        tt = two_group_ttest(sub, "l_partkey", "l_returnflag", "l_extendedprice", "R", "A")
+        per_platform.append(tt.withColumn("platform", F.lit(status)))
+    de = per_platform[0].unionByName(per_platform[1])
+    de = de.withColumn("icc", ((F.col("l_partkey") % 100) - 50) / 62.5)
+    comb = stouffer_combine(de, "l_partkey", "platform", "p_value", "log2fc", "icc")
+    joined = de.join(comb.select("l_partkey", "p_comb"), "l_partkey")
+    return joined.select(
+        "l_partkey",
+        "platform",
+        F.round(F.log2(F.col("p_value") / F.col("p_comb")), 6).alias("p_improvement"),
+    )
+
+
+def _oracle_p_improvement() -> str:
+    qn = norm_ppf_sql("((p_value) / 2.0e0)")
+    z_expr = f"CASE WHEN (log2fc) > 0 THEN {qn} ELSE -({qn}) END"
+    p_comb = two_sided_p_sql("z_comb")
+    return f"""
+WITH {_ttest_cte("l_partkey", ", l_linestatus AS platform", " AND l_linestatus IN ('O', 'F')")}, z AS (
+  SELECT l_partkey, platform, p_value, log2fc,
+         {z_expr} AS z,
+         GREATEST(ABS(log2fc) + ABS(log2fc)
+                  * ((CAST(l_partkey % 100 AS DOUBLE) - 50) / 62.5)
+                  * ((CAST(l_partkey % 100 AS DOUBLE) - 50) / 62.5), 0.0e0) AS w_raw
+  FROM de
+), comb AS (
+  SELECT l_partkey,
+         SUM(SQRT(ABS(log2fc)) * z) / SQRT(SUM(w_raw)) AS z_comb
+  FROM z GROUP BY l_partkey HAVING COUNT(*) > 1
+), pc AS (
+  SELECT l_partkey, {p_comb} AS p_comb FROM comb
+)
+SELECT d.l_partkey, d.platform,
+       ROUND(log2(d.p_value / pc.p_comb), 6) AS p_improvement
+FROM de d JOIN pc ON d.l_partkey = pc.l_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {
+    "pricing_summary": q_pricing_summary,
+    "gene_stats": q_gene_stats,
+    "library_size": q_library_size,
+    "gene_exclusion": q_gene_exclusion,
+    "outlier_removal": q_outlier_removal,
+    "zero_variance_filter": q_zero_variance_filter,
+    "nonspecific_filter": q_nonspecific_filter,
+    "reliability_filter": q_reliability_filter,
+    "value_conditioning": q_value_conditioning,
+    "merge_left_join": q_merge_left_join,
+    "interval_join": q_interval_join,
+    "argmax_dedup": q_argmax_dedup,
+    "dedup_rows": q_dedup_rows,
+    "set_compare": q_set_compare,
+    "frequency_table": q_frequency_table,
+    "venn_membership": q_venn_membership,
+    "quantile_thresholds": q_quantile_thresholds,
+    "sample_correlation": q_sample_correlation,
+    "quantile_normalization": q_quantile_normalization,
+    "diff_expression": q_diff_expression,
+    "stouffer_meta": q_stouffer_meta,
+    "fem_rem": q_fem_rem,
+    "p_improvement": q_p_improvement,
+}
+
+ORACLES: dict[str, str] = {
+    "pricing_summary": ORACLE_PRICING,
+    "gene_stats": ORACLE_GENE_STATS,
+    "library_size": ORACLE_LIBRARY_SIZE,
+    "gene_exclusion": ORACLE_GENE_EXCLUSION,
+    "outlier_removal": ORACLE_OUTLIER_REMOVAL,
+    "zero_variance_filter": ORACLE_ZERO_VARIANCE,
+    "nonspecific_filter": ORACLE_NONSPECIFIC,
+    "reliability_filter": ORACLE_RELIABILITY,
+    "value_conditioning": ORACLE_VALUE_CONDITIONING,
+    "merge_left_join": ORACLE_MERGE_LEFT_JOIN,
+    "interval_join": ORACLE_INTERVAL_JOIN,
+    "argmax_dedup": ORACLE_ARGMAX_DEDUP,
+    "dedup_rows": ORACLE_DEDUP_ROWS,
+    "set_compare": ORACLE_SET_COMPARE,
+    "frequency_table": ORACLE_FREQUENCY,
+    "venn_membership": ORACLE_VENN,
+    "quantile_thresholds": ORACLE_QUANTILES,
+    "sample_correlation": ORACLE_CORRELATION,
+    "quantile_normalization": ORACLE_QUANTILE_NORM,
+    "diff_expression": _oracle_diff_expression(),
+    "stouffer_meta": _oracle_stouffer(),
+    "fem_rem": _oracle_fem_rem(),
+    "p_improvement": _oracle_p_improvement(),
+}
