@@ -1,0 +1,76 @@
+"""Benchmark harness (driver contract, BASELINE.md).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "suite_seconds", "value": N, "unit": "sec",
+     "queries": {...}, "sf": 0.1}
+
+Each query is timed as a full action (plan + execute + collect to
+driver).  A tiny warmup query first absorbs one-time JVM/codegen cost
+so per-query numbers reflect steady-state engine throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from transcriptomics_data_integration_spark.session import get_spark
+from transcriptomics_data_integration_spark.suite import QUERIES
+
+# Headline set: one per operator family — scan+agg, per-gene stats,
+# filter pushdown, window rank, interval join, left merge, quantile
+# norm (per-sample window + broadcast back), DE kernel chain, and the
+# two meta-analysis kernels.
+BENCH_QUERIES = [
+    "pricing_summary",
+    "gene_stats",
+    "nonspecific_filter",
+    "reliability_filter",
+    "merge_left_join",
+    "interval_join",
+    "quantile_normalization",
+    "diff_expression",
+    "stouffer_meta",
+    "fem_rem",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark("bench")
+
+    # warmup: JVM + parquet footer reads
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

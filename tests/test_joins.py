@@ -1,0 +1,79 @@
+"""Interval-join (J6) semantics: overlap detection, first-gene pick,
+overlap counting, bucket-boundary straddling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from transcriptomics_data_integration_spark.operators.joins import left_merge
+
+
+def _interval_join_small(spark, probes, genes, bucket=100):
+    """Inline mirror of the suite's bucketed interval join, small bucket
+    to force boundary-straddling coverage."""
+    p = spark.createDataFrame(probes, ["probe_id", "chrom", "start", "end"])
+    g = spark.createDataFrame(genes, ["gene_id", "chrom", "g_start", "g_end"])
+    ge = g.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.col("g_start") / bucket).cast("long"),
+                (F.col("g_end") / bucket).cast("long"),
+            )
+        ),
+    )
+    pe = p.withColumn(
+        "bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    (F.col("start") / bucket).cast("long"),
+                    (F.col("end") / bucket).cast("long"),
+                )
+            )
+        ),
+    )
+    matches = (
+        pe.join(ge, ["chrom", "bucket"])
+        .where((F.col("start") <= F.col("g_end")) & (F.col("end") >= F.col("g_start")))
+        .select("probe_id", "gene_id", "g_start")
+        .dropDuplicates(["probe_id", "gene_id"])
+    )
+    return matches.groupBy("probe_id").agg(
+        F.min(F.struct("g_start", "gene_id"))["gene_id"].alias("first_gene"),
+        F.countDistinct("gene_id").alias("gene_no"),
+    )
+
+
+def test_interval_join_overlap_and_counts(spark):
+    probes = [
+        ("p1", "1", 10, 34),     # inside gene A only
+        ("p2", "1", 95, 119),    # straddles bucket boundary; overlaps A and B
+        ("p3", "1", 500, 524),   # no gene
+        ("p4", "2", 10, 34),     # wrong chromosome for A/B, inside C
+    ]
+    genes = [
+        ("A", "1", 0, 100),
+        ("B", "1", 110, 300),
+        ("C", "2", 0, 50),
+    ]
+    out = {r["probe_id"]: (r["first_gene"], r["gene_no"]) for r in _interval_join_small(spark, probes, genes).collect()}
+    assert out == {"p1": ("A", 1), "p2": ("A", 2), "p4": ("C", 1)}
+    assert "p3" not in out
+
+
+def test_interval_join_touching_endpoints_count(spark):
+    # inclusive interval semantics (ArrayAnnot.pl range fetch): probe end
+    # == gene start counts as overlap
+    probes = [("p1", "1", 90, 110)]
+    genes = [("A", "1", 110, 200), ("B", "1", 0, 90)]
+    out = _interval_join_small(spark, probes, genes).collect()[0]
+    assert out["gene_no"] == 2
+    assert out["first_gene"] == "B"
+
+
+def test_left_merge_null_padding(spark):
+    left = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "lv"])
+    right = spark.createDataFrame([(1, "r1")], ["k", "rv"])
+    out = {r["k"]: r["rv"] for r in left_merge(left, right, "k").collect()}
+    assert out == {1: "r1", 2: None}

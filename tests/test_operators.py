@@ -1,0 +1,123 @@
+"""Unit tests for the relational operator library (SURVEY.md section 2)
+on tiny hand-built relations with known answers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from transcriptomics_data_integration_spark.operators import (
+    argmax_dedup,
+    bitmask_venn,
+    exclude_ids,
+    frequency_table,
+    keep_ids,
+    remove_outlier_samples,
+    set_compare,
+    top_k_by,
+    zero_variance_filter,
+)
+from transcriptomics_data_integration_spark.operators.filters import (
+    low_value_floor,
+    nonspecific_filter_topk,
+    reliability_filter,
+    zero_repair,
+)
+
+
+def test_exclude_and_keep_ids(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], ["gene_id", "v"])
+    excl = spark.createDataFrame([("b",)], ["gene_id"])
+    assert {r["gene_id"] for r in exclude_ids(df, excl, "gene_id").collect()} == {"a", "c"}
+    assert {r["gene_id"] for r in keep_ids(df, excl, "gene_id").collect()} == {"b"}
+
+
+def test_remove_outlier_samples_packed_list(spark):
+    # comma-packed exclusion incl. empty and NULL rows
+    df = spark.createDataFrame(
+        [("s1", 1.0), ("s2", 2.0), ("s3", 3.0), ("s4", 4.0)], ["sample_id", "v"]
+    )
+    outliers = spark.createDataFrame(
+        [("d1", "s2, s4"), ("d2", ""), ("d3", None)], ["dataset", "samples2exclude"]
+    )
+    kept = remove_outlier_samples(df, outliers, "samples2exclude", "sample_id")
+    assert {r["sample_id"] for r in kept.collect()} == {"s1", "s3"}
+
+
+def test_zero_variance_filter(spark):
+    rows = [("g1", 1.0), ("g1", 2.0), ("g2", 3.0), ("g2", 3.0)]
+    df = spark.createDataFrame(rows, ["gene_id", "value"])
+    out = zero_variance_filter(df, "gene_id", "value")
+    assert {r["gene_id"] for r in out.collect()} == {"g1"}
+
+
+def test_nonspecific_filter_topk(spark):
+    rows = []
+    for g, spread in [("g1", 10.0), ("g2", 1.0), ("g3", 5.0)]:
+        rows += [(g, 0.0), (g, spread)]
+    df = spark.createDataFrame(rows, ["gene_id", "value"])
+    out = nonspecific_filter_topk(df, "gene_id", "value", 2)
+    assert {r["gene_id"] for r in out.collect()} == {"g1", "g3"}
+
+
+def test_reliability_filter_thresholds(spark):
+    # ps1: 1 unreliable, single gene -> kept; ps2: 3 unreliable -> dropped;
+    # ps3: multi-gene -> dropped
+    rows = [
+        ("ps1", "25=", "gA"),
+        ("ps1", "24=1X", "gA"),
+        ("ps2", "24=1X", "gB"),
+        ("ps2", "20=5X", "gB"),
+        ("ps2", "1X24=", "gB"),
+        ("ps3", "25=", "gC"),
+        ("ps3", "25=", "gD"),
+    ]
+    df = spark.createDataFrame(rows, ["probeset", "cigar", "gene_id"])
+    out = reliability_filter(df, "probeset", F.col("cigar") != "25=", "gene_id", 2)
+    assert {r["probeset"] for r in out.collect()} == {"ps1"}
+
+
+def test_floor_and_zero_repair(spark):
+    df = spark.createDataFrame(
+        [("s1", 0.01), ("s1", 0.05), ("s1", 0.5), ("s2", 0.0), ("s2", 0.0)],
+        ["sample_id", "value"],
+    )
+    floored = low_value_floor(df, "value", 0.02)
+    repaired = zero_repair(floored, "sample_id", "value")
+    got = sorted((r["sample_id"], r["value"]) for r in repaired.collect())
+    # s1: 0.01 -> 0 -> repaired to min nonzero 0.05 ; s2: all zero stays 0
+    assert got == [("s1", 0.05), ("s1", 0.05), ("s1", 0.5), ("s2", 0.0), ("s2", 0.0)]
+
+
+def test_argmax_dedup_deterministic_tiebreak(spark):
+    rows = [("gA", "p1", 5.0), ("gA", "p2", 5.0), ("gA", "p3", 1.0), ("gB", "p4", 2.0)]
+    df = spark.createDataFrame(rows, ["gene_id", "probe", "var"])
+    out = {r["gene_id"]: r["probe"] for r in argmax_dedup(df, "gene_id", "var", "probe").collect()}
+    assert out == {"gA": "p1", "gB": "p4"}  # tie p1/p2 -> lexicographic first
+
+
+def test_bitmask_venn(spark):
+    rows = [("e1", "A"), ("e1", "B"), ("e2", "A"), ("e3", "B"), ("e4", "A"), ("e4", "B")]
+    df = spark.createDataFrame(rows, ["element", "set_name"])
+    out = {r["membership"]: r["n_elements"] for r in bitmask_venn(df, "element", "set_name").collect()}
+    assert out == {"A|B": 2, "A": 1, "B": 1}
+
+
+def test_set_compare(spark):
+    a = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    b = spark.createDataFrame([(2,), (3,), (4,), (5,)], ["k"])
+    out = set_compare(a, b, "k").collect()[0]
+    assert (out["n_union"], out["n_intersect"], out["n_only_a"], out["n_only_b"]) == (5, 2, 1, 2)
+
+
+def test_frequency_table(spark):
+    rows = [("a",), ("a",), ("a",), ("b",), ("b",), ("c",)]
+    df = spark.createDataFrame(rows, ["k"])
+    out = {r["group_size"]: r["n_groups"] for r in frequency_table(df, "k").collect()}
+    assert out == {3: 1, 2: 1, 1: 1}
+
+
+def test_top_k_by(spark):
+    df = spark.createDataFrame([("a", 3.0), ("b", 9.0), ("c", 9.0), ("d", 1.0)], ["id", "v"])
+    out = [r["id"] for r in top_k_by(df, "v", 2, "id").collect()]
+    assert set(out) == {"b", "c"}

@@ -1,0 +1,159 @@
+"""Golden numeric tests for the closed-form statistical kernels
+(FIXTURES.md "Golden micro-fixtures"): BH adjustment vs R p.adjust,
+quantile normalization vs the hand-worked Bolstad example, pooled t,
+weighted Stouffer vs the reference formulas, FEM/REM arithmetic."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from transcriptomics_data_integration_spark.stats import (
+    bh_adjust,
+    fem_rem_effects,
+    quantile_normalize,
+    stouffer_combine,
+    two_group_ttest,
+)
+
+
+def test_bh_matches_r_p_adjust(spark):
+    # R: p.adjust(c(.01,.02,.02,.5,.04), "BH")
+    #    -> 0.03333333 0.03333333 0.03333333 0.50000000 0.05000000
+    df = spark.createDataFrame(
+        [("g1", 0.01), ("g2", 0.02), ("g3", 0.02), ("g4", 0.5), ("g5", 0.04)],
+        ["gene", "p"],
+    )
+    out = {
+        r["gene"]: r["adj"]
+        for r in bh_adjust(df, "p", "adj", tiebreak_col="gene").collect()
+    }
+    assert out["g1"] == pytest.approx(1 / 30)
+    assert out["g2"] == pytest.approx(1 / 30)
+    assert out["g3"] == pytest.approx(1 / 30)
+    assert out["g4"] == pytest.approx(0.5)
+    assert out["g5"] == pytest.approx(0.05)
+
+
+def test_bh_monotone_and_bounded(spark):
+    # pipeline invariant (SURVEY.md section 5.3): adj p >= raw p, <= 1
+    rows = [(f"g{i}", ((i * 37) % 97 + 1) / 100.0) for i in range(50)]
+    df = spark.createDataFrame(rows, ["gene", "p"])
+    out = bh_adjust(df, "p", "adj", tiebreak_col="gene").collect()
+    for r in out:
+        assert r["adj"] >= r["p"] - 1e-15
+        assert r["adj"] <= 1.0
+
+
+def test_quantile_normalization_two_samples(spark):
+    # s1: A=2, B=5, C=3 ; s2: A=4, B=1, C=4 (tie broken by gene id)
+    # rank refs: r1 = mean(2,1)=1.5, r2 = mean(3,4)=3.5, r3 = mean(5,4)=4.5
+    df = spark.createDataFrame(
+        [
+            ("s1", "A", 2.0),
+            ("s1", "B", 5.0),
+            ("s1", "C", 3.0),
+            ("s2", "A", 4.0),
+            ("s2", "B", 1.0),
+            ("s2", "C", 4.0),
+        ],
+        ["sample_id", "gene_id", "value"],
+    )
+    out = quantile_normalize(df, "sample_id", "value", "gene_id")
+    got = {(r["sample_id"], r["gene_id"]): r["qn_value"] for r in out.collect()}
+    assert got[("s1", "A")] == pytest.approx(1.5)
+    assert got[("s1", "C")] == pytest.approx(3.5)
+    assert got[("s1", "B")] == pytest.approx(4.5)
+    assert got[("s2", "B")] == pytest.approx(1.5)
+    assert got[("s2", "A")] == pytest.approx(3.5)  # tie: A before C
+    assert got[("s2", "C")] == pytest.approx(4.5)
+
+
+def test_quantile_normalization_rank_preserved(spark):
+    # property (SURVEY.md section 5.4): per-sample rank order preserved
+    rows = [("s1", f"g{i}", float((i * 13) % 29)) for i in range(20)] + [
+        ("s2", f"g{i}", float((i * 7) % 31)) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["sample_id", "gene_id", "value"])
+    out = quantile_normalize(df, "sample_id", "value", "gene_id").collect()
+    for s in ("s1", "s2"):
+        sub = sorted(
+            [(r["value"], r["gene_id"], r["qn_value"]) for r in out if r["sample_id"] == s]
+        )
+        qns = [q for _, _, q in sub]
+        assert qns == sorted(qns)
+
+
+def test_two_group_ttest_golden(spark):
+    # a = [1,2,3,4], b = [2,4,6,8]: t = -1.7320508 (pooled)
+    rows = [("g", "A", float(v)) for v in [1, 2, 3, 4]] + [
+        ("g", "B", float(v)) for v in [2, 4, 6, 8]
+    ]
+    df = spark.createDataFrame(rows, ["gene", "grp", "value"])
+    out = two_group_ttest(df, "gene", "grp", "value", "A", "B").collect()[0]
+    assert out["mean_a"] == pytest.approx(2.5)
+    assert out["mean_b"] == pytest.approx(5.0)
+    assert out["t_statistic"] == pytest.approx(-1.7320508075688772, rel=1e-9)
+    # normal approx two-sided p for |t| = 1.732...: 0.08326
+    assert out["p_value"] == pytest.approx(0.0832645, abs=1e-5)
+
+
+def test_ttest_drops_degenerate_groups(spark):
+    rows = [("g1", "A", 1.0), ("g1", "B", 2.0), ("g2", "A", 1.0), ("g2", "A", 2.0)]
+    df = spark.createDataFrame(rows, ["gene", "grp", "value"])
+    out = two_group_ttest(df, "gene", "grp", "value", "A", "B").collect()
+    assert out == []  # g1 has n=1 per group; g2 lacks group B
+
+
+def test_stouffer_equal_weights_reduces_to_classic(spark):
+    # two platforms, p = .05, FC = +1, ICC = 0:
+    # z_i = qnorm(.025) = -1.9599640, Z = 2 z / sqrt(2) = -2.7718077,
+    # P = 2 * pnorm(-|Z|) = 0.0055742
+    df = spark.createDataFrame(
+        [("g", "p1", 0.05, 1.0, 0.0), ("g", "p2", 0.05, 1.0, 0.0)],
+        ["gene", "platform", "p", "fc", "icc"],
+    )
+    out = stouffer_combine(df, "gene", "platform", "p", "fc", "icc").collect()[0]
+    assert out["n_platforms"] == 2
+    assert out["z_comb"] == pytest.approx(-2.771808, abs=1e-5)
+    assert out["p_comb"] == pytest.approx(0.0055742, abs=1e-5)
+
+
+def test_stouffer_single_platform_dropped(spark):
+    # genes on one platform only are not combined (Meta_analysis.R:1218)
+    df = spark.createDataFrame(
+        [("g1", "p1", 0.05, 1.0, 0.0), ("g2", "p1", 0.01, 1.0, 0.0), ("g2", "p2", 0.02, -1.0, 0.0)],
+        ["gene", "platform", "p", "fc", "icc"],
+    )
+    out = stouffer_combine(df, "gene", "platform", "p", "fc", "icc").collect()
+    assert [r["gene"] for r in out] == ["g2"]
+
+
+def test_fem_rem_golden(spark):
+    # two studies: (d=0.5, var=0.1), (d=0.7, var=0.2)
+    # w = (10, 5); mu_FEM = 8.5/15 = 0.56667; z_FEM = mu*sqrt(15)
+    # Q = 10*(0.5-mu)^2 + 5*(0.7-mu)^2 = 0.13333; tau2 = max(0, (Q-1)/(15-125/15)) = 0
+    df = spark.createDataFrame(
+        [("g", "s1", 0.5, 0.1), ("g", "s2", 0.7, 0.2)],
+        ["gene", "platform", "d_adj", "var_d"],
+    )
+    out = fem_rem_effects(df, "gene").collect()[0]
+    assert out["n_studies"] == 2
+    assert out["mu_fem"] == pytest.approx(8.5 / 15)
+    assert out["z_fem"] == pytest.approx((8.5 / 15) * 15**0.5)
+    assert out["q_stat"] == pytest.approx(0.13333333333, rel=1e-6)
+    assert out["tau2"] == 0.0
+    # tau2 = 0 => REM == FEM
+    assert out["mu_rem"] == pytest.approx(out["mu_fem"])
+    assert out["z_rem"] == pytest.approx(out["z_fem"])
+
+
+def test_fem_rem_heterogeneous_tau_positive(spark):
+    # strongly discordant studies -> Q >> k-1 -> tau2 > 0, |z_REM| < |z_FEM|
+    df = spark.createDataFrame(
+        [("g", "s1", 2.0, 0.05), ("g", "s2", -2.0, 0.05), ("g", "s3", 2.0, 0.05)],
+        ["gene", "platform", "d_adj", "var_d"],
+    )
+    out = fem_rem_effects(df, "gene").collect()[0]
+    assert out["tau2"] > 0
+    assert abs(out["z_rem"]) < abs(out["z_fem"])

@@ -149,7 +149,10 @@ def zero_repair(df: DataFrame, sample_col: str, value_col: str) -> DataFrame:
     """
     w = Window.partitionBy(sample_col)
     min_nonzero = F.min(F.when(F.col(value_col) > 0, F.col(value_col))).over(w)
+    # an all-zero sample has no nonzero minimum — keep 0, don't NULL out
     return df.withColumn(
         value_col,
-        F.when(F.col(value_col) == 0, min_nonzero).otherwise(F.col(value_col)),
+        F.when(
+            F.col(value_col) == 0, F.coalesce(min_nonzero, F.col(value_col))
+        ).otherwise(F.col(value_col)),
     )

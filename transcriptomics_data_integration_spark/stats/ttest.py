@@ -29,7 +29,7 @@ from transcriptomics_data_integration_spark.functions.normal import two_sided_p_
 
 def _group_moments(
     df: DataFrame,
-    gene_col: str,
+    gene_cols: list[str],
     group_col: str,
     value_col: str,
     group_a: str,
@@ -52,7 +52,7 @@ def _group_moments(
         sum2_a, sum2_b = F.sum(va * va), F.sum(vb * vb)
     return (
         df.where(g.isin([group_a, group_b]))
-        .groupBy(gene_col)
+        .groupBy(*gene_cols)
         .agg(
             F.count(va).alias("n_a"),
             F.count(vb).alias("n_b"),
@@ -78,7 +78,7 @@ def _group_moments(
 
 def two_group_ttest(
     df: DataFrame,
-    gene_col: str,
+    gene_col: str | list[str],
     group_col: str,
     value_col: str,
     group_a: str,
@@ -93,7 +93,8 @@ def two_group_ttest(
     (reference applies the F4 zero-variance filter upstream,
     `DiffExpression_closedPlatform.R:375-376`).
     """
-    agg = _group_moments(df, gene_col, group_col, value_col, group_a, group_b, exact_scale)
+    gene_cols = [gene_col] if isinstance(gene_col, str) else list(gene_col)
+    agg = _group_moments(df, gene_cols, group_col, value_col, group_a, group_b, exact_scale)
     sp2 = (
         (F.col("n_a") - 1) * F.col("var_a") + (F.col("n_b") - 1) * F.col("var_b")
     ) / (F.col("n_a") + F.col("n_b") - 2)

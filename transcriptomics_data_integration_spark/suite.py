@@ -360,7 +360,7 @@ WITH floored AS (
   FROM lineitem
 ), repaired AS (
   SELECT l_suppkey,
-         CASE WHEN d = 0 THEN MIN(CASE WHEN d > 0 THEN d END) OVER (PARTITION BY l_suppkey)
+         CASE WHEN d = 0 THEN COALESCE(MIN(CASE WHEN d > 0 THEN d END) OVER (PARTITION BY l_suppkey), d)
               ELSE d END AS d
   FROM floored
 )
@@ -794,12 +794,16 @@ def q_stouffer_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     (platform ~ l_linestatus), ICC-weighted (`Meta_analysis.R:76-121,
     1211-1228`)."""
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_linestatus").isin(["O", "F"]))
-    per_platform = []
-    for status in ["O", "F"]:
-        sub = li.where(F.col("l_linestatus") == status)
-        tt = two_group_ttest(sub, "l_partkey", "l_returnflag", "l_extendedprice", "R", "A")
-        per_platform.append(tt.withColumn("platform", F.lit(status)))
-    de = per_platform[0].unionByName(per_platform[1])
+    # one aggregation over the composite (gene, platform) key — a single
+    # scan + shuffle instead of one t-test pass per platform
+    de = two_group_ttest(
+        li.withColumn("platform", F.col("l_linestatus")),
+        ["l_partkey", "platform"],
+        "l_returnflag",
+        "l_extendedprice",
+        "R",
+        "A",
+    )
     de = de.withColumn("icc", ((F.col("l_partkey") % 100) - 50) / 62.5)
     comb = stouffer_combine(de, "l_partkey", "platform", "p_value", "log2fc", "icc")
     return comb.select(
@@ -922,12 +926,16 @@ def q_p_improvement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A16 — per-platform p-value improvement log2(p / p_comb)
     (`Meta_analysis.R:1267-1284`)."""
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_linestatus").isin(["O", "F"]))
-    per_platform = []
-    for status in ["O", "F"]:
-        sub = li.where(F.col("l_linestatus") == status)
-        tt = two_group_ttest(sub, "l_partkey", "l_returnflag", "l_extendedprice", "R", "A")
-        per_platform.append(tt.withColumn("platform", F.lit(status)))
-    de = per_platform[0].unionByName(per_platform[1])
+    # one aggregation over the composite (gene, platform) key — a single
+    # scan + shuffle instead of one t-test pass per platform
+    de = two_group_ttest(
+        li.withColumn("platform", F.col("l_linestatus")),
+        ["l_partkey", "platform"],
+        "l_returnflag",
+        "l_extendedprice",
+        "R",
+        "A",
+    )
     de = de.withColumn("icc", ((F.col("l_partkey") % 100) - 50) / 62.5)
     comb = stouffer_combine(de, "l_partkey", "platform", "p_value", "log2fc", "icc")
     joined = de.join(comb.select("l_partkey", "p_comb"), "l_partkey")
