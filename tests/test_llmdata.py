@@ -1,0 +1,130 @@
+"""Unit tests for the training-data pipeline operators (llmdata/)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from transcriptomics_data_integration_spark.llmdata.dedup import (
+    exact_dedup,
+    lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from transcriptomics_data_integration_spark.llmdata.multimodal import (
+    attach_binary_payload,
+    featurize_media,
+    frame_sample,
+)
+from transcriptomics_data_integration_spark.llmdata.similarity import cosine_topk
+from transcriptomics_data_integration_spark.llmdata.text import (
+    doc_fingerprint,
+    language_id,
+    token_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(spark):
+    df = _docs(spark, [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")])
+    out = {r["canonical_id"]: r["n_copies"] for r in exact_dedup(df, "doc_id").collect()}
+    assert out == {1: 3, 2: 1}
+
+
+def test_token_stats_and_fingerprint(spark):
+    df = _docs(spark, [(1, "the cat sat"), (2, "")])
+    ts = {r["doc_id"]: r["n_tokens"] for r in token_stats(df).collect()}
+    assert ts[1] == 3
+    fp = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(df).collect()}
+    # golden: rolling hash of "the cat sat"
+    h = 0
+    for ch in "the cat sat":
+        h = (h * 31 + ord(ch)) % 1_000_000_007
+    assert fp[1] == h
+    assert fp[2] == 0
+
+
+def test_language_id_markers(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the cat and the dog of a to"),
+            (2, "le chat et la maison des les"),
+            (3, "der hund und die katze das nicht"),
+            (4, "zzz qqq www"),
+        ],
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert out == {1: "en", 2: "fr", 3: "de", 4: "und"}
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = _docs(spark, [(1, "abcdefghij"), (2, "abcdefghij"), (3, "zzzzzzzzzz")])
+    out = ngram_jaccard_pairs(df, "doc_id", threshold=0.9).collect()
+    assert len(out) == 1
+    assert (out[0]["id_a"], out[0]["id_b"], out[0]["jaccard"]) == (1, 2, 1.0)
+
+
+def test_minhash_identical_docs_share_all_bands(spark):
+    df = _docs(spark, [(1, "abcdefghijklm"), (2, "abcdefghijklm"), (3, "nopqrstuvwxyz")])
+    sigs = minhash_signatures(df, "doc_id")
+    # identical shingle sets -> identical signatures
+    s1 = {r["seed"]: r["minhash"] for r in sigs.where("doc_id = 1").collect()}
+    s2 = {r["seed"]: r["minhash"] for r in sigs.where("doc_id = 2").collect()}
+    assert s1 == s2
+    cands = lsh_candidates(sigs, "doc_id").collect()
+    assert {(r["id_a"], r["id_b"]) for r in cands} == {(1, 2)}
+
+
+def test_minhash_matches_python_md5(spark):
+    # signature reproducible outside Spark: min over shingles of the
+    # 60-bit md5-prefix of "<shingle>#<seed>"
+    text = "abcdefg"
+    df = _docs(spark, [(1, text)])
+    sigs = {r["seed"]: r["minhash"] for r in minhash_signatures(df, "doc_id").collect()}
+    shingles = {text[i : i + 5] for i in range(len(text) - 4)}
+    for seed in (0, 7, 15):
+        expect = min(
+            int(hashlib.md5(f"{s}#{seed}".encode()).hexdigest()[:15], 16) for s in shingles
+        )
+        assert sigs[seed] == expect
+
+
+def test_simhash_equal_for_identical_token_multisets(spark):
+    df = _docs(spark, [(1, "x y z"), (2, "z y x"), (3, "totally different words")])
+    out = {r["doc_id"]: r["simhash"] for r in simhash(df, "doc_id").collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_cosine_topk_orthogonal(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.where(F.col("vec_id") == 1)
+    out = cosine_topk(emb, q, k=2).collect()
+    assert [r["cand_id"] for r in out] == [2, 3]
+    assert out[0]["cosine"] == pytest.approx(0.9 / (0.81 + 0.01) ** 0.5)
+
+
+def test_multimodal_featurize_and_frames(spark):
+    df = _docs(spark, [(1, "hello world"), (2, "xy")])
+    media = attach_binary_payload(df, "doc_id")
+    feats = {r["media_id"]: r for r in featurize_media(media).collect()}
+    assert feats[1]["n_bytes"] == 11
+    assert feats[1]["width"] == 12 and feats[1]["height"] == 12
+    assert feats[1]["checksum"] == sum(b"hello world") % 2147483647
+    frames = frame_sample(featurize_media(media), "media_id", n_frames=4).collect()
+    assert len(frames) == 8
+    offs = sorted(r["byte_offset"] for r in frames if r["media_id"] == 1)
+    assert offs == [0, 2, 5, 8]

@@ -1,0 +1,37 @@
+"""Large-scale training-data pipeline operators (BASELINE.json
+north-star extensions): deduplication (exact, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding cosine), similarity search (brute-force and
+LSH-bucketed ANN), text analysis (token stats, quality, language ID,
+fingerprinting), and multimodal column plumbing.
+
+Design: everything is built-in Spark SQL (codegen'd, shuffle-aware);
+hashing is md5-based so the DuckDB oracle can replicate signatures
+bit-for-bit.  Python appears only in the multimodal decode stubs
+(mapInPandas) where a binary-decoding library would run.
+"""
+
+from transcriptomics_data_integration_spark.llmdata.text import (
+    doc_fingerprint,
+    language_id,
+    text_quality,
+    token_stats,
+)
+from transcriptomics_data_integration_spark.llmdata.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from transcriptomics_data_integration_spark.llmdata.similarity import cosine_topk
+
+__all__ = [
+    "cosine_topk",
+    "doc_fingerprint",
+    "exact_dedup",
+    "language_id",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "text_quality",
+    "token_stats",
+]

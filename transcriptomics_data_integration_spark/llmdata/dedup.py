@@ -1,0 +1,190 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Hashing is md5-based (both Spark and DuckDB expose md5 with identical
+output), with a 60-bit integer derived from the first 15 hex chars, so
+signatures are bit-identical across engines and the DuckDB oracle can
+verify the whole pipeline.
+
+Scale notes (the reason each variant exists):
+
+- ``exact_dedup``: one hash-shuffle on digest. Works at any scale.
+- ``ngram_jaccard_pairs``: exact pairwise Jaccard via shingle inverted
+  index — O(sum of postings^2) worst case; the quadratic baseline.
+  Use only within small candidate buckets.
+- ``minhash_signatures`` + ``lsh_candidates``: the scale path.  k
+  min-hashes per doc (one shuffle), banded into b bands; docs sharing a
+  band bucket are candidates (equi-join on band hash — linear-ish when
+  near-dup clusters are bounded).  Candidates are then verified with
+  exact Jaccard.
+- ``simhash``: 60-bit weighted-bit signature; equal or near-equal
+  signatures (banded) find near-dups with one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_LEN = 5
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+SIMHASH_BITS = 60
+
+
+def _md5_60bit(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint — identical in
+    DuckDB via ('0x' || substring(md5(x), 1, 15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("bigint")
+
+
+def content_digest(col: Column) -> Column:
+    return F.md5(col.cast("binary"))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Exact content dedup: group by md5(text), keep the smallest id as
+    canonical, report group size.  One partial+final hash aggregation.
+    """
+    return (
+        df.select(F.col(id_col), content_digest(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str = "text", k: int = SHINGLE_LEN) -> DataFrame:
+    """Distinct character k-shingles per document (posting list)."""
+    expr = (
+        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+        f"i -> substr({text_col}, i, {k})))"
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.expr(expr)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = SHINGLE_LEN,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard via inverted index: explode
+    distinct shingles, self-join on shingle (a < b), count shared
+    shingles, Jaccard = inter / (|A| + |B| - inter).
+
+    inter/union are integers, so the ratio is a single IEEE division —
+    bit-identical across engines.
+    """
+    sh = shingles(df, id_col, text_col, k).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = SHINGLE_LEN,
+    n_hashes: int = N_HASHES,
+) -> DataFrame:
+    """MinHash: for seed j, sig_j = min over shingles of
+    md5_60bit(shingle || '#' || j).  Output: (id, seed, minhash) long
+    form — one row per (doc, seed), computed with a single aggregation.
+    """
+    sh = shingles(df, id_col, text_col, k)
+    seeded = sh.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
+        "shingle",
+    )
+    hashed = seeded.withColumn(
+        "h", _md5_60bit(F.concat_ws("#", F.col("shingle"), F.col("seed")))
+    )
+    return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
+
+
+def lsh_candidates(
+    signatures: DataFrame,
+    id_col: str,
+    n_bands: int = N_BANDS,
+    n_hashes: int = N_HASHES,
+) -> DataFrame:
+    """Band the signature (rows_per_band = n_hashes / n_bands) and emit
+    candidate pairs sharing any band bucket (id_a < id_b, distinct)."""
+    rows_per_band = n_hashes // n_bands
+    banded = (
+        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("seed"), F.col("minhash")))
+                    ),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                "_",
+            ).alias("band_key")
+        )
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """SimHash over whitespace tokens: per bit position b of the 60-bit
+    token hash, sum +1/-1 across tokens; bit is set where the sum is
+    positive.  One explode + aggregation; signature is a bigint."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("token"),
+    )
+    hashed = toks.withColumn("h", _md5_60bit(F.col("token")))
+    bits = hashed.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+        F.col("h"),
+    ).withColumn(
+        "vote",
+        F.expr("(shiftright(h, bit) & CAST(1 AS BIGINT)) * 2 - 1"),
+    )
+    return (
+        bits.groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("s"))
+        .withColumn(
+            "bitval",
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("bitval").cast("bigint").alias("simhash"))
+    )

@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Cross-join of queries x candidates with an ordered fold for the dot
+  product (bit-reproducible; no FMA, fixed order).  Cost O(Q * N * d):
+  fine for moderate Q; the scale path is below.
+- ``lsh_bucketed_topk``: random-hyperplane LSH — hyperplane sign bits
+  come from the deterministic md5-based generator, so buckets are
+  reproducible.  Candidates = same bucket; exact re-rank inside.  At
+  100 TB this turns the N x N problem into per-bucket work with one
+  shuffle on the bucket key.
+
+Both avoid Python UDFs: the fold is Spark's ``aggregate`` higher-order
+function, JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm2(a: str) -> Column:
+    return F.expr(
+        f"aggregate({a}, CAST(0 AS DOUBLE), "
+        f"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbours for each query vector.
+
+    ``queries`` is a (possibly filtered) subset of ``embeddings`` with
+    the same schema.  Self-matches are excluded.  Deterministic
+    tie-break on candidate id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
+    )
+    pairs = q.crossJoin(c).where(F.col("query_id") != F.col("cand_id"))
+    sim = pairs.withColumn(
+        "cosine",
+        _dot("q_vec", "c_vec") / (F.sqrt(_norm2("q_vec")) * F.sqrt(_norm2("c_vec"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "cosine")
+    )
+
+
+def hyperplane_bits(vec_col: str, n_planes: int, dim: int) -> Column:
+    """LSH bucket id: sign bits of dot products with ``n_planes``
+    pseudo-random hyperplanes.  Plane component (p, i) is derived from
+    md5("p:i") mapped to [-1, 1) — deterministic, engine-reproducible.
+    """
+    plane_comp = (
+        "CAST(CONV(SUBSTRING(MD5(CAST(CONCAT(p, ':', i) AS BINARY)), 1, 15), 16, 10) AS DOUBLE) "
+        "/ 576460752303423488.0 - 1.0"
+    )
+    dot_p = (
+        f"aggregate(zip_with({vec_col}, transform(sequence(0, {dim - 1}), "
+        f"i -> {plane_comp}), (x, w) -> CAST(x AS DOUBLE) * w), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return F.expr(
+        f"aggregate(transform(sequence(0, {n_planes - 1}), p -> "
+        f"CASE WHEN ({dot_p}) > 0 THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, then exact cosine re-rank.  Recall grows with fewer planes
+    (bigger buckets); 8 planes ~ N/256 candidates per bucket."""
+    bits = hyperplane_bits(vec_col, n_planes, dim)
+    c = embeddings.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"), bits.alias("bucket")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), bits.alias("bucket")
+    )
+    pairs = q.join(c, "bucket").where(F.col("query_id") != F.col("cand_id"))
+    sim = pairs.withColumn(
+        "cosine",
+        _dot("q_vec", "c_vec") / (F.sqrt(_norm2("q_vec")) * F.sqrt(_norm2("c_vec"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "cosine")
+    )

@@ -1,0 +1,103 @@
+"""Text-analysis operators for document tables.
+
+All pure Spark SQL expressions — no Python in the row path.  Each has
+an exact DuckDB-SQL twin in the suite so the correctness gate covers
+them.  At 100 TB these are embarrassingly parallel map operators: no
+shuffle at all, full whole-stage codegen, and column pruning means only
+``text`` (+ id) is read from parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny embedded stopword lists for the n-gram/stopword language
+# heuristic.  Real deployments would broadcast a dictionary; the
+# mechanism (per-language token-hit scoring) is the operator.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "a", "to"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "nicht"),
+}
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_BASE = 31
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.trim(F.col(text_col)), " ")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token count + char count per document (whitespace tokenizer).
+
+    The BPE-ish regex variant is ``regexp_extract_all(text,
+    '[a-z]+|[0-9]+|[^a-z0-9 ]')`` — exposed as ``n_subtokens``.
+    """
+    toks = _tokens(text_col)
+    return df.withColumn("n_tokens", F.size(toks)).withColumn(
+        "n_chars_obs", F.length(F.col(text_col))
+    ).withColumn(
+        "n_subtokens",
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")),
+    )
+
+
+def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality heuristics: token count, mean token length, stopword
+    ratio, punctuation ratio — the length/punct/stopword scoring family
+    used for pretraining-corpus filtering."""
+    toks = _tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"]))
+    )
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[\.,;:!\?]", ""))
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("mean_token_len", (n_chars - (n_tok - 1)) / n_tok)
+        .withColumn("stopword_ratio", stop_hits / n_tok)
+        .withColumn("punct_ratio", n_punct / n_chars)
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: score = marker-token hits per
+    language; argmax with deterministic order, 'und' (undetermined) if
+    no marker hits."""
+    toks = _tokens(text_col)
+    def _hit_counter(markers: tuple[str, ...]):
+        # single-arg lambda: pyspark HOFs pass one Column per declared
+        # parameter, so a defaulted second arg would receive a Column
+        return lambda t: t.isin(*markers)
+
+    scores = [
+        F.size(F.filter(toks, _hit_counter(markers))).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    scored = df.select("*", *scores)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # fixed iteration order -> deterministic argmax (strict > keeps the
+    # earlier language on ties)
+    for lang in LANG_MARKERS:
+        cond = F.col(f"score_{lang}") > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, F.col(f"score_{lang}")).otherwise(best_score)
+    return scored.withColumn("lang_pred", best).withColumn("lang_score", best_score)
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic rolling polynomial hash over characters:
+    ``h = (h * 31 + ascii(char)) mod 1e9+7`` — an ordered fold
+    (``aggregate`` higher-order function), reproducible in any engine.
+    """
+    expr = (
+        f"aggregate(transform(sequence(1, length({text_col})), "
+        f"i -> ascii(substr({text_col}, i, 1))), "
+        f"CAST(0 AS BIGINT), "
+        f"(acc, c) -> (acc * {FINGERPRINT_BASE} + c) % {FINGERPRINT_MOD})"
+    )
+    return df.withColumn("fingerprint", F.expr(expr))

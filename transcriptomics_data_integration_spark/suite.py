@@ -50,6 +50,7 @@ from transcriptomics_data_integration_spark.stats import (
     two_group_ttest,
 )
 from transcriptomics_data_integration_spark.stats.genemeta import effect_sizes
+from transcriptomics_data_integration_spark.suite_llm import ORACLES_LLM, QUERIES_LLM
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1001,6 +1002,7 @@ QUERIES: dict[str, QueryFn] = {
     "stouffer_meta": q_stouffer_meta,
     "fem_rem": q_fem_rem,
     "p_improvement": q_p_improvement,
+    **QUERIES_LLM,
 }
 
 ORACLES: dict[str, str] = {
@@ -1027,4 +1029,5 @@ ORACLES: dict[str, str] = {
     "stouffer_meta": _oracle_stouffer(),
     "fem_rem": _oracle_fem_rem(),
     "p_improvement": _oracle_p_improvement(),
+    **ORACLES_LLM,
 }

@@ -1,0 +1,535 @@
+"""Query inventory part 2: training-data pipeline operators (llmdata/)
+and event-stream batch analogues, each with a DuckDB oracle.
+
+Same FP policy as suite.py: md5-derived integers and ordered folds make
+hash/signature pipelines bit-identical across engines; integer ratios
+(Jaccard) are single IEEE divisions; only transcendental-tainted
+outputs are rounded.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from transcriptomics_data_integration_spark.llmdata.dedup import (
+    exact_dedup,
+    lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+from transcriptomics_data_integration_spark.llmdata.multimodal import (
+    attach_binary_payload,
+    featurize_media,
+)
+from transcriptomics_data_integration_spark.llmdata.similarity import cosine_topk, lsh_bucketed_topk
+from transcriptomics_data_integration_spark.llmdata.text import (
+    doc_fingerprint,
+    language_id,
+    text_quality,
+    token_stats,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; read it as raw nanosecond longs (runtime-settable
+    legacy conf) and do time arithmetic on the integers — exact and
+    engine-reproducible."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+_NS_PER_S = 1_000_000_000
+_NS_PER_H = 3_600 * _NS_PER_S
+
+
+def _two_crawls(docs: DataFrame) -> DataFrame:
+    """Union the corpus with a shifted copy of itself — a second "crawl"
+    containing exact duplicates, so dedup operators have real work."""
+    crawl2 = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return docs.unionByName(crawl2)
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = token_stats(docs)
+    return out.select("doc_id", "n_tokens", "n_chars_obs", "n_subtokens")
+
+
+ORACLE_TOKEN_STATS = """
+SELECT doc_id,
+       CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars_obs,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_subtokens
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = text_quality(docs)
+    return out.select(
+        "doc_id", "n_tokens", "mean_token_len", "stopword_ratio", "punct_ratio"
+    )
+
+
+ORACLE_TEXT_QUALITY = r"""
+WITH s AS (
+  SELECT doc_id,
+         len(string_split(trim(text), ' ')) AS n_tokens,
+         length(text) AS n_chars,
+         len(list_filter(string_split(trim(text), ' '),
+             t -> t IN ('the', 'and', 'of', 'a', 'to'))) AS stop_hits,
+         length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       (n_chars - (n_tokens - 1)) / n_tokens AS mean_token_len,
+       stop_hits / n_tokens AS stopword_ratio,
+       n_punct / n_chars AS punct_ratio
+FROM s
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = language_id(docs)
+    return out.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+ORACLE_LANGUAGE_ID = """
+WITH s AS (
+  SELECT doc_id,
+         len(list_filter(string_split(trim(text), ' '),
+             t -> t IN ('the', 'and', 'of', 'a', 'to'))) AS score_en,
+         len(list_filter(string_split(trim(text), ' '),
+             t -> t IN ('le', 'la', 'et', 'les', 'des'))) AS score_fr,
+         len(list_filter(string_split(trim(text), ' '),
+             t -> t IN ('der', 'die', 'und', 'das', 'nicht'))) AS score_de
+  FROM documents
+), lab AS (
+  SELECT doc_id,
+         CASE
+           WHEN score_de > GREATEST(score_en, score_fr, 0) THEN 'de'
+           WHEN score_fr > GREATEST(score_en, 0) THEN 'fr'
+           WHEN score_en > 0 THEN 'en'
+           ELSE 'und'
+         END AS lang_pred
+  FROM s
+)
+SELECT lang_pred, COUNT(*) AS n_docs FROM lab GROUP BY lang_pred
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return doc_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(1, length(text)),
+                          i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+FROM documents
+"""
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _two_crawls(_t(spark, sf_dir, "documents"))
+    return exact_dedup(docs, "doc_id")
+
+
+ORACLE_DEDUP_EXACT = """
+WITH crawls AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+)
+SELECT md5(text) AS digest, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM crawls GROUP BY md5(text)
+"""
+
+
+_SHINGLE_SQL = (
+    "list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 1)), "
+    "i -> substr(text, i, 5)))"
+)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, "doc_id", threshold=0.5)
+    return out.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id, UNNEST({_SHINGLE_SQL}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5e0
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline on the two-crawl corpus:
+    signatures -> banded candidates -> exact-Jaccard verification."""
+    docs = _two_crawls(_t(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(docs, "doc_id")
+    cands = lsh_candidates(sigs, "doc_id")
+    sh = shingles(docs, "doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cands.join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("sh_b")), "id_b")
+        .where(F.col("shingle") == F.col("sh_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        .where(F.col("jaccard") >= 0.8)
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+ORACLE_MINHASH_LSH = f"""
+WITH crawls AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+), sh AS (
+  SELECT doc_id, UNNEST({_SHINGLE_SQL}) AS shingle FROM crawls
+), seeded AS (
+  SELECT doc_id, seed, shingle
+  FROM sh, (SELECT UNNEST(generate_series(0, 15)) AS seed)
+), sigs AS (
+  SELECT doc_id, seed,
+         MIN(('0x' || substring(md5(shingle || '#' || seed), 1, 15))::BIGINT) AS minhash
+  FROM seeded GROUP BY doc_id, seed
+), banded AS (
+  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         STRING_AGG(CAST(minhash AS VARCHAR), '_' ORDER BY seed) AS band_key
+  FROM sigs GROUP BY doc_id, CAST(seed // 4 AS INTEGER)
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND a.shingle = b.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.8e0
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id")
+
+
+ORACLE_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS token FROM documents
+), hashed AS (
+  SELECT doc_id, ('0x' || substring(md5(token), 1, 15))::BIGINT AS h FROM toks
+), bits AS (
+  SELECT doc_id, bit, SUM(((h >> bit) & CAST(1 AS BIGINT)) * 2 - 1) AS s
+  FROM hashed, (SELECT UNNEST(generate_series(0, 59)) AS bit)
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+# --- similarity search -----------------------------------------------------
+
+_DOT_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    out = cosine_topk(emb, queries, k=5)
+    return out.select("query_id", "cand_id", "rank", F.round("cosine", 6).alias("cosine"))
+
+
+ORACLE_COSINE_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 10 = 0
+), c AS (
+  SELECT vec_id AS cand_id, embedding AS cv FROM embeddings
+), sims AS (
+  SELECT query_id, cand_id,
+         {_DOT_SQL.format(a='qv', b='cv')}
+         / (sqrt({_DOT_SQL.format(a='qv', b='qv')}) * sqrt({_DOT_SQL.format(a='cv', b='cv')})) AS cosine
+  FROM q CROSS JOIN c WHERE query_id <> cand_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM sims
+)
+SELECT query_id, cand_id, rank, ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+_PLANE_SQL = (
+    "CAST(('0x' || substring(md5(p || ':' || i), 1, 15))::BIGINT AS DOUBLE)"
+    " / 576460752303423488.0e0 - 1.0e0"
+)
+
+_BUCKET_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(generate_series(0, 7), p -> CASE WHEN ("
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(generate_series(0, 63), "
+    "i -> CAST({v}[i + 1] AS DOUBLE) * (" + _PLANE_SQL + "))), (x, y) -> x + y)"
+    ") > 0 THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b)"
+)
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    out = lsh_bucketed_topk(emb, queries, k=5, n_planes=8, dim=64)
+    return out.select("query_id", "cand_id", "rank", F.round("cosine", 6).alias("cosine"))
+
+
+ORACLE_LSH_ANN = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL.format(v='embedding')} AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id % 10 = 0
+), c AS (
+  SELECT vec_id AS cand_id, embedding AS cv, bucket FROM b
+), sims AS (
+  SELECT query_id, cand_id,
+         {_DOT_SQL.format(a='qv', b='cv')}
+         / (sqrt({_DOT_SQL.format(a='qv', b='qv')}) * sqrt({_DOT_SQL.format(a='cv', b='cv')})) AS cosine
+  FROM q JOIN c USING (bucket) WHERE query_id <> cand_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM sims
+)
+SELECT query_id, cand_id, rank, ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
+# --- multimodal plumbing ---------------------------------------------------
+
+
+def q_multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "doc_id")
+    return featurize_media(media)
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id AS media_id,
+       CAST(length(text) AS INTEGER) AS n_bytes,
+       'image/fake' AS media_type,
+       CAST((length(text) % 1024) + 1 AS INTEGER) AS width,
+       CAST((length(text) % 768) + 1 AS INTEGER) AS height,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(1, length(text)),
+                          i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+         (a, b) -> a + b) % 2147483647 AS checksum
+FROM documents
+"""
+
+
+# --- event stream (batch analogues) ---------------------------------------
+
+
+def q_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour windowed aggregation — the batch twin of the
+    Structured Streaming pipeline in streaming/ (same transformation
+    applied via readStream in the streaming tests)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            (F.floor(F.col("ts") / _NS_PER_H) * 3600).cast("bigint").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+ORACLE_EVENT_WINDOW = """
+SELECT CAST(floor(epoch_ns(ts) // 3600000000000) * 3600 AS BIGINT) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running
+    sum — the standard Spark batch sessionization shape."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn("_prev", F.lag("ts").over(w))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.col("ts") - F.col("_prev") > 1800 * _NS_PER_S),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor(F.min("ts") / _NS_PER_S).cast("bigint").alias("session_start"),
+        F.floor(F.max("ts") / _NS_PER_S).cast("bigint").alias("session_end"),
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000
+                 THEN 1 ELSE 0 END AS new_session
+  FROM lagged
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       CAST(floor(epoch_ns(MIN(ts)) // 1000000000) AS BIGINT) AS session_start,
+       CAST(floor(epoch_ns(MAX(ts)) // 1000000000) AS BIGINT) AS session_end
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/regex family (SURVEY.md section 2.7): regex capture
+    from the packed props column (cf. GTF attribute capture,
+    `Get_gene_info.pl:100-117`)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn(
+            "k",
+            F.regexp_extract(F.col("props"), r'\{"k": ([0-9]+)\}', 1).cast("int"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLE_JSON_EXTRACT = """
+WITH e AS (
+  SELECT event_type,
+         CAST(regexp_extract(props, '\\{"k": ([0-9]+)\\}', 1) AS INTEGER) AS k
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k, MAX(k) AS max_k
+FROM e GROUP BY event_type
+"""
+
+
+QUERIES_LLM = {
+    "token_stats": q_token_stats,
+    "text_quality": q_text_quality,
+    "language_id": q_language_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "cosine_topk": q_cosine_topk,
+    "lsh_ann": q_lsh_ann,
+    "multimodal_featurize": q_multimodal_featurize,
+    "event_window_counts": q_event_window_counts,
+    "sessionize": q_sessionize,
+    "json_extract": q_json_extract,
+}
+
+ORACLES_LLM = {
+    "token_stats": ORACLE_TOKEN_STATS,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "language_id": ORACLE_LANGUAGE_ID,
+    "doc_fingerprint": ORACLE_FINGERPRINT,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "minhash_lsh": ORACLE_MINHASH_LSH,
+    "simhash": ORACLE_SIMHASH,
+    "cosine_topk": ORACLE_COSINE_TOPK,
+    "lsh_ann": ORACLE_LSH_ANN,
+    "multimodal_featurize": ORACLE_MULTIMODAL,
+    "event_window_counts": ORACLE_EVENT_WINDOW,
+    "sessionize": ORACLE_SESSIONIZE,
+    "json_extract": ORACLE_JSON_EXTRACT,
+}
