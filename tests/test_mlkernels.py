@@ -1,0 +1,77 @@
+"""Tests for the MLlib-backed kernels (M11-M14, M16, M17 family)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from transcriptomics_data_integration_spark.stats.mlkernels import (
+    impute_missing,
+    kmeans_clusters,
+    logistic_per_gene,
+    pca_embedding,
+    sample_vectors,
+)
+
+
+def _long_df(spark):
+    """Two well-separated sample groups in gene space."""
+    rows = []
+    for s in range(8):
+        grp_shift = 0.0 if s < 4 else 50.0
+        for g in range(5):
+            rows.append((f"g{g}", f"s{s}", grp_shift + g + 0.1 * ((s * 3 + g) % 4)))
+    return spark.createDataFrame(rows, ["gene_id", "sample_id", "value"])
+
+
+def test_sample_vectors_shape(spark):
+    df = _long_df(spark)
+    vecs = sample_vectors(df, "gene_id", "sample_id", "value", [f"g{i}" for i in range(5)])
+    assert vecs.count() == 8
+    assert vecs.select("features").first()["features"].size == 5
+
+
+def test_pca_separates_groups(spark):
+    df = _long_df(spark)
+    vecs = sample_vectors(df, "gene_id", "sample_id", "value", [f"g{i}" for i in range(5)])
+    emb, ev = pca_embedding(vecs, "sample_id", k=2)
+    assert len(ev) == 2
+    assert ev[0] > 0.5  # the group shift dominates
+    pc1 = {r["sample_id"]: r["pcs"][0] for r in emb.collect()}
+    lo = [pc1[f"s{i}"] for i in range(4)]
+    hi = [pc1[f"s{i}"] for i in range(4, 8)]
+    assert max(lo) < min(hi) or min(lo) > max(hi)
+
+
+def test_kmeans_two_clusters(spark):
+    df = _long_df(spark)
+    vecs = sample_vectors(df, "gene_id", "sample_id", "value", [f"g{i}" for i in range(5)])
+    out = {r["sample_id"]: r["cluster"] for r in kmeans_clusters(vecs, "sample_id", 2).collect()}
+    assert len({out[f"s{i}"] for i in range(4)}) == 1
+    assert len({out[f"s{i}"] for i in range(4, 8)}) == 1
+    assert out["s0"] != out["s7"]
+
+
+def test_logistic_per_gene_sign(spark):
+    rows = []
+    for s in range(20):
+        y = "T" if s < 10 else "N"
+        rows.append(("up", y, (5.0 if y == "T" else 1.0) + 0.01 * (s % 5)))
+        rows.append(("flat", y, 3.0 + 0.01 * (s % 5)))
+    df = spark.createDataFrame(rows, ["gene_id", "grp", "value"])
+    out = {r["gene_id"]: r for r in logistic_per_gene(df, "gene_id", "grp", "value", "T").collect()}
+    assert out["up"]["coef"] > 0
+    assert abs(out["up"]["coef"]) > abs(out["flat"]["coef"])
+
+
+def test_impute_missing_mean(spark):
+    df = spark.createDataFrame(
+        [("g1", "s1", 1.0), ("g1", "s2", None), ("g1", "s3", 3.0), ("g2", "s1", 7.0)],
+        ["gene_id", "sample_id", "value"],
+    )
+    out = {
+        (r["gene_id"], r["sample_id"]): r["value"]
+        for r in impute_missing(df, "value").collect()
+    }
+    assert out[("g1", "s2")] == pytest.approx(2.0)
+    assert out[("g2", "s1")] == 7.0

@@ -1,0 +1,100 @@
+"""Tests for sources (TSV matrix, HTSeq, registry) and the Structured
+Streaming ingestion seam."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from transcriptomics_data_integration_spark.sources import (
+    melt_wide,
+    pivot_long,
+    read_htseq_counts,
+    read_matrix_tsv,
+    registry_upsert,
+    write_matrix_tsv,
+)
+from transcriptomics_data_integration_spark.streaming.ingest import (
+    run_stream_to_memory,
+    stream_count_files,
+)
+
+
+def test_melt_pivot_roundtrip(spark, tmp_path):
+    wide = spark.createDataFrame(
+        [("g1", 1.0, 2.0), ("g2", 3.0, 4.0)], ["gene_id", "s1", "s2"]
+    )
+    long = melt_wide(wide, "gene_id")
+    assert long.count() == 4
+    assert {r["sample_id"] for r in long.collect()} == {"s1", "s2"}
+    back = pivot_long(long, "gene_id", var_values=["s1", "s2"])
+    rows = {r["gene_id"]: (r["s1"], r["s2"]) for r in back.collect()}
+    assert rows == {"g1": (1.0, 2.0), "g2": (3.0, 4.0)}
+
+
+def test_tsv_matrix_io_roundtrip(spark, tmp_path):
+    long = spark.createDataFrame(
+        [("g1", "s1", 1.5), ("g1", "s2", 2.5), ("g2", "s1", 3.5), ("g2", "s2", 4.5)],
+        ["gene_id", "sample_id", "value"],
+    )
+    out = str(tmp_path / "matrix_out")
+    write_matrix_tsv(long, out, var_values=["s1", "s2"])
+    again = read_matrix_tsv(spark, out)
+    got = {(r["gene_id"], r["sample_id"]): r["value"] for r in again.collect()}
+    assert got[("g1", "s1")] == 1.5
+    assert got[("g2", "s2")] == 4.5
+
+
+def test_read_htseq_counts_filters_summary_rows(spark, tmp_path):
+    d = tmp_path / "counts"
+    d.mkdir()
+    (d / "sampleA.txt").write_text("geneA\t5\ngeneB\t0\n__no_feature\t99\n")
+    (d / "sampleB.txt").write_text("geneA\t7\n__ambiguous\t3\n")
+    out = read_htseq_counts(spark, str(d))
+    rows = {(r["gene_id"], r["sample_id"]): r["read_count"] for r in out.collect()}
+    assert rows == {
+        ("geneA", "sampleA"): 5,
+        ("geneB", "sampleA"): 0,
+        ("geneA", "sampleB"): 7,
+    }
+
+
+def test_registry_upsert_idempotent(spark):
+    existing = spark.createDataFrame(
+        [("ds1", "t1.txt", "raw", "AffyU133")], ["dataset_name", "target_file", "type", "platform"]
+    )
+    incoming = spark.createDataFrame(
+        [
+            ("ds1", "OTHER.txt", "raw", "AffyU133"),   # existing key: ignored
+            ("ds2", "t2.txt", "PE", "RNAseq"),
+            ("ds2", "t2-dup.txt", "PE", "RNAseq"),     # duplicate incoming key
+        ],
+        ["dataset_name", "target_file", "type", "platform"],
+    )
+    out = registry_upsert(existing, incoming, "dataset_name")
+    rows = {r["dataset_name"]: r["target_file"] for r in out.collect()}
+    assert rows["ds1"] == "t1.txt"
+    assert rows["ds2"] in ("t2.txt", "t2-dup.txt")
+    assert out.count() == 2
+    # replay is a no-op
+    assert registry_upsert(out, incoming, "dataset_name").count() == 2
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    """Structured Streaming contract: the streamed aggregation equals
+    the batch aggregation over the same files."""
+    d = tmp_path / "ingest"
+    d.mkdir()
+    (d / "f1.csv").write_text(
+        "gene_id\tsample_id\tread_count\tdataset\n"
+        "g1\ts1\t5\tds1\ng2\ts1\t3\tds1\n__no_feature\ts1\t9\tds1\n"
+    )
+    (d / "f2.csv").write_text(
+        "gene_id\tsample_id\tread_count\tdataset\ng1\ts2\t7\tds2\n"
+    )
+    stream = stream_count_files(spark, str(d))
+    agg = stream.groupBy("gene_id").agg(F.sum("read_count").alias("total"))
+    run_stream_to_memory(agg, "stream_counts", out_mode="complete")
+    got = {r["gene_id"]: r["total"] for r in spark.sql("SELECT * FROM stream_counts").collect()}
+    assert got == {"g1": 12, "g2": 3}

@@ -1,0 +1,136 @@
+"""Tests for ComBat, ICC, permutation FDR, enrichment, ML kernels."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from transcriptomics_data_integration_spark.stats.combat import (
+    batch_mean_center,
+    check_confounding,
+    combat,
+)
+from transcriptomics_data_integration_spark.stats.enrichment import enrichment_chi2
+from transcriptomics_data_integration_spark.stats.icc import icc
+from transcriptomics_data_integration_spark.stats.permutation import (
+    permutation_fdr,
+    permuted_labels,
+)
+
+
+def _expr_df(spark, shift_batch2=5.0, n_genes=6, n_per_batch=8):
+    """Two batches; batch b2 shifted by ``shift_batch2`` on every gene."""
+    rows = []
+    for g in range(n_genes):
+        for j in range(n_per_batch):
+            base = 10.0 + g + 0.5 * ((g * 7 + j * 3) % 5)
+            rows.append((f"g{g}", f"b1_s{j}", "b1", base))
+            rows.append((f"g{g}", f"b2_s{j}", "b2", base + shift_batch2 + 0.1 * (j % 3)))
+    return spark.createDataFrame(rows, ["gene_id", "sample_id", "batch", "value"])
+
+
+def test_batch_mean_center_removes_batch_offset(spark):
+    df = _expr_df(spark)
+    out = batch_mean_center(df, "gene_id", "batch", "value")
+    means = (
+        out.groupBy("gene_id", "batch")
+        .agg(F.avg("value").alias("m"))
+        .groupBy("gene_id")
+        .agg((F.max("m") - F.min("m")).alias("gap"))
+        .collect()
+    )
+    for r in means:
+        assert abs(r["gap"]) < 1e-9
+
+
+def test_combat_shrinks_batch_effect_and_preserves_scale(spark):
+    df = _expr_df(spark)
+    out = combat(df, "gene_id", "sample_id", "batch", "value")
+    assert out.count() == df.count()
+    gaps = (
+        out.groupBy("gene_id", "batch")
+        .agg(F.avg("value").alias("m"))
+        .groupBy("gene_id")
+        .agg((F.max("m") - F.min("m")).alias("gap"))
+        .collect()
+    )
+    # batch offset of 5.0 must be (nearly) removed
+    for r in gaps:
+        assert abs(r["gap"]) < 0.5
+    # grand means preserved per gene (ComBat invariant)
+    before = {r["gene_id"]: r["m"] for r in df.groupBy("gene_id").agg(F.avg("value").alias("m")).collect()}
+    after = {r["gene_id"]: r["m"] for r in out.groupBy("gene_id").agg(F.avg("value").alias("m")).collect()}
+    for g in before:
+        assert after[g] == pytest.approx(before[g], abs=0.2)
+
+
+def test_check_confounding(spark):
+    ok = spark.createDataFrame(
+        [("b1", "T"), ("b1", "N"), ("b2", "T"), ("b2", "N")], ["batch", "grp"]
+    )
+    bad = spark.createDataFrame([("b1", "T"), ("b2", "N")], ["batch", "grp"])
+    assert check_confounding(ok, "batch", "grp")
+    assert not check_confounding(bad, "batch", "grp")
+
+
+def test_icc_concordant_platforms_positive(spark):
+    # both platforms carry the same gene-correlation structure ->
+    # integrative correlations should be strongly positive
+    rows = []
+    for plat in ("A", "B"):
+        for s in range(8):
+            base = float((s * 13) % 7)
+            rows.append((plat, "g1", f"{plat}{s}", base))
+            rows.append((plat, "g2", f"{plat}{s}", 2.0 * base + 1.0))      # corr +1 with g1
+            rows.append((plat, "g3", f"{plat}{s}", -base + 10.0))          # corr -1 with g1
+            rows.append((plat, "g4", f"{plat}{s}", float((s * 5 + 3) % 11)))
+    cells = spark.createDataFrame(rows, ["platform", "gene_id", "sample_id", "value"])
+    out = {r["gene_id"]: r["icc"] for r in icc(cells, ["A", "B"], exact_scale=None).collect()}
+    assert out["g1"] == pytest.approx(1.0, abs=1e-6)
+    assert out["g2"] == pytest.approx(1.0, abs=1e-6)
+    assert out["g3"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_permuted_labels_preserve_multiset(spark):
+    samples = spark.createDataFrame(
+        [(f"s{i}", "A" if i < 3 else "B") for i in range(10)], ["sample_id", "grp"]
+    )
+    perms = permuted_labels(samples, "sample_id", "grp", n_perm=5)
+    counts = (
+        perms.groupBy("k", "perm_group").count().groupBy("k")
+        .pivot("perm_group", ["A", "B"]).sum("count").collect()
+    )
+    for r in counts:
+        assert (r["A"], r["B"]) == (3, 7)
+    # k=0 is the identity permutation
+    ident = perms.where("k = 0").join(samples, "sample_id")
+    assert ident.where("perm_group != grp").count() == 0
+
+
+def test_permutation_fdr_detects_real_effect(spark):
+    rows = []
+    for s in range(12):
+        grp = "A" if s < 6 else "B"
+        for g, delta in [("hot", 50.0), ("null", 0.0)]:
+            v = 100.0 + (delta if grp == "A" else 0.0) + ((s * 7 + len(g)) % 5)
+            rows.append((g, f"s{s:02d}", grp, v))
+    df = spark.createDataFrame(rows, ["gene_id", "sample_id", "grp", "value"])
+    out = {
+        r["gene_id"]: r["p_perm"]
+        for r in permutation_fdr(
+            df, "gene_id", "sample_id", "grp", "value", "A", "B", n_perm=40, exact_scale=None
+        ).collect()
+    }
+    assert out["hot"] < 0.1
+    assert out["null"] > 0.2
+
+
+def test_enrichment_chi2_flags_enriched_term(spark):
+    # term T1 is carried by all significant genes
+    gene_terms = spark.createDataFrame(
+        [(f"g{i}", "T1" if i < 10 else "T2") for i in range(100)], ["gene_id", "term"]
+    )
+    sig = spark.createDataFrame([(f"g{i}",) for i in range(10)], ["gene_id"])
+    out = enrichment_chi2(gene_terms, sig, "gene_id", "term", top_k=5).collect()
+    assert out[0]["term"] == "T1"
+    assert out[0]["p_value"] < 1e-6

@@ -1,0 +1,184 @@
+"""Integrative correlation (SURVEY.md A12) — the reference's
+"very time consuming" kernel (`scripts/data_integration/Meta_analysis.R:331,380`,
+intCor calls `:333,382`; concept `README.md:141-147`).
+
+Semantics (MergeMaid intCor): within each platform, compute the
+gene x gene correlation matrix over samples; a gene's ICC for a
+platform pair is the correlation, across partner genes, of its two
+correlation profiles; the reported ICC is the average over all
+platform pairs (`combn` at `Meta_analysis.R:315`).
+
+Spark decomposition:
+
+- cell build: one aggregation to (platform, gene, sample) cells;
+- gene-pair correlations: self-join on (platform, sample) — shuffle on
+  the join key, then one aggregation to (platform, g, h) moments.
+  This is the O(G^2) step: restrict genes first (the reference runs it
+  after the F5 top-variance filter, 3k-10k genes).  For the large-G
+  regime the same standardized cells feed a BlockMatrix gram-matrix
+  multiply (mllib) — `icc_blockmatrix` below;
+- profile correlations: join platform A rows to platform B rows on
+  (g, h) and aggregate per (g, pair) — tiny relative to step 2.
+
+``exact_scale``: cells and products accumulate in DECIMAL so the
+DuckDB oracle matches bitwise (see functions/exact.py).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _pair_corr_moments(cells: DataFrame, exact_scale: int | None):
+    """(platform, g, h) correlation over shared samples, g < h kept
+    both directions (profile of g includes h and vice versa)."""
+    left = cells.select(
+        F.col("platform"), F.col("sample_id"), F.col("gene_id").alias("g"), F.col("value").alias("x")
+    )
+    right = cells.select(
+        F.col("platform"), F.col("sample_id"), F.col("gene_id").alias("h"), F.col("value").alias("y")
+    )
+    joined = left.join(right, ["platform", "sample_id"]).where(F.col("g") != F.col("h"))
+    if exact_scale is not None:
+        s = exact_scale
+        dx = F.col("x").cast(f"decimal(18,{s})")
+        dy = F.col("y").cast(f"decimal(18,{s})")
+        agg = joined.groupBy("platform", "g", "h").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dx).cast("double").alias("sx"),
+            F.sum(dy).cast("double").alias("sy"),
+            F.sum((dx * dy).cast(f"decimal(38,{2 * s})")).cast("double").alias("sxy"),
+            F.sum((dx * dx).cast(f"decimal(38,{2 * s})")).cast("double").alias("sx2"),
+            F.sum((dy * dy).cast(f"decimal(38,{2 * s})")).cast("double").alias("sy2"),
+        )
+    else:
+        agg = joined.groupBy("platform", "g", "h").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sx2"),
+            F.sum(F.col("y") * F.col("y")).alias("sy2"),
+        )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    radx = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    rady = F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    # filter on the radicands, not the sqrt product: identical predicate
+    # on both engines and no sqrt-of-negative in strict SQL engines
+    return (
+        agg.where((radx > 0) & (rady > 0))
+        .withColumn("r", num / (F.sqrt(radx) * F.sqrt(rady)))
+        .select("platform", "g", "h", "r")
+    )
+
+
+def icc(
+    cells: DataFrame,
+    platforms: list[str],
+    exact_scale: int | None = 2,
+) -> DataFrame:
+    """Per-gene integrative correlation averaged over platform pairs.
+
+    ``cells``: (platform, gene_id, sample_id, value) — one value per
+    (platform, gene, sample), already restricted to the analysis gene
+    set.  Returns (gene_id, icc, n_pairs).
+    """
+    rr = _pair_corr_moments(cells, exact_scale)
+    pair_iccs = []
+    for a, b in combinations(platforms, 2):
+        ra = rr.where(F.col("platform") == a).select("g", "h", F.col("r").alias("ra"))
+        rb = rr.where(F.col("platform") == b).select("g", "h", F.col("r").alias("rb"))
+        prof = ra.join(rb, ["g", "h"])
+        # correlation across partner genes h of the two profiles
+        m = prof.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ra").alias("sx"),
+            F.sum("rb").alias("sy"),
+            F.sum(F.col("ra") * F.col("rb")).alias("sxy"),
+            F.sum(F.col("ra") * F.col("ra")).alias("sx2"),
+            F.sum(F.col("rb") * F.col("rb")).alias("sy2"),
+        )
+        num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+        den = F.sqrt(F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")) * F.sqrt(
+            F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+        )
+        radx = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+        rady = F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+        pair_iccs.append(
+            m.where((radx > 0) & (rady > 0)).select(
+                F.col("g").alias("gene_id"),
+                (num / (F.sqrt(radx) * F.sqrt(rady))).alias("pair_icc"),
+            )
+        )
+    unioned = pair_iccs[0]
+    for p in pair_iccs[1:]:
+        unioned = unioned.unionByName(p)
+    return unioned.groupBy("gene_id").agg(
+        F.avg("pair_icc").alias("icc"), F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+def icc_blockmatrix(cells: DataFrame, platforms: list[str], block_size: int = 1024) -> DataFrame:
+    """Scale path for large gene sets: standardized cells per platform
+    form a (genes x samples) RowMatrix; the gene-gene correlation matrix
+    is the gram matrix of the standardized rows, computed as a
+    BlockMatrix multiply (O(G^2 S / parallelism) flops, no G^2-row
+    shuffle of raw pairs).  Falls back to the relational path for the
+    profile-correlation stage, which is O(G^2) rows but only scalars.
+    """
+    from pyspark.ml.linalg import Vectors
+    from pyspark.mllib.linalg.distributed import IndexedRow, IndexedRowMatrix
+
+    spark = cells.sparkSession
+    out = None
+    for plat in platforms:
+        sub = cells.where(F.col("platform") == plat)
+        # standardize per gene
+        stats = sub.groupBy("gene_id").agg(
+            F.avg("value").alias("m"), F.stddev("value").alias("sd"), F.count(F.lit(1)).alias("n")
+        ).where(F.col("sd") > 0)
+        std = sub.join(stats, "gene_id").withColumn(
+            "z", (F.col("value") - F.col("m")) / (F.col("sd") * F.sqrt(F.col("n") - 1))
+        )
+        samples = [r["sample_id"] for r in sub.select("sample_id").distinct().orderBy("sample_id").collect()]
+        genes = [r["gene_id"] for r in stats.select("gene_id").orderBy("gene_id").collect()]
+        s_idx = {s: i for i, s in enumerate(samples)}
+        g_idx = {g: i for i, g in enumerate(genes)}
+        bc_s = spark.sparkContext.broadcast(s_idx)
+        bc_g = spark.sparkContext.broadcast(g_idx)
+        dim = len(samples)
+
+        def to_row(rows):
+            import numpy as np
+
+            vec = np.zeros(dim)
+            gi = None
+            for r in rows:
+                gi = bc_g.value[r["gene_id"]]
+                vec[bc_s.value[r["sample_id"]]] = r["z"]
+            return IndexedRow(gi, Vectors.dense(vec))
+
+        rdd = (
+            std.select("gene_id", "sample_id", "z")
+            .rdd.groupBy(lambda r: r["gene_id"])
+            .map(lambda kv: to_row(list(kv[1])))
+        )
+        mat = IndexedRowMatrix(rdd).toBlockMatrix(block_size, block_size)
+        gram = mat.multiply(mat.transpose())  # gene x gene correlations
+        rows = gram.toIndexedRowMatrix().rows.flatMap(
+            lambda ir: [(int(ir.index), j, float(v)) for j, v in enumerate(ir.vector)]
+        )
+        rdf = spark.createDataFrame(rows, ["gi", "hj", "r"]).where(F.col("gi") != F.col("hj"))
+        inv_g = spark.createDataFrame(
+            [(i, g) for g, i in g_idx.items()], ["idx", "gene_id"]
+        )
+        rdf = (
+            rdf.join(inv_g.withColumnRenamed("idx", "gi").withColumnRenamed("gene_id", "g"), "gi")
+            .join(inv_g.withColumnRenamed("idx", "hj").withColumnRenamed("gene_id", "h"), "hj")
+            .select(F.lit(plat).alias("platform"), "g", "h", "r")
+        )
+        out = rdf if out is None else out.unionByName(rdf)
+    return out

@@ -1,0 +1,162 @@
+"""MLlib-backed diagnostics kernels (SURVEY.md M11-M14, M16, M17).
+
+These are the reference's exploratory/QC models; results are
+model-fit outputs (eigenvectors, cluster labels) with inherent sign /
+label indeterminacy, so they carry pytest golden/property tests rather
+than SQL oracles (the driver records the weaker rows-only check —
+SURVEY.md section 5).
+
+Pipeline shape shared by all: long relation -> per-sample feature
+vector (pivot over an explicit, sorted gene list — no collect job) ->
+``ml.feature``/``ml.clustering``/``ml.classification`` estimator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sample_vectors(
+    df: DataFrame,
+    gene_col: str,
+    sample_col: str,
+    value_col: str,
+    genes: list[str],
+) -> DataFrame:
+    """One row per sample with a dense feature vector over ``genes``
+    (explicit order; missing values 0).  The pivot is bounded: the gene
+    list comes from the F5 top-variance filter."""
+    from pyspark.ml.feature import VectorAssembler
+
+    wide = (
+        df.where(F.col(gene_col).isin(genes))
+        .groupBy(sample_col)
+        .pivot(gene_col, genes)
+        .agg(F.first(value_col))
+        .na.fill(0.0)
+    )
+    assembler = VectorAssembler(
+        inputCols=[c for c in wide.columns if c != sample_col], outputCol="features"
+    )
+    return assembler.transform(wide).select(sample_col, "features")
+
+
+def pca_embedding(
+    vectors: DataFrame, sample_col: str, k: int = 3, standardize: bool = True
+) -> tuple[DataFrame, list[float]]:
+    """M11 — PCA of per-sample vectors (``prcomp(t(data), scale=TRUE)``,
+    `Study_effect.R:543`).  Returns (sample, pc array) and the explained
+    variance ratios (scree data, `:549-566`)."""
+    from pyspark.ml.feature import PCA, StandardScaler
+
+    feats = vectors
+    col = "features"
+    if standardize:
+        scaler = StandardScaler(
+            inputCol="features", outputCol="scaled", withMean=True, withStd=True
+        ).fit(vectors)
+        feats = scaler.transform(vectors)
+        col = "scaled"
+    model = PCA(k=k, inputCol=col, outputCol="pcs").fit(feats)
+    out = model.transform(feats).select(
+        sample_col, vector_to_array_col("pcs").alias("pcs")
+    )
+    return out, [float(v) for v in model.explainedVariance]
+
+
+def vector_to_array_col(col_name: str):
+    from pyspark.ml.functions import vector_to_array
+
+    return vector_to_array(F.col(col_name))
+
+
+def kmeans_clusters(
+    vectors: DataFrame, sample_col: str, k: int, seed: int = 1
+) -> DataFrame:
+    """M12 — k-means on sample vectors (``kmeans``/``cmdscale`` stage,
+    `Study_effect.R:508-531`; seeded like ``set.seed(1)``
+    `Study_effect.R:464`)."""
+    from pyspark.ml.clustering import KMeans
+
+    model = KMeans(k=k, seed=seed, featuresCol="features").fit(vectors)
+    return model.transform(vectors).select(sample_col, F.col("prediction").alias("cluster"))
+
+
+def bisecting_clusters(vectors: DataFrame, sample_col: str, k: int, seed: int = 1) -> DataFrame:
+    """M13 substitute — divisive hierarchical clustering (BisectingKMeans),
+    the idiomatic Spark stand-in for Ward hclust
+    (`DiffExpression_closedPlatform.R:645-646`)."""
+    from pyspark.ml.clustering import BisectingKMeans
+
+    model = BisectingKMeans(k=k, seed=seed, featuresCol="features").fit(vectors)
+    return model.transform(vectors).select(sample_col, F.col("prediction").alias("cluster"))
+
+
+def logistic_per_gene(
+    df: DataFrame,
+    gene_col: str,
+    group_col: str,
+    value_col: str,
+    group_one: str,
+) -> DataFrame:
+    """M14 — per-gene logistic regression of outcome on expression
+    (``modelOutcome(method="logistic")``, `Meta_analysis.R:581-598`).
+    Grouped-map IRLS via Arrow batches — one model per gene, no driver
+    loop."""
+    import numpy as np
+    import pandas as pd
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["x"].to_numpy()
+        y = (pdf["y"] == group_one).to_numpy().astype(float)
+        X = np.column_stack([np.ones_like(x), x])
+        beta = np.zeros(2)
+        for _ in range(25):
+            eta = X @ beta
+            mu = 1.0 / (1.0 + np.exp(-np.clip(eta, -30, 30)))
+            w = np.clip(mu * (1 - mu), 1e-9, None)
+            z = eta + (y - mu) / w
+            wx = X * w[:, None]
+            try:
+                beta_new = np.linalg.solve(X.T @ wx, X.T @ (w * z))
+            except np.linalg.LinAlgError:
+                break
+            if np.max(np.abs(beta_new - beta)) < 1e-10:
+                beta = beta_new
+                break
+            beta = beta_new
+        se = np.sqrt(np.diag(np.linalg.pinv(X.T @ (X * np.clip(mu * (1 - mu), 1e-9, None)[:, None]))))
+        return pd.DataFrame(
+            {
+                "gene_id": [pdf["g"].iloc[0]],
+                "intercept": [beta[0]],
+                "coef": [beta[1]],
+                "z_score": [beta[1] / se[1] if se[1] > 0 else float("nan")],
+                "n": [len(x)],
+            }
+        )
+
+    prepped = df.select(
+        F.col(gene_col).cast("string").alias("g"),
+        F.col(value_col).alias("x"),
+        F.col(group_col).alias("y"),
+    )
+    return prepped.groupBy("g").applyInPandas(
+        fit, schema="gene_id string, intercept double, coef double, z_score double, n long"
+    )
+
+
+def impute_missing(df: DataFrame, value_col: str, strategy: str = "mean") -> DataFrame:
+    """M16 — missing-value imputation (Amelia EM at
+    `DiffExpression_normalisedData.R:166`; v0 mean/median per the
+    SURVEY.md build plan) applied per gene."""
+    fill = (
+        F.avg(value_col) if strategy == "mean" else F.percentile_approx(value_col, 0.5)
+    )
+    per_gene = df.groupBy("gene_id").agg(fill.alias("_fill"))
+    return (
+        df.join(F.broadcast(per_gene), "gene_id")
+        .withColumn(value_col, F.coalesce(F.col(value_col), F.col("_fill")))
+        .drop("_fill")
+    )

@@ -1005,6 +1005,10 @@ QUERIES: dict[str, QueryFn] = {
     **QUERIES_LLM,
 }
 
+from transcriptomics_data_integration_spark.suite_stats import ORACLES_STATS, QUERIES_STATS  # noqa: E402 (suite_stats imports _ttest_cte from this module)
+
+QUERIES.update(QUERIES_STATS)
+
 ORACLES: dict[str, str] = {
     "pricing_summary": ORACLE_PRICING,
     "gene_stats": ORACLE_GENE_STATS,
@@ -1031,3 +1035,5 @@ ORACLES: dict[str, str] = {
     "p_improvement": _oracle_p_improvement(),
     **ORACLES_LLM,
 }
+
+ORACLES.update(ORACLES_STATS)

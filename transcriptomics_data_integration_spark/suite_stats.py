@@ -1,0 +1,492 @@
+"""Query inventory part 3: batch correction, integrative correlation,
+permutation FDR, multivariate QC, stratified correlation, enrichment
+(SURVEY.md M6/A12/A14/M17/A11/A17) — each with a DuckDB oracle.
+
+FP policy: cells and moments accumulate in DECIMAL (bitwise-identical);
+only profile-correlation averages, Mahalanobis sums and p-values (which
+sum/transform irrational intermediates) are rounded.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from transcriptomics_data_integration_spark.functions.normal import two_sided_p_sql
+from transcriptomics_data_integration_spark.stats.enrichment import enrichment_chi2
+from transcriptomics_data_integration_spark.stats.icc import icc
+from transcriptomics_data_integration_spark.stats.permutation import permutation_fdr
+from transcriptomics_data_integration_spark.stats.ttest import two_group_ttest
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(18,2))) AS DOUBLE)"
+_DSUM2 = (
+    "CAST(SUM(CAST(CAST({x} AS DECIMAL(18,2)) * CAST({x} AS DECIMAL(18,2)) "
+    "AS DECIMAL(38,4))) AS DOUBLE)"
+)
+
+_TOP_GENES_CTE = f"""
+gstats AS (
+  SELECT l_partkey,
+         {_DSUM.format(x='l_extendedprice')} AS s,
+         {_DSUM2.format(x='l_extendedprice')} AS s2,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 2
+), topg AS (
+  SELECT l_partkey,
+         ROW_NUMBER() OVER (
+           ORDER BY sqrt((s2 - s * s / n) / (n - 1)) DESC, l_partkey) AS rn
+  FROM gstats
+)
+"""
+
+
+def _top_genes(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    agg = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("s"),
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * F.col("l_extendedprice").cast("decimal(18,2)")
+                ).cast("decimal(38,4)")
+            )
+            .cast("double")
+            .alias("s2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") >= 2)
+        .withColumn(
+            "sd",
+            F.sqrt((F.col("s2") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)),
+        )
+    )
+    w = Window.orderBy(F.col("sd").desc(), F.col("l_partkey"))
+    return agg.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).select("l_partkey")
+
+
+def q_batch_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 (closed-form core) — location-only batch adjustment:
+    x - batch_mean_g + weighted grand_mean_g, exact decimal moments
+    (`DiffExpression_closedPlatform.R:368-437`)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") <= 100)
+    per_gb = li.groupBy("l_partkey", "l_linestatus").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("s_gb"),
+        F.count(F.lit(1)).alias("n_gb"),
+    )
+    per_g = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("s_g"),
+        F.count(F.lit(1)).alias("n_g"),
+    )
+    return (
+        li.join(F.broadcast(per_gb), ["l_partkey", "l_linestatus"])
+        .join(F.broadcast(per_g), "l_partkey")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_linestatus",
+            (
+                F.col("l_extendedprice")
+                - F.col("s_gb") / F.col("n_gb")
+                + F.col("s_g") / F.col("n_g")
+            ).alias("adjusted"),
+        )
+    )
+
+
+ORACLE_BATCH_CENTER = f"""
+WITH li AS (
+  SELECT * FROM lineitem WHERE l_partkey <= 100
+), per_gb AS (
+  SELECT l_partkey, l_linestatus,
+         {_DSUM.format(x='l_extendedprice')} AS s_gb, COUNT(*) AS n_gb
+  FROM li GROUP BY l_partkey, l_linestatus
+), per_g AS (
+  SELECT l_partkey,
+         {_DSUM.format(x='l_extendedprice')} AS s_g, COUNT(*) AS n_g
+  FROM li GROUP BY l_partkey
+)
+SELECT l_orderkey, l_linenumber, li.l_partkey, li.l_linestatus,
+       l_extendedprice - s_gb / n_gb + s_g / n_g AS adjusted
+FROM li
+JOIN per_gb ON li.l_partkey = per_gb.l_partkey AND li.l_linestatus = per_gb.l_linestatus
+JOIN per_g ON li.l_partkey = per_g.l_partkey
+"""
+
+
+def q_icc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — integrative correlation over the (O, F) platform pair on
+    the top-40-variance genes (`Meta_analysis.R:312-347`)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_linestatus").isin(["O", "F"]))
+    genes = _top_genes(spark, sf_dir, 40)
+    cells = (
+        li.join(F.broadcast(genes), "l_partkey")
+        .groupBy(
+            F.col("l_linestatus").alias("platform"),
+            F.col("l_partkey").alias("gene_id"),
+            F.col("l_suppkey").alias("sample_id"),
+        )
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("value"))
+    )
+    out = icc(cells, ["F", "O"], exact_scale=2)
+    return out.select("gene_id", "n_pairs", F.round("icc", 6).alias("icc"))
+
+
+ORACLE_ICC = f"""
+WITH {_TOP_GENES_CTE}, cells AS (
+  SELECT l_linestatus AS platform, l_partkey AS gene_id, l_suppkey AS sample_id,
+         {_DSUM.format(x='l_extendedprice')} AS value
+  FROM lineitem
+  WHERE l_linestatus IN ('O', 'F')
+    AND l_partkey IN (SELECT l_partkey FROM topg WHERE rn <= 40)
+  GROUP BY 1, 2, 3
+), pairs AS (
+  SELECT a.platform, a.gene_id AS g, b.gene_id AS h,
+         COUNT(*) AS n,
+         {_DSUM.format(x='a.value')} AS sx,
+         {_DSUM.format(x='b.value')} AS sy,
+         CAST(SUM(CAST(CAST(a.value AS DECIMAL(18,2)) * CAST(b.value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+         {_DSUM2.format(x='a.value')} AS sx2,
+         {_DSUM2.format(x='b.value')} AS sy2
+  FROM cells a JOIN cells b
+    ON a.platform = b.platform AND a.sample_id = b.sample_id AND a.gene_id <> b.gene_id
+  GROUP BY 1, 2, 3
+), rr AS (
+  SELECT platform, g, h,
+         (n * sxy - sx * sy) /
+         (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)) AS r
+  FROM pairs
+  WHERE (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+), prof AS (
+  SELECT a.g, COUNT(*) AS n,
+         SUM(a.r) AS sx, SUM(b.r) AS sy, SUM(a.r * b.r) AS sxy,
+         SUM(a.r * a.r) AS sx2, SUM(b.r * b.r) AS sy2
+  FROM (SELECT * FROM rr WHERE platform = 'F') a
+  JOIN (SELECT * FROM rr WHERE platform = 'O') b ON a.g = b.g AND a.h = b.h
+  GROUP BY a.g
+)
+SELECT g AS gene_id, CAST(1 AS BIGINT) AS n_pairs,
+       ROUND((n * sxy - sx * sy) /
+             (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6) AS icc
+FROM prof
+WHERE (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+"""
+
+
+def q_permutation_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 — permutation FDR with the deterministic md5 permutation
+    family (`Meta_analysis.R:896-956`, nperm budget `:902`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.when(F.col("s_suppkey") % 3 == 0, "A").otherwise("R").alias("grp"),
+    )
+    fact = li.join(F.broadcast(sup), "l_suppkey").select(
+        "l_partkey", "l_suppkey", "grp", "l_extendedprice"
+    )
+    out = permutation_fdr(
+        fact, "l_partkey", "l_suppkey", "grp", "l_extendedprice", "A", "R", n_perm=20
+    )
+    return out.select("l_partkey", "t_obs", "n_extreme", "p_perm")
+
+
+ORACLE_PERMUTATION = f"""
+WITH sup AS (
+  SELECT s_suppkey, CASE WHEN s_suppkey % 3 = 0 THEN 'A' ELSE 'R' END AS grp
+  FROM supplier
+), ks AS (SELECT UNNEST(generate_series(0, 20)) AS k),
+hashed AS (
+  SELECT s_suppkey, grp, k, md5(s_suppkey || '#' || k) AS h
+  FROM sup CROSS JOIN ks
+), ordered AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY h, s_suppkey) AS slot,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY s_suppkey) AS orig_rank
+  FROM hashed
+), perms AS (
+  SELECT o.s_suppkey, o.k,
+         CASE WHEN o.k = 0 THEN o.grp ELSE d.grp END AS perm_group
+  FROM ordered o JOIN (SELECT k, orig_rank AS slot, grp FROM ordered) d
+    ON o.k = d.k AND o.slot = d.slot
+), fact AS (
+  SELECT l_partkey, p.k, p.perm_group, l_extendedprice
+  FROM lineitem JOIN perms p ON l_suppkey = p.s_suppkey
+), agg AS (
+  SELECT l_partkey, k,
+         COUNT(CASE WHEN perm_group = 'A' THEN l_extendedprice END) AS n_a,
+         COUNT(CASE WHEN perm_group = 'R' THEN l_extendedprice END) AS n_b,
+         {_DSUM.format(x="CASE WHEN perm_group = 'A' THEN l_extendedprice END")} AS sa,
+         {_DSUM.format(x="CASE WHEN perm_group = 'R' THEN l_extendedprice END")} AS sb,
+         {_DSUM2.format(x="CASE WHEN perm_group = 'A' THEN l_extendedprice END")} AS sa2,
+         {_DSUM2.format(x="CASE WHEN perm_group = 'R' THEN l_extendedprice END")} AS sb2
+  FROM fact GROUP BY l_partkey, k
+  HAVING COUNT(CASE WHEN perm_group = 'A' THEN l_extendedprice END) >= 2
+     AND COUNT(CASE WHEN perm_group = 'R' THEN l_extendedprice END) >= 2
+), m AS (
+  SELECT l_partkey, k, n_a, n_b,
+         sa / n_a AS mean_a, sb / n_b AS mean_b,
+         (sa2 - sa * sa / n_a) / (n_a - 1) AS var_a,
+         (sb2 - sb * sb / n_b) / (n_b - 1) AS var_b
+  FROM agg
+), t0 AS (
+  SELECT l_partkey, k, mean_a, mean_b,
+         sqrt((((n_a - 1) * var_a + (n_b - 1) * var_b) / (n_a + n_b - 2))
+              * (1.0e0 / n_a + 1.0e0 / n_b)) AS se
+  FROM m
+), tt AS (
+  SELECT l_partkey, k, (mean_a - mean_b) / se AS t_statistic
+  FROM t0 WHERE se > 0
+), obs AS (
+  SELECT l_partkey, t_statistic AS t_obs FROM tt WHERE k = 0
+), perm AS (
+  SELECT tt.l_partkey, tt.t_statistic, obs.t_obs
+  FROM tt JOIN obs ON tt.l_partkey = obs.l_partkey
+  WHERE tt.k > 0
+)
+SELECT l_partkey,
+       MIN(t_obs) AS t_obs,
+       CAST(SUM(CASE WHEN ABS(t_statistic) >= ABS(t_obs) THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+       (1 + SUM(CASE WHEN ABS(t_statistic) >= ABS(t_obs) THEN 1 ELSE 0 END))
+         / (COUNT(*) + 1) AS p_perm
+FROM perm GROUP BY l_partkey
+"""
+
+
+def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M17 — multivariate sample-outlier score: standardized squared
+    distance over the top-20-variance genes (diagonal covariance), the
+    ArrayOutliers analogue (`QC_Affy_U133Plus2.R:156-164`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    genes = _top_genes(spark, sf_dir, 20)
+    cells = (
+        li.join(F.broadcast(genes), "l_partkey")
+        .groupBy(F.col("l_partkey").alias("g"), F.col("l_suppkey").alias("s"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("cell"))
+    )
+    dc = F.col("cell").cast("decimal(18,2)")
+    stats = cells.groupBy("g").agg(
+        F.sum(dc).cast("double").alias("cs"),
+        F.sum((dc * dc).cast("decimal(38,4)")).cast("double").alias("cs2"),
+        F.count(F.lit(1)).alias("cn"),
+    ).where(F.col("cn") >= 2)
+    var = (F.col("cs2") - F.col("cs") * F.col("cs") / F.col("cn")) / (F.col("cn") - 1)
+    stats = stats.withColumn("m", F.col("cs") / F.col("cn")).withColumn("sd", F.sqrt(var)).where(
+        F.col("sd") > 0
+    )
+    z2 = ((F.col("cell") - F.col("m")) / F.col("sd")) ** 2
+    scores = (
+        cells.join(F.broadcast(stats.select("g", "m", "sd")), "g")
+        .groupBy("s")
+        .agg(F.round(F.sum(z2), 6).alias("score"), F.count(F.lit(1)).alias("n_genes"))
+    )
+    return scores.select(
+        F.col("s").alias("l_suppkey"),
+        "score",
+        "n_genes",
+        (F.col("score") > 2 * F.col("n_genes")).cast("int").alias("is_outlier"),
+    )
+
+
+ORACLE_MAHALANOBIS = f"""
+WITH {_TOP_GENES_CTE}, cells AS (
+  SELECT l_partkey AS g, l_suppkey AS s,
+         {_DSUM.format(x='l_extendedprice')} AS cell
+  FROM lineitem
+  WHERE l_partkey IN (SELECT l_partkey FROM topg WHERE rn <= 20)
+  GROUP BY 1, 2
+), stats AS (
+  SELECT g,
+         {_DSUM.format(x='cell')} AS cs,
+         {_DSUM2.format(x='cell')} AS cs2,
+         COUNT(*) AS cn
+  FROM cells GROUP BY g HAVING COUNT(*) >= 2
+), ms AS (
+  SELECT g, cs / cn AS m,
+         sqrt((cs2 - cs * cs / cn) / (cn - 1)) AS sd
+  FROM stats
+  WHERE sqrt((cs2 - cs * cs / cn) / (cn - 1)) > 0
+), scored AS (
+  SELECT s, ROUND(SUM(((cell - m) / sd) * ((cell - m) / sd)), 6) AS score,
+         COUNT(*) AS n_genes
+  FROM cells JOIN ms USING (g) GROUP BY s
+)
+SELECT s AS l_suppkey, score, n_genes,
+       CAST(score > 2 * n_genes AS INTEGER) AS is_outlier
+FROM scored
+"""
+
+
+def q_strata_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — pairwise sample correlations stratified by same-nation vs
+    cross-nation (`Study_effect.R:320-398` same-group/cross-study
+    strata)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_suppkey") <= 60)
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cells = li.groupBy(
+        F.col("l_partkey").alias("g"), F.col("l_suppkey").alias("s")
+    ).agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("cell"))
+    a = cells.select(F.col("s").alias("s_a"), "g", F.col("cell").alias("x"))
+    b = cells.select(F.col("s").alias("s_b"), "g", F.col("cell").alias("y"))
+    dx = F.col("x").cast("decimal(18,2)")
+    dy = F.col("y").cast("decimal(18,2)")
+    pairs = (
+        a.join(b, "g")
+        .where(F.col("s_a") < F.col("s_b"))
+        .groupBy("s_a", "s_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dx).cast("double").alias("sx"),
+            F.sum(dy).cast("double").alias("sy"),
+            F.sum((dx * dy).cast("decimal(38,4)")).cast("double").alias("sxy"),
+            F.sum((dx * dx).cast("decimal(38,4)")).cast("double").alias("sx2"),
+            F.sum((dy * dy).cast("decimal(38,4)")).cast("double").alias("sy2"),
+        )
+        .where(F.col("n") >= 3)
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    )
+    r = pairs.withColumn("_den", den).where(F.col("_den") > 0).withColumn(
+        "r", F.round(num / F.col("_den"), 6)
+    )
+    na = sup.select(F.col("s_suppkey").alias("s_a"), F.col("s_nationkey").alias("n_a"))
+    nb = sup.select(F.col("s_suppkey").alias("s_b"), F.col("s_nationkey").alias("n_b"))
+    return (
+        r.join(F.broadcast(na), "s_a")
+        .join(F.broadcast(nb), "s_b")
+        .select(
+            "s_a",
+            "s_b",
+            F.when(F.col("n_a") == F.col("n_b"), "same_nation")
+            .otherwise("cross_nation")
+            .alias("strata"),
+            "n",
+            "r",
+        )
+    )
+
+
+ORACLE_STRATA = f"""
+WITH cells AS (
+  SELECT l_partkey AS g, l_suppkey AS s,
+         {_DSUM.format(x='l_extendedprice')} AS cell
+  FROM lineitem WHERE l_suppkey <= 60 GROUP BY 1, 2
+), pairs AS (
+  SELECT a.s AS s_a, b.s AS s_b, COUNT(*) AS n,
+         {_DSUM.format(x='a.cell')} AS sx,
+         {_DSUM.format(x='b.cell')} AS sy,
+         CAST(SUM(CAST(CAST(a.cell AS DECIMAL(18,2)) * CAST(b.cell AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+         {_DSUM2.format(x='a.cell')} AS sx2,
+         {_DSUM2.format(x='b.cell')} AS sy2
+  FROM cells a JOIN cells b ON a.g = b.g AND a.s < b.s
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+), r AS (
+  SELECT s_a, s_b, n,
+         ROUND((n * sxy - sx * sy) /
+               (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6) AS r
+  FROM pairs
+  WHERE (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+)
+SELECT s_a, s_b,
+       CASE WHEN sa.s_nationkey = sb.s_nationkey THEN 'same_nation'
+            ELSE 'cross_nation' END AS strata,
+       n, r
+FROM r
+JOIN supplier sa ON s_a = sa.s_suppkey
+JOIN supplier sb ON s_b = sb.s_suppkey
+"""
+
+
+def q_term_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 — term enrichment (chi-square form) of the top-|t| decile
+    against part-type terms (`Meta_analysis.R:1359-1392`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    tt = two_group_ttest(li, "l_partkey", "l_returnflag", "l_extendedprice", "R", "A")
+    n_genes = tt.count()
+    n_top = n_genes // 10
+    w = Window.orderBy(F.abs(F.col("t_statistic")).desc(), F.col("l_partkey"))
+    sig = (
+        tt.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_top)
+        .select("l_partkey")
+    )
+    gene_terms = part.select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_type").alias("term")
+    ).join(tt.select("l_partkey"), "l_partkey", "left_semi")
+    out = enrichment_chi2(gene_terms, sig, "l_partkey", "term", top_k=50)
+    return out.select(
+        "term", "n_term", "a", "chi2", F.round("p_value", 8).alias("p_value")
+    )
+
+
+def _oracle_enrichment() -> str:
+    from transcriptomics_data_integration_spark.suite import _ttest_cte
+
+    p_expr = two_sided_p_sql("sqrt(chi2)")
+    return f"""
+WITH {_ttest_cte("l_partkey", "", "")}, ranked AS (
+  SELECT l_partkey,
+         ROW_NUMBER() OVER (ORDER BY ABS(t_statistic) DESC, l_partkey) AS rn,
+         COUNT(*) OVER () AS n_genes
+  FROM de
+), sig AS (
+  SELECT l_partkey FROM ranked WHERE rn <= (SELECT MAX(n_genes) // 10 FROM ranked)
+), gene_terms AS (
+  SELECT p_partkey AS l_partkey, p_type AS term FROM part
+  WHERE p_partkey IN (SELECT l_partkey FROM de)
+), per_term AS (
+  SELECT term, COUNT(*) AS n_term,
+         CAST(SUM(CASE WHEN l_partkey IN (SELECT l_partkey FROM sig) THEN 1 ELSE 0 END) AS BIGINT) AS a
+  FROM gene_terms GROUP BY term
+), totals AS (
+  SELECT (SELECT COUNT(DISTINCT l_partkey) FROM gene_terms) AS n_total,
+         (SELECT COUNT(*) FROM sig) AS n_sig
+), cells AS (
+  SELECT term, n_term, a,
+         n_sig - a AS b,
+         n_term - a AS c,
+         (n_total - n_sig) - (n_term - a) AS d,
+         n_total
+  FROM per_term CROSS JOIN totals
+), scored AS (
+  SELECT term, n_term, a,
+         CAST(n_total AS DOUBLE) * (a * d - b * c) * (a * d - b * c)
+           / CAST((a + b) * (c + d) * (a + c) * (b + d) AS DOUBLE) AS chi2
+  FROM cells
+  WHERE (a + b) * (c + d) * (a + c) * (b + d) > 0
+), topk AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY chi2 DESC, term) AS rnk FROM scored
+)
+SELECT term, n_term, a, chi2, ROUND({p_expr}, 8) AS p_value
+FROM topk WHERE rnk <= 50
+"""
+
+
+QUERIES_STATS = {
+    "batch_center": q_batch_center,
+    "icc_meta": q_icc_meta,
+    "permutation_fdr": q_permutation_fdr,
+    "mahalanobis_outliers": q_mahalanobis_outliers,
+    "strata_correlation": q_strata_correlation,
+    "term_enrichment": q_term_enrichment,
+}
+
+ORACLES_STATS = {
+    "batch_center": ORACLE_BATCH_CENTER,
+    "icc_meta": ORACLE_ICC,
+    "permutation_fdr": ORACLE_PERMUTATION,
+    "mahalanobis_outliers": ORACLE_MAHALANOBIS,
+    "strata_correlation": ORACLE_STRATA,
+    "term_enrichment": _oracle_enrichment(),
+}
