@@ -1,0 +1,152 @@
+"""End-to-end pipeline tests on synthetic fixtures shaped like
+FIXTURES.md sections 1-4."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from transcriptomics_data_integration_spark.pipelines import (
+    build_expression_matrix,
+    differential_expression,
+    meta_analysis,
+)
+from transcriptomics_data_integration_spark.stats.normalize import (
+    array_weights,
+    cqn_simplified,
+    log2_cpm,
+    voom_weights,
+)
+
+
+def test_build_expression_matrix(spark):
+    # probes p1/p2 -> gene gA (p2 higher variance, wins A4); p3 -> gB;
+    # p4 unreliable (absent from map); sample s3 is an outlier; s4 not
+    # in the target sheet
+    inten = []
+    for s, off in [("s1", 0.0), ("s2", 1.0), ("s3", 99.0), ("s4", -7.0)]:
+        inten += [
+            ("p1", s, 5.0 + 0.1 * off),
+            ("p2", s, 5.0 + 1.0 * off),
+            ("p3", s, 2.0 + 0.5 * off),
+            ("p4", s, 1.0),
+        ]
+    intensities = spark.createDataFrame(inten, ["probe", "sample_id", "value"])
+    targets = spark.createDataFrame([("s1",), ("s2",), ("s3",)], ["sample_id"])
+    outliers = spark.createDataFrame([("ds1", "s3")], ["dataset", "samples2exclude"])
+    probe_map = spark.createDataFrame(
+        [("p1", "gA"), ("p2", "gA"), ("p3", "gB")], ["probe", "gene_id"]
+    )
+    out = build_expression_matrix(
+        intensities, targets, outliers, probe_map, normalize=False
+    ).collect()
+    genes = {r["gene_id"] for r in out}
+    samples = {r["sample_id"] for r in out}
+    assert genes == {"gA", "gB"}
+    assert samples == {"s1", "s2"}
+    assert len(out) == 4  # 2 genes x 2 samples, one probe per gene
+
+
+def _two_platform_fixture(spark, shift=4.0):
+    rows, trows = [], []
+    for plat in ("P1", "P2"):
+        for d, (ds, b_off) in enumerate([("dsA", 0.0), ("dsB", 2.0)]):
+            for j in range(6):
+                s = f"{plat}_{ds}_s{j}"
+                grp = "T" if j < 3 else "N"
+                trows.append((s, grp, ds))
+                for g in range(8):
+                    hot = shift if (g == 0 and grp == "T") else 0.0
+                    noise = 0.3 * ((j * 7 + g * 3 + d) % 5)
+                    rows.append((f"g{g}", s, plat, 8.0 + g + b_off + hot + noise))
+    expr = spark.createDataFrame(rows, ["gene_id", "sample_id", "platform", "value"])
+    targets = spark.createDataFrame(trows, ["sample_id", "target", "dataset"])
+    return expr, targets
+
+
+def test_differential_expression_finds_hot_gene(spark):
+    expr, targets = _two_platform_fixture(spark)
+    out = differential_expression(
+        expr.where(F.col("platform") == "P1").drop("platform"),
+        targets,
+        "T",
+        "N",
+        batch_correct=True,
+    ).collect()
+    assert out[0]["gene_id"] == "g0"
+    assert out[0]["adj_p_value"] < 0.01
+    assert out[0]["decide"] == 1
+    others = [r for r in out if r["gene_id"] != "g0"]
+    assert all(r["adj_p_value"] > 0.05 for r in others)
+
+
+def test_differential_expression_confounding_guard(spark):
+    expr, targets = _two_platform_fixture(spark)
+    # make dataset == group (perfect confound)
+    bad_targets = targets.withColumn(
+        "dataset", F.when(F.col("target") == "T", "dsA").otherwise("dsB")
+    )
+    with pytest.raises(ValueError, match="confounded"):
+        differential_expression(
+            expr.where(F.col("platform") == "P1").drop("platform"),
+            bad_targets,
+            "T",
+            "N",
+        )
+
+
+def test_meta_analysis_combines_platforms(spark):
+    expr, targets = _two_platform_fixture(spark)
+    out = meta_analysis(expr, targets, "T", "N").collect()
+    assert out[0]["l_gene" if False else "gene_id"] == "g0"
+    assert out[0]["n_platforms"] == 2
+    assert out[0]["p_comb"] < 0.01
+    # combined p should beat (or match) both single-platform p's for g0
+    assert out[0]["avg_p_improvement"] is not None
+
+
+def test_log2_cpm_and_voom_weights(spark):
+    rows = []
+    for s in range(4):
+        for g in range(30):
+            rows.append((f"g{g}", f"s{s}", float(10 + g * 5 + (s * 3 + g) % 7)))
+    df = spark.createDataFrame(rows, ["gene_id", "sample_id", "cnt"])
+    lc = log2_cpm(df, "sample_id", "cnt")
+    assert lc.where(F.col("lcpm").isNull()).count() == 0
+    vw = voom_weights(df, "gene_id", "sample_id", "cnt", n_bins=5)
+    got = vw.collect()
+    assert len(got) == 30
+    for r in got:
+        assert r["weight"] == pytest.approx(r["trend_sqrt_sd"] ** -4, rel=1e-9)
+
+
+def test_cqn_removes_gc_bias(spark):
+    rows, attrs = [], []
+    for g in range(40):
+        gc = 0.3 + 0.01 * g
+        attrs.append((f"g{g}", gc))
+        for s in range(4):
+            # counts strongly increasing with gc -> bias
+            rows.append((f"g{g}", f"s{s}", float(10 + g * 20 + s)))
+    df = spark.createDataFrame(rows, ["gene_id", "sample_id", "cnt"])
+    ga = spark.createDataFrame(attrs, ["gene_id", "gc"])
+    out = cqn_simplified(df, "gene_id", "sample_id", "cnt", ga, "gc", n_bins=4)
+    by_bin = (
+        out.groupBy("gc_bin")
+        .agg(F.avg("lcpm").alias("raw"), F.avg("lcpm_cqn").alias("adj"))
+        .collect()
+    )
+    raw_spread = max(r["raw"] for r in by_bin) - min(r["raw"] for r in by_bin)
+    adj_spread = max(r["adj"] for r in by_bin) - min(r["adj"] for r in by_bin)
+    assert adj_spread < raw_spread / 2
+
+
+def test_array_weights_flags_noisy_sample(spark):
+    rows = []
+    for s, noise in [("good1", 0.1), ("good2", 0.1), ("bad", 5.0)]:
+        for g in range(20):
+            rows.append((f"g{g}", s, 10.0 + g + noise * ((g * 13 + len(s)) % 7 - 3)))
+    df = spark.createDataFrame(rows, ["gene_id", "sample_id", "value"])
+    w = {r["sample_id"]: r["weight"] for r in array_weights(df, "gene_id", "sample_id", "value").collect()}
+    assert w["bad"] < w["good1"]
+    assert w["bad"] < 0.5

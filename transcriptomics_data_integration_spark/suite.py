@@ -1009,6 +1009,10 @@ from transcriptomics_data_integration_spark.suite_stats import ORACLES_STATS, QU
 
 QUERIES.update(QUERIES_STATS)
 
+from transcriptomics_data_integration_spark.suite_norm import ORACLES_NORM, QUERIES_NORM  # noqa: E402
+
+QUERIES.update(QUERIES_NORM)
+
 ORACLES: dict[str, str] = {
     "pricing_summary": ORACLE_PRICING,
     "gene_stats": ORACLE_GENE_STATS,
@@ -1037,3 +1041,4 @@ ORACLES: dict[str, str] = {
 }
 
 ORACLES.update(ORACLES_STATS)
+ORACLES.update(ORACLES_NORM)

@@ -1,0 +1,273 @@
+"""Query inventory part 4: normalization kernels (M4/M5/M7/M18) and
+the end-to-end expression-matrix pipeline (entry-point A step 4)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from transcriptomics_data_integration_spark.pipelines.expression import build_expression_matrix
+from transcriptomics_data_integration_spark.stats.normalize import (
+    array_weights,
+    cqn_simplified,
+    qc_sample_metrics,
+    voom_weights,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer read-count analogue: summed quantities per
+    (gene ~ partkey, sample ~ suppkey) — exact in double."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("gene_id"), F.col("l_suppkey").alias("sample_id")
+    ).agg(F.sum("l_quantity").alias("cnt"))
+
+
+_COUNTS_CTE = """
+counts AS (
+  SELECT l_partkey AS gene_id, l_suppkey AS sample_id, SUM(l_quantity) AS cnt
+  FROM lineitem GROUP BY 1, 2
+), lib AS (
+  SELECT sample_id, SUM(cnt) AS lib FROM counts GROUP BY sample_id
+), lcpm AS (
+  SELECT gene_id, sample_id,
+         log2((cnt + 0.5) / (lib + 1.0) * 1.0e6) AS lcpm
+  FROM counts JOIN lib USING (sample_id)
+)
+"""
+
+
+def q_voom_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 — voom mean-variance trend + precision weights
+    (`DiffExpression_openPlatform.R:427-442`)."""
+    counts = _counts(spark, sf_dir)
+    out = voom_weights(counts, "gene_id", "sample_id", "cnt", n_bins=20)
+    return out.select(
+        "gene_id",
+        "n_obs",
+        "trend_bin",
+        F.round("mean_lcpm", 6).alias("mean_lcpm"),
+        F.round("sqrt_sd", 6).alias("sqrt_sd"),
+        F.round("trend_sqrt_sd", 6).alias("trend_sqrt_sd"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
+ORACLE_VOOM = f"""
+WITH {_COUNTS_CTE}, per_gene AS (
+  SELECT gene_id, AVG(lcpm) AS mean_lcpm,
+         sqrt(sqrt(VAR_SAMP(lcpm))) AS sqrt_sd,
+         COUNT(*) AS n_obs
+  FROM lcpm GROUP BY gene_id
+), ok AS (
+  SELECT * FROM per_gene WHERE sqrt_sd IS NOT NULL AND sqrt_sd > 0
+), binned AS (
+  SELECT *, NTILE(20) OVER (ORDER BY round(mean_lcpm, 9), gene_id) AS trend_bin
+  FROM ok
+), trend AS (
+  SELECT trend_bin, quantile_cont(sqrt_sd, 0.5) AS trend_sqrt_sd
+  FROM binned GROUP BY trend_bin
+)
+SELECT gene_id, n_obs, trend_bin,
+       ROUND(mean_lcpm, 6) AS mean_lcpm,
+       ROUND(sqrt_sd, 6) AS sqrt_sd,
+       ROUND(trend_sqrt_sd, 6) AS trend_sqrt_sd,
+       ROUND(POWER(trend_sqrt_sd, -4.0), 6) AS weight
+FROM binned JOIN trend USING (trend_bin)
+"""
+
+
+def q_cqn_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 (simplified core) — GC-bin bias offsets removed from
+    log2-CPM; per-bin per-sample summary
+    (`GenExpressionComb_RNAseq.R:183-201`)."""
+    counts = _counts(spark, sf_dir)
+    part = _t(spark, sf_dir, "part")
+    attrs = part.select(F.col("p_partkey").alias("gene_id"), F.col("p_size").alias("gc"))
+    out = cqn_simplified(counts, "gene_id", "sample_id", "cnt", attrs, "gc", n_bins=10)
+    return out.groupBy("gc_bin", "sample_id").agg(
+        F.count(F.lit(1)).alias("n_genes"),
+        F.round(F.avg("lcpm"), 6).alias("avg_lcpm"),
+        F.round(F.avg("lcpm_cqn"), 6).alias("avg_lcpm_cqn"),
+    )
+
+
+ORACLE_CQN = f"""
+WITH {_COUNTS_CTE}, attrs AS (
+  SELECT p_partkey AS gene_id, p_size AS gc FROM part
+), bins AS (
+  SELECT gene_id, NTILE(10) OVER (ORDER BY gc, gene_id) AS gc_bin FROM attrs
+), with_bin AS (
+  SELECT l.gene_id, l.sample_id, l.lcpm, b.gc_bin
+  FROM lcpm l JOIN bins b ON l.gene_id = b.gene_id
+), gmed AS (
+  SELECT quantile_cont(lcpm, 0.5) AS gmed FROM with_bin
+), bmed AS (
+  SELECT gc_bin, quantile_cont(lcpm, 0.5) AS bmed FROM with_bin GROUP BY gc_bin
+)
+SELECT w.gc_bin, w.sample_id, COUNT(*) AS n_genes,
+       ROUND(AVG(w.lcpm), 6) AS avg_lcpm,
+       ROUND(AVG(w.lcpm - (b.bmed - g.gmed)), 6) AS avg_lcpm_cqn
+FROM with_bin w JOIN bmed b ON w.gc_bin = b.gc_bin CROSS JOIN gmed g
+GROUP BY w.gc_bin, w.sample_id
+"""
+
+
+def q_array_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 — per-sample quality weights
+    (`DiffExpression_closedPlatform.R:456-464`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    df = li.select(
+        F.col("l_partkey").alias("gene_id"),
+        F.col("l_suppkey").alias("sample_id"),
+        F.col("l_extendedprice").alias("value"),
+    )
+    out = array_weights(df, "gene_id", "sample_id", "value")
+    return out.select(
+        "sample_id",
+        "n_obs",
+        F.round("msr", 4).alias("msr"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
+ORACLE_ARRAY_WEIGHTS = """
+WITH gm AS (
+  SELECT l_partkey, AVG(l_extendedprice) AS m FROM lineitem GROUP BY l_partkey
+), resid AS (
+  SELECT l_suppkey AS sample_id,
+         (l_extendedprice - m) * (l_extendedprice - m) AS r2
+  FROM lineitem JOIN gm USING (l_partkey)
+), per_sample AS (
+  SELECT sample_id, SUM(r2) / COUNT(*) AS msr, COUNT(*) AS n_obs
+  FROM resid GROUP BY sample_id HAVING SUM(r2) / COUNT(*) > 0
+), mw AS (
+  SELECT AVG(1.0e0 / msr) AS m FROM per_sample
+)
+SELECT sample_id, n_obs,
+       ROUND(msr, 4) AS msr,
+       ROUND((1.0e0 / msr) / mw.m, 6) AS weight
+FROM per_sample CROSS JOIN mw
+"""
+
+
+def q_qc_sample_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M18 — per-sample distribution summaries (QC boxplot data,
+    `QC_Affy_U133Plus2.R:122-138`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = qc_sample_metrics(
+        li.select(F.col("l_suppkey").alias("sample_id"), F.col("l_extendedprice").alias("v")),
+        "sample_id",
+        "v",
+    )
+    return out.select(
+        "sample_id",
+        "n_obs",
+        F.round("q25", 4).alias("q25"),
+        F.round("median", 4).alias("median"),
+        F.round("q75", 4).alias("q75"),
+        F.round("iqr", 4).alias("iqr"),
+    )
+
+
+ORACLE_QC_METRICS = """
+SELECT l_suppkey AS sample_id, COUNT(*) AS n_obs,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS q75,
+       ROUND(quantile_cont(l_extendedprice, 0.75)
+             - quantile_cont(l_extendedprice, 0.25), 4) AS iqr
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+def q_expression_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-point A step 4 end-to-end: target projection, packed-list
+    outlier removal, probe->gene map join, argmax-dedup collapse, zero-
+    variance filter (`GenExpressionComb_Affy_U133Plus2.R:110-189`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    sup = _t(spark, sf_dir, "supplier")
+    intensities = li.groupBy(
+        F.col("l_partkey").cast("string").alias("probe"),
+        F.col("l_suppkey").cast("string").alias("sample_id"),
+    ).agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("value"))
+    targets = sup.where(F.col("s_suppkey") % 7 != 0).select(
+        F.col("s_suppkey").cast("string").alias("sample_id")
+    )
+    outliers = (
+        sup.where(F.col("s_suppkey") % 10 == 0)
+        .groupBy("s_nationkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set(F.col("s_suppkey").cast("string"))), ","
+            ).alias("samples2exclude")
+        )
+    )
+    probe_map = part.select(
+        F.col("p_partkey").cast("string").alias("probe"), F.col("p_brand").alias("gene_id")
+    )
+    out = build_expression_matrix(
+        intensities, targets, outliers, probe_map, normalize=False
+    )
+    return out.select("gene_id", "sample_id", "value")
+
+
+ORACLE_EXPRESSION_PIPELINE = """
+WITH cells AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS probe, CAST(l_suppkey AS VARCHAR) AS sample_id,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+  FROM lineitem GROUP BY 1, 2
+), targets AS (
+  SELECT CAST(s_suppkey AS VARCHAR) AS sample_id FROM supplier WHERE s_suppkey % 7 <> 0
+), excl AS (
+  SELECT DISTINCT CAST(s_suppkey AS VARCHAR) AS sample_id FROM supplier WHERE s_suppkey % 10 = 0
+), kept AS (
+  SELECT * FROM cells
+  WHERE sample_id IN (SELECT sample_id FROM targets)
+    AND sample_id NOT IN (SELECT sample_id FROM excl)
+), mapped AS (
+  SELECT k.*, p.p_brand AS gene_id
+  FROM kept k JOIN part p ON k.probe = CAST(p.p_partkey AS VARCHAR)
+), pvar AS (
+  SELECT probe, gene_id, VAR_SAMP(value) AS v
+  FROM mapped GROUP BY probe, gene_id
+), best AS (
+  SELECT probe, gene_id FROM (
+    SELECT probe, gene_id,
+           ROW_NUMBER() OVER (PARTITION BY gene_id ORDER BY v DESC, probe) AS rn
+    FROM pvar
+  ) WHERE rn = 1
+), collapsed AS (
+  SELECT m.gene_id, m.sample_id, m.value
+  FROM mapped m JOIN best b ON m.probe = b.probe AND m.gene_id = b.gene_id
+), keepg AS (
+  SELECT gene_id FROM collapsed GROUP BY gene_id HAVING STDDEV_SAMP(value) > 0
+)
+SELECT gene_id, sample_id, value FROM collapsed
+WHERE gene_id IN (SELECT gene_id FROM keepg)
+"""
+
+
+QUERIES_NORM = {
+    "voom_trend": q_voom_trend,
+    "cqn_bias": q_cqn_bias,
+    "array_weights": q_array_weights,
+    "qc_sample_metrics": q_qc_sample_metrics,
+    "expression_pipeline": q_expression_pipeline,
+}
+
+ORACLES_NORM = {
+    "voom_trend": ORACLE_VOOM,
+    "cqn_bias": ORACLE_CQN,
+    "array_weights": ORACLE_ARRAY_WEIGHTS,
+    "qc_sample_metrics": ORACLE_QC_METRICS,
+    "expression_pipeline": ORACLE_EXPRESSION_PIPELINE,
+}
