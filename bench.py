@@ -39,6 +39,13 @@ BENCH_QUERIES = [
     "diff_expression",
     "stouffer_meta",
     "fem_rem",
+    "expression_pipeline",
+    "batch_center",
+    "voom_trend",
+    "dedup_exact",
+    "minhash_lsh",
+    "cosine_topk",
+    "sessionize",
 ]
 
 

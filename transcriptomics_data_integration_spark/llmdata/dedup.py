@@ -102,6 +102,25 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
 
 
+def minhash_from_shingles(
+    sh: DataFrame, id_col: str, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """MinHash signatures from a prebuilt (id, shingle) posting relation
+    — callers that also need the postings for sizes/verification should
+    build them once, ``.cache()`` them, and use this entry point."""
+    shingle_dim = (
+        sh.select("shingle")
+        .distinct()
+        .select(
+            "shingle",
+            F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
+        )
+        .withColumn("h", _md5_60bit(F.concat_ws("#", F.col("shingle"), F.col("seed"))))
+    )
+    hashed = sh.join(F.broadcast(shingle_dim), "shingle")
+    return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -114,15 +133,7 @@ def minhash_signatures(
     form — one row per (doc, seed), computed with a single aggregation.
     """
     sh = shingles(df, id_col, text_col, k)
-    seeded = sh.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
-        "shingle",
-    )
-    hashed = seeded.withColumn(
-        "h", _md5_60bit(F.concat_ws("#", F.col("shingle"), F.col("seed")))
-    )
-    return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
+    return minhash_from_shingles(sh, id_col, n_hashes)
 
 
 def lsh_candidates(

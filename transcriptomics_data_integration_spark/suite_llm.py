@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from transcriptomics_data_integration_spark.llmdata.dedup import (
     exact_dedup,
     lsh_candidates,
-    minhash_signatures,
+    minhash_from_shingles,
     ngram_jaccard_pairs,
     shingles,
     simhash,
@@ -178,14 +178,16 @@ _SHINGLE_SQL = (
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    """Exact-Jaccard baseline is quadratic in corpus size — bounded here
+    to the first 1000 docs (the scale path is q_minhash_lsh)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
     out = ngram_jaccard_pairs(docs, "doc_id", threshold=0.5)
     return out.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
 
 
 ORACLE_NGRAM_JACCARD = f"""
 WITH sh AS (
-  SELECT doc_id, UNNEST({_SHINGLE_SQL}) AS shingle FROM documents
+  SELECT doc_id, UNNEST({_SHINGLE_SQL}) AS shingle FROM documents WHERE doc_id < 1000
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
 ), inter AS (
@@ -206,14 +208,21 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline on the two-crawl corpus:
     signatures -> banded candidates -> exact-Jaccard verification."""
     docs = _two_crawls(_t(spark, sf_dir, "documents"))
-    sigs = minhash_signatures(docs, "doc_id")
+    # one shingle explode feeds signatures, sizes AND verification — the
+    # posting relation is the expensive intermediate, so cache it
+    sh = shingles(docs, "doc_id").cache()
+    sigs = minhash_from_shingles(sh, "doc_id")
     cands = lsh_candidates(sigs, "doc_id")
-    sh = shingles(docs, "doc_id")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # shingle must be part of the equi-join key: joining on id alone
+    # would build the |A| x |B| cross product per candidate pair before
+    # filtering (quadratic in posting length)
     inter = (
         cands.join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
-        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("sh_b")), "id_b")
-        .where(F.col("shingle") == F.col("sh_b"))
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

@@ -128,12 +128,15 @@ def q_icc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-40-variance genes (`Meta_analysis.R:312-347`)."""
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_linestatus").isin(["O", "F"]))
     genes = _top_genes(spark, sf_dir, 40)
+    # sample key bucketed mod 100: keeps the gene x sample cell matrix
+    # dense at every SF (raw suppkey goes sparse at sf >= 0.1 and the
+    # pairwise-correlation intersections empty out)
     cells = (
         li.join(F.broadcast(genes), "l_partkey")
         .groupBy(
             F.col("l_linestatus").alias("platform"),
             F.col("l_partkey").alias("gene_id"),
-            F.col("l_suppkey").alias("sample_id"),
+            (F.col("l_suppkey") % 100).alias("sample_id"),
         )
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("value"))
     )
@@ -143,7 +146,7 @@ def q_icc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ICC = f"""
 WITH {_TOP_GENES_CTE}, cells AS (
-  SELECT l_linestatus AS platform, l_partkey AS gene_id, l_suppkey AS sample_id,
+  SELECT l_linestatus AS platform, l_partkey AS gene_id, l_suppkey % 100 AS sample_id,
          {_DSUM.format(x='l_extendedprice')} AS value
   FROM lineitem
   WHERE l_linestatus IN ('O', 'F')
