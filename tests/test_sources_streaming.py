@@ -98,3 +98,42 @@ def test_streaming_matches_batch(spark, tmp_path):
     run_stream_to_memory(agg, "stream_counts", out_mode="complete")
     got = {r["gene_id"]: r["total"] for r in spark.sql("SELECT * FROM stream_counts").collect()}
     assert got == {"g1": 12, "g2": 3}
+
+
+def test_stateful_running_stats_across_microbatches(spark, tmp_path):
+    """State must carry across micro-batches: feed one file, drain,
+    feed a second file, drain again — counts accumulate."""
+    from transcriptomics_data_integration_spark.streaming.ingest import (
+        stateful_running_stats,
+    )
+
+    d = tmp_path / "ingest2"
+    d.mkdir()
+    (d / "a.csv").write_text(
+        "gene_id\tsample_id\tread_count\tdataset\ng1\ts1\t5\tds1\ng1\ts2\t7\tds1\n"
+    )
+    stream = stream_count_files(spark, str(d))
+    out = stateful_running_stats(stream, "gene_id", "read_count")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_stats")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (d / "b.csv").write_text(
+            "gene_id\tsample_id\tread_count\tdataset\ng1\ts3\t3\tds2\ng2\ts3\t1\tds2\n"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT * FROM running_stats"
+    ).collect()
+    # take the LAST update per key
+    latest = {}
+    for r in rows:
+        latest[r["gene_id"]] = (r["n_events"], r["total"])
+    assert latest["g1"] == (3, 15.0)
+    assert latest["g2"] == (1, 1.0)

@@ -136,8 +136,15 @@ def moderated_t(ttest_df: DataFrame) -> DataFrame:
     Two-pass scheme (SURVEY.md M8): per-gene pooled variances are shrunk
     toward the global prior ``s2_prior = mean(s2)`` with prior df ``d0``
     from the spread of log variances (method-of-moments simplification
-    of limma's ``fitFDist``).  The global moments are a tiny aggregate
-    broadcast back as literals — no second shuffle of the data.
+    of limma's ``fitFDist``):
+
+        d0 = max(1, 2 / var(ln s2)); s2_post = (d0 s2_prior + df s2)/(d0 + df)
+        t_mod = t * sqrt(s2 / s2_post)
+
+    The global moments are a one-row aggregate joined back via a
+    broadcast nested-loop of one row — everything stays IN the lazy
+    plan (no driver action), so the operator composes and the DuckDB
+    oracle can mirror it.
     """
     sp2 = (
         (F.col("n_a") - 1) * F.col("var_a") + (F.col("n_b") - 1) * F.col("var_b")
@@ -145,17 +152,17 @@ def moderated_t(ttest_df: DataFrame) -> DataFrame:
     with_s2 = ttest_df.withColumn("_s2", sp2).withColumn(
         "_df", F.col("n_a") + F.col("n_b") - 2
     )
-    moments = with_s2.agg(
-        F.avg("_s2").alias("s2_prior"), F.var_samp(F.log("_s2")).alias("logvar")
-    ).collect()[0]
-    s2_prior = float(moments["s2_prior"])
-    logvar = float(moments["logvar"] or 1.0)
-    d0 = max(1.0, 2.0 / max(logvar, 1e-6))
-    post = (F.lit(d0) * F.lit(s2_prior) + F.col("_df") * F.col("_s2")) / (
-        F.lit(d0) + F.col("_df")
+    prior = with_s2.agg(
+        F.avg("_s2").alias("_s2_prior"),
+        F.greatest(
+            F.lit(1.0), 2.0 / F.greatest(F.var_samp(F.log("_s2")), F.lit(1e-6))
+        ).alias("_d0"),
     )
-    shrink = F.sqrt(F.col("_s2") / post)
+    post = (F.col("_d0") * F.col("_s2_prior") + F.col("_df") * F.col("_s2")) / (
+        F.col("_d0") + F.col("_df")
+    )
     return (
-        with_s2.withColumn("t_moderated", F.col("t_statistic") * shrink)
-        .drop("_s2", "_df")
+        with_s2.crossJoin(F.broadcast(prior))
+        .withColumn("t_moderated", F.col("t_statistic") * F.sqrt(F.col("_s2") / post))
+        .drop("_s2", "_df", "_s2_prior", "_d0")
     )

@@ -77,3 +77,38 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str, out_mode: str = 
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def stateful_running_stats(stream_df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Custom stateful streaming operator (SURVEY.md section 2.8 seam):
+    running per-key count/sum/mean maintained in GroupState across
+    micro-batches via ``applyInPandasWithState`` — the
+    ``applyInPandasWithState`` tier of the custom-operator policy.
+
+    State is one (count, total) pair per key — O(keys) state, no
+    per-event growth.
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((count, total))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_events": [count],
+                "total": [total],
+                "mean": [total / count if count else None],
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} string, n_events long, total double, mean double",
+        stateStructType="count long, total double",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

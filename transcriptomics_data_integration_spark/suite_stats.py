@@ -476,6 +476,43 @@ FROM topk WHERE rnk <= 50
 """
 
 
+def q_moderated_de(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 with eBayes moderation — the two-pass global-prior variance
+    shrinkage on top of the pooled t (`DiffExpression_closedPlatform.R:546`)."""
+    from transcriptomics_data_integration_spark.stats.ttest import moderated_t
+
+    li = _t(spark, sf_dir, "lineitem")
+    tt = two_group_ttest(li, "l_partkey", "l_returnflag", "l_extendedprice", "R", "A")
+    out = moderated_t(tt)
+    return out.select(
+        "l_partkey",
+        "n_a",
+        "n_b",
+        "t_statistic",
+        F.round("t_moderated", 6).alias("t_moderated"),
+    )
+
+
+def _oracle_moderated_de() -> str:
+    from transcriptomics_data_integration_spark.suite import _ttest_cte
+
+    return f"""
+WITH {_ttest_cte("l_partkey", "", "")}, s2t AS (
+  SELECT l_partkey, n_a, n_b, t_statistic,
+         ((n_a - 1) * var_a + (n_b - 1) * var_b) / (n_a + n_b - 2) AS s2,
+         n_a + n_b - 2 AS df
+  FROM de
+), prior AS (
+  SELECT AVG(s2) AS s2_prior,
+         GREATEST(1.0e0, 2.0e0 / GREATEST(VAR_SAMP(ln(s2)), 1.0e-6)) AS d0
+  FROM s2t
+)
+SELECT l_partkey, n_a, n_b, t_statistic,
+       ROUND(t_statistic * sqrt(s2 / ((d0 * s2_prior + df * s2) / (d0 + df))), 6) AS t_moderated
+FROM s2t CROSS JOIN prior
+"""
+
+
 QUERIES_STATS = {
     "batch_center": q_batch_center,
     "icc_meta": q_icc_meta,
@@ -483,6 +520,7 @@ QUERIES_STATS = {
     "mahalanobis_outliers": q_mahalanobis_outliers,
     "strata_correlation": q_strata_correlation,
     "term_enrichment": q_term_enrichment,
+    "moderated_de": q_moderated_de,
 }
 
 ORACLES_STATS = {
@@ -492,4 +530,5 @@ ORACLES_STATS = {
     "mahalanobis_outliers": ORACLE_MAHALANOBIS,
     "strata_correlation": ORACLE_STRATA,
     "term_enrichment": _oracle_enrichment(),
+    "moderated_de": _oracle_moderated_de(),
 }
