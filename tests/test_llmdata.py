@@ -128,3 +128,25 @@ def test_multimodal_featurize_and_frames(spark):
     assert len(frames) == 8
     offs = sorted(r["byte_offset"] for r in frames if r["media_id"] == 1)
     assert offs == [0, 2, 5, 8]
+
+
+def test_ivf_topk_matches_bruteforce_top1(spark):
+    """IVF with n_probe == n_cells degenerates to exact search — its
+    top-1 must match brute force."""
+    import random
+
+    from transcriptomics_data_integration_spark.llmdata.similarity import ivf_topk
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.where(F.col("vec_id") < 5)
+    exact = {
+        r["query_id"]: r["cand_id"]
+        for r in cosine_topk(emb, q, k=1).collect()
+    }
+    approx = {
+        r["query_id"]: r["cand_id"]
+        for r in ivf_topk(emb, q, k=1, n_cells=4, n_probe=4).collect()
+    }
+    assert approx == exact

@@ -137,3 +137,18 @@ def test_stateful_running_stats_across_microbatches(spark, tmp_path):
         latest[r["gene_id"]] = (r["n_events"], r["total"])
     assert latest["g1"] == (3, 15.0)
     assert latest["g2"] == (1, 1.0)
+
+
+def test_convert_rsem_drops_unmapped(spark):
+    from transcriptomics_data_integration_spark.sources.rsem import convert_rsem
+
+    rsem = spark.createDataFrame(
+        [("TP53", "s1", 10.6), ("BRCA1", "s1", 3.2), ("NOVEL", "s1", 9.9)],
+        ["gene_symbol", "sample_id", "expected_count"],
+    )
+    info = spark.createDataFrame(
+        [("TP53", "ENSG1"), ("BRCA1", "ENSG2"), ("BRCA1", "ENSG0")],
+        ["gene_symbol", "ensembl_id"],
+    )
+    out = {r["gene_id"]: r["read_count"] for r in convert_rsem(rsem, info).collect()}
+    assert out == {"ENSG1": 11, "ENSG0": 3}  # NOVEL dropped; min id wins

@@ -130,3 +130,70 @@ def lsh_bucketed_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "cand_id", "rank", "cosine")
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 1,
+) -> DataFrame:
+    """IVF-style ANN: a k-means coarse quantizer assigns every vector to
+    a cell; each query searches its ``n_probe`` nearest cells with exact
+    cosine re-ranking.  The inverted-file structure is the standard
+    billion-scale layout: the shuffle key is the cell id, per-cell work
+    is |N|/n_cells on average, and recall is tuned by n_probe.
+
+    Model-based (seeded k-means), so this is a rows-only-checked
+    operator like the other MLlib kernels.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = embeddings.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("c_vec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feats)
+    centers = model.clusterCenters()
+    assigned = model.transform(feats).select(
+        "cand_id", "c_vec", F.col("prediction").alias("cell")
+    )
+    spark = embeddings.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)], ["cell", "center"]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    # query -> n_probe nearest cells by euclidean distance to centers
+    qc = q.crossJoin(F.broadcast(centers_df)).withColumn(
+        "dist",
+        F.expr(
+            "aggregate(zip_with(q_vec, center, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cell"))
+    probes = (
+        qc.withColumn("cell_rank", F.row_number().over(w))
+        .where(F.col("cell_rank") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+    pairs = probes.join(assigned, "cell").where(F.col("query_id") != F.col("cand_id"))
+    sim = pairs.withColumn(
+        "cosine",
+        _dot("q_vec", "c_vec")
+        / (F.sqrt(_norm2("q_vec")) * F.sqrt(_norm2("c_vec"))),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "cosine")
+    )

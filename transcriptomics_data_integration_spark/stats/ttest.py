@@ -166,3 +166,66 @@ def moderated_t(ttest_df: DataFrame) -> DataFrame:
         .withColumn("t_moderated", F.col("t_statistic") * F.sqrt(F.col("_s2") / post))
         .drop("_s2", "_df", "_s2_prior", "_d0")
     )
+
+
+def weighted_two_group_ttest(
+    df: DataFrame,
+    gene_col: str,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """M8 with observation weights (limma ``lmFit(weights=...)`` fed by
+    arrayWeights M7 / voom M5, `DiffExpression_closedPlatform.R:474` with
+    `:456-464`): weighted group means, unbiased weighted variances
+
+        m_w = sum(w x)/sum(w)
+        var_w = sum(w (x - m_w)^2) / (sum(w) - sum(w^2)/sum(w))
+        se^2  = var_pooled_w * (1/sum(w_a) + 1/sum(w_b))
+
+    Pure grouped SQL (one shuffle); weights are arbitrary doubles so the
+    outputs are order-sensitive in the last ulp — suite queries round.
+    """
+    g = F.col(group_col)
+    w = F.col(weight_col)
+    v = F.col(value_col)
+    wa = F.when(g == F.lit(group_a), w)
+    wb = F.when(g == F.lit(group_b), w)
+    agg = (
+        df.where(g.isin([group_a, group_b]))
+        .groupBy(gene_col)
+        .agg(
+            F.count(wa).alias("n_a"),
+            F.count(wb).alias("n_b"),
+            F.sum(wa).alias("swa"),
+            F.sum(wb).alias("swb"),
+            F.sum(wa * wa).alias("swa2"),
+            F.sum(wb * wb).alias("swb2"),
+            F.sum(wa * v).alias("swxa"),
+            F.sum(wb * v).alias("swxb"),
+            F.sum(wa * v * v).alias("swx2a"),
+            F.sum(wb * v * v).alias("swx2b"),
+        )
+        .where((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+    )
+    mean_a = F.col("swxa") / F.col("swa")
+    mean_b = F.col("swxb") / F.col("swb")
+    # sum(w (x-m)^2) = sum(w x^2) - m^2 sum(w)
+    ssw_a = F.col("swx2a") - mean_a * mean_a * F.col("swa")
+    ssw_b = F.col("swx2b") - mean_b * mean_b * F.col("swb")
+    eff_a = F.col("swa") - F.col("swa2") / F.col("swa")
+    eff_b = F.col("swb") - F.col("swb2") / F.col("swb")
+    var_pooled = (ssw_a + ssw_b) / (eff_a + eff_b)
+    se = F.sqrt(var_pooled * (1.0 / F.col("swa") + 1.0 / F.col("swb")))
+    out = (
+        agg.withColumn("mean_a", mean_a)
+        .withColumn("mean_b", mean_b)
+        .withColumn("_se", se)
+        .where(F.col("_se") > 0)
+        .withColumn("log2fc", F.log2(F.col("mean_a") / F.col("mean_b")))
+        .withColumn("t_statistic", (F.col("mean_a") - F.col("mean_b")) / F.col("_se"))
+        .drop("_se", "swa2", "swb2", "swxa", "swxb", "swx2a", "swx2b")
+    )
+    return out.withColumn("p_value", F.expr(two_sided_p_sql("t_statistic")))

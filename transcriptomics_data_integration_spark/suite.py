@@ -1013,6 +1013,10 @@ from transcriptomics_data_integration_spark.suite_norm import ORACLES_NORM, QUER
 
 QUERIES.update(QUERIES_NORM)
 
+from transcriptomics_data_integration_spark.suite_ml import QUERIES_ML  # noqa: E402
+
+QUERIES.update(QUERIES_ML)  # rows-only checked: no ORACLES entries
+
 ORACLES: dict[str, str] = {
     "pricing_summary": ORACLE_PRICING,
     "gene_stats": ORACLE_GENE_STATS,

@@ -1,0 +1,124 @@
+"""Query inventory part 5: model-fit kernels with inherent
+non-SQL-expressibility (iterative EB, eigen/cluster/IRLS fits,
+median polish, k-means ANN).  Declared WITHOUT oracle entries — the
+driver records the weaker rows-only check (SURVEY.md §5.1 contract);
+numeric behavior is pinned by the golden pytest tests instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transcriptomics_data_integration_spark.llmdata.similarity import ivf_topk
+from transcriptomics_data_integration_spark.stats.combat import combat
+from transcriptomics_data_integration_spark.stats.medianpolish import median_polish_summarize
+from transcriptomics_data_integration_spark.stats.mlkernels import (
+    kmeans_clusters,
+    logistic_per_gene,
+    pca_embedding,
+    sample_vectors,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _cells(spark: SparkSession, sf_dir: str, n_genes: int = 20) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") <= n_genes)
+    return li.groupBy(
+        F.col("l_partkey").cast("string").alias("gene_id"),
+        (F.col("l_suppkey") % 50).cast("string").alias("sample_id"),
+    ).agg(F.avg("l_extendedprice").alias("value"))
+
+
+def q_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 — RMA-style median-polish summarization of probes (parts) to
+    probesets (brands) over bucketed samples."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    probes = (
+        li.join(
+            F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"), "p_brand")),
+            "l_partkey",
+        )
+        .groupBy(
+            F.col("p_brand").alias("probeset"),
+            F.col("l_partkey").alias("probe"),
+            (F.col("l_suppkey") % 20).alias("sample_id"),
+        )
+        .agg(F.avg("l_extendedprice").alias("value"))
+    )
+    return median_polish_summarize(probes, "probeset", "probe", "sample_id", "value")
+
+
+def q_combat_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 — full empirical-Bayes ComBat (iterative per-batch solver)
+    across linestatus batches; per-(gene, batch) post-adjustment means."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_partkey") <= 200) & F.col("l_linestatus").isin(["O", "F"])
+    )
+    long = li.select(
+        F.col("l_partkey").alias("gene_id"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("sample_id"),
+        F.col("l_linestatus").alias("batch"),
+        F.col("l_extendedprice").alias("value"),
+    )
+    adj = combat(long, "gene_id", "sample_id", "batch", "value")
+    return adj.groupBy("gene_id", "batch").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("mean_adjusted"),
+    )
+
+
+def q_pca_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11 — PCA of sample vectors over the 20 lowest-key genes; PC
+    coordinates are sign-indeterminate across BLAS builds (rows-only)."""
+    cells = _cells(spark, sf_dir)
+    genes = sorted(r["gene_id"] for r in cells.select("gene_id").distinct().collect())
+    vecs = sample_vectors(cells, "gene_id", "sample_id", "value", genes)
+    emb, ev = pca_embedding(vecs, "sample_id", k=3)
+    return emb.select(
+        "sample_id",
+        F.round(F.abs(F.element_at("pcs", 1)), 4).alias("abs_pc1"),
+        F.lit(round(ev[0], 6)).alias("explained_var_1"),
+    )
+
+
+def q_kmeans_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12 — seeded k-means clustering of sample vectors."""
+    cells = _cells(spark, sf_dir)
+    genes = sorted(r["gene_id"] for r in cells.select("gene_id").distinct().collect())
+    vecs = sample_vectors(cells, "gene_id", "sample_id", "value", genes)
+    out = kmeans_clusters(vecs, "sample_id", k=3, seed=1)
+    return out.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_samples"))
+
+
+def q_logistic_de(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M14 — per-gene logistic regression of return outcome on price."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_partkey") <= 100) & F.col("l_returnflag").isin(["R", "A"])
+    )
+    out = logistic_per_gene(li, "l_partkey", "l_returnflag", "l_extendedprice", "R")
+    return out.select("gene_id", "n", F.round("coef", 6).alias("coef"))
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN — k-means coarse quantizer + probed exact re-rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    out = ivf_topk(emb, queries, k=5, n_cells=8, n_probe=2)
+    return out.select("query_id", "cand_id", "rank", F.round("cosine", 6).alias("cosine"))
+
+
+QUERIES_ML = {
+    "median_polish": q_median_polish,
+    "combat_full": q_combat_full,
+    "pca_samples": q_pca_samples,
+    "kmeans_samples": q_kmeans_samples,
+    "logistic_de": q_logistic_de,
+    "ivf_ann": q_ivf_ann,
+}

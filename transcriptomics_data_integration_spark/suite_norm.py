@@ -271,3 +271,137 @@ ORACLES_NORM = {
     "qc_sample_metrics": ORACLE_QC_METRICS,
     "expression_pipeline": ORACLE_EXPRESSION_PIPELINE,
 }
+
+
+def q_weighted_de(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7+M8 — arrayWeights-fed weighted two-group fit
+    (`DiffExpression_closedPlatform.R:456-474`, lmFit weights)."""
+    from transcriptomics_data_integration_spark.stats.ttest import weighted_two_group_ttest
+
+    li = _t(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.col("l_partkey").alias("gene_id"),
+        F.col("l_suppkey").alias("sample_id"),
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("value"),
+    )
+    w = array_weights(fact, "gene_id", "sample_id", "value").select(
+        "sample_id", "weight"
+    )
+    weighted = fact.join(F.broadcast(w), "sample_id")
+    out = weighted_two_group_ttest(weighted, "gene_id", "grp", "value", "weight", "R", "A")
+    return out.select(
+        "gene_id",
+        "n_a",
+        "n_b",
+        F.round("mean_a", 4).alias("mean_a"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("t_statistic", 6).alias("t_statistic"),
+        F.round("p_value", 8).alias("p_value"),
+    )
+
+
+ORACLE_WEIGHTED_DE = None  # filled below (needs the normal-p formula)
+
+
+def q_dataset_group_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — per-dataset group means pivoted wide
+    (`Study_effect.R:284-298` cross-study scatter data)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_linestatus").isin(["O", "F"]))
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    wide = (
+        li.groupBy(F.col("l_partkey").alias("gene_id"))
+        .pivot("l_linestatus", ["O", "F"])
+        .agg((F.sum(dec).cast("double") / F.count(F.lit(1))).alias("m"))
+    )
+    return wide.select(
+        "gene_id", F.col("O").alias("mean_o"), F.col("F").alias("mean_f")
+    )
+
+
+ORACLE_DATASET_GROUP_MEANS = """
+SELECT l_partkey AS gene_id,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
+         / COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS mean_o,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
+         / COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS mean_f
+FROM lineitem WHERE l_linestatus IN ('O', 'F')
+GROUP BY l_partkey
+"""
+
+
+def _oracle_weighted_de() -> str:
+    from transcriptomics_data_integration_spark.functions.normal import two_sided_p_sql
+
+    p_expr = two_sided_p_sql("t_statistic")
+    return f"""
+WITH gm AS (
+  SELECT l_partkey, AVG(l_extendedprice) AS m FROM lineitem GROUP BY l_partkey
+), resid AS (
+  SELECT l_suppkey AS sample_id,
+         (l_extendedprice - m) * (l_extendedprice - m) AS r2
+  FROM lineitem JOIN gm USING (l_partkey)
+), per_sample AS (
+  SELECT sample_id, SUM(r2) / COUNT(*) AS msr
+  FROM resid GROUP BY sample_id HAVING SUM(r2) / COUNT(*) > 0
+), mw AS (
+  SELECT AVG(1.0e0 / msr) AS m FROM per_sample
+), wtab AS (
+  SELECT sample_id, (1.0e0 / msr) / mw.m AS w FROM per_sample CROSS JOIN mw
+), fact AS (
+  SELECT l_partkey AS gene_id, l_returnflag AS grp, l_extendedprice AS value, w
+  FROM lineitem JOIN wtab ON l_suppkey = wtab.sample_id
+  WHERE l_returnflag IN ('R', 'A')
+), agg AS (
+  SELECT gene_id,
+         COUNT(CASE WHEN grp = 'R' THEN w END) AS n_a,
+         COUNT(CASE WHEN grp = 'A' THEN w END) AS n_b,
+         SUM(CASE WHEN grp = 'R' THEN w END) AS swa,
+         SUM(CASE WHEN grp = 'A' THEN w END) AS swb,
+         SUM(CASE WHEN grp = 'R' THEN w * w END) AS swa2,
+         SUM(CASE WHEN grp = 'A' THEN w * w END) AS swb2,
+         SUM(CASE WHEN grp = 'R' THEN w * value END) AS swxa,
+         SUM(CASE WHEN grp = 'A' THEN w * value END) AS swxb,
+         SUM(CASE WHEN grp = 'R' THEN w * value * value END) AS swx2a,
+         SUM(CASE WHEN grp = 'A' THEN w * value * value END) AS swx2b
+  FROM fact GROUP BY gene_id
+  HAVING COUNT(CASE WHEN grp = 'R' THEN w END) >= 2
+     AND COUNT(CASE WHEN grp = 'A' THEN w END) >= 2
+), m AS (
+  SELECT gene_id, n_a, n_b,
+         swxa / swa AS mean_a, swxb / swb AS mean_b,
+         ((swx2a - (swxa / swa) * (swxa / swa) * swa)
+          + (swx2b - (swxb / swb) * (swxb / swb) * swb))
+         / ((swa - swa2 / swa) + (swb - swb2 / swb)) AS var_pooled,
+         swa, swb
+  FROM agg
+), t0 AS (
+  SELECT gene_id, n_a, n_b, mean_a, mean_b,
+         sqrt(var_pooled * (1.0e0 / swa + 1.0e0 / swb)) AS se
+  FROM m
+), tt AS (
+  SELECT gene_id, n_a, n_b, mean_a, mean_b,
+         (mean_a - mean_b) / se AS t_statistic
+  FROM t0 WHERE se > 0
+)
+SELECT gene_id, n_a, n_b,
+       ROUND(mean_a, 4) AS mean_a,
+       ROUND(mean_b, 4) AS mean_b,
+       ROUND(t_statistic, 6) AS t_statistic,
+       ROUND({p_expr}, 8) AS p_value
+FROM tt
+"""
+
+
+QUERIES_NORM.update(
+    {
+        "weighted_de": q_weighted_de,
+        "dataset_group_means": q_dataset_group_means,
+    }
+)
+ORACLES_NORM.update(
+    {
+        "weighted_de": _oracle_weighted_de(),
+        "dataset_group_means": ORACLE_DATASET_GROUP_MEANS,
+    }
+)
