@@ -134,3 +134,33 @@ def test_enrichment_chi2_flags_enriched_term(spark):
     out = enrichment_chi2(gene_terms, sig, "gene_id", "term", top_k=5).collect()
     assert out[0]["term"] == "T1"
     assert out[0]["p_value"] < 1e-6
+
+
+def test_dup_correlation_consensus(spark):
+    from transcriptomics_data_integration_spark.stats.dupcorr import (
+        consensus_correlation,
+        per_gene_block_icc,
+    )
+
+    rows = []
+    for g in range(5):
+        for b in range(4):
+            base = 10.0 * b + g  # strong block effect -> high ICC
+            for r in range(3):
+                rows.append((f"g{g}", b, base + 0.01 * ((r * 7 + g) % 3)))
+    df = spark.createDataFrame(rows, ["gene_id", "block", "value"])
+    icc = per_gene_block_icc(df, "gene_id", "block", "value")
+    vals = [r["icc"] for r in icc.collect()]
+    assert len(vals) == 5
+    assert all(v > 0.9 for v in vals)
+    cons = consensus_correlation(icc).collect()[0]
+    assert cons["n_genes"] == 5
+    assert cons["consensus_corr"] > 0.9
+
+    # no block effect -> ICC near 0 or negative
+    flat = spark.createDataFrame(
+        [(f"g{g}", b, float((g * 13 + b * 7 + r * 3) % 11)) for g in range(5) for b in range(4) for r in range(3)],
+        ["gene_id", "block", "value"],
+    )
+    cons2 = consensus_correlation(per_gene_block_icc(flat, "gene_id", "block", "value")).collect()[0]
+    assert cons2["consensus_corr"] < 0.5

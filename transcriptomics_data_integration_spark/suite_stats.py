@@ -532,3 +532,59 @@ ORACLES_STATS = {
     "term_enrichment": _oracle_enrichment(),
     "moderated_de": _oracle_moderated_de(),
 }
+
+
+def q_dup_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 — per-gene intra-replicate-block ICC (one-way ANOVA moments;
+    `DiffExpression_closedPlatform.R:487-508`).  Blocks ~ supplier
+    buckets; replicates ~ lineitems within a block."""
+    from transcriptomics_data_integration_spark.stats.dupcorr import per_gene_block_icc
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") <= 500)
+    df = li.select(
+        F.col("l_partkey").alias("gene_id"),
+        (F.col("l_suppkey") % 10).alias("block"),
+        F.col("l_extendedprice").alias("value"),
+    )
+    out = per_gene_block_icc(df, "gene_id", "block", "value", exact_scale=2)
+    return out.select("gene_id", "k_blocks", "n_obs", "msw", "msb", "icc")
+
+
+ORACLE_DUP_CORRELATION = """
+WITH df AS (
+  SELECT l_partkey AS gene_id, l_suppkey % 10 AS block, l_extendedprice AS value
+  FROM lineitem WHERE l_partkey <= 500
+), per_block AS (
+  SELECT gene_id, block, COUNT(value) AS n_i,
+         SUM(CAST(value AS DECIMAL(18,2))) AS s_dec,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS s2_i
+  FROM df GROUP BY gene_id, block
+), terms AS (
+  SELECT gene_id, block, n_i, s_dec, s2_i,
+         CAST(ROUND(s2_i - CAST(s_dec AS DOUBLE) * CAST(s_dec AS DOUBLE) / n_i, 0) AS DECIMAL(28,0)) AS w_t,
+         CAST(ROUND(CAST(s_dec AS DOUBLE) * CAST(s_dec AS DOUBLE) / n_i, 0) AS DECIMAL(28,0)) AS b_t
+  FROM per_block
+), per_gene AS (
+  SELECT gene_id,
+         COUNT(*) AS k_blocks,
+         SUM(n_i) AS n_obs,
+         CAST(SUM(w_t) AS DOUBLE) AS ssw,
+         CAST(SUM(b_t) AS DOUBLE) AS ssb_part,
+         CAST(SUM(s_dec) AS DOUBLE) AS s_tot,
+         SUM(n_i * n_i) AS sn2
+  FROM terms GROUP BY gene_id
+  HAVING COUNT(*) >= 2 AND SUM(n_i) > COUNT(*)
+), m AS (
+  SELECT gene_id, k_blocks, n_obs,
+         ssw / (n_obs - k_blocks) AS msw,
+         (ssb_part - s_tot * s_tot / n_obs) / (k_blocks - 1) AS msb,
+         (n_obs - sn2 / n_obs) / (k_blocks - 1) AS n0
+  FROM per_gene
+)
+SELECT gene_id, k_blocks, n_obs, msw, msb,
+       (msb - msw) / (msb + (n0 - 1.0e0) * msw) AS icc
+FROM m WHERE msw > 0
+"""
+
+QUERIES_STATS["dup_correlation"] = q_dup_correlation
+ORACLES_STATS["dup_correlation"] = ORACLE_DUP_CORRELATION
