@@ -588,3 +588,97 @@ FROM m WHERE msw > 0
 
 QUERIES_STATS["dup_correlation"] = q_dup_correlation
 ORACLES_STATS["dup_correlation"] = ORACLE_DUP_CORRELATION
+
+
+def q_pairwise_contrasts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 all-pairwise contrasts + per-contrast BH + decideTests sign
+    matrix + A9 Venn of significant sets — the reference's dynamic
+    ``combn``/``makeContrasts`` machinery
+    (`DiffExpression_closedPlatform.R:511-594`), contrast generation by
+    driver-side pair enumeration instead of string-eval."""
+    from itertools import combinations
+
+    from transcriptomics_data_integration_spark.operators.aggregates import bitmask_venn
+    from transcriptomics_data_integration_spark.stats.bh import bh_adjust
+
+    li = _t(spark, sf_dir, "lineitem")
+    groups = ["A", "N", "R"]
+    per_contrast = []
+    for ga, gb in combinations(groups, 2):
+        tt = two_group_ttest(li, "l_partkey", "l_returnflag", "l_extendedprice", ga, gb)
+        per_contrast.append(tt.withColumn("contrast", F.lit(f"{ga}vs{gb}")))
+    de = per_contrast[0]
+    for d in per_contrast[1:]:
+        de = de.unionByName(d)
+    adj = bh_adjust(
+        de, "p_value", "adj_p_value", partition_cols=["contrast"], tiebreak_col="l_partkey"
+    )
+    decided = adj.withColumn(
+        "decide",
+        F.when(F.col("adj_p_value") > 0.5, 0).otherwise(
+            F.signum(F.col("log2fc")).cast("int")
+        ),
+    )
+    sig = decided.where(F.col("decide") != 0)
+    return bitmask_venn(sig, "l_partkey", "contrast")
+
+
+def _oracle_pairwise_contrasts() -> str:
+    case = "CASE WHEN l_returnflag = '{g}' THEN l_extendedprice END"
+    pieces = []
+    for ga, gb in [("A", "N"), ("A", "R"), ("N", "R")]:
+        ca, cb = case.format(g=ga), case.format(g=gb)
+        pieces.append(f"""
+SELECT l_partkey, '{ga}vs{gb}' AS contrast,
+       COUNT({ca}) AS n_a, COUNT({cb}) AS n_b,
+       {_DSUM.format(x=ca)} AS sa, {_DSUM.format(x=cb)} AS sb,
+       {_DSUM2.format(x=ca)} AS sa2, {_DSUM2.format(x=cb)} AS sb2
+FROM lineitem WHERE l_returnflag IN ('{ga}', '{gb}')
+GROUP BY l_partkey
+HAVING COUNT({ca}) >= 2 AND COUNT({cb}) >= 2""")
+    union = " UNION ALL ".join(pieces)
+    p_expr = two_sided_p_sql("t_statistic")
+    return f"""
+WITH agg AS ({union}), m AS (
+  SELECT l_partkey, contrast, n_a, n_b,
+         sa / n_a AS mean_a, sb / n_b AS mean_b,
+         (sa2 - sa * sa / n_a) / (n_a - 1) AS var_a,
+         (sb2 - sb * sb / n_b) / (n_b - 1) AS var_b
+  FROM agg
+), t0 AS (
+  SELECT l_partkey, contrast, mean_a, mean_b,
+         log2(mean_a / mean_b) AS log2fc,
+         sqrt((((n_a - 1) * var_a + (n_b - 1) * var_b) / (n_a + n_b - 2))
+              * (1.0e0 / n_a + 1.0e0 / n_b)) AS se
+  FROM m
+), tt AS (
+  SELECT l_partkey, contrast, log2fc, (mean_a - mean_b) / se AS t_statistic
+  FROM t0 WHERE se > 0
+), p AS (
+  SELECT *, {p_expr} AS p_value FROM tt
+), b AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY contrast ORDER BY p_value, l_partkey) AS rnk,
+         COUNT(*) OVER (PARTITION BY contrast) AS nn
+  FROM p
+), adj AS (
+  SELECT *,
+         MIN(LEAST(p_value * nn / rnk, 1.0e0)) OVER (
+           PARTITION BY contrast
+           ORDER BY p_value DESC, l_partkey DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS adj_p_value
+  FROM b
+), sig AS (
+  SELECT l_partkey, contrast FROM adj
+  WHERE adj_p_value <= 0.5 AND CASE WHEN log2fc > 0 THEN 1 WHEN log2fc < 0 THEN -1 ELSE 0 END <> 0
+), membership AS (
+  SELECT l_partkey, STRING_AGG(DISTINCT contrast, '|' ORDER BY contrast) AS membership
+  FROM sig GROUP BY l_partkey
+)
+SELECT membership, COUNT(*) AS n_elements FROM membership GROUP BY membership
+"""
+
+
+QUERIES_STATS["pairwise_contrasts"] = q_pairwise_contrasts
+ORACLES_STATS["pairwise_contrasts"] = _oracle_pairwise_contrasts()
