@@ -170,6 +170,109 @@ def lsh_candidates(
     )
 
 
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = SHINGLE_LEN,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline with exact-duplicate cluster
+    compression: signatures -> banded candidates -> exact-Jaccard
+    verification, but the expensive shingle/signature/verify stages run
+    only on one representative per distinct text.
+
+    Exact-duplicate docs (same md5 digest) have identical shingle sets,
+    hence identical signatures, band keys, and pairwise Jaccards — so
+    (a) every intra-cluster pair is a candidate with Jaccard exactly
+    1.0, and (b) a cross-cluster pair is a candidate with Jaccard j iff
+    its representative pair is.  Verifying the O(reps^2) pairs and
+    expanding to member pairs afterwards reproduces the uncompressed
+    output bit-for-bit at a fraction of the join cost.  On web-crawl
+    corpora (where exact dups dominate) this is the difference between
+    verifying every clique edge and verifying one edge per clique pair.
+    """
+    # (id, digest) is two narrow columns — cache it; it feeds the rep
+    # election and both expansion joins.  No broadcast hints on the rep
+    # relation: one row per *distinct text* is not a small dim at crawl
+    # scale, so the join strategy is left to Catalyst/AQE.
+    member = df.select(
+        F.col(id_col), content_digest(F.col(text_col)).alias("digest")
+    ).cache()
+    rep = member.groupBy("digest").agg(F.min(id_col).alias("rep_id"))
+    rep_docs = df.join(rep.select(F.col("rep_id").alias(id_col)), id_col)
+
+    sh = shingles(rep_docs, id_col, text_col, k).cache()
+    sigs = minhash_from_shingles(sh, id_col, n_hashes)
+    cands = lsh_candidates(sigs, id_col, n_bands, n_hashes)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # shingle must be part of the equi-join key: joining on id alone
+    # would build the |A| x |B| cross product per candidate pair before
+    # filtering (quadratic in posting length)
+    inter = (
+        cands.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    rep_pairs = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+    # intra-cluster expansion: every pair of exact dups is a candidate
+    # (identical band keys) with n_inter = n_a = n_b, i.e. Jaccard = 1.0
+    ma = member.select(F.col(id_col).alias("id_a"), "digest")
+    mb = member.select(F.col(id_col).alias("id_b"), "digest")
+    intra = (
+        ma.join(mb, "digest")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    )
+
+    # cross-cluster expansion: rep pair -> all member pairs, reoriented
+    rep_digest = rep
+    cross = (
+        rep_pairs.join(
+            rep_digest.select(
+                F.col("rep_id").alias("id_a"), F.col("digest").alias("dig_a")
+            ),
+            "id_a",
+        )
+        .join(
+            rep_digest.select(
+                F.col("rep_id").alias("id_b"), F.col("digest").alias("dig_b")
+            ),
+            "id_b",
+        )
+        .join(ma.select(F.col("id_a").alias("mem_a"), F.col("digest").alias("dig_a")), "dig_a")
+        .join(mb.select(F.col("id_b").alias("mem_b"), F.col("digest").alias("dig_b")), "dig_b")
+        .select(
+            F.least("mem_a", "mem_b").alias("id_a"),
+            F.greatest("mem_a", "mem_b").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return cross.unionByName(intra)
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """SimHash over whitespace tokens: per bit position b of the 60-bit
     token hash, sum +1/-1 across tokens; bit is set where the sum is

@@ -18,6 +18,7 @@ from transcriptomics_data_integration_spark.llmdata.dedup import (
     exact_dedup,
     lsh_candidates,
     minhash_from_shingles,
+    minhash_lsh_pairs,
     ngram_jaccard_pairs,
     shingles,
     simhash,
@@ -206,33 +207,13 @@ WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5e0
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline on the two-crawl corpus:
-    signatures -> banded candidates -> exact-Jaccard verification."""
+    signatures -> banded candidates -> exact-Jaccard verification, with
+    exact-dup cluster compression (the two-crawl union makes every doc
+    an exact dup, so the shingle/verify stages run on half the corpus
+    and verification touches one edge per clique pair, not every edge).
+    """
     docs = _two_crawls(_t(spark, sf_dir, "documents"))
-    # one shingle explode feeds signatures, sizes AND verification — the
-    # posting relation is the expensive intermediate, so cache it
-    sh = shingles(docs, "doc_id").cache()
-    sigs = minhash_from_shingles(sh, "doc_id")
-    cands = lsh_candidates(sigs, "doc_id")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # shingle must be part of the equi-join key: joining on id alone
-    # would build the |A| x |B| cross product per candidate pair before
-    # filtering (quadratic in posting length)
-    inter = (
-        cands.join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
-        .join(
-            sh.select(F.col("doc_id").alias("id_b"), "shingle"),
-            ["id_b", "shingle"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    out = (
-        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
-        .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
-        .where(F.col("jaccard") >= 0.8)
-    )
-    return out.select("id_a", "id_b", "jaccard")
+    return minhash_lsh_pairs(docs, "doc_id", threshold=0.8)
 
 
 ORACLE_MINHASH_LSH = f"""
