@@ -170,6 +170,63 @@ def lsh_candidates(
     )
 
 
+def minhash_sig_columns(
+    sh: DataFrame, id_col: str, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """MinHash signatures as n_hashes COLUMNS (m0..m{n-1}) instead of
+    (id, seed, minhash) long form: the per-seed hashes ride the distinct
+    -shingle dim as extra columns, and one groupBy takes element-wise
+    mins.  Versus the long form this avoids the n_hashes-fold row
+    explosion through the shuffle (1 row per doc with n columns vs
+    n rows per doc) and the second banding aggregation.  Hash values are
+    identical to :func:`minhash_from_shingles` (md5(shingle || '#' || seed)).
+    """
+    dim = sh.select("shingle").distinct()
+    for j in range(n_hashes):
+        dim = dim.withColumn(
+            f"h{j}", _md5_60bit(F.concat_ws("#", F.col("shingle"), F.lit(j)))
+        )
+    hashed = sh.join(F.broadcast(dim), "shingle")
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{j}").alias(f"m{j}") for j in range(n_hashes)]
+    )
+
+
+def lsh_candidates_from_columns(
+    sigcols: DataFrame,
+    id_col: str,
+    n_bands: int = N_BANDS,
+    n_hashes: int = N_HASHES,
+) -> DataFrame:
+    """Candidates from columnar signatures: band keys are plain
+    projections (concat of the band's minhash columns in seed order —
+    byte-identical to the long-form band_key), exploded to 4 rows per
+    doc for the band-bucket self-join."""
+    rows_per_band = n_hashes // n_bands
+    bands = []
+    for b in range(n_bands):
+        cols = [
+            F.col(f"m{j}").cast("string")
+            for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("band_key")
+            )
+        )
+    banded = sigcols.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
+    ).select(id_col, "bb.band", "bb.band_key")
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -205,29 +262,31 @@ def minhash_lsh_pairs(
     rep_docs = df.join(rep.select(F.col("rep_id").alias(id_col)), id_col)
 
     sh = shingles(rep_docs, id_col, text_col, k).cache()
-    sigs = minhash_from_shingles(sh, id_col, n_hashes)
-    cands = lsh_candidates(sigs, id_col, n_bands, n_hashes)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    # shingle must be part of the equi-join key: joining on id alone
-    # would build the |A| x |B| cross product per candidate pair before
-    # filtering (quadratic in posting length)
-    inter = (
-        cands.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
-        .join(
-            sh.select(F.col(id_col).alias("id_b"), "shingle"),
-            ["id_b", "shingle"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    sigs = minhash_sig_columns(sh, id_col, n_hashes)
+    cands = lsh_candidates_from_columns(sigs, id_col, n_bands, n_hashes)
+    # verification via per-doc shingle-set arrays: two equi-joins on doc
+    # id each carrying ONE array row, and a native array_intersect per
+    # candidate pair.  This replaces the posting-level shuffle join
+    # (|candidates| x avg-postings rows through two exchanges) with a
+    # per-pair set intersection — the shuffle carries |reps| arrays, not
+    # |reps| x |shingles| posting rows.  n_inter/n_a/n_b are integers,
+    # so the Jaccard division is the same single IEEE op the oracle runs.
+    doc_sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sset"))
     rep_pairs = (
-        inter.join(
-            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
+        cands.join(
+            doc_sets.select(F.col(id_col).alias("id_a"), F.col("sset").alias("set_a")),
             "id_a",
         )
         .join(
-            sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
+            doc_sets.select(F.col(id_col).alias("id_b"), F.col("sset").alias("set_b")),
             "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("set_a", "set_b")).alias("n_inter"),
+            F.size("set_a").alias("n_a"),
+            F.size("set_b").alias("n_b"),
         )
         .withColumn(
             "jaccard",

@@ -16,8 +16,6 @@ from pyspark.sql import functions as F
 
 from transcriptomics_data_integration_spark.llmdata.dedup import (
     exact_dedup,
-    lsh_candidates,
-    minhash_from_shingles,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     shingles,
