@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from transcriptomics_data_integration_spark.stats import (
     bh_adjust,
+    bh_adjust_histogram,
     fem_rem_effects,
     quantile_normalize,
     stouffer_combine,
@@ -33,6 +34,30 @@ def test_bh_matches_r_p_adjust(spark):
     assert out["g3"] == pytest.approx(1 / 30)
     assert out["g4"] == pytest.approx(0.5)
     assert out["g5"] == pytest.approx(0.05)
+
+
+def test_bh_histogram_matches_sort_window(spark):
+    # the scale path must be BIT-identical to the sort-window form on
+    # adversarial inputs: duplicated p, values on bucket boundaries
+    # (k/n_buckets), a spike at 0, p = 1, and a near-uniform tail
+    rows = (
+        [(f"z{i}", 0.0) for i in range(5)]
+        + [(f"b{i}", i / 8) for i in range(9)]  # exact boundaries of 8 buckets
+        + [(f"d{i}", 0.25) for i in range(7)]  # heavy tie inside one bucket
+        + [(f"g{i}", ((i * 37) % 997 + 1) / 1000.0) for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, ["gene", "p"])
+    exact = {
+        r["gene"]: r["adj"]
+        for r in bh_adjust(df, "p", "adj", tiebreak_col="gene").collect()
+    }
+    hist = {
+        r["gene"]: r["adj"]
+        for r in bh_adjust_histogram(
+            df, "p", "adj", tiebreak_col="gene", n_buckets=8
+        ).collect()
+    }
+    assert hist == exact  # dict equality => bitwise-equal doubles
 
 
 def test_bh_monotone_and_bounded(spark):

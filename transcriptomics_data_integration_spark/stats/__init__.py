@@ -6,7 +6,7 @@ oracle-checkable.  Iterative kernels (ComBat EB shrinkage, general limma
 designs) use Arrow-vectorized grouped-map pandas.
 """
 
-from transcriptomics_data_integration_spark.stats.bh import bh_adjust
+from transcriptomics_data_integration_spark.stats.bh import bh_adjust, bh_adjust_histogram
 from transcriptomics_data_integration_spark.stats.quantile_norm import quantile_normalize
 from transcriptomics_data_integration_spark.stats.ttest import two_group_ttest
 from transcriptomics_data_integration_spark.stats.stouffer import stouffer_combine
@@ -14,6 +14,7 @@ from transcriptomics_data_integration_spark.stats.genemeta import fem_rem_effect
 
 __all__ = [
     "bh_adjust",
+    "bh_adjust_histogram",
     "fem_rem_effects",
     "quantile_normalize",
     "stouffer_combine",

@@ -44,6 +44,7 @@ from transcriptomics_data_integration_spark.operators.filters import (
 )
 from transcriptomics_data_integration_spark.stats import (
     bh_adjust,
+    bh_adjust_histogram,
     fem_rem_effects,
     quantile_normalize,
     stouffer_combine,
@@ -790,6 +791,44 @@ FROM adj
 """
 
 
+def q_bh_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 scale path — same DE p-set as ``diff_expression`` but
+    adjusted with the two-pass histogram BH (bucket-partitioned windows,
+    no global single-partition sort; see ``stats/bh.py``).  Output is
+    bit-identical to the sort-window form, so the oracle is the standard
+    BH SQL — this query IS the equivalence proof at gate SF."""
+    li = _t(spark, sf_dir, "lineitem")
+    tt = two_group_ttest(li, "l_partkey", "l_returnflag", "l_extendedprice", "R", "A")
+    adj = bh_adjust_histogram(tt, "p_value", "adj_p_value", tiebreak_col="l_partkey")
+    return adj.select(
+        "l_partkey",
+        F.round("p_value", 8).alias("p_value"),
+        F.round("adj_p_value", 8).alias("adj_p_value"),
+    )
+
+
+def _oracle_bh_histogram() -> str:
+    return f"""
+WITH {_ttest_cte("l_partkey", "", "")}, b AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY p_value, l_partkey) AS rnk,
+         COUNT(*) OVER () AS nn
+  FROM de
+), adj AS (
+  SELECT *,
+         MIN(LEAST(p_value * nn / rnk, 1.0e0)) OVER (
+           ORDER BY p_value DESC, l_partkey DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS adj_p_value
+  FROM b
+)
+SELECT l_partkey,
+       ROUND(p_value, 8) AS p_value,
+       ROUND(adj_p_value, 8) AS adj_p_value
+FROM adj
+"""
+
+
 def q_stouffer_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A15 — weighted Stouffer combination of per-platform DE results
     (platform ~ l_linestatus), ICC-weighted (`Meta_analysis.R:76-121,
@@ -999,6 +1038,7 @@ QUERIES: dict[str, QueryFn] = {
     "sample_correlation": q_sample_correlation,
     "quantile_normalization": q_quantile_normalization,
     "diff_expression": q_diff_expression,
+    "bh_histogram": q_bh_histogram,
     "stouffer_meta": q_stouffer_meta,
     "fem_rem": q_fem_rem,
     "p_improvement": q_p_improvement,
@@ -1038,6 +1078,7 @@ ORACLES: dict[str, str] = {
     "sample_correlation": ORACLE_CORRELATION,
     "quantile_normalization": ORACLE_QUANTILE_NORM,
     "diff_expression": _oracle_diff_expression(),
+    "bh_histogram": _oracle_bh_histogram(),
     "stouffer_meta": _oracle_stouffer(),
     "fem_rem": _oracle_fem_rem(),
     "p_improvement": _oracle_p_improvement(),
