@@ -71,7 +71,10 @@ def zero_variance_filter(df: DataFrame, gene_col: str, value_col: str) -> DataFr
         .where(F.col("_sd") > 0)
         .select(gene_col)
     )
-    return df.join(keep, gene_col, "left_semi")
+    # one row per gene — bounded by gene-universe cardinality (~300k at
+    # the reference's largest platform), so broadcast the keep list
+    # instead of letting the planner shuffle+sort both sides into a SMJ
+    return df.join(F.broadcast(keep), gene_col, "left_semi")
 
 
 def nonspecific_filter_topk(
