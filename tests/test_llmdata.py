@@ -150,3 +150,29 @@ def test_ivf_topk_matches_bruteforce_top1(spark):
         for r in ivf_topk(emb, q, k=1, n_cells=4, n_probe=4).collect()
     }
     assert approx == exact
+
+
+def test_cosine_neardup_finds_planted_pairs(spark):
+    """A tiny-perturbation copy of each vector must surface as a
+    near-dup pair (cosine ~1), random cross pairs must not."""
+    import random
+
+    from transcriptomics_data_integration_spark.llmdata.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    rnd = random.Random(11)
+    base = []
+    for i in range(40):
+        v = [rnd.gauss(0, 1) for _ in range(16)]
+        n = sum(x * x for x in v) ** 0.5
+        base.append((i, [x / n for x in v]))
+    planted = [(i + 1000, [x + 1e-4 for x in v]) for i, v in base]
+    emb = spark.createDataFrame(base + planted, ["vec_id", "embedding"])
+    out = cosine_neardup_pairs(
+        emb, threshold=0.999, n_planes=8, n_bands=4, dim=16
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    # 2-bit bands -> every planted pair is a candidate; all must verify
+    assert pairs == {(i, i + 1000) for i in range(40)}
+    assert all(r["cosine"] > 0.999 for r in out)

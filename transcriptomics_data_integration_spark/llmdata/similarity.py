@@ -73,25 +73,47 @@ def cosine_topk(
     )
 
 
+def plane_weight(p: int, i: int) -> float:
+    """Hyperplane component (p, i): md5("p:i") first 60 bits mapped to
+    [-1, 1).  Mirrors the SQL generator
+    ``CONV(SUBSTRING(MD5('p:i'),1,15),16,10) / 2^59 - 1`` bit-for-bit
+    (the 60-bit int -> double cast rounds identically in IEEE-754)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:15], 16)
+    return float(h) / 576460752303423488.0 - 1.0
+
+
+def plane_literals(p: int, dim: int) -> list[str]:
+    """The plane's components as round-trip-exact E-notation literals —
+    shared by the Spark expression and the DuckDB oracle so both engines
+    fold the same doubles."""
+    return [f"{plane_weight(p, i):.17e}" for i in range(dim)]
+
+
 def hyperplane_bits(vec_col: str, n_planes: int, dim: int) -> Column:
     """LSH bucket id: sign bits of dot products with ``n_planes``
     pseudo-random hyperplanes.  Plane component (p, i) is derived from
     md5("p:i") mapped to [-1, 1) — deterministic, engine-reproducible.
+
+    The plane matrix is materialized at plan-build time as literal
+    arrays (via :func:`plane_weight`, same doubles as the in-SQL md5
+    generator) instead of n_planes * dim md5 calls PER ROW — the fold
+    order over elements is unchanged, so bucket ids are identical.
     """
-    plane_comp = (
-        "CAST(CONV(SUBSTRING(MD5(CAST(CONCAT(p, ':', i) AS BINARY)), 1, 15), 16, 10) AS DOUBLE) "
-        "/ 576460752303423488.0 - 1.0"
-    )
-    dot_p = (
-        f"aggregate(zip_with({vec_col}, transform(sequence(0, {dim - 1}), "
-        f"i -> {plane_comp}), (x, w) -> CAST(x AS DOUBLE) * w), "
-        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    return F.expr(
-        f"aggregate(transform(sequence(0, {n_planes - 1}), p -> "
-        f"CASE WHEN ({dot_p}) > 0 THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END), "
-        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-    )
+    terms = []
+    for p in range(n_planes):
+        comps = ", ".join(plane_literals(p, dim))
+        dot_p = (
+            f"aggregate(zip_with({vec_col}, array({comps}), "
+            f"(x, w) -> CAST(x AS DOUBLE) * w), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        terms.append(
+            f"CASE WHEN ({dot_p}) > 0 THEN shiftleft(CAST(1 AS BIGINT), {p}) "
+            f"ELSE CAST(0 AS BIGINT) END"
+        )
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 def lsh_bucketed_topk(
@@ -196,4 +218,77 @@ def ivf_topk(
         sim.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
         .select("query_id", "cand_id", "rank", "cosine")
+    )
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    n_planes: int = 24,
+    n_bands: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (threshold form of dedup,
+    vs the top-k form of search): banded random-hyperplane LSH
+    candidates + exact-cosine verification.
+
+    The n_planes sign bits split into n_bands keys; vectors sharing ANY
+    band key are candidates (both orientations of the classic
+    sim ~ 1 - hamming/planes estimate).  Within a band bucket the join
+    is quadratic — at larger corpora raise n_planes (keys get longer,
+    buckets smaller) rather than scanning more candidates.  One shuffle
+    on (band, key), one id-distinct, two id-joins to re-attach vectors,
+    then a per-pair fold for the exact cosine.  Semantics (including
+    LSH recall) are deterministic and engine-reproducible, so a SQL
+    oracle can replay the whole pipeline.
+    """
+    rows_per_band = n_planes // n_bands
+    mask = (1 << rows_per_band) - 1
+    base = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).alias("vec"),
+        hyperplane_bits(vec_col, n_planes, dim).alias("_bits"),
+        F.sqrt(_norm2(vec_col)).alias("_norm"),
+    )
+    banded = base.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), b -> named_struct("
+                f"'band', b, 'key', shiftright(_bits, b * {rows_per_band}) "
+                f"& CAST({mask} AS BIGINT)))"
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.key")
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    cands = (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    withv = cands.join(
+        base.select(
+            F.col(id_col).alias("id_a"),
+            F.col("vec").alias("va"),
+            F.col("_norm").alias("na"),
+        ),
+        "id_a",
+    ).join(
+        base.select(
+            F.col(id_col).alias("id_b"),
+            F.col("vec").alias("vb"),
+            F.col("_norm").alias("nb"),
+        ),
+        "id_b",
+    )
+    return (
+        # ANSI guard: a zero vector has no cosine — drop before dividing
+        withv.where((F.col("na") > 0) & (F.col("nb") > 0))
+        .withColumn("cosine", _dot("va", "vb") / (F.col("na") * F.col("nb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )

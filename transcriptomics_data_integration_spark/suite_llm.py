@@ -25,7 +25,12 @@ from transcriptomics_data_integration_spark.llmdata.multimodal import (
     attach_binary_payload,
     featurize_media,
 )
-from transcriptomics_data_integration_spark.llmdata.similarity import cosine_topk, lsh_bucketed_topk
+from transcriptomics_data_integration_spark.llmdata.similarity import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    lsh_bucketed_topk,
+    plane_literals,
+)
 from transcriptomics_data_integration_spark.llmdata.text import (
     doc_fingerprint,
     language_id,
@@ -352,6 +357,78 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def _bits_sql(v: str, n_planes: int, dim: int = 64) -> str:
+    """DuckDB twin of ``hyperplane_bits``: same plane literals (from
+    ``plane_literals``), same left-fold order, same sign rule."""
+    terms = []
+    for p in range(n_planes):
+        arr = "[" + ", ".join(plane_literals(p, dim)) + "]"
+        dot = (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {dim}), "
+            f"i -> CAST({v}[i] AS DOUBLE) * ({arr})[i])), (x, y) -> x + y)"
+        )
+        terms.append(
+            f"CASE WHEN ({dot}) > 0 THEN (CAST(1 AS BIGINT) << {p}) "
+            f"ELSE CAST(0 AS BIGINT) END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_PERTURB_SPARK = "transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.01e0 AS FLOAT))"
+_PERTURB_SQL = (
+    "list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.01e0 AS FLOAT))"
+)
+
+
+def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup on a corpus with planted near-dups
+    (every vector unioned with a +0.01-per-component perturbed copy):
+    banded hyperplane LSH -> exact cosine >= 0.99.  The threshold twin
+    of `cosine_topk` — dedup, not search."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pert = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(_PERTURB_SPARK).alias("embedding"),
+    )
+    corpus = emb.unionByName(pert)
+    out = cosine_neardup_pairs(corpus, threshold=0.99, n_planes=24, n_bands=2)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _oracle_cosine_neardup() -> str:
+    dot_ab = _DOT_SQL.format(a="va", b="vb")
+    dot_aa = _DOT_SQL.format(a="va", b="va")
+    dot_bb = _DOT_SQL.format(a="vb", b="vb")
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, {_PERTURB_SQL} AS embedding FROM embeddings
+), bits AS (
+  SELECT vec_id, {_bits_sql('embedding', 24)} AS b FROM corpus
+), banded AS (
+  SELECT vec_id, bnd.band AS band, (b >> (bnd.band * 12)) & 4095 AS key
+  FROM bits, (SELECT UNNEST(generate_series(0, 1)) AS band) bnd
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM banded a JOIN banded b2
+    ON a.band = b2.band AND a.key = b2.key AND a.vec_id < b2.vec_id
+), withv AS (
+  SELECT id_a, id_b, ea.embedding AS va, eb.embedding AS vb
+  FROM cand
+  JOIN corpus ea ON ea.vec_id = cand.id_a
+  JOIN corpus eb ON eb.vec_id = cand.id_b
+), sims AS (
+  SELECT id_a, id_b,
+         {dot_ab} / (sqrt({dot_aa}) * sqrt({dot_bb})) AS cosine
+  FROM withv
+  WHERE sqrt({dot_aa}) > 0 AND sqrt({dot_bb}) > 0
+)
+SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM sims WHERE cosine >= 0.99e0
+"""
+
+
 # --- multimodal plumbing ---------------------------------------------------
 
 
@@ -499,6 +576,7 @@ QUERIES_LLM = {
     "simhash": q_simhash,
     "cosine_topk": q_cosine_topk,
     "lsh_ann": q_lsh_ann,
+    "cosine_neardup": q_cosine_neardup,
     "multimodal_featurize": q_multimodal_featurize,
     "event_window_counts": q_event_window_counts,
     "sessionize": q_sessionize,
@@ -516,6 +594,7 @@ ORACLES_LLM = {
     "simhash": ORACLE_SIMHASH,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "lsh_ann": ORACLE_LSH_ANN,
+    "cosine_neardup": _oracle_cosine_neardup(),
     "multimodal_featurize": ORACLE_MULTIMODAL,
     "event_window_counts": ORACLE_EVENT_WINDOW,
     "sessionize": ORACLE_SESSIONIZE,
