@@ -182,3 +182,39 @@ def test_fem_rem_heterogeneous_tau_positive(spark):
     out = fem_rem_effects(df, "gene").collect()[0]
     assert out["tau2"] > 0
     assert abs(out["z_rem"]) < abs(out["z_fem"])
+
+
+def test_lmfit_design_matches_numpy_ols(spark):
+    """The in-plan Cramer solve must reproduce a reference OLS fit
+    (betas, SE of the group effect, t) computed independently."""
+    import numpy as np
+
+    from transcriptomics_data_integration_spark.stats.lmfit import lmfit_design
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for g in ["g1", "g2"]:
+        for i in range(12):
+            grp = i % 2
+            x2 = float(rng.integers(1, 50))
+            y = round(3.0 + (2.5 if g == "g1" else -1.0) * grp + 0.3 * x2
+                      + rng.normal(0, 1), 2)
+            rows.append((g, "R" if grp else "A", x2, y))
+    df = spark.createDataFrame(rows, ["gene", "flag", "qty", "price"])
+    out = {
+        r["gene"]: r
+        for r in lmfit_design(df, "gene", "flag = 'R'", "qty", "price").collect()
+    }
+    for g in ["g1", "g2"]:
+        sub = [r for r in rows if r[0] == g]
+        X = np.array([[1.0, 1.0 if r[1] == "R" else 0.0, r[2]] for r in sub])
+        y = np.array([r[3] for r in sub])
+        beta, rss_arr, *_ = np.linalg.lstsq(X, y, rcond=None)
+        rss = float(rss_arr[0])
+        sigma2 = rss / (len(sub) - 3)
+        se1 = (sigma2 * np.linalg.inv(X.T @ X)[1, 1]) ** 0.5
+        got = out[g]
+        assert got["beta0"] == pytest.approx(beta[0], rel=1e-9)
+        assert got["beta1"] == pytest.approx(beta[1], rel=1e-9)
+        assert got["beta2"] == pytest.approx(beta[2], rel=1e-9)
+        assert got["t_statistic"] == pytest.approx(beta[1] / se1, rel=1e-9)

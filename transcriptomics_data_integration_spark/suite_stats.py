@@ -682,3 +682,67 @@ SELECT membership, COUNT(*) AS n_elements FROM membership GROUP BY membership
 
 QUERIES_STATS["pairwise_contrasts"] = q_pairwise_contrasts
 ORACLES_STATS["pairwise_contrasts"] = _oracle_pairwise_contrasts()
+
+
+def q_lmfit_design(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 general form — per-gene OLS on the design
+    [1, I(l_returnflag='R'), l_quantity]: lmFit with a covariate, fully
+    in-plan (moment aggregation + Cramer solve; `stats/lmfit.py`).
+    Reference lmFit sites `DiffExpression_closedPlatform.R:511-546`."""
+    from transcriptomics_data_integration_spark.stats.lmfit import lmfit_design
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = lmfit_design(
+        li, "l_partkey", "l_returnflag = 'R'", "l_quantity", "l_extendedprice"
+    )
+    return out.select(
+        "l_partkey",
+        "n_obs",
+        "beta0",
+        "beta1",
+        "beta2",
+        "t_statistic",
+        F.round("p_value", 8).alias("p_value"),
+    )
+
+
+def _oracle_lmfit_design() -> str:
+    from transcriptomics_data_integration_spark.stats.lmfit import (
+        BETA0_SQL,
+        BETA1_SQL,
+        BETA2_SQL,
+        DET_SQL,
+        RSS_SQL,
+        SE1_SQL,
+        lmfit_moment_sql,
+    )
+
+    moments = lmfit_moment_sql("l_returnflag = 'R'", "l_quantity", "l_extendedprice")
+    agg_cols = ",\n         ".join(f"{sql} AS {name}" for name, sql in moments.items())
+    p_expr = two_sided_p_sql("t_statistic")
+    return f"""
+WITH agg AS (
+  SELECT l_partkey,
+         {agg_cols}
+  FROM lineitem GROUP BY l_partkey
+), d AS (
+  SELECT *, {DET_SQL} AS det FROM agg
+), sol AS (
+  SELECT *, {BETA0_SQL} AS beta0, {BETA1_SQL} AS beta1, {BETA2_SQL} AS beta2
+  FROM d WHERE det > 0
+), r AS (
+  SELECT *, {RSS_SQL} AS rss FROM sol
+), s AS (
+  SELECT *, {SE1_SQL} AS se
+  FROM r WHERE n > 3 AND rss > 0 AND n * s22 - s2 * s2 > 0
+), t AS (
+  SELECT *, beta1 / se AS t_statistic FROM s WHERE se > 0
+)
+SELECT l_partkey, CAST(n AS BIGINT) AS n_obs, beta0, beta1, beta2, t_statistic,
+       ROUND({p_expr}, 8) AS p_value
+FROM t
+"""
+
+
+QUERIES_STATS["lmfit_design"] = q_lmfit_design
+ORACLES_STATS["lmfit_design"] = _oracle_lmfit_design()
