@@ -147,14 +147,33 @@ def logistic_per_gene(
     )
 
 
-def impute_missing(df: DataFrame, value_col: str, strategy: str = "mean") -> DataFrame:
+def impute_missing(
+    df: DataFrame,
+    value_col: str,
+    strategy: str = "mean",
+    exact_scale: int | None = None,
+) -> DataFrame:
     """M16 — missing-value imputation (Amelia EM at
     `DiffExpression_normalisedData.R:166`; v0 mean/median per the
-    SURVEY.md build plan) applied per gene."""
-    fill = (
-        F.avg(value_col) if strategy == "mean" else F.percentile_approx(value_col, 0.5)
+    SURVEY.md build plan) applied per gene.  ``exact_scale`` switches
+    the mean to the decimal-exact sum/count form (order-independent,
+    oracle-reproducible — functions/exact.py)."""
+    if strategy == "mean" and exact_scale is not None:
+        fill = F.sum(
+            F.col(value_col).cast(f"decimal(18,{exact_scale})")
+        ).cast("double") / F.count(value_col)
+    elif strategy == "mean":
+        fill = F.avg(value_col)
+    else:
+        fill = F.percentile_approx(value_col, 0.5)
+    per_gene = (
+        df.groupBy("gene_id")
+        .agg(fill.alias("_fill"), F.count(value_col).alias("_nobs"))
+        # genes with zero observed cells have no mean (and 0/0 is an
+        # ANSI error) — they keep their nulls via the inner join's drop
+        .where(F.col("_nobs") > 0)
+        .drop("_nobs")
     )
-    per_gene = df.groupBy("gene_id").agg(fill.alias("_fill"))
     return (
         df.join(F.broadcast(per_gene), "gene_id")
         .withColumn(value_col, F.coalesce(F.col(value_col), F.col("_fill")))

@@ -746,3 +746,48 @@ FROM t
 
 QUERIES_STATS["lmfit_design"] = q_lmfit_design
 ORACLES_STATS["lmfit_design"] = _oracle_lmfit_design()
+
+
+def q_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M16 — per-gene mean imputation (`DiffExpression_normalisedData.R
+    :160-170`; Amelia EM approximated by the build-plan mean fill).
+    Missingness is synthesized deterministically (quantity > 45) so the
+    oracle sees the same holes; the fill is the decimal-exact mean of
+    the observed cells."""
+    from transcriptomics_data_integration_spark.stats.mlkernels import impute_missing
+
+    li = _t(spark, sf_dir, "lineitem")
+    cells = li.select(
+        F.col("l_partkey").alias("gene_id"),
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") <= 45, F.col("l_extendedprice")).alias("value"),
+    )
+    out = impute_missing(cells, "value", strategy="mean", exact_scale=2)
+    return out.select(
+        "gene_id",
+        "l_orderkey",
+        "l_linenumber",
+        F.round("value", 6).alias("value"),
+    )
+
+
+ORACLE_IMPUTE_MISSING = """
+WITH cells AS (
+  SELECT l_partkey AS gene_id, l_orderkey, l_linenumber,
+         CASE WHEN l_quantity <= 45 THEN l_extendedprice END AS value
+  FROM lineitem
+), fills AS (
+  SELECT gene_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS fill
+  FROM cells GROUP BY gene_id
+  HAVING COUNT(value) > 0
+)
+SELECT c.gene_id, c.l_orderkey, c.l_linenumber,
+       ROUND(COALESCE(c.value, f.fill), 6) AS value
+FROM cells c JOIN fills f ON c.gene_id = f.gene_id
+"""
+
+
+QUERIES_STATS["impute_missing"] = q_impute_missing
+ORACLES_STATS["impute_missing"] = ORACLE_IMPUTE_MISSING
