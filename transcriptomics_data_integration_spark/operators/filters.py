@@ -61,20 +61,20 @@ def zero_variance_filter(df: DataFrame, gene_col: str, value_col: str) -> DataFr
     """F4 — keep genes whose value has sd > 0 across samples.
 
     Reference: `DiffExpression_closedPlatform.R:375-376`,
-    `Study_effect.R:539-540`.  Partial aggregation (map-side combine)
-    makes the stddev pass one shuffle of (gene, sum/cnt/m2) triples, not
-    raw rows.
+    `Study_effect.R:539-540`.  Shape: per-gene stddev as a WINDOW
+    aggregate, not agg + self-semi-join — the window form shuffles the
+    relation once by gene and reads the input subtree ONCE, where the
+    join form re-executes the entire upstream pipeline as the probe
+    side (Catalyst does not common-subexpression a non-cached subtree).
+    At the end of a long pipeline that halves the work; the output also
+    leaves hash-distributed by gene for downstream per-gene stages.
     """
-    keep = (
-        df.groupBy(gene_col)
-        .agg(F.stddev(value_col).alias("_sd"))
+    w = Window.partitionBy(gene_col)
+    return (
+        df.withColumn("_sd", F.stddev(value_col).over(w))
         .where(F.col("_sd") > 0)
-        .select(gene_col)
+        .drop("_sd")
     )
-    # one row per gene — bounded by gene-universe cardinality (~300k at
-    # the reference's largest platform), so broadcast the keep list
-    # instead of letting the planner shuffle+sort both sides into a SMJ
-    return df.join(F.broadcast(keep), gene_col, "left_semi")
 
 
 def nonspecific_filter_topk(
