@@ -125,6 +125,36 @@ def lmfit_design(
         "beta0",
         "beta1",
         "beta2",
+        "rss",
         "t_statistic",
         "p_value",
+    )
+
+
+def moderated_lmfit(fit_df: DataFrame) -> DataFrame:
+    """eBayes variance moderation over a general-design fit (limma
+    ``eBayes`` after ``lmFit``, `DiffExpression_closedPlatform.R:546`).
+
+    Same two-pass scheme as the two-group ``moderated_t``: residual
+    variance s2 = rss/df (df = n - 3 design columns) is shrunk toward
+    the global prior with method-of-moments prior df, and the contrast t
+    rescales by sqrt(s2/s2_post).  The prior is a one-row aggregate
+    broadcast back — the whole operator stays in the lazy plan.
+    """
+    with_s2 = fit_df.withColumn("_df", F.col("n_obs") - 3).withColumn(
+        "_s2", F.col("rss") / (F.col("n_obs") - 3)
+    )
+    prior = with_s2.agg(
+        F.avg("_s2").alias("_s2_prior"),
+        F.greatest(
+            F.lit(1.0), 2.0 / F.greatest(F.var_samp(F.log("_s2")), F.lit(1e-6))
+        ).alias("_d0"),
+    )
+    post = (F.col("_d0") * F.col("_s2_prior") + F.col("_df") * F.col("_s2")) / (
+        F.col("_d0") + F.col("_df")
+    )
+    return (
+        with_s2.crossJoin(F.broadcast(prior))
+        .withColumn("t_moderated", F.col("t_statistic") * F.sqrt(F.col("_s2") / post))
+        .drop("_df", "_s2", "_s2_prior", "_d0")
     )

@@ -791,3 +791,73 @@ FROM cells c JOIN fills f ON c.gene_id = f.gene_id
 
 QUERIES_STATS["impute_missing"] = q_impute_missing
 ORACLES_STATS["impute_missing"] = ORACLE_IMPUTE_MISSING
+
+
+def q_moderated_lmfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 eBayes on the general design — `lmfit_design`'s contrast t
+    shrunk with the two-pass global variance prior
+    (`DiffExpression_closedPlatform.R:546` eBayes after lmFit)."""
+    from transcriptomics_data_integration_spark.stats.lmfit import (
+        lmfit_design,
+        moderated_lmfit,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    fit = lmfit_design(
+        li, "l_partkey", "l_returnflag = 'R'", "l_quantity", "l_extendedprice"
+    )
+    out = moderated_lmfit(fit)
+    return out.select(
+        "l_partkey",
+        "n_obs",
+        "beta1",
+        "t_statistic",
+        F.round("t_moderated", 6).alias("t_moderated"),
+    )
+
+
+def _oracle_moderated_lmfit() -> str:
+    from transcriptomics_data_integration_spark.stats.lmfit import (
+        BETA0_SQL,
+        BETA1_SQL,
+        BETA2_SQL,
+        DET_SQL,
+        RSS_SQL,
+        SE1_SQL,
+        lmfit_moment_sql,
+    )
+
+    moments = lmfit_moment_sql("l_returnflag = 'R'", "l_quantity", "l_extendedprice")
+    agg_cols = ",\n         ".join(f"{sql} AS {name}" for name, sql in moments.items())
+    return f"""
+WITH agg AS (
+  SELECT l_partkey,
+         {agg_cols}
+  FROM lineitem GROUP BY l_partkey
+), d AS (
+  SELECT *, {DET_SQL} AS det FROM agg
+), sol AS (
+  SELECT *, {BETA0_SQL} AS beta0, {BETA1_SQL} AS beta1, {BETA2_SQL} AS beta2
+  FROM d WHERE det > 0
+), r AS (
+  SELECT *, {RSS_SQL} AS rss FROM sol
+), s AS (
+  SELECT *, {SE1_SQL} AS se
+  FROM r WHERE n > 3 AND rss > 0 AND n * s22 - s2 * s2 > 0
+), t AS (
+  SELECT *, beta1 / se AS t_statistic, rss / (n - 3) AS s2v, n - 3 AS dfv
+  FROM s WHERE se > 0
+), prior AS (
+  SELECT AVG(s2v) AS s2_prior,
+         GREATEST(1.0e0, 2.0e0 / GREATEST(VAR_SAMP(ln(s2v)), 1.0e-6)) AS d0
+  FROM t
+)
+SELECT l_partkey, CAST(n AS BIGINT) AS n_obs, beta1, t_statistic,
+       ROUND(t_statistic * sqrt(s2v / ((d0 * s2_prior + dfv * s2v) / (d0 + dfv))), 6)
+         AS t_moderated
+FROM t CROSS JOIN prior
+"""
+
+
+QUERIES_STATS["moderated_lmfit"] = q_moderated_lmfit
+ORACLES_STATS["moderated_lmfit"] = _oracle_moderated_lmfit()
