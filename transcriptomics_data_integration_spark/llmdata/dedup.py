@@ -199,20 +199,19 @@ def lsh_candidates_from_columns(
     n_hashes: int = N_HASHES,
 ) -> DataFrame:
     """Candidates from columnar signatures: band keys are plain
-    projections (concat of the band's minhash columns in seed order —
-    byte-identical to the long-form band_key), exploded to 4 rows per
-    doc for the band-bucket self-join."""
+    projections — the band's minhash columns packed into an
+    array<bigint> join key (hashes/compares 4 longs instead of an
+    80-char concat string), exploded to n_bands rows per doc for the
+    band-bucket self-join.  Bucket membership is identical to the
+    long-form string band_key (same values, seed order)."""
     rows_per_band = n_hashes // n_bands
     bands = []
     for b in range(n_bands):
         cols = [
-            F.col(f"m{j}").cast("string")
-            for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+            F.col(f"m{j}") for j in range(b * rows_per_band, (b + 1) * rows_per_band)
         ]
         bands.append(
-            F.struct(
-                F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("band_key")
-            )
+            F.struct(F.lit(b).alias("band"), F.array(*cols).alias("band_key"))
         )
     banded = sigcols.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("bb")
