@@ -28,7 +28,7 @@ moment-plus-adjugate scheme.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from transcriptomics_data_integration_spark.functions.normal import two_sided_p_sql
@@ -138,23 +138,29 @@ def moderated_lmfit(fit_df: DataFrame) -> DataFrame:
     Same two-pass scheme as the two-group ``moderated_t``: residual
     variance s2 = rss/df (df = n - 3 design columns) is shrunk toward
     the global prior with method-of-moments prior df, and the contrast t
-    rescales by sqrt(s2/s2_post).  The prior is a one-row aggregate
-    broadcast back — the whole operator stays in the lazy plan.
+    rescales by sqrt(s2/s2_post).  The prior rides a window over the
+    per-gene fit table — the whole operator stays in the lazy plan and
+    the moment aggregation executes once.
     """
     with_s2 = fit_df.withColumn("_df", F.col("n_obs") - 3).withColumn(
         "_s2", F.col("rss") / (F.col("n_obs") - 3)
     )
-    prior = with_s2.agg(
-        F.avg("_s2").alias("_s2_prior"),
+    # global prior as a window over the per-gene fit table (bounded; one
+    # row per gene) so the moment aggregation executes once
+    w_all = Window.partitionBy()
+    with_prior = with_s2.withColumn("_s2_prior", F.avg("_s2").over(w_all)).withColumn(
+        "_d0",
         F.greatest(
-            F.lit(1.0), 2.0 / F.greatest(F.var_samp(F.log("_s2")), F.lit(1e-6))
-        ).alias("_d0"),
+            F.lit(1.0),
+            2.0 / F.greatest(F.var_samp(F.log("_s2")).over(w_all), F.lit(1e-6)),
+        ),
     )
     post = (F.col("_d0") * F.col("_s2_prior") + F.col("_df") * F.col("_s2")) / (
         F.col("_d0") + F.col("_df")
     )
     return (
-        with_s2.crossJoin(F.broadcast(prior))
-        .withColumn("t_moderated", F.col("t_statistic") * F.sqrt(F.col("_s2") / post))
+        with_prior.withColumn(
+            "t_moderated", F.col("t_statistic") * F.sqrt(F.col("_s2") / post)
+        )
         .drop("_df", "_s2", "_s2_prior", "_d0")
     )

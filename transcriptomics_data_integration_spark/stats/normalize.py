@@ -71,11 +71,14 @@ def voom_weights(
             Window.orderBy(F.round(F.col("mean_lcpm"), 9).asc(), F.col(gene_col).asc())
         ),
     )
-    trend = binned.groupBy("trend_bin").agg(
-        F.percentile("sqrt_sd", F.lit(0.5)).alias("trend_sqrt_sd")
-    )
+    # per-bin median as a WINDOW aggregate: one shuffle by bin and the
+    # upstream (lib-size join + per-gene agg + ntile) executes ONCE —
+    # the agg+join-back form re-ran that whole subtree as the probe side
     return (
-        binned.join(F.broadcast(trend), "trend_bin")
+        binned.withColumn(
+            "trend_sqrt_sd",
+            F.percentile("sqrt_sd", F.lit(0.5)).over(Window.partitionBy("trend_bin")),
+        )
         .withColumn("weight", F.pow(F.col("trend_sqrt_sd"), -4.0))
         .select(gene_col, "mean_lcpm", "sqrt_sd", "n_obs", "trend_bin", "trend_sqrt_sd", "weight")
     )
@@ -122,10 +125,11 @@ def array_weights(
         F.count(F.lit(1)).alias("n_obs"),
     ).where(F.col("msr") > 0)
     inv = per_sample.withColumn("raw_w", 1.0 / F.col("msr"))
-    mean_w = inv.agg(F.avg("raw_w").alias("mw"))
+    # normalize via a window over the PER-SAMPLE relation (bounded by
+    # sample count) — the 1-row agg + crossJoin form re-executed the
+    # residual pass as the probe side
     return (
-        inv.crossJoin(F.broadcast(mean_w))
-        .withColumn("weight", F.col("raw_w") / F.col("mw"))
+        inv.withColumn("weight", F.col("raw_w") / F.avg("raw_w").over(Window.partitionBy()))
         .select(sample_col, "n_obs", "msr", "weight")
     )
 

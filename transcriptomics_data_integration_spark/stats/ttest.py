@@ -21,7 +21,7 @@ Set to None for plain float aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from transcriptomics_data_integration_spark.functions.normal import two_sided_p_sql
@@ -152,18 +152,22 @@ def moderated_t(ttest_df: DataFrame) -> DataFrame:
     with_s2 = ttest_df.withColumn("_s2", sp2).withColumn(
         "_df", F.col("n_a") + F.col("n_b") - 2
     )
-    prior = with_s2.agg(
-        F.avg("_s2").alias("_s2_prior"),
-        F.greatest(
-            F.lit(1.0), 2.0 / F.greatest(F.var_samp(F.log("_s2")), F.lit(1e-6))
-        ).alias("_d0"),
+    # the global prior rides a window over the PER-GENE t-table (one row
+    # per gene, bounded) — the 1-row agg + crossJoin form re-executed
+    # the whole fact aggregation as the probe side
+    w_all = Window.partitionBy()
+    prior_s2 = F.avg("_s2").over(w_all)
+    prior_d0 = F.greatest(
+        F.lit(1.0), 2.0 / F.greatest(F.var_samp(F.log("_s2")).over(w_all), F.lit(1e-6))
     )
+    with_prior = with_s2.withColumn("_s2_prior", prior_s2).withColumn("_d0", prior_d0)
     post = (F.col("_d0") * F.col("_s2_prior") + F.col("_df") * F.col("_s2")) / (
         F.col("_d0") + F.col("_df")
     )
     return (
-        with_s2.crossJoin(F.broadcast(prior))
-        .withColumn("t_moderated", F.col("t_statistic") * F.sqrt(F.col("_s2") / post))
+        with_prior.withColumn(
+            "t_moderated", F.col("t_statistic") * F.sqrt(F.col("_s2") / post)
+        )
         .drop("_s2", "_df", "_s2_prior", "_d0")
     )
 
