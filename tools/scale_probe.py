@@ -1,0 +1,86 @@
+"""Scale-up probe: run the heavy operators on synthetically inflated
+inputs (sf0.1 unioned with key-shifted copies — no files written) and
+check that runtime grows ~linearly and plans hold their shape.
+
+Two inflation axes, because they stress different things:
+- ``rows x10`` (same gene cardinality, 10x rows/gene): stresses the
+  per-key aggregation and window paths.
+- ``keys x10`` (10x gene cardinality, same rows/gene): stresses shuffle
+  width, bucket fanout, and the broadcast keep-lists.
+
+Usage: python tools/scale_probe.py  (prints one JSON line per probe)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from transcriptomics_data_integration_spark.session import get_spark
+from transcriptomics_data_integration_spark.llmdata.dedup import minhash_lsh_pairs
+from transcriptomics_data_integration_spark.stats.bh import bh_adjust_histogram
+from transcriptomics_data_integration_spark.stats.ttest import two_group_ttest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def inflate(df: DataFrame, key_col: str, copies: int, shift_keys: bool) -> DataFrame:
+    """Union ``copies`` copies; ``shift_keys`` moves each copy to a
+    disjoint key range (keys x N), else keys repeat (rows x N)."""
+    parts = []
+    for i in range(copies):
+        c = df
+        if shift_keys and i > 0:
+            c = c.withColumn(key_col, F.col(key_col) + F.lit(i * 10_000_000))
+        parts.append(c)
+    out = parts[0]
+    for c in parts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def probe_de(spark, copies: int, shift: bool) -> dict:
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    big = inflate(li, "l_partkey", copies, shift)
+    t0 = time.perf_counter()
+    tt = two_group_ttest(big, "l_partkey", "l_returnflag", "l_extendedprice", "R", "A")
+    adj = bh_adjust_histogram(tt, "p_value", "adj_p", tiebreak_col="l_partkey")
+    n = adj.count()
+    return {"probe": f"de+bh_{'keys' if shift else 'rows'}x{copies}",
+            "rows_out": n, "sec": round(time.perf_counter() - t0, 2)}
+
+
+def probe_minhash(spark, copies: int) -> dict:
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    crawls = inflate(docs.select("doc_id", "text"), "doc_id", copies, shift_keys=True)
+    t0 = time.perf_counter()
+    n = minhash_lsh_pairs(crawls, "doc_id", threshold=0.8).count()
+    return {"probe": f"minhash_crawls_x{copies}", "rows_out": n,
+            "sec": round(time.perf_counter() - t0, 2)}
+
+
+def main() -> None:
+    spark = get_spark("scale-probe")
+    # warm codegen at base scale
+    probe_de(spark, 1, False)
+    for fn, args in [
+        (probe_de, (1, False)),
+        (probe_de, (5, False)),
+        (probe_de, (10, False)),
+        (probe_de, (5, True)),
+        (probe_de, (10, True)),
+        (probe_minhash, (2,)),
+        (probe_minhash, (5,)),
+    ]:
+        spark.catalog.clearCache()
+        print(json.dumps(fn(spark, *args)), flush=True)
+
+
+if __name__ == "__main__":
+    main()
