@@ -75,3 +75,22 @@ def test_impute_missing_mean(spark):
     }
     assert out[("g1", "s2")] == pytest.approx(2.0)
     assert out[("g2", "s1")] == 7.0
+
+
+def test_bisecting_clusters_separates_groups(spark):
+    from transcriptomics_data_integration_spark.stats.mlkernels import (
+        bisecting_clusters,
+        sample_vectors,
+    )
+
+    rows = []
+    for s in range(8):
+        base = 0.0 if s < 4 else 50.0
+        for g in range(5):
+            rows.append((f"g{g}", f"s{s}", base + g))
+    df = spark.createDataFrame(rows, ["gene_id", "sample_id", "value"])
+    vecs = sample_vectors(df, "gene_id", "sample_id", "value", [f"g{g}" for g in range(5)])
+    out = {r["sample_id"]: r["cluster"] for r in bisecting_clusters(vecs, "sample_id", k=2).collect()}
+    lo = {out[f"s{s}"] for s in range(4)}
+    hi = {out[f"s{s}"] for s in range(4, 8)}
+    assert len(lo) == 1 and len(hi) == 1 and lo != hi

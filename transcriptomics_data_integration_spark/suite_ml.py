@@ -16,6 +16,7 @@ from transcriptomics_data_integration_spark.llmdata.similarity import ivf_topk
 from transcriptomics_data_integration_spark.stats.combat import combat
 from transcriptomics_data_integration_spark.stats.medianpolish import median_polish_summarize
 from transcriptomics_data_integration_spark.stats.mlkernels import (
+    bisecting_clusters,
     kmeans_clusters,
     logistic_per_gene,
     pca_embedding,
@@ -97,6 +98,17 @@ def q_kmeans_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_samples"))
 
 
+def q_hclust_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13 — divisive hierarchical clustering of sample vectors
+    (BisectingKMeans, the idiomatic Spark stand-in for Ward hclust,
+    `DiffExpression_closedPlatform.R:645-646`); seeded, rows-only."""
+    cells = _cells(spark, sf_dir)
+    genes = sorted(r["gene_id"] for r in cells.select("gene_id").distinct().collect())
+    vecs = sample_vectors(cells, "gene_id", "sample_id", "value", genes)
+    out = bisecting_clusters(vecs, "sample_id", k=4, seed=1)
+    return out.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_samples"))
+
+
 def q_logistic_de(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M14 — per-gene logistic regression of return outcome on price."""
     li = _t(spark, sf_dir, "lineitem").where(
@@ -119,6 +131,7 @@ QUERIES_ML = {
     "combat_full": q_combat_full,
     "pca_samples": q_pca_samples,
     "kmeans_samples": q_kmeans_samples,
+    "hclust_samples": q_hclust_samples,
     "logistic_de": q_logistic_de,
     "ivf_ann": q_ivf_ann,
 }
