@@ -176,3 +176,23 @@ def test_cosine_neardup_finds_planted_pairs(spark):
     # 2-bit bands -> every planted pair is a candidate; all must verify
     assert pairs == {(i, i + 1000) for i in range(40)}
     assert all(r["cosine"] > 0.999 for r in out)
+
+
+def test_duplicate_chunk_stats_counts_cross_doc_repeats(spark):
+    from transcriptomics_data_integration_spark.llmdata.text import (
+        duplicate_chunk_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),          # chunks: "a b c", "d e f"
+            (2, "a b c x y z"),          # shares "a b c" with doc 1
+            (3, "q r s"),                # unique chunk
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in duplicate_chunk_stats(df, chunk_words=3).collect()}
+    assert out[1]["n_chunks"] == 2 and out[1]["n_dup_chunks"] == 1
+    assert out[2]["n_chunks"] == 2 and out[2]["n_dup_chunks"] == 1
+    assert out[3]["n_chunks"] == 1 and out[3]["n_dup_chunks"] == 0
+    assert out[1]["dup_chunk_ratio"] == 0.5

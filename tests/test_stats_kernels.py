@@ -218,3 +218,34 @@ def test_lmfit_design_matches_numpy_ols(spark):
         assert got["beta1"] == pytest.approx(beta[1], rel=1e-9)
         assert got["beta2"] == pytest.approx(beta[2], rel=1e-9)
         assert got["t_statistic"] == pytest.approx(beta[1] / se1, rel=1e-9)
+
+
+def test_bh_histogram_property_random_psets(spark):
+    """Property check: for arbitrary p-sets (dups, extremes, clumps) the
+    bucket-partitioned BH equals the sort-window BH bitwise."""
+    import random
+
+    rnd = random.Random(1234)
+    for trial in range(3):
+        rows = []
+        for i in range(rnd.randint(5, 400)):
+            r = rnd.random()
+            if r < 0.2:
+                p = rnd.choice([0.0, 1.0, 0.5, 1e-12])
+            elif r < 0.5:
+                p = round(rnd.random(), 2)  # heavy ties
+            else:
+                p = rnd.random()
+            rows.append((f"t{trial}g{i}", p))
+        df = spark.createDataFrame(rows, ["gene", "p"])
+        exact = {
+            r["gene"]: r["adj"]
+            for r in bh_adjust(df, "p", "adj", tiebreak_col="gene").collect()
+        }
+        hist = {
+            r["gene"]: r["adj"]
+            for r in bh_adjust_histogram(
+                df, "p", "adj", tiebreak_col="gene", n_buckets=rnd.choice([2, 7, 64])
+            ).collect()
+        }
+        assert hist == exact

@@ -9,7 +9,7 @@ shuffle at all, full whole-stage codegen, and column pruning means only
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny embedded stopword lists for the n-gram/stopword language
@@ -101,3 +101,40 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         f"(acc, c) -> (acc * {FINGERPRINT_BASE} + c) % {FINGERPRINT_MOD})"
     )
     return df.withColumn("fingerprint", F.expr(expr))
+
+
+def duplicate_chunk_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 3,
+) -> DataFrame:
+    """Duplicate-chunk fraction — the Gopher/RefinedWeb-style repetition
+    quality signal: split each doc into non-overlapping ``chunk_words``
+    -word chunks, count each chunk's occurrences across the corpus, and
+    report per doc how many of its chunks also occur elsewhere.
+
+    Shape: one explode (narrow), one window count over the chunk digest
+    (hash-partitioned by digest — high cardinality, no hot key), one
+    per-doc aggregation.  The ratio is an integer/integer division, so
+    the output is engine-exact.
+    """
+    words = f"split(trim({text_col}), ' ')"
+    chunks = (
+        f"transform(sequence(0, CAST(ceil(size({words}) / {chunk_words}.0e0) AS INT) - 1), "
+        f"i -> array_join(slice({words}, i * {chunk_words} + 1, {chunk_words}), ' '))"
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(F.expr(chunks)).alias("chunk")
+    ).withColumn("digest", F.md5(F.col("chunk").cast("binary")))
+    counted = exploded.withColumn(
+        "n_occ", F.count(F.lit(1)).over(Window.partitionBy("digest"))
+    )
+    return counted.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+        (
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("dup_chunk_ratio"),
+    )

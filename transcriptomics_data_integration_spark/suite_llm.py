@@ -600,3 +600,38 @@ ORACLES_LLM = {
     "sessionize": ORACLE_SESSIONIZE,
     "json_extract": ORACLE_JSON_EXTRACT,
 }
+
+
+def q_duplicate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-chunk fraction (Gopher-style repetition signal) over
+    the corpus: per doc, the share of its 3-word chunks that occur more
+    than once corpus-wide."""
+    from transcriptomics_data_integration_spark.llmdata.text import duplicate_chunk_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = duplicate_chunk_stats(docs, "doc_id", "text", chunk_words=3)
+    return out.select("doc_id", "n_chunks", "n_dup_chunks", "dup_chunk_ratio")
+
+
+ORACLE_DUPLICATE_CHUNKS = """
+WITH words AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+), chunks AS (
+  SELECT doc_id,
+         UNNEST(list_transform(
+           generate_series(0, CAST(ceil(len(w) / 3.0e0) AS INT) - 1),
+           i -> array_to_string(list_slice(w, i * 3 + 1, i * 3 + 3), ' '))) AS chunk
+  FROM words
+), counted AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY md5(chunk)) AS n_occ FROM chunks
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)
+         AS dup_chunk_ratio
+FROM counted GROUP BY doc_id
+"""
+
+QUERIES_LLM["duplicate_chunks"] = q_duplicate_chunks
+ORACLES_LLM["duplicate_chunks"] = ORACLE_DUPLICATE_CHUNKS
