@@ -196,3 +196,39 @@ def test_duplicate_chunk_stats_counts_cross_doc_repeats(spark):
     assert out[2]["n_chunks"] == 2 and out[2]["n_dup_chunks"] == 1
     assert out[3]["n_chunks"] == 1 and out[3]["n_dup_chunks"] == 0
     assert out[1]["dup_chunk_ratio"] == 0.5
+
+
+def test_lsh_bucketed_topk_is_exact_within_bucket(spark):
+    """Bucketed ANN must return exactly the brute-force ranking
+    restricted to same-bucket candidates."""
+    import random
+
+    from transcriptomics_data_integration_spark.llmdata.similarity import (
+        hyperplane_bits,
+        lsh_bucketed_topk,
+    )
+
+    rnd = random.Random(5)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.where(F.col("vec_id") < 8)
+    got = lsh_bucketed_topk(emb, q, k=3, n_planes=4, dim=16).collect()
+    # recompute expected: same-bucket pairs ranked by exact cosine
+    b = {r["vec_id"]: r["bucket"] for r in emb.select(
+        "vec_id", hyperplane_bits("embedding", 4, 16).alias("bucket")).collect()}
+    import math
+
+    vecs = dict(rows)
+
+    def cos(a_, b_):
+        d = sum(x * y for x, y in zip(vecs[a_], vecs[b_]))
+        na = math.sqrt(sum(x * x for x in vecs[a_]))
+        nb = math.sqrt(sum(x * x for x in vecs[b_]))
+        return d / (na * nb)
+
+    for qid in range(8):
+        cands = [c for c in vecs if c != qid and b[c] == b[qid]]
+        expect = sorted(cands, key=lambda c: (-cos(qid, c), c))[:3]
+        mine = [r["cand_id"] for r in sorted(
+            (g for g in got if g["query_id"] == qid), key=lambda r: r["rank"])]
+        assert mine == expect
