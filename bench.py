@@ -65,6 +65,10 @@ def main() -> None:
     if os.path.isdir(warm_dir):
         for name in BENCH_QUERIES:
             QUERIES[name](spark, warm_dir).count()
+    # operators that cache internally (minhash postings, BH buckets)
+    # never see an unpersist; dropping between queries keeps the timed
+    # pass from thrashing the storage pool with stale blocks
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -74,6 +78,7 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         assert n >= 0
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
