@@ -164,3 +164,51 @@ def test_dup_correlation_consensus(spark):
     )
     cons2 = consensus_correlation(per_gene_block_icc(flat, "gene_id", "block", "value")).collect()[0]
     assert cons2["consensus_corr"] < 0.5
+
+
+def test_combat_nonparametric_matches_reference_loop():
+    """The blocked log-sum-exp solver must equal a direct transcription
+    of the reference's int.eprior loop (R:108-156) on the same moments."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from transcriptomics_data_integration_spark.stats.combat import (
+        _eb_solver_nonparametric,
+    )
+
+    rng = np.random.default_rng(9)
+    G, n = 12, 6
+    sdat = rng.normal(0, 1, (G, n)) + rng.normal(0, 0.5, (G, 1))
+    g_hat = sdat.mean(axis=1)
+    d_hat = sdat.var(axis=1, ddof=1)
+    pdf = pd.DataFrame(
+        {
+            "gene_id": [f"g{i}" for i in range(G)],
+            "batch": ["b"] * G,
+            "n": [n] * G,
+            "g_hat": g_hat,
+            "d_hat": d_hat,
+            "s_sum": sdat.sum(axis=1),
+            "s_sum2": (sdat**2).sum(axis=1),
+        }
+    )
+    got = _eb_solver_nonparametric(pdf)
+    for i in range(G):
+        lls, gs, ds = [], [], []
+        for j in range(G):
+            if j == i:
+                continue
+            ll = sum(
+                -0.5 * math.log(2 * math.pi * d_hat[j])
+                - (sdat[i, k] - g_hat[j]) ** 2 / (2 * d_hat[j])
+                for k in range(n)
+            )
+            lls.append(ll); gs.append(g_hat[j]); ds.append(d_hat[j])
+        mx = max(lls)
+        ws = [math.exp(v - mx) for v in lls]
+        g_exp = sum(w * g for w, g in zip(ws, gs)) / sum(ws)
+        d_exp = sum(w * d for w, d in zip(ws, ds)) / sum(ws)
+        assert got["gamma_star"][i] == pytest.approx(g_exp, rel=1e-9)
+        assert got["delta_star"][i] == pytest.approx(d_exp, rel=1e-9)

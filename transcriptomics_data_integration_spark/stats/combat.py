@@ -87,15 +87,79 @@ def _eb_solver(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _eb_solver_nonparametric(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch NONPARAMETRIC EB posterior — the reference's patched
+    ``int.eprior`` (`DiffExpression_closedPlatform.R:108-156`, injected
+    into the sva namespace at `:169`): for each gene, the posterior
+    (gamma*, delta*) is the likelihood-weighted mean of every OTHER
+    gene's (g_hat, d_hat), with the log-sum-exp max-shift the reference
+    added for numerical stability (`:135-147`).
+
+    The per-gene Gaussian log-likelihood needs only this gene's
+    standardized moments:  sum_k (x_k - g_j)^2
+    = s_sum2 - 2 g_j s_sum + n g_j^2, so the whole batch solves as a
+    G x G matrix — evaluated in row blocks to bound memory (a 10k-gene
+    post-F5 batch is 100M doubles unblocked).
+    """
+    import numpy as np
+
+    g_hat = pdf["g_hat"].to_numpy()
+    d_hat = pdf["d_hat"].to_numpy()
+    n = pdf["n"].to_numpy().astype(float)
+    s_sum = pdf["s_sum"].to_numpy()
+    s_sum2 = pdf["s_sum2"].to_numpy()
+    G = len(g_hat)
+    if G < 2:
+        return pd.DataFrame(
+            {
+                "gene_id": pdf["gene_id"],
+                "batch": pdf["batch"],
+                "gamma_star": g_hat,
+                "delta_star": d_hat,
+            }
+        )
+    log_norm = -0.5 * np.log(2.0 * np.pi * d_hat)  # per candidate j
+    g_star = np.empty(G)
+    d_star = np.empty(G)
+    block = 1024
+    for lo in range(0, G, block):
+        hi = min(lo + block, G)
+        # ss[i, j] = sum_k (x_ik - g_j)^2 from moments
+        ss = (
+            s_sum2[lo:hi, None]
+            - 2.0 * s_sum[lo:hi, None] * g_hat[None, :]
+            + n[lo:hi, None] * g_hat[None, :] ** 2
+        )
+        ll = n[lo:hi, None] * log_norm[None, :] - ss / (2.0 * d_hat[None, :])
+        idx = np.arange(lo, hi)
+        ll[idx - lo, idx] = -np.inf  # leave-one-out: drop gene i itself
+        m = ll.max(axis=1, keepdims=True)
+        w = np.exp(ll - m)
+        denom = w.sum(axis=1)
+        g_star[lo:hi] = (w @ g_hat) / denom
+        d_star[lo:hi] = (w @ d_hat) / denom
+    return pd.DataFrame(
+        {
+            "gene_id": pdf["gene_id"],
+            "batch": pdf["batch"],
+            "gamma_star": g_star,
+            "delta_star": d_star,
+        }
+    )
+
+
 def combat(
     df: DataFrame,
     gene_col: str,
     sample_col: str,
     batch_col: str,
     value_col: str,
+    prior: str = "parametric",
 ) -> DataFrame:
     """EB batch correction of a long expression relation.  Returns the
     input columns with ``value_col`` replaced by the adjusted value.
+    ``prior``: "parametric" (sva default, iterative fixed point) or
+    "nonparametric" (the reference's log-sum-exp ``int.eprior``).
     """
     g, b, v = F.col(gene_col), F.col(batch_col), F.col(value_col)
 
@@ -146,7 +210,8 @@ def combat(
         "s_sum",
         "s_sum2",
     )
-    eb = eb_in.groupBy("batch").applyInPandas(_eb_solver, schema=EB_SCHEMA)
+    solver = _eb_solver if prior == "parametric" else _eb_solver_nonparametric
+    eb = eb_in.groupBy("batch").applyInPandas(solver, schema=EB_SCHEMA)
 
     # --- step 3: adjust ---
     adjusted = (

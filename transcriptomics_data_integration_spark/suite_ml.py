@@ -75,6 +75,27 @@ def q_combat_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_combat_nonparam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 — ComBat with the reference's NONPARAMETRIC prior (the custom
+    log-sum-exp `int.eprior` override, `DiffExpression_closedPlatform.R
+    :108-156,169`); O(G^2) per batch, so bounded to the F5-style gene
+    subset like the reference's post-filter usage."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_partkey") <= 200) & F.col("l_linestatus").isin(["O", "F"])
+    )
+    long = li.select(
+        F.col("l_partkey").alias("gene_id"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("sample_id"),
+        F.col("l_linestatus").alias("batch"),
+        F.col("l_extendedprice").alias("value"),
+    )
+    adj = combat(long, "gene_id", "sample_id", "batch", "value", prior="nonparametric")
+    return adj.groupBy("gene_id", "batch").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("mean_adjusted"),
+    )
+
+
 def q_pca_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M11 — PCA of sample vectors over the 20 lowest-key genes; PC
     coordinates are sign-indeterminate across BLAS builds (rows-only)."""
@@ -129,6 +150,7 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES_ML = {
     "median_polish": q_median_polish,
     "combat_full": q_combat_full,
+    "combat_nonparam": q_combat_nonparam,
     "pca_samples": q_pca_samples,
     "kmeans_samples": q_kmeans_samples,
     "hclust_samples": q_hclust_samples,
