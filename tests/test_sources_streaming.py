@@ -152,3 +152,31 @@ def test_convert_rsem_drops_unmapped(spark):
     )
     out = {r["gene_id"]: r["read_count"] for r in convert_rsem(rsem, info).collect()}
     assert out == {"ENSG1": 11, "ENSG0": 3}  # NOVEL dropped; min id wins
+
+
+def test_streaming_dedup_emits_first_occurrence_only(spark, tmp_path):
+    """Duplicate digests arriving in later files must not be re-emitted
+    — state carries across micro-batches."""
+    from transcriptomics_data_integration_spark.streaming.ingest import (
+        run_stream_to_memory,
+        stream_count_files,
+        streaming_dedup,
+    )
+
+    d = tmp_path / "dedup_ingest"
+    d.mkdir()
+    (d / "a.tsv").write_text(
+        "gene_id\tsample_id\tread_count\tdataset\n"
+        "g1\ts1\t5\tds1\ng2\ts1\t7\tds1\n"
+    )
+    (d / "b.tsv").write_text(
+        "gene_id\tsample_id\tread_count\tdataset\n"
+        "g1\ts1\t5\tds1\ng3\ts1\t9\tds2\n"  # g1/ds1 is a replay
+    )
+    stream = stream_count_files(spark, str(d))
+    deduped = streaming_dedup(stream, ["gene_id", "dataset"])
+    run_stream_to_memory(deduped, "dedup_sink")
+    rows = {(r["gene_id"], r["dataset"]) for r in spark.sql("SELECT * FROM dedup_sink").collect()}
+    assert rows == {("g1", "ds1"), ("g2", "ds1"), ("g3", "ds2")}
+    counts = spark.sql("SELECT COUNT(*) AS n FROM dedup_sink").collect()[0]["n"]
+    assert counts == 3

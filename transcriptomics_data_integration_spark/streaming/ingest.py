@@ -112,3 +112,25 @@ def stateful_running_stats(stream_df: DataFrame, key_col: str, value_col: str) -
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: emit the FIRST row per key across
+    micro-batches (the streaming twin of ``exact_dedup`` / the S9
+    idempotent-registry semantics).
+
+    With ``ts_col`` the dedup state is watermarked — keys older than the
+    watermark age out, bounding state for unbounded key universes (the
+    crawl-dedup case).  Without it, state is one entry per distinct key
+    (the registry case: dataset ids, bounded by design).
+    """
+    if ts_col is not None:
+        return stream_df.withWatermark(ts_col, watermark).dropDuplicates(
+            key_cols + [ts_col]
+        )
+    return stream_df.dropDuplicates(key_cols)
