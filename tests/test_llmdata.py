@@ -232,3 +232,32 @@ def test_lsh_bucketed_topk_is_exact_within_bucket(spark):
         mine = [r["cand_id"] for r in sorted(
             (g for g in got if g["query_id"] == qid), key=lambda r: r["rank"])]
         assert mine == expect
+
+
+def test_simhash_neardup_pigeonhole_complete(spark):
+    """For max_hamming < n_bands, banding must find EVERY pair within
+    the Hamming budget (pigeonhole) — compare against brute force."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        simhash,
+        simhash_neardup_pairs,
+    )
+
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+        (3, "alpha beta gamma delta epsilon eta"),    # near 1
+        (4, "totally different words entirely here now"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(df, "doc_id", max_hamming=3).collect()
+    }
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(df, "doc_id").collect()}
+    expect = {}
+    for a in sigs:
+        for b in sigs:
+            if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3:
+                expect[(a, b)] = bin(sigs[a] ^ sigs[b]).count("1")
+    assert got == expect
+    assert got[(1, 2)] == 0  # exact dup found at distance 0

@@ -360,3 +360,51 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
         .groupBy(id_col)
         .agg(F.sum("bitval").cast("bigint").alias("simhash"))
     )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup PAIRS: band the 60-bit signature (15 bits x 4),
+    docs sharing any band key are candidates, verified by exact Hamming
+    distance (``bit_count(xor)``) <= max_hamming.
+
+    By the pigeonhole principle a pair within Hamming distance
+    ``n_bands - 1`` is GUARANTEED to share at least one intact band, so
+    for max_hamming < n_bands this finds every qualifying pair — banding
+    here is exact, not probabilistic.  All-integer pipeline: bit-exact
+    in any engine.
+    """
+    sigs = simhash(df, id_col, text_col)
+    band_bits = SIMHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), b -> named_struct("
+                f"'band', b, 'key', shiftright(simhash, b * {band_bits}) "
+                f"& CAST({mask} AS BIGINT)))"
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.key")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "band", "key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "band", "key"
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -635,3 +635,50 @@ FROM counted GROUP BY doc_id
 
 QUERIES_LLM["duplicate_chunks"] = q_duplicate_chunks
 ORACLES_LLM["duplicate_chunks"] = ORACLE_DUPLICATE_CHUNKS
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs on the two-crawl corpus: banded 60-bit
+    signatures, exact-Hamming verify (<= 3).  Complete for distance <
+    n_bands by pigeonhole — the integer-exact dedup complement to
+    `minhash_lsh`."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    docs = _two_crawls(_t(spark, sf_dir, "documents"))
+    return simhash_neardup_pairs(docs, "doc_id", max_hamming=3)
+
+
+ORACLE_SIMHASH_NEARDUP = """
+WITH crawls AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+), toks AS (
+  SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS token FROM crawls
+), hashed AS (
+  SELECT doc_id, ('0x' || substring(md5(token), 1, 15))::BIGINT AS h FROM toks
+), bits AS (
+  SELECT doc_id, bit, SUM(((h >> bit) & CAST(1 AS BIGINT)) * 2 - 1) AS s
+  FROM hashed, (SELECT UNNEST(generate_series(0, 59)) AS bit)
+  GROUP BY doc_id, bit
+), sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, simhash, b.b AS band, (simhash >> (b.b * 15)) & 32767 AS key
+  FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS b) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+         a.simhash AS sig_a, b2.simhash AS sig_b
+  FROM banded a JOIN banded b2
+    ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+
+QUERIES_LLM["simhash_neardup"] = q_simhash_neardup
+ORACLES_LLM["simhash_neardup"] = ORACLE_SIMHASH_NEARDUP
