@@ -180,3 +180,30 @@ def test_streaming_dedup_emits_first_occurrence_only(spark, tmp_path):
     assert rows == {("g1", "ds1"), ("g2", "ds1"), ("g3", "ds2")}
     counts = spark.sql("SELECT COUNT(*) AS n FROM dedup_sink").collect()[0]["n"]
     assert counts == 3
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key must join with ZERO shuffle
+    — the physical plan contains no Exchange operator."""
+    from transcriptomics_data_integration_spark.sources.bucketed import (
+        read_table,
+        write_bucketed,
+    )
+
+    facts = spark.createDataFrame(
+        [(f"g{i % 40}", f"s{i}", float(i)) for i in range(400)],
+        ["gene_id", "sample_id", "value"],
+    )
+    dim = spark.createDataFrame(
+        [(f"g{i}", f"sym{i}") for i in range(40)], ["gene_id", "symbol"]
+    )
+    write_bucketed(facts, "bt_facts", "gene_id", n_buckets=8)
+    write_bucketed(dim, "bt_dim", "gene_id", n_buckets=8)
+    joined = read_table(spark, "bt_facts").join(
+        read_table(spark, "bt_dim").hint("merge"), "gene_id"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert joined.count() == 400
+    spark.sql("DROP TABLE IF EXISTS bt_facts")
+    spark.sql("DROP TABLE IF EXISTS bt_dim")
