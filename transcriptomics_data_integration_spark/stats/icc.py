@@ -129,7 +129,9 @@ def icc_blockmatrix(cells: DataFrame, platforms: list[str], block_size: int = 10
     shuffle of raw pairs).  Falls back to the relational path for the
     profile-correlation stage, which is O(G^2) rows but only scalars.
     """
-    from pyspark.ml.linalg import Vectors
+    # NOTE: must be the mllib linalg Vectors — IndexedRow rejects the
+    # pyspark.ml flavor with "Cannot convert type ... into Vector"
+    from pyspark.mllib.linalg import Vectors
     from pyspark.mllib.linalg.distributed import IndexedRow, IndexedRowMatrix
 
     spark = cells.sparkSession
