@@ -56,19 +56,22 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark("bench")
 
-    # warmup: JVM + parquet footers, then one tiny-SF pass over every
-    # bench query so whole-stage codegen units are compiled before the
-    # timed pass (first-execution JIT costs seconds on the md5/array
-    # -heavy operators and would otherwise be charged to one query)
+    # warmup to steady state (JMH-style): one tiny-SF pass compiles the
+    # whole-stage-codegen units, then one untimed pass at the target SF
+    # finishes JIT tiering and faults the parquet pages in — without it
+    # each query's first target-SF execution runs ~2x its steady state
+    # and the timed numbers measure warmup, not the engine
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if os.path.isdir(warm_dir):
         for name in BENCH_QUERIES:
             QUERIES[name](spark, warm_dir).count()
-    # operators that cache internally (minhash postings, BH buckets)
-    # never see an unpersist; dropping between queries keeps the timed
-    # pass from thrashing the storage pool with stale blocks
-    spark.catalog.clearCache()
+    for name in BENCH_QUERIES:
+        QUERIES[name](spark, sf_dir).count()
+        # operators that cache internally (minhash postings) never see
+        # an unpersist; dropping between queries keeps the storage pool
+        # from thrashing with stale blocks
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

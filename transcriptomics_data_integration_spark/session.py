@@ -29,6 +29,11 @@ def get_spark(app_name: str = "transcriptomics-spark", shuffle_partitions: int |
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # long sessions run hundreds of broadcast-heavy queries; the
+        # reference-tracking cleaner's default BLOCKING unpersist turns
+        # GC-triggered cleanup bursts into multi-second stalls charged
+        # to whatever query is running (observed 8s -> 30s outliers)
+        .config("spark.cleaner.referenceTracking.blocking", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
