@@ -1,0 +1,39 @@
+"""Suite-wide physical-plan invariants — the SURVEY.md §4 execution
+discipline as a regression net.  Catches a future edit that silently
+turns a broadcast dim attach into a cartesian product, loses predicate
+pushdown on the flagship scan, or drops the top-k heap plan."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+from transcriptomics_data_integration_spark.plans import plan_report
+
+SF = "/root/testdata/sf0.001"
+
+# deliberate nested-loop users: brute-force similarity cross joins and
+# the 1-row global-median attach in CQN
+BNLJ_WHITELIST = {"cosine_topk", "ivf_ann", "cqn_bias"}
+
+
+def test_no_accidental_nested_loop_joins(spark):
+    offenders = {}
+    for name, fn in entry.queries().items():
+        rep = plan_report(fn(spark, SF))
+        if rep.n_nested_loop_joins and name not in BNLJ_WHITELIST:
+            offenders[name] = rep.n_nested_loop_joins
+    assert offenders == {}
+
+
+def test_flagship_scan_pushes_and_prunes(spark):
+    rep = plan_report(entry.queries()["diff_expression"](spark, SF))
+    assert rep.pushed_filters, "returnflag predicate must reach the parquet scan"
+    cols = rep.read_columns()
+    assert "l_partkey" in cols and "l_extendedprice" in cols
+    assert len(cols) <= 4, f"column pruning lost: scan reads {sorted(cols)}"
+
+
+def test_topk_filter_uses_heap_plan(spark):
+    rep = plan_report(entry.queries()["nonspecific_filter"](spark, SF))
+    assert rep.has_take_ordered, "top-k by sd must plan as TakeOrderedAndProject"
