@@ -65,6 +65,39 @@ def probe_minhash(spark, copies: int) -> dict:
             "sec": round(time.perf_counter() - t0, 2)}
 
 
+def probe_qnorm(spark, copies: int) -> dict:
+    from transcriptomics_data_integration_spark.stats.quantile_norm import (
+        quantile_normalize,
+    )
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    big = inflate(li, "l_suppkey", copies, shift_keys=True)  # x N samples
+    cells = big.select(
+        F.col("l_partkey").alias("gene_id"),
+        F.col("l_suppkey").alias("sample_id"),
+        F.col("l_extendedprice").alias("value"),
+    )
+    t0 = time.perf_counter()
+    n = quantile_normalize(cells, "sample_id", "value", "gene_id").count()
+    return {"probe": f"qnorm_samples_x{copies}", "rows_out": n,
+            "sec": round(time.perf_counter() - t0, 2)}
+
+
+def probe_cosine_neardup(spark, copies: int) -> dict:
+    from transcriptomics_data_integration_spark.llmdata.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    big = inflate(emb, "vec_id", copies, shift_keys=True)
+    t0 = time.perf_counter()
+    n = cosine_neardup_pairs(big, threshold=0.999, n_planes=24, n_bands=2).count()
+    return {"probe": f"cosine_neardup_x{copies}", "rows_out": n,
+            "sec": round(time.perf_counter() - t0, 2)}
+
+
 def main() -> None:
     spark = get_spark("scale-probe")
     # warm codegen at base scale
@@ -77,6 +110,10 @@ def main() -> None:
         (probe_de, (10, True)),
         (probe_minhash, (2,)),
         (probe_minhash, (5,)),
+        (probe_qnorm, (1,)),
+        (probe_qnorm, (10,)),
+        (probe_cosine_neardup, (1,)),
+        (probe_cosine_neardup, (4,)),
     ]:
         spark.catalog.clearCache()
         print(json.dumps(fn(spark, *args)), flush=True)

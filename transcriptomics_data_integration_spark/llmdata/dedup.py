@@ -181,15 +181,24 @@ def minhash_sig_columns(
     n rows per doc) and the second banding aggregation.  Hash values are
     identical to :func:`minhash_from_shingles` (md5(shingle || '#' || seed)).
     """
+    hashed = hashed_shingles(sh, n_hashes)
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{j}").alias(f"m{j}") for j in range(n_hashes)]
+    )
+
+
+def hashed_shingles(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """Posting relation with the per-seed hash columns h0..h{n-1}
+    attached via the distinct-shingle dim (md5 computed once per
+    DISTINCT shingle, broadcast back).  h0 doubles as a 60-bit integer
+    shingle id for set operations — primitive long arrays instead of
+    string arrays keeps verification allocation-light."""
     dim = sh.select("shingle").distinct()
     for j in range(n_hashes):
         dim = dim.withColumn(
             f"h{j}", _md5_60bit(F.concat_ws("#", F.col("shingle"), F.lit(j)))
         )
-    hashed = sh.join(F.broadcast(dim), "shingle")
-    return hashed.groupBy(id_col).agg(
-        *[F.min(f"h{j}").alias(f"m{j}") for j in range(n_hashes)]
-    )
+    return sh.join(F.broadcast(dim), "shingle")
 
 
 def lsh_candidates_from_columns(
@@ -260,17 +269,21 @@ def minhash_lsh_pairs(
     rep = member.groupBy("digest").agg(F.min(id_col).alias("rep_id"))
     rep_docs = df.join(rep.select(F.col("rep_id").alias(id_col)), id_col)
 
-    sh = shingles(rep_docs, id_col, text_col, k).cache()
-    sigs = minhash_sig_columns(sh, id_col, n_hashes)
+    sh = shingles(rep_docs, id_col, text_col, k)
+    hashed = hashed_shingles(sh, n_hashes).cache()
+    sigs = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{j}").alias(f"m{j}") for j in range(n_hashes)]
+    )
     cands = lsh_candidates_from_columns(sigs, id_col, n_bands, n_hashes)
     # verification via per-doc shingle-set arrays: two equi-joins on doc
     # id each carrying ONE array row, and a native array_intersect per
     # candidate pair.  This replaces the posting-level shuffle join
     # (|candidates| x avg-postings rows through two exchanges) with a
     # per-pair set intersection — the shuffle carries |reps| arrays, not
-    # |reps| x |shingles| posting rows.  n_inter/n_a/n_b are integers,
-    # so the Jaccard division is the same single IEEE op the oracle runs.
-    doc_sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sset"))
+    # |reps| x |shingles| posting rows.  The sets hold the 60-bit h0
+    # shingle ids (primitive longs, no string-array GC churn); counts —
+    # and hence the Jaccard division — are identical to string sets.
+    doc_sets = hashed.groupBy(id_col).agg(F.collect_set("h0").alias("sset"))
     rep_pairs = (
         cands.join(
             doc_sets.select(F.col(id_col).alias("id_a"), F.col("sset").alias("set_a")),
