@@ -77,3 +77,26 @@ def test_left_merge_null_padding(spark):
     right = spark.createDataFrame([(1, "r1")], ["k", "rv"])
     out = {r["k"]: r["rv"] for r in left_merge(left, right, "k").collect()}
     assert out == {1: "r1", 2: None}
+
+
+def test_asof_join_attaches_most_recent_state(spark):
+    from transcriptomics_data_integration_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", 100), (2, "u1", 250), (3, "u1", 90), (4, "u2", 50)],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(10, "u1", 90, 1.5), (11, "u1", 200, 2.5), (12, "u2", 60, 9.9)],
+        ["event_id", "user_id", "ts", "value"],
+    )
+    out = {
+        r["event_id"]: (r["event_id_asof"], r["value_asof"])
+        for r in asof_join(
+            left, right, ["user_id"], "ts", ["event_id", "value"], "event_id"
+        ).collect()
+    }
+    assert out[1] == (10, 1.5)    # 100 -> view at 90
+    assert out[2] == (11, 2.5)    # 250 -> view at 200
+    assert out[3] == (10, 1.5)    # equal ts: <= includes the ts=90 view
+    assert out[4] == (None, None)  # no preceding state: left-join nulls

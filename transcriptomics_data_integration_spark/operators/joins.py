@@ -7,7 +7,7 @@ strategy (broadcast-hash vs sort-merge) Catalyst + AQE pick.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -116,4 +116,55 @@ def overlap_summary(joined: DataFrame, probe_key: str) -> DataFrame:
     return dedup.groupBy(probe_key).agg(
         F.min(F.struct("_g_start", "_g_gene"))["_g_gene"].alias("gene_id"),
         F.countDistinct("_g_gene").alias("gene_no"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attach_cols: list[str],
+    tiebreak_col: str,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: attach to each left row the most recent right row
+    with ``right.ts <= left.ts`` per key (left-join semantics: no
+    preceding right row -> nulls).
+
+    Spark shape: NOT a join.  Tag both sides, union, and take
+    ``last(..., ignorenulls)`` over one window partitioned by key and
+    ordered by (ts, side, tiebreak) — right rows sort before left rows
+    at equal ts, which implements the ``<=`` bound.  ONE shuffle on the
+    key, no range explode, no per-row probe: the standard scale shape
+    for temporal state attach (each partition is a single ordered merge
+    pass).  Works on any orderable ts (here: nanosecond longs).
+    """
+    rtag = right.select(
+        *[F.col(c) for c in key_cols],
+        F.col(ts_col),
+        F.col(tiebreak_col).alias("_tb"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in attach_cols],
+    )
+    lcols = [c for c in left.columns]
+    ltag = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(tiebreak_col).alias("_tb"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(rtag.schema[f"{c}{suffix}"].dataType).alias(f"{c}{suffix}") for c in attach_cols],
+    )
+    unioned = ltag.unionByName(rtag, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attached = unioned
+    for c in attach_cols:
+        attached = attached.withColumn(
+            f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w)
+        )
+    return attached.where(F.col("_side") == 1).select(
+        *lcols, *[f"{c}{suffix}" for c in attach_cols]
     )

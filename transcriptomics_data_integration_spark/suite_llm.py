@@ -501,8 +501,11 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.floor(F.min("ts") / _NS_PER_S).cast("bigint").alias("session_start"),
-        F.floor(F.max("ts") / _NS_PER_S).cast("bigint").alias("session_end"),
+        # integer div, not double: nanos exceed 2^53, so float division
+        # can misplace a timestamp that sits within ~128ns of a second
+        # boundary
+        F.expr(f"min(ts) div {_NS_PER_S}").alias("session_start"),
+        F.expr(f"max(ts) div {_NS_PER_S}").alias("session_end"),
     )
 
 
@@ -682,3 +685,46 @@ FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
 
 QUERIES_LLM["simhash_neardup"] = q_simhash_neardup
 ORACLES_LLM["simhash_neardup"] = ORACLE_SIMHASH_NEARDUP
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click attached to the user's most recent
+    preceding view (left semantics).  Spark runs the union+window shape
+    (`operators/joins.py:asof_join`, one shuffle, no range explode);
+    the oracle is DuckDB's native ASOF LEFT JOIN — two independent
+    formulations of the semantics."""
+    from transcriptomics_data_integration_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(clicks, views, ["user_id"], "ts", ["event_id", "value"], "event_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.expr(f"ts div {_NS_PER_S}").alias("ts_sec"),
+        F.col("event_id_asof").alias("view_event_id"),
+        F.col("value_asof").alias("view_value"),
+    )
+
+
+ORACLE_ASOF_JOIN = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT event_id AS view_event_id, user_id, ts, value AS view_value
+  FROM events WHERE event_type = 'view'
+)
+SELECT c.event_id, c.user_id,
+       CAST(epoch_ns(c.ts) // 1000000000 AS BIGINT) AS ts_sec,
+       v.view_event_id, v.view_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
+
+QUERIES_LLM["asof_join"] = q_asof_join
+ORACLES_LLM["asof_join"] = ORACLE_ASOF_JOIN
