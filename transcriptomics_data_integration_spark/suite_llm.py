@@ -463,7 +463,8 @@ def q_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return (
         ev.groupBy(
-            (F.floor(F.col("ts") / _NS_PER_H) * 3600).cast("bigint").alias("window_start"),
+            # integer div: nanos exceed 2^53, float division is lossy
+            F.expr(f"(ts div {_NS_PER_H}) * 3600").alias("window_start"),
             "event_type",
         )
         .agg(
