@@ -44,10 +44,12 @@ BENCH_QUERIES = [
     "voom_trend",
     "dedup_exact",
     "minhash_lsh",
+    "simhash_neardup",
     "cosine_topk",
     "cosine_neardup",
     "bh_histogram",
     "sessionize",
+    "asof_join",
 ]
 
 
