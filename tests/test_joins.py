@@ -100,3 +100,30 @@ def test_asof_join_attaches_most_recent_state(spark):
     assert out[2] == (11, 2.5)    # 250 -> view at 200
     assert out[3] == (10, 1.5)    # equal ts: <= includes the ts=90 view
     assert out[4] == (None, None)  # no preceding state: left-join nulls
+
+
+def test_asof_join_random_matches_bruteforce(spark):
+    import random
+
+    from transcriptomics_data_integration_spark.operators.joins import asof_join
+
+    rnd = random.Random(77)
+    left = [(i, f"u{rnd.randint(0, 4)}", rnd.randint(0, 1000)) for i in range(60)]
+    right = [
+        (100 + i, f"u{rnd.randint(0, 4)}", rnd.randint(0, 1000), float(i))
+        for i in range(40)
+    ]
+    ldf = spark.createDataFrame(left, ["event_id", "user_id", "ts"])
+    rdf = spark.createDataFrame(right, ["event_id", "user_id", "ts", "value"])
+    got = {
+        r["event_id"]: r["event_id_asof"]
+        for r in asof_join(
+            ldf, rdf, ["user_id"], "ts", ["event_id", "value"], "event_id"
+        ).collect()
+    }
+    for eid, u, ts in left:
+        cands = [(rts, rid) for rid, ru, rts, _ in right if ru == u and rts <= ts]
+        # brute force: max ts, tie-break max event_id arrives later in
+        # the window order (last() keeps the final row of equal ts)
+        expect = max(cands)[1] if cands else None
+        assert got[eid] == expect, (eid, u, ts)
