@@ -261,3 +261,23 @@ def test_simhash_neardup_pigeonhole_complete(spark):
                 expect[(a, b)] = bin(sigs[a] ^ sigs[b]).count("1")
     assert got == expect
     assert got[(1, 2)] == 0  # exact dup found at distance 0
+
+
+def test_minhash_columnar_equals_long_form(spark):
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        minhash_from_shingles,
+        minhash_sig_columns,
+        shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "abcdxyzw"), (3, "qqqqqqqq")], ["doc_id", "text"]
+    )
+    sh = shingles(df, "doc_id")
+    long = {
+        (r["doc_id"], r["seed"]): r["minhash"]
+        for r in minhash_from_shingles(sh, "doc_id", n_hashes=4).collect()
+    }
+    for r in minhash_sig_columns(sh, "doc_id", n_hashes=4).collect():
+        for j in range(4):
+            assert r[f"m{j}"] == long[(r["doc_id"], j)]
