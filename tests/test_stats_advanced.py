@@ -136,6 +136,51 @@ def test_enrichment_chi2_flags_enriched_term(spark):
     assert out[0]["p_value"] < 1e-6
 
 
+def test_fisher_enrichment_matches_exact_hypergeometric(spark):
+    from fractions import Fraction
+    from math import comb
+
+    from transcriptomics_data_integration_spark.stats.enrichment import (
+        fisher_enrichment,
+    )
+
+    # 100-gene universe, 10 significant; T1 carried by 8 of them
+    def term_of(i):
+        if i < 8 or i in (40, 41):
+            return "T1"
+        return "T2" if i % 2 else "T3"
+
+    gene_terms = spark.createDataFrame(
+        [(f"g{i:03d}", term_of(i)) for i in range(100)], ["gene_id", "term"]
+    )
+    sig = spark.createDataFrame([(f"g{i:03d}",) for i in range(10)], ["gene_id"])
+    out = {
+        r["term"]: r
+        for r in fisher_enrichment(gene_terms, sig, "gene_id", "term").collect()
+    }
+
+    def exact_tail(n_total, n_term, n_sig, a):
+        denom = comb(n_total, n_sig)
+        return float(
+            sum(
+                Fraction(comb(n_term, k) * comb(n_total - n_term, n_sig - k), denom)
+                for k in range(a, min(n_sig, n_term) + 1)
+            )
+        )
+
+    counts = {}
+    for i in range(100):
+        t = term_of(i)
+        n, a = counts.get(t, (0, 0))
+        counts[t] = (n + 1, a + (1 if i < 10 else 0))
+    for t, (n_term, a) in counts.items():
+        assert out[t]["n_term"] == n_term and out[t]["a"] == a
+        assert abs(out[t]["p_fisher"] - exact_tail(100, n_term, 10, a)) < 1e-9
+    # the planted term is the top hit and wildly enriched
+    top = min(out.values(), key=lambda r: r["p_fisher"])
+    assert top["term"] == "T1" and top["p_fisher"] < 1e-7
+
+
 def test_dup_correlation_consensus(spark):
     from transcriptomics_data_integration_spark.stats.dupcorr import (
         consensus_correlation,

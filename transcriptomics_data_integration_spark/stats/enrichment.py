@@ -68,3 +68,48 @@ def enrichment_chi2(
         .limit(top_k)
         .select(term_col, "n_term", "a", "chi2", "p_value")
     )
+
+
+def fisher_enrichment(
+    gene_terms: DataFrame,
+    significant: DataFrame,
+    gene_col: str,
+    term_col: str,
+    top_k: int = 50,
+) -> DataFrame:
+    """Exact one-sided Fisher enrichment (the reference's actual test,
+    `Meta_analysis.R:1371-1392`): per term, the upper hypergeometric
+    tail P(overlap >= a) over the 2x2 margins.
+
+    The tail is folded entirely in-plan (``aggregate`` over
+    ``sequence`` with a Stirling ``lgamma`` per term — see
+    `functions/special.py`), so the test stays JVM-side with no Python
+    serde; the fold length is bounded by min(n_sig, n_term), i.e. the
+    smaller 2x2 margin, independent of the fact-table row count.
+    """
+    from transcriptomics_data_integration_spark.functions.special import (
+        hypergeom_tail_sql,
+    )
+
+    universe = gene_terms.select(gene_col).distinct()
+    n_total = universe.count()
+    n_sig = significant.select(gene_col).distinct().count()
+
+    flagged = gene_terms.join(
+        significant.select(gene_col).distinct().withColumn("_sig", F.lit(1)),
+        gene_col,
+        "left",
+    )
+    per_term = flagged.groupBy(term_col).agg(
+        F.count(F.lit(1)).alias("n_term"),
+        F.sum(F.coalesce(F.col("_sig"), F.lit(0))).alias("a"),
+    )
+    tail = hypergeom_tail_sql(
+        "a", str(n_total), "n_term", str(n_sig), dialect="spark"
+    )
+    with_p = per_term.withColumn("p_fisher", F.expr(tail))
+    return (
+        with_p.orderBy(F.col("p_fisher").asc(), F.col(term_col))
+        .limit(top_k)
+        .select(term_col, "n_term", "a", "p_fisher")
+    )

@@ -476,6 +476,70 @@ FROM topk WHERE rnk <= 50
 """
 
 
+def q_fisher_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 — exact Fisher (hypergeometric upper tail) enrichment of the
+    top-|t| decile against part-type terms — the reference's actual test
+    (`Meta_analysis.R:1371-1392`), in-plan via Stirling lgamma."""
+    from transcriptomics_data_integration_spark.stats.enrichment import (
+        fisher_enrichment,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    tt = two_group_ttest(li, "l_partkey", "l_returnflag", "l_extendedprice", "R", "A")
+    n_genes = tt.count()
+    n_top = n_genes // 10
+    w = Window.orderBy(F.abs(F.col("t_statistic")).desc(), F.col("l_partkey"))
+    sig = (
+        tt.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_top)
+        .select("l_partkey")
+    )
+    gene_terms = part.select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_type").alias("term")
+    ).join(tt.select("l_partkey"), "l_partkey", "left_semi")
+    out = fisher_enrichment(gene_terms, sig, "l_partkey", "term", top_k=50)
+    return out.select(
+        "term", "n_term", "a", F.round("p_fisher", 8).alias("p_fisher")
+    )
+
+
+def _oracle_fisher_enrichment() -> str:
+    from transcriptomics_data_integration_spark.functions.special import (
+        hypergeom_tail_sql,
+    )
+    from transcriptomics_data_integration_spark.suite import _ttest_cte
+
+    tail = hypergeom_tail_sql("a", "n_total", "n_term", "n_sig", dialect="duckdb")
+    return f"""
+WITH {_ttest_cte("l_partkey", "", "")}, ranked AS (
+  SELECT l_partkey,
+         ROW_NUMBER() OVER (ORDER BY ABS(t_statistic) DESC, l_partkey) AS rn,
+         COUNT(*) OVER () AS n_genes
+  FROM de
+), sig AS (
+  SELECT l_partkey FROM ranked WHERE rn <= (SELECT MAX(n_genes) // 10 FROM ranked)
+), gene_terms AS (
+  SELECT p_partkey AS l_partkey, p_type AS term FROM part
+  WHERE p_partkey IN (SELECT l_partkey FROM de)
+), per_term AS (
+  SELECT term, COUNT(*) AS n_term,
+         CAST(SUM(CASE WHEN l_partkey IN (SELECT l_partkey FROM sig) THEN 1 ELSE 0 END) AS BIGINT) AS a
+  FROM gene_terms GROUP BY term
+), totals AS (
+  SELECT (SELECT COUNT(DISTINCT l_partkey) FROM gene_terms) AS n_total,
+         (SELECT COUNT(*) FROM sig) AS n_sig
+), scored AS (
+  SELECT term, n_term, a, {tail} AS p_fisher
+  FROM per_term CROSS JOIN totals
+), topk AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY p_fisher ASC, term) AS rnk FROM scored
+)
+SELECT term, n_term, a, ROUND(p_fisher, 8) AS p_fisher
+FROM topk WHERE rnk <= 50
+"""
+
+
 def q_moderated_de(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 with eBayes moderation — the two-pass global-prior variance
     shrinkage on top of the pooled t (`DiffExpression_closedPlatform.R:546`)."""
@@ -520,6 +584,7 @@ QUERIES_STATS = {
     "mahalanobis_outliers": q_mahalanobis_outliers,
     "strata_correlation": q_strata_correlation,
     "term_enrichment": q_term_enrichment,
+    "fisher_enrichment": q_fisher_enrichment,
     "moderated_de": q_moderated_de,
 }
 
@@ -530,6 +595,7 @@ ORACLES_STATS = {
     "mahalanobis_outliers": ORACLE_MAHALANOBIS,
     "strata_correlation": ORACLE_STRATA,
     "term_enrichment": _oracle_enrichment(),
+    "fisher_enrichment": _oracle_fisher_enrichment(),
     "moderated_de": _oracle_moderated_de(),
 }
 
