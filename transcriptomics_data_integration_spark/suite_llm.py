@@ -44,12 +44,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read it as raw nanosecond longs (runtime-settable
-    legacy conf) and do time arithmetic on the integers — exact and
-    engine-reproducible."""
+    """Read events.parquet with ``ts`` normalized to epoch NANOSECOND
+    longs, whatever the file stores.
+
+    Generators have shipped ``ts`` as TIMESTAMP(NANOS) (readable only
+    via the legacy nanosAsLong conf) and as timestamp[us] (read as
+    TIMESTAMP_NTZ).  All downstream time arithmetic is exact integer
+    math on nanos, so convert here: session timezone is pinned to UTC
+    (session.py), making NTZ->timestamp->unix_micros the same epoch
+    DuckDB's epoch_ns() computes on the naive value."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type != "bigint":
+        ev = ev.withColumn(
+            "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long")
+        )
+    return ev
 
 
 _NS_PER_S = 1_000_000_000
@@ -729,3 +740,52 @@ FROM clicks c ASOF LEFT JOIN views v
 
 QUERIES_LLM["asof_join"] = q_asof_join
 ORACLES_LLM["asof_join"] = ORACLE_ASOF_JOIN
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the exact-Jaccard near-dup pairs: each
+    clustered doc with its canonical representative (min doc_id
+    reachable) and cluster size.  Spark runs iterative min-label
+    propagation with pointer jumping (`llmdata/dedup.py:
+    connected_components`); the oracle is a DuckDB recursive CTE — two
+    independent formulations of connectivity."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", threshold=0.5)
+    return dedup_clusters(pairs.select("id_a", "id_b"))
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, UNNEST({_SHINGLE_SQL}) AS shingle FROM documents WHERE doc_id < 1000
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5e0
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+), closure AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical_id
+  FROM reach GROUP BY src
+)
+SELECT doc_id, canonical_id,
+       COUNT(*) OVER (PARTITION BY canonical_id) AS cluster_size
+FROM closure
+"""
+
+QUERIES_LLM["dedup_clusters"] = q_dedup_clusters
+ORACLES_LLM["dedup_clusters"] = ORACLE_DEDUP_CLUSTERS
