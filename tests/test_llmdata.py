@@ -281,3 +281,31 @@ def test_minhash_columnar_equals_long_form(spark):
     for r in minhash_sig_columns(sh, "doc_id", n_hashes=4).collect():
         for j in range(4):
             assert r[f"m{j}"] == long[(r["doc_id"], j)]
+
+
+def test_connected_components_chain_and_cliques(spark):
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    # a 12-node chain (diameter >> 1: forces pointer jumping to earn its
+    # keep within max_iter) plus a separate triangle and an isolated pair
+    chain = [(i, i + 1) for i in range(100, 111)]
+    tri = [(1, 2), (2, 3), (1, 3)]
+    pair = [(50, 51)]
+    edges = spark.createDataFrame(chain + tri + pair, ["id_a", "id_b"])
+
+    cc = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert all(cc[n] == 100 for n in range(100, 112))
+    assert cc[1] == cc[2] == cc[3] == 1
+    assert cc[50] == cc[51] == 50
+
+    out = dedup_clusters(edges).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    assert by_doc[111]["canonical_id"] == 100
+    assert by_doc[111]["cluster_size"] == 12
+    assert by_doc[3]["cluster_size"] == 3
+    # "keep one copy" contract: exactly one canonical per component
+    canonicals = {r["canonical_id"] for r in out}
+    assert canonicals == {100, 1, 50}

@@ -22,7 +22,7 @@ Scale notes (the reason each variant exists):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SHINGLE_LEN = 5
@@ -420,4 +420,95 @@ def simhash_neardup_pairs(
         .withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)"))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list -> one row per
+    node ``(node, component)`` with ``component`` = the minimum node id
+    reachable from it.
+
+    The canonical final step of a near-dup pipeline: LSH/Jaccard emit
+    PAIRS, but "keep one copy" needs the transitive closure of those
+    pairs (a~b, b~c => one cluster {a,b,c}).
+
+    Algorithm: min-label propagation with pointer jumping.  Each round
+    does (1) a neighbor step — every node takes the min label over
+    itself and its neighbors (one shuffle on the edge list) — and (2) a
+    pointer-jump step — label(n) <- label(label(n)) (one self-join on
+    the label table, whose size is |V|, not |E|).  Neighbor steps alone
+    need diameter rounds; the jump step short-circuits chains, giving
+    O(log diameter) convergence — the same doubling idea as the
+    large/small-star algorithm used for web-scale graphs.  Lineage is
+    truncated every round with ``localCheckpoint`` (iterative plans
+    otherwise grow unboundedly and re-execute from the scan).
+
+    At 100 TB scale: the per-round cost is one shuffle of E on dst plus
+    one shuffle of V; dup graphs have tiny diameter (near-cliques), so
+    2-4 rounds dominate in practice.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # (1) neighbor min: candidate labels flowing along edges
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .select(F.col("a").alias("node"), "label")
+        )
+        stepped = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # (2) pointer jump: label(n) <- min(label(n), label(label(n)))
+        parent = stepped.select(
+            F.col("node").alias("label"), F.col("label").alias("plabel")
+        )
+        jumped = (
+            stepped.join(parent, "label", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("plabel", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if n_changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Near-dup pair list -> dedup decision table: one row per clustered
+    doc with its canonical representative (min id in the component) and
+    the cluster size.  Downstream "keep one copy" is then a single
+    ``where(doc_id == canonical_id)`` (or an anti-join of the rest)."""
+    cc = connected_components(pairs, src, dst)
+    w_size = F.count(F.lit(1)).over(Window.partitionBy("component"))
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        w_size.alias("cluster_size"),
     )
