@@ -127,3 +127,27 @@ def test_asof_join_random_matches_bruteforce(spark):
         # the window order (last() keeps the final row of equal ts)
         expect = max(cands)[1] if cands else None
         assert got[eid] == expect, (eid, u, ts)
+
+
+def test_salted_join_matches_plain_join_on_skewed_keys(spark):
+    from transcriptomics_data_integration_spark.operators.joins import salted_join
+
+    # 90% of fact rows share one hot key — the straggler shape salting exists for
+    facts = spark.createDataFrame(
+        [(("hot" if i % 10 else f"cold{i}"), i, float(i)) for i in range(500)],
+        ["k", "seq", "v"],
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"cold{i}", f"C{i}") for i in range(0, 500, 10)],
+        ["k", "attr"],
+    )
+
+    plain = {tuple(r) for r in facts.join(dim, ["k"]).collect()}
+    salted = salted_join(facts, dim, ["k"], n_salts=7)
+    assert "_salt" not in salted.columns
+    assert {tuple(r) for r in salted.collect()} == plain
+
+    # left-outer: unmatched fact rows survive with null attr
+    lo = salted_join(facts, dim.where(F.col("k") != "hot"), ["k"], how="left")
+    hot_rows = lo.where(F.col("k") == "hot").collect()
+    assert len(hot_rows) == 450 and all(r["attr"] is None for r in hot_rows)

@@ -168,3 +168,36 @@ def asof_join(
     return attached.where(F.col("_side") == 1).select(
         *lcols, *[f"{c}{suffix}" for c in attach_cols]
     )
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: spread each hot join key over
+    ``n_salts`` shuffle partitions.
+
+    A plain shuffle join sends EVERY row of a hot key to one reducer —
+    the classic straggler at 100 TB (one gene with pathological probe
+    counts, one dup-cluster band bucket holding half the corpus).  Here
+    the fact side gets a deterministic per-row salt
+    (xxhash64 of all columns, mod n_salts) and the dim side is
+    replicated n_salts times, so the join key becomes
+    (key, salt) and each hot key fans out across n_salts reducers.
+    Cost: dim rows x n_salts (dims here are O(10^3-10^6) rows — cheap
+    vs a straggler).  Result is row-identical to the unsalted join.
+
+    Complements AQE's skew-join splitting (PLANS.md): AQE only splits
+    SORT-MERGE join partitions after the fact; salting also covers
+    aggregate-then-join shapes and makes the spread explicit in the
+    plan.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(n_salts))
+    fs = facts.withColumn("_salt", salt.cast("int"))
+    ds = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return fs.join(ds, key_cols + ["_salt"], how).drop("_salt")
