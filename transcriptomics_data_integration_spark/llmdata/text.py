@@ -138,3 +138,34 @@ def duplicate_chunk_stats(
             / F.count(F.lit(1))
         ).alias("dup_chunk_ratio"),
     )
+
+
+def vocab_topk(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-level vocabulary: top-k most frequent lowercase word
+    tokens per group (e.g. per language), with deterministic tie-break
+    (count desc, token asc).
+
+    Plan shape: explode -> partial+final count agg on (group, token) ->
+    per-group rank window.  The window input is the AGGREGATE (one row
+    per distinct token), not the corpus — the only full-data pass is the
+    map-side partial count.  Token skew ("the") is absorbed by the
+    partial aggregation, never a shuffled hot key.
+    """
+    toks = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+    counts = (
+        df.select(F.col(group_col), F.explode(toks).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy(group_col, "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(group_col, "token", "n", "rank")
+    )

@@ -789,3 +789,32 @@ FROM closure
 
 QUERIES_LLM["dedup_clusters"] = q_dedup_clusters
 ORACLES_LLM["dedup_clusters"] = ORACLE_DEDUP_CLUSTERS
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-20 vocabulary over the documents corpus:
+    explode tokens -> (lang, token) count -> per-lang rank window with
+    deterministic tie-break.  The rank window runs on the aggregate
+    (one row per distinct token), never the raw corpus."""
+    from transcriptomics_data_integration_spark.llmdata.text import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), "lang", "text", k=20)
+
+
+ORACLE_VOCAB_TOPK = """
+WITH toks AS (
+  SELECT lang, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents
+), counts AS (
+  SELECT lang, token, COUNT(*) AS n
+  FROM toks WHERE token <> '' GROUP BY lang, token
+), ranked AS (
+  SELECT lang, token, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rank
+  FROM counts
+)
+SELECT lang, token, n, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 20
+"""
+
+QUERIES_LLM["vocab_topk"] = q_vocab_topk
+ORACLES_LLM["vocab_topk"] = ORACLE_VOCAB_TOPK
