@@ -75,15 +75,23 @@ def main() -> None:
         # from thrashing with stale blocks
         spark.catalog.clearCache()
 
+    # min-of-reps per query: single-shot timings on a shared host catch
+    # multi-second stop-the-world GC / scheduler pauses at random (the
+    # same query measures 2-4x run-to-run); the minimum is the engine's
+    # actual steady-state cost
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+            assert n >= 0
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
