@@ -270,10 +270,23 @@ def minhash_lsh_pairs(
     rep_docs = df.join(rep.select(F.col("rep_id").alias(id_col)), id_col)
 
     sh = shingles(rep_docs, id_col, text_col, k)
-    hashed = hashed_shingles(sh, n_hashes).cache()
-    sigs = hashed.groupBy(id_col).agg(
-        *[F.min(f"h{j}").alias(f"m{j}") for j in range(n_hashes)]
+    hashed = hashed_shingles(sh, n_hashes)
+    # ONE pass over the posting relation produces both the signature
+    # columns (element-wise mins) and the per-doc shingle-set array
+    # (collect_set of the h0 shingle ids) — fusing the two aggregations
+    # means the wide 1-row-per-posting intermediate is never cached or
+    # re-aggregated; only the 1-row-per-doc result is (measured: the
+    # posting-level cache materialization was the pipeline's single
+    # largest cost at sf0.1).
+    per_doc = (
+        hashed.groupBy(id_col)
+        .agg(
+            *[F.min(f"h{j}").alias(f"m{j}") for j in range(n_hashes)],
+            F.collect_set("h0").alias("sset"),
+        )
+        .cache()
     )
+    sigs = per_doc.select(id_col, *[f"m{j}" for j in range(n_hashes)])
     cands = lsh_candidates_from_columns(sigs, id_col, n_bands, n_hashes)
     # verification via per-doc shingle-set arrays: two equi-joins on doc
     # id each carrying ONE array row, and a native array_intersect per
@@ -283,7 +296,7 @@ def minhash_lsh_pairs(
     # |reps| x |shingles| posting rows.  The sets hold the 60-bit h0
     # shingle ids (primitive longs, no string-array GC churn); counts —
     # and hence the Jaccard division — are identical to string sets.
-    doc_sets = hashed.groupBy(id_col).agg(F.collect_set("h0").alias("sset"))
+    doc_sets = per_doc.select(id_col, "sset")
     rep_pairs = (
         cands.join(
             doc_sets.select(F.col(id_col).alias("id_a"), F.col("sset").alias("set_a")),
