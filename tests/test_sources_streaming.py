@@ -207,3 +207,61 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     assert joined.count() == 400
     spark.sql("DROP TABLE IF EXISTS bt_facts")
     spark.sql("DROP TABLE IF EXISTS bt_dim")
+
+
+def test_streaming_sessionize_matches_batch_sessions(spark, tmp_path):
+    """Gap-sessionization as a stateful streaming op: sessions split on
+    >30min gaps, state carries open sessions across micro-batches, and
+    the settled view (last emission per session_start) equals the
+    batch-computed sessions over the same events."""
+    from pyspark.sql import types as T
+    from transcriptomics_data_integration_spark.streaming.ingest import (
+        streaming_sessionize,
+    )
+
+    ns = 1_000_000_000
+    # user 1: two sessions (gap at 3000s); the first session SPANS the
+    # file boundary. user 2: one session entirely in the second file.
+    f1 = [(1, 0), (1, 600), (1, 1200)]
+    f2 = [(1, 1800), (1, 5000), (2, 100), (2, 200)]
+    d = tmp_path / "sess"
+    d.mkdir()
+    for name, rows in (("a.csv", f1), ("b.csv", f2)):
+        (d / name).write_text(
+            "user_id\tts\n" + "".join(f"{u}\t{t * ns}\n" for u, t in rows)
+        )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(d), sep="\t", header=True)
+    )
+    out = streaming_sessionize(stream, "user_id", "ts")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    # settled view: last emission per (user, session_start)
+    settled = {}
+    for r in rows:
+        settled[(r["user_id"], r["session_start"])] = (
+            r["session_end"],
+            r["n_events"],
+            r["closed"],
+        )
+    assert settled[(1, 0)] == (1800 * ns, 4, True)          # closed by the gap
+    assert settled[(1, 5000 * ns)] == (5000 * ns, 1, False)  # still open
+    assert settled[(2, 100 * ns)] == (200 * ns, 2, False)

@@ -134,3 +134,62 @@ def streaming_dedup(
             key_cols + [ts_col]
         )
     return stream_df.dropDuplicates(key_cols)
+
+
+def streaming_sessionize(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_ns: int = 1800 * 1_000_000_000,
+) -> DataFrame:
+    """Streaming gap-based sessionization — the stateful-streaming twin
+    of the batch ``sessionize`` suite query (lag + running sum), built
+    on ``applyInPandasWithState``.
+
+    State per key is ONE open session (start, end, count).  Each
+    micro-batch's events extend it; a gap > ``gap_ns`` closes it (the
+    closed session is emitted with ``closed=true``) and opens a new one.
+    The current open session is also emitted every batch with
+    ``closed=false`` (update-mode snapshot), so a downstream consumer
+    always sees the latest state without waiting for a timeout; take the
+    last row per (key, session_start) for the settled view.
+
+    Timestamps are epoch-nanosecond longs (the engine's exact-integer
+    time convention).  Events must be time-ordered ACROSS micro-batches
+    per key (within a batch they are sorted here) — the file-arrival
+    ingest seam delivers that; for out-of-order sources put a
+    watermarked buffer in front.
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        start, end, n = state.get if state.exists else (None, None, 0)
+        out_rows = []
+        for pdf in pdfs:
+            for ts in pdf[ts_col].sort_values():
+                ts = int(ts)
+                if start is None:
+                    start, end, n = ts, ts, 1
+                elif ts - end > gap_ns:
+                    out_rows.append((key[0], start, end, n, True))
+                    start, end, n = ts, ts, 1
+                else:
+                    end, n = max(end, ts), n + 1
+        state.update((start, end, n))
+        if start is not None:
+            out_rows.append((key[0], start, end, n, False))
+        yield pd.DataFrame(
+            out_rows,
+            columns=[key_col, "session_start", "session_end", "n_events", "closed"],
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} long, session_start long, session_end long, "
+            "n_events long, closed boolean"
+        ),
+        stateStructType="start long, end long, n long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
