@@ -98,6 +98,28 @@ def probe_cosine_neardup(spark, copies: int) -> dict:
             "sec": round(time.perf_counter() - t0, 2)}
 
 
+def probe_connected_components(spark, n_nodes: int, chain_len: int) -> dict:
+    """CC scale axes: many small components (clique-ish dup clusters)
+    plus ONE chain of ``chain_len`` nodes — the adversarial diameter
+    that pointer jumping must collapse in O(log chain_len) rounds."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.range(n_nodes).select(
+        (F.col("id") * 2).alias("id_a"), (F.col("id") * 2 + 1).alias("id_b")
+    )
+    chain = spark.range(chain_len - 1).select(
+        (F.lit(10_000_000) + F.col("id")).alias("id_a"),
+        (F.lit(10_000_001) + F.col("id")).alias("id_b"),
+    )
+    t0 = time.perf_counter()
+    cc = connected_components(pairs.unionByName(chain))
+    n_comp = cc.groupBy("component").count().count()
+    return {"probe": f"cc_{n_nodes}pairs_chain{chain_len}",
+            "rows_out": n_comp, "sec": round(time.perf_counter() - t0, 2)}
+
+
 def main() -> None:
     spark = get_spark("scale-probe")
     # warm codegen at base scale
@@ -114,6 +136,8 @@ def main() -> None:
         (probe_qnorm, (10,)),
         (probe_cosine_neardup, (1,)),
         (probe_cosine_neardup, (4,)),
+        (probe_connected_components, (10_000, 64)),
+        (probe_connected_components, (100_000, 1024)),
     ]:
         spark.catalog.clearCache()
         print(json.dumps(fn(spark, *args)), flush=True)
