@@ -309,3 +309,27 @@ def test_connected_components_chain_and_cliques(spark):
     # "keep one copy" contract: exactly one canonical per component
     canonicals = {r["canonical_id"] for r in out}
     assert canonicals == {100, 1, 50}
+
+
+def test_quantization_roundtrip_error_bound(spark):
+    from transcriptomics_data_integration_spark.llmdata.similarity import (
+        quantization_error,
+        quantize_embeddings,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [127.0, -127.0, 63.5, 1.0]),
+            (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector: scale 0, zero codes
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = {r["vec_id"]: r for r in quantize_embeddings(emb).collect()}
+    assert q[1]["codes"] == [127, -64, 32, 0]  # scale = 1/127
+    assert q[2]["codes"] == [127, -127, 64, 1]  # scale = 1.0
+    assert q[3]["scale"] == 0.0 and q[3]["codes"] == [0, 0, 0, 0]
+
+    errs = {r["vec_id"]: r for r in quantization_error(emb).collect()}
+    for vid, r in errs.items():
+        assert r["max_err"] <= r["scale"] / 2 + 1e-12, vid

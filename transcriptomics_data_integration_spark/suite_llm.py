@@ -818,3 +818,57 @@ SELECT lang, token, n, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 2
 
 QUERIES_LLM["vocab_topk"] = q_vocab_topk
 ORACLES_LLM["vocab_topk"] = ORACLE_VOCAB_TOPK
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization of the embedding column with its
+    reconstruction-error report — the 4x-storage scale path for vector
+    corpora.  max_err <= scale/2 by construction; all arithmetic is
+    plain double SQL, reproduced exactly by the DuckDB oracle."""
+    from transcriptomics_data_integration_spark.llmdata.similarity import (
+        quantization_error,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = quantization_error(emb)
+    return out.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.round("max_err", 9).alias("max_err"),
+        F.round("mse", 12).alias("mse"),
+    )
+
+
+ORACLE_EMBEDDING_QUANTIZE = """
+WITH q AS (
+  SELECT vec_id, embedding,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))),
+           (acc, v) -> greatest(acc, v)) / 127.0 AS scale
+  FROM embeddings
+), coded AS (
+  SELECT vec_id, embedding, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(embedding,
+                     v -> CAST(round(CAST(v AS DOUBLE) / scale) AS INTEGER))
+              ELSE list_transform(embedding, v -> 0) END AS codes
+  FROM q
+), errs AS (
+  SELECT vec_id, scale,
+         list_zip(embedding, codes) AS vz
+  FROM coded
+)
+SELECT vec_id,
+       ROUND(scale, 9) AS scale,
+       ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         list_transform(vz, p -> abs(CAST(p[1] AS DOUBLE) - p[2] * scale))),
+         (acc, e) -> greatest(acc, e)), 9) AS max_err,
+       ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         list_transform(vz, p -> (CAST(p[1] AS DOUBLE) - p[2] * scale)
+                                 * (CAST(p[1] AS DOUBLE) - p[2] * scale))),
+         (acc, e) -> acc + e) / len(vz), 12) AS mse
+FROM errs
+"""
+
+QUERIES_LLM["embedding_quantize"] = q_embedding_quantize
+ORACLES_LLM["embedding_quantize"] = ORACLE_EMBEDDING_QUANTIZE
