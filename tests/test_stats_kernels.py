@@ -249,3 +249,56 @@ def test_bh_histogram_property_random_psets(spark):
             ).collect()
         }
         assert hist == exact
+
+
+def test_bh_property_random_ties_match_r_padjust(spark):
+    """Property test (SURVEY.md §7 hard part: exact BH tie semantics):
+    on randomly generated p-vectors WITH deliberate ties, both BH
+    variants match a literal transcription of R's p.adjust(method="BH")
+    (cummin over p*n/rank in decreasing-p order)."""
+    import random
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from transcriptomics_data_integration_spark.stats.bh import (
+        bh_adjust,
+        bh_adjust_histogram,
+    )
+
+    def r_p_adjust_bh(ps):
+        n = len(ps)
+        order = sorted(range(n), key=lambda i: -ps[i])
+        out = [0.0] * n
+        running = 1.0
+        for pos, i in enumerate(order):
+            rank = n - pos
+            running = min(running, ps[i] * n / rank)
+            out[i] = running
+        return out
+
+    @given(
+        st.lists(
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False, width=32),
+            min_size=1,
+            max_size=40,
+        ),
+        st.randoms(use_true_random=False),
+    )
+    @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+    def check(ps, rnd):
+        # inject ties: duplicate a random subset of the values
+        ps = ps + [rnd.choice(ps) for _ in range(rnd.randrange(0, 4))]
+        expected = r_p_adjust_bh(ps)
+        df = spark.createDataFrame(
+            [(i, float(p)) for i, p in enumerate(ps)], "id long, p double"
+        )
+        for variant in (
+            lambda d: bh_adjust(d, "p", "adj", tiebreak_col="id"),
+            lambda d: bh_adjust_histogram(d, "p", "adj", tiebreak_col="id", n_buckets=8),
+        ):
+            got = {r["id"]: r["adj"] for r in variant(df).collect()}
+            for i, e in enumerate(expected):
+                assert abs(got[i] - e) < 1e-12, (i, got[i], e, ps)
+
+    check()
