@@ -333,3 +333,29 @@ def test_quantization_roundtrip_error_bound(spark):
     errs = {r["vec_id"]: r for r in quantization_error(emb).collect()}
     for vid, r in errs.items():
         assert r["max_err"] <= r["scale"] / 2 + 1e-12, vid
+
+
+def test_sampling_deterministic_and_exact(spark):
+    from transcriptomics_data_integration_spark.llmdata.sampling import (
+        hash_sample,
+        stratified_sample_exact,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr") for i in range(300)], "doc_id long, lang string"
+    )
+    s1 = sorted(r["doc_id"] for r in hash_sample(docs, "doc_id", 0.25).collect())
+    s2 = sorted(
+        r["doc_id"]
+        for r in hash_sample(docs.repartition(7), "doc_id", 0.25).collect()
+    )
+    assert s1 == s2  # membership survives re-partitioning
+    assert 40 <= len(s1) <= 110  # ~25% of 300, hash-uniform
+
+    strat = stratified_sample_exact(docs, "lang", "doc_id", 10).collect()
+    by_lang = {}
+    for r in strat:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert len(by_lang["en"]) == 10 and len(by_lang["fr"]) == 10
+    again = stratified_sample_exact(docs, "lang", "doc_id", 10).collect()
+    assert sorted(map(tuple, strat)) == sorted(map(tuple, again))

@@ -872,3 +872,44 @@ FROM errs
 
 QUERIES_LLM["embedding_quantize"] = q_embedding_quantize
 ORACLES_LLM["embedding_quantize"] = ORACLE_EMBEDDING_QUANTIZE
+
+
+def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus sampling: a 20% Bernoulli hash-sample of the
+    documents plus an exactly-5-per-language stratified sample, tagged
+    and unioned.  Membership is a pure function of doc_id (md5-keyed),
+    so the sample is identical across engines, retries, and partitionings
+    — the reproducibility contract rand() sampling can't give."""
+    from transcriptomics_data_integration_spark.llmdata.sampling import (
+        hash_sample,
+        stratified_sample_exact,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    bern = hash_sample(docs, "doc_id", 0.2).withColumn("method", F.lit("bernoulli"))
+    strat = stratified_sample_exact(docs, "lang", "doc_id", 5).withColumn(
+        "method", F.lit("stratified")
+    )
+    return bern.unionByName(strat).select("method", "doc_id", "lang")
+
+
+ORACLE_DOC_SAMPLE = """
+WITH hashed AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM documents
+), bern AS (
+  SELECT 'bernoulli' AS method, doc_id, lang FROM hashed
+  WHERE h < CAST(0.2 * 1152921504606846976 AS BIGINT)
+), strat AS (
+  SELECT 'stratified' AS method, doc_id, lang FROM (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rn
+    FROM hashed
+  ) WHERE rn <= 5
+)
+SELECT * FROM bern UNION ALL SELECT * FROM strat
+"""
+
+QUERIES_LLM["doc_sample"] = q_doc_sample
+ORACLES_LLM["doc_sample"] = ORACLE_DOC_SAMPLE
