@@ -359,3 +359,34 @@ def test_sampling_deterministic_and_exact(spark):
     assert len(by_lang["en"]) == 10 and len(by_lang["fr"]) == 10
     again = stratified_sample_exact(docs, "lang", "doc_id", 10).collect()
     assert sorted(map(tuple, strat)) == sorted(map(tuple, again))
+
+
+def test_pack_sequences_partitions_token_stream(spark):
+    from transcriptomics_data_integration_spark.llmdata.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 950), (3, 2500), (4, 1), (5, 0)],  # doc 3 spans seqs; doc 5 dropped
+        "doc_id long, n_toks long",
+    )
+    rows = pack_sequences(docs, "doc_id", "n_toks", 1024).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 5 not in by_doc
+    # stream: d1 [0,100) d2 [100,1050) d3 [1050,3550) d4 [3550,3551)
+    assert [(r["seq_id"], r["seq_offset"], r["n_tokens"]) for r in by_doc[2]] == [
+        (0, 100, 924), (1, 0, 26)
+    ]
+    assert len(by_doc[3]) == 3  # spans seqs 1,2,3
+    # conservation: every token lands in exactly one (doc, seq) slot
+    assert sum(r["n_tokens"] for r in rows) == 100 + 950 + 2500 + 1
+    # within each sequence, slots tile [0, 1024) without overlap
+    seqs = {}
+    for r in rows:
+        seqs.setdefault(r["seq_id"], []).append((r["seq_offset"], r["n_tokens"]))
+    for sid, slots in seqs.items():
+        slots.sort()
+        pos = slots[0][0]
+        for off, n in slots:
+            assert off == pos
+            pos = off + n

@@ -48,3 +48,55 @@ def stratified_sample_exact(
         .where(F.col("_rn") <= n_per_group)
         .drop("_rn")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    seq_len: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay documents end-to-end in
+    ``order_col`` order and cut the token stream into fixed
+    ``seq_len`` windows — the standard packing step that turns a corpus
+    into training sequences with zero padding waste.
+
+    Output: one row per (document, sequence) overlap —
+    ``(id, seq_id, doc_offset, seq_offset, n_tokens)`` — a document
+    longer than a sequence spans several rows; short documents share a
+    sequence.  Pure window + explode arithmetic: a prefix sum places
+    each document in the global token stream, and the spanned sequence
+    ids enumerate with ``sequence()``.
+
+    The prefix sum is a single global-order window here; at corpus
+    scale, shard first (pack per shard/source — the packing quality is
+    identical) or substitute the two-pass bucket prefix sum used by
+    ``bh_adjust_histogram``.  Zero-token documents are dropped (they
+    occupy no stream positions).
+    """
+    order = order_col or id_col
+    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+    placed = (
+        df.where(F.col(tokens_col) > 0)
+        .withColumn("_start", F.coalesce(F.sum(tokens_col).over(w), F.lit(0)))
+        .withColumn("_end", F.col("_start") + F.col(tokens_col))
+    )
+    spanned = placed.withColumn(
+        "seq_id",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_start") / seq_len),
+                F.floor((F.col("_end") - 1) / seq_len),
+            )
+        ),
+    )
+    ov_start = F.greatest(F.col("_start"), F.col("seq_id") * seq_len)
+    ov_end = F.least(F.col("_end"), (F.col("seq_id") + 1) * seq_len)
+    return spanned.select(
+        F.col(id_col),
+        F.col("seq_id").cast("long"),
+        (ov_start - F.col("_start")).alias("doc_offset"),
+        (ov_start - F.col("seq_id") * seq_len).alias("seq_offset"),
+        (ov_end - ov_start).alias("n_tokens"),
+    )

@@ -913,3 +913,37 @@ SELECT * FROM bern UNION ALL SELECT * FROM strat
 
 QUERIES_LLM["doc_sample"] = q_doc_sample
 ORACLES_LLM["doc_sample"] = ORACLE_DOC_SAMPLE
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing of the documents corpus into 2048-token
+    training sequences (token proxy: n_chars).  One row per
+    (doc, sequence) overlap; prefix-sum placement + sequence-id
+    explode, reproduced exactly by the oracle's window SQL."""
+    from transcriptomics_data_integration_spark.llmdata.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pack_sequences(docs, "doc_id", "n_chars", 2048)
+
+
+ORACLE_PACK_SEQUENCES = """
+WITH placed AS (
+  SELECT doc_id, n_chars,
+         CAST(COALESCE(SUM(n_chars) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS s
+  FROM documents WHERE n_chars > 0
+), spanned AS (
+  SELECT doc_id, s, s + n_chars AS e,
+         UNNEST(generate_series(CAST(s // 2048 AS BIGINT), CAST((s + n_chars - 1) // 2048 AS BIGINT))) AS seq_id
+  FROM placed
+)
+SELECT doc_id, seq_id,
+       GREATEST(s, seq_id * 2048) - s AS doc_offset,
+       GREATEST(s, seq_id * 2048) - seq_id * 2048 AS seq_offset,
+       LEAST(e, (seq_id + 1) * 2048) - GREATEST(s, seq_id * 2048) AS n_tokens
+FROM spanned
+"""
+
+QUERIES_LLM["pack_sequences"] = q_pack_sequences
+ORACLES_LLM["pack_sequences"] = ORACLE_PACK_SEQUENCES
