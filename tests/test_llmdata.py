@@ -390,3 +390,23 @@ def test_pack_sequences_partitions_token_stream(spark):
         for off, n in slots:
             assert off == pos
             pos = off + n
+
+
+def test_contamination_flags_overlapping_docs(spark):
+    from transcriptomics_data_integration_spark.llmdata.text import contamination_check
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "entirely unrelated content with zero overlap at all?!"),
+            (3, "quick brown fox"),  # partial overlap with eval doc 100
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox ran home")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in contamination_check(train, eval_docs).collect()}
+    assert 2 not in got  # clean doc not emitted
+    assert got[1]["n_shared"] > got[3]["n_shared"] > 0
+    assert got[1]["n_eval_docs"] == 1

@@ -169,3 +169,36 @@ def vocab_topk(
         .where(F.col("rank") <= k)
         .select(group_col, "token", "n", "rank")
     )
+
+
+def contamination_check(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Eval-set contamination report: for each training document, how
+    many of its distinct character k-shingles also appear in the eval
+    corpus, and how many eval documents it collides with.
+
+    The decontamination step of a corpus pipeline: training documents
+    overlapping a benchmark are flagged (high n_shared) for removal.
+    Plan shape: the eval shingle inventory is tiny next to the corpus —
+    build it once, let the train-side explode join against it broadcast
+    (no fact shuffle), aggregate per training doc.  Only training docs
+    with at least one collision are emitted.
+    """
+    from transcriptomics_data_integration_spark.llmdata.dedup import shingles
+
+    tr = shingles(train, id_col, text_col, k)
+    ev = (
+        shingles(eval_docs, id_col, text_col, k)
+        .select(F.col(id_col).alias("eval_id"), "shingle")
+        .distinct()
+    )
+    hits = tr.join(F.broadcast(ev), "shingle")
+    return hits.groupBy(id_col).agg(
+        F.countDistinct("shingle").alias("n_shared"),
+        F.countDistinct("eval_id").alias("n_eval_docs"),
+    )

@@ -947,3 +947,35 @@ FROM spanned
 
 QUERIES_LLM["pack_sequences"] = q_pack_sequences
 ORACLES_LLM["pack_sequences"] = ORACLE_PACK_SEQUENCES
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination screen: training docs (doc_id % 97 != 0) scored
+    by 5-gram overlap against the held-out eval slice (doc_id % 97 == 0).
+    Eval shingle inventory broadcasts; the corpus side never shuffles
+    before the per-doc aggregate."""
+    from transcriptomics_data_integration_spark.llmdata.text import contamination_check
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+    return contamination_check(train, eval_docs)
+
+
+ORACLE_CONTAMINATION = f"""
+WITH tr AS (
+  SELECT doc_id, UNNEST({_SHINGLE_SQL}) AS shingle
+  FROM documents WHERE doc_id % 97 <> 0
+), ev AS (
+  SELECT DISTINCT doc_id AS eval_id, UNNEST({_SHINGLE_SQL}) AS shingle
+  FROM documents WHERE doc_id % 97 = 0
+)
+SELECT tr.doc_id,
+       COUNT(DISTINCT tr.shingle) AS n_shared,
+       COUNT(DISTINCT ev.eval_id) AS n_eval_docs
+FROM tr JOIN ev ON tr.shingle = ev.shingle
+GROUP BY tr.doc_id
+"""
+
+QUERIES_LLM["contamination"] = q_contamination
+ORACLES_LLM["contamination"] = ORACLE_CONTAMINATION
