@@ -121,3 +121,20 @@ def test_top_k_by(spark):
     df = spark.createDataFrame([("a", 3.0), ("b", 9.0), ("c", 9.0), ("d", 1.0)], ["id", "v"])
     out = [r["id"] for r in top_k_by(df, "v", 2, "id").collect()]
     assert set(out) == {"b", "c"}
+
+
+def test_skyline_2d_pareto_front(spark):
+    from transcriptomics_data_integration_spark.operators.aggregates import skyline_2d
+
+    pts = spark.createDataFrame(
+        [(1.0, 5), (2.0, 3), (3.0, 1), (2.5, 3), (1.0, 5), (4.0, 1), (0.5, 9)],
+        "x double, y int",
+    )
+    sky = {(r["x"], r["y"]): r["n_rows"] for r in skyline_2d(pts, "x", "y").collect()}
+    # front: (0.5,9) (1,5) (2,3) (3,1); (2.5,3) dominated by (2,3); (4,1) by (3,1)
+    assert set(sky) == {(0.5, 9), (1.0, 5), (2.0, 3), (3.0, 1)}
+    assert sky[(1.0, 5)] == 2  # duplicate rows counted
+
+    # maximization flips the front
+    sky_max = {(r["x"], r["y"]) for r in skyline_2d(pts, "x", "y", minimize=False).collect()}
+    assert sky_max == {(4.0, 1), (2.5, 3), (2.0, 3), (1.0, 5), (0.5, 9)} - {(2.0, 3)}

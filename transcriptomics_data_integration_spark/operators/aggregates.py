@@ -97,3 +97,43 @@ def set_compare(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
         F.sum(F.when(F.col("_in_b").isNull(), 1).otherwise(0)).alias("n_only_a"),
         F.sum(F.when(F.col("_in_a").isNull(), 1).otherwise(0)).alias("n_only_b"),
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    minimize: bool = True,
+) -> DataFrame:
+    """2-D skyline (Pareto front): the distinct (x, y) pairs not
+    dominated by any other pair (dominated = other point <= in both
+    coordinates, < in at least one; minimization by default).
+
+    Not a quadratic dominance join: after deduplicating to distinct
+    pairs and sorting by (x, y), a pair is dominated exactly when the
+    running minimum of y over its sort-predecessors is <= its own y
+    (predecessors have x <= it; ties resolved by distinctness) — ONE
+    sort window over the deduplicated relation.  The skyline-over-
+    aggregates pattern of the Spark SQL skyline literature, as a plan
+    shape instead of an operator extension.
+    """
+    sign = 1 if minimize else -1
+    pairs = (
+        df.select(
+            (F.col(x_col) * sign).alias("_x"), (F.col(y_col) * sign).alias("_y")
+        )
+        .groupBy("_x", "_y")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    w = Window.orderBy(F.col("_x").asc(), F.col("_y").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        pairs.withColumn("_prev_min_y", F.min("_y").over(w))
+        .where(F.col("_prev_min_y").isNull() | (F.col("_prev_min_y") > F.col("_y")))
+        .select(
+            (F.col("_x") * sign).alias(x_col),
+            (F.col("_y") * sign).alias(y_col),
+            "n_rows",
+        )
+    )

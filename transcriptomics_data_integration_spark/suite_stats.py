@@ -927,3 +927,37 @@ FROM t CROSS JOIN prior
 
 QUERIES_STATS["moderated_lmfit"] = q_moderated_lmfit
 ORACLES_STATS["moderated_lmfit"] = _oracle_moderated_lmfit()
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto front of parts minimizing (retailprice, size):
+    distinct-pair dedup + ONE running-min sort window instead of a
+    quadratic dominance self-join (`operators/aggregates.py:
+    skyline_2d`)."""
+    from transcriptomics_data_integration_spark.operators.aggregates import skyline_2d
+
+    part = _t(spark, sf_dir, "part")
+    out = skyline_2d(part, "p_retailprice", "p_size")
+    return out.select(
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("long").alias("p_size"),
+        "n_rows",
+    )
+
+
+ORACLE_SKYLINE = """
+WITH pairs AS (
+  SELECT p_retailprice AS x, p_size AS y, COUNT(*) AS n_rows
+  FROM part GROUP BY 1, 2
+), marked AS (
+  SELECT x, y, n_rows,
+         MIN(y) OVER (ORDER BY x ASC, y ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_min_y
+  FROM pairs
+)
+SELECT CAST(x AS DOUBLE) AS p_retailprice, CAST(y AS BIGINT) AS p_size, n_rows
+FROM marked WHERE prev_min_y IS NULL OR prev_min_y > y
+"""
+
+QUERIES_STATS["skyline"] = q_skyline
+ORACLES_STATS["skyline"] = ORACLE_SKYLINE
