@@ -50,6 +50,13 @@ BENCH_QUERIES = [
     "bh_histogram",
     "sessionize",
     "asof_join",
+    "vocab_topk",
+    "dedup_clusters",
+    "doc_sample",
+    "pack_sequences",
+    "contamination",
+    "embedding_quantize",
+    "skyline",
 ]
 
 

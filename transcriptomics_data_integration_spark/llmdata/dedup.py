@@ -474,6 +474,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    prev_sum = None
     for _ in range(max_iter):
         # (1) neighbor min: candidate labels flowing along edges
         nbr = (
@@ -497,15 +498,17 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        n_changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
         labels = jumped
-        if n_changed == 0:
+        # labels only ever DECREASE, so convergence <=> sum(label) is
+        # unchanged — one shuffle-free aggregate over the checkpointed
+        # |V| rows instead of an old-vs-new join per round (decimal sum:
+        # exact at any node-id magnitude)
+        cur_sum = jumped.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if prev_sum is not None and cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select("node", F.col("label").alias("component"))
 
 
