@@ -410,3 +410,22 @@ def test_contamination_flags_overlapping_docs(spark):
     assert 2 not in got  # clean doc not emitted
     assert got[1]["n_shared"] > got[3]["n_shared"] > 0
     assert got[1]["n_eval_docs"] == 1
+
+
+def test_language_id_ngram_profiles(spark):
+    from transcriptomics_data_integration_spark.llmdata.text import language_id_ngram
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The king and the queen are singing of the nation"),
+            (2, "les enfants de la ville sont dans les rues anciennes"),
+            (3, "der Hund und die Katze schlafen nicht in der Nacht"),
+            (4, "zzzz qqqq xxxx"),  # no profile trigrams at all
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in language_id_ngram(docs).collect()}
+    assert got[1]["lang_pred"] == "en"
+    assert got[2]["lang_pred"] == "fr"
+    assert got[3]["lang_pred"] == "de"
+    assert got[4]["lang_pred"] == "und" and got[4]["score"] == 0

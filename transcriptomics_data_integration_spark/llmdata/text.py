@@ -202,3 +202,54 @@ def contamination_check(
         F.countDistinct("shingle").alias("n_shared"),
         F.countDistinct("eval_id").alias("n_eval_docs"),
     )
+
+
+# Characteristic character trigrams per language (space = word
+# boundary).  Small profiles are enough to separate en/fr/de prose;
+# extend per language as needed.
+TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "he ", " th", "ing", "and", "ion", " of"),
+    "fr": ("les", " le", "de ", "ent", "que", " de", "ais"),
+    "de": ("der", "die", "und", "sch", "ein", "ich", "cht"),
+}
+
+
+def language_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-n-gram language ID: score = number of DISTINCT profile
+    trigrams present per language in the lowered text; argmax with
+    deterministic tie-break, 'und'(etermined) when no profile trigram
+    appears.
+
+    The n-gram-profile mechanism (Cavnar-Trenkle style, reduced to
+    fixed literal profiles) — complements the stopword-marker
+    ``language_id``.  Plan: explode trigrams -> broadcast join to the
+    tiny profile dim -> per-(doc, lang) count -> argmax window on the
+    aggregate.
+    """
+    from transcriptomics_data_integration_spark.llmdata.dedup import shingles
+
+    profile_rows = [
+        (lang, tg) for lang, tgs in TRIGRAM_PROFILES.items() for tg in tgs
+    ]
+    spark = df.sparkSession
+    profiles = spark.createDataFrame(profile_rows, "lang_cand string, shingle string")
+    lowered = df.select("doc_id", F.lower(F.col(text_col)).alias("_lt"))
+    tri = shingles(lowered, "doc_id", "_lt", k=3)
+    scores = (
+        tri.join(F.broadcast(profiles), "shingle")
+        .groupBy("doc_id", "lang_cand")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang_cand").asc()
+    )
+    best = (
+        scores.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", F.col("lang_cand").alias("lang_pred"), "score")
+    )
+    return df.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"),
+        F.coalesce("score", F.lit(0)).alias("score"),
+    )

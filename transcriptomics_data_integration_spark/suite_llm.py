@@ -979,3 +979,54 @@ GROUP BY tr.doc_id
 
 QUERIES_LLM["contamination"] = q_contamination
 ORACLES_LLM["contamination"] = ORACLE_CONTAMINATION
+
+
+def q_language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram-profile language ID (Cavnar-Trenkle-style
+    presence scoring) over the documents corpus, aggregated to
+    per-language counts — the n-gram companion to the stopword-marker
+    `language_id`."""
+    from transcriptomics_data_integration_spark.llmdata.text import language_id_ngram
+
+    docs = _t(spark, sf_dir, "documents")
+    out = language_id_ngram(docs)
+    return out.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("score").alias("total_score")
+    )
+
+
+ORACLE_LANGUAGE_ID_NGRAM = """
+WITH profiles(lang_cand, shingle) AS (
+  VALUES ('en','the'),('en','he '),('en',' th'),('en','ing'),('en','and'),
+         ('en','ion'),('en',' of'),
+         ('fr','les'),('fr',' le'),('fr','de '),('fr','ent'),('fr','que'),
+         ('fr',' de'),('fr','ais'),
+         ('de','der'),('de','die'),('de','und'),('de','sch'),('de','ein'),
+         ('de','ich'),('de','cht')
+), tri AS (
+  SELECT doc_id,
+         UNNEST(list_distinct(list_transform(
+           generate_series(1, greatest(length(text) - 2, 1)),
+           i -> substr(lower(text), i, 3)))) AS shingle
+  FROM documents
+), scores AS (
+  SELECT doc_id, lang_cand, COUNT(*) AS score
+  FROM tri JOIN profiles USING (shingle)
+  GROUP BY doc_id, lang_cand
+), best AS (
+  SELECT doc_id, lang_cand AS lang_pred, score FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, lang_cand ASC) AS rn
+    FROM scores
+  ) WHERE rn = 1
+), labelled AS (
+  SELECT d.doc_id, COALESCE(b.lang_pred, 'und') AS lang_pred,
+         COALESCE(b.score, 0) AS score
+  FROM documents d LEFT JOIN best b USING (doc_id)
+)
+SELECT lang_pred, COUNT(*) AS n_docs, CAST(SUM(score) AS BIGINT) AS total_score
+FROM labelled GROUP BY lang_pred
+"""
+
+QUERIES_LLM["language_id_ngram"] = q_language_id_ngram
+ORACLES_LLM["language_id_ngram"] = ORACLE_LANGUAGE_ID_NGRAM
