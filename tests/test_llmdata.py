@@ -429,3 +429,28 @@ def test_language_id_ngram_profiles(spark):
     assert got[2]["lang_pred"] == "fr"
     assert got[3]["lang_pred"] == "de"
     assert got[4]["lang_pred"] == "und" and got[4]["score"] == 0
+
+
+def test_resize_media_composes_with_featurize(spark):
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        attach_binary_payload,
+        featurize_media,
+        frame_sample,
+        resize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "x" * 5000)], "doc_id long, text string"
+    )
+    media = attach_binary_payload(docs, "doc_id")
+    rs = resize_media(media, 224, 224)
+    rows = {r["media_id"]: r for r in rs.collect()}
+    budget = (224 * 224) // 256
+    assert rows[1]["n_bytes"] == budget == len(rows[1]["payload"])
+    assert rows[2]["n_bytes"] == budget
+    assert (rows[1]["width"], rows[1]["height"]) == (224, 224)
+    # downstream ops compose on the resized payloads
+    feat = {r["media_id"]: r for r in featurize_media(rs).collect()}
+    assert feat[1]["n_bytes"] == budget
+    frames = frame_sample(rs, "media_id", n_frames=4).collect()
+    assert len(frames) == 8

@@ -89,3 +89,50 @@ def frame_sample(df: DataFrame, id_col: str, n_frames: int = 4) -> DataFrame:
         "byte_offset",
         (F.col("frame_no") * F.col("n_bytes") / n_frames).cast("int"),
     )
+
+
+def _resize_stub(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """STUB: a real implementation decodes with PIL/opencv, resamples,
+    and re-encodes.  Deterministic fake: truncate/tile the payload to a
+    size proportional to the target pixel count so batch shapes and
+    byte budgets behave like a real resize.
+    """
+    n_out = max(1, (target_w * target_h) // 256)
+    reps = (n_out // max(len(payload), 1)) + 1
+    return (payload * reps)[:n_out]
+    # real path (library not in container):
+    # raise NotImplementedError("image resize requires PIL/opencv")
+
+
+def resize_media(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """mapInPandas resize over binary payloads — the
+    preprocess-to-model-resolution step of an image pipeline, with the
+    decode/resample stubbed (`_resize_stub`) and the Spark plumbing
+    (Arrow batching, binary-in/binary-out schema, per-row metadata)
+    real.
+
+    Output keeps the payload column name so downstream featurize/frame
+    ops compose unchanged.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(lambda b: _resize_stub(b, target_w, target_h))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": resized,
+                    "n_bytes": resized.map(len).astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return df.mapInPandas(
+        op,
+        schema=(
+            "media_id long, payload binary, n_bytes long, "
+            "media_type string, width int, height int"
+        ),
+    )
