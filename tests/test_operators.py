@@ -138,3 +138,16 @@ def test_skyline_2d_pareto_front(spark):
     # maximization flips the front
     sky_max = {(r["x"], r["y"]) for r in skyline_2d(pts, "x", "y", minimize=False).collect()}
     assert sky_max == {(4.0, 1), (2.5, 3), (2.0, 3), (1.0, 5), (0.5, 9)} - {(2.0, 3)}
+
+
+def test_quantile_sketch_bounds_exact(spark):
+    """A10 scale path: approx_percentile thresholds stay within a tight
+    rank neighborhood of the exact percentiles."""
+    import transcriptomics_data_integration_spark.suite as suite
+
+    sf = "/root/testdata/sf0.001"
+    exact = [r["threshold"] for r in suite.QUERIES["quantile_thresholds"](spark, sf).collect()]
+    approx = [r["threshold"] for r in suite.QUERIES["quantile_sketch"](spark, sf).collect()]
+    assert len(exact) == len(approx) == 5
+    for e, a in zip(exact, approx):
+        assert abs(a - e) / e < 0.02, (e, a)

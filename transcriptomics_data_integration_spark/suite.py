@@ -1087,3 +1087,25 @@ ORACLES: dict[str, str] = {
 
 ORACLES.update(ORACLES_STATS)
 ORACLES.update(ORACLES_NORM)
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 scale path — the same thresholds as ``quantile_thresholds``
+    but via ``approx_percentile`` (mergeable quantile sketch, partial+
+    final agg, no global sort): at 100 TB the exact percentile's
+    full-column materialization gives way to the sketch, whose error is
+    bounded by the accuracy parameter (1e4 -> <=0.01% rank error).
+    Sketch internals are engine-specific, so this is a rows-only
+    contract entry; the unit test bounds it against the exact values.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    agg = orders.agg(
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.1D, 0.25D, 0.5D, 0.75D, 0.9D), 10000)"
+        ).alias("_p")
+    )
+    return agg.select(F.posexplode("_p").alias("pos", "threshold"))
+
+
+QUERIES["quantile_sketch"] = q_quantile_sketch
