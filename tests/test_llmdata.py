@@ -454,3 +454,12 @@ def test_resize_media_composes_with_featurize(spark):
     assert feat[1]["n_bytes"] == budget
     frames = frame_sample(rs, "media_id", n_frames=4).collect()
     assert len(frames) == 8
+
+
+def test_vocab_size_sketch_within_rsd(spark):
+    import transcriptomics_data_integration_spark.suite as suite
+
+    rows = suite.QUERIES["vocab_size_sketch"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert abs(r["vocab_hll"] - r["vocab_exact"]) / r["vocab_exact"] < 0.05, tuple(r)

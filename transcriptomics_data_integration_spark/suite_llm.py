@@ -1030,3 +1030,25 @@ FROM labelled GROUP BY lang_pred
 
 QUERIES_LLM["language_id_ngram"] = q_language_id_ngram
 ORACLES_LLM["language_id_ngram"] = ORACLE_LANGUAGE_ID_NGRAM
+
+
+def q_vocab_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token vocabulary size per language, exact
+    (count_distinct) side-by-side with the HLL++ sketch
+    (approx_count_distinct, 1% rsd) — the mergeable-sketch path that
+    replaces the exact distinct's full shuffle at corpus scale.  Sketch
+    estimates are engine-specific: rows-only contract entry; the unit
+    test bounds the estimate against the exact count.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("token"),
+    ).where(F.col("token") != "")
+    return toks.groupBy("lang").agg(
+        F.countDistinct("token").alias("vocab_exact"),
+        F.approx_count_distinct("token", 0.01).alias("vocab_hll"),
+    )
+
+
+QUERIES_LLM["vocab_size_sketch"] = q_vocab_size_sketch
