@@ -1052,3 +1052,41 @@ def q_vocab_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_LLM["vocab_size_sketch"] = q_vocab_size_sketch
+
+
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling one-hour window over event time (RANGE frame on
+    nanosecond longs): for each event, the count and decimal-exact sum
+    of values in the preceding hour including itself.  The
+    time-RANGE-frame member of the window family — unlike ROWS frames
+    the boundary is a value offset, so ties and gaps are handled by
+    event time, not row position."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(-_NS_PER_H + 1, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.expr(f"ts div {_NS_PER_S}").alias("ts_sec"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("sum_1h"),
+    )
+
+
+ORACLE_ROLLING_STATS = """
+SELECT event_id, user_id,
+       CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec,
+       COUNT(*) OVER w AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_ns(ts)
+  RANGE BETWEEN 3599999999999 PRECEDING AND CURRENT ROW
+)
+"""
+
+QUERIES_LLM["rolling_stats"] = q_rolling_stats
+ORACLES_LLM["rolling_stats"] = ORACLE_ROLLING_STATS
