@@ -1109,3 +1109,35 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["quantile_sketch"] = q_quantile_sketch
+
+
+def q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals in one pass: lineitem quantities and
+    decimal-exact revenue by (returnflag, linestatus), per-flag
+    subtotals, and the grand total via ROLLUP, with GROUPING ids
+    disambiguating real NULLs from subtotal rows.  Multi-level
+    aggregation the reference computes with repeated scans; one
+    expand+aggregate here."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+QUERIES["rollup_summary"] = q_rollup_summary
+ORACLES["rollup_summary"] = ORACLE_ROLLUP
