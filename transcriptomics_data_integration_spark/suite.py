@@ -1141,3 +1141,40 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 QUERIES["rollup_summary"] = q_rollup_summary
 ORACLES["rollup_summary"] = ORACLE_ROLLUP
+
+
+def q_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2's long->wide pivot as a gated query: per-supplier revenue
+    pivoted by return flag with an explicit value list (no collect to
+    discover columns — SURVEY §4.3), decimal-exact sums, zero-filled
+    like the reference's count-matrix pivot
+    (`GenExpressionComb_RNAseq.pl:232-238`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+    return (
+        li.groupBy("l_suppkey")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(dec)
+        .select(
+            "l_suppkey",
+            *[
+                F.coalesce(F.col(c).cast("double"), F.lit(0.0)).alias(f"rev_{c.lower()}")
+                for c in ("A", "N", "R")
+            ],
+        )
+    )
+
+
+ORACLE_PIVOT = """
+SELECT l_suppkey,
+       CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'A'
+         THEN CAST(l_extendedprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS rev_a,
+       CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'N'
+         THEN CAST(l_extendedprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS rev_n,
+       CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R'
+         THEN CAST(l_extendedprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS rev_r
+FROM lineitem GROUP BY l_suppkey
+"""
+
+QUERIES["pivot_matrix"] = q_pivot_matrix
+ORACLES["pivot_matrix"] = ORACLE_PIVOT
