@@ -253,3 +253,27 @@ def language_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"),
         F.coalesce("score", F.lit(0)).alias("score"),
     )
+
+
+def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style composite quality verdict: combine the heuristic
+    signals into a keep/drop decision with per-rule flags —
+    word-count bounds, mean-word-length bounds, symbol ratio, and
+    stopword presence (Rae et al. 2021-style rules, reduced to the
+    text_quality signal set).  One pass; every rule is a plain column
+    predicate over the metrics, so the whole filter stays in codegen.
+    """
+    scored = text_quality(df, text_col)
+    rules = {
+        "fail_word_count": ~F.col("n_tokens").between(3, 100000),
+        "fail_word_len": ~F.col("mean_token_len").between(2.0, 12.0),
+        "fail_symbol_ratio": F.col("punct_ratio") > 0.3,
+        "fail_no_stopwords": F.col("stopword_ratio") <= 0.0,
+    }
+    out = scored
+    for name, pred in rules.items():
+        out = out.withColumn(name, pred)
+    keep = ~rules["fail_word_count"]
+    for name in list(rules)[1:]:
+        keep = keep & ~F.col(name)
+    return out.withColumn("keep", keep)

@@ -1178,3 +1178,29 @@ FROM lineitem GROUP BY l_suppkey
 
 QUERIES["pivot_matrix"] = q_pivot_matrix
 ORACLES["pivot_matrix"] = ORACLE_PIVOT
+
+
+def q_melt_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1's wide->long melt as a gated query: unpivot part's numeric
+    measure columns into (id, measure, value) rows — the `stack`
+    transform that turns the reference's gene x sample matrices into
+    the engine's canonical long relation (no shuffle: melt is a
+    per-row generator)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'size', CAST(p_size AS DOUBLE), "
+            "'retailprice', CAST(p_retailprice AS DOUBLE)) AS (measure, value)"
+        ),
+    )
+
+
+ORACLE_MELT = """
+SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice', CAST(p_retailprice AS DOUBLE) FROM part
+"""
+
+QUERIES["melt_measures"] = q_melt_measures
+ORACLES["melt_measures"] = ORACLE_MELT

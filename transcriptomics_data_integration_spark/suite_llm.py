@@ -1090,3 +1090,58 @@ WINDOW w AS (
 
 QUERIES_LLM["rolling_stats"] = q_rolling_stats
 ORACLES_LLM["rolling_stats"] = ORACLE_ROLLING_STATS
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-style keep/drop verdicts over the corpus,
+    aggregated to rule-level failure counts plus the kept-document
+    count — the decision layer over `text_quality`'s signals."""
+    from transcriptomics_data_integration_spark.llmdata.text import quality_filter
+
+    out = quality_filter(_t(spark, sf_dir, "documents"))
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("int")).alias("n_kept"),
+        F.sum(F.col("fail_word_count").cast("int")).alias("n_fail_word_count"),
+        F.sum(F.col("fail_word_len").cast("int")).alias("n_fail_word_len"),
+        F.sum(F.col("fail_symbol_ratio").cast("int")).alias("n_fail_symbol_ratio"),
+        F.sum(F.col("fail_no_stopwords").cast("int")).alias("n_fail_no_stopwords"),
+    )
+
+
+ORACLE_QUALITY_FILTER = r"""
+WITH s AS (
+  SELECT doc_id,
+         len(string_split(trim(text), ' ')) AS n_tokens,
+         length(text) AS n_chars,
+         len(list_filter(string_split(trim(text), ' '),
+             t -> t IN ('the', 'and', 'of', 'a', 'to'))) AS stop_hits,
+         length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS n_punct
+  FROM documents
+), m AS (
+  SELECT doc_id, n_tokens,
+         (n_chars - (n_tokens - 1)) / n_tokens AS mean_token_len,
+         stop_hits / n_tokens AS stopword_ratio,
+         n_punct / n_chars AS punct_ratio
+  FROM s
+), flags AS (
+  SELECT doc_id,
+         NOT (n_tokens BETWEEN 3 AND 100000) AS fail_word_count,
+         NOT (mean_token_len BETWEEN 2.0 AND 12.0) AS fail_word_len,
+         punct_ratio > 0.3 AS fail_symbol_ratio,
+         stopword_ratio <= 0.0 AS fail_no_stopwords
+  FROM m
+)
+SELECT COUNT(*) AS n_docs,
+       SUM(CASE WHEN NOT fail_word_count AND NOT fail_word_len
+                 AND NOT fail_symbol_ratio AND NOT fail_no_stopwords
+                THEN 1 ELSE 0 END) AS n_kept,
+       SUM(CASE WHEN fail_word_count THEN 1 ELSE 0 END) AS n_fail_word_count,
+       SUM(CASE WHEN fail_word_len THEN 1 ELSE 0 END) AS n_fail_word_len,
+       SUM(CASE WHEN fail_symbol_ratio THEN 1 ELSE 0 END) AS n_fail_symbol_ratio,
+       SUM(CASE WHEN fail_no_stopwords THEN 1 ELSE 0 END) AS n_fail_no_stopwords
+FROM flags
+"""
+
+QUERIES_LLM["quality_filter"] = q_quality_filter
+ORACLES_LLM["quality_filter"] = ORACLE_QUALITY_FILTER
