@@ -265,3 +265,31 @@ def test_streaming_sessionize_matches_batch_sessions(spark, tmp_path):
     assert settled[(1, 0)] == (1800 * ns, 4, True)          # closed by the gap
     assert settled[(1, 5000 * ns)] == (5000 * ns, 1, False)  # still open
     assert settled[(2, 100 * ns)] == (200 * ns, 2, False)
+
+
+def test_partitioned_write_prunes_at_plan_time(spark, tmp_path):
+    """Partition pruning contract: a filter on the partition column
+    must appear as PartitionFilters in the scan and read only the
+    matching directory."""
+    from transcriptomics_data_integration_spark.sources.bucketed import (
+        write_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(i, ["en", "fr", "de"][i % 3], float(i)) for i in range(90)],
+        "doc_id long, lang string, score double",
+    )
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(df, path, ["lang"], sort_within="doc_id")
+
+    import os
+
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("lang=")
+    ) == ["lang=de", "lang=en", "lang=fr"]
+
+    back = spark.read.parquet(path).where(F.col("lang") == "fr")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    rows = back.collect()
+    assert len(rows) == 30 and all(r["lang"] == "fr" for r in rows)

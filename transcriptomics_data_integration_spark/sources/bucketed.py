@@ -35,3 +35,26 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_within: str | None = None,
+) -> None:
+    """Hive-style partitioned parquet layout (``col=value/`` dirs) —
+    the lake layout for 100 TB facts: a filter on a partition column
+    prunes whole directories at planning time (PartitionFilters in the
+    scan, zero IO for pruned partitions), vs parquet row-group skipping
+    which still opens files.
+
+    Partition by LOW-cardinality query-sliced columns (date, lang,
+    platform, source); never by high-cardinality keys (gene, doc) —
+    small-file explosion.  ``sort_within`` sorts rows inside each file
+    for row-group min/max locality on a second column.
+    """
+    out = df
+    if sort_within:
+        out = out.sortWithinPartitions(*partition_cols, sort_within)
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
