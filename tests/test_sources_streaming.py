@@ -293,3 +293,48 @@ def test_partitioned_write_prunes_at_plan_time(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(lang" in plan
     rows = back.collect()
     assert len(rows) == 30 and all(r["lang"] == "fr" for r in rows)
+
+
+def test_stream_stream_interval_join_attributes_within_lag(spark, tmp_path):
+    """Stream-stream join with watermarks on both sides: clicks join
+    their impression iff within the lag bound; state stays bounded by
+    the watermark (plan requirement, asserted by the query running at
+    all in append mode)."""
+    from pyspark.sql import types as T
+    from transcriptomics_data_integration_spark.streaming.ingest import (
+        streaming_interval_join,
+    )
+
+    base = "2026-01-01 10:{m:02d}:00"
+    imp_rows = [("a1", base.format(m=0)), ("a2", base.format(m=5))]
+    clk_rows = [
+        ("a1", base.format(m=10)),   # within 30min of a1 -> match
+        ("a2", base.format(m=50)),   # 45min after a2 -> no match
+    ]
+    d1, d2 = tmp_path / "imp", tmp_path / "clk"
+    d1.mkdir(), d2.mkdir()
+    (d1 / "a.csv").write_text("ad_id\tlts\n" + "".join(f"{k}\t{t}\n" for k, t in imp_rows))
+    (d2 / "a.csv").write_text("ad_id_r\trts\n" + "".join(f"{k}\t{t}\n" for k, t in clk_rows))
+
+    def src(d, key, ts):
+        sch = T.StructType(
+            [T.StructField(key, T.StringType()), T.StructField(ts, T.TimestampType())]
+        )
+        return spark.readStream.schema(sch).csv(str(d), sep="\t", header=True)
+
+    joined = streaming_interval_join(
+        src(d1, "ad_id", "lts"), src(d2, "ad_id_r", "rts"), "ad_id"
+    ).select("ad_id", "lts", "rts")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attributed")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM attributed").collect()
+    assert [r["ad_id"] for r in rows] == ["a1"]

@@ -193,3 +193,35 @@ def streaming_sessionize(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str = "lts",
+    right_ts: str = "rts",
+    watermark: str = "1 hour",
+    max_lag: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: match right-stream events
+    to left-stream events on the key where the right event lands within
+    ``(left_ts, left_ts + max_lag]`` — the impression->click attribution
+    shape.
+
+    Both sides carry watermarks and the join condition bounds the time
+    difference in both directions, so Spark can size the join state and
+    evict rows older than watermark + lag — the requirement for an
+    unbounded stream-stream join to run with finite state.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    return lw.join(
+        rw,
+        F.expr(
+            f"{key_col} = {key_col}_r AND "
+            f"{right_ts} > {left_ts} AND "
+            f"{right_ts} <= {left_ts} + interval {max_lag}"
+        ),
+        "inner",
+    )
