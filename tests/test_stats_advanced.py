@@ -284,3 +284,39 @@ def test_icc_blockmatrix_matches_numpy_correlations(spark):
         for j, h in enumerate(genes):
             if i != j:
                 assert got[(g, h)] == pytest.approx(expect[i, j], abs=1e-9)
+
+
+def test_ks_test_matches_python_ecdf(spark):
+    """KS statistic against a literal python ECDF computation (with
+    ties), p monotone in D."""
+    from transcriptomics_data_integration_spark.stats.kstest import ks_test
+
+    import random
+
+    rnd = random.Random(7)
+    s1 = [round(rnd.gauss(0, 1), 2) for _ in range(80)]
+    s2 = [round(rnd.gauss(0.8, 1), 2) for _ in range(60)]  # shifted
+    rows = [("a", v) for v in s1] + [("b", v) for v in s2]
+    df = spark.createDataFrame(rows, "grp string, v double")
+
+    got = ks_test(df, "grp", "v", "a", "b").collect()[0]
+    values = sorted(set(s1 + s2))
+    d_expected = max(
+        abs(
+            sum(1 for x in s1 if x <= v) / len(s1)
+            - sum(1 for x in s2 if x <= v) / len(s2)
+        )
+        for v in values
+    )
+    assert got["n1"] == 80 and got["n2"] == 60
+    assert abs(got["d_stat"] - d_expected) < 1e-12
+    assert 0.0 <= got["p_approx"] < 0.01  # strongly shifted -> tiny p
+
+    # same distribution -> D small, p large
+    same = spark.createDataFrame(
+        [("a", float(i % 10)) for i in range(100)]
+        + [("b", float(i % 10)) for i in range(100)],
+        "grp string, v double",
+    )
+    r2 = ks_test(same, "grp", "v", "a", "b").collect()[0]
+    assert r2["d_stat"] == 0.0 and r2["p_approx"] > 0.99

@@ -961,3 +961,55 @@ FROM marked WHERE prev_min_y IS NULL OR prev_min_y > y
 
 QUERIES_STATS["skyline"] = q_skyline
 ORACLES_STATS["skyline"] = ORACLE_SKYLINE
+
+
+def q_ks_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11's KS test between strata (`Study_effect.R:805`): two-sample
+    Kolmogorov-Smirnov on order totals of urgent vs low-priority
+    orders — per-value counts, running ECDF window over DISTINCT
+    values, asymptotic Kolmogorov p (`stats/kstest.py`)."""
+    from transcriptomics_data_integration_spark.stats.kstest import ks_test
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("v")
+    )
+    out = ks_test(orders, "o_orderpriority", "v", "1-URGENT", "5-LOW")
+    return out.select(
+        "n1", "n2", F.round("d_stat", 9).alias("d_stat"), F.round("p_approx", 6).alias("p_approx")
+    )
+
+
+ORACLE_KS_STRATA = """
+WITH tagged AS (
+  SELECT o_totalprice AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is1
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), per_value AS (
+  SELECT v, SUM(is1) AS c1, SUM(1 - is1) AS c2 FROM tagged GROUP BY v
+), gaps AS (
+  SELECT SUM(c1) OVER w AS cum1, SUM(c2) OVER w AS cum2
+  FROM per_value
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+  SELECT cum1, cum2, MAX(cum1) OVER () AS n1, MAX(cum2) OVER () AS n2 FROM gaps
+), agg AS (
+  SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+         MAX(ABS(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2)) AS d_stat
+  FROM tot
+), lam AS (
+  SELECT *,
+         (sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)) + 0.12
+          + 0.11 / sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2))) * d_stat AS l
+  FROM agg
+)
+SELECT n1, n2, ROUND(d_stat, 9) AS d_stat,
+       ROUND(CASE WHEN l < 0.2 THEN 1.0
+                  ELSE LEAST(GREATEST(
+                    2*exp(-2*1*1*l*l) - 2*exp(-2*4*l*l) + 2*exp(-2*9*l*l)
+                    - 2*exp(-2*16*l*l) + 2*exp(-2*25*l*l) - 2*exp(-2*36*l*l)
+                    + 2*exp(-2*49*l*l) - 2*exp(-2*64*l*l), 0.0), 1.0) END, 6) AS p_approx
+FROM lam
+"""
+
+QUERIES_STATS["ks_strata"] = q_ks_strata
+ORACLES_STATS["ks_strata"] = ORACLE_KS_STRATA
