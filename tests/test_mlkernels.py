@@ -94,3 +94,25 @@ def test_bisecting_clusters_separates_groups(spark):
     lo = {out[f"s{s}"] for s in range(4)}
     hi = {out[f"s{s}"] for s in range(4, 8)}
     assert len(lo) == 1 and len(hi) == 1 and lo != hi
+
+
+def test_mds_embedding_preserves_distances(spark):
+    """Classical MDS on a long relation: pairwise embedding distances
+    reproduce the original euclidean distances (exact for points in a
+    2-D subspace), up to sign/rotation which distances are invariant
+    to."""
+    import itertools
+    import math
+
+    from transcriptomics_data_integration_spark.stats.mlkernels import mds_embedding
+
+    # 4 samples over 3 "genes": values place them at known 2-D geometry
+    pts = {"s1": [0.0, 0.0, 5.0], "s2": [3.0, 0.0, 5.0],
+           "s3": [0.0, 4.0, 5.0], "s4": [3.0, 4.0, 5.0]}
+    rows = [(s, f"g{i}", v) for s, vs in pts.items() for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "sample_id string, gene_id string, value double")
+    emb = {r["sample_id"]: r["mds"] for r in mds_embedding(df, "sample_id", "gene_id", "value").collect()}
+    for x, y in itertools.combinations(pts, 2):
+        orig = math.dist(pts[x], pts[y])
+        got = math.dist(emb[x], emb[y])
+        assert abs(got - orig) < 1e-9, (x, y, orig, got)

@@ -179,3 +179,59 @@ def impute_missing(
         .withColumn(value_col, F.coalesce(F.col(value_col), F.col("_fill")))
         .drop("_fill")
     )
+
+
+def mds_embedding(
+    long_df: DataFrame,
+    sample_col: str,
+    gene_col: str,
+    value_col: str,
+    k: int = 2,
+) -> DataFrame:
+    """M12 — classical MDS (``cmdscale(dist(t(data)), k=2)``,
+    `Study_effect.R:508,516`): euclidean sample-sample distances from
+    the long relation, double-centering, top-k eigenvectors scaled by
+    sqrt(eigenvalue).
+
+    Execution split by the data model (SURVEY §2.5 M12): the S x S
+    squared-distance matrix is a DISTRIBUTED self-join + aggregation
+    over the long relation (genes can be billions of rows); S itself is
+    O(10-1000) samples, so the centering + eigendecomposition of the
+    S x S matrix runs on the driver (numpy), exactly where the reference
+    runs cmdscale.  Deterministic up to eigenvector sign (like
+    cmdscale), so suite exposure is rows-only.
+    """
+    import numpy as np
+
+    a = long_df.select(
+        F.col(sample_col).alias("sa"), F.col(gene_col).alias("g"),
+        F.col(value_col).alias("x"),
+    )
+    b = long_df.select(
+        F.col(sample_col).alias("sb"), F.col(gene_col).alias("g"),
+        F.col(value_col).alias("y"),
+    )
+    d2 = (
+        a.join(b, "g")
+        .where(F.col("sa") <= F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.sum((F.col("x") - F.col("y")) ** 2).alias("d2"))
+    )
+    rows = d2.collect()
+    samples = sorted({r["sa"] for r in rows} | {r["sb"] for r in rows})
+    idx = {s: i for i, s in enumerate(samples)}
+    n = len(samples)
+    D2 = np.zeros((n, n))
+    for r in rows:
+        i, j = idx[r["sa"]], idx[r["sb"]]
+        D2[i, j] = D2[j, i] = r["d2"]
+    J = np.eye(n) - np.ones((n, n)) / n
+    B = -0.5 * J @ D2 @ J
+    vals, vecs = np.linalg.eigh(B)
+    order = np.argsort(vals)[::-1][:k]
+    coords = vecs[:, order] * np.sqrt(np.maximum(vals[order], 0.0))
+    spark = long_df.sparkSession
+    return spark.createDataFrame(
+        [(s, [float(c) for c in coords[idx[s]]]) for s in samples],
+        f"{sample_col} string, mds array<double>",
+    )

@@ -147,6 +147,23 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "cand_id", "rank", F.round("cosine", 6).alias("cosine"))
 
 
+def q_mds_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12 — classical MDS (cmdscale twin): distributed S x S distance
+    matrix, driver-side double-centering + eigh (`stats/mlkernels.py:
+    mds_embedding`).  Sign-indeterminate like cmdscale -> rows-only;
+    emitted as per-sample embedding norms (sign-invariant)."""
+    from transcriptomics_data_integration_spark.stats.mlkernels import mds_embedding
+
+    cells = _cells(spark, sf_dir)
+    emb = mds_embedding(cells, "sample_id", "gene_id", "value", k=2)
+    return emb.select(
+        "sample_id",
+        F.round(F.sqrt(F.expr("aggregate(mds, 0.0d, (a, v) -> a + v * v)")), 6).alias(
+            "embed_norm"
+        ),
+    )
+
+
 QUERIES_ML = {
     "median_polish": q_median_polish,
     "combat_full": q_combat_full,
@@ -156,4 +173,5 @@ QUERIES_ML = {
     "hclust_samples": q_hclust_samples,
     "logistic_de": q_logistic_de,
     "ivf_ann": q_ivf_ann,
+    "mds_samples": q_mds_samples,
 }
