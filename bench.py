@@ -57,6 +57,12 @@ BENCH_QUERIES = [
     "contamination",
     "embedding_quantize",
     "skyline",
+    "rolling_stats",
+    "rollup_summary",
+    "pivot_matrix",
+    "melt_measures",
+    "ks_strata",
+    "quality_filter",
 ]
 
 
