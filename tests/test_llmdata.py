@@ -463,3 +463,20 @@ def test_vocab_size_sketch_within_rsd(spark):
     assert rows
     for r in rows:
         assert abs(r["vocab_hll"] - r["vocab_exact"]) / r["vocab_exact"] < 0.05, tuple(r)
+
+
+def test_mixture_sample_rebalances_sources(spark):
+    from transcriptomics_data_integration_spark.llmdata.sampling import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, "web" if i < 900 else "code") for i in range(1000)],
+        "doc_id long, source string",
+    )
+    # targets: half web, half code -> web downsampled (~500/900), code kept fully
+    out = mixture_sample(docs, "source", "doc_id", {"web": 0.5, "code": 0.5})
+    by_src = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src["code"] == 100            # rate 5.0 -> clamped to 1.0
+    assert 450 <= by_src["web"] <= 560      # rate 500/900, hash-uniform
+    # unlisted source -> dropped entirely
+    out2 = mixture_sample(docs, "source", "doc_id", {"code": 1.0})
+    assert out2.where(F.col("source") == "web").count() == 0

@@ -100,3 +100,36 @@ def pack_sequences(
         (ov_start - F.col("seq_id") * seq_len).alias("seq_offset"),
         (ov_end - ov_start).alias("n_tokens"),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    target_fracs: dict[str, float],
+) -> DataFrame:
+    """Data-mixture construction: downsample each source toward target
+    proportions, deterministically.
+
+    For source s with n_s rows in a corpus of N, the kept fraction is
+    ``min(1, target_frac_s * N / n_s)`` — sources over their target
+    shrink, sources under it pass through (no upsampling).  Membership
+    is the md5-hash rule of :func:`hash_sample`, so the mixture is
+    reproducible and incremental.  The rates dim is |sources| rows,
+    computed IN-PLAN (no driver collect) and broadcast back.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    total = counts.agg(F.sum("_n").alias("_total"))
+    frac = F.create_map(
+        *[F.lit(x) for kv in target_fracs.items() for x in kv]
+    )[F.col(source_col)]
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.coalesce(frac, F.lit(0.0)) * F.col("_total") / F.col("_n"),
+        ).alias("_rate"),
+    )
+    keyed = df.join(F.broadcast(rates), source_col)
+    h = _md5_60bit(F.col(key_col).cast("string")).cast("double")
+    return keyed.where(h < F.col("_rate") * F.lit(_HASH_SPACE)).drop("_rate")

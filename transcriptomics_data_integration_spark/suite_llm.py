@@ -1145,3 +1145,44 @@ FROM flags
 
 QUERIES_LLM["quality_filter"] = q_quality_filter
 ORACLES_LLM["quality_filter"] = ORACLE_QUALITY_FILTER
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture rebalancing: downsample per-source toward target
+    shares (web .5 / books .3 / code .2 over the documents sources),
+    deterministic hash membership, rates computed in-plan.  Output:
+    kept-count per source."""
+    from transcriptomics_data_integration_spark.llmdata.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    srcs = [r["source"] for r in docs.select("source").distinct().collect()]
+    srcs.sort()
+    fracs = {s: w for s, w in zip(srcs, [0.5, 0.3, 0.2] + [0.0] * 10)}
+    out = mixture_sample(docs, "source", "doc_id", fracs)
+    return out.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+def _mixture_oracle() -> str:
+    return """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), ranked AS (
+  SELECT source, n, ROW_NUMBER() OVER (ORDER BY source) AS rn FROM counts
+), tot AS (
+  SELECT SUM(n) AS total FROM counts
+), rates AS (
+  SELECT source,
+         LEAST(1.0, (CASE rn WHEN 1 THEN 0.5 WHEN 2 THEN 0.3 WHEN 3 THEN 0.2
+                     ELSE 0.0 END) * tot.total / n) AS rate
+  FROM ranked, tot
+)
+SELECT d.source, COUNT(*) AS n_kept
+FROM documents d JOIN rates r USING (source)
+WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+      < r.rate * 1152921504606846976.0
+GROUP BY d.source
+"""
+
+
+QUERIES_LLM["mixture_sample"] = q_mixture_sample
+ORACLES_LLM["mixture_sample"] = _mixture_oracle()
