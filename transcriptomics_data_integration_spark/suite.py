@@ -1204,3 +1204,32 @@ SELECT p_partkey, 'retailprice', CAST(p_retailprice AS DOUBLE) FROM part
 
 QUERIES["melt_measures"] = q_melt_measures
 ORACLES["melt_measures"] = ORACLE_MELT
+
+
+def q_registry_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 — idempotent registry upsert (append-iff-absent,
+    `GenExpression_RNAseq.pl:104-131`): an incoming batch (upper-cased
+    names mark it) lands only where the existing registry has no row
+    for the key; existing rows win."""
+    from transcriptomics_data_integration_spark.sources.registry import registry_upsert
+
+    sup = _t(spark, sf_dir, "supplier")
+    existing = sup.where(F.col("s_suppkey") % 3 == 0).select(
+        "s_suppkey", F.col("s_name").alias("name")
+    )
+    incoming = sup.where(F.col("s_suppkey") % 2 == 0).select(
+        "s_suppkey", F.upper(F.col("s_name")).alias("name")
+    )
+    return registry_upsert(existing, incoming, "s_suppkey")
+
+
+ORACLE_REGISTRY_UPSERT = """
+SELECT s_suppkey, s_name AS name FROM supplier WHERE s_suppkey % 3 = 0
+UNION ALL
+SELECT s_suppkey, upper(s_name) FROM supplier
+WHERE s_suppkey % 2 = 0
+  AND s_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 3 = 0)
+"""
+
+QUERIES["registry_upsert"] = q_registry_upsert
+ORACLES["registry_upsert"] = ORACLE_REGISTRY_UPSERT
