@@ -1186,3 +1186,78 @@ GROUP BY d.source
 
 QUERIES_LLM["mixture_sample"] = q_mixture_sample
 ORACLES_LLM["mixture_sample"] = _mixture_oracle()
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: per user, the first view, the first
+    click strictly after that view, and the first purchase strictly
+    after that click — then the funnel stage counts.  Three cascaded
+    conditional-min aggregations on the user key (each stage's
+    aggregate is one row per user, so the two re-joins are
+    broadcast-sized relative to the fact)."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    s2 = (
+        ev.join(s1, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.first("t_view").alias("t_view"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_click"),
+        )
+    )
+    s3 = (
+        ev.join(s2, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.first("t_view").alias("t_view"),
+            F.first("t_click").alias("t_click"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase"),
+        )
+    )
+    return s3.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked_after_view"),
+        F.count("t_purchase").alias("n_purchased_after_click"),
+    )
+
+
+ORACLE_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS t_view
+  FROM events GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, ANY_VALUE(s1.t_view) AS t_view,
+         MIN(CASE WHEN e.event_type = 'click' AND epoch_ns(e.ts) > s1.t_view
+                  THEN epoch_ns(e.ts) END) AS t_click
+  FROM events e JOIN s1 USING (user_id) GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, ANY_VALUE(s2.t_view) AS t_view,
+         ANY_VALUE(s2.t_click) AS t_click,
+         MIN(CASE WHEN e.event_type = 'purchase' AND epoch_ns(e.ts) > s2.t_click
+                  THEN epoch_ns(e.ts) END) AS t_purchase
+  FROM events e JOIN s2 USING (user_id) GROUP BY e.user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_view) AS n_viewed,
+       COUNT(t_click) AS n_clicked_after_view,
+       COUNT(t_purchase) AS n_purchased_after_click
+FROM s3
+"""
+
+QUERIES_LLM["funnel"] = q_funnel
+ORACLES_LLM["funnel"] = ORACLE_FUNNEL
