@@ -1261,3 +1261,37 @@ FROM s3
 
 QUERIES_LLM["funnel"] = q_funnel
 ORACLES_LLM["funnel"] = ORACLE_FUNNEL
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day (cohort),
+    counted as retained in each later day-offset they were active.
+    Two aggs (first-activity per user; distinct activity days) + one
+    join on the user key; the output is the cohort x offset triangle."""
+    ev = _events(spark, sf_dir)
+    day = F.expr(f"ts div {86400 * _NS_PER_S}")
+    acts = ev.select("user_id", day.alias("day")).distinct()
+    cohort = acts.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        acts.join(cohort, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+ORACLE_COHORT = """
+WITH acts AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day
+  FROM events
+), cohort AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM acts GROUP BY user_id
+)
+SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM acts a JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+"""
+
+QUERIES_LLM["cohort_retention"] = q_cohort_retention
+ORACLES_LLM["cohort_retention"] = ORACLE_COHORT
