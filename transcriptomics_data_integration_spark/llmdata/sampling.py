@@ -119,15 +119,17 @@ def mixture_sample(
     computed IN-PLAN (no driver collect) and broadcast back.
     """
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
-    total = counts.agg(F.sum("_n").alias("_total"))
     frac = F.create_map(
         *[F.lit(x) for kv in target_fracs.items() for x in kv]
     )[F.col(source_col)]
-    rates = counts.crossJoin(F.broadcast(total)).select(
+    # corpus total via an unpartitioned window over the |sources|-row
+    # aggregate — avoids a 1-row cross join (BNLJ) entirely
+    total = F.sum("_n").over(Window.partitionBy())
+    rates = counts.select(
         source_col,
         F.least(
             F.lit(1.0),
-            F.coalesce(frac, F.lit(0.0)) * F.col("_total") / F.col("_n"),
+            F.coalesce(frac, F.lit(0.0)) * total / F.col("_n"),
         ).alias("_rate"),
     )
     keyed = df.join(F.broadcast(rates), source_col)
