@@ -1233,3 +1233,44 @@ WHERE s_suppkey % 2 = 0
 
 QUERIES["registry_upsert"] = q_registry_upsert
 ORACLES["registry_upsert"] = ORACLE_REGISTRY_UPSERT
+
+
+def q_full_outer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2's NULL-padding merge in its full-outer form: two overlapping
+    per-gene aggregate slices (platform O vs F means) merged so genes
+    unique to either side survive with NULLs on the other — completing
+    the join-type matrix (inner/left/semi/anti/interval/asof elsewhere).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_partkey", "l_linestatus").agg(
+        _dsum(F.col("l_extendedprice")).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    o = base.where(F.col("l_linestatus") == "O").select(
+        "l_partkey", (F.col("s") / F.col("n")).alias("mean_o")
+    )
+    f = base.where(F.col("l_linestatus") == "F").select(
+        "l_partkey", (F.col("s") / F.col("n")).alias("mean_f")
+    )
+    return o.join(f, "l_partkey", "full_outer").select(
+        "l_partkey", "mean_o", "mean_f",
+        (F.col("mean_o").isNotNull() & F.col("mean_f").isNotNull()).alias("on_both"),
+    )
+
+
+ORACLE_FULL_OUTER = f"""
+WITH base AS (
+  SELECT l_partkey, l_linestatus,
+         {_dsum_sql('l_extendedprice')} AS s, COUNT(*) AS n
+  FROM lineitem GROUP BY l_partkey, l_linestatus
+), o AS (
+  SELECT l_partkey, s / n AS mean_o FROM base WHERE l_linestatus = 'O'
+), f AS (
+  SELECT l_partkey, s / n AS mean_f FROM base WHERE l_linestatus = 'F'
+)
+SELECT COALESCE(o.l_partkey, f.l_partkey) AS l_partkey, mean_o, mean_f,
+       mean_o IS NOT NULL AND mean_f IS NOT NULL AS on_both
+FROM o FULL OUTER JOIN f ON o.l_partkey = f.l_partkey
+"""
+
+QUERIES["full_outer_merge"] = q_full_outer_merge
+ORACLES["full_outer_merge"] = ORACLE_FULL_OUTER
