@@ -120,6 +120,21 @@ def probe_connected_components(spark, n_nodes: int, chain_len: int) -> dict:
             "rows_out": n_comp, "sec": round(time.perf_counter() - t0, 2)}
 
 
+def probe_contamination(spark, copies: int) -> dict:
+    """Decontamination screen under corpus inflation: the eval shingle
+    inventory (broadcast side) is fixed; the train side grows xN —
+    linear map-side work, no pre-agg shuffle."""
+    from transcriptomics_data_integration_spark.llmdata.text import contamination_check
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    train = inflate(docs.where(F.col("doc_id") % 97 != 0), "doc_id", copies, shift_keys=True)
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    t0 = time.perf_counter()
+    n = contamination_check(train, ev).count()
+    return {"probe": f"contamination_x{copies}", "rows_out": n,
+            "sec": round(time.perf_counter() - t0, 2)}
+
+
 def main() -> None:
     spark = get_spark("scale-probe")
     # warm codegen at base scale
@@ -138,6 +153,8 @@ def main() -> None:
         (probe_cosine_neardup, (4,)),
         (probe_connected_components, (10_000, 64)),
         (probe_connected_components, (100_000, 1024)),
+        (probe_contamination, (1,)),
+        (probe_contamination, (4,)),
     ]:
         spark.catalog.clearCache()
         print(json.dumps(fn(spark, *args)), flush=True)
