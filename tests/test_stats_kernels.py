@@ -302,3 +302,28 @@ def test_bh_property_random_ties_match_r_padjust(spark):
                 assert abs(got[i] - e) < 1e-12, (i, got[i], e, ps)
 
     check()
+
+
+def test_quantile_norm_average_ties_matches_r_semantics(spark):
+    """R normalize.quantiles tie semantics (SURVEY §7 watch list): tied
+    values share the MEAN of the reference distribution over their tied
+    rank span.  Hand-computed golden on a 4x2 matrix with a tie."""
+    from transcriptomics_data_integration_spark.stats.quantile_norm import (
+        quantile_normalize,
+    )
+
+    rows = [
+        ("A", "g1", 1.0), ("A", "g2", 2.0), ("A", "g3", 2.0), ("A", "g4", 5.0),
+        ("B", "g1", 3.0), ("B", "g2", 4.0), ("B", "g3", 6.0), ("B", "g4", 8.0),
+    ]
+    df = spark.createDataFrame(rows, "sample_id string, gene_id string, value double")
+    out = quantile_normalize(df, "sample_id", "value", "gene_id", ties="average")
+    got = {(r["sample_id"], r["gene_id"]): r["qn_value"] for r in out.collect()}
+    # ref = [2, 3, 4, 6.5]; A's tied 2.0s span ranks 2-3 -> (3+4)/2
+    expected = {
+        ("A", "g1"): 2.0, ("A", "g2"): 3.5, ("A", "g3"): 3.5, ("A", "g4"): 6.5,
+        ("B", "g1"): 2.0, ("B", "g2"): 3.0, ("B", "g3"): 4.0, ("B", "g4"): 6.5,
+    }
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert abs(got[k] - v) < 1e-12, (k, got[k], v)

@@ -47,11 +47,12 @@ def quantile_normalize(
         ranked = ranked.withColumn("_tie_min", F.min("_rank").over(tie_w)).withColumn(
             "_tie_max", F.max("_rank").over(tie_w)
         )
+        ref_r = ref.withColumnRenamed("_rank", "_ref_rank")
         joined = ranked.join(
-            F.broadcast(ref),
-            (F.col("_rank") >= F.col("_tie_min")) & (F.col("_rank") <= F.col("_tie_max")),
+            F.broadcast(ref_r),
+            (F.col("_ref_rank") >= F.col("_tie_min"))
+            & (F.col("_ref_rank") <= F.col("_tie_max")),
         )
-        # not used in the hot path; the strict form below is the default
         out = (
             joined.groupBy(sample_col, gene_col, value_col)
             .agg(F.avg("_ref").alias(out_col))
