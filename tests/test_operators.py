@@ -151,3 +151,20 @@ def test_quantile_sketch_bounds_exact(spark):
     assert len(exact) == len(approx) == 5
     for e, a in zip(exact, approx):
         assert abs(a - e) / e < 0.02, (e, a)
+
+
+def test_group_stats_matches_sample_sd(spark):
+    """A1/A2 operator: R sd is the n-1 sample sd (SURVEY §7 watch
+    list) — pin against hand-computed values, nulls skipped like
+    na.rm=TRUE."""
+    from transcriptomics_data_integration_spark.operators.aggregates import group_stats
+
+    df = spark.createDataFrame(
+        [("g1", 1.0), ("g1", 2.0), ("g1", 3.0), ("g2", 5.0), ("g2", None)],
+        "gene_id string, value double",
+    )
+    got = {r["gene_id"]: r for r in group_stats(df, "gene_id", "value").collect()}
+    assert got["g1"]["mean_value"] == 2.0
+    assert abs(got["g1"]["sd_value"] - 1.0) < 1e-12  # sd([1,2,3]) n-1 form
+    assert got["g1"]["n_obs"] == 3
+    assert got["g2"]["n_obs"] == 1 and got["g2"]["mean_value"] == 5.0

@@ -338,3 +338,41 @@ def test_stream_stream_interval_join_attributes_within_lag(spark, tmp_path):
         q.stop()
     rows = spark.sql("SELECT * FROM attributed").collect()
     assert [r["ad_id"] for r in rows] == ["a1"]
+
+
+def test_streaming_window_counts_matches_batch_twin(spark, tmp_path):
+    """The library's watermarked tumbling-window agg (not a test-local
+    rebuild) over the file stream equals a batch group-by over the same
+    rows."""
+    from pyspark.sql import types as T
+    from transcriptomics_data_integration_spark.streaming.ingest import (
+        run_stream_to_memory,
+        streaming_window_counts,
+    )
+
+    d = tmp_path / "winsrc"
+    d.mkdir()
+    rows = [
+        ("2026-01-01 10:05:00", "click", 1.0),
+        ("2026-01-01 10:55:00", "click", 2.0),
+        ("2026-01-01 11:05:00", "view", 4.0),
+    ]
+    (d / "a.csv").write_text(
+        "ts\tevent_type\tvalue\n" + "".join(f"{t}\t{k}\t{v}\n" for t, k, v in rows)
+    )
+    sch = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = spark.readStream.schema(sch).csv(str(d), sep="\t", header=True)
+    out = streaming_window_counts(stream, "ts", "event_type", "value")
+    run_stream_to_memory(out, "win_counts", out_mode="complete")
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got[("2026-01-01 10:00:00", "click")] == (2, 3.0)
+    assert got[("2026-01-01 11:00:00", "view")] == (1, 4.0)
