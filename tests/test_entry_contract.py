@@ -36,3 +36,14 @@ def test_contract_dict_shapes():
     assert set(o) <= set(q), "orphan oracles"
     assert all(callable(f) for f in q.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in o.values())
+
+
+def test_load_tables_returns_all_driver_tables(spark):
+    from transcriptomics_data_integration_spark.session import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    assert set(t) >= {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+    assert t["region"].count() == 5
