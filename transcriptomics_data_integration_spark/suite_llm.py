@@ -742,34 +742,49 @@ QUERIES_LLM["asof_join"] = q_asof_join
 ORACLES_LLM["asof_join"] = ORACLE_ASOF_JOIN
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive closure of the exact-Jaccard near-dup pairs: each
-    clustered doc with its canonical representative (min doc_id
-    reachable) and cluster size.  Spark runs iterative min-label
-    propagation with pointer jumping (`llmdata/dedup.py:
-    connected_components`); the oracle is a DuckDB recursive CTE — two
-    independent formulations of connectivity."""
-    from transcriptomics_data_integration_spark.llmdata.dedup import dedup_clusters
+    """Transitive closure of near-dup pairs: each clustered doc with
+    its canonical representative (min doc_id reachable) and cluster
+    size.  Edges come from the banded SimHash pairs (the scale path —
+    pigeonhole-complete for hamming < n_bands) over the two-crawl
+    corpus; Spark runs iterative min-label propagation with pointer
+    jumping (`llmdata/dedup.py:connected_components`); the oracle is a
+    DuckDB recursive CTE over the same pair SQL — two independent
+    formulations of connectivity."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        dedup_clusters,
+        simhash_neardup_pairs,
+    )
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
-    pairs = ngram_jaccard_pairs(docs, "doc_id", threshold=0.5)
+    docs = _two_crawls(_t(spark, sf_dir, "documents"))
+    pairs = simhash_neardup_pairs(docs, "doc_id", max_hamming=3)
     return dedup_clusters(pairs.select("id_a", "id_b"))
 
 
-ORACLE_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE sh AS (
-  SELECT doc_id, UNNEST({_SHINGLE_SQL}) AS shingle FROM documents WHERE doc_id < 1000
-), sizes AS (
-  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
-), inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+ORACLE_DEDUP_CLUSTERS = """
+WITH RECURSIVE crawls AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+), toks AS (
+  SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS token FROM crawls
+), hashed AS (
+  SELECT doc_id, ('0x' || substring(md5(token), 1, 15))::BIGINT AS h FROM toks
+), bits AS (
+  SELECT doc_id, bit, SUM(((h >> bit) & CAST(1 AS BIGINT)) * 2 - 1) AS s
+  FROM hashed, (SELECT UNNEST(generate_series(0, 59)) AS bit)
+  GROUP BY doc_id, bit
+), sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, simhash, b.b AS band, (simhash >> (b.b * 15)) & 32767 AS key
+  FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS b) b
 ), pairs AS (
-  SELECT id_a, id_b
-  FROM inter
-  JOIN sizes sa ON id_a = sa.doc_id
-  JOIN sizes sb ON id_b = sb.doc_id
-  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5e0
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM banded a JOIN banded b2
+    ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
+  WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3
 ), edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION
