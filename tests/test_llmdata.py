@@ -480,3 +480,42 @@ def test_mixture_sample_rebalances_sources(spark):
     # unlisted source -> dropped entirely
     out2 = mixture_sample(docs, "source", "doc_id", {"code": 1.0})
     assert out2.where(F.col("source") == "web").count() == 0
+
+
+def test_pack_sequences_property_random_corpora(spark):
+    """Property: for ANY doc-length multiset and seq_len, packing
+    conserves every token exactly once, tiles each sequence gap-free
+    from offset 0, and never overflows seq_len."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from transcriptomics_data_integration_spark.llmdata.sampling import pack_sequences
+
+    @given(
+        st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=30),
+        st.integers(min_value=16, max_value=257),
+    )
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    def check(lengths, seq_len):
+        docs = spark.createDataFrame(
+            [(i, n) for i, n in enumerate(lengths)], "doc_id long, n long"
+        )
+        rows = pack_sequences(docs, "doc_id", "n", seq_len).collect()
+        assert sum(r["n_tokens"] for r in rows) == sum(lengths)
+        seqs = {}
+        for r in rows:
+            assert 0 < r["n_tokens"] <= seq_len
+            assert 0 <= r["seq_offset"] < seq_len
+            seqs.setdefault(r["seq_id"], []).append((r["seq_offset"], r["n_tokens"]))
+        total = sum(lengths)
+        for sid, slots in seqs.items():
+            slots.sort()
+            pos = 0
+            for off, n in slots:
+                assert off == pos, (sid, slots)
+                pos = off + n
+            # every sequence except the last must be completely full
+            if sid < (total - 1) // seq_len:
+                assert pos == seq_len, (sid, pos)
+
+    check()
