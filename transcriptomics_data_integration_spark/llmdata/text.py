@@ -277,3 +277,14 @@ def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     for name in list(rules)[1:]:
         keep = keep & ~F.col(name)
     return out.withColumn("keep", keep)
+
+
+def normalize_text(df: DataFrame, text_col: str = "text", out_col: str = "norm_text") -> DataFrame:
+    """Canonical text cleanup before hashing/dedup: lowercase, collapse
+    all whitespace runs to single spaces, trim, strip control
+    characters.  Pure regexp chain (codegen, no shuffle); dedup on the
+    normalized column catches near-identical crawls that raw md5
+    misses."""
+    cleaned = F.regexp_replace(F.col(text_col), r"[\x00-\x1f]", " ")
+    collapsed = F.regexp_replace(cleaned, r"\s+", " ")
+    return df.withColumn(out_col, F.trim(F.lower(collapsed)))

@@ -1310,3 +1310,39 @@ GROUP BY 1, 2
 
 QUERIES_LLM["cohort_retention"] = q_cohort_retention
 ORACLES_LLM["cohort_retention"] = ORACLE_COHORT
+
+
+def q_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text exact dedup: lowercase/whitespace-collapsed
+    canonical form hashed instead of the raw bytes — catches
+    case/spacing-variant duplicates plain exact_dedup misses.  Here the
+    second crawl is a case-mangled copy, so every doc pairs up."""
+    from transcriptomics_data_integration_spark.llmdata.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    mangled = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mangled)
+    normed = normalize_text(corpus)
+    return exact_dedup(normed.select("doc_id", F.col("norm_text").alias("text")), "doc_id")
+
+
+ORACLE_NORMALIZE_DEDUP = r"""
+WITH crawls AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, upper(text) FROM documents
+), normed AS (
+  SELECT doc_id,
+         trim(lower(regexp_replace(regexp_replace(text, '[\x00-\x1f]', ' ', 'g'),
+                                   '\s+', ' ', 'g'))) AS text
+  FROM crawls
+)
+SELECT md5(text) AS digest, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM normed GROUP BY md5(text)
+"""
+
+QUERIES_LLM["normalize_dedup"] = q_normalize_dedup
+ORACLES_LLM["normalize_dedup"] = ORACLE_NORMALIZE_DEDUP
