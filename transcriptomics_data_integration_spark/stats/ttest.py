@@ -109,27 +109,6 @@ def two_group_ttest(
     return out.withColumn("p_value", F.expr(two_sided_p_sql("t_statistic")))
 
 
-def ttest_moments_sql(
-    value_case_a: str, value_case_b: str, scale: int = 2
-) -> dict[str, str]:
-    """Oracle-SQL twins of the exact-decimal group moments; the caller
-    embeds them in a GROUP BY.  ``value_case_a/b`` are SQL expressions
-    (CASE WHEN ... THEN value END)."""
-    s2 = 2 * scale
-
-    def dec(e: str) -> str:
-        return f"CAST({e} AS DECIMAL(18,{scale}))"
-
-    return {
-        "n_a": f"COUNT({value_case_a})",
-        "n_b": f"COUNT({value_case_b})",
-        "sa": f"CAST(SUM({dec(value_case_a)}) AS DOUBLE)",
-        "sb": f"CAST(SUM({dec(value_case_b)}) AS DOUBLE)",
-        "sa2": f"CAST(SUM(CAST({dec(value_case_a)} * {dec(value_case_a)} AS DECIMAL(38,{s2}))) AS DOUBLE)",
-        "sb2": f"CAST(SUM(CAST({dec(value_case_b)} * {dec(value_case_b)} AS DECIMAL(38,{s2}))) AS DOUBLE)",
-    }
-
-
 def moderated_t(ttest_df: DataFrame) -> DataFrame:
     """eBayes-style variance moderation over a two-group t table.
 
