@@ -376,3 +376,52 @@ def test_streaming_window_counts_matches_batch_twin(spark, tmp_path):
     }
     assert got[("2026-01-01 10:00:00", "click")] == (2, 3.0)
     assert got[("2026-01-01 11:00:00", "view")] == (1, 4.0)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data contract: an event older than (max event time -
+    watermark) arriving in a later micro-batch is DROPPED — the
+    already-aggregated window does not change."""
+    from pyspark.sql import types as T
+    from transcriptomics_data_integration_spark.streaming.ingest import (
+        streaming_window_counts,
+    )
+
+    d = tmp_path / "late"
+    d.mkdir()
+    sch = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    (d / "a.csv").write_text(
+        "ts\tevent_type\tvalue\n"
+        "2026-01-01 10:05:00\tclick\t1.0\n"
+        "2026-01-01 13:00:00\tclick\t1.0\n"  # advances watermark to 12:00
+    )
+    stream = spark.readStream.schema(sch).csv(str(d), sep="\t", header=True)
+    out = streaming_window_counts(stream, "ts", "event_type", "value", watermark="1 hour")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("late_counts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (d / "b.csv").write_text(
+            "ts\tevent_type\tvalue\n"
+            "2026-01-01 10:10:00\tclick\t100.0\n"   # late: before 12:00 -> dropped
+            "2026-01-01 12:30:00\tclick\t5.0\n"     # on time -> new window
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM late_counts").collect()
+    latest = {}
+    for r in rows:
+        latest[str(r["window_start"])] = (r["n_events"], r["sum_value"])
+    assert latest["2026-01-01 10:00:00"] == (1, 1.0)   # late 100.0 never merged
+    assert latest["2026-01-01 12:00:00"] == (1, 5.0)
