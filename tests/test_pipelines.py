@@ -150,3 +150,37 @@ def test_array_weights_flags_noisy_sample(spark):
     w = {r["sample_id"]: r["weight"] for r in array_weights(df, "gene_id", "sample_id", "value").collect()}
     assert w["bad"] < w["good1"]
     assert w["bad"] < 0.5
+
+
+def test_rnaseq_de_pipeline_end_to_end(spark):
+    """Entry-point B composition: counts -> CQN offsets -> floor ->
+    voom weights -> weighted moderated DE.  A gene with a real group
+    shift ranks above null genes; BH monotone."""
+    import random
+
+    from transcriptomics_data_integration_spark.pipelines.rnaseq import (
+        rnaseq_differential_expression,
+    )
+
+    rnd = random.Random(3)
+    samples = [(f"s{i}", "tumor" if i < 4 else "normal") for i in range(8)]
+    rows = []
+    for g in range(30):
+        for s, grp in samples:
+            base = 200 + 10 * g
+            shift = 500 if (g == 0 and grp == "tumor") else 0
+            rows.append((f"g{g}", s, base + shift + rnd.randrange(0, 30)))
+    counts = spark.createDataFrame(rows, "gene_id string, sample_id string, read_count long")
+    targets = spark.createDataFrame(samples, "sample_id string, target string")
+    attrs = spark.createDataFrame(
+        [(f"g{g}", 0.3 + 0.01 * g) for g in range(30)], "gene_id string, gc_content double"
+    )
+    out = rnaseq_differential_expression(
+        counts, targets, attrs, "tumor", "normal"
+    ).collect()
+    by_gene = {r["gene_id"]: r for r in out}
+    assert len(by_gene) == 30
+    shifted_p = by_gene["g0"]["adj_p_value"]
+    assert shifted_p == min(r["adj_p_value"] for r in out)
+    assert all(r["adj_p_value"] >= r["p_value"] - 1e-15 for r in out)
+    assert by_gene["g0"]["log2fc"] > 0

@@ -1,0 +1,59 @@
+"""Entry-point B — RNA-seq ("open platform") differential expression
+(``DiffExpression_openPlatform.R`` + ``GenExpressionComb_RNAseq.R``,
+SURVEY.md section 3.2).
+
+Stage order mirrors the reference: counts -> log2-CPM with GC-bin CQN
+offsets (M4 `GenExpressionComb_RNAseq.R:183-201`), low-value floor
+(F10 `:246-249`), voom mean-variance weights (M5
+`DiffExpression_openPlatform.R:427-442`), weighted per-gene two-group
+fit + eBayes moderation + BH (M8/M10 `:455-515`).
+
+Partitioning: one sample-keyed broadcast (library sizes), then every
+stage groups by gene — the counts relation shuffles on gene ONCE and
+all later joins attach small per-gene relations by broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from transcriptomics_data_integration_spark.operators.filters import low_value_floor
+from transcriptomics_data_integration_spark.stats.bh import bh_adjust
+from transcriptomics_data_integration_spark.stats.normalize import cqn_simplified, voom_weights
+from transcriptomics_data_integration_spark.stats.ttest import moderated_t, weighted_two_group_ttest
+
+
+def rnaseq_differential_expression(
+    counts: DataFrame,
+    targets: DataFrame,
+    gene_attrs: DataFrame,
+    group_a: str,
+    group_b: str,
+    gene_col: str = "gene_id",
+    sample_col: str = "sample_id",
+    count_col: str = "read_count",
+    group_col: str = "target",
+    gc_col: str = "gc_content",
+    floor_threshold: float = 2.0,
+) -> DataFrame:
+    """Long counts + sample sheet + gene attrs -> per-gene topTable
+    (log2fc, weighted t, moderated t, p, BH-adjusted p)."""
+    cqn = cqn_simplified(counts, gene_col, sample_col, count_col, gene_attrs, gc_col)
+    floored = low_value_floor(
+        cqn.select(gene_col, sample_col, F.col("lcpm_cqn").alias("value")),
+        "value",
+        threshold=floor_threshold,
+    )
+    weights = voom_weights(counts, gene_col, sample_col, count_col).select(
+        gene_col, "weight"
+    )
+    labeled = (
+        floored.join(F.broadcast(targets.select(sample_col, group_col)), sample_col)
+        .join(F.broadcast(weights), gene_col)
+    )
+    tt = weighted_two_group_ttest(
+        labeled, gene_col, group_col, "value", "weight", group_a, group_b
+    )
+    mod = moderated_t(tt, s2_col="s2_pooled", df_col="df_pooled")
+    return bh_adjust(mod, "p_value", "adj_p_value", tiebreak_col=gene_col)

@@ -109,7 +109,11 @@ def two_group_ttest(
     return out.withColumn("p_value", F.expr(two_sided_p_sql("t_statistic")))
 
 
-def moderated_t(ttest_df: DataFrame) -> DataFrame:
+def moderated_t(
+    ttest_df: DataFrame,
+    s2_col: str | None = None,
+    df_col: str | None = None,
+) -> DataFrame:
     """eBayes-style variance moderation over a two-group t table.
 
     Two-pass scheme (SURVEY.md M8): per-gene pooled variances are shrunk
@@ -125,12 +129,16 @@ def moderated_t(ttest_df: DataFrame) -> DataFrame:
     plan (no driver action), so the operator composes and the DuckDB
     oracle can mirror it.
     """
-    sp2 = (
-        (F.col("n_a") - 1) * F.col("var_a") + (F.col("n_b") - 1) * F.col("var_b")
-    ) / (F.col("n_a") + F.col("n_b") - 2)
-    with_s2 = ttest_df.withColumn("_s2", sp2).withColumn(
-        "_df", F.col("n_a") + F.col("n_b") - 2
-    )
+    if s2_col is not None:
+        # weighted fit: caller provides the pooled variance / df columns
+        sp2 = F.col(s2_col)
+        dfree = F.col(df_col or "df_pooled")
+    else:
+        sp2 = (
+            (F.col("n_a") - 1) * F.col("var_a") + (F.col("n_b") - 1) * F.col("var_b")
+        ) / (F.col("n_a") + F.col("n_b") - 2)
+        dfree = F.col("n_a") + F.col("n_b") - 2
+    with_s2 = ttest_df.withColumn("_s2", sp2).withColumn("_df", dfree)
     # the global prior rides a window over the PER-GENE t-table (one row
     # per gene, bounded) — the 1-row agg + crossJoin form re-executed
     # the whole fact aggregation as the probe side
@@ -209,6 +217,9 @@ def weighted_two_group_ttest(
         .where(F.col("_se") > 0)
         .withColumn("log2fc", F.log2(F.col("mean_a") / F.col("mean_b")))
         .withColumn("t_statistic", (F.col("mean_a") - F.col("mean_b")) / F.col("_se"))
+        # exposed for eBayes moderation over the weighted fit
+        .withColumn("s2_pooled", var_pooled)
+        .withColumn("df_pooled", F.col("n_a") + F.col("n_b") - 2)
         .drop("_se", "swa2", "swb2", "swxa", "swxb", "swx2a", "swx2b")
     )
     return out.withColumn("p_value", F.expr(two_sided_p_sql("t_statistic")))
