@@ -69,19 +69,51 @@ def pack_sequences(
     each document in the global token stream, and the spanned sequence
     ids enumerate with ``sequence()``.
 
-    The prefix sum is a single global-order window here; at corpus
-    scale, shard first (pack per shard/source — the packing quality is
-    identical) or substitute the two-pass bucket prefix sum used by
-    ``bh_adjust_histogram``.  Zero-token documents are dropped (they
-    occupy no stream positions).
+    Scale: the prefix sum is bucketed, not a global-order window.  For
+    a numeric ``order_col``, ``monotone_range_buckets`` splits the
+    stream into value-range shards; per-shard token totals (a <= 1024-
+    row relation) carry the cross-shard base offsets via a broadcast
+    join, and the only large window is ``partitionBy(bucket)`` — no
+    task ever sees more than ~1/1024 of the corpus.  Output is
+    bit-identical to the single-window form (same order, same sums).
+    Non-numeric order columns fall back to the global window (cap the
+    input, or pre-map the key to a numeric rank).  Zero-token documents
+    are dropped (they occupy no stream positions).
     """
-    order = order_col or id_col
-    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
-    placed = (
-        df.where(F.col(tokens_col) > 0)
-        .withColumn("_start", F.coalesce(F.sum(tokens_col).over(w), F.lit(0)))
-        .withColumn("_end", F.col("_start") + F.col(tokens_col))
+    from pyspark.sql.types import NumericType
+
+    from transcriptomics_data_integration_spark.operators.windows import (
+        monotone_range_buckets,
     )
+
+    order = order_col or id_col
+    live = df.where(F.col(tokens_col) > 0)
+    if isinstance(live.schema[order].dataType, NumericType):
+        bucketed = monotone_range_buckets(live, order)
+        totals = bucketed.groupBy("_bkt").agg(F.sum(tokens_col).alias("_tok"))
+        w_base = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+        base = totals.withColumn(
+            "_base", F.coalesce(F.sum("_tok").over(w_base), F.lit(0))
+        ).select("_bkt", "_base")
+        w_in = (
+            Window.partitionBy("_bkt")
+            .orderBy(order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        placed = (
+            bucketed.join(F.broadcast(base), "_bkt")
+            .withColumn(
+                "_start",
+                F.col("_base")
+                + F.coalesce(F.sum(tokens_col).over(w_in), F.lit(0)),
+            )
+            .withColumn("_end", F.col("_start") + F.col(tokens_col))
+        )
+    else:
+        w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+        placed = live.withColumn(
+            "_start", F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+        ).withColumn("_end", F.col("_start") + F.col(tokens_col))
     spanned = placed.withColumn(
         "seq_id",
         F.explode(

@@ -112,10 +112,18 @@ def skyline_2d(
     Not a quadratic dominance join: after deduplicating to distinct
     pairs and sorting by (x, y), a pair is dominated exactly when the
     running minimum of y over its sort-predecessors is <= its own y
-    (predecessors have x <= it; ties resolved by distinctness) — ONE
-    sort window over the deduplicated relation.  The skyline-over-
-    aggregates pattern of the Spark SQL skyline literature, as a plan
-    shape instead of an operator extension.
+    (predecessors have x <= it; ties resolved by distinctness).  The
+    skyline-over-aggregates pattern of the Spark SQL skyline
+    literature, as a plan shape instead of an operator extension.
+
+    Scale: the predecessor-min is computed with the bucketed two-pass
+    shape (``monotone_range_buckets`` on x), not a global-order window
+    — distinct (x, y) pairs are not guaranteed small.  Rows in earlier
+    x-range buckets have strictly smaller x (equal x shares a bucket),
+    so predecessor-min = least(prefix-min of earlier buckets'
+    per-bucket y-min — a <= 1024-row broadcast relation — and the
+    within-bucket running min over (x, y) order).  Identical output to
+    the single-window form.
     """
     sign = 1 if minimize else -1
     pairs = (
@@ -125,11 +133,28 @@ def skyline_2d(
         .groupBy("_x", "_y")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
-    w = Window.orderBy(F.col("_x").asc(), F.col("_y").asc()).rowsBetween(
-        Window.unboundedPreceding, -1
+    from transcriptomics_data_integration_spark.operators.windows import (
+        monotone_range_buckets,
     )
+
+    bucketed = monotone_range_buckets(pairs, "_x")
+    bmin = bucketed.groupBy("_bkt").agg(F.min("_y").alias("_ymin"))
+    w_pre = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    base = bmin.withColumn("_basemin", F.min("_ymin").over(w_pre)).select(
+        "_bkt", "_basemin"
+    )
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col("_x").asc(), F.col("_y").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # least() ignores nulls: first bucket / first row fall back to the
+    # other operand, both-null means no predecessor at all
     return (
-        pairs.withColumn("_prev_min_y", F.min("_y").over(w))
+        bucketed.join(F.broadcast(base), "_bkt")
+        .withColumn(
+            "_prev_min_y", F.least(F.col("_basemin"), F.min("_y").over(w_in))
+        )
         .where(F.col("_prev_min_y").isNull() | (F.col("_prev_min_y") > F.col("_y")))
         .select(
             (F.col("_x") * sign).alias(x_col),

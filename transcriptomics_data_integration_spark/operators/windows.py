@@ -22,3 +22,44 @@ def top_k_by(df: DataFrame, order_col: str, k: int, tiebreak_col: str, desc: boo
     oc = F.col(order_col).desc() if desc else F.col(order_col).asc()
     w = Window.orderBy(oc, F.col(tiebreak_col))
     return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k).drop("_rn")
+
+
+def monotone_range_buckets(
+    df: DataFrame, order_col: str, n_buckets: int = 1024, bucket_col: str = "_bkt"
+) -> DataFrame:
+    """Attach an equi-width bucket id that is MONOTONE in a numeric
+    ``order_col``: every row in bucket k sorts before every row in
+    bucket k+1, and equal order values share a bucket.  This is the
+    primitive that turns a global-order window (all rows -> ONE task)
+    into a partitioned two-pass shape: per-bucket aggregates form a
+    <= ``n_buckets``-row relation whose prefix combine is broadcast
+    back, and the only large windows are ``partitionBy(bucket)``.
+
+    The bounds come from an in-plan 1-row aggregate joined via
+    broadcast (no driver collect, no re-scan: the join input is the
+    same cached scan).  Deterministic by construction — unlike
+    ``repartitionByRange`` + ``spark_partition_id()``, which depends on
+    sampled range bounds and exchange reuse.  Under heavily clustered
+    keys buckets skew; AQE skew-split covers the imbalance, and the
+    algebra stays exact regardless of skew.
+
+    Same pattern as ``stats.bh.bh_adjust_histogram`` (p in [0,1] lets
+    that one skip the bounds pass).
+    """
+    bounds = df.agg(
+        F.min(order_col).alias("_mn"), F.max(order_col).alias("_mx")
+    )
+    width = F.greatest(
+        (F.col("_mx") - F.col("_mn")) / n_buckets, F.lit(1e-12)
+    )
+    return (
+        df.join(F.broadcast(bounds))
+        .withColumn(
+            bucket_col,
+            F.least(
+                F.floor((F.col(order_col) - F.col("_mn")) / width).cast("int"),
+                F.lit(n_buckets - 1),
+            ),
+        )
+        .drop("_mn", "_mx")
+    )

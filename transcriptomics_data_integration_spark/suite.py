@@ -329,7 +329,7 @@ def q_reliability_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_RELIABILITY = """
 SELECT l_orderkey,
-       SUM(CASE WHEN l_discount > 0.05 OR l_tax > 0.05 THEN 1 ELSE 0 END) AS n_unreliable,
+       CAST(SUM(CASE WHEN l_discount > 0.05 OR l_tax > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_unreliable,
        COUNT(DISTINCT l_returnflag) AS n_genes,
        COUNT(*) AS n_members
 FROM lineitem GROUP BY l_orderkey
@@ -570,9 +570,9 @@ WITH a AS (
   FROM a FULL OUTER JOIN b ON a.k = b.k
 )
 SELECT COUNT(*) AS n_union,
-       SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS n_intersect,
-       SUM(CASE WHEN NOT in_b THEN 1 ELSE 0 END) AS n_only_a,
-       SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS n_only_b
+       CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_intersect,
+       CAST(SUM(CASE WHEN NOT in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+       CAST(SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b
 FROM f
 """
 
@@ -1274,3 +1274,47 @@ FROM o FULL OUTER JOIN f ON o.l_partkey = f.l_partkey
 
 QUERIES["full_outer_merge"] = q_full_outer_merge
 ORACLES["full_outer_merge"] = ORACLE_FULL_OUTER
+
+
+# ---------------------------------------------------------------------------
+# Driver-window ordering
+# ---------------------------------------------------------------------------
+# The correctness driver gates the FIRST 50 entries of ``QUERIES`` in
+# iteration order.  Round 1 proved the first 50 green (47 pass + 2
+# oracle-typing artifacts, both cast-fixed above); the remaining ~43
+# declared queries never got a hard-signal row.  Rotate them to the
+# front so round 2 gates the SURVEY section-2 core (expression_pipeline,
+# moderated/weighted DE, voom, ComBat, ICC, permutation FDR, ...) plus
+# every other not-yet-gated query.  Oracled queries come before
+# rows-only ones; previously-green queries trail (pytest still covers
+# them every round).
+_ROUND2_FRONT = [
+    # -- sect. 2 core, oracled, untested in r01 --------------------------
+    "expression_pipeline", "moderated_de", "weighted_de", "pairwise_contrasts",
+    "lmfit_design", "moderated_lmfit", "voom_trend", "batch_center",
+    "icc_meta", "permutation_fdr", "dup_correlation", "array_weights",
+    "term_enrichment", "fisher_enrichment", "cqn_bias", "dataset_group_means",
+    "strata_correlation", "ks_strata", "mahalanobis_outliers", "impute_missing",
+    "qc_sample_metrics", "registry_upsert", "melt_measures", "pivot_matrix",
+    "full_outer_merge", "rollup_summary", "skyline",
+    # -- llm-data / events, oracled, untested in r01 ---------------------
+    "rolling_stats", "quality_filter", "mixture_sample", "funnel",
+    "cohort_retention", "normalize_dedup",
+    # -- r01 hash-artifact rows, oracle casts fixed this round -----------
+    "reliability_filter", "set_compare",
+    # -- rows-only, never had a driver row -------------------------------
+    "median_polish", "combat_full", "combat_nonparam", "pca_samples",
+    "mds_samples", "kmeans_samples", "hclust_samples", "logistic_de",
+    "ivf_ann", "quantile_sketch",
+]
+
+
+def _reorder_front(registry: dict, front: list[str]) -> dict:
+    missing = [n for n in front if n not in registry]
+    assert not missing, f"front-window names not in registry: {missing}"
+    ordered = {n: registry[n] for n in front}
+    ordered.update({n: fn for n, fn in registry.items() if n not in ordered})
+    return ordered
+
+
+QUERIES = _reorder_front(QUERIES, _ROUND2_FRONT)
