@@ -312,6 +312,17 @@ def test_ks_test_matches_python_ecdf(spark):
     assert abs(got["d_stat"] - d_expected) < 1e-12
     assert 0.0 <= got["p_approx"] < 0.01  # strongly shifted -> tiny p
 
+    # R convention: asymptotic p at lambda = sqrt(n1 n2/(n1+n2)) * D,
+    # no Stephens/Numerical-Recipes small-sample terms
+    import math
+
+    lam = math.sqrt(80 * 60 / 140) * d_expected
+    q = sum(
+        2.0 * (-1.0) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
+        for k in range(1, 9)
+    )
+    assert got["p_approx"] == pytest.approx(min(max(q, 0.0), 1.0), abs=1e-12)
+
     # same distribution -> D small, p large
     same = spark.createDataFrame(
         [("a", float(i % 10)) for i in range(100)]

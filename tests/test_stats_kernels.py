@@ -123,6 +123,28 @@ def test_two_group_ttest_golden(spark):
     assert out["p_value"] == pytest.approx(0.0832645, abs=1e-5)
 
 
+def test_ttest_log_scale_logfc_is_mean_difference(spark):
+    # log2-scale input (limma topTable convention,
+    # DiffExpression_closedPlatform.R:474-520): logFC = mean_a - mean_b.
+    # mean_b = 0 (floored log2-CPM) must yield a finite logFC, not
+    # Inf/null from log2 of a zero-division ratio.
+    rows = [("g", "A", float(v)) for v in [3, 5, 4, 4]] + [
+        ("g", "B", 0.0) for _ in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["gene", "grp", "value"])
+    out = two_group_ttest(
+        df, "gene", "grp", "value", "A", "B", log_scale_values=True
+    ).collect()[0]
+    assert out["log2fc"] == pytest.approx(4.0)
+    from transcriptomics_data_integration_spark.stats.ttest import weighted_two_group_ttest
+
+    wdf = df.withColumn("w", F.lit(1.0))
+    wout = weighted_two_group_ttest(
+        wdf, "gene", "grp", "value", "w", "A", "B", log_scale_values=True
+    ).collect()[0]
+    assert wout["log2fc"] == pytest.approx(4.0)
+
+
 def test_ttest_drops_degenerate_groups(spark):
     rows = [("g1", "A", 1.0), ("g1", "B", 2.0), ("g2", "A", 1.0), ("g2", "A", 2.0)]
     df = spark.createDataFrame(rows, ["gene", "grp", "value"])

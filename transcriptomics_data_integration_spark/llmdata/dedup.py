@@ -509,6 +509,16 @@ def connected_components(
         if prev_sum is not None and cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: no fixpoint after max_iter={max_iter} "
+            "rounds; labels may be unconverged (components over-split). "
+            "Raise max_iter — rounds needed grow with log(graph diameter).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

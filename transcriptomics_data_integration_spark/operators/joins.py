@@ -188,13 +188,21 @@ def salted_join(
     replicated n_salts times, so the join key becomes
     (key, salt) and each hot key fans out across n_salts reducers.
     Cost: dim rows x n_salts (dims here are O(10^3-10^6) rows — cheap
-    vs a straggler).  Result is row-identical to the unsalted join.
+    vs a straggler).  For ``inner``/``left``/``left_semi`` the result
+    is row-identical to the unsalted join; right/full-outer would emit
+    each UNMATCHED dim row n_salts times (the replicas only collapse
+    when matched), so those modes are rejected.
 
     Complements AQE's skew-join splitting (PLANS.md): AQE only splits
     SORT-MERGE join partitions after the fact; salting also covers
     aggregate-then-join shapes and makes the spread explicit in the
     plan.
     """
+    if how.replace("outer", "").strip("_") not in ("inner", "left", "leftsemi", "left_semi", "semi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, not {how!r}: "
+            "unmatched dim rows would be replicated n_salts times"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(n_salts))
     fs = facts.withColumn("_salt", salt.cast("int"))
     ds = dim.withColumn(

@@ -51,7 +51,8 @@ def differential_expression(
     if top_k_genes:
         labeled = nonspecific_filter_topk(labeled, gene_col, value_col, top_k_genes)
     tt = two_group_ttest(
-        labeled, gene_col, group_col, value_col, group_a, group_b, exact_scale=None
+        labeled, gene_col, group_col, value_col, group_a, group_b, exact_scale=None,
+        log_scale_values=True,
     )
     mod = moderated_t(tt)
     adj = bh_adjust(mod, "p_value", "adj_p_value", tiebreak_col=gene_col)

@@ -53,7 +53,8 @@ def rnaseq_differential_expression(
         .join(F.broadcast(weights), gene_col)
     )
     tt = weighted_two_group_ttest(
-        labeled, gene_col, group_col, "value", "weight", group_a, group_b
+        labeled, gene_col, group_col, "value", "weight", group_a, group_b,
+        log_scale_values=True,
     )
     mod = moderated_t(tt, s2_col="s2_pooled", df_col="df_pooled")
     return bh_adjust(mod, "p_value", "adj_p_value", tiebreak_col=gene_col)

@@ -27,6 +27,13 @@ COUNT_SCHEMA = T.StructType(
 )
 
 
+def drop_summary_rows(df: DataFrame, gene_col: str = "gene_id") -> DataFrame:
+    """Drop htseq's ``__no_feature`` / ``__ambiguous`` / ``__too_low_aQual``
+    summary lines (`GenExpressionComb_RNAseq.pl:191`) — shared by the
+    file scan below and the gated ``htseq_scan`` suite query."""
+    return df.where(~F.col(gene_col).startswith("__"))
+
+
 def read_htseq_counts(spark: SparkSession, glob_path: str) -> DataFrame:
     """Read a directory/glob of htseq count files into long
     ``(gene_id, sample_id, read_count)``."""
@@ -36,7 +43,7 @@ def read_htseq_counts(spark: SparkSession, glob_path: str) -> DataFrame:
         F.element_at(F.split(F.col("_file"), "/"), -1), r"\.(txt|tsv|counts)$", ""
     )
     return (
-        with_file.where(~F.col("gene_id").startswith("__"))
+        drop_summary_rows(with_file)
         .withColumn("sample_id", sample)
         .select("gene_id", "sample_id", "read_count")
     )

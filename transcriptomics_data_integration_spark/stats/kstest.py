@@ -29,9 +29,11 @@ def ks_test(
     Tie handling matches R's ks.test: the ECDF gap is evaluated AT each
     distinct value after accounting for all tied observations (per-value
     aggregation before the cumulative window).  p is the asymptotic
-    Kolmogorov series with the Stephens small-sample correction —
-    matches R to ~1e-7 for moderate n (R switches to an exact method
-    only for small samples without ties).
+    Kolmogorov series at lambda = sqrt(n1 n2 / (n1 + n2)) * D — R's
+    ks.test asymptotic convention (no Stephens/Numerical-Recipes
+    small-sample terms), so p matches R whenever R itself uses the
+    asymptotic path (it switches to an exact method only for small
+    samples without ties).
     """
     tagged = df.where(F.col(group_col).isin([g1, g2])).select(
         F.col(value_col).alias("v"),
@@ -62,7 +64,7 @@ def ks_test(
     )
     n1, n2, d = F.col("n1"), F.col("n2"), F.col("d_stat")
     ne = n1 * n2 / (n1 + n2)
-    lam = (F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)) * d
+    lam = F.sqrt(ne) * d
     series = None
     for k in range(1, 9):
         term = F.lit(2.0 * (-1.0) ** (k - 1)) * F.exp(F.lit(-2.0 * k * k) * lam * lam)

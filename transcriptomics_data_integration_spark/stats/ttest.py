@@ -84,6 +84,7 @@ def two_group_ttest(
     group_a: str,
     group_b: str,
     exact_scale: int | None = 2,
+    log_scale_values: bool = False,
 ) -> DataFrame:
     """Per-gene pooled-variance t between ``group_a`` and ``group_b``.
 
@@ -92,6 +93,12 @@ def two_group_ttest(
     lacking >= 2 obs per group or with zero pooled variance are dropped
     (reference applies the F4 zero-variance filter upstream,
     `DiffExpression_closedPlatform.R:375-376`).
+
+    ``log_scale_values=True`` declares ``value_col`` already log2-scale
+    (log2 intensities / log2-CPM): log2fc is then the limma topTable
+    convention ``mean_a - mean_b`` (`DiffExpression_closedPlatform.R:
+    474-520`), not log2 of the mean ratio — the ratio of log-scale
+    means is meaningless and divides by zero for floored values.
     """
     gene_cols = [gene_col] if isinstance(gene_col, str) else list(gene_col)
     agg = _group_moments(df, gene_cols, group_col, value_col, group_a, group_b, exact_scale)
@@ -99,8 +106,13 @@ def two_group_ttest(
         (F.col("n_a") - 1) * F.col("var_a") + (F.col("n_b") - 1) * F.col("var_b")
     ) / (F.col("n_a") + F.col("n_b") - 2)
     se = F.sqrt(sp2 * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    lfc = (
+        F.col("mean_a") - F.col("mean_b")
+        if log_scale_values
+        else F.log2(F.col("mean_a") / F.col("mean_b"))
+    )
     out = (
-        agg.withColumn("log2fc", F.log2(F.col("mean_a") / F.col("mean_b")))
+        agg.withColumn("log2fc", lfc)
         .withColumn("_se", se)
         .where(F.col("_se") > 0)
         .withColumn("t_statistic", (F.col("mean_a") - F.col("mean_b")) / F.col("_se"))
@@ -167,6 +179,7 @@ def weighted_two_group_ttest(
     weight_col: str,
     group_a: str,
     group_b: str,
+    log_scale_values: bool = False,
 ) -> DataFrame:
     """M8 with observation weights (limma ``lmFit(weights=...)`` fed by
     arrayWeights M7 / voom M5, `DiffExpression_closedPlatform.R:474` with
@@ -215,7 +228,14 @@ def weighted_two_group_ttest(
         .withColumn("mean_b", mean_b)
         .withColumn("_se", se)
         .where(F.col("_se") > 0)
-        .withColumn("log2fc", F.log2(F.col("mean_a") / F.col("mean_b")))
+        # limma convention for log-scale input (voom log2-CPM): logFC is
+        # the mean difference, never log2 of a ratio of log-scale means
+        .withColumn(
+            "log2fc",
+            (F.col("mean_a") - F.col("mean_b"))
+            if log_scale_values
+            else F.log2(F.col("mean_a") / F.col("mean_b")),
+        )
         .withColumn("t_statistic", (F.col("mean_a") - F.col("mean_b")) / F.col("_se"))
         # exposed for eBayes moderation over the weighted fit
         .withColumn("s2_pooled", var_pooled)

@@ -165,16 +165,24 @@ def streaming_sessionize(
     def update(key, pdfs, state):
         start, end, n = state.get if state.exists else (None, None, 0)
         out_rows = []
-        for pdf in pdfs:
-            for ts in pdf[ts_col].sort_values():
-                ts = int(ts)
-                if start is None:
-                    start, end, n = ts, ts, 1
-                elif ts - end > gap_ns:
-                    out_rows.append((key[0], start, end, n, True))
-                    start, end, n = ts, ts, 1
-                else:
-                    end, n = max(end, ts), n + 1
+        # a key's micro-batch data may span several Arrow chunks:
+        # concatenate BEFORE sorting, or chunk boundaries would feed
+        # out-of-order timestamps into the fold and split sessions
+        chunks = [pdf[ts_col] for pdf in pdfs]
+        all_ts = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.Series([], dtype="int64")
+        )
+        for ts in all_ts.sort_values():
+            ts = int(ts)
+            if start is None:
+                start, end, n = ts, ts, 1
+            elif ts - end > gap_ns:
+                out_rows.append((key[0], start, end, n, True))
+                start, end, n = ts, ts, 1
+            else:
+                end, n = max(end, ts), n + 1
         state.update((start, end, n))
         if start is not None:
             out_rows.append((key[0], start, end, n, False))

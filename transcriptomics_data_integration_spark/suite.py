@@ -1276,6 +1276,106 @@ QUERIES["full_outer_merge"] = q_full_outer_merge
 ORACLES["full_outer_merge"] = ORACLE_FULL_OUTER
 
 
+def q_htseq_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 — the htseq count-file contract gated over driver tables:
+    per-sample long counts carry htseq's ``__no_feature`` /
+    ``__ambiguous`` summary rows, which the scan must DROP
+    (`GenExpressionComb_RNAseq.pl:191`), then the long relation
+    densifies to the fill-0 gene x sample matrix (`:232-238`).
+    The raw long side models one htseq file per o_orderpriority
+    "sample"; genes are custkey buckets.  The file-glob scan itself
+    (input_file_name -> sample id) is exercised on real temp files in
+    ``tests/test_sources_streaming.py``; this query gates the
+    post-scan semantics the reference script applies.
+    """
+    from transcriptomics_data_integration_spark.sources.htseq import (
+        counts_to_matrix,
+        drop_summary_rows,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy(
+        F.concat(F.lit("g"), (F.col("o_custkey") % 50).cast("string")).alias("gene_id"),
+        F.col("o_orderpriority").alias("sample_id"),
+    ).agg(F.count(F.lit(1)).alias("read_count"))
+    summaries = orders.groupBy(F.col("o_orderpriority").alias("sample_id")).agg(
+        F.count(F.lit(1)).alias("read_count")
+    ).select(F.lit("__no_feature").alias("gene_id"), "sample_id", "read_count")
+    raw = counts.unionByName(summaries)
+    return counts_to_matrix(drop_summary_rows(raw))
+
+
+ORACLE_HTSEQ = """
+WITH raw AS (
+  SELECT 'g' || CAST(o_custkey % 50 AS VARCHAR) AS gene_id,
+         o_orderpriority AS sample_id, COUNT(*) AS read_count
+  FROM orders GROUP BY 1, 2
+  UNION ALL
+  SELECT '__no_feature', o_orderpriority, COUNT(*)
+  FROM orders GROUP BY 2
+), clean AS (
+  SELECT * FROM raw WHERE gene_id NOT LIKE '\\_\\_%' ESCAPE '\\'
+), dense AS (
+  SELECT g.gene_id, s.sample_id
+  FROM (SELECT DISTINCT gene_id FROM clean) g
+  CROSS JOIN (SELECT DISTINCT sample_id FROM clean) s
+)
+SELECT d.gene_id, d.sample_id, COALESCE(c.read_count, 0) AS read_count
+FROM dense d LEFT JOIN clean c
+  ON d.gene_id = c.gene_id AND d.sample_id = c.sample_id
+"""
+
+QUERIES["htseq_scan"] = q_htseq_scan
+ORACLES["htseq_scan"] = ORACLE_HTSEQ
+
+
+def q_rsem_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — RSEM ``.results`` conversion contract
+    (`Convert_RSEMprocessed.pl:68-124`): symbol -> Ensembl-id remap via
+    the gene-info dim with unmapped symbols DROPPED (`:117-121`) and
+    fractional expected counts rounded to integer reads.  RSEM rows
+    model from lineitem (symbols = partkey mod 100, expected counts
+    get a .25 fraction so Spark/DuckDB rounding agree); the mapping dim
+    models from part and only covers symbols mod 80, so s80..s99 fall
+    out — the drop-unmapped semantics under test.  Symbols with
+    several ids keep the lexicographic min (the deterministic
+    tightening documented in ``sources/rsem.py``).
+    """
+    from transcriptomics_data_integration_spark.sources.rsem import convert_rsem
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rsem = li.groupBy(
+        F.concat(F.lit("s"), (F.col("l_partkey") % 100).cast("string")).alias("gene_symbol"),
+        F.col("l_linestatus").alias("sample_id"),
+    ).agg((F.sum("l_quantity") + 0.25).alias("expected_count"))
+    gene_info = part.select(
+        F.concat(F.lit("s"), (F.col("p_partkey") % 80).cast("string")).alias("gene_symbol"),
+        F.concat(F.lit("ENSG"), F.col("p_partkey").cast("string")).alias("ensembl_id"),
+    )
+    return convert_rsem(rsem, gene_info)
+
+
+ORACLE_RSEM = """
+WITH rsem AS (
+  SELECT 's' || CAST(l_partkey % 100 AS VARCHAR) AS gene_symbol,
+         l_linestatus AS sample_id,
+         SUM(l_quantity) + 0.25 AS expected_count
+  FROM lineitem GROUP BY 1, 2
+), mapping AS (
+  SELECT 's' || CAST(p_partkey % 80 AS VARCHAR) AS gene_symbol,
+         MIN('ENSG' || CAST(p_partkey AS VARCHAR)) AS gene_id
+  FROM part GROUP BY 1
+)
+SELECT m.gene_id, r.sample_id,
+       CAST(FLOOR(r.expected_count + 0.5) AS BIGINT) AS read_count
+FROM rsem r JOIN mapping m ON r.gene_symbol = m.gene_symbol
+"""
+
+QUERIES["rsem_convert"] = q_rsem_convert
+ORACLES["rsem_convert"] = ORACLE_RSEM
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -1297,6 +1397,8 @@ _ROUND2_FRONT = [
     "strata_correlation", "ks_strata", "mahalanobis_outliers", "impute_missing",
     "qc_sample_metrics", "registry_upsert", "melt_measures", "pivot_matrix",
     "full_outer_merge", "rollup_summary", "skyline",
+    # -- S5/S6 source contracts, gated this round ------------------------
+    "htseq_scan", "rsem_convert",
     # -- llm-data / events, oracled, untested in r01 ---------------------
     "rolling_stats", "quality_filter", "mixture_sample", "funnel",
     "cohort_retention", "normalize_dedup",

@@ -998,8 +998,7 @@ WITH tagged AS (
   FROM tot
 ), lam AS (
   SELECT *,
-         (sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)) + 0.12
-          + 0.11 / sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2))) * d_stat AS l
+         sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)) * d_stat AS l
   FROM agg
 )
 SELECT n1, n2, ROUND(d_stat, 9) AS d_stat,
