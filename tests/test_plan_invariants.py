@@ -12,9 +12,15 @@ from transcriptomics_data_integration_spark.plans import plan_report
 
 SF = "/root/testdata/sf0.001"
 
-# deliberate nested-loop users: brute-force similarity cross joins and
-# the 1-row global-median attach in CQN
-BNLJ_WHITELIST = {"cosine_topk", "ivf_ann", "cqn_bias"}
+# deliberate nested-loop users: brute-force similarity cross joins,
+# the 1-row global-median attach in CQN, the 1-row min/max bounds
+# attach of monotone_range_buckets (pack_sequences / skyline two-pass
+# prefix sums), and htseq_scan's dense gene x sample grid (samples is
+# the broadcast-small side by the S5 contract)
+BNLJ_WHITELIST = {
+    "cosine_topk", "ivf_ann", "cqn_bias",
+    "pack_sequences", "skyline", "htseq_scan",
+}
 
 
 def test_no_accidental_nested_loop_joins(spark):
