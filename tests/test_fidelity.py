@@ -1,0 +1,142 @@
+"""Full-fidelity M4/M5 kernels: voom lowess trend and CQN robust
+spline (VERDICT round-1 items 5-6)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from transcriptomics_data_integration_spark.stats.lowess import approx_rule2, lowess
+from transcriptomics_data_integration_spark.stats.normalize import (
+    _natural_spline_basis,
+    cqn_spline,
+    log2_cpm,
+    voom_weights_lowess,
+)
+
+
+def _toy_counts(spark, n_genes=40, n_samples=4):
+    rows = []
+    for s in range(n_samples):
+        for g in range(n_genes):
+            rows.append((g, s, float(10 + g * 5 + (s * 3 + g) % 7)))
+    return spark.createDataFrame(rows, ["gene_id", "sample_id", "cnt"])
+
+
+def test_voom_lowess_matches_local_reference(spark):
+    """The Spark pipeline (distributed agg -> Arrow lowess -> interp)
+    must equal computing voom's trend locally from the same lcpm."""
+    df = _toy_counts(spark)
+    out = {r["gene_id"]: r for r in voom_weights_lowess(
+        df, "gene_id", "sample_id", "cnt", f=0.5, iter=3
+    ).collect()}
+
+    # local reference from first principles
+    pdf = log2_cpm(df, "sample_id", "cnt").toPandas()
+    per_gene = pdf.groupby("gene_id")["lcpm"].agg(["mean", "var", "count"])
+    sx = per_gene["mean"].to_numpy()
+    sy = np.sqrt(np.sqrt(per_gene["var"].to_numpy()))
+    xf, yf = lowess(sx, sy, f=0.5, iter=3)
+    trend = approx_rule2(sx, xf, yf)
+
+    assert len(out) == len(per_gene)
+    for gid, m, sd, tr in zip(per_gene.index, sx, sy, trend):
+        r = out[gid]
+        assert r["mean_lcpm"] == pytest.approx(m, rel=1e-9)
+        assert r["sqrt_sd"] == pytest.approx(sd, rel=1e-9)
+        assert r["trend_sqrt_sd"] == pytest.approx(tr, rel=1e-9)
+        assert r["weight"] == pytest.approx(tr ** -4.0, rel=1e-9)
+
+
+def test_voom_lowess_weight_shape(spark):
+    """Genes on the high-variance side of the trend get LOWER weights;
+    weights positive and finite everywhere."""
+    df = _toy_counts(spark, n_genes=60)
+    rows = voom_weights_lowess(df, "gene_id", "sample_id", "cnt").collect()
+    ws = [r["weight"] for r in rows]
+    assert all(np.isfinite(w) and w > 0 for w in ws)
+    for r in rows:
+        assert r["weight"] == pytest.approx(r["trend_sqrt_sd"] ** -4.0, rel=1e-12)
+
+
+def test_natural_spline_basis_spans_line_and_is_linear_beyond_boundary():
+    x = np.linspace(0, 1, 50)
+    knots = np.quantile(x, [0, 0.25, 0.5, 0.75, 1])
+    X = _natural_spline_basis(x, knots)
+    # exact representation of a line
+    beta, *_ = np.linalg.lstsq(X, 3 * x + 2, rcond=None)
+    assert np.allclose(X @ beta, 3 * x + 2, atol=1e-10)
+    # natural constraint: second differences vanish outside the boundary
+    xe = np.array([1.5, 2.0, 2.5, 3.0])
+    Xe = _natural_spline_basis(xe, knots)
+    rng = np.random.RandomState(0)
+    b = rng.randn(X.shape[1])
+    ye = Xe @ b
+    second_diff = ye[2:] - 2 * ye[1:-1] + ye[:-2]
+    assert np.allclose(second_diff, 0.0, atol=1e-8)
+
+
+def test_cqn_spline_removes_smooth_gc_bias(spark):
+    """lcpm constructed with an exact linear GC bias -> the spline fit
+    recovers it exactly (Huber converges to OLS on clean data) and
+    lcpm_cqn is flat in GC, with the per-sample median level kept."""
+    rows, attrs = [], []
+    for g in range(60):
+        gc = 0.30 + 0.006 * g
+        attrs.append((g, gc))
+        for s in range(3):
+            # counts = 2^(a + b*gc) scaled per sample -> lcpm linear in gc
+            rows.append((g, s, float(2 ** (4 + 6 * gc) * (1 + s))))
+    df = spark.createDataFrame(rows, ["gene_id", "sample_id", "cnt"])
+    ga = spark.createDataFrame(attrs, ["gene_id", "gc"])
+    out = cqn_spline(df, "gene_id", "sample_id", "cnt", ga, "gc").toPandas()
+
+    for s, grp in out.groupby("sample_id"):
+        # raw lcpm strongly correlated with gc; corrected ~ flat
+        raw_r = np.corrcoef(grp["gc"], grp["lcpm"])[0, 1]
+        # the +0.5/lib+1 offsets make lcpm only approximately linear in
+        # gc, so allow a tiny residual trend
+        slope = np.polyfit(grp["gc"], grp["lcpm_cqn"], 1)[0]
+        raw_slope = np.polyfit(grp["gc"], grp["lcpm"], 1)[0]
+        assert abs(raw_r) > 0.99
+        assert abs(slope) < abs(raw_slope) / 100
+        # exact invariant: the subtracted bias is median-centered, so
+        # the overall library level shifts by (at most) a hair
+        bias = grp["lcpm"] - grp["lcpm_cqn"]
+        assert np.median(bias) == pytest.approx(0.0, abs=1e-9)
+        assert np.median(grp["lcpm_cqn"]) == pytest.approx(
+            np.median(grp["lcpm"]), abs=1e-3
+        )
+
+
+def test_cqn_spline_robust_to_outlier_genes(spark):
+    """A handful of wild outlier genes must not bend the bias curve:
+    corrected values of NON-outlier genes stay close to the clean-data
+    correction."""
+    rows, attrs = [], []
+    for g in range(60):
+        gc = 0.30 + 0.006 * g
+        attrs.append((g, gc))
+        rows.append((g, 0, float(2 ** (4 + 6 * gc))))
+    clean_df = spark.createDataFrame(rows, ["gene_id", "sample_id", "cnt"])
+    ga = spark.createDataFrame(attrs, ["gene_id", "gc"])
+    clean = (
+        cqn_spline(clean_df, "gene_id", "sample_id", "cnt", ga, "gc")
+        .toPandas().set_index("gene_id")["fit"]
+    )
+
+    dirty_rows = [
+        (g, s, c * (5000.0 if g in (10, 30, 50) else 1.0)) for g, s, c in rows
+    ]
+    dirty_df = spark.createDataFrame(dirty_rows, ["gene_id", "sample_id", "cnt"])
+    dirty = (
+        cqn_spline(dirty_df, "gene_id", "sample_id", "cnt", ga, "gc")
+        .toPandas().set_index("gene_id")["fit"]
+    )
+    keep = [g for g in clean.index if g not in (10, 30, 50)]
+    # fit curves are compared up to their own median (the correction
+    # only uses fit - median(fit))
+    c = clean[keep] - np.median(clean[keep])
+    d = dirty[keep] - np.median(dirty[keep])
+    assert float(np.max(np.abs(c - d))) < 0.25

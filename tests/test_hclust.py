@@ -1,0 +1,88 @@
+"""Ward hierarchical clustering (M13 full fidelity, stats/hclust.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from transcriptomics_data_integration_spark.stats.hclust import (
+    cut_tree_labels,
+    sample_distance_matrix,
+    ward_hclust,
+    ward_linkage_local,
+)
+
+
+def test_ward_linkage_hand_computed_1d():
+    """Points 0, 2, 6, 7 on a line.  Hand-run of the Lance-Williams
+    recurrence (ward.D2 convention):
+
+      step 0: merge {2}, {3}  d2=1     -> height 1
+      step 1: merge {0}, {1}  d2=4     -> height 2
+      step 2: merge u4, u5    d2=60.5  -> height sqrt(60.5)
+              (cross-check: 2*nA*nB/(nA+nB) * ||cA-cB||^2
+               = 2 * (6.5-1)^2 = 60.5)
+    """
+    pts = [0.0, 2.0, 6.0, 7.0]
+    d2 = {
+        (i, j): (pts[i] - pts[j]) ** 2
+        for i in range(4) for j in range(i + 1, 4)
+    }
+    merges = ward_linkage_local(list(range(4)), d2)
+    assert [(m[1], m[2]) for m in merges] == [(2, 3), (0, 1), (4, 5)]
+    heights = [m[3] for m in merges]
+    assert heights[0] == pytest.approx(1.0)
+    assert heights[1] == pytest.approx(2.0)
+    assert heights[2] == pytest.approx(np.sqrt(60.5))
+    assert [m[4] for m in merges] == [2, 2, 4]
+    # heights monotone (guaranteed for Ward)
+    assert heights == sorted(heights)
+
+
+def test_cutree_numbering_first_appearance():
+    pts = [0.0, 2.0, 6.0, 7.0]
+    d2 = {
+        (i, j): (pts[i] - pts[j]) ** 2
+        for i in range(4) for j in range(i + 1, 4)
+    }
+    merges = ward_linkage_local(list(range(4)), d2)
+    assert cut_tree_labels(merges, 4, 2).tolist() == [1, 1, 2, 2]
+    assert cut_tree_labels(merges, 4, 4).tolist() == [1, 2, 3, 4]
+    assert cut_tree_labels(merges, 4, 1).tolist() == [1, 1, 1, 1]
+
+
+def test_ward_singleton_merge_height_is_euclidean_distance():
+    rng = np.random.RandomState(5)
+    X = rng.randn(6, 3)
+    d2 = {
+        (i, j): float(((X[i] - X[j]) ** 2).sum())
+        for i in range(6) for j in range(i + 1, 6)
+    }
+    merges = ward_linkage_local(list(range(6)), d2)
+    step0 = merges[0]
+    i, j = step0[1], step0[2]
+    assert step0[3] == pytest.approx(np.linalg.norm(X[i] - X[j]))
+    # monotone heights across all merges
+    hs = [m[3] for m in merges]
+    assert all(a <= b + 1e-12 for a, b in zip(hs, hs[1:]))
+
+
+def test_ward_hclust_spark_end_to_end(spark):
+    """Two tight sample groups in gene space -> the k=2 cut separates
+    them; distance matrix is computed distributed."""
+    rows = []
+    for s in range(6):
+        base = 0.0 if s < 3 else 50.0
+        for g in range(10):
+            rows.append((s, g, base + g + 0.1 * s))
+    df = spark.createDataFrame(rows, ["sample_id", "gene_id", "value"])
+    d2 = sample_distance_matrix(df, "sample_id", "gene_id", "value")
+    assert d2.count() == 15  # 6 choose 2
+    linkage, labels = ward_hclust(df, "sample_id", "gene_id", "value", k=2)
+    merges = linkage.orderBy("step").collect()
+    assert len(merges) == 5
+    hs = [m["height"] for m in merges]
+    assert all(a <= b + 1e-9 for a, b in zip(hs, hs[1:]))
+    lab = {r["sample_id"]: r["cluster"] for r in labels.collect()}
+    assert lab[0] == lab[1] == lab[2] == 1
+    assert lab[3] == lab[4] == lab[5] == 2

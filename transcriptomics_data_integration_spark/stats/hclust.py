@@ -1,0 +1,165 @@
+"""M13 — Ward hierarchical clustering of samples (full fidelity).
+
+Reference: ``hclust(dist(t(data)), method="ward")`` +
+``cutree``/dendrogram (`DiffExpression_closedPlatform.R:645-646`,
+`Study_effect.R:500-531`).
+
+Execution split (SURVEY §2.5 M12/M13, same contract as MDS): the
+S x S squared-Euclidean distance matrix is computed DISTRIBUTED — a
+gene-keyed self-join + aggregation over the long relation (the gene
+dimension can be billions of rows at 100 TB; it never leaves the
+cluster).  The linkage itself is O(S^3) on an S x S matrix with
+S = O(10..1000) samples, so it runs on the driver in numpy —
+exactly where R runs hclust — via the Lance-Williams recurrence:
+
+    d2(u,k) = ((n_i+n_k) d2(i,k) + (n_j+n_k) d2(j,k) - n_k d2(i,j))
+              / (n_i + n_j + n_k)
+
+Heights follow the scipy/R ``ward.D2`` convention: the merge height is
+the EUCLIDEAN (not squared) cluster distance, so heights are monotone
+non-decreasing.  Ties break deterministically on (height, smaller
+cluster id, larger cluster id).
+
+Outputs are Spark DataFrames so downstream suite queries stay in the
+engine: a linkage table (one row per merge: step, cluster_a,
+cluster_b, height, size) and a ``cutree``-style label table for a
+requested k (clusters renumbered 1..k by first appearance in sample
+order, matching R ``cutree``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sample_distance_matrix(
+    long_df: DataFrame, sample_col: str, gene_col: str, value_col: str
+) -> DataFrame:
+    """Distributed upper-triangle squared Euclidean distances between
+    samples over the shared-gene slice (missing genes contribute 0,
+    i.e. distances use genes present in both samples — R ``dist`` on a
+    complete matrix sees all genes; feed a completed matrix for exact
+    parity, e.g. after impute_missing)."""
+    a = long_df.select(
+        F.col(sample_col).alias("sa"), F.col(gene_col).alias("g"),
+        F.col(value_col).alias("x"),
+    )
+    b = long_df.select(
+        F.col(sample_col).alias("sb"), F.col(gene_col).alias("g"),
+        F.col(value_col).alias("y"),
+    )
+    return (
+        a.join(b, "g")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.sum((F.col("x") - F.col("y")) ** 2).alias("d2"))
+    )
+
+
+def ward_linkage_local(samples: list, d2_pairs: dict) -> list[tuple]:
+    """Driver-side Ward linkage.  ``samples``: ordered sample ids
+    (index = leaf id 0..S-1); ``d2_pairs``: {(i, j) i<j: squared
+    distance}.  Returns merge rows (step, cluster_a, cluster_b,
+    height, size) with new clusters numbered S, S+1, ... like scipy."""
+    n = len(samples)
+    if n < 2:
+        return []
+    INF = float("inf")
+    D2 = np.full((2 * n - 1, 2 * n - 1), INF)
+    for (i, j), v in d2_pairs.items():
+        D2[i, j] = D2[j, i] = float(v)
+    size = np.zeros(2 * n - 1, dtype=np.int64)
+    size[:n] = 1
+    active = set(range(n))
+    merges = []
+    for step in range(n - 1):
+        # min pair, vectorized; ties break to the lexicographically
+        # smallest (i, j) because argmin returns the FIRST minimum and
+        # triu_indices enumerates pairs in row-major (i, j) order
+        act = np.array(sorted(active))
+        sub = D2[np.ix_(act, act)]
+        iu = np.triu_indices(len(act), 1)
+        flat = sub[iu]
+        m = int(np.argmin(flat))
+        d2min = float(flat[m])
+        i = int(act[iu[0][m]])
+        j = int(act[iu[1][m]])
+        u = n + step
+        ni, nj = size[i], size[j]
+        ks = act[(act != i) & (act != j)]
+        if len(ks):
+            nk = size[ks].astype(float)
+            D2[u, ks] = (
+                (ni + nk) * D2[i, ks] + (nj + nk) * D2[j, ks] - nk * d2min
+            ) / (ni + nj + nk)
+            D2[ks, u] = D2[u, ks]
+        size[u] = ni + nj
+        active.discard(i)
+        active.discard(j)
+        active.add(u)
+        merges.append((step, int(i), int(j), float(np.sqrt(max(d2min, 0.0))), int(size[u])))
+    return merges
+
+
+def cut_tree_labels(merges: list[tuple], n: int, k: int) -> np.ndarray:
+    """R ``cutree``-style labels for k clusters: stop the merge
+    sequence after n-k merges, number clusters 1..k by first
+    appearance in leaf order."""
+    parent = np.arange(2 * n - 1)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for step, i, j, _h, _sz in merges[: max(0, n - k)]:
+        u = n + step
+        parent[find(i)] = u
+        parent[find(j)] = u
+    roots = [find(i) for i in range(n)]
+    label_of: dict[int, int] = {}
+    labels = np.zeros(n, dtype=np.int64)
+    for i, r in enumerate(roots):
+        if r not in label_of:
+            label_of[r] = len(label_of) + 1
+        labels[i] = label_of[r]
+    return labels
+
+
+def ward_hclust(
+    long_df: DataFrame,
+    sample_col: str,
+    gene_col: str,
+    value_col: str,
+    k: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Full Ward pipeline: distributed distance matrix -> driver
+    linkage -> (linkage_df, labels_df).
+
+    linkage_df: (step, cluster_a, cluster_b, height, size) — the
+    dendrogram merge table (cluster ids < S are leaves in sorted
+    sample order; ids >= S are merge products, like scipy linkage).
+    labels_df: (sample, cluster) for the k-cut, R cutree numbering.
+    """
+    rows = sample_distance_matrix(long_df, sample_col, gene_col, value_col).collect()
+    samples = sorted({r["sa"] for r in rows} | {r["sb"] for r in rows})
+    idx = {s: i for i, s in enumerate(samples)}
+    d2 = {
+        (min(idx[r["sa"]], idx[r["sb"]]), max(idx[r["sa"]], idx[r["sb"]])): r["d2"]
+        for r in rows
+    }
+    merges = ward_linkage_local(samples, d2)
+    labels = cut_tree_labels(merges, len(samples), min(k, max(len(samples), 1)))
+    spark = long_df.sparkSession
+    sample_t = dict(long_df.select(F.col(sample_col)).dtypes)[sample_col]
+    linkage_df = spark.createDataFrame(
+        merges or [], "step int, cluster_a int, cluster_b int, height double, size int"
+    )
+    labels_df = spark.createDataFrame(
+        [(s, int(labels[idx[s]])) for s in samples],
+        f"{sample_col} {sample_t}, cluster int",
+    )
+    return linkage_df, labels_df

@@ -181,6 +181,102 @@ def impute_missing(
     )
 
 
+def impute_missing_em(
+    df: DataFrame,
+    gene_col: str,
+    sample_col: str,
+    value_col: str,
+    max_iter: int = 10,
+    tol: float = 1e-8,
+) -> DataFrame:
+    """M16 full fidelity path — iterative EM imputation under the
+    two-way additive model ``x_gs = mu + a_g + b_s`` (the structured
+    stand-in for Amelia's EM at `DiffExpression_normalisedData.R:166`;
+    Amelia's full multivariate-normal covariance is infeasible at a
+    60k-gene width — the additive gene+sample model is the standard
+    scalable reduction, cf. median polish M2).
+
+    E-step: fill each missing cell with the current ``mu + a_g + b_s``.
+    M-step: refit ``mu`` (grand mean), ``a_g`` (gene effects) and
+    ``b_s`` (sample effects) on the COMPLETED matrix.  Repeat until the
+    sample-effect vector moves less than ``tol`` (sup-norm) or
+    ``max_iter``.
+
+    With zero sample effects the first fill is exactly the per-gene
+    observed mean — i.e. one iteration degenerates to ``impute_missing``
+    (mean strategy), the property the tests pin.
+
+    Scale: the missing-cell relation is materialized ONCE (size =
+    missing fraction x matrix, not the dense grid); every iteration is
+    plain joins + aggregates — gene effects stay distributed
+    (broadcast-joined only per gene row), sample effects are an S-row
+    broadcast, and the only driver-side values are ``mu`` and the
+    convergence scalar (same pattern as connected components'
+    per-round fixpoint check).  Lineage is truncated per iteration via
+    localCheckpoint.
+    """
+    spark = df.sparkSession
+    g, s, v = gene_col, sample_col, value_col
+    observed = df.where(F.col(v).isNotNull()).select(g, s, F.col(v).cast("double").alias("x"))
+    observed = observed.localCheckpoint(eager=True)
+
+    # missing cells: dense gene x sample grid minus observed (anti join)
+    genes = observed.select(g).distinct()
+    samples = observed.select(s).distinct()
+    missing = (
+        genes.crossJoin(F.broadcast(samples))
+        .join(observed.select(g, s), [g, s], "left_anti")
+        .localCheckpoint(eager=True)
+    )
+
+    # init from observed: mu, gene effects, sample effects
+    mu = observed.agg(F.avg("x")).collect()[0][0]
+    if mu is None:
+        return df
+    a = observed.groupBy(g).agg((F.avg("x") - F.lit(mu)).alias("a"))
+    # gene effects join by the gene key (no broadcast: the gene
+    # dimension is unbounded; AQE still picks BHJ when it is small)
+    b = observed.join(a, g).groupBy(s).agg(
+        (F.avg(F.col("x") - F.lit(mu) - F.col("a"))).alias("b")
+    )
+
+    prev_fill = None
+    for _ in range(max_iter):
+        fill = (
+            missing.join(a, g)
+            .join(F.broadcast(b), s)
+            .select(g, s, (F.lit(mu) + F.col("a") + F.col("b")).alias("x"))
+            .localCheckpoint(eager=True)
+        )
+        # convergence on the FILL VALUES themselves (sup-norm): the
+        # individual effects can shuffle mass between mu/a/b without
+        # the fills moving, and vice versa — the fills are what the
+        # caller receives, so they define the fixpoint
+        if prev_fill is not None:
+            delta_row = (
+                fill.join(prev_fill.withColumnRenamed("x", "_xp"), [g, s])
+                .agg(F.max(F.abs(F.col("x") - F.col("_xp"))))
+                .collect()[0][0]
+            )
+            if delta_row is not None and delta_row < tol:
+                break
+        prev_fill = fill
+        completed = observed.unionByName(fill).localCheckpoint(eager=True)
+        mu = completed.agg(F.avg("x")).collect()[0][0]
+        a = completed.groupBy(g).agg((F.avg("x") - F.lit(mu)).alias("a"))
+        b = completed.join(a, g).groupBy(s).agg(
+            (F.avg(F.col("x") - F.lit(mu) - F.col("a"))).alias("b")
+        )
+
+    final_fill = (
+        missing.join(a, g)
+        .join(F.broadcast(b), s)
+        .select(g, s, (F.lit(mu) + F.col("a") + F.col("b")).alias("x"))
+    )
+    out = observed.unionByName(final_fill).withColumnRenamed("x", v)
+    return out
+
+
 def mds_embedding(
     long_df: DataFrame,
     sample_col: str,

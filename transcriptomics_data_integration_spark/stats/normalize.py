@@ -6,10 +6,22 @@
   precision weights.  The lowess trend is replaced by quantile-binned
   medians (piecewise-constant trend) — same shape, closed form, and
   oracle-checkable; weights = trend_sqrt_sd^-4 exactly as voom.
+- ``voom_weights_lowess`` (M5, full fidelity): the same pipeline with
+  the R ``lowess(sx, sy, f=0.5)`` trend of ``limma::voom``
+  (`DiffExpression_openPlatform.R:427-442`) — stats/lowess.py ports
+  Cleveland's algorithm exactly; rows-only gate (lowess is not
+  SQL-expressible), golden-tested against an independent numpy
+  reference in tests.
 - ``cqn_simplified`` (M4): conditional-quantile normalization reduced
   to its bias-removal core (`GenExpressionComb_RNAseq.R:183-201`,
   method `README.md:101`): per GC-content (and length) bin, subtract
   the bin-median log2-CPM offset relative to the global median.
+- ``cqn_spline`` (M4, full fidelity): per-sample ROBUST natural-cubic-
+  spline regression of log2-CPM on GC content — the smooth systematic-
+  effect fit of the cqn package (`GenExpressionComb_RNAseq.R:190`,
+  ``cqn(counts, x=gc, lengths=...)``) — with Huber IRLS replacing
+  cqn's quantile regression; the fitted bias curve (centered at its
+  median) is subtracted per sample.
 - ``array_weights`` (M7): per-sample quality weights
   (`DiffExpression_closedPlatform.R:456-464`): inverse mean squared
   residual from per-gene means, normalized to mean 1 — the one-step
@@ -82,6 +94,177 @@ def voom_weights(
         .withColumn("weight", F.pow(F.col("trend_sqrt_sd"), -4.0))
         .select(gene_col, "mean_lcpm", "sqrt_sd", "n_obs", "trend_bin", "trend_sqrt_sd", "weight")
     )
+
+
+def voom_weights_lowess(
+    df: DataFrame,
+    gene_col: str,
+    sample_col: str,
+    count_col: str,
+    f: float = 0.5,
+    iter: int = 3,
+) -> DataFrame:
+    """M5 full fidelity — the voom mean-variance trend exactly as
+    ``limma::voom`` computes it (`DiffExpression_openPlatform.R:427-442`):
+
+    1. per-gene mean log2-CPM ``sx`` and quarter-root standard
+       deviation ``sy = sqrt(sd)`` of the log2-CPM values,
+    2. ``lo <- lowess(sx, sy, f=0.5)`` — R's exact algorithm
+       (stats/lowess.py), three robustifying iterations,
+    3. trend value at each gene's own mean via ``approxfun(lo,
+       rule=2)`` (linear interpolation, endpoint clamping),
+    4. ``weight = trend^-4``.
+
+    Execution: the per-gene (mean, sqrt_sd) aggregate is distributed;
+    the lowess fit runs in ONE Arrow batch over that bounded relation
+    (gene count is O(10^4..10^6) — SURVEY §2.5 M5 documents the split,
+    mirroring where R itself runs lowess).  Returns one row per gene:
+    (gene, mean_lcpm, sqrt_sd, n_obs, trend_sqrt_sd, weight).
+    """
+    import pandas as pd
+
+    from transcriptomics_data_integration_spark.stats.lowess import approx_rule2, lowess
+
+    lcpm = log2_cpm(df, sample_col, count_col)
+    per_gene = lcpm.groupBy(gene_col).agg(
+        F.avg("lcpm").alias("mean_lcpm"),
+        F.sqrt(F.sqrt(F.var_samp("lcpm"))).alias("sqrt_sd"),
+        F.count(F.lit(1)).alias("n_obs"),
+    ).where(F.col("sqrt_sd").isNotNull() & (F.col("sqrt_sd") > 0))
+
+    gene_t = dict(per_gene.dtypes)[gene_col]
+    out_schema = (
+        f"{gene_col} {gene_t}, mean_lcpm double, sqrt_sd double, n_obs long, "
+        "trend_sqrt_sd double, weight double"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        sx = pdf["mean_lcpm"].to_numpy()
+        sy = pdf["sqrt_sd"].to_numpy()
+        xf, yf = lowess(sx, sy, f=f, iter=iter)
+        trend = approx_rule2(sx, xf, yf)
+        out = pdf[[gene_col, "mean_lcpm", "sqrt_sd", "n_obs"]].copy()
+        out["trend_sqrt_sd"] = trend
+        out["weight"] = trend ** -4.0
+        return out
+
+    # single group: the whole bounded per-gene relation in one Arrow
+    # batch, exactly where R runs lowess (driver-equivalent, but kept
+    # on an executor so nothing funnels through the driver process)
+    return (
+        per_gene.withColumn("_one", F.lit(1))
+        .groupBy("_one")
+        .applyInPandas(fit, schema=out_schema)
+    )
+
+
+def _natural_spline_basis(x, knots):
+    """Natural cubic spline basis (truncated-power form, ESL eq. 5.4-5.5).
+
+    Spans the same function space as R ``splines::ns`` with the same
+    knots, so LEAST-SQUARES FITTED VALUES are identical to an R fit
+    even though the basis parameterization differs."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=float)
+    knots = np.asarray(knots, dtype=float)
+    K = len(knots)
+    cols = [np.ones_like(x), x]
+    if K >= 3:
+        xi_K = knots[-1]
+        xi_Km1 = knots[-2]
+
+        def d(k):
+            num = np.clip(x - knots[k], 0, None) ** 3 - np.clip(x - xi_K, 0, None) ** 3
+            return num / (xi_K - knots[k])
+
+        dKm1 = d(K - 2)
+        for k in range(K - 2):
+            cols.append(d(k) - dKm1)
+    return np.column_stack(cols)
+
+
+def cqn_spline(
+    df: DataFrame,
+    gene_col: str,
+    sample_col: str,
+    count_col: str,
+    gene_attrs: DataFrame,
+    gc_col: str,
+    n_knots: int = 5,
+    huber_k: float = 1.345,
+    n_iter: int = 8,
+) -> DataFrame:
+    """M4 full fidelity — per-sample robust natural-spline regression
+    of log2-CPM on GC content, the smooth systematic-effect fit of the
+    cqn package (`GenExpressionComb_RNAseq.R:183-201`,
+    ``cqn(counts, x = gc)``; Hansen/Irizarry/Wu 2012).  cqn fits
+    per-sample splines by quantile regression; here the fit is Huber
+    IRLS (robust mean regression) on the SAME natural-spline basis —
+    knots at GC quantiles, boundary knots at min/max — and the fitted
+    bias curve, centered at its own median, is subtracted:
+
+        lcpm_cqn = lcpm - (fit(gc) - median(fit(gc)))
+
+    Execution: one Arrow batch per SAMPLE (``applyInPandas`` grouped by
+    sample — each group is one library's gene vector, the unit cqn
+    itself fits); gene attrs attach by broadcast.  The per-sample
+    median centering keeps each library's overall level, so libraries
+    stay comparable after bias removal exactly as in cqn's offset
+    formulation.
+    """
+    import numpy as np
+    import pandas as pd
+
+    lcpm = log2_cpm(df, sample_col, count_col)
+    attrs = gene_attrs.select(gene_col, F.col(gc_col).cast("double").alias("_gc"))
+    with_gc = lcpm.join(F.broadcast(attrs), gene_col)
+
+    dts = dict(with_gc.dtypes)
+    out_schema = (
+        f"{gene_col} {dts[gene_col]}, {sample_col} {dts[sample_col]}, gc double, "
+        "lcpm double, fit double, lcpm_cqn double"
+    )
+
+    def fit_sample(pdf: pd.DataFrame) -> pd.DataFrame:
+        gc = pdf["_gc"].to_numpy()
+        y = pdf["lcpm"].to_numpy()
+        qs = np.linspace(0, 1, n_knots)
+        knots = np.unique(np.quantile(gc, qs))
+        X = _natural_spline_basis(gc, knots)
+        w = np.ones(len(y))
+        beta = np.zeros(X.shape[1])
+        for _ in range(n_iter):
+            WX = X * w[:, None]
+            try:
+                beta_new = np.linalg.solve(X.T @ WX, X.T @ (w * y))
+            except np.linalg.LinAlgError:
+                beta_new, *_ = np.linalg.lstsq(X.T @ WX, X.T @ (w * y), rcond=None)
+            if np.max(np.abs(beta_new - beta)) < 1e-10:
+                beta = beta_new
+                break
+            beta = beta_new
+            r = y - X @ beta
+            s = np.median(np.abs(r - np.median(r))) * 1.4826  # MAD sigma
+            if s <= 0:
+                break
+            a = np.abs(r) / s
+            w = np.where(a <= huber_k, 1.0, huber_k / np.maximum(a, 1e-300))
+        fit = X @ beta
+        bias = fit - np.median(fit)
+        out = pd.DataFrame(
+            {
+                gene_col: pdf[gene_col].to_numpy(),
+                sample_col: pdf[sample_col].to_numpy(),
+                "gc": gc,
+                "lcpm": y,
+                "fit": fit,
+                "lcpm_cqn": y - bias,
+            }
+        )
+        return out
+
+    return with_gc.groupBy(sample_col).applyInPandas(fit_sample, schema=out_schema)
 
 
 def cqn_simplified(

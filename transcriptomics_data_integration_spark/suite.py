@@ -1395,6 +1395,7 @@ _ROUND2_FRONT = [
     "icc_meta", "permutation_fdr", "dup_correlation", "array_weights",
     "term_enrichment", "fisher_enrichment", "cqn_bias", "dataset_group_means",
     "strata_correlation", "ks_strata", "mahalanobis_outliers", "impute_missing",
+    "impute_em",
     "qc_sample_metrics", "registry_upsert", "melt_measures", "pivot_matrix",
     "full_outer_merge", "rollup_summary", "skyline",
     # -- S5/S6 source contracts, gated this round ------------------------
@@ -1407,7 +1408,10 @@ _ROUND2_FRONT = [
     # -- rows-only, never had a driver row -------------------------------
     "median_polish", "combat_full", "combat_nonparam", "pca_samples",
     "mds_samples", "kmeans_samples", "hclust_samples", "logistic_de",
-    "ivf_ann", "quantile_sketch",
+    "ivf_ann",
+    # -- round-2 full-fidelity kernels (rows-only: not SQL-expressible) --
+    # (quantile_sketch rotates to the r03 window to stay within 50)
+    "voom_lowess", "cqn_spline", "ward_hclust",
 ]
 
 

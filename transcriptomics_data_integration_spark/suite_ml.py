@@ -36,6 +36,26 @@ def _cells(spark: SparkSession, sf_dir: str, n_genes: int = 20) -> DataFrame:
     ).agg(F.avg("l_extendedprice").alias("value"))
 
 
+# feature-vector width guard: sample_vectors pivots over an explicit
+# gene list, which callers build with a driver-side distinct-collect.
+# That is only sane AFTER an F5-style top-k/subset filter; cap it so a
+# future unfiltered call fails loudly instead of OOMing the driver.
+_MAX_FEATURE_GENES = 10_000
+
+
+def _gene_list(cells: DataFrame) -> list[str]:
+    genes = sorted(
+        r["gene_id"]
+        for r in cells.select("gene_id").distinct().limit(_MAX_FEATURE_GENES + 1).collect()
+    )
+    if len(genes) > _MAX_FEATURE_GENES:
+        raise ValueError(
+            f"feature-vector pivot needs a bounded gene list (> {_MAX_FEATURE_GENES} "
+            "distinct genes seen) — apply nonspecific_filter_topk (F5) first"
+        )
+    return genes
+
+
 def q_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2 — RMA-style median-polish summarization of probes (parts) to
     probesets (brands) over bucketed samples."""
@@ -100,7 +120,7 @@ def q_pca_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M11 — PCA of sample vectors over the 20 lowest-key genes; PC
     coordinates are sign-indeterminate across BLAS builds (rows-only)."""
     cells = _cells(spark, sf_dir)
-    genes = sorted(r["gene_id"] for r in cells.select("gene_id").distinct().collect())
+    genes = _gene_list(cells)
     vecs = sample_vectors(cells, "gene_id", "sample_id", "value", genes)
     emb, ev = pca_embedding(vecs, "sample_id", k=3)
     return emb.select(
@@ -113,7 +133,7 @@ def q_pca_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kmeans_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M12 — seeded k-means clustering of sample vectors."""
     cells = _cells(spark, sf_dir)
-    genes = sorted(r["gene_id"] for r in cells.select("gene_id").distinct().collect())
+    genes = _gene_list(cells)
     vecs = sample_vectors(cells, "gene_id", "sample_id", "value", genes)
     out = kmeans_clusters(vecs, "sample_id", k=3, seed=1)
     return out.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_samples"))
@@ -124,10 +144,28 @@ def q_hclust_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     (BisectingKMeans, the idiomatic Spark stand-in for Ward hclust,
     `DiffExpression_closedPlatform.R:645-646`); seeded, rows-only."""
     cells = _cells(spark, sf_dir)
-    genes = sorted(r["gene_id"] for r in cells.select("gene_id").distinct().collect())
+    genes = _gene_list(cells)
     vecs = sample_vectors(cells, "gene_id", "sample_id", "value", genes)
     out = bisecting_clusters(vecs, "sample_id", k=4, seed=1)
     return out.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_samples"))
+
+
+def q_ward_hclust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13 full fidelity — Ward hierarchical clustering
+    (`DiffExpression_closedPlatform.R:645-646`, ``hclust`` +
+    ``cutree``): distributed S x S distance matrix, driver-side
+    Lance-Williams linkage (stats/hclust.py).  The merge table
+    (step, heights, sizes) is DETERMINISTIC given the data — unlike
+    the seeded k-means family — but not SQL-expressible, so rows-only;
+    numerics pinned by tests/test_hclust.py."""
+    from transcriptomics_data_integration_spark.stats.hclust import ward_hclust
+
+    cells = _cells(spark, sf_dir)
+    linkage, _labels = ward_hclust(cells, "sample_id", "gene_id", "value", k=4)
+    return linkage.select(
+        "step", "cluster_a", "cluster_b",
+        F.round("height", 4).alias("height"), "size",
+    ).orderBy("step")
 
 
 def q_logistic_de(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,6 +209,7 @@ QUERIES_ML = {
     "pca_samples": q_pca_samples,
     "kmeans_samples": q_kmeans_samples,
     "hclust_samples": q_hclust_samples,
+    "ward_hclust": q_ward_hclust,
     "logistic_de": q_logistic_de,
     "ivf_ann": q_ivf_ann,
     "mds_samples": q_mds_samples,

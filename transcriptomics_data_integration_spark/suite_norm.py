@@ -256,9 +256,48 @@ WHERE gene_id IN (SELECT gene_id FROM keepg)
 """
 
 
+def q_voom_lowess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 full fidelity — voom trend via R-exact lowess
+    (`DiffExpression_openPlatform.R:427-442`; limma::voom f=0.5).
+    Rows-only: lowess is not SQL-expressible; numerics pinned by
+    tests/test_lowess.py + tests/test_fidelity.py."""
+    from transcriptomics_data_integration_spark.stats.normalize import voom_weights_lowess
+
+    counts = _counts(spark, sf_dir)
+    out = voom_weights_lowess(counts, "gene_id", "sample_id", "cnt")
+    return out.select(
+        "gene_id",
+        "n_obs",
+        F.round("mean_lcpm", 6).alias("mean_lcpm"),
+        F.round("sqrt_sd", 6).alias("sqrt_sd"),
+        F.round("trend_sqrt_sd", 6).alias("trend_sqrt_sd"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
+def q_cqn_spline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 full fidelity — per-sample robust natural-spline GC bias fit
+    (`GenExpressionComb_RNAseq.R:183-201`).  Rows-only (IRLS fit);
+    per-sample bias-curve summary keeps the row count bounded."""
+    from transcriptomics_data_integration_spark.stats.normalize import cqn_spline
+
+    counts = _counts(spark, sf_dir)
+    part = _t(spark, sf_dir, "part")
+    attrs = part.select(F.col("p_partkey").alias("gene_id"), F.col("p_size").alias("gc"))
+    out = cqn_spline(counts, "gene_id", "sample_id", "cnt", attrs, "gc")
+    return out.groupBy("sample_id").agg(
+        F.count(F.lit(1)).alias("n_genes"),
+        F.round(F.avg("lcpm"), 6).alias("avg_lcpm"),
+        F.round(F.avg("lcpm_cqn"), 6).alias("avg_lcpm_cqn"),
+        F.round(F.max(F.abs(F.col("lcpm") - F.col("lcpm_cqn"))), 6).alias("max_bias"),
+    )
+
+
 QUERIES_NORM = {
     "voom_trend": q_voom_trend,
+    "voom_lowess": q_voom_lowess,
     "cqn_bias": q_cqn_bias,
+    "cqn_spline": q_cqn_spline,
     "array_weights": q_array_weights,
     "qc_sample_metrics": q_qc_sample_metrics,
     "expression_pipeline": q_expression_pipeline,

@@ -859,6 +859,76 @@ QUERIES_STATS["impute_missing"] = q_impute_missing
 ORACLES_STATS["impute_missing"] = ORACLE_IMPUTE_MISSING
 
 
+def q_impute_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M16 full fidelity — EM imputation under the two-way additive
+    model (`DiffExpression_normalisedData.R:160-170`, Amelia EM;
+    stats/mlkernels.py:impute_missing_em).  One EM refit (max_iter=1)
+    is closed-form, so the oracle replays it exactly: init effects from
+    observed cells, fill, refit on the completed matrix, final fill.
+    Missing cells are the natural holes of the (gene, sample) grid.
+    Integer-valued sums keep every average deterministic across
+    engines."""
+    from transcriptomics_data_integration_spark.stats.mlkernels import impute_missing_em
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") <= 200)
+    cells = li.groupBy(
+        F.col("l_partkey").alias("gene_id"),
+        (F.col("l_suppkey") % 50).alias("sample_id"),
+    ).agg(F.sum("l_quantity").alias("value"))
+    out = impute_missing_em(cells, "gene_id", "sample_id", "value", max_iter=1)
+    return out.select(
+        "gene_id", "sample_id", F.round("value", 6).alias("value")
+    )
+
+
+ORACLE_IMPUTE_EM = """
+WITH cells AS (
+  SELECT l_partkey AS gene_id, l_suppkey % 50 AS sample_id,
+         CAST(SUM(l_quantity) AS DOUBLE) AS x
+  FROM lineitem WHERE l_partkey <= 200 GROUP BY 1, 2
+), grid AS (
+  SELECT g.gene_id, s.sample_id
+  FROM (SELECT DISTINCT gene_id FROM cells) g
+  CROSS JOIN (SELECT DISTINCT sample_id FROM cells) s
+), miss AS (
+  SELECT gene_id, sample_id FROM grid gr
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cells c
+    WHERE c.gene_id = gr.gene_id AND c.sample_id = gr.sample_id
+  )
+), mu0 AS (SELECT AVG(x) AS mu FROM cells),
+a0 AS (
+  SELECT gene_id, AVG(x) - (SELECT mu FROM mu0) AS a
+  FROM cells GROUP BY gene_id
+), b0 AS (
+  SELECT sample_id, AVG(x - (SELECT mu FROM mu0) - a) AS b
+  FROM cells JOIN a0 USING (gene_id) GROUP BY sample_id
+), fill0 AS (
+  SELECT m.gene_id, m.sample_id, (SELECT mu FROM mu0) + a + b AS x
+  FROM miss m JOIN a0 USING (gene_id) JOIN b0 USING (sample_id)
+), comp AS (
+  SELECT * FROM cells UNION ALL SELECT * FROM fill0
+), mu1 AS (SELECT AVG(x) AS mu FROM comp),
+a1 AS (
+  SELECT gene_id, AVG(x) - (SELECT mu FROM mu1) AS a
+  FROM comp GROUP BY gene_id
+), b1 AS (
+  SELECT sample_id, AVG(x - (SELECT mu FROM mu1) - a) AS b
+  FROM comp JOIN a1 USING (gene_id) GROUP BY sample_id
+), fill1 AS (
+  SELECT m.gene_id, m.sample_id, (SELECT mu FROM mu1) + a + b AS x
+  FROM miss m JOIN a1 USING (gene_id) JOIN b1 USING (sample_id)
+)
+SELECT gene_id, sample_id, ROUND(x, 6) AS value FROM cells
+UNION ALL
+SELECT gene_id, sample_id, ROUND(x, 6) AS value FROM fill1
+"""
+
+
+QUERIES_STATS["impute_em"] = q_impute_em
+ORACLES_STATS["impute_em"] = ORACLE_IMPUTE_EM
+
+
 def q_moderated_lmfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 eBayes on the general design — `lmfit_design`'s contrast t
     shrunk with the two-pass global variance prior
