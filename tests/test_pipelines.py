@@ -184,3 +184,12 @@ def test_rnaseq_de_pipeline_end_to_end(spark):
     assert shifted_p == min(r["adj_p_value"] for r in out)
     assert all(r["adj_p_value"] >= r["p_value"] - 1e-15 for r in out)
     assert by_gene["g0"]["log2fc"] > 0
+
+    # full-fidelity path (spline CQN + lowess voom) agrees on the call
+    out_lo = rnaseq_differential_expression(
+        counts, targets, attrs, "tumor", "normal", fidelity="lowess"
+    ).collect()
+    by_gene_lo = {r["gene_id"]: r for r in out_lo}
+    assert len(by_gene_lo) == 30
+    assert by_gene_lo["g0"]["adj_p_value"] == min(r["adj_p_value"] for r in out_lo)
+    assert by_gene_lo["g0"]["log2fc"] > 0

@@ -20,7 +20,12 @@ from pyspark.sql import functions as F
 
 from transcriptomics_data_integration_spark.operators.filters import low_value_floor
 from transcriptomics_data_integration_spark.stats.bh import bh_adjust
-from transcriptomics_data_integration_spark.stats.normalize import cqn_simplified, voom_weights
+from transcriptomics_data_integration_spark.stats.normalize import (
+    cqn_simplified,
+    cqn_spline,
+    voom_weights,
+    voom_weights_lowess,
+)
 from transcriptomics_data_integration_spark.stats.ttest import moderated_t, weighted_two_group_ttest
 
 
@@ -36,21 +41,35 @@ def rnaseq_differential_expression(
     group_col: str = "target",
     gc_col: str = "gc_content",
     floor_threshold: float = 2.0,
+    fidelity: str = "binned",
 ) -> DataFrame:
     """Long counts + sample sheet + gene attrs -> per-gene topTable
-    (log2fc, weighted t, moderated t, p, BH-adjusted p)."""
-    cqn = cqn_simplified(counts, gene_col, sample_col, count_col, gene_attrs, gc_col)
+    (log2fc, weighted t, moderated t, p, BH-adjusted p).
+
+    ``fidelity="binned"`` (default) uses the closed-form,
+    oracle-checkable M4/M5 kernels (GC-bin offsets, binned-median voom
+    trend); ``fidelity="lowess"`` swaps in the full-fidelity kernels —
+    per-sample robust-spline CQN and the R-exact lowess voom trend of
+    ``limma::voom`` (`DiffExpression_openPlatform.R:427-442`)."""
+    if fidelity not in ("binned", "lowess"):
+        raise ValueError("fidelity must be 'binned' or 'lowess'")
+    if fidelity == "lowess":
+        cqn = cqn_spline(counts, gene_col, sample_col, count_col, gene_attrs, gc_col)
+        weights = voom_weights_lowess(counts, gene_col, sample_col, count_col)
+    else:
+        cqn = cqn_simplified(counts, gene_col, sample_col, count_col, gene_attrs, gc_col)
+        weights = voom_weights(counts, gene_col, sample_col, count_col)
+    weights = weights.select(gene_col, "weight")
     floored = low_value_floor(
         cqn.select(gene_col, sample_col, F.col("lcpm_cqn").alias("value")),
         "value",
         threshold=floor_threshold,
     )
-    weights = voom_weights(counts, gene_col, sample_col, count_col).select(
-        gene_col, "weight"
-    )
     labeled = (
         floored.join(F.broadcast(targets.select(sample_col, group_col)), sample_col)
-        .join(F.broadcast(weights), gene_col)
+        # gene-keyed join, NOT broadcast: the per-gene weight relation
+        # is gene-dimension (unbounded); AQE still picks BHJ when small
+        .join(weights, gene_col)
     )
     tt = weighted_two_group_ttest(
         labeled, gene_col, group_col, "value", "weight", group_a, group_b,

@@ -1408,10 +1408,9 @@ _ROUND2_FRONT = [
     # -- rows-only, never had a driver row -------------------------------
     "median_polish", "combat_full", "combat_nonparam", "pca_samples",
     "mds_samples", "kmeans_samples", "hclust_samples", "logistic_de",
-    "ivf_ann",
     # -- round-2 full-fidelity kernels (rows-only: not SQL-expressible) --
-    # (quantile_sketch rotates to the r03 window to stay within 50)
-    "voom_lowess", "cqn_spline", "ward_hclust",
+    # (ivf_ann + quantile_sketch rotate to the r03 window to stay at 50)
+    "voom_lowess", "cqn_spline", "ward_hclust", "rnaseq_pipeline",
 ]
 
 

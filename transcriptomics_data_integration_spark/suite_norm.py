@@ -293,9 +293,41 @@ def q_cqn_spline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rnaseq_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-point B end-to-end at FULL fidelity — counts -> spline
+    CQN -> floor -> lowess voom weights -> weighted moderated DE -> BH
+    (`DiffExpression_openPlatform.R` + `GenExpressionComb_RNAseq.R`,
+    SURVEY §3.2).  Rows-only: the stage oracles cover the pieces
+    (cqn_bias, voom_trend, weighted_de, moderated_de, diff_expression);
+    this gates the composition."""
+    from transcriptomics_data_integration_spark.pipelines.rnaseq import (
+        rnaseq_differential_expression,
+    )
+
+    counts = _counts(spark, sf_dir).withColumnRenamed("cnt", "read_count")
+    part = _t(spark, sf_dir, "part")
+    attrs = part.select(
+        F.col("p_partkey").alias("gene_id"), F.col("p_size").alias("gc_content")
+    )
+    targets = (
+        counts.select("sample_id").distinct()
+        .withColumn("target", F.when(F.col("sample_id") % 2 == 0, "tumor").otherwise("normal"))
+    )
+    out = rnaseq_differential_expression(
+        counts, targets, attrs, "tumor", "normal", fidelity="lowess"
+    )
+    return out.select(
+        "gene_id",
+        F.round("log2fc", 6).alias("log2fc"),
+        F.round("p_value", 8).alias("p_value"),
+        F.round("adj_p_value", 8).alias("adj_p_value"),
+    )
+
+
 QUERIES_NORM = {
     "voom_trend": q_voom_trend,
     "voom_lowess": q_voom_lowess,
+    "rnaseq_pipeline": q_rnaseq_pipeline,
     "cqn_bias": q_cqn_bias,
     "cqn_spline": q_cqn_spline,
     "array_weights": q_array_weights,
