@@ -20,6 +20,9 @@ SF = "/root/testdata/sf0.001"
 BNLJ_WHITELIST = {
     "cosine_topk", "ivf_ann", "cqn_bias",
     "pack_sequences", "skyline", "htseq_scan",
+    # ks_test's bucketed ECDF: monotone_range_buckets bounds attach +
+    # the 1-row (n1, n2) totals attach
+    "ks_strata",
 }
 
 

@@ -323,6 +323,15 @@ def test_ks_test_matches_python_ecdf(spark):
     )
     assert got["p_approx"] == pytest.approx(min(max(q, 0.0), 1.0), abs=1e-12)
 
+    # the bucketed two-pass ECDF (default) is bit-identical to the
+    # single global window (n_buckets=None), including with a bucket
+    # count small enough that shards really split the value range
+    for nb in (None, 4, 1024):
+        alt = ks_test(df, "grp", "v", "a", "b", n_buckets=nb).collect()[0]
+        assert alt["d_stat"] == got["d_stat"]
+        assert alt["p_approx"] == got["p_approx"]
+        assert (alt["n1"], alt["n2"]) == (80, 60)
+
     # same distribution -> D small, p large
     same = spark.createDataFrame(
         [("a", float(i % 10)) for i in range(100)]

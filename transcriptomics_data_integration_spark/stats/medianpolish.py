@@ -51,9 +51,17 @@ def median_polish_summarize(
     probe_col: str,
     sample_col: str,
     value_col: str,
+    max_iter: int = 10,
+    tol: float = 1e-6,
 ) -> DataFrame:
     """(probeset, probe, sample, value) -> (probeset, sample, expression)
-    with expression = overall + column effect (RMA contract)."""
+    with expression = overall + column effect (RMA contract).
+
+    ``tol=0`` forces exactly ``max_iter`` sweep pairs — the
+    fixed-iteration form is closed over medians/subtractions, so (on
+    integer-valued input, where every intermediate is an exactly-
+    representable dyadic rational) it admits a SQL oracle
+    (`median_polish_fixed` in the suite)."""
     import numpy as np
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -66,7 +74,7 @@ def median_polish_summarize(
             row_med = np.nanmedian(mat, axis=1)
             idx = np.where(np.isnan(mat))
             mat[idx] = np.take(row_med, idx[0])
-        overall, _, col_eff = _median_polish_matrix(mat)
+        overall, _, col_eff = _median_polish_matrix(mat, max_iter=max_iter, tol=tol)
         return pd.DataFrame(
             {
                 "probeset": pdf["probeset"].iloc[0],

@@ -1406,10 +1406,12 @@ _ROUND2_FRONT = [
     # -- r01 hash-artifact rows, oracle casts fixed this round -----------
     "reliability_filter", "set_compare",
     # -- rows-only, never had a driver row -------------------------------
-    "median_polish", "combat_full", "combat_nonparam", "pca_samples",
-    "mds_samples", "kmeans_samples", "hclust_samples", "logistic_de",
-    # -- round-2 full-fidelity kernels (rows-only: not SQL-expressible) --
-    # (ivf_ann + quantile_sketch rotate to the r03 window to stay at 50)
+    "median_polish", "median_polish_fixed", "combat_full", "combat_nonparam",
+    "pca_samples", "mds_samples", "kmeans_samples", "logistic_de",
+    # -- round-2 full-fidelity kernels (rows-only: not SQL-expressible,
+    # except median_polish_fixed above which is dyadic-exact oracled) --
+    # (ivf_ann, hclust_samples, quantile_sketch rotate to the r03
+    # window to stay at 50; ward_hclust supersedes hclust_samples)
     "voom_lowess", "cqn_spline", "ward_hclust", "rnaseq_pipeline",
 ]
 

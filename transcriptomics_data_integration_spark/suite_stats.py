@@ -929,6 +929,105 @@ QUERIES_STATS["impute_em"] = q_impute_em
 ORACLES_STATS["impute_em"] = ORACLE_IMPUTE_EM
 
 
+def q_median_polish_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 — Tukey median polish, FIXED two-sweep-pair form
+    (`GenExpressionComb_Affy_HuEx1ST.R:223-230`, RMA summarization).
+    tol=0 pins exactly 2 iterations; integer-valued inputs keep every
+    intermediate (medians of dyadic rationals, subtractions) exactly
+    representable, so the grouped-map Arrow kernel and the DuckDB
+    median/quantile_cont chain agree bit-for-bit.  The free-running
+    variant stays rows-only (`median_polish`)."""
+    from transcriptomics_data_integration_spark.stats.medianpolish import (
+        median_polish_summarize,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    probes = (
+        li.join(
+            F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"), "p_brand")),
+            "l_partkey",
+        )
+        .groupBy(
+            F.col("p_brand").alias("probeset"),
+            F.col("l_partkey").alias("probe"),
+            (F.col("l_suppkey") % 20).alias("sample_id"),
+        )
+        .agg(F.sum("l_quantity").alias("value"))
+    )
+    out = median_polish_summarize(
+        probes, "probeset", "probe", "sample_id", "value", max_iter=2, tol=0.0
+    )
+    return out.select(
+        "probeset",
+        F.col("sample").alias("sample_id"),
+        F.round("expression", 6).alias("expression"),
+    )
+
+
+ORACLE_MEDIAN_POLISH_FIXED = """
+WITH cells0 AS (
+  SELECT p_brand AS ps, CAST(l_partkey AS VARCHAR) AS pr,
+         CAST(l_suppkey % 20 AS VARCHAR) AS s,
+         CAST(SUM(l_quantity) AS DOUBLE) AS v
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1, 2, 3
+), pm AS (
+  SELECT ps, pr, quantile_cont(v, 0.5) AS pmed FROM cells0 GROUP BY ps, pr
+), grid AS (
+  SELECT a.ps, a.pr, b.s
+  FROM (SELECT DISTINCT ps, pr FROM cells0) a
+  JOIN (SELECT DISTINCT ps, s FROM cells0) b USING (ps)
+), cells AS (
+  SELECT g.ps, g.pr, g.s, COALESCE(c.v, p.pmed) AS v
+  FROM grid g
+  LEFT JOIN cells0 c ON g.ps = c.ps AND g.pr = c.pr AND g.s = c.s
+  JOIN pm p ON g.ps = p.ps AND g.pr = p.pr
+), rm1 AS (
+  SELECT ps, pr, quantile_cont(v, 0.5) AS rm FROM cells GROUP BY ps, pr
+), r1 AS (
+  SELECT c.ps, c.pr, c.s, c.v - rm AS v FROM cells c JOIN rm1 USING (ps, pr)
+), oa1 AS (
+  SELECT ps, quantile_cont(rm, 0.5) AS o FROM rm1 GROUP BY ps
+), re1 AS (
+  SELECT ps, pr, rm - o AS re FROM rm1 JOIN oa1 USING (ps)
+), cm1 AS (
+  SELECT ps, s, quantile_cont(v, 0.5) AS cm FROM r1 GROUP BY ps, s
+), r2 AS (
+  SELECT r1.ps, r1.pr, r1.s, r1.v - cm AS v FROM r1 JOIN cm1 USING (ps, s)
+), ob1 AS (
+  SELECT ps, quantile_cont(cm, 0.5) AS o FROM cm1 GROUP BY ps
+), ce1 AS (
+  SELECT ps, s, cm - o AS ce FROM cm1 JOIN ob1 USING (ps)
+), rm2 AS (
+  SELECT ps, pr, quantile_cont(v, 0.5) AS rm FROM r2 GROUP BY ps, pr
+), r3 AS (
+  SELECT r2.ps, r2.pr, r2.s, r2.v - rm AS v FROM r2 JOIN rm2 USING (ps, pr)
+), ret AS (
+  SELECT ps, pr, re + rm AS ret FROM re1 JOIN rm2 USING (ps, pr)
+), oa2 AS (
+  SELECT ps, quantile_cont(ret, 0.5) AS o FROM ret GROUP BY ps
+), cm2 AS (
+  SELECT ps, s, quantile_cont(v, 0.5) AS cm FROM r3 GROUP BY ps, s
+), cet AS (
+  SELECT ps, s, ce + cm AS cet FROM ce1 JOIN cm2 USING (ps, s)
+), ob2 AS (
+  SELECT ps, quantile_cont(cet, 0.5) AS o FROM cet GROUP BY ps
+)
+SELECT cet.ps AS probeset, cet.s AS sample_id,
+       ROUND(oa1.o + ob1.o + oa2.o + ob2.o + (cet.cet - ob2.o), 6) AS expression
+FROM cet
+JOIN oa1 ON cet.ps = oa1.ps
+JOIN ob1 ON cet.ps = ob1.ps
+JOIN oa2 ON cet.ps = oa2.ps
+JOIN ob2 ON cet.ps = ob2.ps
+"""
+
+
+QUERIES_STATS["median_polish_fixed"] = q_median_polish_fixed
+ORACLES_STATS["median_polish_fixed"] = ORACLE_MEDIAN_POLISH_FIXED
+
+
 def q_moderated_lmfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 eBayes on the general design — `lmfit_design`'s contrast t
     shrunk with the two-pass global variance prior
