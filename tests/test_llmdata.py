@@ -519,3 +519,29 @@ def test_pack_sequences_property_random_corpora(spark):
                 assert pos == seq_len, (sid, pos)
 
     check()
+
+
+def test_scrub_pii_categories_and_order(spark):
+    from transcriptomics_data_integration_spark.llmdata.text import scrub_pii
+
+    rows = [
+        (1, "mail a.b+c@x-y.org and d@e.io twice"),
+        (2, "ip 192.168.0.1 and 10.0.0.255 end"),
+        (3, "ssn 123-45-6789 but not 1234-56-789"),
+        (4, "call +1 555-123-4567 now"),
+        (5, "clean text with no pii at all"),
+        (6, "combo u@v.org 1.2.3.4 999-88-7777 +44 20-7946-0958"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert out[1]["n_email"] == 2 and "<EMAIL>" in out[1]["text_scrubbed"]
+    assert "@" not in out[1]["text_scrubbed"].replace("<EMAIL>", "")
+    assert out[2]["n_ipv4"] == 2
+    assert out[3]["n_ssn"] == 1  # 4-3-3 digit shape must NOT match
+    assert out[4]["n_phone"] == 1
+    assert all(out[5][f"n_{c}"] == 0 for c in ("email", "ssn", "ipv4", "phone"))
+    assert out[5]["text_scrubbed"] == out[5]["text"]
+    r6 = out[6]
+    assert (r6["n_email"], r6["n_ipv4"], r6["n_ssn"], r6["n_phone"]) == (1, 1, 1, 1)
+    for tok in ("<EMAIL>", "<IP>", "<SSN>", "<PHONE>"):
+        assert tok in r6["text_scrubbed"]

@@ -288,3 +288,38 @@ def normalize_text(df: DataFrame, text_col: str = "text", out_col: str = "norm_t
     cleaned = F.regexp_replace(F.col(text_col), r"[\x00-\x1f]", " ")
     collapsed = F.regexp_replace(cleaned, r"\s+", " ")
     return df.withColumn(out_col, F.trim(F.lower(collapsed)))
+
+
+# PII patterns: shared by the Spark scrubber and the DuckDB oracle, so
+# they stay in the RE2-compatible subset (no lookaround/backrefs —
+# identical match semantics under Java regex and RE2, both
+# leftmost-first with greedy quantifiers)
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d -]{7,13}\d", "<PHONE>"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction — the standard pre-training scrub pass (emails,
+    SSN-style ids, IPv4 addresses, international phone numbers ->
+    typed placeholder tokens).
+
+    Entirely built-in ``regexp_count`` / ``regexp_replace`` (JVM
+    whole-stage codegen — no Python in the hot path).  Per-category hit
+    counts are evaluated on the ORIGINAL text (independent per
+    pattern); redaction applies the patterns sequentially in
+    ``PII_PATTERNS`` order (email before phone, so an email's digit
+    run cannot be half-eaten by the phone pattern).
+
+    Scale: pure map-side narrow transform — zero shuffles, composes
+    with any downstream dedup/quality stage.
+    """
+    out = df
+    scrubbed = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return out.withColumn("text_scrubbed", scrubbed)

@@ -1346,3 +1346,68 @@ FROM normed GROUP BY md5(text)
 
 QUERIES_LLM["normalize_dedup"] = q_normalize_dedup
 ORACLES_LLM["normalize_dedup"] = ORACLE_NORMALIZE_DEDUP
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (llmdata/text.py:scrub_pii) — synthetic PII
+    spans (email / SSN / IPv4 / phone, keyed off doc_id so both
+    engines build the identical text) are injected into the corpus,
+    then counted and replaced by typed placeholders.  Pure
+    regexp_count/regexp_replace map-side codegen, zero shuffles."""
+    from transcriptomics_data_integration_spark.llmdata.text import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "",
+            F.substring("text", 1, 40),
+            F.lit(" reach user"), did, F.lit("@example.com"),
+            F.lit(" from 10.0."), (did % 250).cast("string"), F.lit(".7"),
+            F.when(did % 3 == 0, F.concat_ws(
+                "", F.lit(" id "), (did % 900 + 100).cast("string"),
+                F.lit("-"), F.lpad((did % 100).cast("string"), 2, "0"),
+                F.lit("-"), F.lpad((did % 10000).cast("string"), 4, "0"),
+            )).otherwise(F.lit("")),
+            F.when(did % 2 == 0, F.lit(" call +1 555-867-5309")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = scrub_pii(injected, "text")
+    return out.select(
+        "doc_id", "n_email", "n_ssn", "n_ipv4", "n_phone", "text_scrubbed"
+    )
+
+
+ORACLE_PII_SCRUB = r"""
+WITH injected AS (
+  SELECT doc_id,
+         substr(text, 1, 40)
+         || ' reach user' || doc_id || '@example.com'
+         || ' from 10.0.' || (doc_id % 250) || '.7'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' id ' || (doc_id % 900 + 100)
+                      || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 2 = 0 THEN ' call +1 555-867-5309' ELSE '' END
+         AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn,
+  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '\+\d[\d -]{7,13}\d')) AS INT) AS n_phone,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+    '\+\d[\d -]{7,13}\d', '<PHONE>', 'g') AS text_scrubbed
+FROM injected
+"""
+
+QUERIES_LLM["pii_scrub"] = q_pii_scrub
+ORACLES_LLM["pii_scrub"] = ORACLE_PII_SCRUB
