@@ -86,3 +86,45 @@ def test_ward_hclust_spark_end_to_end(spark):
     lab = {r["sample_id"]: r["cluster"] for r in labels.collect()}
     assert lab[0] == lab[1] == lab[2] == 1
     assert lab[3] == lab[4] == lab[5] == 2
+
+
+def test_correlation_distance_matches_numpy(spark):
+    rng = np.random.RandomState(9)
+    X = rng.randn(4, 12)  # 4 samples x 12 genes
+    rows = [
+        (s, g, float(X[s, g])) for s in range(4) for g in range(12)
+    ]
+    df = spark.createDataFrame(rows, ["sample_id", "gene_id", "value"])
+    got = {
+        (r["sa"], r["sb"]): r["d2"]
+        for r in sample_distance_matrix(
+            df, "sample_id", "gene_id", "value", metric="correlation"
+        ).collect()
+    }
+    C = np.corrcoef(X)
+    for i in range(4):
+        for j in range(i + 1, 4):
+            assert got[(i, j)] == pytest.approx((1 - C[i, j]) ** 2, rel=1e-9)
+
+
+def test_ward_correlation_metric_groups_by_shape_not_level(spark):
+    """Correlation distance clusters by expression PROFILE: two groups
+    with identical shapes at wildly different levels cluster by shape,
+    where euclidean would cluster by level."""
+    base = np.linspace(0.0, 11.0, 12)
+    rows = []
+    for s in range(4):
+        if s < 2:
+            prof = base  # increasing profile
+        else:
+            prof = base[::-1]  # decreasing profile
+        level = 0.0 if s % 2 == 0 else 100.0  # level cross-cuts shape
+        for g in range(12):
+            rows.append((s, g, float(prof[g] + level)))
+    df = spark.createDataFrame(rows, ["sample_id", "gene_id", "value"])
+    _, lab_c = ward_hclust(df, "sample_id", "gene_id", "value", k=2, metric="correlation")
+    lc = {r["sample_id"]: r["cluster"] for r in lab_c.collect()}
+    assert lc[0] == lc[1] and lc[2] == lc[3] and lc[0] != lc[2]
+    _, lab_e = ward_hclust(df, "sample_id", "gene_id", "value", k=2, metric="euclidean")
+    le = {r["sample_id"]: r["cluster"] for r in lab_e.collect()}
+    assert le[0] == le[2] and le[1] == le[3] and le[0] != le[1]

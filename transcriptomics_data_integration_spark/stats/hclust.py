@@ -35,13 +35,26 @@ from pyspark.sql import functions as F
 
 
 def sample_distance_matrix(
-    long_df: DataFrame, sample_col: str, gene_col: str, value_col: str
+    long_df: DataFrame,
+    sample_col: str,
+    gene_col: str,
+    value_col: str,
+    metric: str = "euclidean",
 ) -> DataFrame:
-    """Distributed upper-triangle squared Euclidean distances between
-    samples over the shared-gene slice (missing genes contribute 0,
-    i.e. distances use genes present in both samples — R ``dist`` on a
+    """Distributed upper-triangle SQUARED distances between samples
+    over the shared-gene slice (missing genes contribute 0, i.e.
+    distances use genes present in both samples — R ``dist`` on a
     complete matrix sees all genes; feed a completed matrix for exact
-    parity, e.g. after impute_missing)."""
+    parity, e.g. after impute_missing).
+
+    ``metric="euclidean"``: squared Euclidean (``dist``,
+    `DiffExpression_closedPlatform.R:645`).
+    ``metric="correlation"``: (1 - Pearson)^2 — the
+    ``as.dist(1 - cor(data))`` convention of `Study_effect.R:828-829`,
+    squared so the Lance-Williams recurrence (ward.D2) consumes it
+    like any other squared distance; the reported heights come back on
+    the 1-corr scale.  Pearson is computed from exact pairwise moments
+    in the same single aggregation."""
     a = long_df.select(
         F.col(sample_col).alias("sa"), F.col(gene_col).alias("g"),
         F.col(value_col).alias("x"),
@@ -50,11 +63,27 @@ def sample_distance_matrix(
         F.col(sample_col).alias("sb"), F.col(gene_col).alias("g"),
         F.col(value_col).alias("y"),
     )
-    return (
-        a.join(b, "g")
-        .where(F.col("sa") < F.col("sb"))
-        .groupBy("sa", "sb")
-        .agg(F.sum((F.col("x") - F.col("y")) ** 2).alias("d2"))
+    pairs = a.join(b, "g").where(F.col("sa") < F.col("sb"))
+    if metric == "euclidean":
+        return pairs.groupBy("sa", "sb").agg(
+            F.sum((F.col("x") - F.col("y")) ** 2).alias("d2")
+        )
+    if metric != "correlation":
+        raise ValueError("metric must be 'euclidean' or 'correlation'")
+    mom = pairs.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    corr = cov / F.sqrt(vx * vy)
+    return mom.select(
+        "sa", "sb", ((F.lit(1.0) - corr) ** 2).alias("d2")
     )
 
 
@@ -135,6 +164,7 @@ def ward_hclust(
     gene_col: str,
     value_col: str,
     k: int = 2,
+    metric: str = "euclidean",
 ) -> tuple[DataFrame, DataFrame]:
     """Full Ward pipeline: distributed distance matrix -> driver
     linkage -> (linkage_df, labels_df).
@@ -144,7 +174,9 @@ def ward_hclust(
     sample order; ids >= S are merge products, like scipy linkage).
     labels_df: (sample, cluster) for the k-cut, R cutree numbering.
     """
-    rows = sample_distance_matrix(long_df, sample_col, gene_col, value_col).collect()
+    rows = sample_distance_matrix(
+        long_df, sample_col, gene_col, value_col, metric=metric
+    ).collect()
     samples = sorted({r["sa"] for r in rows} | {r["sb"] for r in rows})
     idx = {s: i for i, s in enumerate(samples)}
     d2 = {
