@@ -128,3 +128,22 @@ def test_ward_correlation_metric_groups_by_shape_not_level(spark):
     _, lab_e = ward_hclust(df, "sample_id", "gene_id", "value", k=2, metric="euclidean")
     le = {r["sample_id"]: r["cluster"] for r in lab_e.collect()}
     assert le[0] == le[2] and le[1] == le[3] and le[0] != le[1]
+
+
+def test_ward_hclust_genes_clusters_coexpressed(spark):
+    """Gene-mode clustering on 1-Pearson: two co-expression modules
+    (one tracking a rising sample trend, one falling) separate at k=2."""
+    rows = []
+    for g in range(8):
+        for s in range(6):
+            trend = s if g < 4 else (5 - s)
+            rows.append((g, s, float(10 * trend + g)))
+    df = spark.createDataFrame(rows, ["gene_id", "sample_id", "value"])
+    from transcriptomics_data_integration_spark.stats.hclust import ward_hclust_genes
+
+    linkage, labels = ward_hclust_genes(df, "gene_id", "sample_id", "value", k=2)
+    lab = {r["gene_id"]: r["cluster"] for r in labels.collect()}
+    assert len({lab[g] for g in range(4)}) == 1
+    assert len({lab[g] for g in range(4, 8)}) == 1
+    assert lab[0] != lab[7]
+    assert linkage.count() == 7

@@ -135,6 +135,64 @@ def probe_contamination(spark, copies: int) -> dict:
             "sec": round(time.perf_counter() - t0, 2)}
 
 
+def probe_voom_lowess(spark, copies: int) -> dict:
+    """Gene-cardinality inflation for the lowess trend: the per-gene
+    aggregate is distributed; the single-batch fit must stay near-flat
+    thanks to R's delta interpolation (fits ~ range/delta regardless
+    of gene count)."""
+    from transcriptomics_data_integration_spark.stats.normalize import (
+        voom_weights_lowess,
+    )
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    big = inflate(li, "l_partkey", copies, shift_keys=True)
+    counts = big.groupBy(
+        F.col("l_partkey").alias("gene_id"), F.col("l_suppkey").alias("sample_id")
+    ).agg(F.sum("l_quantity").alias("cnt"))
+    t0 = time.perf_counter()
+    n = voom_weights_lowess(counts, "gene_id", "sample_id", "cnt").count()
+    return {"probe": f"voom_lowess_genes_x{copies}", "rows_out": n,
+            "sec": round(time.perf_counter() - t0, 2)}
+
+
+def probe_impute_em(spark, copies: int) -> dict:
+    """EM imputation under gene-cardinality inflation (fixed 3
+    iterations): missing-set materialization + per-iteration aggs all
+    scale with the grid."""
+    from transcriptomics_data_integration_spark.stats.mlkernels import (
+        impute_missing_em,
+    )
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    big = inflate(li.where(F.col("l_partkey") <= 2000), "l_partkey", copies, shift_keys=True)
+    cells = big.groupBy(
+        F.col("l_partkey").alias("gene_id"),
+        (F.col("l_suppkey") % 50).alias("sample_id"),
+    ).agg(F.sum("l_quantity").alias("value"))
+    t0 = time.perf_counter()
+    n = impute_missing_em(cells, "gene_id", "sample_id", "value", max_iter=3).count()
+    return {"probe": f"impute_em_genes_x{copies}", "rows_out": n,
+            "sec": round(time.perf_counter() - t0, 2)}
+
+
+def probe_ward_distance(spark, copies: int) -> dict:
+    """Ward's distributed phase under gene inflation: the S x S
+    distance aggregation sees xN genes; the driver linkage is fixed-S."""
+    from transcriptomics_data_integration_spark.stats.hclust import ward_hclust
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    big = inflate(li, "l_partkey", copies, shift_keys=True)
+    cells = big.groupBy(
+        F.col("l_partkey").alias("gene_id"),
+        (F.col("l_suppkey") % 50).alias("sample_id"),
+    ).agg(F.avg("l_extendedprice").alias("value"))
+    t0 = time.perf_counter()
+    linkage, labels = ward_hclust(cells, "sample_id", "gene_id", "value", k=4)
+    n = linkage.count() + labels.count()
+    return {"probe": f"ward_genes_x{copies}", "rows_out": n,
+            "sec": round(time.perf_counter() - t0, 2)}
+
+
 def main() -> None:
     spark = get_spark("scale-probe")
     # warm codegen at base scale
@@ -155,6 +213,12 @@ def main() -> None:
         (probe_connected_components, (100_000, 1024)),
         (probe_contamination, (1,)),
         (probe_contamination, (4,)),
+        (probe_voom_lowess, (1,)),
+        (probe_voom_lowess, (10,)),
+        (probe_impute_em, (1,)),
+        (probe_impute_em, (10,)),
+        (probe_ward_distance, (1,)),
+        (probe_ward_distance, (10,)),
     ]:
         spark.catalog.clearCache()
         print(json.dumps(fn(spark, *args)), flush=True)

@@ -34,6 +34,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# driver-side linkage guard: Lance-Williams is O(S^3) with an S x S
+# matrix in driver memory — ample for the sample dimension (O(10-1000))
+# and for F5-bounded gene subsets, a hard error beyond
+_MAX_LEAVES = 5000
+
+
 def sample_distance_matrix(
     long_df: DataFrame,
     sample_col: str,
@@ -177,6 +183,11 @@ def ward_hclust(
     rows = sample_distance_matrix(
         long_df, sample_col, gene_col, value_col, metric=metric
     ).collect()
+    if len(rows) > _MAX_LEAVES * (_MAX_LEAVES - 1) // 2:
+        raise ValueError(
+            f"ward_hclust linkage is driver-side O(S^3); got more than "
+            f"{_MAX_LEAVES} leaves — cluster a bounded subset (F5 top-k)"
+        )
     samples = sorted({r["sa"] for r in rows} | {r["sb"] for r in rows})
     idx = {s: i for i, s in enumerate(samples)}
     d2 = {
@@ -195,3 +206,24 @@ def ward_hclust(
         f"{sample_col} {sample_t}, cluster int",
     )
     return linkage_df, labels_df
+
+
+def ward_hclust_genes(
+    long_df: DataFrame,
+    gene_col: str,
+    sample_col: str,
+    value_col: str,
+    k: int = 2,
+    metric: str = "correlation",
+) -> tuple[DataFrame, DataFrame]:
+    """Gene-mode Ward clustering — the heatmap ROW dendrogram over the
+    top DE genes (`DiffExpression_closedPlatform.R:675-677`,
+    ``hclust`` of the gene x gene distance; `Study_effect.R:828-829`
+    uses 1 - Pearson).  Identical machinery with the roles swapped:
+    genes are the leaves, samples the coordinates.  The caller must
+    bound the gene set first (F5 top-k / top DE) — the driver-side
+    linkage guard enforces <= 5000 leaves."""
+    return ward_hclust(
+        long_df, sample_col=gene_col, gene_col=sample_col,
+        value_col=value_col, k=k, metric=metric,
+    )
