@@ -116,3 +116,53 @@ def test_mds_embedding_preserves_distances(spark):
         orig = math.dist(pts[x], pts[y])
         got = math.dist(emb[x], emb[y])
         assert abs(got - orig) < 1e-9, (x, y, orig, got)
+
+
+def test_logistic_fixed_matches_local_reference_and_adaptive_sign(spark):
+    """logistic_per_gene_fixed: exact replay of the 2-step centered
+    IRLS in plain numpy; slope sign/direction agrees with the
+    fully-converged adaptive fit."""
+    import numpy as np
+
+    from transcriptomics_data_integration_spark.stats.mlkernels import (
+        logistic_per_gene,
+        logistic_per_gene_fixed,
+    )
+
+    rng = np.random.RandomState(4)
+    rows = []
+    for g in ("up", "down"):
+        for i in range(60):
+            x = float(rng.uniform(0, 10))
+            p = 1 / (1 + np.exp(-(x - 5) if g == "up" else (x - 5)))
+            y = "R" if rng.uniform() < p else "A"
+            rows.append((g, y, x))
+    df = spark.createDataFrame(rows, "gene string, flag string, x double")
+
+    fixed = {r["gene_id"]: r for r in logistic_per_gene_fixed(
+        df, "gene", "flag", "x", "R").collect()}
+    assert fixed["up"]["coef"] > 0 > fixed["down"]["coef"]
+
+    # local replay for one gene
+    pts = [(x, 1.0 if y == "R" else 0.0) for g, y, x in rows if g == "up"]
+    x = np.array([p[0] for p in pts]); y = np.array([p[1] for p in pts])
+    xc = x - x.mean()
+    b0 = b1 = 0.0
+    for it in range(2):
+        if it == 0:
+            w = np.full_like(xc, 0.25); z = 4.0 * (y - 0.5)
+        else:
+            eta = b0 + b1 * xc
+            mu = 1 / (1 + np.exp(-np.clip(eta, -30, 30)))
+            w = np.maximum(mu * (1 - mu), 1e-9)
+            z = eta + (y - mu) / w
+        s0, s1, s2 = w.sum(), (w * xc).sum(), (w * xc * xc).sum()
+        t0, t1 = (w * z).sum(), (w * xc * z).sum()
+        det = s0 * s2 - s1 * s1
+        b0, b1 = (s2 * t0 - s1 * t1) / det, (s0 * t1 - s1 * t0) / det
+    assert fixed["up"]["coef"] == pytest.approx(b1, rel=1e-9)
+    assert fixed["up"]["intercept_at_mean"] == pytest.approx(b0, rel=1e-9)
+
+    adaptive = {r["gene_id"]: r for r in logistic_per_gene(
+        df, "gene", "flag", "x", "R").collect()}
+    assert np.sign(adaptive["up"]["coef"]) == np.sign(fixed["up"]["coef"])

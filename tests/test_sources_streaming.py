@@ -425,3 +425,42 @@ def test_watermark_drops_late_events(spark, tmp_path):
         latest[str(r["window_start"])] = (r["n_events"], r["sum_value"])
     assert latest["2026-01-01 10:00:00"] == (1, 1.0)   # late 100.0 never merged
     assert latest["2026-01-01 12:00:00"] == (1, 5.0)
+
+
+def test_streaming_pii_scrub_matches_batch(spark, tmp_path):
+    """scrub_pii is a narrow map-side transform, so it lifts onto a
+    readStream source unchanged; streamed output equals the batch
+    scrub over the same files."""
+    from transcriptomics_data_integration_spark.llmdata.text import scrub_pii
+    from transcriptomics_data_integration_spark.streaming.ingest import (
+        run_stream_to_memory,
+    )
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    rows = [
+        (1, "ping admin@corp.io from 10.1.2.3"),
+        (2, "nothing sensitive here"),
+        (3, "ssn 321-54-9876 call +1 555-000-1111"),
+    ]
+    batch_df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch_df.coalesce(1).write.mode("overwrite").parquet(str(d))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(d))
+    scrubbed = scrub_pii(stream, "text").select(
+        "doc_id", "n_email", "n_ssn", "n_ipv4", "n_phone", "text_scrubbed"
+    )
+    run_stream_to_memory(scrubbed, "stream_scrub")
+    got = {
+        r["doc_id"]: r
+        for r in spark.sql("SELECT * FROM stream_scrub").collect()
+    }
+    want = {
+        r["doc_id"]: r
+        for r in scrub_pii(spark.read.parquet(str(d)), "text").collect()
+    }
+    assert set(got) == set(want) == {1, 2, 3}
+    for k in got:
+        for c in ("n_email", "n_ssn", "n_ipv4", "n_phone", "text_scrubbed"):
+            assert got[k][c] == want[k][c]
+    assert got[1]["n_email"] == 1 and got[3]["n_ssn"] == 1 and got[3]["n_phone"] == 1

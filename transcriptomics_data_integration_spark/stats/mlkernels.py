@@ -147,6 +147,77 @@ def logistic_per_gene(
     )
 
 
+def logistic_per_gene_fixed(
+    df: DataFrame,
+    gene_col: str,
+    group_col: str,
+    value_col: str,
+    group_one: str,
+    n_iter: int = 2,
+) -> DataFrame:
+    """M14, fixed-iteration form — per-gene logistic IRLS run for
+    EXACTLY ``n_iter`` Newton steps from beta = 0 on a CENTERED
+    predictor (`Meta_analysis.R:581-598`, ``modelOutcome``).
+
+    Unlike the adaptive ``logistic_per_gene``, every arithmetic step
+    here is a closed-form moment expression (Cramer solve of the 2x2
+    weighted normal equations — no LAPACK), so the whole computation
+    is SQL-expressible and the suite gates it against a DuckDB oracle
+    (`logistic_irls2`).  Centering makes the normal equations
+    well-conditioned (s1 ~ 0), which is what keeps the two engines'
+    floating-point within round-off of each other; the slope is
+    centering-invariant, and the reported intercept is the log-odds AT
+    the gene's mean expression.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["x"].to_numpy(dtype=float)
+        y = (pdf["y"] == group_one).to_numpy().astype(float)
+        xc = x - x.mean()
+        b0 = b1 = 0.0
+        ok = True
+        for it in range(n_iter):
+            if it == 0:
+                w = np.full_like(xc, 0.25)
+                z = 4.0 * (y - 0.5)
+            else:
+                eta = b0 + b1 * xc
+                mu = 1.0 / (1.0 + np.exp(-np.clip(eta, -30, 30)))
+                w = np.maximum(mu * (1.0 - mu), 1e-9)
+                z = eta + (y - mu) / w
+            s0 = float(np.sum(w))
+            s1 = float(np.sum(w * xc))
+            s2 = float(np.sum(w * xc * xc))
+            t0 = float(np.sum(w * z))
+            t1 = float(np.sum(w * xc * z))
+            det = s0 * s2 - s1 * s1
+            if det <= 0:
+                ok = False
+                break
+            b0 = (s2 * t0 - s1 * t1) / det
+            b1 = (s0 * t1 - s1 * t0) / det
+        return pd.DataFrame(
+            {
+                "gene_id": [pdf["g"].iloc[0]],
+                "n": [len(x)],
+                "intercept_at_mean": [b0 if ok else float("nan")],
+                "coef": [b1 if ok else float("nan")],
+            }
+        )
+
+    prepped = df.select(
+        F.col(gene_col).cast("string").alias("g"),
+        F.col(value_col).cast("double").alias("x"),
+        F.col(group_col).alias("y"),
+    )
+    out = prepped.groupBy("g").applyInPandas(
+        fit, schema="gene_id string, n long, intercept_at_mean double, coef double"
+    )
+    return out.where(~F.isnan("coef"))
+
+
 def impute_missing(
     df: DataFrame,
     value_col: str,

@@ -1028,6 +1028,82 @@ QUERIES_STATS["median_polish_fixed"] = q_median_polish_fixed
 ORACLES_STATS["median_polish_fixed"] = ORACLE_MEDIAN_POLISH_FIXED
 
 
+def q_logistic_irls2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M14 — per-gene logistic regression, fixed 2-step IRLS from
+    beta=0 on the centered predictor (`Meta_analysis.R:581-598`).
+    Every step is a closed-form moment expression (Cramer 2x2 solve),
+    so the DuckDB oracle replays it exactly; exp() taints the second
+    step, so outputs carry the standard transcendental rounding."""
+    from transcriptomics_data_integration_spark.stats.mlkernels import (
+        logistic_per_gene_fixed,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_partkey") <= 100) & F.col("l_returnflag").isin(["R", "A"])
+    )
+    out = logistic_per_gene_fixed(li, "l_partkey", "l_returnflag", "l_extendedprice", "R")
+    return out.select(
+        "gene_id",
+        "n",
+        F.round("intercept_at_mean", 6).alias("intercept_at_mean"),
+        F.round(F.col("coef") * 1.0e4, 6).alias("coef_per_10k"),
+    )
+
+
+ORACLE_LOGISTIC_IRLS2 = """
+WITH pts AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS g,
+         CAST(l_extendedprice AS DOUBLE) AS x,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+  FROM lineitem
+  WHERE l_partkey <= 100 AND l_returnflag IN ('R', 'A')
+), cen AS (
+  SELECT g, x - AVG(x) OVER (PARTITION BY g) AS xc, y FROM pts
+), m1 AS (
+  SELECT g, COUNT(*) AS n,
+         SUM(0.25) AS s0, SUM(0.25 * xc) AS s1, SUM(0.25 * xc * xc) AS s2,
+         SUM(0.25 * (4.0 * (y - 0.5))) AS t0,
+         SUM(0.25 * xc * (4.0 * (y - 0.5))) AS t1
+  FROM cen GROUP BY g
+), b1 AS (
+  SELECT g, n,
+         (s2 * t0 - s1 * t1) / (s0 * s2 - s1 * s1) AS b0,
+         (s0 * t1 - s1 * t0) / (s0 * s2 - s1 * s1) AS b1
+  FROM m1 WHERE s0 * s2 - s1 * s1 > 0
+), it2 AS (
+  SELECT c.g, c.xc, c.y, b.b0 + b.b1 * c.xc AS eta
+  FROM cen c JOIN b1 b ON c.g = b.g
+), w2 AS (
+  SELECT g, xc, y, eta,
+         1.0 / (1.0 + exp(-GREATEST(LEAST(eta, 30.0), -30.0))) AS mu
+  FROM it2
+), z2 AS (
+  SELECT g, xc,
+         GREATEST(mu * (1.0 - mu), 1e-9) AS w,
+         eta + (y - mu) / GREATEST(mu * (1.0 - mu), 1e-9) AS z
+  FROM w2
+), m2 AS (
+  SELECT g,
+         SUM(w) AS s0, SUM(w * xc) AS s1, SUM(w * xc * xc) AS s2,
+         SUM(w * z) AS t0, SUM(w * xc * z) AS t1
+  FROM z2 GROUP BY g
+), b2 AS (
+  SELECT g,
+         (s2 * t0 - s1 * t1) / (s0 * s2 - s1 * s1) AS b0,
+         (s0 * t1 - s1 * t0) / (s0 * s2 - s1 * s1) AS b1
+  FROM m2 WHERE s0 * s2 - s1 * s1 > 0
+)
+SELECT b2.g AS gene_id, b1.n AS n,
+       ROUND(b2.b0, 6) AS intercept_at_mean,
+       ROUND(b2.b1 * 1.0e4, 6) AS coef_per_10k
+FROM b2 JOIN b1 ON b2.g = b1.g
+"""
+
+
+QUERIES_STATS["logistic_irls2"] = q_logistic_irls2
+ORACLES_STATS["logistic_irls2"] = ORACLE_LOGISTIC_IRLS2
+
+
 def q_moderated_lmfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 eBayes on the general design — `lmfit_design`'s contrast t
     shrunk with the two-pass global variance prior
