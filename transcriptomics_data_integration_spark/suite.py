@@ -1407,7 +1407,7 @@ _ROUND2_FRONT = [
     "reliability_filter", "set_compare",
     # -- rows-only, never had a driver row -------------------------------
     "median_polish", "median_polish_fixed", "pii_scrub", "combat_full",
-    "combat_nonparam", "pca_samples", "mds_samples", "logistic_irls2",
+    "combat_nonparam", "pca_samples", "sample_distances", "logistic_irls2",
     # -- round-2 full-fidelity kernels (rows-only: not SQL-expressible,
     # except median_polish_fixed above which is dyadic-exact oracled) --
     # (ivf_ann, hclust_samples, quantile_sketch rotate to the r03

@@ -1104,6 +1104,58 @@ QUERIES_STATS["logistic_irls2"] = q_logistic_irls2
 ORACLES_STATS["logistic_irls2"] = ORACLE_LOGISTIC_IRLS2
 
 
+def q_sample_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12/M13 distributed phase — the S x S sample distance matrix
+    (both metrics) that feeds MDS/Ward (`DiffExpression_closedPlatform.R
+    :645`, `Study_effect.R:508,828-829`).  Integer-valued cells make
+    the squared-Euclidean sums EXACT (no rounding needed); the
+    correlation distance divides, so it rounds."""
+    from transcriptomics_data_integration_spark.stats.hclust import (
+        sample_distance_matrix,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") <= 500)
+    cells = li.groupBy(
+        F.col("l_partkey").alias("gene_id"),
+        (F.col("l_suppkey") % 25).alias("sample_id"),
+    ).agg(F.sum("l_quantity").alias("value"))
+    eu = sample_distance_matrix(cells, "sample_id", "gene_id", "value", "euclidean")
+    co = sample_distance_matrix(cells, "sample_id", "gene_id", "value", "correlation")
+    return (
+        eu.withColumnRenamed("d2", "d2_euclid")
+        .join(co.withColumnRenamed("d2", "d2_corr"), ["sa", "sb"])
+        .select("sa", "sb", "d2_euclid", F.round("d2_corr", 9).alias("d2_corr"))
+    )
+
+
+ORACLE_SAMPLE_DISTANCES = """
+WITH cells AS (
+  SELECT l_partkey AS gene_id, l_suppkey % 25 AS sample_id,
+         CAST(SUM(l_quantity) AS DOUBLE) AS v
+  FROM lineitem WHERE l_partkey <= 500 GROUP BY 1, 2
+), pairs AS (
+  SELECT a.sample_id AS sa, b.sample_id AS sb, a.v AS x, b.v AS y
+  FROM cells a JOIN cells b ON a.gene_id = b.gene_id
+  WHERE a.sample_id < b.sample_id
+), mom AS (
+  SELECT sa, sb, COUNT(*) AS n,
+         SUM((x - y) * (x - y)) AS d2_euclid,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM pairs GROUP BY sa, sb
+)
+SELECT sa, sb, d2_euclid,
+       ROUND(POWER(1.0 - (sxy - sx * sy / n)
+                   / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)), 2),
+             9) AS d2_corr
+FROM mom
+"""
+
+
+QUERIES_STATS["sample_distances"] = q_sample_distances
+ORACLES_STATS["sample_distances"] = ORACLE_SAMPLE_DISTANCES
+
+
 def q_moderated_lmfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 eBayes on the general design — `lmfit_design`'s contrast t
     shrunk with the two-pass global variance prior
