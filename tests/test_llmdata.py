@@ -545,3 +545,62 @@ def test_scrub_pii_categories_and_order(spark):
     assert (r6["n_email"], r6["n_ipv4"], r6["n_ssn"], r6["n_phone"]) == (1, 1, 1, 1)
     for tok in ("<EMAIL>", "<IP>", "<SSN>", "<PHONE>"):
         assert tok in r6["text_scrubbed"]
+
+
+def test_pq_roundtrip_and_recall(spark):
+    """Product quantization: deterministic codebooks, sane
+    reconstruction, and ADC top-k recall against exact euclidean on
+    clustered vectors."""
+    import numpy as np
+
+    from transcriptomics_data_integration_spark.llmdata.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    rng = np.random.RandomState(0)
+    centers = rng.randn(6, 16) * 5
+    rows = []
+    for i in range(240):
+        v = centers[i % 6] + rng.randn(16) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    books, dims = pq_train(df, m=8, k=16, seed=1)
+    assert books.shape == (8, 16, 2) and dims == [2] * 8
+    books2, _ = pq_train(df, m=8, k=16, seed=1)
+    assert np.allclose(books, books2)  # deterministic
+
+    codes = pq_encode(df, books)
+    got = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    assert len(got) == 240 and all(len(c) == 8 for c in got.values())
+    assert all(0 <= ci < 16 for c in got.values() for ci in c)
+
+    # reconstruction error far below raw vector energy
+    X = {i: np.array(v) for i, v in rows}
+    errs, mags = [], []
+    for i, c in got.items():
+        rec = np.concatenate([books[s][c[s]] for s in range(8)])
+        errs.append(((X[i] - rec) ** 2).sum())
+        mags.append((X[i] ** 2).sum())
+    assert np.mean(errs) < 0.2 * np.mean(mags)
+
+    # ADC top-k: every hit must come from the query's own cluster
+    # (the guarantee PQ gives at this granularity — within-cluster
+    # ordering degrades with quantization ties), plus a recall floor
+    queries = df.where(F.col("vec_id") % 60 == 0)  # 4 queries
+    topk = pq_topk(codes, queries, books, k=5)
+    by_q = {}
+    for r in topk.collect():
+        by_q.setdefault(r["query_id"], []).append(r["cand_id"])
+    assert set(by_q) == {0, 60, 120, 180}
+    hits = total = 0
+    for qid, cands in by_q.items():
+        assert len(cands) == 5
+        assert all(c % 6 == qid % 6 for c in cands)  # same cluster
+        d = {i: ((X[qid] - X[i]) ** 2).sum() for i in X if i != qid}
+        exact5 = set(sorted(d, key=d.get)[:5])
+        hits += len(exact5 & set(cands))
+        total += 5
+    assert hits / total >= 0.2

@@ -350,3 +350,154 @@ def quantization_error(
             f"CAST(0 AS DOUBLE), (acc, e) -> acc + e) / size({vec_col})"
         ).alias("mse"),
     )
+
+
+def pq_train(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    sample_cap: int = 20_000,
+    n_iter: int = 10,
+    seed: int = 1,
+):
+    """Train product-quantization codebooks (Jegou et al. 2011): split
+    the dimension into ``m`` subspaces, run seeded Lloyd k-means with
+    ``k`` centroids per subspace.
+
+    Training runs on the DRIVER over a deterministic hash-sample of at
+    most ``sample_cap`` vectors — the FAISS-standard practice: the
+    codebooks are m*k*(d/m) floats (tiny) and k-means on a bounded
+    sample is statistically sufficient; the full corpus is only ever
+    touched by the distributed encode/search passes.  Deterministic:
+    xxhash64 sampling + seeded numpy init.
+
+    Returns (codebooks ndarray [m, k, d_sub], sub_dims list).
+    """
+    import numpy as np
+
+    total = embeddings.count()
+    frac_mod = max(1, total // sample_cap)
+    sample = (
+        embeddings.where(F.xxhash64(F.col(id_col)) % frac_mod == 0)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.array([r["v"] for r in sample])
+    d = X.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m, k, dsub))
+    for s in range(m):
+        Xs = X[:, s * dsub:(s + 1) * dsub]
+        init_idx = rng.permutation(len(Xs))[:k]
+        C = Xs[init_idx].copy()
+        for _ in range(n_iter):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    C[c] = Xs[mask].mean(axis=0)
+        books[s] = C
+    return books, [dsub] * m
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed PQ encode: each vector -> m uint8 codes (nearest
+    centroid per subspace).  Codebooks broadcast inside the Arrow
+    closure; per-batch numpy argmin — no per-row Python.  Output is
+    (id, codes array<int>): d floats compressed to m bytes, the layout
+    that lets a 100 TB embedding corpus sit in RAM-scale storage."""
+    import numpy as np
+    import pandas as pd
+
+    books = codebooks
+    m, k, dsub = books.shape
+
+    def encode(it):
+        for pdf in it:
+            V = np.array(pdf["_v"].tolist())
+            codes = np.zeros((len(V), m), dtype=np.int64)
+            for s in range(m):
+                Vs = V[:, s * dsub:(s + 1) * dsub]
+                d2 = ((Vs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame({"_id": pdf["_id"], "codes": list(codes)})
+
+    prepped = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    id_t = dict(prepped.dtypes)["_id"]
+    out = prepped.mapInPandas(encode, schema=f"_id {id_t}, codes array<bigint>")
+    return out.withColumnRenamed("_id", id_col)
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """ADC (asymmetric distance computation) search: per query build
+    the m x k lookup table of squared partial distances to every
+    centroid, broadcast the tables, and score each candidate's m codes
+    with numpy gathers inside mapInPandas — O(m) table lookups per
+    candidate instead of O(d) float ops, and the corpus side only ever
+    streams its byte codes.  Exact re-ranking of the PQ top-k against
+    original vectors composes downstream (same contract as lsh/ivf)."""
+    import numpy as np
+    import pandas as pd
+
+    books = codebooks
+    m, kcent, dsub = books.shape
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).collect()
+    qids = [r["qid"] for r in qrows]
+    Q = np.array([r["qv"] for r in qrows])
+    # LUT[q, s, c] = || Q[q, sub s] - centroid c of subspace s ||^2
+    LUT = np.zeros((len(qids), m, kcent))
+    for s in range(m):
+        Qs = Q[:, s * dsub:(s + 1) * dsub]
+        LUT[:, s, :] = ((Qs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+
+    def score(it):
+        for pdf in it:
+            C = np.array(pdf["codes"].tolist())  # [n, m]
+            # adist[q, n] = sum_s LUT[q, s, C[n, s]]
+            n = len(C)
+            out_frames = []
+            gathered = LUT[:, np.arange(m)[None, :], C[:, :]]  # [q, n, m]
+            adist = gathered.sum(axis=2)  # [q, n]
+            for qi, qid in enumerate(qids):
+                out_frames.append(pd.DataFrame({
+                    "query_id": [qid] * n,
+                    "cand_id": pdf["_id"].to_numpy(),
+                    "adist": adist[qi],
+                }))
+            yield pd.concat(out_frames, ignore_index=True)
+
+    prepped = codes_df.select(F.col(id_col).alias("_id"), "codes")
+    id_t = dict(prepped.dtypes)["_id"]
+    scored = prepped.mapInPandas(
+        score, schema=f"query_id {id_t}, cand_id {id_t}, adist double"
+    )
+    scored = scored.where(F.col("query_id") != F.col("cand_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "adist")
+    )

@@ -177,6 +177,25 @@ def q_logistic_de(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("gene_id", "n", F.round("coef", 6).alias("coef"))
 
 
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN — product-quantization codes + ADC table-lookup search
+    (llmdata/similarity.py: pq_train/pq_encode/pq_topk).  Model-based
+    (seeded Lloyd codebooks) -> rows-only; behavior pinned by
+    test_llmdata.py::test_pq_roundtrip_and_recall."""
+    from transcriptomics_data_integration_spark.llmdata.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books, _dims = pq_train(emb, m=8, k=16, seed=1)
+    codes = pq_encode(emb, books)
+    queries = emb.where(F.col("vec_id") % 25 == 0)
+    out = pq_topk(codes, queries, books, k=5)
+    return out.select("query_id", "cand_id", "rank", F.round("adist", 6).alias("adist"))
+
+
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN — k-means coarse quantizer + probed exact re-rank."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -212,5 +231,6 @@ QUERIES_ML = {
     "ward_hclust": q_ward_hclust,
     "logistic_de": q_logistic_de,
     "ivf_ann": q_ivf_ann,
+    "pq_ann": q_pq_ann,
     "mds_samples": q_mds_samples,
 }
