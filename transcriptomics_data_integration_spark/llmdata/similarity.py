@@ -10,8 +10,18 @@
   100 TB this turns the N x N problem into per-bucket work with one
   shuffle on the bucket key.
 
-Both avoid Python UDFs: the fold is Spark's ``aggregate`` higher-order
-function, JVM-side.
+- ``ivf_topk``: k-means coarse quantizer + probed exact re-rank — the
+  inverted-file billion-scale layout (shuffle key = cell id).
+- ``pq_train`` / ``pq_encode`` / ``pq_topk``: product quantization —
+  d floats -> m byte codes, ADC lookup-table search; the
+  memory-compression path that lets a 100 TB embedding corpus live at
+  RAM scale.  Arrow-batched numpy, never per-row Python.
+- ``quantize_embeddings``: int8 scalar quantization.
+
+The exact paths avoid Python UDFs entirely: the fold is Spark's
+``aggregate`` higher-order function, JVM-side.  ``cosine_topk`` is the
+ORACLE BASELINE — quadratic by construction; route scaled workloads to
+``lsh_bucketed_topk`` / ``ivf_topk`` / ``pq_topk`` / ``cosine_neardup_pairs``.
 """
 
 from __future__ import annotations

@@ -11,12 +11,23 @@ from transcriptomics_data_integration_spark.stats.quantile_norm import quantile_
 from transcriptomics_data_integration_spark.stats.ttest import two_group_ttest
 from transcriptomics_data_integration_spark.stats.stouffer import stouffer_combine
 from transcriptomics_data_integration_spark.stats.genemeta import fem_rem_effects
+from transcriptomics_data_integration_spark.stats.hclust import ward_hclust, ward_hclust_genes
+from transcriptomics_data_integration_spark.stats.lowess import lowess
+from transcriptomics_data_integration_spark.stats.normalize import (
+    cqn_spline,
+    voom_weights_lowess,
+)
 
 __all__ = [
     "bh_adjust",
     "bh_adjust_histogram",
+    "cqn_spline",
     "fem_rem_effects",
+    "lowess",
     "quantile_normalize",
     "stouffer_combine",
     "two_group_ttest",
+    "voom_weights_lowess",
+    "ward_hclust",
+    "ward_hclust_genes",
 ]
