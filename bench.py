@@ -68,6 +68,11 @@ BENCH_QUERIES = [
     "cqn_spline",
     "impute_em",
     "ward_hclust",
+    "median_polish_fixed",
+    "logistic_irls2",
+    "sample_distances",
+    "pii_scrub",
+    "pq_ann",
 ]
 
 

@@ -140,3 +140,36 @@ def test_cqn_spline_robust_to_outlier_genes(spark):
     c = clean[keep] - np.median(clean[keep])
     d = dirty[keep] - np.median(dirty[keep])
     assert float(np.max(np.abs(c - d))) < 0.25
+
+
+def test_kernel_edge_cases(spark):
+    """Degenerate inputs: single-point lowess, 1-sample Ward, EM with
+    nothing missing, spline CQN with constant GC."""
+    import numpy as np
+
+    from transcriptomics_data_integration_spark.stats.hclust import ward_hclust
+    from transcriptomics_data_integration_spark.stats.lowess import lowess_sorted
+    from transcriptomics_data_integration_spark.stats.mlkernels import impute_missing_em
+
+    # lowess with n < 2 returns input unchanged
+    assert lowess_sorted(np.array([1.0]), np.array([3.0])).tolist() == [3.0]
+
+    # Ward with a single sample: empty linkage, one cluster label
+    one = spark.createDataFrame(
+        [(0, g, float(g)) for g in range(5)], ["sample_id", "gene_id", "value"]
+    )
+    linkage, labels = ward_hclust(one, "sample_id", "gene_id", "value", k=2)
+    assert linkage.count() == 0
+    assert [r["cluster"] for r in labels.collect()] in ([], [1])
+
+    # EM with a complete grid: output equals input exactly
+    full = spark.createDataFrame(
+        [(g, s, float(g * 3 + s)) for g in range(4) for s in range(3)],
+        ["gene_id", "sample_id", "value"],
+    )
+    out = {(r["gene_id"], r["sample_id"]): r["value"]
+           for r in impute_missing_em(full, "gene_id", "sample_id", "value").collect()}
+    assert len(out) == 12
+    for g in range(4):
+        for s in range(3):
+            assert out[(g, s)] == g * 3 + s

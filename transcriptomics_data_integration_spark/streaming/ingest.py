@@ -233,3 +233,109 @@ def streaming_interval_join(
         ),
         "inner",
     )
+
+
+def streaming_minhash_neardup(
+    stream_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Streaming MinHash near-duplicate detection — the stateful twin
+    of the batch ``minhash_lsh_pairs`` pipeline (llmdata/dedup.py),
+    for dedup-at-ingest: each arriving document is checked against
+    everything previously streamed before it enters the corpus.
+
+    Per-row signature (no shuffle): the same md5-60bit minhash as the
+    batch path (``min over shingles of md5(shingle || '#' || seed)``),
+    computed in an Arrow-batched pandas UDF so signatures are
+    BIT-IDENTICAL to the batch pipeline's.  Docs then explode to their
+    ``n_bands`` band keys and ``applyInPandasWithState`` keyed by
+    band-bucket holds the bucket's (id, signature) inventory: a new
+    doc emits a pair for every stored doc whose signature agrees on
+    >= ``threshold`` of positions (the streaming-budget estimate of
+    Jaccard — the batch path verifies candidates with EXACT Jaccard,
+    which would require keeping full shingle sets in state).
+
+    Contract notes: a pair sharing several bands emits once per shared
+    band — downstream consumers dedup on (id_a, id_b) (the batch path
+    does this with ``.distinct()``); state per bucket is capped at
+    ``max_bucket`` most-recent docs (crawl-scale buckets are bounded
+    by the banding; the cap is a backstop, not the design size).
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    if n_hashes % n_bands != 0:
+        raise ValueError("n_hashes must divide into n_bands")
+    r = n_hashes // n_bands
+
+    # no type hints on the UDF: `from __future__ import annotations`
+    # stringifies them, which defeats pandas_udf's hint inference —
+    # the explicit returnType above carries the schema
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig_udf(texts):
+        out = []
+        for t in texts:
+            t = t or ""
+            n_sh = max(len(t) - k + 1, 1)
+            sh = {t[i:i + k] for i in range(n_sh)}
+            out.append([
+                min(
+                    int(hashlib.md5(f"{s}#{j}".encode()).hexdigest()[:15], 16)
+                    for s in sh
+                )
+                for j in range(n_hashes)
+            ])
+        return pd.Series(out)
+
+    with_sig = stream_df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        sig_udf(F.col(text_col)).alias("sig"),
+    )
+    band_keys = F.array(*[
+        F.concat_ws(
+            "_", F.lit(b), *[F.col("sig")[j].cast("string") for j in range(b * r, (b + 1) * r)]
+        )
+        for b in range(n_bands)
+    ])
+    exploded = with_sig.select("_id", "sig", F.explode(band_keys).alias("band_key"))
+
+    def update(key, pdfs, state):
+        if state.exists:
+            ids, sigs = state.get
+            ids = list(ids)
+            sigs = [list(s) for s in sigs]
+        else:
+            ids, sigs = [], []
+        rows = []
+        for pdf in pdfs:
+            for _id, sig in zip(pdf["_id"], pdf["sig"]):
+                _id = int(_id)
+                sig = [int(x) for x in sig]
+                if _id in ids:
+                    continue  # replay guard within the bucket
+                for pid, psig in zip(ids, sigs):
+                    est = sum(a == b for a, b in zip(sig, psig)) / len(sig)
+                    if est >= threshold:
+                        rows.append((min(pid, _id), max(pid, _id), est))
+                ids.append(_id)
+                sigs.append(sig)
+        if len(ids) > max_bucket:
+            ids, sigs = ids[-max_bucket:], sigs[-max_bucket:]
+        state.update((ids, sigs))
+        yield pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"])
+
+    return exploded.groupBy("band_key").applyInPandasWithState(
+        update,
+        outputStructType="id_a long, id_b long, est_jaccard double",
+        stateStructType="ids array<bigint>, sigs array<array<bigint>>",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
