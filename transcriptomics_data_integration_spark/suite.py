@@ -1405,13 +1405,15 @@ _ROUND2_FRONT = [
     "cohort_retention", "normalize_dedup",
     # -- r01 hash-artifact rows, oracle casts fixed this round -----------
     "reliability_filter", "set_compare",
-    # -- rows-only, never had a driver row -------------------------------
+    # -- never had a driver row; round-2 additions prioritized ----------
+    # oracled: median_polish_fixed, pii_scrub, sample_distances,
+    # logistic_irls2, (impute_em above).  rows-only: the rest.
     "median_polish", "median_polish_fixed", "pii_scrub", "combat_full",
     "combat_nonparam", "pca_samples", "sample_distances", "logistic_irls2",
-    # -- round-2 full-fidelity kernels (rows-only: not SQL-expressible,
-    # except median_polish_fixed above which is dyadic-exact oracled) --
-    # (ivf_ann, hclust_samples, quantile_sketch rotate to the r03
-    # window to stay at 50; ward_hclust supersedes hclust_samples)
+    # -- round-2 full-fidelity kernels (rows-only: not SQL-expressible) --
+    # rotating to the r03 window to stay at exactly 50: ivf_ann, pq_ann,
+    # hclust_samples, kmeans_samples, mds_samples, quantile_sketch
+    # (ward_hclust + sample_distances supersede the hclust/mds slots)
     "voom_lowess", "cqn_spline", "ward_hclust", "rnaseq_pipeline",
 ]
 
