@@ -13,6 +13,7 @@ bit-for-bit.  Python appears only in the multimodal decode stubs
 from transcriptomics_data_integration_spark.llmdata.text import (
     doc_fingerprint,
     language_id,
+    scrub_pii,
     text_quality,
     token_stats,
 )
@@ -22,10 +23,21 @@ from transcriptomics_data_integration_spark.llmdata.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from transcriptomics_data_integration_spark.llmdata.similarity import cosine_topk
+from transcriptomics_data_integration_spark.llmdata.similarity import (
+    cosine_topk,
+    ivf_topk,
+    pq_encode,
+    pq_topk,
+    pq_train,
+)
 
 __all__ = [
     "cosine_topk",
+    "ivf_topk",
+    "pq_encode",
+    "pq_topk",
+    "pq_train",
+    "scrub_pii",
     "doc_fingerprint",
     "exact_dedup",
     "language_id",
