@@ -323,3 +323,68 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return out.withColumn("text_scrubbed", scrubbed)
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (the Gopher repetition-filter
+    family, Rae et al. 2021 — complementary to the CROSS-document
+    ``duplicate_chunk_stats``): per document,
+
+    - ``top_2gram_frac``: characters covered by the most frequent word
+      2-gram / total 2-gram characters (``cnt * len`` weighting),
+    - ``dup_5gram_frac``: characters in word 5-grams occurring more
+      than once / total 5-gram characters.
+
+    Machine-heavy repetition (boilerplate, keyword stuffing, template
+    spam) scores high on both.  Pure integer counts -> each fraction is
+    a single IEEE division, so the DuckDB oracle matches exactly.
+
+    Plan: word split + n-gram transform are map-side codegen; one
+    shuffle per n on (doc, gram) followed by a per-doc aggregate.
+    """
+
+    def grams(n: int) -> Column:
+        words = F.split(F.trim(F.col(text_col)), r"\s+")
+        idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+        joined = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j) for j in range(n)]
+            ),
+        )
+        return F.when(F.size(words) >= n, joined).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    def stats(n: int, top_frac: bool):
+        exploded = df.select(
+            F.col(id_col), F.explode(grams(n)).alias("gram")
+        )
+        per_gram = exploded.groupBy(id_col, "gram").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.length(F.first("gram")).alias("glen"),
+        )
+        covered = F.col("cnt") * F.col("glen")
+        agg = per_gram.groupBy(id_col).agg(
+            F.sum(covered).alias(f"total_{n}"),
+            F.max(
+                F.struct(covered.alias("c"), F.col("gram"))
+            )["c"].alias(f"top_{n}"),
+            F.sum(F.when(F.col("cnt") > 1, covered).otherwise(0)).alias(f"dup_{n}"),
+        )
+        return agg
+
+    g2 = stats(2, True)
+    g5 = stats(5, False)
+    return (
+        df.select(id_col)
+        .join(g2, id_col, "left")
+        .join(g5, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("total_2"), F.lit(0)).alias("n2_chars"),
+            F.coalesce(F.col("top_2") / F.col("total_2"), F.lit(0.0)).alias("top_2gram_frac"),
+            F.coalesce(F.col("total_5"), F.lit(0)).alias("n5_chars"),
+            F.coalesce(F.col("dup_5") / F.col("total_5"), F.lit(0.0)).alias("dup_5gram_frac"),
+        )
+    )
