@@ -173,3 +173,49 @@ def test_kernel_edge_cases(spark):
     for g in range(4):
         for s in range(3):
             assert out[(g, s)] == g * 3 + s
+
+
+def test_voom_lowess_design_residual_sd(spark):
+    """With a ~0+group design, sy must be the pooled WITHIN-group
+    residual quarter-root SD (limma: sqrt(fit$sigma)), not the raw
+    per-gene SD — for genes with real group differences the raw SD is
+    inflated (round-2 ADVICE item)."""
+    rng = np.random.RandomState(3)
+    n_s, n_g = 6, 30
+    rows = []
+    vals = {}
+    for g in range(n_g):
+        shift = 200.0 * (g % 3)  # strong group effect for most genes
+        for s in range(n_s):
+            grp = "a" if s < 3 else "b"
+            v = float(50 + 10 * g + (shift if grp == "b" else 0.0) + rng.randint(0, 5))
+            rows.append((g, s, v))
+            vals[(g, s)] = v
+    df = spark.createDataFrame(rows, ["gene_id", "sample_id", "cnt"])
+    targets = spark.createDataFrame(
+        [(s, "a" if s < 3 else "b") for s in range(n_s)], ["sample_id", "target"]
+    )
+    out = {r["gene_id"]: r for r in voom_weights_lowess(
+        df, "gene_id", "sample_id", "cnt", targets=targets, group_col="target"
+    ).collect()}
+
+    # local reference: residual SD about group means on the same lcpm
+    pdf = log2_cpm(df, "sample_id", "cnt").toPandas()
+    pdf["grp"] = np.where(pdf["sample_id"] < 3, "a", "b")
+    for g, sub in pdf.groupby("gene_id"):
+        ss = 0.0
+        for _, gg in sub.groupby("grp"):
+            ss += float(((gg["lcpm"] - gg["lcpm"].mean()) ** 2).sum())
+        sigma2 = ss / (len(sub) - 2)
+        if sigma2 <= 0:
+            assert g not in out
+            continue
+        r = out[g]
+        assert r["sqrt_sd"] == pytest.approx(sigma2 ** 0.25, rel=1e-9)
+        assert r["mean_lcpm"] == pytest.approx(float(sub["lcpm"].mean()), rel=1e-9)
+    # and the design-aware sy is NOT the raw SD for group-shifted genes
+    raw = pdf.groupby("gene_id")["lcpm"].var()
+    shifted = [g for g in range(n_g) if g % 3 and g in out]
+    assert any(
+        abs(out[g]["sqrt_sd"] - float(raw[g]) ** 0.25) > 1e-6 for g in shifted
+    )

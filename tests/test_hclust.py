@@ -147,3 +147,72 @@ def test_ward_hclust_genes_clusters_coexpressed(spark):
     assert len({lab[g] for g in range(4, 8)}) == 1
     assert lab[0] != lab[7]
     assert linkage.count() == 7
+
+
+def test_ward_d_hand_computed_1d():
+    """R ``method="ward"`` (ward.D): recurrence on UNSQUARED distances.
+    Points 0, 2, 6, 7:
+
+      step 0: merge {2},{3}  d=1  -> height 1
+      step 1: merge {0},{1}  d=2  -> height 2
+      step 2: d(u4,0)=(2*6+2*7-1)/3=25/3, d(u4,1)=(2*4+2*5-1)/3=17/3,
+              d(u5,u4)=(3*25/3+3*17/3-2*2)/4=9.5 -> height 9.5
+    """
+    pts = [0.0, 2.0, 6.0, 7.0]
+    d = {
+        (i, j): abs(pts[i] - pts[j])
+        for i in range(4) for j in range(i + 1, 4)
+    }
+    merges = ward_linkage_local(list(range(4)), d, squared=False)
+    assert [(m[1], m[2]) for m in merges] == [(2, 3), (0, 1), (4, 5)]
+    heights = [m[3] for m in merges]
+    assert heights[0] == pytest.approx(1.0)
+    assert heights[1] == pytest.approx(2.0)
+    assert heights[2] == pytest.approx(9.5)
+
+
+def test_ward_linkage_incomplete_matrix_raises():
+    d2 = {(0, 1): 1.0, (0, 2): 4.0}  # (1, 2) missing
+    with pytest.raises(ValueError, match="complete distance matrix"):
+        ward_linkage_local([0, 1, 2], d2)
+
+
+def test_ward_linkage_nonfinite_distance_raises():
+    d2 = {(0, 1): 1.0, (0, 2): float("nan"), (1, 2): 2.0}
+    with pytest.raises(ValueError, match="non-finite"):
+        ward_linkage_local([0, 1, 2], d2)
+    d2 = {(0, 1): 1.0, (0, 2): float("inf"), (1, 2): 2.0}
+    with pytest.raises(ValueError, match="non-finite"):
+        ward_linkage_local([0, 1, 2], d2)
+
+
+def test_ward_hclust_missing_pair_raises(spark):
+    """Samples 0 and 2 share no genes -> missing pair must raise, not
+    silently produce NaN heights (round-2 bench regression)."""
+    rows = [(0, "a", 1.0), (0, "b", 2.0), (1, "a", 1.5), (1, "c", 3.0),
+            (2, "c", 2.5)]
+    df = spark.createDataFrame(rows, ["sample_id", "gene_id", "value"])
+    with pytest.raises(ValueError, match="complete distance matrix"):
+        ward_hclust(df, "sample_id", "gene_id", "value", k=2)
+
+
+def test_ward_d_spark_end_to_end_matches_local(spark):
+    """algo='ward.D' end-to-end equals the local recurrence on the
+    unsquared Euclidean distances of the same matrix."""
+    rng = np.random.RandomState(11)
+    X = rng.randn(5, 7)
+    rows = [(s, g, float(X[s, g])) for s in range(5) for g in range(7)]
+    df = spark.createDataFrame(rows, ["sample_id", "gene_id", "value"])
+    linkage, _ = ward_hclust(df, "sample_id", "gene_id", "value", k=2, algo="ward.D")
+    got = [
+        (m["step"], m["cluster_a"], m["cluster_b"], m["height"], m["size"])
+        for m in linkage.orderBy("step").collect()
+    ]
+    d = {
+        (i, j): float(np.linalg.norm(X[i] - X[j]))
+        for i in range(5) for j in range(i + 1, 5)
+    }
+    want = ward_linkage_local(list(range(5)), d, squared=False)
+    assert [(g[1], g[2]) for g in got] == [(w[1], w[2]) for w in want]
+    for g, w in zip(got, want):
+        assert g[3] == pytest.approx(w[3], rel=1e-9)

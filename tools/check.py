@@ -1,17 +1,25 @@
 """Local replica of the driver's correctness gate.
 
 Runs every suite query on Spark and its oracle on DuckDB at the given
-scale factor, compares row count, column names/types (loose), and an
-order-insensitive value comparison (exact after the suite's own
-rounding).  Usage:
+scale factor, compares row count, column names (case-insensitive), and
+an order-insensitive, **driver-strict** value comparison.  Usage:
 
     python tools/check.py [sf_dir] [query ...]
+
+Strictness contract (round-3 fix): the round-2 gate canonicalized
+``2190.0 -> "2190"`` and ``-0.0 -> "0"``, which was looser than the
+driver's hash and shipped three false-green queries.  This version
+preserves the numeric *kind* (int vs float), the float repr, and the
+sign of zero, so any oracle-typing artifact (DuckDB HUGEINT -> float64,
+negative zero from ROUND) is red locally before it is red on the
+driver.
 """
 
 from __future__ import annotations
 
 import math
 import sys
+from decimal import Decimal
 
 import duckdb
 
@@ -26,19 +34,37 @@ TABLES = (
 
 
 def norm_cell(v):
+    """Canonical string for one cell, strict about numeric kind.
+
+    - int (incl. numpy ints via .item() upstream) -> "2190"
+    - float -> repr(): "2190.0", "-0.0", "0.001" — kind + sign preserved
+    - Decimal -> via float (suite queries cast exact decimals to double
+      before returning; a Decimal reaching here at full scale would be
+      an output-typing bug worth seeing)
+    - bool -> "true"/"false" (distinct from ints)
+    - None -> "NULL", NaN -> "NaN"
+    """
     if v is None:
         return "NULL"
     if isinstance(v, bool):
-        return str(int(v))
+        return "true" if v else "false"
+    if isinstance(v, Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         return repr(v)
     if isinstance(v, int):
         return str(v)
     return str(v)
+
+
+def _to_py(v):
+    """numpy scalar -> python scalar, preserving int/float kind."""
+    item = getattr(v, "item", None)
+    if item is not None and type(v).__module__ == "numpy":
+        return v.item()
+    return v
 
 
 def canon(rows, colnames):
@@ -46,7 +72,7 @@ def canon(rows, colnames):
     out = []
     for r in rows:
         vals = list(r)
-        out.append("\x01".join(norm_cell(vals[i]) for i in order))
+        out.append("\x01".join(norm_cell(_to_py(vals[i])) for i in order))
     out.sort()
     return out
 

@@ -389,10 +389,18 @@ def pq_train(
 
     total = embeddings.count()
     frac_mod = max(1, total // sample_cap)
+    # orderBy BEFORE the cap: .limit() alone takes a partitioning-
+    # dependent subset whenever the hash filter passes more than
+    # sample_cap rows (e.g. any corpus under 2*sample_cap has
+    # frac_mod=1 and passes everything), which made the codebooks —
+    # and every downstream pq_encode/pq_topk result — depend on
+    # cluster layout.  Ordering by the same xxhash64 (id tiebreak)
+    # makes the training sample a pure function of the data.
     sample = (
         embeddings.where(F.xxhash64(F.col(id_col)) % frac_mod == 0)
-        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(sample_cap)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
         .collect()
     )
     X = np.array([r["v"] for r in sample])

@@ -55,7 +55,13 @@ def rnaseq_differential_expression(
         raise ValueError("fidelity must be 'binned' or 'lowess'")
     if fidelity == "lowess":
         cqn = cqn_spline(counts, gene_col, sample_col, count_col, gene_attrs, gc_col)
-        weights = voom_weights_lowess(counts, gene_col, sample_col, count_col)
+        # voom fits the ~0+group design before taking sigma
+        # (`DiffExpression_openPlatform.R:438-442`) — pass the sample
+        # sheet so the trend uses the pooled within-group residual SD
+        weights = voom_weights_lowess(
+            counts, gene_col, sample_col, count_col,
+            targets=targets, group_col=group_col,
+        )
     else:
         cqn = cqn_simplified(counts, gene_col, sample_col, count_col, gene_attrs, gc_col)
         weights = voom_weights(counts, gene_col, sample_col, count_col)

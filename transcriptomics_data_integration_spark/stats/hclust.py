@@ -15,10 +15,20 @@ exactly where R runs hclust — via the Lance-Williams recurrence:
     d2(u,k) = ((n_i+n_k) d2(i,k) + (n_j+n_k) d2(j,k) - n_k d2(i,j))
               / (n_i + n_j + n_k)
 
-Heights follow the scipy/R ``ward.D2`` convention: the merge height is
-the EUCLIDEAN (not squared) cluster distance, so heights are monotone
-non-decreasing.  Ties break deterministically on (height, smaller
-cluster id, larger cluster id).
+Two linkage conventions are supported (``algo``):
+
+- ``"ward.D2"`` (default, scipy convention): the recurrence runs on
+  SQUARED distances and the merge height is the Euclidean (unsquared)
+  cluster distance — heights monotone non-decreasing.
+- ``"ward.D"``: R's ``hclust(..., method="ward")`` — the reference's
+  actual call (`DiffExpression_closedPlatform.R:645-646`).  The same
+  Lance-Williams recurrence runs on the UNSQUARED dissimilarity and
+  the height is that dissimilarity directly.  For the 1-Pearson
+  metric the two are NOT equivalent (ward.D2 on (1-corr)^2 differs
+  from ward.D on 1-corr), so reference parity requires ward.D.
+
+Ties break deterministically on (height, smaller cluster id, larger
+cluster id).
 
 Outputs are Spark DataFrames so downstream suite queries stay in the
 engine: a linkage table (one row per merge: step, cluster_a,
@@ -93,14 +103,37 @@ def sample_distance_matrix(
     )
 
 
-def ward_linkage_local(samples: list, d2_pairs: dict) -> list[tuple]:
+def ward_linkage_local(
+    samples: list, d2_pairs: dict, squared: bool = True
+) -> list[tuple]:
     """Driver-side Ward linkage.  ``samples``: ordered sample ids
     (index = leaf id 0..S-1); ``d2_pairs``: {(i, j) i<j: squared
-    distance}.  Returns merge rows (step, cluster_a, cluster_b,
-    height, size) with new clusters numbered S, S+1, ... like scipy."""
+    distance} (unsquared dissimilarity when ``squared=False`` —
+    ward.D).  Returns merge rows (step, cluster_a, cluster_b, height,
+    size) with new clusters numbered S, S+1, ... like scipy.
+
+    The input must be a COMPLETE, finite distance matrix: every
+    unordered pair of leaves present, no NaN/inf.  A missing or
+    non-finite pair would make ``inf - inf`` / NaN propagate silently
+    through the Lance-Williams update (arbitrary merge order, NaN
+    heights), so it raises instead."""
     n = len(samples)
     if n < 2:
         return []
+    if len(d2_pairs) != n * (n - 1) // 2:
+        raise ValueError(
+            f"ward linkage needs a complete distance matrix: expected "
+            f"{n * (n - 1) // 2} pairs for {n} leaves, got {len(d2_pairs)} "
+            f"(disjoint gene support between some sample pair? complete "
+            f"the matrix, e.g. impute_missing, before clustering)"
+        )
+    bad = [(i, j) for (i, j), v in d2_pairs.items() if not np.isfinite(v)]
+    if bad:
+        raise ValueError(
+            f"ward linkage got {len(bad)} non-finite distances (first: "
+            f"pair {bad[0]}); zero-variance leaves under "
+            f"metric='correlation' produce NaN — drop them first (F4)"
+        )
     INF = float("inf")
     D2 = np.full((2 * n - 1, 2 * n - 1), INF)
     for (i, j), v in d2_pairs.items():
@@ -119,6 +152,11 @@ def ward_linkage_local(samples: list, d2_pairs: dict) -> list[tuple]:
         flat = sub[iu]
         m = int(np.argmin(flat))
         d2min = float(flat[m])
+        if not np.isfinite(d2min):
+            raise ValueError(
+                f"ward linkage: non-finite minimum cluster distance at "
+                f"step {step} — distance matrix was not complete/finite"
+            )
         i = int(act[iu[0][m]])
         j = int(act[iu[1][m]])
         u = n + step
@@ -134,7 +172,8 @@ def ward_linkage_local(samples: list, d2_pairs: dict) -> list[tuple]:
         active.discard(i)
         active.discard(j)
         active.add(u)
-        merges.append((step, int(i), int(j), float(np.sqrt(max(d2min, 0.0))), int(size[u])))
+        height = float(np.sqrt(max(d2min, 0.0))) if squared else d2min
+        merges.append((step, int(i), int(j), height, int(size[u])))
     return merges
 
 
@@ -171,30 +210,47 @@ def ward_hclust(
     value_col: str,
     k: int = 2,
     metric: str = "euclidean",
+    algo: str = "ward.D2",
 ) -> tuple[DataFrame, DataFrame]:
     """Full Ward pipeline: distributed distance matrix -> driver
     linkage -> (linkage_df, labels_df).
+
+    ``algo="ward.D2"`` (scipy default) or ``"ward.D"`` (R
+    ``method="ward"`` — the reference's call, see module docstring).
 
     linkage_df: (step, cluster_a, cluster_b, height, size) — the
     dendrogram merge table (cluster ids < S are leaves in sorted
     sample order; ids >= S are merge products, like scipy linkage).
     labels_df: (sample, cluster) for the k-cut, R cutree numbering.
     """
-    rows = sample_distance_matrix(
-        long_df, sample_col, gene_col, value_col, metric=metric
-    ).collect()
-    if len(rows) > _MAX_LEAVES * (_MAX_LEAVES - 1) // 2:
+    if algo not in ("ward.D", "ward.D2"):
+        raise ValueError("algo must be 'ward.D' or 'ward.D2'")
+    # leaf guard BEFORE materializing the O(S^2) pair relation on the
+    # driver: count distinct leaves with an early-out limit
+    n_leaves = (
+        long_df.select(F.col(sample_col)).distinct().limit(_MAX_LEAVES + 1).count()
+    )
+    if n_leaves > _MAX_LEAVES:
         raise ValueError(
             f"ward_hclust linkage is driver-side O(S^3); got more than "
             f"{_MAX_LEAVES} leaves — cluster a bounded subset (F5 top-k)"
         )
+    d2_df = sample_distance_matrix(
+        long_df, sample_col, gene_col, value_col, metric=metric
+    )
+    if algo == "ward.D":
+        # recurrence runs on the unsquared dissimilarity: Euclidean
+        # distance, or 1-Pearson directly (sqrt undoes the ward.D2
+        # squaring; both metrics emit non-negative d2)
+        d2_df = d2_df.select("sa", "sb", F.sqrt("d2").alias("d2"))
+    rows = d2_df.collect()
     samples = sorted({r["sa"] for r in rows} | {r["sb"] for r in rows})
     idx = {s: i for i, s in enumerate(samples)}
     d2 = {
         (min(idx[r["sa"]], idx[r["sb"]]), max(idx[r["sa"]], idx[r["sb"]])): r["d2"]
         for r in rows
     }
-    merges = ward_linkage_local(samples, d2)
+    merges = ward_linkage_local(samples, d2, squared=(algo == "ward.D2"))
     labels = cut_tree_labels(merges, len(samples), min(k, max(len(samples), 1)))
     spark = long_df.sparkSession
     sample_t = dict(long_df.select(F.col(sample_col)).dtypes)[sample_col]
@@ -215,6 +271,7 @@ def ward_hclust_genes(
     value_col: str,
     k: int = 2,
     metric: str = "correlation",
+    algo: str = "ward.D2",
 ) -> tuple[DataFrame, DataFrame]:
     """Gene-mode Ward clustering — the heatmap ROW dendrogram over the
     top DE genes (`DiffExpression_closedPlatform.R:675-677`,
@@ -225,5 +282,5 @@ def ward_hclust_genes(
     linkage guard enforces <= 5000 leaves."""
     return ward_hclust(
         long_df, sample_col=gene_col, gene_col=sample_col,
-        value_col=value_col, k=k, metric=metric,
+        value_col=value_col, k=k, metric=metric, algo=algo,
     )

@@ -153,21 +153,25 @@ def icc_blockmatrix(cells: DataFrame, platforms: list[str], block_size: int = 10
         bc_g = spark.sparkContext.broadcast(g_idx)
         dim = len(samples)
 
-        def to_row(rows):
+        # Arrow-batched vector assembly: the standardized cells (G x S
+        # rows — the big relation) reach Python only as Arrow batches
+        # inside applyInPandas; the subsequent RDD map touches G
+        # already-assembled vector rows, not raw cells
+        def to_vec(pdf):
             import numpy as np
+            import pandas as pd
 
+            gi = int(bc_g.value[pdf["gene_id"].iloc[0]])
             vec = np.zeros(dim)
-            gi = None
-            for r in rows:
-                gi = bc_g.value[r["gene_id"]]
-                vec[bc_s.value[r["sample_id"]]] = r["z"]
-            return IndexedRow(gi, Vectors.dense(vec))
+            vec[pdf["sample_id"].map(bc_s.value).to_numpy()] = pdf["z"].to_numpy()
+            return pd.DataFrame({"idx": [gi], "vec": [vec.tolist()]})
 
-        rdd = (
+        vec_df = (
             std.select("gene_id", "sample_id", "z")
-            .rdd.groupBy(lambda r: r["gene_id"])
-            .map(lambda kv: to_row(list(kv[1])))
+            .groupBy("gene_id")
+            .applyInPandas(to_vec, schema="idx long, vec array<double>")
         )
+        rdd = vec_df.rdd.map(lambda r: IndexedRow(r["idx"], Vectors.dense(r["vec"])))
         mat = IndexedRowMatrix(rdd).toBlockMatrix(block_size, block_size)
         gram = mat.multiply(mat.transpose())  # gene x gene correlations
         rows = gram.toIndexedRowMatrix().rows.flatMap(

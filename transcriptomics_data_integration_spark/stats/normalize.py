@@ -103,22 +103,33 @@ def voom_weights_lowess(
     count_col: str,
     f: float = 0.5,
     iter: int = 3,
+    targets: DataFrame | None = None,
+    group_col: str | None = None,
 ) -> DataFrame:
     """M5 full fidelity — the voom mean-variance trend exactly as
     ``limma::voom`` computes it (`DiffExpression_openPlatform.R:427-442`):
 
-    1. per-gene mean log2-CPM ``sx`` and quarter-root standard
-       deviation ``sy = sqrt(sd)`` of the log2-CPM values,
+    1. per-gene mean log2-CPM ``sx`` and quarter-root RESIDUAL
+       standard deviation ``sy = sqrt(fit$sigma)``.  voom fits the
+       design first (``~0+group``, `DiffExpression_openPlatform.R:
+       438-442`) and uses the residual SD about the fitted values;
+       pass ``targets`` (sample -> group) + ``group_col`` to compute
+       the pooled within-group residual SD with the design's
+       ``n - n_groups`` degrees of freedom.  Without a design
+       (``targets=None``) the model is intercept-only (``~1``) and
+       the residual SD IS the per-gene sample SD.
     2. ``lo <- lowess(sx, sy, f=0.5)`` — R's exact algorithm
        (stats/lowess.py), three robustifying iterations,
     3. trend value at each gene's own mean via ``approxfun(lo,
        rule=2)`` (linear interpolation, endpoint clamping),
     4. ``weight = trend^-4``.
 
-    Execution: the per-gene (mean, sqrt_sd) aggregate is distributed;
-    the lowess fit runs in ONE Arrow batch over that bounded relation
-    (gene count is O(10^4..10^6) — SURVEY §2.5 M5 documents the split,
-    mirroring where R itself runs lowess).  Returns one row per gene:
+    Execution: the per-gene (mean, sqrt_sd) aggregate is distributed
+    (with a design: one broadcast join + per-(gene, group) partial
+    moments, still a single gene-keyed shuffle); the lowess fit runs
+    in ONE Arrow batch over that bounded relation (gene count is
+    O(10^4..10^6) — SURVEY §2.5 M5 documents the split, mirroring
+    where R itself runs lowess).  Returns one row per gene:
     (gene, mean_lcpm, sqrt_sd, n_obs, trend_sqrt_sd, weight).
     """
     import pandas as pd
@@ -126,11 +137,53 @@ def voom_weights_lowess(
     from transcriptomics_data_integration_spark.stats.lowess import approx_rule2, lowess
 
     lcpm = log2_cpm(df, sample_col, count_col)
-    per_gene = lcpm.groupBy(gene_col).agg(
-        F.avg("lcpm").alias("mean_lcpm"),
-        F.sqrt(F.sqrt(F.var_samp("lcpm"))).alias("sqrt_sd"),
-        F.count(F.lit(1)).alias("n_obs"),
-    ).where(F.col("sqrt_sd").isNotNull() & (F.col("sqrt_sd") > 0))
+    if targets is not None and group_col is not None:
+        # residual variance about group means (~0+group lmFit):
+        # sum over groups of within-group SS, df = n - n_groups
+        labeled = lcpm.join(
+            F.broadcast(targets.select(sample_col, group_col)), sample_col
+        )
+        # within-group SS from var_samp (numerically stable centered
+        # form — the raw-moment form s2 - s^2/n loses ~1e-9 relative
+        # precision to cancellation); a single-observation group
+        # contributes 0 (var_samp null -> coalesce)
+        per_gg = labeled.groupBy(gene_col, group_col).agg(
+            F.count(F.lit(1)).alias("n_i"),
+            F.sum("lcpm").alias("s_i"),
+            ((F.count(F.lit(1)) - 1) * F.coalesce(F.var_samp("lcpm"), F.lit(0.0))).alias(
+                "ss_i"
+            ),
+        )
+        per_gene = (
+            per_gg.groupBy(gene_col)
+            .agg(
+                (F.sum("s_i") / F.sum("n_i")).alias("mean_lcpm"),
+                F.sum("ss_i").alias("ss_resid"),
+                F.sum("n_i").alias("n_obs"),
+                F.count(F.lit(1)).alias("n_groups"),
+            )
+            .where(F.col("n_obs") > F.col("n_groups"))
+            .withColumn(
+                "sqrt_sd",
+                # greatest(.., 0): a within-group SS that is a tiny
+                # negative from fp cancellation must clamp to 0 (and
+                # then be filtered), not NaN through sqrt
+                F.sqrt(F.sqrt(
+                    F.greatest(F.col("ss_resid"), F.lit(0.0))
+                    / (F.col("n_obs") - F.col("n_groups"))
+                )),
+            )
+            .select(gene_col, "mean_lcpm", "sqrt_sd", "n_obs")
+        )
+    else:
+        per_gene = lcpm.groupBy(gene_col).agg(
+            F.avg("lcpm").alias("mean_lcpm"),
+            F.sqrt(F.sqrt(F.var_samp("lcpm"))).alias("sqrt_sd"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    per_gene = per_gene.where(
+        F.col("sqrt_sd").isNotNull() & (F.col("sqrt_sd") > 0)
+    )
 
     gene_t = dict(per_gene.dtypes)[gene_col]
     out_schema = (

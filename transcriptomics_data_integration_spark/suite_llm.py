@@ -1148,13 +1148,13 @@ WITH s AS (
   FROM m
 )
 SELECT COUNT(*) AS n_docs,
-       SUM(CASE WHEN NOT fail_word_count AND NOT fail_word_len
+       CAST(SUM(CASE WHEN NOT fail_word_count AND NOT fail_word_len
                  AND NOT fail_symbol_ratio AND NOT fail_no_stopwords
-                THEN 1 ELSE 0 END) AS n_kept,
-       SUM(CASE WHEN fail_word_count THEN 1 ELSE 0 END) AS n_fail_word_count,
-       SUM(CASE WHEN fail_word_len THEN 1 ELSE 0 END) AS n_fail_word_len,
-       SUM(CASE WHEN fail_symbol_ratio THEN 1 ELSE 0 END) AS n_fail_symbol_ratio,
-       SUM(CASE WHEN fail_no_stopwords THEN 1 ELSE 0 END) AS n_fail_no_stopwords
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN fail_word_count THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_word_count,
+       CAST(SUM(CASE WHEN fail_word_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_word_len,
+       CAST(SUM(CASE WHEN fail_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_symbol_ratio,
+       CAST(SUM(CASE WHEN fail_no_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_no_stopwords
 FROM flags
 """
 

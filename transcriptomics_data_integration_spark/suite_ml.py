@@ -154,14 +154,23 @@ def q_ward_hclust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M13 full fidelity — Ward hierarchical clustering
     (`DiffExpression_closedPlatform.R:645-646`, ``hclust`` +
     ``cutree``): distributed S x S distance matrix, driver-side
-    Lance-Williams linkage (stats/hclust.py).  The merge table
-    (step, heights, sizes) is DETERMINISTIC given the data — unlike
-    the seeded k-means family — but not SQL-expressible, so rows-only;
-    numerics pinned by tests/test_hclust.py."""
+    Lance-Williams linkage (stats/hclust.py), ``algo="ward.D"``
+    matching R ``method="ward"``.  The input matrix is COMPLETED
+    first (zero-fill of absent sample x gene cells) — R ``dist``
+    sees a complete matrix, and the linkage now raises on missing
+    pairs instead of silently propagating NaN heights.  The merge
+    table is DETERMINISTIC given the data but not SQL-expressible,
+    so rows-only; numerics pinned by tests/test_hclust.py."""
     from transcriptomics_data_integration_spark.stats.hclust import ward_hclust
 
     cells = _cells(spark, sf_dir)
-    linkage, _labels = ward_hclust(cells, "sample_id", "gene_id", "value", k=4)
+    grid = cells.select("sample_id").distinct().crossJoin(
+        F.broadcast(cells.select("gene_id").distinct())
+    )
+    full = grid.join(cells, ["sample_id", "gene_id"], "left").fillna({"value": 0.0})
+    linkage, _labels = ward_hclust(
+        full, "sample_id", "gene_id", "value", k=4, algo="ward.D"
+    )
     return linkage.select(
         "step", "cluster_a", "cluster_b",
         F.round("height", 4).alias("height"), "size",

@@ -258,13 +258,24 @@ WHERE gene_id IN (SELECT gene_id FROM keepg)
 
 def q_voom_lowess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5 full fidelity — voom trend via R-exact lowess
-    (`DiffExpression_openPlatform.R:427-442`; limma::voom f=0.5).
-    Rows-only: lowess is not SQL-expressible; numerics pinned by
+    (`DiffExpression_openPlatform.R:427-442`; limma::voom f=0.5) with
+    the ~0+group design (`:438-442`): sy is the pooled within-group
+    RESIDUAL quarter-root SD, not the raw per-gene SD.  Rows-only:
+    lowess is not SQL-expressible; numerics pinned by
     tests/test_lowess.py + tests/test_fidelity.py."""
     from transcriptomics_data_integration_spark.stats.normalize import voom_weights_lowess
 
     counts = _counts(spark, sf_dir)
-    out = voom_weights_lowess(counts, "gene_id", "sample_id", "cnt")
+    targets = (
+        counts.select("sample_id").distinct()
+        .withColumn(
+            "target",
+            F.when(F.col("sample_id") % 2 == 0, "tumor").otherwise("normal"),
+        )
+    )
+    out = voom_weights_lowess(
+        counts, "gene_id", "sample_id", "cnt", targets=targets, group_col="target"
+    )
     return out.select(
         "gene_id",
         "n_obs",

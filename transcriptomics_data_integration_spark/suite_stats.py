@@ -141,7 +141,12 @@ def q_icc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("value"))
     )
     out = icc(cells, ["F", "O"], exact_scale=2)
-    return out.select("gene_id", "n_pairs", F.round("icc", 6).alias("icc"))
+    # ``+ 0.0`` after the final round normalizes IEEE-754 negative zero
+    # (-0.0 + 0.0 == +0.0) so a tiny negative correlation that rounds to
+    # zero hashes identically on Spark and the DuckDB oracle.
+    return out.select(
+        "gene_id", "n_pairs", (F.round("icc", 6) + F.lit(0.0)).alias("icc")
+    )
 
 
 ORACLE_ICC = f"""
@@ -179,7 +184,7 @@ WITH {_TOP_GENES_CTE}, cells AS (
 )
 SELECT g AS gene_id, CAST(1 AS BIGINT) AS n_pairs,
        ROUND((n * sxy - sx * sy) /
-             (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6) AS icc
+             (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6) + 0.0 AS icc
 FROM prof
 WHERE (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
 """
@@ -633,7 +638,7 @@ WITH df AS (
 ), per_gene AS (
   SELECT gene_id,
          COUNT(*) AS k_blocks,
-         SUM(n_i) AS n_obs,
+         CAST(SUM(n_i) AS BIGINT) AS n_obs,
          CAST(SUM(w_t) AS DOUBLE) AS ssw,
          CAST(SUM(b_t) AS DOUBLE) AS ssb_part,
          CAST(SUM(s_dec) AS DOUBLE) AS s_tot,
