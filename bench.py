@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "sample_distances",
     "pii_scrub",
     "pq_ann",
+    # round-3 additions
+    "rnaseq_pipeline_binned",
+    "pca_outliers",
 ]
 
 

@@ -166,3 +166,49 @@ def test_logistic_fixed_matches_local_reference_and_adaptive_sign(spark):
     adaptive = {r["gene_id"]: r for r in logistic_per_gene(
         df, "gene", "flag", "x", "R").collect()}
     assert np.sign(adaptive["up"]["coef"]) == np.sign(fixed["up"]["coef"])
+
+
+def test_pca_space_outliers_matches_numpy_and_flags_planted(spark):
+    """M17 PCA-space Mahalanobis (ArrayOutliers pc2use=1:3 analogue):
+    d2 must equal the numpy PCA reference on the same standardized
+    matrix, and a planted extreme sample must be the top distance."""
+    import numpy as np
+
+    from transcriptomics_data_integration_spark.stats.mlkernels import (
+        pca_space_outliers,
+        sample_vectors,
+    )
+
+    rng = np.random.RandomState(7)
+    n_s, n_g = 25, 12
+    X = rng.randn(n_s, n_g)
+    # structure so the top PCs carry signal
+    X[:, 0] += np.linspace(0, 5, n_s)
+    X[:, 1] -= np.linspace(0, 3, n_s)
+    X[24] += 12.0  # planted outlier
+    rows = [
+        (f"s{s:02d}", f"g{g:02d}", float(X[s, g]))
+        for s in range(n_s) for g in range(n_g)
+    ]
+    df = spark.createDataFrame(rows, ["sample_id", "gene_id", "value"])
+    genes = [f"g{g:02d}" for g in range(n_g)]
+    vecs = sample_vectors(df, "gene_id", "sample_id", "value", genes)
+    out = {r["sample_id"]: r for r in pca_space_outliers(vecs, "sample_id").collect()}
+
+    # numpy reference: standardize (ddof=1 like ml StandardScaler),
+    # PCA via SVD, Mahalanobis over top-3 score columns
+    Z = (X - X.mean(axis=0)) / X.std(axis=0, ddof=1)
+    _u, _s, vt = np.linalg.svd(Z, full_matrices=False)
+    scores = Z @ vt[:3].T
+    sc = scores - scores.mean(axis=0)
+    d2 = (sc ** 2 / scores.var(axis=0, ddof=1)).sum(axis=1)
+    for s in range(n_s):
+        assert out[f"s{s:02d}"]["d2"] == pytest.approx(float(d2[s]), rel=1e-6)
+    top = max(out.values(), key=lambda r: r["d2"])
+    assert top["sample_id"] == "s24"
+    # chi2_3 tail sanity: the planted outlier's p is the smallest and
+    # the flag threshold behaves (sf(16.266) ~ 0.001 for df=3)
+    assert top["chi2_p"] == min(r["chi2_p"] for r in out.values())
+    assert all(
+        (r["chi2_p"] < 0.001) == bool(r["is_outlier"]) for r in out.values()
+    )

@@ -23,6 +23,9 @@ BNLJ_WHITELIST = {
     # ks_test's bucketed ECDF: monotone_range_buckets bounds attach +
     # the 1-row (n1, n2) totals attach
     "ks_strata",
+    # entry-point-B binned composition: cqn_simplified's 1-row
+    # global-median attach (same as cqn_bias), twice in the tree
+    "rnaseq_pipeline_binned",
 }
 
 

@@ -509,3 +509,38 @@ def test_streaming_minhash_neardup_finds_cross_batch_dups(spark, tmp_path):
         b1.unionByName(b2), "doc_id", "text"
     ).groupBy("doc_id").count().collect()
     assert {r["doc_id"]: r["count"] for r in batch_sigs} == {1: 16, 2: 16, 3: 16}
+
+
+def test_streaming_minhash_state_cap_evicts_oldest(spark, tmp_path):
+    """The per-bucket state cap is load-bearing for bounded state: with
+    max_bucket=2, a 4th duplicate arriving after eviction pairs with
+    the two RETAINED docs but no longer with the evicted oldest one."""
+    from transcriptomics_data_integration_spark.streaming.ingest import (
+        run_stream_to_memory,
+        streaming_minhash_neardup,
+    )
+
+    text = "identical content repeated for the eviction scenario check " * 3
+    d = tmp_path / "evict_docs"
+    d.mkdir()
+    for i in (1, 2, 3, 4):
+        spark.createDataFrame([(i, text)], "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(d / f"f{i}"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    pairs = streaming_minhash_neardup(stream, threshold=0.9, max_bucket=2)
+    run_stream_to_memory(pairs, "stream_evict")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.sql("SELECT * FROM stream_evict").collect()
+    }
+    # docs 1-3: full pairing while state fits; after doc 3 the bucket
+    # trims to its 2 most recent entries [2, 3]
+    assert {(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)} <= got
+    # doc 1 was evicted before doc 4 arrived -> no (1, 4) pair
+    assert (1, 4) not in got

@@ -89,6 +89,16 @@ def pack_sequences(
     order = order_col or id_col
     live = df.where(F.col(tokens_col) > 0)
     if isinstance(live.schema[order].dataType, NumericType):
+        # Plan shape (measured, r3): the totals branch re-executes the
+        # scan+bounds subtree (Spark DAGs don't share un-materialized
+        # subtrees), so the source is scanned 4x — but the totals
+        # branch is a map-side partial aggregate over 2 pruned columns
+        # (tiny shuffle), which beats the alternative single-exchange
+        # shape that would shuffle the full corpus by bucket twice
+        # (exchange reuse does NOT fire: column pruning differentiates
+        # the exchanges).  The ~0.4 s local overhead vs the r1 global
+        # window is stage scheduling, the price of not funnelling the
+        # corpus through one task at scale.
         bucketed = monotone_range_buckets(live, order)
         totals = bucketed.groupBy("_bkt").agg(F.sum(tokens_col).alias("_tok"))
         w_base = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
@@ -150,6 +160,16 @@ def mixture_sample(
     reproducible and incremental.  The rates dim is |sources| rows,
     computed IN-PLAN (no driver collect) and broadcast back.
     """
+    # the target mixture rides the plan as a literal map — fine for
+    # the realistic O(10-100) source counts; beyond that the expression
+    # tree itself becomes the bottleneck, so fail loudly (at that scale
+    # the fracs belong in a broadcast-joined dim table)
+    if len(target_fracs) > 1000:
+        raise ValueError(
+            f"mixture_sample takes the target mixture as a literal map; "
+            f"{len(target_fracs)} sources would inline a pathological "
+            "expression — pass the fracs as a DataFrame and join instead"
+        )
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
     frac = F.create_map(
         *[F.lit(x) for kv in target_fracs.items() for x in kv]

@@ -402,3 +402,61 @@ def mds_embedding(
         [(s, [float(c) for c in coords[idx[s]]]) for s in samples],
         f"{sample_col} string, mds array<double>",
     )
+
+
+def pca_space_outliers(
+    vectors: DataFrame,
+    sample_col: str,
+    k: int = 3,
+    alpha: float = 0.001,
+) -> DataFrame:
+    """M17 full fidelity — multivariate outlier detection in PCA space,
+    the ``ArrayOutliers(alpha=0.001, pc2use=1:3)`` semantics of
+    `QC_Affy_U133Plus2.R:156-164` / `QC_Illum_HT_12_V3.R:156-157`:
+    project standardized sample vectors onto the top-``k`` principal
+    components, take the Mahalanobis distance of each sample's score
+    vector (PC scores are uncorrelated, so the covariance is the
+    diagonal of per-component score variances), and flag samples whose
+    chi-square(k) upper-tail probability falls below ``alpha``.
+
+    ``k`` must be 3: the chi-square tail uses the closed odd-df form
+    ``sf(x) = 2(1 - Phi(sqrt(x))) + sqrt(2x/pi) e^(-x/2)`` so the
+    expression stays in whole-stage codegen (no SciPy).  The distance
+    is sign-invariant, hence DETERMINISTIC even though the component
+    directions are not — unlike raw PC coordinates this output is
+    stable across BLAS builds.
+
+    Returns (sample, d2, chi2_p, is_outlier); distributed PCA +
+    column-expression scoring, no driver-side math beyond the k-vector
+    of score variances (window over the bounded per-sample relation).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    from transcriptomics_data_integration_spark.functions.normal import norm_cdf_sql
+
+    if k != 3:
+        raise ValueError("pca_space_outliers implements the reference's pc2use=1:3 (k=3)")
+    emb, _ev = pca_embedding(vectors, sample_col, k=k, standardize=True)
+    arr = emb.select(
+        sample_col, *[F.element_at("pcs", i + 1).alias(f"_pc{i + 1}") for i in range(k)]
+    )
+    w = Window.partitionBy()
+    d2 = None
+    for i in range(k):
+        c = F.col(f"_pc{i + 1}")
+        mean_i = F.avg(c).over(w)
+        var_i = F.var_samp(c).over(w)
+        term = (c - mean_i) ** 2 / var_i
+        d2 = term if d2 is None else d2 + term
+    scored = arr.withColumn("d2", d2)
+    upper = f"(1.0 - {norm_cdf_sql('sqrt(d2)')})"
+    sf = (
+        f"(2.0 * {upper} + sqrt(2.0 * d2 / {math.pi}) * exp(-d2 / 2.0))"
+    )
+    return (
+        scored.withColumn("chi2_p", F.expr(sf))
+        .withColumn("is_outlier", (F.col("chi2_p") < F.lit(alpha)).cast("int"))
+        .select(sample_col, "d2", "chi2_p", "is_outlier")
+    )

@@ -1426,4 +1426,38 @@ def _reorder_front(registry: dict, front: list[str]) -> dict:
     return ordered
 
 
-QUERIES = _reorder_front(QUERIES, _ROUND2_FRONT)
+# Round-3 window: (a) the 7 queries that have NEVER produced a driver
+# row (rows-only by nature — the rotation debt VERDICT r2 item 1 holds
+# us to), (b) the two round-3 additions (hash-gated entry-point-B
+# binned composition; PCA-space M17), (c) the three r2 hash-reds with
+# their oracles cast/sign-fixed this round, (d) the rows-only kernels
+# whose code changed this round (ward.D, voom residual SD) plus the
+# r2 rows-only set for a second stamp, and (e) 30 r1-gated oracled
+# queries for cumulative reconfirmation under the strict gate —
+# including the three perf-flagged bucketed rewrites.  With this
+# window every one of the 107 declared queries has a driver row
+# across r1-r3.
+_ROUND3_FRONT = [
+    # -- (a) never gated ------------------------------------------------
+    "ivf_ann", "pq_ann", "hclust_samples", "kmeans_samples", "mds_samples",
+    "quantile_sketch", "logistic_de",
+    # -- (b) round-3 additions ------------------------------------------
+    "rnaseq_pipeline_binned", "pca_outliers",
+    # -- (c) r2 hash-reds, oracles fixed --------------------------------
+    "icc_meta", "dup_correlation", "quality_filter",
+    # -- (d) changed kernels + r2 rows-only re-stamp --------------------
+    "ward_hclust", "voom_lowess", "rnaseq_pipeline", "cqn_spline",
+    "median_polish", "combat_full", "combat_nonparam", "pca_samples",
+    # -- (e) cumulative reconfirmation (r1-only oracled) -----------------
+    "pricing_summary", "gene_stats", "library_size", "gene_exclusion",
+    "outlier_removal", "zero_variance_filter", "nonspecific_filter",
+    "value_conditioning", "merge_left_join", "interval_join",
+    "argmax_dedup", "dedup_rows", "frequency_table", "venn_membership",
+    "quantile_thresholds", "sample_correlation", "quantile_normalization",
+    "diff_expression", "bh_histogram", "stouffer_meta", "fem_rem",
+    "p_improvement", "pack_sequences", "dedup_exact", "minhash_lsh",
+    "lsh_ann", "cosine_neardup", "doc_sample", "contamination",
+    "asof_join",
+]
+
+QUERIES = _reorder_front(QUERIES, _ROUND3_FRONT)

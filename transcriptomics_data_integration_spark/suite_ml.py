@@ -177,6 +177,27 @@ def q_ward_hclust(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step")
 
 
+def q_pca_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M17 full fidelity — Mahalanobis outlier detection on the top-3
+    PC scores (`ArrayOutliers(alpha=0.001, pc2use=1:3)`,
+    `QC_Affy_U133Plus2.R:156-164`).  The distance is sign-invariant so
+    the output is deterministic, but the eigendecomposition is not
+    SQL-expressible -> rows-only; numerics pinned by
+    tests/test_mlkernels.py golden fixture."""
+    from transcriptomics_data_integration_spark.stats.mlkernels import pca_space_outliers
+
+    cells = _cells(spark, sf_dir)
+    genes = _gene_list(cells)
+    vecs = sample_vectors(cells, "gene_id", "sample_id", "value", genes)
+    out = pca_space_outliers(vecs, "sample_id", k=3, alpha=0.001)
+    return out.select(
+        "sample_id",
+        F.round("d2", 6).alias("d2"),
+        F.round("chi2_p", 8).alias("chi2_p"),
+        "is_outlier",
+    )
+
+
 def q_logistic_de(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M14 — per-gene logistic regression of return outcome on price."""
     li = _t(spark, sf_dir, "lineitem").where(
@@ -238,6 +259,7 @@ QUERIES_ML = {
     "kmeans_samples": q_kmeans_samples,
     "hclust_samples": q_hclust_samples,
     "ward_hclust": q_ward_hclust,
+    "pca_outliers": q_pca_outliers,
     "logistic_de": q_logistic_de,
     "ivf_ann": q_ivf_ann,
     "pq_ann": q_pq_ann,

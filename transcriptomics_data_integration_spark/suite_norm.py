@@ -335,10 +335,161 @@ def q_rnaseq_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rnaseq_pipeline_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-point B end-to-end at BINNED fidelity, HASH-GATED — counts
+    -> GC-bin CQN -> low-value floor -> binned voom weights -> weighted
+    two-group fit -> eBayes moderation -> BH
+    (`DiffExpression_openPlatform.R:427-515` +
+    `GenExpressionComb_RNAseq.R:183-264`, SURVEY §3.2).  Every stage is
+    closed-form, so unlike the lowess twin the COMPOSITION itself gets
+    a full DuckDB oracle (the per-stage oracles cqn_bias / voom_trend /
+    weighted_de / moderated_de / diff_expression compose as CTEs)."""
+    from transcriptomics_data_integration_spark.pipelines.rnaseq import (
+        rnaseq_differential_expression,
+    )
+
+    counts = _counts(spark, sf_dir).withColumnRenamed("cnt", "read_count")
+    part = _t(spark, sf_dir, "part")
+    attrs = part.select(
+        F.col("p_partkey").alias("gene_id"), F.col("p_size").alias("gc_content")
+    )
+    targets = (
+        counts.select("sample_id").distinct()
+        .withColumn(
+            "target",
+            F.when(F.col("sample_id") % 2 == 0, "tumor").otherwise("normal"),
+        )
+    )
+    out = rnaseq_differential_expression(
+        counts, targets, attrs, "tumor", "normal", fidelity="binned"
+    )
+    return out.select(
+        "gene_id",
+        "n_a",
+        "n_b",
+        F.round("log2fc", 6).alias("log2fc"),
+        F.round("t_statistic", 6).alias("t_statistic"),
+        F.round("t_moderated", 6).alias("t_moderated"),
+        F.round("p_value", 8).alias("p_value"),
+        F.round("adj_p_value", 8).alias("adj_p_value"),
+    )
+
+
+def _oracle_rnaseq_binned() -> str:
+    from transcriptomics_data_integration_spark.functions.normal import two_sided_p_sql
+
+    p_expr = two_sided_p_sql("t_statistic")
+    return f"""
+WITH {_COUNTS_CTE}, attrs AS (
+  SELECT p_partkey AS gene_id, p_size AS gc FROM part
+), gcbins AS (
+  SELECT gene_id, NTILE(10) OVER (ORDER BY gc, gene_id) AS gc_bin FROM attrs
+), wb AS (
+  SELECT l.gene_id, l.sample_id, l.lcpm, b.gc_bin
+  FROM lcpm l JOIN gcbins b USING (gene_id)
+), gmed AS (
+  SELECT quantile_cont(lcpm, 0.5) AS gmed FROM wb
+), bmed AS (
+  SELECT gc_bin, quantile_cont(lcpm, 0.5) AS bmed FROM wb GROUP BY gc_bin
+), floored AS (
+  SELECT w.gene_id, w.sample_id,
+         CASE WHEN w.lcpm - (b.bmed - g.gmed) < 2.0 THEN 0.0
+              ELSE w.lcpm - (b.bmed - g.gmed) END AS v
+  FROM wb w JOIN bmed b USING (gc_bin) CROSS JOIN gmed g
+), per_gene AS (
+  SELECT gene_id, AVG(lcpm) AS mean_lcpm,
+         sqrt(sqrt(VAR_SAMP(lcpm))) AS sqrt_sd
+  FROM lcpm GROUP BY gene_id
+), ok AS (
+  SELECT * FROM per_gene WHERE sqrt_sd IS NOT NULL AND sqrt_sd > 0
+), vbinned AS (
+  SELECT *, NTILE(20) OVER (ORDER BY round(mean_lcpm, 9), gene_id) AS trend_bin
+  FROM ok
+), trend AS (
+  SELECT trend_bin, quantile_cont(sqrt_sd, 0.5) AS trend_sqrt_sd
+  FROM vbinned GROUP BY trend_bin
+), wts AS (
+  SELECT gene_id, POWER(trend_sqrt_sd, -4.0) AS w
+  FROM vbinned JOIN trend USING (trend_bin)
+), targets AS (
+  SELECT DISTINCT sample_id,
+         CASE WHEN sample_id % 2 = 0 THEN 'tumor' ELSE 'normal' END AS grp
+  FROM counts
+), fact AS (
+  SELECT f.gene_id, t.grp, f.v AS value, w.w
+  FROM floored f JOIN targets t USING (sample_id) JOIN wts w USING (gene_id)
+), agg AS (
+  SELECT gene_id,
+         COUNT(CASE WHEN grp = 'tumor' THEN w END) AS n_a,
+         COUNT(CASE WHEN grp = 'normal' THEN w END) AS n_b,
+         SUM(CASE WHEN grp = 'tumor' THEN w END) AS swa,
+         SUM(CASE WHEN grp = 'normal' THEN w END) AS swb,
+         SUM(CASE WHEN grp = 'tumor' THEN w * w END) AS swa2,
+         SUM(CASE WHEN grp = 'normal' THEN w * w END) AS swb2,
+         SUM(CASE WHEN grp = 'tumor' THEN w * value END) AS swxa,
+         SUM(CASE WHEN grp = 'normal' THEN w * value END) AS swxb,
+         SUM(CASE WHEN grp = 'tumor' THEN w * value * value END) AS swx2a,
+         SUM(CASE WHEN grp = 'normal' THEN w * value * value END) AS swx2b
+  FROM fact GROUP BY gene_id
+  HAVING COUNT(CASE WHEN grp = 'tumor' THEN w END) >= 2
+     AND COUNT(CASE WHEN grp = 'normal' THEN w END) >= 2
+), mm AS (
+  SELECT gene_id, n_a, n_b,
+         swxa / swa AS mean_a, swxb / swb AS mean_b,
+         ((swx2a - (swxa / swa) * (swxa / swa) * swa)
+          + (swx2b - (swxb / swb) * (swxb / swb) * swb))
+         / ((swa - swa2 / swa) + (swb - swb2 / swb)) AS s2,
+         swa, swb
+  FROM agg
+), t0 AS (
+  SELECT gene_id, n_a, n_b, mean_a, mean_b, s2,
+         n_a + n_b - 2 AS dfree,
+         sqrt(s2 * (1.0e0 / swa + 1.0e0 / swb)) AS se
+  FROM mm
+), tt AS (
+  SELECT gene_id, n_a, n_b, s2, dfree,
+         mean_a - mean_b AS log2fc,
+         (mean_a - mean_b) / se AS t_statistic
+  FROM t0 WHERE se > 0
+), de AS (
+  SELECT *, {p_expr} AS p_value FROM tt
+), prior AS (
+  SELECT AVG(s2) AS s2_prior,
+         GREATEST(1.0e0, 2.0e0 / GREATEST(VAR_SAMP(ln(s2)), 1.0e-6)) AS d0
+  FROM de
+), mod AS (
+  SELECT de.*,
+         t_statistic * sqrt(s2 / ((d0 * s2_prior + dfree * s2) / (d0 + dfree)))
+           AS t_moderated
+  FROM de CROSS JOIN prior
+), b AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY p_value, gene_id) AS rnk,
+         COUNT(*) OVER () AS nn
+  FROM mod
+), adj AS (
+  SELECT *,
+         MIN(LEAST(p_value * nn / rnk, 1.0e0)) OVER (
+           ORDER BY p_value DESC, gene_id DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS adj_p_value
+  FROM b
+)
+SELECT gene_id, n_a, n_b,
+       ROUND(log2fc, 6) AS log2fc,
+       ROUND(t_statistic, 6) AS t_statistic,
+       ROUND(t_moderated, 6) AS t_moderated,
+       ROUND(p_value, 8) AS p_value,
+       ROUND(adj_p_value, 8) AS adj_p_value
+FROM adj
+"""
+
+
 QUERIES_NORM = {
     "voom_trend": q_voom_trend,
     "voom_lowess": q_voom_lowess,
     "rnaseq_pipeline": q_rnaseq_pipeline,
+    "rnaseq_pipeline_binned": q_rnaseq_pipeline_binned,
     "cqn_bias": q_cqn_bias,
     "cqn_spline": q_cqn_spline,
     "array_weights": q_array_weights,
@@ -348,6 +499,7 @@ QUERIES_NORM = {
 
 ORACLES_NORM = {
     "voom_trend": ORACLE_VOOM,
+    "rnaseq_pipeline_binned": _oracle_rnaseq_binned(),
     "cqn_bias": ORACLE_CQN,
     "array_weights": ORACLE_ARRAY_WEIGHTS,
     "qc_sample_metrics": ORACLE_QC_METRICS,
