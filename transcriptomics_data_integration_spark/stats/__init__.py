@@ -17,8 +17,10 @@ from transcriptomics_data_integration_spark.stats.normalize import (
     cqn_spline,
     voom_weights_lowess,
 )
+from transcriptomics_data_integration_spark.stats.mlkernels import pca_space_outliers
 
 __all__ = [
+    "pca_space_outliers",
     "bh_adjust",
     "bh_adjust_histogram",
     "cqn_spline",

@@ -174,10 +174,19 @@ def icc_blockmatrix(cells: DataFrame, platforms: list[str], block_size: int = 10
         rdd = vec_df.rdd.map(lambda r: IndexedRow(r["idx"], Vectors.dense(r["vec"])))
         mat = IndexedRowMatrix(rdd).toBlockMatrix(block_size, block_size)
         gram = mat.multiply(mat.transpose())  # gene x gene correlations
-        rows = gram.toIndexedRowMatrix().rows.flatMap(
-            lambda ir: [(int(ir.index), j, float(v)) for j, v in enumerate(ir.vector)]
-        )
-        rdf = spark.createDataFrame(rows, ["gi", "hj", "r"]).where(F.col("gi") != F.col("hj"))
+        # G x G enumeration stays JVM-side: IndexedRow -> DataFrame with
+        # a vector column, mllib->ml vector cast, posexplode — the
+        # earlier Python flatMap pickled all G^2 cells through the
+        # driver-side serializer path
+        from pyspark.ml.functions import vector_to_array
+        from pyspark.mllib.util import MLUtils
+
+        gdf = gram.toIndexedRowMatrix().rows.toDF()
+        gdf = MLUtils.convertVectorColumnsToML(gdf, "vector")
+        rdf = gdf.select(
+            F.col("index").cast("int").alias("gi"),
+            F.posexplode(vector_to_array(F.col("vector"))).alias("hj", "r"),
+        ).where(F.col("gi") != F.col("hj"))
         inv_g = spark.createDataFrame(
             [(i, g) for g, i in g_idx.items()], ["idx", "gene_id"]
         )
