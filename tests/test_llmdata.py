@@ -604,3 +604,28 @@ def test_pq_roundtrip_and_recall(spark):
         hits += len(exact5 & set(cands))
         total += 5
     assert hits / total >= 0.2
+
+
+def test_pq_train_sample_is_layout_independent(spark):
+    """pq_train's training sample is ordered before the cap, so the
+    codebooks are a pure function of the data — identical across
+    partitioning layouts even when the corpus is smaller than
+    sample_cap (the regime where the old .limit() took an arbitrary
+    partitioning-dependent subset)."""
+    import numpy as np
+
+    from transcriptomics_data_integration_spark.llmdata.similarity import pq_train
+
+    rng = np.random.RandomState(13)
+    rows = [
+        (i, [float(x) for x in rng.randn(16)]) for i in range(300)
+    ]
+    df1 = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(1)
+    df2 = (
+        spark.createDataFrame(list(reversed(rows)), ["vec_id", "embedding"])
+        .repartition(13, "vec_id")
+    )
+    # cap BELOW the corpus size so the cap path actually engages
+    b1, _ = pq_train(df1, m=4, k=8, sample_cap=100, seed=1)
+    b2, _ = pq_train(df2, m=4, k=8, sample_cap=100, seed=1)
+    assert np.array_equal(b1, b2)

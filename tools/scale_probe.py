@@ -193,6 +193,53 @@ def probe_ward_distance(spark, copies: int) -> dict:
             "sec": round(time.perf_counter() - t0, 2)}
 
 
+def probe_icc_blockmatrix(spark, copies: int) -> dict:
+    """ICC scale path under gene inflation: Arrow vector assembly +
+    JVM BlockMatrix gram + posexplode enumeration, G x copies genes."""
+    from transcriptomics_data_integration_spark.stats.icc import icc_blockmatrix
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    big = inflate(
+        li.where(F.col("l_partkey") <= 200), "l_partkey", copies, shift_keys=True
+    )
+    cells = big.where(F.col("l_linestatus").isin(["O", "F"])).groupBy(
+        F.col("l_linestatus").alias("platform"),
+        F.col("l_partkey").alias("gene_id"),
+        (F.col("l_suppkey") % 50).alias("sample_id"),
+    ).agg(F.avg("l_extendedprice").alias("value"))
+    t0 = time.perf_counter()
+    n = icc_blockmatrix(cells, ["O", "F"], block_size=256).count()
+    return {"probe": f"icc_blockmatrix_genes_x{copies}", "rows_out": n,
+            "sec": round(time.perf_counter() - t0, 2)}
+
+
+def probe_rnaseq_binned(spark, copies: int) -> dict:
+    """Entry-point-B binned composition under row inflation (same gene
+    set, xN observations per gene)."""
+    from transcriptomics_data_integration_spark.pipelines.rnaseq import (
+        rnaseq_differential_expression,
+    )
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    part = spark.read.parquet(os.path.join(SF_DIR, "part.parquet"))
+    big = inflate(li, "l_partkey", copies, shift_keys=False)
+    counts = big.groupBy(
+        F.col("l_partkey").alias("gene_id"), F.col("l_suppkey").alias("sample_id")
+    ).agg(F.sum("l_quantity").alias("read_count"))
+    attrs = part.select(
+        F.col("p_partkey").alias("gene_id"), F.col("p_size").alias("gc_content")
+    )
+    targets = counts.select("sample_id").distinct().withColumn(
+        "target", F.when(F.col("sample_id") % 2 == 0, "tumor").otherwise("normal")
+    )
+    t0 = time.perf_counter()
+    n = rnaseq_differential_expression(
+        counts, targets, attrs, "tumor", "normal", fidelity="binned"
+    ).count()
+    return {"probe": f"rnaseq_binned_rows_x{copies}", "rows_out": n,
+            "sec": round(time.perf_counter() - t0, 2)}
+
+
 def main() -> None:
     spark = get_spark("scale-probe")
     # warm codegen at base scale
@@ -219,6 +266,10 @@ def main() -> None:
         (probe_impute_em, (10,)),
         (probe_ward_distance, (1,)),
         (probe_ward_distance, (10,)),
+        (probe_icc_blockmatrix, (1,)),
+        (probe_icc_blockmatrix, (5,)),
+        (probe_rnaseq_binned, (1,)),
+        (probe_rnaseq_binned, (10,)),
     ]:
         spark.catalog.clearCache()
         print(json.dumps(fn(spark, *args)), flush=True)
