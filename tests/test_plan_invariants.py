@@ -49,3 +49,16 @@ def test_flagship_scan_pushes_and_prunes(spark):
 def test_topk_filter_uses_heap_plan(spark):
     rep = plan_report(entry.queries()["nonspecific_filter"](spark, SF))
     assert rep.has_take_ordered, "top-k by sd must plan as TakeOrderedAndProject"
+
+
+def test_rnaseq_binned_composition_prunes_scans(spark):
+    """The hash-gated entry-point-B composition must stay pruned at the
+    scans: the lineitem reads carry only the 3 count-building columns
+    (partkey, suppkey, quantity) and the part read only the 2 attr
+    columns — a composition that re-reads full-width rows would ship
+    the whole corpus at 100 TB."""
+    rep = plan_report(entry.queries()["rnaseq_pipeline_binned"](spark, SF))
+    cols = rep.read_columns()
+    assert cols <= {"l_partkey", "l_suppkey", "l_quantity", "p_partkey", "p_size"}, (
+        f"composition scan reads {sorted(cols)}"
+    )
