@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "pq_ann",
     # round-3 additions
     "rnaseq_pipeline_binned",
+    "closed_pipeline",
     "pca_outliers",
 ]
 

@@ -193,3 +193,41 @@ def test_rnaseq_de_pipeline_end_to_end(spark):
     assert len(by_gene_lo) == 30
     assert by_gene_lo["g0"]["adj_p_value"] == min(r["adj_p_value"] for r in out_lo)
     assert by_gene_lo["g0"]["log2fc"] > 0
+
+
+def test_differential_expression_center_mode_finds_hot_gene(spark):
+    """batch_adjust='center' (the closed-form, oracle-gateable tier)
+    removes the additive batch offset and finds the same hot gene as
+    the ComBat tier; centering leaves per-gene grand means intact."""
+    expr, targets = _two_platform_fixture(spark)
+    p1 = expr.where(F.col("platform") == "P1").drop("platform")
+    out = differential_expression(
+        p1, targets, "T", "N", batch_adjust="center", exact_scale=2
+    ).collect()
+    assert out[0]["gene_id"] == "g0"
+    assert out[0]["decide"] == 1
+    assert all(r["adj_p_value"] > 0.05 for r in out if r["gene_id"] != "g0")
+
+    # invariant: location-centering preserves the per-gene grand mean
+    # (up to the scale-2 quantization the oracle tier applies)
+    from transcriptomics_data_integration_spark.pipelines.diffexpr import (
+        differential_expression as de,
+    )
+    import pytest as _pt
+
+    labeled = p1.join(targets, "sample_id")
+    per_gb = labeled.groupBy("gene_id", "dataset").agg(
+        F.sum("value").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    per_g = labeled.groupBy("gene_id").agg(
+        F.sum("value").alias("sg"), F.count(F.lit(1)).alias("ng")
+    )
+    adj = (
+        labeled.join(per_gb, ["gene_id", "dataset"]).join(per_g, "gene_id")
+        .withColumn("v2", F.col("value") - F.col("s") / F.col("n") + F.col("sg") / F.col("ng"))
+    )
+    chk = adj.groupBy("gene_id").agg(
+        F.avg("v2").alias("m2"), (F.sum("sg") / F.sum("ng")).alias("m1")
+    ).collect()
+    for r in chk:
+        assert r["m2"] == _pt.approx(r["m1"], rel=1e-9)

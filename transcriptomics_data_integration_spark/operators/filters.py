@@ -78,7 +78,8 @@ def zero_variance_filter(df: DataFrame, gene_col: str, value_col: str) -> DataFr
 
 
 def nonspecific_filter_topk(
-    df: DataFrame, gene_col: str, value_col: str, k: int
+    df: DataFrame, gene_col: str, value_col: str, k: int,
+    exact_scale: int | None = None,
 ) -> DataFrame:
     """F5/W1 — keep the top-k genes by stddev of value.
 
@@ -91,8 +92,30 @@ def nonspecific_filter_topk(
     Scale: the per-gene aggregate is small (one row per gene); the
     global top-k ranking runs on that aggregate, never on raw rows.
     Deterministic tie-break on gene id.
+
+    ``exact_scale``: rank on the DECIMAL-moment sd (order-independent
+    sums, functions/exact.py scheme) so the kept set is bitwise
+    identical across engines/partitionings — a rank-boundary gene must
+    not flip membership on a last-ulp stddev difference when the
+    filter gates a hash-checked composition.
     """
-    sd = df.groupBy(gene_col).agg(F.stddev(value_col).alias("_sd"))
+    if exact_scale is not None:
+        s, s2 = exact_scale, 2 * exact_scale
+        dv = F.col(value_col).cast(f"decimal(18,{s})")
+        mom = df.groupBy(gene_col).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(dv).cast("double").alias("_s"),
+            F.sum((dv * dv).cast(f"decimal(38,{s2})")).cast("double").alias("_s2"),
+        ).where(F.col("_n") >= 2)
+        sd = mom.withColumn(
+            "_sd",
+            F.sqrt(
+                (F.col("_s2") - F.col("_s") * F.col("_s") / F.col("_n"))
+                / (F.col("_n") - 1)
+            ),
+        )
+    else:
+        sd = df.groupBy(gene_col).agg(F.stddev(value_col).alias("_sd"))
     w = Window.orderBy(F.col("_sd").desc(), F.col(gene_col))
     keep = sd.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k).select(gene_col)
     return df.join(F.broadcast(keep), gene_col, "left_semi")

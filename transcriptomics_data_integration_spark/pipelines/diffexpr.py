@@ -31,10 +31,24 @@ def differential_expression(
     batch_col: str = "dataset",
     top_k_genes: int | None = None,
     batch_correct: bool = True,
+    batch_adjust: str = "combat",
     alpha: float = 0.05,
+    exact_scale: int | None = None,
 ) -> DataFrame:
     """Long expression + sample sheet -> per-gene topTable
-    (log2fc, t, moderated t, p, BH-adjusted p, decide sign)."""
+    (log2fc, t, moderated t, p, BH-adjusted p, decide sign).
+
+    ``batch_adjust``: ``"combat"`` (default — the reference's EB
+    solver, iterative) or ``"center"`` — the closed-form location-only
+    adjustment ``x - mean(gene, batch) + mean(gene)`` (decimal-exact
+    moments), which keeps the WHOLE composition SQL-expressible so the
+    end-to-end chain can be hash-gated against a DuckDB oracle (the
+    ``q_closed_pipeline`` twin); mirrors ComBat's location step with
+    the scale step elided.  ``exact_scale`` flows to the F5 ranking
+    and the pooled-t moments for cross-engine bitwise parity.
+    """
+    if batch_adjust not in ("combat", "center"):
+        raise ValueError("batch_adjust must be 'combat' or 'center'")
     labeled = expr.join(
         F.broadcast(targets.select(sample_col, group_col, batch_col)), sample_col
     )
@@ -44,15 +58,53 @@ def differential_expression(
                 "batch is confounded with the biological group "
                 "(reference guard, DiffExpression_closedPlatform.R:390-418)"
             )
-        corrected = combat(labeled, gene_col, sample_col, batch_col, value_col)
-        labeled = corrected.join(
-            F.broadcast(targets.select(sample_col, group_col)), sample_col
-        )
+        if batch_adjust == "center":
+            if exact_scale is not None:
+                dv = F.col(value_col).cast(f"decimal(18,{exact_scale})")
+            else:
+                dv = F.col(value_col)
+            per_gb = labeled.groupBy(gene_col, batch_col).agg(
+                F.sum(dv).cast("double").alias("_s_gb"),
+                F.count(F.lit(1)).alias("_n_gb"),
+            )
+            per_g = labeled.groupBy(gene_col).agg(
+                F.sum(dv).cast("double").alias("_s_g"),
+                F.count(F.lit(1)).alias("_n_g"),
+            )
+            adj = (
+                F.col(value_col)
+                - F.col("_s_gb") / F.col("_n_gb")
+                + F.col("_s_g") / F.col("_n_g")
+            )
+            if exact_scale is not None:
+                # tie-free quantization: the adjusted doubles are
+                # bitwise identical across engines, but a later
+                # double->DECIMAL cast hits dyadic rounding TIES
+                # (x.125 at scale 2) where Spark HALF_UP and other
+                # engines' tie rules diverge; floor(x*q + 0.5)/q has
+                # no tie rule at all, so the quantized value — and
+                # every downstream decimal moment — stays bitwise
+                # cross-engine
+                q = float(10 ** exact_scale)
+                adj = F.floor(adj * q + F.lit(0.5)) / F.lit(q)
+            labeled = (
+                labeled.join(per_gb, [gene_col, batch_col])
+                .join(per_g, gene_col)
+                .withColumn(value_col, adj)
+                .drop("_s_gb", "_n_gb", "_s_g", "_n_g")
+            )
+        else:
+            corrected = combat(labeled, gene_col, sample_col, batch_col, value_col)
+            labeled = corrected.join(
+                F.broadcast(targets.select(sample_col, group_col)), sample_col
+            )
     if top_k_genes:
-        labeled = nonspecific_filter_topk(labeled, gene_col, value_col, top_k_genes)
+        labeled = nonspecific_filter_topk(
+            labeled, gene_col, value_col, top_k_genes, exact_scale=exact_scale
+        )
     tt = two_group_ttest(
-        labeled, gene_col, group_col, value_col, group_a, group_b, exact_scale=None,
-        log_scale_values=True,
+        labeled, gene_col, group_col, value_col, group_a, group_b,
+        exact_scale=exact_scale, log_scale_values=True,
     )
     mod = moderated_t(tt)
     adj = bh_adjust(mod, "p_value", "adj_p_value", tiebreak_col=gene_col)

@@ -1442,7 +1442,7 @@ _ROUND3_FRONT = [
     "ivf_ann", "pq_ann", "hclust_samples", "kmeans_samples", "mds_samples",
     "quantile_sketch", "logistic_de",
     # -- (b) round-3 additions ------------------------------------------
-    "rnaseq_pipeline_binned", "pca_outliers",
+    "rnaseq_pipeline_binned", "closed_pipeline", "pca_outliers",
     # -- (c) r2 hash-reds, oracles fixed --------------------------------
     "icc_meta", "dup_correlation", "quality_filter",
     # -- (d) changed kernels + r2 rows-only re-stamp --------------------
@@ -1457,7 +1457,6 @@ _ROUND3_FRONT = [
     "diff_expression", "bh_histogram", "stouffer_meta", "fem_rem",
     "p_improvement", "pack_sequences", "dedup_exact", "minhash_lsh",
     "lsh_ann", "cosine_neardup", "doc_sample", "contamination",
-    "asof_join",
 ]
 
 QUERIES = _reorder_front(QUERIES, _ROUND3_FRONT)

@@ -485,8 +485,160 @@ FROM adj
 """
 
 
+def q_closed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-point A end-to-end, HASH-GATED — expression cells ->
+    closed-form batch adjustment (location centering, ComBat's location
+    step) -> F5 top-variance filter -> pooled t -> eBayes moderation ->
+    BH -> decideTests sign matrix
+    (`DiffExpression_closedPlatform.R:368-633`, SURVEY §3.1 step 6).
+    Companion to `rnaseq_pipeline_binned` (entry-point B): with
+    `batch_adjust="center"` and decimal-exact moments (F5 ranking +
+    pooled-t), the COMPOSITION is fully SQL-expressible, so the chain
+    gets one end-to-end DuckDB oracle instead of only per-stage gates.
+    The EB-prior ComBat twin stays rows-only (`combat_full`)."""
+    from transcriptomics_data_integration_spark.pipelines.diffexpr import (
+        differential_expression,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") <= 300)
+    cells = li.groupBy(
+        F.col("l_partkey").alias("gene_id"), F.col("l_suppkey").alias("sample_id")
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("value")
+    )
+    targets = cells.select("sample_id").distinct().select(
+        "sample_id",
+        F.when(F.col("sample_id") % 2 == 0, "tumor").otherwise("normal").alias("target"),
+        F.concat(F.lit("d"), (F.col("sample_id") % 3).cast("string")).alias("dataset"),
+    )
+    out = differential_expression(
+        cells, targets, "tumor", "normal",
+        top_k_genes=150, batch_adjust="center", exact_scale=2, alpha=0.05,
+    )
+    return out.select(
+        "gene_id",
+        "n_a",
+        "n_b",
+        F.round("log2fc", 6).alias("log2fc"),
+        F.round("t_statistic", 6).alias("t_statistic"),
+        F.round("t_moderated", 6).alias("t_moderated"),
+        F.round("p_value", 8).alias("p_value"),
+        F.round("adj_p_value", 8).alias("adj_p_value"),
+        "decide",
+    )
+
+
+def _oracle_closed_pipeline() -> str:
+    from transcriptomics_data_integration_spark.functions.normal import two_sided_p_sql
+
+    p_expr = two_sided_p_sql("t_statistic")
+    dsum = "CAST(SUM(CAST({x} AS DECIMAL(18,2))) AS DOUBLE)"
+    dsum2 = (
+        "CAST(SUM(CAST(CAST({x} AS DECIMAL(18,2)) * CAST({x} AS DECIMAL(18,2))"
+        " AS DECIMAL(38,4))) AS DOUBLE)"
+    )
+    return f"""
+WITH cells AS (
+  SELECT l_partkey AS gene_id, l_suppkey AS sample_id,
+         {dsum.format(x='l_extendedprice')} AS v
+  FROM lineitem WHERE l_partkey <= 300 GROUP BY 1, 2
+), lab AS (
+  SELECT gene_id, sample_id, v,
+         CASE WHEN sample_id % 2 = 0 THEN 'tumor' ELSE 'normal' END AS grp,
+         sample_id % 3 AS b
+  FROM cells
+), per_gb AS (
+  SELECT gene_id, b, {dsum.format(x='v')} AS s_gb, COUNT(*) AS n_gb
+  FROM lab GROUP BY gene_id, b
+), per_g AS (
+  SELECT gene_id, {dsum.format(x='v')} AS s_g, COUNT(*) AS n_g
+  FROM lab GROUP BY gene_id
+), adjv AS (
+  SELECT l.gene_id, l.sample_id, l.grp,
+         FLOOR((l.v - gb.s_gb / gb.n_gb + g.s_g / g.n_g) * 100.0 + 0.5) / 100.0 AS v
+  FROM lab l
+  JOIN per_gb gb ON l.gene_id = gb.gene_id AND l.b = gb.b
+  JOIN per_g g ON l.gene_id = g.gene_id
+), mom AS (
+  SELECT gene_id, COUNT(*) AS n,
+         {dsum.format(x='v')} AS s, {dsum2.format(x='v')} AS s2
+  FROM adjv GROUP BY gene_id HAVING COUNT(*) >= 2
+), sdv AS (
+  SELECT gene_id, sqrt((s2 - s * s / n) / (n - 1)) AS sd FROM mom
+), keep AS (
+  SELECT gene_id FROM (
+    SELECT gene_id, ROW_NUMBER() OVER (ORDER BY sd DESC, gene_id) AS rn FROM sdv
+  ) WHERE rn <= 150
+), kept AS (
+  SELECT * FROM adjv WHERE gene_id IN (SELECT gene_id FROM keep)
+), agg AS (
+  SELECT gene_id,
+         COUNT(CASE WHEN grp = 'tumor' THEN 1 END) AS n_a,
+         COUNT(CASE WHEN grp = 'normal' THEN 1 END) AS n_b,
+         {dsum.format(x="CASE WHEN grp = 'tumor' THEN v END")} AS sa,
+         {dsum.format(x="CASE WHEN grp = 'normal' THEN v END")} AS sb,
+         {dsum2.format(x="CASE WHEN grp = 'tumor' THEN v END")} AS sa2,
+         {dsum2.format(x="CASE WHEN grp = 'normal' THEN v END")} AS sb2
+  FROM kept GROUP BY gene_id
+  HAVING COUNT(CASE WHEN grp = 'tumor' THEN 1 END) >= 2
+     AND COUNT(CASE WHEN grp = 'normal' THEN 1 END) >= 2
+), m AS (
+  SELECT gene_id, n_a, n_b,
+         sa / n_a AS mean_a, sb / n_b AS mean_b,
+         (sa2 - sa * sa / n_a) / (n_a - 1) AS var_a,
+         (sb2 - sb * sb / n_b) / (n_b - 1) AS var_b
+  FROM agg
+), t0 AS (
+  SELECT *,
+         mean_a - mean_b AS log2fc,
+         ((n_a - 1) * var_a + (n_b - 1) * var_b) / (n_a + n_b - 2) AS s2p,
+         n_a + n_b - 2 AS dfree,
+         sqrt((((n_a - 1) * var_a + (n_b - 1) * var_b) / (n_a + n_b - 2))
+              * (1.0e0 / n_a + 1.0e0 / n_b)) AS se
+  FROM m
+), tt AS (
+  SELECT gene_id, n_a, n_b, log2fc, s2p, dfree,
+         (mean_a - mean_b) / se AS t_statistic
+  FROM t0 WHERE se > 0
+), de AS (
+  SELECT *, {p_expr} AS p_value FROM tt
+), prior AS (
+  SELECT AVG(s2p) AS s2_prior,
+         GREATEST(1.0e0, 2.0e0 / GREATEST(VAR_SAMP(ln(s2p)), 1.0e-6)) AS d0
+  FROM de
+), moder AS (
+  SELECT de.*,
+         t_statistic * sqrt(s2p / ((d0 * s2_prior + dfree * s2p) / (d0 + dfree)))
+           AS t_moderated
+  FROM de CROSS JOIN prior
+), bh0 AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY p_value, gene_id) AS rnk,
+         COUNT(*) OVER () AS nn
+  FROM moder
+), adj AS (
+  SELECT *,
+         MIN(LEAST(p_value * nn / rnk, 1.0e0)) OVER (
+           ORDER BY p_value DESC, gene_id DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS adj_p_value
+  FROM bh0
+)
+SELECT gene_id, n_a, n_b,
+       ROUND(log2fc, 6) AS log2fc,
+       ROUND(t_statistic, 6) AS t_statistic,
+       ROUND(t_moderated, 6) AS t_moderated,
+       ROUND(p_value, 8) AS p_value,
+       ROUND(adj_p_value, 8) AS adj_p_value,
+       CAST(CASE WHEN adj_p_value > 0.05 THEN 0
+                 ELSE CAST(SIGN(log2fc) AS INTEGER) END AS INTEGER) AS decide
+FROM adj
+"""
+
+
 QUERIES_NORM = {
     "voom_trend": q_voom_trend,
+    "closed_pipeline": q_closed_pipeline,
     "voom_lowess": q_voom_lowess,
     "rnaseq_pipeline": q_rnaseq_pipeline,
     "rnaseq_pipeline_binned": q_rnaseq_pipeline_binned,
@@ -499,6 +651,7 @@ QUERIES_NORM = {
 
 ORACLES_NORM = {
     "voom_trend": ORACLE_VOOM,
+    "closed_pipeline": _oracle_closed_pipeline(),
     "rnaseq_pipeline_binned": _oracle_rnaseq_binned(),
     "cqn_bias": ORACLE_CQN,
     "array_weights": ORACLE_ARRAY_WEIGHTS,
