@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     # round-3 additions
     "rnaseq_pipeline_binned",
     "closed_pipeline",
+    "normalized_de",
     "pca_outliers",
 ]
 

@@ -231,3 +231,31 @@ def test_differential_expression_center_mode_finds_hot_gene(spark):
     ).collect()
     for r in chk:
         assert r["m2"] == _pt.approx(r["m1"], rel=1e-9)
+
+
+def test_normalized_matrix_de_imputes_and_restricts(spark):
+    """Entry-point C: missing cells are mean-filled per gene, excluded
+    genes never appear, and the hot gene still tops the table."""
+    from transcriptomics_data_integration_spark.pipelines.diffexpr import (
+        normalized_matrix_de,
+    )
+
+    expr, targets = _two_platform_fixture(spark)
+    p1 = expr.where(F.col("platform") == "P1").drop("platform")
+    # plant missing cells on one non-hot gene
+    holed = p1.withColumn(
+        "value",
+        F.when(
+            (F.col("gene_id") == "g3") & (F.col("sample_id").endswith("s1")),
+            F.lit(None),
+        ).otherwise(F.col("value")),
+    )
+    restrict = spark.createDataFrame(
+        [(f"g{i}",) for i in range(7)], ["gene_id"]  # drops g7
+    )
+    out = normalized_matrix_de(
+        holed, targets, "T", "N", restrict_genes=restrict, exact_scale=2
+    ).collect()
+    genes = {r["gene_id"] for r in out}
+    assert "g7" not in genes and "g3" in genes
+    assert out[0]["gene_id"] == "g0" and out[0]["decide"] == 1

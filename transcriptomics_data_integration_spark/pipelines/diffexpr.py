@@ -114,3 +114,77 @@ def differential_expression(
             F.signum(F.col("log2fc")).cast("int")
         ),
     ).orderBy("p_value", gene_col)
+
+
+def normalized_matrix_de(
+    expr: DataFrame,
+    targets: DataFrame,
+    group_a: str,
+    group_b: str,
+    gene_col: str = "gene_id",
+    sample_col: str = "sample_id",
+    value_col: str = "value",
+    group_col: str = "target",
+    restrict_genes: DataFrame | None = None,
+    exclude_genes: DataFrame | None = None,
+    top_k_genes: int | None = None,
+    alpha: float = 0.05,
+    exact_scale: int | None = None,
+) -> DataFrame:
+    """Entry-point C — standalone DE on an already-normalized matrix
+    (`DiffExpression_normalisedData.R:96-499`, SURVEY §3.3): optional
+    gene-list restriction (semi-join on ``restrict_genes``) and
+    exclusion (F2 anti-join on ``exclude_genes``), per-gene MEAN
+    imputation of missing cells (M16 closed form,
+    `DiffExpression_normalisedData.R:160-170`; swap in
+    ``impute_missing_em`` for the Amelia-style fidelity tier), then
+    the shared limma chain — F5 top-variance filter, pooled t, eBayes
+    moderation, BH, decideTests — with NO batch correction (one
+    matrix, no registry: the reference script runs outside the
+    combine/registry machinery).
+
+    ``exact_scale`` makes every moment decimal-exact and quantizes
+    imputed values tie-free (see ``differential_expression``), so the
+    whole composition is SQL-expressible and hash-gateable
+    (``q_normalized_de``).
+    """
+    from transcriptomics_data_integration_spark.stats.mlkernels import impute_missing
+
+    df = expr
+    if restrict_genes is not None:
+        df = df.join(F.broadcast(restrict_genes), gene_col, "left_semi")
+    if exclude_genes is not None:
+        df = df.join(F.broadcast(exclude_genes), gene_col, "left_anti")
+    if gene_col != "gene_id":
+        df = df.withColumnRenamed(gene_col, "gene_id")
+    df = impute_missing(df, value_col, strategy="mean", exact_scale=exact_scale)
+    if gene_col != "gene_id":
+        df = df.withColumnRenamed("gene_id", gene_col)
+    if exact_scale is not None:
+        # imputed fills are continuous ratios — quantize tie-free
+        # before the downstream decimal moments (observed cells are
+        # already exact at this scale; the floor form is a no-op on
+        # them)
+        q = float(10 ** exact_scale)
+        df = df.withColumn(
+            value_col, F.floor(F.col(value_col) * q + F.lit(0.5)) / F.lit(q)
+        )
+    labeled = df.join(
+        F.broadcast(targets.select(sample_col, group_col)), sample_col
+    )
+    if top_k_genes:
+        labeled = nonspecific_filter_topk(
+            labeled, gene_col, value_col, top_k_genes, exact_scale=exact_scale
+        )
+    tt = two_group_ttest(
+        labeled, gene_col, group_col, value_col, group_a, group_b,
+        exact_scale=exact_scale, log_scale_values=True,
+    )
+    mod = moderated_t(tt)
+    adj = bh_adjust(mod, "p_value", "adj_p_value", tiebreak_col=gene_col)
+    return adj.withColumn(
+        "decide",
+        F.when(F.col("adj_p_value") > alpha, 0).otherwise(
+            F.signum(F.col("log2fc")).cast("int")
+        ),
+    ).orderBy("p_value", gene_col)

@@ -636,9 +636,167 @@ FROM adj
 """
 
 
+def q_normalized_de(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-point C end-to-end, HASH-GATED — already-normalized matrix
+    with planted missing cells -> gene-list restriction -> per-gene
+    mean imputation (M16) -> F5 -> pooled t -> eBayes -> BH ->
+    decideTests (`DiffExpression_normalisedData.R:96-499`, SURVEY
+    §3.3).  Completes the set: all three reference entry points (A:
+    `closed_pipeline`, B: `rnaseq_pipeline_binned`, C: this) now gate
+    their COMPOSITIONS, not just their stages."""
+    from transcriptomics_data_integration_spark.pipelines.diffexpr import (
+        normalized_matrix_de,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") <= 300)
+    cells = li.groupBy(
+        F.col("l_partkey").alias("gene_id"), F.col("l_suppkey").alias("sample_id")
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("value")
+    ).withColumn(
+        "value",
+        F.when((F.col("gene_id") + F.col("sample_id")) % 7 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    part = _t(spark, sf_dir, "part")
+    restrict = part.where(F.col("p_size") % 4 != 0).select(
+        F.col("p_partkey").alias("gene_id")
+    )
+    targets = cells.select("sample_id").distinct().select(
+        "sample_id",
+        F.when(F.col("sample_id") % 2 == 0, "tumor").otherwise("normal").alias("target"),
+    )
+    out = normalized_matrix_de(
+        cells, targets, "tumor", "normal",
+        restrict_genes=restrict, top_k_genes=120, exact_scale=2,
+    )
+    return out.select(
+        "gene_id",
+        "n_a",
+        "n_b",
+        F.round("log2fc", 6).alias("log2fc"),
+        F.round("t_statistic", 6).alias("t_statistic"),
+        F.round("t_moderated", 6).alias("t_moderated"),
+        F.round("p_value", 8).alias("p_value"),
+        F.round("adj_p_value", 8).alias("adj_p_value"),
+        "decide",
+    )
+
+
+def _oracle_normalized_de() -> str:
+    from transcriptomics_data_integration_spark.functions.normal import two_sided_p_sql
+
+    p_expr = two_sided_p_sql("t_statistic")
+    dsum = "CAST(SUM(CAST({x} AS DECIMAL(18,2))) AS DOUBLE)"
+    dsum2 = (
+        "CAST(SUM(CAST(CAST({x} AS DECIMAL(18,2)) * CAST({x} AS DECIMAL(18,2))"
+        " AS DECIMAL(38,4))) AS DOUBLE)"
+    )
+    return f"""
+WITH cells0 AS (
+  SELECT l_partkey AS gene_id, l_suppkey AS sample_id,
+         {dsum.format(x='l_extendedprice')} AS v
+  FROM lineitem WHERE l_partkey <= 300 GROUP BY 1, 2
+), cells AS (
+  SELECT gene_id, sample_id,
+         CASE WHEN (gene_id + sample_id) % 7 = 0 THEN NULL ELSE v END AS v
+  FROM cells0
+), restricted AS (
+  SELECT * FROM cells
+  WHERE gene_id IN (SELECT p_partkey FROM part WHERE p_size % 4 <> 0)
+), per_gene AS (
+  SELECT gene_id, {dsum.format(x='v')} / COUNT(v) AS fill
+  FROM restricted GROUP BY gene_id HAVING COUNT(v) > 0
+), fillv AS (
+  SELECT r.gene_id, r.sample_id,
+         FLOOR(COALESCE(r.v, g.fill) * 100.0 + 0.5) / 100.0 AS v
+  FROM restricted r JOIN per_gene g USING (gene_id)
+), lab AS (
+  SELECT gene_id, sample_id, v,
+         CASE WHEN sample_id % 2 = 0 THEN 'tumor' ELSE 'normal' END AS grp
+  FROM fillv
+), mom AS (
+  SELECT gene_id, COUNT(*) AS n,
+         {dsum.format(x='v')} AS s, {dsum2.format(x='v')} AS s2
+  FROM lab GROUP BY gene_id HAVING COUNT(*) >= 2
+), sdv AS (
+  SELECT gene_id, sqrt((s2 - s * s / n) / (n - 1)) AS sd FROM mom
+), keep AS (
+  SELECT gene_id FROM (
+    SELECT gene_id, ROW_NUMBER() OVER (ORDER BY sd DESC, gene_id) AS rn FROM sdv
+  ) WHERE rn <= 120
+), kept AS (
+  SELECT * FROM lab WHERE gene_id IN (SELECT gene_id FROM keep)
+), agg AS (
+  SELECT gene_id,
+         COUNT(CASE WHEN grp = 'tumor' THEN 1 END) AS n_a,
+         COUNT(CASE WHEN grp = 'normal' THEN 1 END) AS n_b,
+         {dsum.format(x="CASE WHEN grp = 'tumor' THEN v END")} AS sa,
+         {dsum.format(x="CASE WHEN grp = 'normal' THEN v END")} AS sb,
+         {dsum2.format(x="CASE WHEN grp = 'tumor' THEN v END")} AS sa2,
+         {dsum2.format(x="CASE WHEN grp = 'normal' THEN v END")} AS sb2
+  FROM kept GROUP BY gene_id
+  HAVING COUNT(CASE WHEN grp = 'tumor' THEN 1 END) >= 2
+     AND COUNT(CASE WHEN grp = 'normal' THEN 1 END) >= 2
+), m AS (
+  SELECT gene_id, n_a, n_b,
+         sa / n_a AS mean_a, sb / n_b AS mean_b,
+         (sa2 - sa * sa / n_a) / (n_a - 1) AS var_a,
+         (sb2 - sb * sb / n_b) / (n_b - 1) AS var_b
+  FROM agg
+), t0 AS (
+  SELECT *,
+         mean_a - mean_b AS log2fc,
+         ((n_a - 1) * var_a + (n_b - 1) * var_b) / (n_a + n_b - 2) AS s2p,
+         n_a + n_b - 2 AS dfree,
+         sqrt((((n_a - 1) * var_a + (n_b - 1) * var_b) / (n_a + n_b - 2))
+              * (1.0e0 / n_a + 1.0e0 / n_b)) AS se
+  FROM m
+), tt AS (
+  SELECT gene_id, n_a, n_b, log2fc, s2p, dfree,
+         (mean_a - mean_b) / se AS t_statistic
+  FROM t0 WHERE se > 0
+), de AS (
+  SELECT *, {p_expr} AS p_value FROM tt
+), prior AS (
+  SELECT AVG(s2p) AS s2_prior,
+         GREATEST(1.0e0, 2.0e0 / GREATEST(VAR_SAMP(ln(s2p)), 1.0e-6)) AS d0
+  FROM de
+), moder AS (
+  SELECT de.*,
+         t_statistic * sqrt(s2p / ((d0 * s2_prior + dfree * s2p) / (d0 + dfree)))
+           AS t_moderated
+  FROM de CROSS JOIN prior
+), bh0 AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY p_value, gene_id) AS rnk,
+         COUNT(*) OVER () AS nn
+  FROM moder
+), adj AS (
+  SELECT *,
+         MIN(LEAST(p_value * nn / rnk, 1.0e0)) OVER (
+           ORDER BY p_value DESC, gene_id DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS adj_p_value
+  FROM bh0
+)
+SELECT gene_id, n_a, n_b,
+       ROUND(log2fc, 6) AS log2fc,
+       ROUND(t_statistic, 6) AS t_statistic,
+       ROUND(t_moderated, 6) AS t_moderated,
+       ROUND(p_value, 8) AS p_value,
+       ROUND(adj_p_value, 8) AS adj_p_value,
+       CAST(CASE WHEN adj_p_value > 0.05 THEN 0
+                 ELSE CAST(SIGN(log2fc) AS INTEGER) END AS INTEGER) AS decide
+FROM adj
+"""
+
+
 QUERIES_NORM = {
     "voom_trend": q_voom_trend,
     "closed_pipeline": q_closed_pipeline,
+    "normalized_de": q_normalized_de,
     "voom_lowess": q_voom_lowess,
     "rnaseq_pipeline": q_rnaseq_pipeline,
     "rnaseq_pipeline_binned": q_rnaseq_pipeline_binned,
@@ -652,6 +810,7 @@ QUERIES_NORM = {
 ORACLES_NORM = {
     "voom_trend": ORACLE_VOOM,
     "closed_pipeline": _oracle_closed_pipeline(),
+    "normalized_de": _oracle_normalized_de(),
     "rnaseq_pipeline_binned": _oracle_rnaseq_binned(),
     "cqn_bias": ORACLE_CQN,
     "array_weights": ORACLE_ARRAY_WEIGHTS,
