@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "rnaseq_pipeline_binned",
     "closed_pipeline",
     "normalized_de",
+    "meta_pipeline",
     "pca_outliers",
 ]
 

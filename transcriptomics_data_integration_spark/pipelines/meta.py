@@ -28,9 +28,14 @@ def meta_analysis(
     value_col: str = "value",
     group_col: str = "target",
     with_icc: bool = True,
+    exact_scale: int | None = None,
 ) -> DataFrame:
     """Long multi-platform expression + sample sheet -> per-gene meta
-    results (avg log2fc, combined z, combined p, icc, n_platforms)."""
+    results (avg log2fc, combined z, combined p, icc, n_platforms).
+
+    ``exact_scale`` flows to the per-platform DE moments and the ICC
+    pair moments (functions/exact.py scheme) so the composition is
+    hash-gateable end-to-end (``q_meta_pipeline``)."""
     labeled = expr.join(F.broadcast(targets.select(sample_col, group_col)), sample_col)
     de = two_group_ttest(
         labeled,
@@ -39,7 +44,7 @@ def meta_analysis(
         value_col,
         group_a,
         group_b,
-        exact_scale=None,
+        exact_scale=exact_scale,
     )
     if with_icc:
         platforms = [r[0] for r in expr.select(platform_col).distinct().collect()]
@@ -49,7 +54,7 @@ def meta_analysis(
             F.col(sample_col).alias("sample_id"),
             F.col(value_col).alias("value"),
         )
-        gene_icc = icc(cells, sorted(platforms), exact_scale=None).select(
+        gene_icc = icc(cells, sorted(platforms), exact_scale=exact_scale).select(
             F.col("gene_id").alias(gene_col), "icc"
         )
         de = de.join(gene_icc, gene_col, "left").withColumn(

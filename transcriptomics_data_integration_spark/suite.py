@@ -1442,7 +1442,8 @@ _ROUND3_FRONT = [
     "ivf_ann", "pq_ann", "hclust_samples", "kmeans_samples", "mds_samples",
     "quantile_sketch", "logistic_de",
     # -- (b) round-3 additions ------------------------------------------
-    "rnaseq_pipeline_binned", "closed_pipeline", "normalized_de", "pca_outliers",
+    "rnaseq_pipeline_binned", "closed_pipeline", "normalized_de",
+    "meta_pipeline", "pca_outliers",
     # -- (c) r2 hash-reds, oracles fixed --------------------------------
     "icc_meta", "dup_correlation", "quality_filter",
     # -- (d) changed kernels + r2 rows-only re-stamp --------------------
@@ -1456,7 +1457,7 @@ _ROUND3_FRONT = [
     "quantile_thresholds", "sample_correlation", "quantile_normalization",
     "diff_expression", "bh_histogram", "stouffer_meta", "fem_rem",
     "p_improvement", "pack_sequences", "dedup_exact", "minhash_lsh",
-    "lsh_ann", "cosine_neardup", "contamination",
+    "lsh_ann", "contamination",
 ]
 
 QUERIES = _reorder_front(QUERIES, _ROUND3_FRONT)

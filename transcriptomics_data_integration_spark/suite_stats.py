@@ -605,6 +605,159 @@ ORACLES_STATS = {
 }
 
 
+def q_meta_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-point A step 7 end-to-end, HASH-GATED — per-platform DE
+    -> integrative correlation (A12) -> ICC-weighted Stouffer combine
+    (A15) -> p-improvement ratios (A16), the full `Meta_analysis.R`
+    chain as ONE composition (`:312-347`, `:1211-1228`, `:1267-1284`).
+    With decimal-exact DE and ICC pair moments the whole graph is
+    SQL-expressible; transcendental-tainted outputs round 6-8."""
+    from transcriptomics_data_integration_spark.pipelines.meta import meta_analysis
+
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_partkey") <= 150) & F.col("l_linestatus").isin(["O", "F"])
+    )
+    cells = li.groupBy(
+        F.col("l_linestatus").alias("platform"),
+        F.col("l_partkey").alias("gene_id"),
+        (F.col("l_suppkey") % 40).alias("sample_id"),
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("value")
+    )
+    targets = cells.select("sample_id").distinct().select(
+        "sample_id",
+        F.when(F.col("sample_id") % 2 == 0, "tumor").otherwise("normal").alias("target"),
+    )
+    out = meta_analysis(cells, targets, "tumor", "normal", exact_scale=2)
+    return out.select(
+        "gene_id",
+        "n_platforms",
+        F.round("avg_log2fc", 6).alias("avg_log2fc"),
+        F.round("z_comb", 6).alias("z_comb"),
+        F.round("p_comb", 8).alias("p_comb"),
+        F.round("icc", 6).alias("icc"),
+        F.round("avg_p_improvement", 6).alias("avg_p_improvement"),
+    )
+
+
+def _oracle_meta_pipeline() -> str:
+    from transcriptomics_data_integration_spark.functions.normal import norm_ppf_sql
+
+    p_expr = two_sided_p_sql("t_statistic")
+    qn = norm_ppf_sql("((p_value) / 2.0e0)")
+    z_expr = f"CASE WHEN (log2fc) > 0 THEN {qn} ELSE -({qn}) END"
+    p_comb = two_sided_p_sql("z_comb")
+    dprod = (
+        "CAST(SUM(CAST(CAST({x} AS DECIMAL(18,2)) * CAST({y} AS DECIMAL(18,2))"
+        " AS DECIMAL(38,4))) AS DOUBLE)"
+    )
+    return f"""
+WITH cells AS (
+  SELECT l_linestatus AS platform, l_partkey AS gene_id,
+         l_suppkey % 40 AS sample_id,
+         {_DSUM.format(x='l_extendedprice')} AS v
+  FROM lineitem
+  WHERE l_partkey <= 150 AND l_linestatus IN ('O', 'F')
+  GROUP BY 1, 2, 3
+), agg AS (
+  SELECT gene_id, platform,
+         COUNT(CASE WHEN sample_id % 2 = 0 THEN v END) AS n_a,
+         COUNT(CASE WHEN sample_id % 2 <> 0 THEN v END) AS n_b,
+         {_DSUM.format(x='CASE WHEN sample_id % 2 = 0 THEN v END')} AS sa,
+         {_DSUM.format(x='CASE WHEN sample_id % 2 <> 0 THEN v END')} AS sb,
+         {_DSUM2.format(x='CASE WHEN sample_id % 2 = 0 THEN v END')} AS sa2,
+         {_DSUM2.format(x='CASE WHEN sample_id % 2 <> 0 THEN v END')} AS sb2
+  FROM cells GROUP BY 1, 2
+  HAVING COUNT(CASE WHEN sample_id % 2 = 0 THEN v END) >= 2
+     AND COUNT(CASE WHEN sample_id % 2 <> 0 THEN v END) >= 2
+), m AS (
+  SELECT gene_id, platform, n_a, n_b,
+         sa / n_a AS mean_a, sb / n_b AS mean_b,
+         (sa2 - sa * sa / n_a) / (n_a - 1) AS var_a,
+         (sb2 - sb * sb / n_b) / (n_b - 1) AS var_b
+  FROM agg
+), t0 AS (
+  SELECT *,
+         log2(mean_a / mean_b) AS log2fc,
+         sqrt((((n_a - 1) * var_a + (n_b - 1) * var_b) / (n_a + n_b - 2))
+              * (1.0e0 / n_a + 1.0e0 / n_b)) AS se
+  FROM m
+), tt AS (
+  SELECT gene_id, platform, log2fc,
+         (mean_a - mean_b) / se AS t_statistic
+  FROM t0 WHERE se > 0
+), de AS (
+  SELECT *, {p_expr} AS p_value FROM tt
+), pairs AS (
+  SELECT a.platform, a.gene_id AS g, b.gene_id AS h,
+         COUNT(*) AS n,
+         {_DSUM.format(x='a.v')} AS sx,
+         {_DSUM.format(x='b.v')} AS sy,
+         {dprod.format(x='a.v', y='b.v')} AS sxy,
+         {_DSUM2.format(x='a.v')} AS sx2,
+         {_DSUM2.format(x='b.v')} AS sy2
+  FROM cells a JOIN cells b
+    ON a.platform = b.platform AND a.sample_id = b.sample_id
+   AND a.gene_id <> b.gene_id
+  GROUP BY 1, 2, 3
+), rr AS (
+  SELECT platform, g, h,
+         (n * sxy - sx * sy) /
+         (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)) AS r
+  FROM pairs
+  WHERE (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+), prof AS (
+  SELECT a.g, COUNT(*) AS n,
+         SUM(a.r) AS sx, SUM(b.r) AS sy, SUM(a.r * b.r) AS sxy,
+         SUM(a.r * a.r) AS sx2, SUM(b.r * b.r) AS sy2
+  FROM (SELECT * FROM rr WHERE platform = 'F') a
+  JOIN (SELECT * FROM rr WHERE platform = 'O') b ON a.g = b.g AND a.h = b.h
+  GROUP BY a.g
+), iccs AS (
+  SELECT g AS gene_id,
+         (n * sxy - sx * sy) /
+         (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)) AS icc
+  FROM prof
+  WHERE (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+), dez AS (
+  SELECT de.*, COALESCE(i.icc, 0.0e0) AS icc
+  FROM de LEFT JOIN iccs i USING (gene_id)
+), z AS (
+  SELECT gene_id, platform, log2fc, p_value, icc,
+         {z_expr} AS zv,
+         GREATEST(ABS(log2fc) + ABS(log2fc) * icc * icc, 0.0e0) AS w_raw
+  FROM dez
+), comb AS (
+  SELECT gene_id,
+         COUNT(*) AS n_platforms,
+         AVG(log2fc) AS avg_log2fc,
+         SUM(SQRT(ABS(log2fc)) * zv) / SQRT(SUM(w_raw)) AS z_comb
+  FROM z GROUP BY gene_id HAVING COUNT(*) > 1
+), pc AS (
+  SELECT *, {p_comb} AS p_comb FROM comb
+), imp AS (
+  SELECT d.gene_id, AVG(log2(d.p_value / pc.p_comb)) AS avg_p_improvement
+  FROM dez d JOIN pc ON d.gene_id = pc.gene_id
+  GROUP BY d.gene_id
+), icc_g AS (
+  SELECT gene_id, MIN(icc) AS icc FROM dez GROUP BY gene_id
+)
+SELECT pc.gene_id, pc.n_platforms,
+       ROUND(pc.avg_log2fc, 6) AS avg_log2fc,
+       ROUND(pc.z_comb, 6) AS z_comb,
+       ROUND(pc.p_comb, 8) AS p_comb,
+       ROUND(icc_g.icc, 6) AS icc,
+       ROUND(imp.avg_p_improvement, 6) AS avg_p_improvement
+FROM pc
+LEFT JOIN icc_g ON pc.gene_id = icc_g.gene_id
+LEFT JOIN imp ON pc.gene_id = imp.gene_id
+"""
+
+
+QUERIES_STATS["meta_pipeline"] = q_meta_pipeline
+ORACLES_STATS["meta_pipeline"] = _oracle_meta_pipeline()
+
+
 def q_dup_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M9 — per-gene intra-replicate-block ICC (one-way ANOVA moments;
     `DiffExpression_closedPlatform.R:487-508`).  Blocks ~ supplier
