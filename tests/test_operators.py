@@ -168,3 +168,64 @@ def test_group_stats_matches_sample_sd(spark):
     assert abs(got["g1"]["sd_value"] - 1.0) < 1e-12  # sd([1,2,3]) n-1 form
     assert got["g1"]["n_obs"] == 3
     assert got["g2"]["n_obs"] == 1 and got["g2"]["mean_value"] == 5.0
+
+
+def test_adaptive_window_fast_path_bit_identical(spark, monkeypatch, tmp_path):
+    """The Catalyst-size-estimate fast path (single global window for
+    small inputs) must produce exactly the rows of the bucketed
+    two-pass shape it replaces, for all three adaptive operators.
+    Parquet-backed inputs (like every suite query): local relations
+    report unknown stats and conservatively keep the scale path."""
+    import random
+
+    import transcriptomics_data_integration_spark.operators.windows as W
+    from transcriptomics_data_integration_spark.llmdata.sampling import pack_sequences
+    from transcriptomics_data_integration_spark.operators.aggregates import skyline_2d
+    from transcriptomics_data_integration_spark.stats.kstest import ks_test
+
+    rng = random.Random(7)
+
+    def pq(name, rows, schema):
+        spark.createDataFrame(rows, schema).write.parquet(str(tmp_path / name))
+        return spark.read.parquet(str(tmp_path / name))
+
+    pts = pq(
+        "pts",
+        [(rng.randint(0, 50) / 2.0, rng.randint(0, 50)) for _ in range(400)],
+        "x double, y int",
+    )
+    docs = pq(
+        "docs", [(i, rng.randint(0, 900)) for i in range(300)], "doc_id int, n_toks int"
+    )
+    vals = pq(
+        "vals",
+        [("a" if rng.random() < 0.5 else "b", float(rng.randint(0, 99))) for _ in range(500)],
+        "grp string, v double",
+    )
+
+    assert W.fits_single_task(pts)  # tiny parquet relations take the fast path
+    # a local (non-file) relation has unknown stats -> conservative scale path
+    assert not W.fits_single_task(spark.createDataFrame([(1.0,)], "x double"))
+    fast = {
+        "sky": sorted(map(tuple, skyline_2d(pts, "x", "y").collect())),
+        "pack": sorted(map(tuple, pack_sequences(docs, "doc_id", "n_toks", 512).collect())),
+        "ks": sorted(map(tuple, ks_test(vals, "grp", "v", "a", "b").collect())),
+    }
+    # force the scale path and require identical output
+    monkeypatch.setattr(W, "fits_single_task", lambda df, threshold_bytes=0: False)
+    slow = {
+        "sky": sorted(map(tuple, skyline_2d(pts, "x", "y").collect())),
+        "pack": sorted(map(tuple, pack_sequences(docs, "doc_id", "n_toks", 512).collect())),
+        "ks": sorted(map(tuple, ks_test(vals, "grp", "v", "a", "b").collect())),
+    }
+    assert fast == slow
+
+
+def test_estimated_plan_bytes_known_and_bounded(spark):
+    df = spark.range(100).selectExpr("id", "id % 7 AS k")
+    from transcriptomics_data_integration_spark.operators.windows import (
+        estimated_plan_bytes,
+    )
+
+    size = estimated_plan_bytes(df.groupBy("k").count())
+    assert size is not None and 0 < size < (1 << 40)

@@ -123,7 +123,9 @@ def skyline_2d(
     so predecessor-min = least(prefix-min of earlier buckets'
     per-bucket y-min — a <= 1024-row broadcast relation — and the
     within-bucket running min over (x, y) order).  Identical output to
-    the single-window form.
+    the single-window form, which is used directly when Catalyst
+    estimates the distinct-pair relation under the single-task
+    threshold (the two-pass shape's extra stages dominate there).
     """
     sign = 1 if minimize else -1
     pairs = (
@@ -134,8 +136,25 @@ def skyline_2d(
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
     from transcriptomics_data_integration_spark.operators.windows import (
+        fits_single_task,
         monotone_range_buckets,
     )
+
+    if fits_single_task(pairs):
+        w = Window.orderBy(F.col("_x").asc(), F.col("_y").asc()).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return (
+            pairs.withColumn("_prev_min_y", F.min("_y").over(w))
+            .where(
+                F.col("_prev_min_y").isNull() | (F.col("_prev_min_y") > F.col("_y"))
+            )
+            .select(
+                (F.col("_x") * sign).alias(x_col),
+                (F.col("_y") * sign).alias(y_col),
+                "n_rows",
+            )
+        )
 
     bucketed = monotone_range_buckets(pairs, "_x")
     bmin = bucketed.groupBy("_bkt").agg(F.min("_y").alias("_ymin"))

@@ -24,6 +24,44 @@ def top_k_by(df: DataFrame, order_col: str, k: int, tiebreak_col: str, desc: boo
     return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k).drop("_rn")
 
 
+# A global-order window funnels its whole input through one task, but
+# below this size that single task beats the bucketed two-pass shape's
+# extra stages (measured r3: pack_sequences 0.18 s global vs 0.45 s
+# bucketed at sf0.1 local[32]).  64 MB is comfortably one-task work and
+# two orders of magnitude under executor memory.
+_SINGLE_TASK_BYTES = 64 << 20
+
+
+def estimated_plan_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size-in-bytes estimate for ``df`` (driver-side plan
+    statistics; runs no job).  ``None`` when the estimate is
+    unavailable — callers must treat that as \"not small\"."""
+    try:
+        # analyzed (not optimized) plan: same size-only visitor result
+        # for these shapes at half the driver cost (~12 ms warm), and
+        # column pruning hasn't fired yet so the estimate can only be
+        # LARGER than the optimized one — errs toward the scale path
+        stats = df._jdf.queryExecution().analyzed().stats()
+        raw = stats.sizeInBytes()  # py4j yields int for small BigInts
+        size = int(raw) if isinstance(raw, int) else int(raw.toString())
+        # Long.MaxValue et al. mean "unknown", not "huge known"
+        return size if 0 <= size < (1 << 60) else None
+    except Exception:  # pragma: no cover - py4j / plan-shape drift
+        return None
+
+
+def fits_single_task(df: DataFrame, threshold_bytes: int = _SINGLE_TASK_BYTES) -> bool:
+    """True when Catalyst estimates ``df`` small enough that a global
+    single-task window is cheaper than the bucketed two-pass prefix
+    shape (stage-scheduling overhead dominates below the threshold).
+    Conservative: an unknown estimate returns False, keeping the
+    scale-safe path.  Both shapes are bit-identical by construction,
+    so this is purely a physical-plan choice — the same adaptive idea
+    as AQE's broadcast-join demotion, applied to window strategy."""
+    size = estimated_plan_bytes(df)
+    return size is not None and size <= threshold_bytes
+
+
 def monotone_range_buckets(
     df: DataFrame, order_col: str, n_buckets: int = 1024, bucket_col: str = "_bkt"
 ) -> DataFrame:

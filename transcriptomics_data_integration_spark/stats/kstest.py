@@ -55,10 +55,19 @@ def ks_test(
         F.sum("is1").alias("c1"),
         F.sum(1 - F.col("is1")).alias("c2"),
     )
-    if n_buckets and isinstance(df.schema[value_col].dataType, NumericType):
-        from transcriptomics_data_integration_spark.operators.windows import (
-            monotone_range_buckets,
-        )
+    from transcriptomics_data_integration_spark.operators.windows import (
+        fits_single_task,
+        monotone_range_buckets,
+    )
+
+    # adaptive physical choice: below the single-task size estimate the
+    # global window beats the two-pass shape's extra stages (identical
+    # counts either way — integer sums, no FP reassociation)
+    if (
+        n_buckets
+        and isinstance(df.schema[value_col].dataType, NumericType)
+        and not fits_single_task(per_value)
+    ):
 
         bucketed = monotone_range_buckets(per_value, "v", n_buckets=n_buckets)
         totals = bucketed.groupBy("_bkt").agg(
