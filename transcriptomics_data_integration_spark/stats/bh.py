@@ -106,6 +106,20 @@ def bh_adjust(
     tiebreak_col: str | None = None,
 ) -> DataFrame:
     parts = partition_cols or []
+    if not parts:
+        # adaptive scale guard: an unpartitioned sort window on a
+        # relation Catalyst can't prove single-task-small funnels the
+        # whole p-set through one task — route it to the bit-identical
+        # bucket-partitioned histogram form instead (p in [0,1] by BH's
+        # contract, so the equi-width bucketing needs no bounds pass)
+        from transcriptomics_data_integration_spark.operators.windows import (
+            fits_single_task,
+        )
+
+        if not fits_single_task(df):
+            return bh_adjust_histogram(
+                df, p_col, out_col=out_col, tiebreak_col=tiebreak_col
+            )
     order = [F.col(p_col).asc()]
     if tiebreak_col:
         order.append(F.col(tiebreak_col).asc())
