@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "closed_pipeline",
     "normalized_de",
     "meta_pipeline",
+    "pca_covariance",
+    "mds_bmatrix",
     "pca_outliers",
 ]
 

@@ -212,3 +212,71 @@ def test_pca_space_outliers_matches_numpy_and_flags_planted(spark):
     assert all(
         (r["chi2_p"] < 0.001) == bool(r["is_outlier"]) for r in out.values()
     )
+
+
+def test_feature_covariance_matches_numpy(spark):
+    """pca_covariance's kernel: gene-gene Pearson (standardize) and
+    sample covariance (raw) against numpy on a dense grid."""
+    import numpy as np
+
+    from transcriptomics_data_integration_spark.stats.mlkernels import (
+        feature_covariance,
+    )
+
+    rng = np.random.default_rng(3)
+    G, S = 6, 15
+    X = np.round(rng.normal(100.0, 10.0, (G, S)), 2)  # genes x samples
+    rows = [
+        (f"g{g}", f"s{s:02d}", float(X[g, s])) for g in range(G) for s in range(S)
+    ]
+    df = spark.createDataFrame(rows, "gene_id string, sample_id string, value double")
+
+    corr = {
+        (r["ga"], r["gb"]): r["stat"]
+        for r in feature_covariance(
+            df, "gene_id", "sample_id", "value", standardize=True
+        ).collect()
+    }
+    cov = {
+        (r["ga"], r["gb"]): r["stat"]
+        for r in feature_covariance(
+            df, "gene_id", "sample_id", "value", standardize=False
+        ).collect()
+    }
+    C = np.corrcoef(X)
+    V = np.cov(X, ddof=1)
+    for a in range(G):
+        for b in range(a, G):
+            key = (f"g{a}", f"g{b}")
+            assert corr[key] == pytest.approx(float(C[a, b]), rel=1e-9)
+            assert cov[key] == pytest.approx(float(V[a, b]), rel=1e-9)
+
+
+def test_mds_bmatrix_matches_numpy_double_centering(spark):
+    """mds_bmatrix == -1/2 J D^2 J computed densely in numpy, and its
+    eigendecomposition reproduces mds_embedding's coordinate geometry."""
+    import numpy as np
+
+    from transcriptomics_data_integration_spark.stats.mlkernels import mds_bmatrix
+
+    rng = np.random.default_rng(11)
+    G, S = 8, 10
+    X = np.round(rng.normal(0.0, 5.0, (S, G)), 2)  # samples x genes
+    rows = [
+        (f"s{s:02d}", f"g{g}", float(X[s, g])) for s in range(S) for g in range(G)
+    ]
+    df = spark.createDataFrame(rows, "sample_id string, gene_id string, value double")
+
+    out = {
+        (r["sa"], r["sb"]): (r["d2"], r["b_centered"])
+        for r in mds_bmatrix(df, "sample_id", "gene_id", "value").collect()
+    }
+    D2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    J = np.eye(S) - np.ones((S, S)) / S
+    B = -0.5 * J @ D2 @ J
+    assert len(out) == S * S  # ordered pairs incl. diagonal
+    for i in range(S):
+        for j in range(S):
+            d2, b = out[(f"s{i:02d}", f"s{j:02d}")]
+            assert d2 == pytest.approx(float(D2[i, j]), rel=1e-9, abs=1e-9)
+            assert b == pytest.approx(float(B[i, j]), rel=1e-9, abs=1e-6)

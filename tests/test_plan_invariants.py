@@ -26,6 +26,10 @@ BNLJ_WHITELIST = {
     # entry-point-B binned composition: cqn_simplified's 1-row
     # global-median attach (same as cqn_bias), twice in the tree
     "rnaseq_pipeline_binned",
+    # M11/M12 distributed-phase gates: bounded gene x sample grid
+    # completion (like htseq_scan) + mds_bmatrix's 1-row grand-sum
+    # attach
+    "pca_covariance", "mds_bmatrix",
 }
 
 

@@ -348,6 +348,152 @@ def impute_missing_em(
     return out
 
 
+def feature_covariance(
+    long_df: DataFrame,
+    gene_col: str,
+    sample_col: str,
+    value_col: str,
+    standardize: bool = True,
+    exact_scale: int | None = None,
+) -> DataFrame:
+    """M11's DISTRIBUTED phase — the G x G feature matrix PCA
+    eigendecomposes (`prcomp(t(data), scale=TRUE)`, `Study_effect.R:543`):
+    gene-gene Pearson correlation when ``standardize`` (prcomp
+    scale=TRUE), sample covariance otherwise.  One self-join on the
+    sample key + one moment aggregation; G is bounded by the F5 top-k
+    contract while S is unbounded, so this is the whole shuffle cost of
+    PCA — the S-free G x G relation then feeds a driver/JVM eigensolver.
+    Deterministic (unlike the eigenvectors), hence hash-gateable; with
+    ``exact_scale`` the moments are decimal-exact (functions/exact.py)
+    and the output is bitwise-reproducible across engines.
+
+    Output: one row per unordered gene pair (ga <= gb) with n and the
+    requested statistic.
+    """
+    from transcriptomics_data_integration_spark.functions import exact
+
+    a = long_df.select(
+        F.col(gene_col).alias("ga"),
+        F.col(sample_col).alias("s"),
+        F.col(value_col).alias("x"),
+    )
+    b = long_df.select(
+        F.col(gene_col).alias("gb"),
+        F.col(sample_col).alias("s"),
+        F.col(value_col).alias("y"),
+    )
+    pairs = a.join(b, "s").where(F.col("ga") <= F.col("gb"))
+    if exact_scale is not None:
+        sx, sy = exact.dsum("x", exact_scale), exact.dsum("y", exact_scale)
+        sxy = exact.dsumprod("x", "y", exact_scale, exact_scale)
+        sx2, sy2 = exact.dsum2("x", exact_scale), exact.dsum2("y", exact_scale)
+    else:
+        sx, sy = F.sum("x"), F.sum("y")
+        sxy = F.sum(F.col("x") * F.col("y"))
+        sx2 = F.sum(F.col("x") * F.col("x"))
+        sy2 = F.sum(F.col("y") * F.col("y"))
+    mom = pairs.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("n"),
+        sx.alias("sx"),
+        sy.alias("sy"),
+        sxy.alias("sxy"),
+        sx2.alias("sx2"),
+        sy2.alias("sy2"),
+    )
+    n = F.col("n").cast("double")
+    if standardize:
+        stat = exact.corr_from_moments(
+            F.col("sx"), F.col("sy"), F.col("sxy"), F.col("sx2"), F.col("sy2"), n
+        ).alias("stat")
+    else:
+        stat = ((F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)).alias(
+            "stat"
+        )
+    return mom.select("ga", "gb", "n", stat)
+
+
+def mds_bmatrix(
+    long_df: DataFrame,
+    sample_col: str,
+    gene_col: str,
+    value_col: str,
+    exact_scale: int | None = None,
+) -> DataFrame:
+    """M12's DISTRIBUTED phase up to (and including) the double
+    centering — B = -1/2 J D^2 J of classical MDS (``cmdscale``,
+    `Study_effect.R:508,516`), fully in-plan: squared euclidean
+    distances from a gene-keyed self-join, row sums + the grand sum as
+    broadcast-back aggregates, then the centering arithmetic per cell.
+    Everything before the S x S eigendecomposition — i.e. all the
+    data-sized work — is this relation, and it is DETERMINISTIC (the
+    eigenvector sign ambiguity enters only afterwards), so M12's heavy
+    phase is hash-gateable.  With ``exact_scale`` the distance and
+    row/grand sums stay decimal until the final divisions, making B
+    bitwise-identical across engines.
+
+    The input must be a COMPLETE sample x gene grid (zero-fill absent
+    cells first, as R ``dist`` sees a complete matrix); missing pairs
+    would silently shift row means.  Output: one row per ordered
+    (sa, sb) pair including the diagonal.
+    """
+    a = long_df.select(
+        F.col(sample_col).alias("sa"),
+        F.col(gene_col).alias("g"),
+        F.col(value_col).alias("x"),
+    )
+    b = long_df.select(
+        F.col(sample_col).alias("sb"),
+        F.col(gene_col).alias("g"),
+        F.col(value_col).alias("y"),
+    )
+    joined = a.join(b, "g")
+    if exact_scale is not None:
+        # the raw diff types as decimal(19,s); squaring that would
+        # exceed 38 digits and silently drop a fractional digit under
+        # Spark's precision-loss rule (DuckDB keeps it -> ulp drift).
+        # Narrow back to (18,s) first — exact, diffs are in range —
+        # so the square is decimal(37,2s) on both engines.
+        d = (
+            F.col("x").cast(f"decimal(18,{exact_scale})")
+            - F.col("y").cast(f"decimal(18,{exact_scale})")
+        ).cast(f"decimal(18,{exact_scale})")
+        d2sum = F.sum((d * d).cast(f"decimal(38,{2 * exact_scale})"))
+    else:
+        d2sum = F.sum((F.col("x") - F.col("y")) ** 2)
+    d2 = joined.groupBy("sa", "sb").agg(d2sum.alias("_d2"))
+    # row sums stay decimal through the second aggregation so the
+    # S-term reductions are order-independent too
+    rowsum = d2.groupBy("sa").agg(
+        F.sum("_d2").alias("_rs"), F.count(F.lit(1)).alias("_s")
+    )
+    grand = rowsum.agg(
+        F.sum("_rs").alias("_gs"), F.sum("_s").alias("_n")
+    )
+    ra = rowsum.select(F.col("sa"), F.col("_rs").alias("_ra"), F.col("_s"))
+    rb = rowsum.select(F.col("sa").alias("sb"), F.col("_rs").alias("_rb"))
+    s = F.col("_s").cast("double")
+    return (
+        d2.join(F.broadcast(ra), "sa")
+        .join(F.broadcast(rb), "sb")
+        .join(F.broadcast(grand))
+        .select(
+            "sa",
+            "sb",
+            F.col("_d2").cast("double").alias("d2"),
+            (
+                F.lit(-0.5)
+                * (
+                    F.col("_d2").cast("double")
+                    - F.col("_ra").cast("double") / s
+                    - F.col("_rb").cast("double") / s
+                    + F.col("_gs").cast("double")
+                    / (s * s)
+                )
+            ).alias("b_centered"),
+        )
+    )
+
+
 def mds_embedding(
     long_df: DataFrame,
     sample_col: str,

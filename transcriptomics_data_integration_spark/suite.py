@@ -1428,8 +1428,9 @@ def _reorder_front(registry: dict, front: list[str]) -> dict:
 
 # Round-3 window: (a) the 7 queries that have NEVER produced a driver
 # row (rows-only by nature — the rotation debt VERDICT r2 item 1 holds
-# us to), (b) the two round-3 additions (hash-gated entry-point-B
-# binned composition; PCA-space M17), (c) the three r2 hash-reds with
+# us to), (b) the round-3 additions (hash-gated compositions A/B/C +
+# meta, PCA-space M17, and the hash-gated distributed phases of M11
+# [pca_covariance] and M12 [mds_bmatrix]), (c) the three r2 hash-reds with
 # their oracles cast/sign-fixed this round, (d) the rows-only kernels
 # whose code changed this round (ward.D, voom residual SD) plus the
 # r2 rows-only set for a second stamp, and (e) 30 r1-gated oracled
@@ -1443,7 +1444,7 @@ _ROUND3_FRONT = [
     "quantile_sketch", "logistic_de",
     # -- (b) round-3 additions ------------------------------------------
     "rnaseq_pipeline_binned", "closed_pipeline", "normalized_de",
-    "meta_pipeline", "pca_outliers",
+    "meta_pipeline", "pca_outliers", "pca_covariance", "mds_bmatrix",
     # -- (c) r2 hash-reds, oracles fixed --------------------------------
     "icc_meta", "dup_correlation", "quality_filter",
     # -- (d) changed kernels + r2 rows-only re-stamp --------------------
@@ -1457,7 +1458,6 @@ _ROUND3_FRONT = [
     "quantile_thresholds", "sample_correlation", "quantile_normalization",
     "diff_expression", "bh_histogram", "stouffer_meta", "fem_rem",
     "p_improvement", "pack_sequences", "dedup_exact", "minhash_lsh",
-    "lsh_ann", "contamination",
 ]
 
 QUERIES = _reorder_front(QUERIES, _ROUND3_FRONT)

@@ -1314,6 +1314,148 @@ QUERIES_STATS["sample_distances"] = q_sample_distances
 ORACLES_STATS["sample_distances"] = ORACLE_SAMPLE_DISTANCES
 
 
+def q_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11 distributed phase, HASH-GATED — the G x G gene correlation
+    matrix that ``prcomp(t(data), scale=TRUE)`` eigendecomposes
+    (`Study_effect.R:543`).  The eigenvectors are sign-indeterminate
+    (``pca_samples`` stays rows-only) but THIS relation — all of PCA's
+    data-sized work — is deterministic; decimal-exact moments make it
+    bitwise-reproducible.  Complete grid (zero-fill) mirrors the dense
+    matrix prcomp sees."""
+    from transcriptomics_data_integration_spark.stats.mlkernels import (
+        feature_covariance,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") <= 25)
+    cells = li.groupBy(
+        F.col("l_partkey").alias("gene_id"),
+        (F.col("l_suppkey") % 50).alias("sample_id"),
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("value")
+    )
+    grid = (
+        cells.select("gene_id")
+        .distinct()
+        .crossJoin(cells.select("sample_id").distinct())
+        .join(cells, ["gene_id", "sample_id"], "left")
+        .fillna({"value": 0.0})
+    )
+    out = feature_covariance(
+        grid, "gene_id", "sample_id", "value", standardize=True, exact_scale=2
+    )
+    return out.select(
+        "ga", "gb", "n", F.round("stat", 9).alias("gene_corr")
+    )
+
+
+ORACLE_PCA_COVARIANCE = f"""
+WITH cells AS (
+  SELECT l_partkey AS gene_id, l_suppkey % 50 AS sample_id,
+         {_DSUM.format(x='l_extendedprice')} AS v
+  FROM lineitem WHERE l_partkey <= 25 GROUP BY 1, 2
+), grid AS (
+  SELECT g.gene_id, s.sample_id, COALESCE(c.v, 0.0e0) AS v
+  FROM (SELECT DISTINCT gene_id FROM cells) g
+  CROSS JOIN (SELECT DISTINCT sample_id FROM cells) s
+  LEFT JOIN cells c ON c.gene_id = g.gene_id AND c.sample_id = s.sample_id
+), pairs AS (
+  SELECT a.gene_id AS ga, b.gene_id AS gb, a.v AS x, b.v AS y
+  FROM grid a JOIN grid b ON a.sample_id = b.sample_id
+  WHERE a.gene_id <= b.gene_id
+), mom AS (
+  SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS n,
+         {_DSUM.format(x='x')} AS sx, {_DSUM.format(x='y')} AS sy,
+         CAST(SUM(CAST(CAST(x AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))
+              AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+         {_DSUM2.format(x='x')} AS sx2, {_DSUM2.format(x='y')} AS sy2
+  FROM pairs GROUP BY 1, 2
+)
+SELECT ga, gb, n,
+       ROUND((CAST(n AS DOUBLE) * sxy - sx * sy) /
+             (sqrt(CAST(n AS DOUBLE) * sx2 - sx * sx)
+              * sqrt(CAST(n AS DOUBLE) * sy2 - sy * sy)), 9) AS gene_corr
+FROM mom
+"""
+
+
+def q_mds_bmatrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12 distributed phase, HASH-GATED — classical MDS up to and
+    including the double centering: B = -1/2 J D^2 J of ``cmdscale``
+    (`Study_effect.R:508,516`), entirely in-plan (distance self-join,
+    decimal row/grand sums broadcast back, per-cell centering).  Only
+    the S x S eigendecomposition — O(S^2) driver work by the data
+    model — stays outside the gate (``mds_samples`` rows-only).
+
+    Integer-valued cells (quantity sums), like ``sample_distances``:
+    every decimal -> double cast is then EXACT, sidestepping the 1-ulp
+    divergence between DuckDB's scaled-int128 -> double conversion and
+    Spark's BigDecimal rounding on large fractional decimals."""
+    from transcriptomics_data_integration_spark.stats.mlkernels import mds_bmatrix
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") <= 300)
+    cells = li.groupBy(
+        F.col("l_partkey").alias("gene_id"),
+        (F.col("l_suppkey") % 20).alias("sample_id"),
+    ).agg(F.sum("l_quantity").cast("double").alias("value"))
+    grid = (
+        cells.select("gene_id")
+        .distinct()
+        .crossJoin(cells.select("sample_id").distinct())
+        .join(cells, ["gene_id", "sample_id"], "left")
+        .fillna({"value": 0.0})
+    )
+    out = mds_bmatrix(grid, "sample_id", "gene_id", "value", exact_scale=0)
+    return out.select(
+        "sa", "sb", "d2", F.round("b_centered", 9).alias("b_centered")
+    )
+
+
+ORACLE_MDS_BMATRIX = """
+WITH cells AS (
+  SELECT l_partkey AS gene_id, l_suppkey % 20 AS sample_id,
+         CAST(SUM(l_quantity) AS DOUBLE) AS v
+  FROM lineitem WHERE l_partkey <= 300 GROUP BY 1, 2
+), grid AS (
+  SELECT g.gene_id, s.sample_id, COALESCE(c.v, 0.0e0) AS v
+  FROM (SELECT DISTINCT gene_id FROM cells) g
+  CROSS JOIN (SELECT DISTINCT sample_id FROM cells) s
+  LEFT JOIN cells c ON c.gene_id = g.gene_id AND c.sample_id = s.sample_id
+), d2 AS (
+  SELECT a.sample_id AS sa, b.sample_id AS sb,
+         SUM(CAST(CAST(CAST(a.v AS DECIMAL(18,0)) - CAST(b.v AS DECIMAL(18,0))
+                       AS DECIMAL(18,0))
+             * CAST(CAST(a.v AS DECIMAL(18,0)) - CAST(b.v AS DECIMAL(18,0))
+                    AS DECIMAL(18,0))
+             AS DECIMAL(38,0))) AS dd
+  FROM grid a JOIN grid b ON a.gene_id = b.gene_id
+  GROUP BY 1, 2
+), rowsum AS (
+  SELECT sa, SUM(dd) AS rs, COUNT(*) AS s FROM d2 GROUP BY sa
+), grand AS (
+  SELECT SUM(rs) AS gs FROM rowsum
+)
+SELECT d.sa, d.sb, CAST(d.dd AS DOUBLE) AS d2,
+       ROUND(-0.5e0 * (CAST(d.dd AS DOUBLE)
+             - CAST(ra.rs AS DOUBLE) / CAST(ra.s AS DOUBLE)
+             - CAST(rb.rs AS DOUBLE) / CAST(ra.s AS DOUBLE)
+             + CAST(g.gs AS DOUBLE)
+               / (CAST(ra.s AS DOUBLE) * CAST(ra.s AS DOUBLE))), 9)
+       AS b_centered
+FROM d2 d
+JOIN rowsum ra ON d.sa = ra.sa
+JOIN rowsum rb ON d.sb = rb.sa
+CROSS JOIN grand g
+"""
+
+
+QUERIES_STATS["pca_covariance"] = q_pca_covariance
+ORACLES_STATS["pca_covariance"] = ORACLE_PCA_COVARIANCE
+QUERIES_STATS["mds_bmatrix"] = q_mds_bmatrix
+ORACLES_STATS["mds_bmatrix"] = ORACLE_MDS_BMATRIX
+
+
 def q_moderated_lmfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 eBayes on the general design — `lmfit_design`'s contrast t
     shrunk with the two-pass global variance prior
