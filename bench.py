@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "meta_pipeline",
     "pca_covariance",
     "mds_bmatrix",
+    "kmeans_lloyd2",
     "pca_outliers",
 ]
 

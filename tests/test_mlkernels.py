@@ -280,3 +280,51 @@ def test_mds_bmatrix_matches_numpy_double_centering(spark):
             d2, b = out[(f"s{i:02d}", f"s{j:02d}")]
             assert d2 == pytest.approx(float(D2[i, j]), rel=1e-9, abs=1e-9)
             assert b == pytest.approx(float(B[i, j]), rel=1e-9, abs=1e-6)
+
+
+def test_kmeans_lloyd_fixed_matches_local_lloyd(spark):
+    """kmeans_lloyd_fixed == a dense numpy Lloyd run with the same
+    init (k smallest sample ids) and tie rule (smallest cluster id)."""
+    import numpy as np
+
+    from transcriptomics_data_integration_spark.stats.mlkernels import (
+        kmeans_lloyd_fixed,
+    )
+
+    rng = np.random.default_rng(5)
+    S, G, K, IT = 12, 7, 3, 2
+    X = rng.integers(0, 200, (S, G)).astype(float)
+    rows = [
+        (f"s{s:02d}", f"g{g}", float(X[s, g])) for s in range(S) for g in range(G)
+    ]
+    df = spark.createDataFrame(rows, "sample_id string, gene_id string, value double")
+    got = {
+        r["sample_id"]: (r["cluster"], r["dist2"])
+        for r in kmeans_lloyd_fixed(
+            df, "sample_id", "gene_id", "value", k=K, n_iter=IT
+        ).collect()
+    }
+
+    # local reference in exact integer arithmetic (rational centroids)
+    sums = {j: X[j].copy() for j in range(K)}  # init: k smallest ids
+    cnts = {j: 1 for j in range(K)}
+    for _ in range(IT):
+        assign = {}
+        for s in range(S):
+            best = None
+            for j in sorted(sums):
+                n = cnts[j]
+                num = ((n * X[s] - sums[j]) ** 2).sum()
+                d = float(num) / float(n * n)
+                if best is None or d < best[1]:
+                    best = (j, d)
+            assign[s] = best
+        sums, cnts = {}, {}
+        for s, (j, _) in assign.items():
+            sums.setdefault(j, np.zeros(G))
+            sums[j] += X[s]
+            cnts[j] = cnts.get(j, 0) + 1
+    for s in range(S):
+        j, d = assign[s]
+        assert got[f"s{s:02d}"][0] == j
+        assert got[f"s{s:02d}"][1] == pytest.approx(d, rel=1e-12)

@@ -29,7 +29,7 @@ BNLJ_WHITELIST = {
     # M11/M12 distributed-phase gates: bounded gene x sample grid
     # completion (like htseq_scan) + mds_bmatrix's 1-row grand-sum
     # attach
-    "pca_covariance", "mds_bmatrix",
+    "pca_covariance", "mds_bmatrix", "kmeans_lloyd2",
 }
 
 

@@ -412,6 +412,97 @@ def feature_covariance(
     return mom.select("ga", "gb", "n", stat)
 
 
+def kmeans_lloyd_fixed(
+    long_df: DataFrame,
+    sample_col: str,
+    gene_col: str,
+    value_col: str,
+    k: int = 3,
+    n_iter: int = 2,
+) -> DataFrame:
+    """M12 cluster stage with a FIXED Lloyd schedule — the
+    hash-gateable twin of :func:`kmeans_clusters`, same pattern as
+    ``logistic_per_gene_fixed`` for M14 (`Study_effect.R:464` seeds
+    kmeans for reproducibility; this goes further and makes the whole
+    fit engine-exact).
+
+    Fully relational Lloyd: centroids are RATIONAL (decimal coordinate
+    sums S_jg plus member count n_j, never divided), so the squared
+    distance from sample s to centroid j,
+
+        d(s, j) = sum_g (n_j x_sg - S_jg)^2 / n_j^2,
+
+    has an exact decimal numerator and exactly ONE double division —
+    bitwise identical across engines, which makes the integer
+    assignments (argmin with ties to the smallest j) exactly
+    reproducible.  Init = the k samples with the smallest ids as
+    singleton centroids (deterministic, like set.seed + fixed starts).
+    Each iteration is a broadcast join (centroid relation is k x G
+    rows) + one aggregation — no pivot, no driver loop over data; only
+    the plan grows with ``n_iter``.
+
+    Input must be a complete sample x gene grid with integer-valued
+    cells (quantity-sum scale); numerators must stay under 2^53 for
+    the final cast to be exact — holds through gate SFs by
+    construction (documented bound, not checked row-wise).
+
+    Returns (sample, cluster, dist2) after ``n_iter`` assignments,
+    where dist2 is the exact squared distance to the winning rational
+    centroid.  A cluster that loses all members simply drops out
+    (standard Lloyd degeneracy; deterministic here).
+    """
+    from pyspark.sql import Window
+
+    cells = long_df.select(
+        F.col(sample_col).alias("s"),
+        F.col(gene_col).alias("g"),
+        F.col(value_col).cast("decimal(18,0)").alias("x"),
+    )
+    ids = (
+        cells.select("s")
+        .distinct()
+        .withColumn("j", F.row_number().over(Window.orderBy("s")) - 1)
+        .where(F.col("j") < k)
+    )
+    cent = (
+        cells.join(F.broadcast(ids), "s")
+        .select("j", "g", F.col("x").alias("cs"), F.lit(1).cast("long").alias("cn"))
+    )
+    assign = None
+    for _ in range(n_iter):
+        cand = cells.join(F.broadcast(cent), "g")
+        num = (F.col("cn") * F.col("x") - F.col("cs")).cast("decimal(18,0)")
+        scored = (
+            cand.withColumn("_t", (num * num).cast("decimal(38,0)"))
+            .groupBy("s", "j", "cn")
+            .agg(F.sum("_t").alias("_num"))
+            .select(
+                "s",
+                "j",
+                (
+                    F.col("_num").cast("double")
+                    / (F.col("cn") * F.col("cn")).cast("double")
+                ).alias("dist2"),
+            )
+        )
+        w = Window.partitionBy("s").orderBy(F.col("dist2").asc(), F.col("j").asc())
+        assign = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("s", "j", "dist2")
+        )
+        cent = (
+            cells.join(assign.select("s", "j"), "s")
+            .groupBy("j", "g")
+            .agg(F.sum("x").alias("cs"), F.count(F.lit(1)).alias("cn"))
+        )
+    return assign.select(
+        F.col("s").alias(sample_col),
+        F.col("j").alias("cluster"),
+        "dist2",
+    )
+
+
 def mds_bmatrix(
     long_df: DataFrame,
     sample_col: str,

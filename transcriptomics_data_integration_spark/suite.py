@@ -1445,6 +1445,7 @@ _ROUND3_FRONT = [
     # -- (b) round-3 additions ------------------------------------------
     "rnaseq_pipeline_binned", "closed_pipeline", "normalized_de",
     "meta_pipeline", "pca_outliers", "pca_covariance", "mds_bmatrix",
+    "kmeans_lloyd2",
     # -- (c) r2 hash-reds, oracles fixed --------------------------------
     "icc_meta", "dup_correlation", "quality_filter",
     # -- (d) changed kernels + r2 rows-only re-stamp --------------------
@@ -1457,7 +1458,7 @@ _ROUND3_FRONT = [
     "argmax_dedup", "dedup_rows", "frequency_table", "venn_membership",
     "quantile_thresholds", "sample_correlation", "quantile_normalization",
     "diff_expression", "bh_histogram", "stouffer_meta", "fem_rem",
-    "p_improvement", "pack_sequences", "dedup_exact", "minhash_lsh",
+    "p_improvement", "pack_sequences", "minhash_lsh",
 ]
 
 QUERIES = _reorder_front(QUERIES, _ROUND3_FRONT)

@@ -1456,6 +1456,92 @@ QUERIES_STATS["mds_bmatrix"] = q_mds_bmatrix
 ORACLES_STATS["mds_bmatrix"] = ORACLE_MDS_BMATRIX
 
 
+def q_kmeans_lloyd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12 cluster stage, HASH-GATED — two fixed Lloyd iterations with
+    rational (sum, count) centroids and exact decimal distance
+    numerators (`Study_effect.R:464` set.seed + kmeans; the free-run
+    seeded fit stays rows-only as ``kmeans_samples``).  Assignment
+    integers and squared distances are bitwise-reproducible, so the
+    whole clustering is oracle-checkable."""
+    from transcriptomics_data_integration_spark.stats.mlkernels import (
+        kmeans_lloyd_fixed,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") <= 60)
+    cells = li.groupBy(
+        F.col("l_partkey").alias("gene_id"),
+        (F.col("l_suppkey") % 40).alias("sample_id"),
+    ).agg(F.sum("l_quantity").cast("double").alias("value"))
+    grid = (
+        cells.select("gene_id")
+        .distinct()
+        .crossJoin(cells.select("sample_id").distinct())
+        .join(cells, ["gene_id", "sample_id"], "left")
+        .fillna({"value": 0.0})
+    )
+    out = kmeans_lloyd_fixed(grid, "sample_id", "gene_id", "value", k=3, n_iter=2)
+    return out.select("sample_id", "cluster", "dist2")
+
+
+def _oracle_kmeans_lloyd2(k: int = 3, n_iter: int = 2) -> str:
+    num = "CAST(t.cn * c.x - t.cs AS DECIMAL(18,0))"
+    parts = [
+        f"""
+WITH cells AS (
+  SELECT l_partkey AS gene_id, l_suppkey % 40 AS sample_id,
+         CAST(SUM(l_quantity) AS DOUBLE) AS v
+  FROM lineitem WHERE l_partkey <= 60 GROUP BY 1, 2
+), grid AS (
+  SELECT g.gene_id, s.sample_id, COALESCE(c.v, 0.0e0) AS v
+  FROM (SELECT DISTINCT gene_id FROM cells) g
+  CROSS JOIN (SELECT DISTINCT sample_id FROM cells) s
+  LEFT JOIN cells c ON c.gene_id = g.gene_id AND c.sample_id = s.sample_id
+), cx AS (
+  SELECT sample_id AS s, gene_id AS g, CAST(v AS DECIMAL(18,0)) AS x FROM grid
+), ids AS (
+  SELECT s, rn - 1 AS j FROM (
+    SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn
+    FROM (SELECT DISTINCT s FROM cx)
+  ) WHERE rn <= {k}
+), cent0 AS (
+  SELECT i.j, c.g, c.x AS cs, CAST(1 AS BIGINT) AS cn
+  FROM cx c JOIN ids i ON c.s = i.s
+)"""
+    ]
+    prev = "cent0"
+    for it in range(1, n_iter + 1):
+        parts.append(
+            f""", sc{it} AS (
+  SELECT c.s, t.j, t.cn,
+         SUM(CAST({num} * {num} AS DECIMAL(38,0))) AS num
+  FROM cx c JOIN {prev} t ON c.g = t.g GROUP BY 1, 2, 3
+), a{it} AS (
+  SELECT s, j, CAST(num AS DOUBLE) / CAST(cn * cn AS DOUBLE) AS dist2,
+         ROW_NUMBER() OVER (
+           PARTITION BY s
+           ORDER BY CAST(num AS DOUBLE) / CAST(cn * cn AS DOUBLE), j
+         ) AS rn
+  FROM sc{it}
+), cent{it} AS (
+  SELECT a.j, c.g, SUM(c.x) AS cs, COUNT(*) AS cn
+  FROM cx c JOIN (SELECT s, j FROM a{it} WHERE rn = 1) a ON c.s = a.s
+  GROUP BY 1, 2
+)"""
+        )
+        prev = f"cent{it}"
+    parts.append(
+        f"""
+SELECT s AS sample_id, j AS cluster, dist2
+FROM a{n_iter} WHERE rn = 1
+"""
+    )
+    return "".join(parts)
+
+
+QUERIES_STATS["kmeans_lloyd2"] = q_kmeans_lloyd2
+ORACLES_STATS["kmeans_lloyd2"] = _oracle_kmeans_lloyd2()
+
+
 def q_moderated_lmfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 eBayes on the general design — `lmfit_design`'s contrast t
     shrunk with the two-pass global variance prior
