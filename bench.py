@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "pca_covariance",
     "mds_bmatrix",
     "kmeans_lloyd2",
+    "ivf_fixed",
     "pca_outliers",
 ]
 

@@ -629,3 +629,42 @@ def test_pq_train_sample_is_layout_independent(spark):
     b1, _ = pq_train(df1, m=4, k=8, sample_cap=100, seed=1)
     b2, _ = pq_train(df2, m=4, k=8, sample_cap=100, seed=1)
     assert np.array_equal(b1, b2)
+
+
+def test_ivf_fixed_topk_matches_bruteforce_on_probed_cells(spark):
+    """ivf_fixed_topk returns exactly the brute-force cosine top-k
+    restricted to the probed cells (local numpy replay of codebook,
+    assignment, probes)."""
+    import numpy as np
+
+    from transcriptomics_data_integration_spark.llmdata.similarity import (
+        ivf_fixed_topk,
+    )
+
+    rng = np.random.default_rng(9)
+    N, D, CELLS, PROBE, K = 60, 8, 4, 2, 3
+    V = rng.normal(0, 1, (N, D)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, V[i].tolist()) for i in range(N)], "vec_id long, embedding array<float>"
+    )
+    qs = df.where("vec_id % 10 = 0")
+    got = {}
+    for r in ivf_fixed_topk(df, qs, k=K, n_cells=CELLS, n_probe=PROBE).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["cand_id"]))
+
+    # local replay
+    h = [(i * 2654435761) % 4294967296 for i in range(N)]
+    order = sorted(range(N), key=lambda i: (h[i], i))[:CELLS]
+    C = V[order].astype(float)
+    Vd = V.astype(float)
+    d2 = ((Vd[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)  # ties -> smaller cell, argmin matches
+    norms = np.sqrt((Vd * Vd).sum(axis=1))
+    for qi in range(0, N, 10):
+        probe_cells = np.argsort(d2[qi], kind="stable")[:PROBE]
+        cands = [c for c in range(N) if assign[c] in probe_cells and c != qi]
+        cos = {
+            c: float(Vd[qi] @ Vd[c] / (norms[qi] * norms[c])) for c in cands
+        }
+        want = sorted(cands, key=lambda c: (-cos[c], c))[:K]
+        assert [c for _, c in sorted(got[qi])] == want

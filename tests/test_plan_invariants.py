@@ -30,6 +30,9 @@ BNLJ_WHITELIST = {
     # completion (like htseq_scan) + mds_bmatrix's 1-row grand-sum
     # attach
     "pca_covariance", "mds_bmatrix", "kmeans_lloyd2",
+    # ivf_fixed: broadcast center crossJoins (n_cells-row dim), like
+    # ivf_ann
+    "ivf_fixed",
 }
 
 

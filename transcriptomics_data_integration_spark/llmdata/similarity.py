@@ -203,7 +203,16 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    # query -> n_probe nearest cells by euclidean distance to centers
+    return _ivf_search(assigned, centers_df, q, k, n_probe)
+
+
+def _ivf_search(
+    assigned: DataFrame, centers_df: DataFrame, q: DataFrame, k: int, n_probe: int
+) -> DataFrame:
+    """Shared IVF probe + re-rank: query -> ``n_probe`` nearest cells by
+    euclidean distance to the (broadcast) centers, then exact cosine
+    top-k within the probed cells.  ``assigned`` = (cand_id, c_vec,
+    cell); ``q`` = (query_id, q_vec)."""
     qc = q.crossJoin(F.broadcast(centers_df)).withColumn(
         "dist",
         F.expr(
@@ -229,6 +238,74 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "cand_id", "rank", "cosine")
     )
+
+
+def ivf_fixed_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF ANN with a DETERMINISTIC coarse quantizer — the
+    hash-gateable twin of :func:`ivf_topk` (same inverted-file layout,
+    probe schedule, and exact re-rank; only the codebook differs).
+
+    Codebook: the ``n_cells`` corpus vectors with the smallest Knuth
+    multiplicative hash of their id (``(id * 2654435761) mod 2^32`` —
+    integer arithmetic, engine-exact) serve as centers, i.e. a
+    reproducible random sample instead of Lloyd iterations — the
+    classic "random vectors as coarse centroids" IVF bootstrap.  Cell
+    assignment (argmin L2, ties to the smaller cell id) uses the same
+    left-fold float arithmetic both engines evaluate identically, so
+    every assignment, probe, and ranked result is hash-checkable.
+
+    Same scale shape as ivf_topk: centers broadcast (n_cells x dim),
+    assignment is a map-side fold + per-id top-1, search shuffles on
+    the cell id only.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
+    )
+    hashed = base.withColumn(
+        "_h", (F.col("cand_id") * F.lit(2654435761)) % F.lit(4294967296)
+    )
+    # distributed top-k (TakeOrderedAndProject), NOT a global window —
+    # the corpus never funnels through one task; only the n_cells-row
+    # result sees the cell-numbering window
+    picked = hashed.orderBy(F.col("_h"), F.col("cand_id")).limit(n_cells)
+    centers_df = picked.select(
+        (
+            F.row_number().over(Window.orderBy(F.col("_h"), F.col("cand_id"))) - 1
+        ).alias("cell"),
+        F.col("c_vec").cast("array<double>").alias("center"),
+    )
+    ac = base.crossJoin(F.broadcast(centers_df)).withColumn(
+        "dist",
+        F.expr(
+            "aggregate(zip_with(c_vec, center, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        ),
+    )
+    # argmin via min(struct): partially aggregable (the x n_cells blowup
+    # collapses map-side before any exchange), unlike a per-id window.
+    # Struct comparison is (dist, cell, ...) lexicographic; cell is
+    # unique per candidate so the vector field is never compared.
+    assigned = (
+        ac.groupBy("cand_id")
+        .agg(
+            F.min(
+                F.struct(F.col("dist"), F.col("cell"), F.col("c_vec").alias("v"))
+            ).alias("_m")
+        )
+        .select("cand_id", F.col("_m.v").alias("c_vec"), F.col("_m.cell").alias("cell"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    return _ivf_search(assigned, centers_df, q, k, n_probe)
 
 
 def cosine_neardup_pairs(

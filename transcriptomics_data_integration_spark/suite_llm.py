@@ -580,7 +580,83 @@ FROM e GROUP BY event_type
 """
 
 
+def q_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a deterministic hash-sampled codebook, HASH-GATED —
+    the oracle-checkable twin of the seeded-KMeans ``ivf_ann``
+    (rows-only): same inverted-file layout, probe schedule, and exact
+    cosine re-rank, with the coarse centers drawn by Knuth
+    multiplicative hash instead of Lloyd iterations.  Every fold runs
+    the identical left-to-right double arithmetic in both engines."""
+    from transcriptomics_data_integration_spark.llmdata.similarity import (
+        ivf_fixed_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    out = ivf_fixed_topk(emb, queries, k=5, n_cells=16, n_probe=2)
+    return out.select(
+        "query_id", "cand_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
+_L2_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(generate_series(1, len({a})), "
+    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+    "* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), (x, y) -> x + y)"
+)
+
+ORACLE_IVF_FIXED = f"""
+WITH base AS (
+  SELECT vec_id AS cand_id, embedding AS c_vec,
+         (vec_id * 2654435761) % 4294967296 AS h
+  FROM embeddings
+), picked AS (
+  SELECT h, cand_id, c_vec FROM base ORDER BY h, cand_id LIMIT 16
+), centers AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY h, cand_id) - 1 AS cell,
+         list_transform(c_vec, x -> CAST(x AS DOUBLE)) AS center
+  FROM picked
+), ac AS (
+  SELECT b.cand_id, b.c_vec, c.cell,
+         {_L2_SQL.format(a='b.c_vec', b='c.center')} AS dist
+  FROM base b CROSS JOIN centers c
+), assigned AS (
+  SELECT cand_id, c_vec, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cand_id ORDER BY dist, cell) AS rn
+    FROM ac
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+  WHERE vec_id % 10 = 0
+), qc AS (
+  SELECT q.query_id, q.q_vec, c.cell,
+         {_L2_SQL.format(a='q.q_vec', b='c.center')} AS dist
+  FROM q CROSS JOIN centers c
+), probes AS (
+  SELECT query_id, q_vec, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rn
+    FROM qc
+  ) WHERE rn <= 2
+), sims AS (
+  SELECT p.query_id, a.cand_id,
+         {_DOT_SQL.format(a='p.q_vec', b='a.c_vec')}
+         / (sqrt({_DOT_SQL.format(a='p.q_vec', b='p.q_vec')})
+            * sqrt({_DOT_SQL.format(a='a.c_vec', b='a.c_vec')})) AS cosine
+  FROM probes p JOIN assigned a USING (cell)
+  WHERE p.query_id <> a.cand_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+  FROM sims
+)
+SELECT query_id, cand_id, rank, ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
 QUERIES_LLM = {
+    "ivf_fixed": q_ivf_fixed,
     "token_stats": q_token_stats,
     "text_quality": q_text_quality,
     "language_id": q_language_id,
@@ -599,6 +675,7 @@ QUERIES_LLM = {
 }
 
 ORACLES_LLM = {
+    "ivf_fixed": ORACLE_IVF_FIXED,
     "token_stats": ORACLE_TOKEN_STATS,
     "text_quality": ORACLE_TEXT_QUALITY,
     "language_id": ORACLE_LANGUAGE_ID,
