@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "mds_bmatrix",
     "kmeans_lloyd2",
     "ivf_fixed",
+    "pq_fixed",
     "pca_outliers",
 ]
 

@@ -668,3 +668,39 @@ def test_ivf_fixed_topk_matches_bruteforce_on_probed_cells(spark):
         }
         want = sorted(cands, key=lambda c: (-cos[c], c))[:K]
         assert [c for _, c in sorted(got[qi])] == want
+
+
+def test_pq_fixed_codes_match_arrow_encode(spark):
+    """The relational PQ encode (pq_fixed's hash-gated path) and the
+    Arrow pq_encode kernel produce IDENTICAL codes when given the same
+    codebook — cross-validating the production Arrow path against the
+    oracle-checked algebra."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from transcriptomics_data_integration_spark.llmdata.similarity import (
+        _pq_fixed_centers,
+        _pq_fixed_codes,
+        pq_encode,
+    )
+
+    M, NCENT = 8, 16
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("vec"))
+    centers = _pq_fixed_centers(base, M, NCENT)
+    rel = {
+        r["cand_id"]: list(r["codes"])
+        for r in _pq_fixed_codes(base, centers, M).collect()
+    }
+
+    # same codebook as a [m, k, dsub] ndarray for the Arrow kernel
+    crows = centers.collect()
+    dsub = len(crows[0]["center"])
+    books = np.zeros((M, NCENT, dsub))
+    for r in crows:
+        books[r["s"], r["c"]] = r["center"]
+    arrow = {
+        r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, books).collect()
+    }
+    assert rel == arrow

@@ -33,6 +33,8 @@ BNLJ_WHITELIST = {
     # ivf_fixed: broadcast center crossJoins (n_cells-row dim), like
     # ivf_ann
     "ivf_fixed",
+    # pq_fixed: broadcast sub-centroid joins + the ADC codes x LUT sweep
+    "pq_fixed",
 }
 
 

@@ -381,6 +381,129 @@ def cosine_neardup_pairs(
     )
 
 
+def _pq_fixed_centers(base: DataFrame, m: int, n_cent: int) -> DataFrame:
+    """(s, c, center) sub-centroid relation — ``n_cent`` hash-picked
+    corpus vectors sliced into ``m`` subspaces; m * n_cent rows,
+    broadcast-sized.  ``base`` = (cand_id, vec)."""
+    hashed = base.withColumn(
+        "_h", (F.col("cand_id") * F.lit(2654435761)) % F.lit(4294967296)
+    )
+    picked = hashed.orderBy(F.col("_h"), F.col("cand_id")).limit(n_cent)
+    numbered = picked.select(
+        (
+            F.row_number().over(Window.orderBy(F.col("_h"), F.col("cand_id"))) - 1
+        ).alias("c"),
+        F.col("vec").cast("array<double>").alias("cv"),
+    )
+    dsub_expr = f"size(cv) / {m}"
+    return numbered.select(
+        F.explode(F.expr(f"sequence(0, {m - 1})")).alias("s"), "c", "cv"
+    ).select(
+        "s",
+        "c",
+        F.expr(f"slice(cv, s * ({dsub_expr}) + 1, {dsub_expr})").alias("center"),
+    )
+
+
+def _pq_sub_l2(vec_expr: str, m: int) -> str:
+    """Ordered-fold squared L2 between ``vec_expr``'s subspace ``s``
+    slice and the joined ``center`` column (both engines evaluate the
+    identical left-to-right double chain)."""
+    return (
+        f"aggregate(zip_with(slice({vec_expr}, s * (size({vec_expr}) / {m}) + 1, "
+        f"size({vec_expr}) / {m}), center, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _pq_fixed_codes(base: DataFrame, centers: DataFrame, m: int) -> DataFrame:
+    """(cand_id, codes array) — argmin sub-centroid per subspace via a
+    partially-aggregable min(struct), collected in s order."""
+    exploded = base.select(
+        "cand_id", "vec", F.explode(F.expr(f"sequence(0, {m - 1})")).alias("s")
+    )
+    scored = exploded.join(F.broadcast(centers), "s").withColumn(
+        "dist", F.expr(_pq_sub_l2("vec", m))
+    )
+    return (
+        scored.groupBy("cand_id", "s")
+        .agg(F.min(F.struct("dist", "c")).alias("_m"))
+        .groupBy("cand_id")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(s, _m.c AS c))), x -> x.c)"
+            ).alias("codes")
+        )
+    )
+
+
+def pq_fixed_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    n_cent: int = 16,
+) -> DataFrame:
+    """Product-quantization ADC search with a DETERMINISTIC codebook —
+    the hash-gateable twin of the ``pq_train``/``pq_encode``/``pq_topk``
+    Arrow pipeline (rows-only ``pq_ann``), entirely in JVM codegen.
+
+    Codebook: the ``n_cent`` corpus vectors with the smallest Knuth
+    multiplicative id-hash, sliced into ``m`` subspaces (the same
+    bootstrap as :func:`ivf_fixed_topk` — a reproducible sample instead
+    of Lloyd).  Encode: per (vector, subspace), argmin L2 over the
+    ``n_cent`` sub-centroids via a partially-aggregable min(struct);
+    codes collect into an s-ordered array.  Search: per query, the
+    m x n_cent LUT of partial squared distances flattens into one
+    (s, c)-ordered array, and each candidate's asymmetric distance is
+    an ORDERED fold ``acc + lut[s * n_cent + code_s]`` — the fold order
+    is explicit on both engines (Spark ``aggregate``, DuckDB
+    ``list_reduce``), so every distance, rank, and code is
+    bitwise-reproducible and the whole PQ layout is oracle-replayable.
+
+    Scale shape: encode is one broadcast join (m * n_cent sub-centroid
+    rows) + one partial aggregate; the ADC scan is the standard
+    codes x queries sweep with the LUT broadcast — the corpus side
+    only ever carries its m-byte codes, never the original floats.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("vec")
+    )
+    centers = _pq_fixed_centers(base, m, n_cent)
+    codes = _pq_fixed_codes(base, centers, m)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qex = q.select(
+        "query_id", "qv", F.explode(F.expr(f"sequence(0, {m - 1})")).alias("s")
+    )
+    lut = (
+        qex.join(F.broadcast(centers), "s")
+        .withColumn("l2", F.expr(_pq_sub_l2("qv", m)))
+        .groupBy("query_id")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(s, c, l2))), x -> x.l2)"
+            ).alias("lut")
+        )
+    )
+    pairs = codes.crossJoin(F.broadcast(lut)).where(
+        F.col("query_id") != F.col("cand_id")
+    )
+    adist = F.expr(
+        f"aggregate(sequence(0, {m - 1}), CAST(0 AS DOUBLE), "
+        f"(acc, s) -> acc + element_at(lut, s * {n_cent} + element_at(codes, s + 1) + 1))"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("cand_id"))
+    return (
+        pairs.withColumn("adist", adist)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "adist")
+    )
+
+
 def quantize_embeddings(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -655,8 +655,88 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC search with a deterministic hash-sampled codebook,
+    HASH-GATED — the oracle-checkable twin of the Arrow
+    ``pq_train``/``pq_encode``/``pq_topk`` chain (rows-only ``pq_ann``):
+    same subspace split, encode argmin, LUT build, and asymmetric-
+    distance scan, with every reduction an explicitly-ordered fold so
+    codes, distances, and ranks are bitwise-reproducible."""
+    from transcriptomics_data_integration_spark.llmdata.similarity import (
+        pq_fixed_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    return pq_fixed_topk(emb, queries, k=5, m=8, n_cent=16)
+
+
+def _oracle_pq_fixed(m: int = 8, n_cent: int = 16) -> str:
+    def sub_l2(vec: str) -> str:
+        sl = f"{vec}[s * (len({vec}) // {m}) + 1 : (s + 1) * (len({vec}) // {m})]"
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(generate_series(1, len(center)), "
+            f"i -> (CAST(({sl})[i] AS DOUBLE) - center[i]) "
+            f"* (CAST(({sl})[i] AS DOUBLE) - center[i]))), (x, y) -> x + y)"
+        )
+
+    return f"""
+WITH base AS (
+  SELECT vec_id AS cand_id, embedding AS vec,
+         (vec_id * 2654435761) % 4294967296 AS h
+  FROM embeddings
+), picked AS (
+  SELECT h, cand_id, vec FROM base ORDER BY h, cand_id LIMIT {n_cent}
+), numbered AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY h, cand_id) - 1 AS c,
+         list_transform(vec, x -> CAST(x AS DOUBLE)) AS cv
+  FROM picked
+), centers AS (
+  SELECT sq.s, n.c,
+         n.cv[sq.s * (len(n.cv) // {m}) + 1 : (sq.s + 1) * (len(n.cv) // {m})]
+           AS center
+  FROM numbered n
+  CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS s) sq
+), enc AS (
+  SELECT b.cand_id, c.s, c.c, {sub_l2('b.vec')} AS dist
+  FROM base b CROSS JOIN centers c
+), codes AS (
+  SELECT cand_id, list(code ORDER BY s) AS codes FROM (
+    SELECT cand_id, s, c AS code FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY cand_id, s ORDER BY dist, c) AS rn
+      FROM enc
+    ) WHERE rn = 1
+  ) GROUP BY cand_id
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % 10 = 0
+), lutrows AS (
+  SELECT q.query_id, c.s, c.c, {sub_l2('q.qv')} AS l2
+  FROM q CROSS JOIN centers c
+), lut AS (
+  SELECT query_id, list(l2 ORDER BY s, c) AS lut FROM lutrows GROUP BY query_id
+), pairs AS (
+  SELECT l.query_id, cd.cand_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(generate_series(0, {m - 1}),
+             s -> l.lut[s * {n_cent} + cd.codes[s + 1] + 1])),
+           (x, y) -> x + y) AS adist
+  FROM codes cd CROSS JOIN lut l
+  WHERE l.query_id <> cd.cand_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adist, cand_id) AS rank
+  FROM pairs
+)
+SELECT query_id, cand_id, rank, adist FROM ranked WHERE rank <= 5
+"""
+
+
 QUERIES_LLM = {
     "ivf_fixed": q_ivf_fixed,
+    "pq_fixed": q_pq_fixed,
     "token_stats": q_token_stats,
     "text_quality": q_text_quality,
     "language_id": q_language_id,
@@ -676,6 +756,7 @@ QUERIES_LLM = {
 
 ORACLES_LLM = {
     "ivf_fixed": ORACLE_IVF_FIXED,
+    "pq_fixed": _oracle_pq_fixed(),
     "token_stats": ORACLE_TOKEN_STATS,
     "text_quality": ORACLE_TEXT_QUALITY,
     "language_id": ORACLE_LANGUAGE_ID,
