@@ -213,6 +213,92 @@ def probe_icc_blockmatrix(spark, copies: int) -> dict:
             "sec": round(time.perf_counter() - t0, 2)}
 
 
+def probe_pca_covariance(spark, copies: int) -> dict:
+    """M11 distributed phase under SAMPLE inflation (G fixed at 25,
+    xN samples): the self-join fanout is G^2 per sample — the axis
+    that actually grows at 100 TB."""
+    from transcriptomics_data_integration_spark.stats.mlkernels import (
+        feature_covariance,
+    )
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    big = inflate(li.where(F.col("l_partkey") <= 25), "l_suppkey", copies,
+                  shift_keys=True)
+    # shifted suppkeys are disjoint across copies -> xN DISTINCT samples;
+    # complete the grid (like the suite query) so the self-join fanout
+    # is the dense G^2-per-sample the gate actually executes
+    sparse = big.groupBy(
+        F.col("l_partkey").alias("gene_id"),
+        F.col("l_suppkey").alias("sample_id"),
+    ).agg(F.sum("l_extendedprice").alias("value"))
+    cells = (
+        sparse.select("gene_id").distinct()
+        .crossJoin(sparse.select("sample_id").distinct())
+        .join(sparse, ["gene_id", "sample_id"], "left")
+        .fillna({"value": 0.0})
+    )
+    t0 = time.perf_counter()
+    n = feature_covariance(cells, "gene_id", "sample_id", "value").count()
+    return {"probe": f"pca_covariance_samples_x{copies}", "rows_out": n,
+            "sec": round(time.perf_counter() - t0, 2)}
+
+
+def probe_mds_bmatrix(spark, copies: int) -> dict:
+    """M12 distributed phase under gene inflation (S fixed at 20):
+    distance self-join sees xN genes, centering relations stay S^2."""
+    from transcriptomics_data_integration_spark.stats.mlkernels import mds_bmatrix
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    big = inflate(
+        li.where(F.col("l_partkey") <= 300), "l_partkey", copies, shift_keys=True
+    )
+    cells = big.groupBy(
+        F.col("l_partkey").alias("gene_id"),
+        (F.col("l_suppkey") % 20).alias("sample_id"),
+    ).agg(F.sum("l_quantity").alias("value"))
+    t0 = time.perf_counter()
+    n = mds_bmatrix(cells, "sample_id", "gene_id", "value").count()
+    return {"probe": f"mds_bmatrix_genes_x{copies}", "rows_out": n,
+            "sec": round(time.perf_counter() - t0, 2)}
+
+
+def probe_kmeans_lloyd(spark, copies: int) -> dict:
+    """Fixed-Lloyd k-means under sample inflation (G fixed at 60):
+    per-iteration broadcast-join fanout is k x G per sample."""
+    from transcriptomics_data_integration_spark.stats.mlkernels import (
+        kmeans_lloyd_fixed,
+    )
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    big = inflate(li.where(F.col("l_partkey") <= 60), "l_suppkey", copies,
+                  shift_keys=True)
+    cells = big.groupBy(
+        F.col("l_partkey").alias("gene_id"),
+        (F.col("l_suppkey") % (40 * copies)).alias("sample_id"),
+    ).agg(F.sum("l_quantity").alias("value"))
+    t0 = time.perf_counter()
+    n = kmeans_lloyd_fixed(cells, "sample_id", "gene_id", "value",
+                           k=3, n_iter=2).count()
+    return {"probe": f"kmeans_lloyd_samples_x{copies}", "rows_out": n,
+            "sec": round(time.perf_counter() - t0, 2)}
+
+
+def probe_pq_fixed(spark, copies: int) -> dict:
+    """PQ encode + ADC sweep under corpus inflation (queries fixed):
+    the codes x LUT scan grows linearly in the corpus."""
+    from transcriptomics_data_integration_spark.llmdata.similarity import (
+        pq_fixed_topk,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    big = inflate(emb, "vec_id", copies, shift_keys=True)
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    t0 = time.perf_counter()
+    n = pq_fixed_topk(big, queries, k=5).count()
+    return {"probe": f"pq_fixed_corpus_x{copies}", "rows_out": n,
+            "sec": round(time.perf_counter() - t0, 2)}
+
+
 def probe_rnaseq_binned(spark, copies: int) -> dict:
     """Entry-point-B binned composition under row inflation (same gene
     set, xN observations per gene)."""
@@ -270,6 +356,14 @@ def main() -> None:
         (probe_icc_blockmatrix, (5,)),
         (probe_rnaseq_binned, (1,)),
         (probe_rnaseq_binned, (10,)),
+        (probe_pca_covariance, (1,)),
+        (probe_pca_covariance, (10,)),
+        (probe_mds_bmatrix, (1,)),
+        (probe_mds_bmatrix, (10,)),
+        (probe_kmeans_lloyd, (1,)),
+        (probe_kmeans_lloyd, (10,)),
+        (probe_pq_fixed, (1,)),
+        (probe_pq_fixed, (4,)),
     ]:
         spark.catalog.clearCache()
         print(json.dumps(fn(spark, *args)), flush=True)
