@@ -13,10 +13,107 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from transcriptomics_data_integration_spark.operators.filters import nonspecific_filter_topk
 from transcriptomics_data_integration_spark.stats.bh import bh_adjust
 from transcriptomics_data_integration_spark.stats.combat import check_confounding, combat
 from transcriptomics_data_integration_spark.stats.ttest import moderated_t, two_group_ttest
+
+
+def _f5_ttest_single_pass(
+    labeled: DataFrame,
+    gene_col: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    top_k_genes: int | None,
+    exact_scale: int | None,
+) -> DataFrame:
+    """F5 top-variance filter + pooled t from ONE fact aggregation.
+
+    The per-gene relation below carries both the all-sample moments
+    (the F5 sd — identical decimal expressions and tie-break to
+    ``nonspecific_filter_topk``) and the per-group moments the pooled
+    t consumes, so the fact relation is aggregated exactly once; the
+    top-k semi-join then restricts the BOUNDED per-gene relation,
+    which is row-for-row what filtering facts first would produce
+    (gene-level filter feeding a gene-level aggregation).  Without
+    ``top_k_genes`` this is plain :func:`two_group_ttest`.
+    """
+    from pyspark.sql import Window
+
+    from transcriptomics_data_integration_spark.stats.ttest import (
+        ttest_from_group_moments,
+    )
+
+    if not top_k_genes:
+        return two_group_ttest(
+            labeled, gene_col, group_col, value_col, group_a, group_b,
+            exact_scale=exact_scale, log_scale_values=True,
+        )
+    g, v = F.col(group_col), F.col(value_col)
+    va = F.when(g == F.lit(group_a), v)
+    vb = F.when(g == F.lit(group_b), v)
+    if exact_scale is not None:
+        s, s2 = exact_scale, 2 * exact_scale
+        dall = v.cast(f"decimal(18,{s})")
+        ca, cb = va.cast(f"decimal(18,{s})"), vb.cast(f"decimal(18,{s})")
+        sum_all = F.sum(dall).cast("double")
+        sum2_all = F.sum((dall * dall).cast(f"decimal(38,{s2})")).cast("double")
+        sum_a = F.sum(ca).cast("double")
+        sum_b = F.sum(cb).cast("double")
+        sum2_a = F.sum((ca * ca).cast(f"decimal(38,{s2})")).cast("double")
+        sum2_b = F.sum((cb * cb).cast(f"decimal(38,{s2})")).cast("double")
+    else:
+        sum_all, sum2_all = F.sum(v), F.sum(v * v)
+        sum_a, sum_b = F.sum(va), F.sum(vb)
+        sum2_a, sum2_b = F.sum(va * va), F.sum(vb * vb)
+    # persist the BOUNDED per-gene moment relation: it has two
+    # consumers (the F5 ranking and the semi-joined t input), and an
+    # unpersisted DAG fork re-executes the whole fact aggregation
+    # subtree per consumer — one row per gene is always cacheable,
+    # the fact relation never is
+    mom = labeled.groupBy(gene_col).agg(
+        F.count(F.lit(1)).alias("_n_all"),
+        sum_all.alias("_s_all"),
+        sum2_all.alias("_s2_all"),
+        F.count(va).alias("n_a"),
+        F.count(vb).alias("n_b"),
+        sum_a.alias("_sa"),
+        sum_b.alias("_sb"),
+        sum2_a.alias("_sa2"),
+        sum2_b.alias("_sb2"),
+    ).persist()
+    ranked = mom.where(F.col("_n_all") >= 2).withColumn(
+        "_sd",
+        F.sqrt(
+            (F.col("_s2_all") - F.col("_s_all") * F.col("_s_all") / F.col("_n_all"))
+            / (F.col("_n_all") - 1)
+        ),
+    )
+    w = Window.orderBy(F.col("_sd").desc(), F.col(gene_col))
+    keep = (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= top_k_genes)
+        .select(gene_col)
+    )
+    agg = (
+        mom.join(F.broadcast(keep), gene_col, "left_semi")
+        .where((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+        .withColumn("mean_a", F.col("_sa") / F.col("n_a"))
+        .withColumn("mean_b", F.col("_sb") / F.col("n_b"))
+        .withColumn(
+            "var_a",
+            (F.col("_sa2") - F.col("_sa") * F.col("_sa") / F.col("n_a"))
+            / (F.col("n_a") - 1),
+        )
+        .withColumn(
+            "var_b",
+            (F.col("_sb2") - F.col("_sb") * F.col("_sb") / F.col("n_b"))
+            / (F.col("n_b") - 1),
+        )
+        .drop("_n_all", "_s_all", "_s2_all", "_sa", "_sb", "_sa2", "_sb2")
+    )
+    return ttest_from_group_moments(agg, log_scale_values=True)
 
 
 def differential_expression(
@@ -52,8 +149,13 @@ def differential_expression(
     labeled = expr.join(
         F.broadcast(targets.select(sample_col, group_col, batch_col)), sample_col
     )
-    if batch_correct and labeled.select(batch_col).distinct().count() > 1:
-        if not check_confounding(labeled, batch_col, group_col):
+    # batch cardinality + confounding come from the SAMPLE SHEET (the
+    # broadcast dim the reference itself checks,
+    # DiffExpression_closedPlatform.R:390-418) — not from `labeled`:
+    # both were driver actions that re-executed the full fact scan+join
+    # before the pipeline even started
+    if batch_correct and targets.select(batch_col).distinct().count() > 1:
+        if not check_confounding(targets, batch_col, group_col):
             raise ValueError(
                 "batch is confounded with the biological group "
                 "(reference guard, DiffExpression_closedPlatform.R:390-418)"
@@ -63,13 +165,26 @@ def differential_expression(
                 dv = F.col(value_col).cast(f"decimal(18,{exact_scale})")
             else:
                 dv = F.col(value_col)
-            per_gb = labeled.groupBy(gene_col, batch_col).agg(
-                F.sum(dv).cast("double").alias("_s_gb"),
+            # ONE fact aggregation: per-(gene, batch) decimal sums;
+            # per-gene totals roll up from the tiny per_gb relation
+            # (decimal addition is associative, so the rolled-up sums
+            # are bitwise the values a direct fact aggregation yields)
+            # instead of re-executing the scan+join subtree
+            # persisted: two consumers (per-gene rollup + the adjust
+            # join) and one row per (gene, batch) — bounded
+            per_gb_dec = labeled.groupBy(gene_col, batch_col).agg(
+                F.sum(dv).alias("_sd_gb"),
                 F.count(F.lit(1)).alias("_n_gb"),
+            ).persist()
+            per_g = per_gb_dec.groupBy(gene_col).agg(
+                F.sum("_sd_gb").cast("double").alias("_s_g"),
+                F.sum("_n_gb").alias("_n_g"),
             )
-            per_g = labeled.groupBy(gene_col).agg(
-                F.sum(dv).cast("double").alias("_s_g"),
-                F.count(F.lit(1)).alias("_n_g"),
+            per_gb = per_gb_dec.select(
+                gene_col,
+                batch_col,
+                F.col("_sd_gb").cast("double").alias("_s_gb"),
+                "_n_gb",
             )
             adj = (
                 F.col(value_col)
@@ -98,13 +213,9 @@ def differential_expression(
             labeled = corrected.join(
                 F.broadcast(targets.select(sample_col, group_col)), sample_col
             )
-    if top_k_genes:
-        labeled = nonspecific_filter_topk(
-            labeled, gene_col, value_col, top_k_genes, exact_scale=exact_scale
-        )
-    tt = two_group_ttest(
+    tt = _f5_ttest_single_pass(
         labeled, gene_col, group_col, value_col, group_a, group_b,
-        exact_scale=exact_scale, log_scale_values=True,
+        top_k_genes, exact_scale,
     )
     mod = moderated_t(tt)
     adj = bh_adjust(mod, "p_value", "adj_p_value", tiebreak_col=gene_col)
@@ -172,13 +283,9 @@ def normalized_matrix_de(
     labeled = df.join(
         F.broadcast(targets.select(sample_col, group_col)), sample_col
     )
-    if top_k_genes:
-        labeled = nonspecific_filter_topk(
-            labeled, gene_col, value_col, top_k_genes, exact_scale=exact_scale
-        )
-    tt = two_group_ttest(
+    tt = _f5_ttest_single_pass(
         labeled, gene_col, group_col, value_col, group_a, group_b,
-        exact_scale=exact_scale, log_scale_values=True,
+        top_k_genes, exact_scale,
     )
     mod = moderated_t(tt)
     adj = bh_adjust(mod, "p_value", "adj_p_value", tiebreak_col=gene_col)

@@ -36,6 +36,12 @@ def meta_analysis(
     ``exact_scale`` flows to the per-platform DE moments and the ICC
     pair moments (functions/exact.py scheme) so the composition is
     hash-gateable end-to-end (``q_meta_pipeline``)."""
+    # the per-(gene, platform) DE table below feeds four consumers
+    # (ICC attach, Stouffer combine, p-improvement join, per-gene icc)
+    # — persist it (gene-sized, trivially cacheable) so none of them
+    # re-executes the fact aggregation.  `expr` itself (matrix-sized)
+    # is left to the caller: caching it was measured slower than the
+    # re-scan at bench scale.
     labeled = expr.join(F.broadcast(targets.select(sample_col, group_col)), sample_col)
     de = two_group_ttest(
         labeled,
@@ -45,7 +51,7 @@ def meta_analysis(
         group_a,
         group_b,
         exact_scale=exact_scale,
-    )
+    ).persist()
     if with_icc:
         platforms = [r[0] for r in expr.select(platform_col).distinct().collect()]
         cells = expr.select(

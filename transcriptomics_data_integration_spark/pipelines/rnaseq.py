@@ -53,6 +53,14 @@ def rnaseq_differential_expression(
     ``limma::voom`` (`DiffExpression_openPlatform.R:427-442`)."""
     if fidelity not in ("binned", "lowess"):
         raise ValueError("fidelity must be 'binned' or 'lowess'")
+    # NOTE on the DAG fork: `counts` (the gene x sample matrix) has two
+    # independent consumers (CQN offsets, voom trend), so its upstream
+    # subtree executes twice.  Persisting the matrix here was measured
+    # SLOWER at bench scale (columnar cache materialization ~3x the
+    # re-scan, r3) and is only the right trade when the matrix is much
+    # smaller than the fact relation feeding it — callers for whom that
+    # holds should pass `counts.persist()` in.  Per-gene relations
+    # (weights) stay cheap either way.
     if fidelity == "lowess":
         cqn = cqn_spline(counts, gene_col, sample_col, count_col, gene_attrs, gc_col)
         # voom fits the ~0+group design before taking sigma

@@ -102,6 +102,17 @@ def two_group_ttest(
     """
     gene_cols = [gene_col] if isinstance(gene_col, str) else list(gene_col)
     agg = _group_moments(df, gene_cols, group_col, value_col, group_a, group_b, exact_scale)
+    return ttest_from_group_moments(agg, log_scale_values)
+
+
+def ttest_from_group_moments(
+    agg: DataFrame, log_scale_values: bool = False
+) -> DataFrame:
+    """Finish the pooled t from a per-gene group-moment relation
+    (n_a, n_b, mean_a, mean_b, var_a, var_b) — the seam that lets a
+    composition aggregate the fact relation ONCE and feed both the F5
+    ranking and the DE fit from the same moments (single fact pass;
+    values identical to :func:`two_group_ttest` by construction)."""
     sp2 = (
         (F.col("n_a") - 1) * F.col("var_a") + (F.col("n_b") - 1) * F.col("var_b")
     ) / (F.col("n_a") + F.col("n_b") - 2)
