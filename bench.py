@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "kmeans_lloyd2",
     "ivf_fixed",
     "pq_fixed",
+    "combat_eb2",
     "pca_outliers",
 ]
 

@@ -340,3 +340,49 @@ def test_ks_test_matches_python_ecdf(spark):
     )
     r2 = ks_test(same, "grp", "v", "a", "b").collect()[0]
     assert r2["d_stat"] == 0.0 and r2["p_approx"] > 0.99
+
+
+def test_combat_eb_fixed_converges_to_arrow_solver(spark):
+    """combat_eb_fixed at high n_iter reproduces the converge-to-
+    tolerance Arrow EB solver (residual = prior tick quantization);
+    the n_iter=2 gated schedule is a genuine intermediate point."""
+    import random
+
+    from transcriptomics_data_integration_spark.stats.combat import (
+        combat,
+        combat_eb_fixed,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for g in range(40):
+        for b, shift in [("b0", 0.0), ("b1", 3.0), ("b2", -2.0)]:
+            for s in range(8):
+                rows.append(
+                    (f"g{g}", f"{b}_s{s}", b,
+                     round(100 + 10 * rng.gauss(0, 1) + shift + g * 0.1, 2))
+                )
+    df = spark.createDataFrame(
+        rows, "gene_id string, sample_id string, batch string, value double"
+    )
+    ref = {
+        (r["gene_id"], r["sample_id"]): r["value"]
+        for r in combat(df, "gene_id", "sample_id", "batch", "value").collect()
+    }
+    fx = {
+        (r["gene_id"], r["sample_id"]): r["value"]
+        for r in combat_eb_fixed(
+            df, "gene_id", "sample_id", "batch", "value", n_iter=50
+        ).collect()
+    }
+    assert set(ref) == set(fx)
+    assert max(abs(ref[k] - fx[k]) for k in ref) < 1e-4
+    # the fixed 2-step schedule is not yet converged — it must differ
+    # (otherwise the gate would be vacuously re-testing the center form)
+    fx2 = {
+        (r["gene_id"], r["sample_id"]): r["value"]
+        for r in combat_eb_fixed(
+            df, "gene_id", "sample_id", "batch", "value", n_iter=2
+        ).collect()
+    }
+    assert max(abs(ref[k] - fx2[k]) for k in ref) > 1e-3

@@ -237,6 +237,190 @@ def combat(
     return adjusted.select(gene_col, sample_col, batch_col, value_col)
 
 
+def combat_eb_fixed(
+    df: DataFrame,
+    gene_col: str,
+    sample_col: str,
+    batch_col: str,
+    value_col: str,
+    n_iter: int = 2,
+    exact_scale: int = 2,
+) -> DataFrame:
+    """Parametric-EB ComBat with a FIXED iteration schedule, fully
+    relational and hash-gateable — the oracle-checkable twin of
+    :func:`combat` (whose sva-style solver iterates to convergence in
+    an Arrow kernel and stays rows-only as ``combat_full``).
+
+    Same algebra as ``_eb_solver``, made engine-exact:
+
+    - every fact moment (per gene x batch n, sum, sum-of-squares)
+      accumulates in DECIMAL;
+    - the standardized-moment identities (s_sum = (sx - n*gm)/sqrt(vp)
+      etc.) turn the standardization into per-row IEEE arithmetic on
+      exact inputs — no sum over irrational values ever happens;
+    - the only cross-gene reductions (pooled-variance batch terms and
+      the EB priors gamma_bar/t2/aprior/bprior) aggregate TIE-FREE
+      QUANTIZED ticks (floor(x*10^q + 0.5), an integer-valued double)
+      in DECIMAL, so they are order-independent too;
+    - the ``n_iter`` fixed-point steps are plain column arithmetic,
+      unrolled into the plan (and into the oracle's CTE chain).
+
+    Two fact passes (moments, adjust); everything between operates on
+    the bounded per-(gene, batch) relation.  Output: the adjusted long
+    relation (gene, sample, batch, value).
+    """
+    s = exact_scale
+    dv = F.col(value_col).cast(f"decimal(18,{s})")
+    per_gb = df.groupBy(gene_col, batch_col).agg(
+        F.count(F.lit(1)).alias("n_gb"),
+        F.sum(dv).alias("_sx_d"),
+        F.sum((dv * dv).cast(f"decimal(38,{2 * s})")).alias("_sx2_d"),
+    ).persist()  # 3 consumers: per-gene rollup, vp terms, EB stats
+    per_g = (
+        per_gb.groupBy(gene_col)
+        .agg(
+            F.sum("_sx_d").cast("double").alias("_sx_g"),
+            F.sum("n_gb").alias("n_g"),
+        )
+        .withColumn("gm", F.col("_sx_g") / F.col("n_g"))
+        .select(gene_col, "n_g", "gm")
+    )
+    # pooled variance: per-batch centered-SS terms, tick-quantized
+    # (scale 4) so the cross-batch sum is order-independent
+    gb = per_gb.select(
+        gene_col,
+        batch_col,
+        "n_gb",
+        F.col("_sx_d").cast("double").alias("sx"),
+        F.col("_sx2_d").cast("double").alias("sx2"),
+    )
+    vp_terms = gb.withColumn(
+        "_t",
+        F.floor(
+            (F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n_gb")) * 1e4
+            + F.lit(0.5)
+        ).cast("decimal(38,0)"),
+    )
+    vp = (
+        vp_terms.groupBy(gene_col)
+        .agg(F.sum("_t").cast("double").alias("_tsum"))
+        .join(per_g, gene_col)
+        .withColumn("vp", F.col("_tsum") / 1e4 / F.col("n_g"))
+        .where(F.col("vp") > 0)
+        .select(gene_col, "n_g", "gm", "vp")
+    )
+    # standardized per-(gene, batch) moments from exact identities
+    stats = (
+        gb.join(vp, gene_col)
+        # a (gene, batch) cell with one sample has no within-batch
+        # variance — the Arrow solver drops it via var_samp -> NULL;
+        # drop it BEFORE the d_hat division (ANSI errors on /0)
+        .where(F.col("n_gb") >= 2)
+        .withColumn("s_sum", (F.col("sx") - F.col("n_gb") * F.col("gm")) / F.sqrt("vp"))
+        .withColumn(
+            "s_sum2",
+            (
+                F.col("sx2")
+                - 2.0 * F.col("gm") * F.col("sx")
+                + F.col("n_gb") * F.col("gm") * F.col("gm")
+            )
+            / F.col("vp"),
+        )
+        .withColumn("g_hat", F.col("s_sum") / F.col("n_gb"))
+        .withColumn(
+            "d_hat",
+            (F.col("s_sum2") - F.col("s_sum") * F.col("s_sum") / F.col("n_gb"))
+            / (F.col("n_gb") - 1),
+        )
+        .where(F.col("d_hat") > 0)
+        # quantize to ticks so the per-batch prior aggregates below are
+        # exact decimal sums (scale 6: standardized stats are O(1-100))
+        .withColumn("gq", F.floor(F.col("g_hat") * 1e6 + F.lit(0.5)))
+        .withColumn("dq", F.floor(F.col("d_hat") * 1e6 + F.lit(0.5)))
+        .persist()  # consumers: prior aggregation + iteration rows
+    )
+    gq, dq = F.col("gq").cast("decimal(18,0)"), F.col("dq").cast("decimal(18,0)")
+    priors = stats.groupBy(batch_col).agg(
+        F.count(F.lit(1)).alias("_G"),
+        F.sum(gq).cast("double").alias("_sg"),
+        F.sum((gq * gq).cast("decimal(38,0)")).cast("double").alias("_sg2"),
+        F.sum(dq).cast("double").alias("_sd"),
+        F.sum((dq * dq).cast("decimal(38,0)")).cast("double").alias("_sd2"),
+    )
+    gbar = F.col("_sg") / F.col("_G") / 1e6
+    t2 = (
+        (F.col("_sg2") - F.col("_sg") * F.col("_sg") / F.col("_G"))
+        / (F.col("_G") - 1)
+        / 1e12
+    )
+    mprior = F.col("_sd") / F.col("_G") / 1e6
+    vprior = (
+        (F.col("_sd2") - F.col("_sd") * F.col("_sd") / F.col("_G"))
+        / (F.col("_G") - 1)
+        / 1e12
+    )
+    priors = (
+        priors.withColumn("gbar", gbar)
+        .withColumn("t2", F.when(F.col("_G") > 1, t2).otherwise(F.lit(1.0)))
+        .withColumn("_m", mprior)
+        .withColumn("_v", F.when(F.col("_G") > 1, vprior).otherwise(F.lit(1.0)))
+        .withColumn(
+            "aprior",
+            F.when(
+                F.col("_v") > 0,
+                (2.0 * F.col("_v") + F.col("_m") * F.col("_m")) / F.col("_v"),
+            ).otherwise(F.lit(2.0)),
+        )
+        .withColumn(
+            "bprior",
+            F.when(
+                F.col("_v") > 0,
+                # m*m*m, not pow(m, 3): libm pow can differ by an ulp
+                (F.col("_m") * F.col("_v") + F.col("_m") * F.col("_m") * F.col("_m"))
+                / F.col("_v"),
+            ).otherwise(F.col("_m")),
+        )
+        .select(batch_col, "gbar", "t2", "aprior", "bprior")
+    )
+    it = stats.join(F.broadcast(priors), batch_col).withColumn(
+        "d_cur", F.col("d_hat")
+    )
+    n = F.col("n_gb").cast("double")
+    for _ in range(n_iter):
+        g_new = (n * F.col("t2") * F.col("g_hat") + F.col("d_cur") * F.col("gbar")) / (
+            n * F.col("t2") + F.col("d_cur")
+        )
+        it = it.withColumn("g_cur", g_new)
+        sum2 = (
+            F.col("s_sum2")
+            - 2.0 * F.col("g_cur") * F.col("s_sum")
+            + n * F.col("g_cur") * F.col("g_cur")
+        )
+        it = it.withColumn(
+            "d_cur",
+            (0.5 * sum2 + F.col("bprior")) / (n / 2.0 + F.col("aprior") - 1.0),
+        )
+    eb = it.select(
+        gene_col, batch_col, "gm", "vp",
+        F.col("g_cur").alias("gamma_star"),
+        F.col("d_cur").alias("delta_star"),
+    )
+    return (
+        df.join(eb, [gene_col, batch_col])
+        .withColumn(
+            value_col,
+            (
+                (F.col(value_col) - F.col("gm")) / F.sqrt("vp")
+                - F.col("gamma_star")
+            )
+            / F.sqrt("delta_star")
+            * F.sqrt("vp")
+            + F.col("gm"),
+        )
+        .select(gene_col, sample_col, batch_col, value_col)
+    )
+
+
 def batch_mean_center(
     df: DataFrame, gene_col: str, batch_col: str, value_col: str
 ) -> DataFrame:

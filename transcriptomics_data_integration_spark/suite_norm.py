@@ -951,3 +951,135 @@ ORACLES_NORM.update(
         "dataset_group_means": ORACLE_DATASET_GROUP_MEANS,
     }
 )
+
+
+def q_combat_eb2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 parametric EB, HASH-GATED — ComBat with a fixed two-step EB
+    schedule (`stats/combat.py:combat_eb_fixed`): decimal fact moments,
+    standardized-moment identities, tick-quantized priors, unrolled
+    fixed point, per-row adjust — the whole sva pipeline re-expressed
+    engine-exactly (`DiffExpression_closedPlatform.R:372-437`; the
+    converge-to-tolerance Arrow solver stays rows-only as
+    ``combat_full``, matching this kernel to ~1e-6 at high n_iter)."""
+    from transcriptomics_data_integration_spark.stats.combat import combat_eb_fixed
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") <= 120)
+    cells = li.groupBy(
+        F.col("l_partkey").alias("gene_id"),
+        (F.col("l_suppkey") % 60).alias("sample_id"),
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("value")
+    ).withColumn(
+        "batch", F.concat(F.lit("b"), (F.col("sample_id") % 3).cast("string"))
+    )
+    out = combat_eb_fixed(
+        cells, "gene_id", "sample_id", "batch", "value", n_iter=2, exact_scale=2
+    )
+    return out.select(
+        "gene_id", "sample_id", "batch", F.round("value", 6).alias("value")
+    )
+
+
+def _oracle_combat_eb2(n_iter: int = 2) -> str:
+    dsum = "SUM(CAST({x} AS DECIMAL(18,2)))"
+    dsum2 = (
+        "SUM(CAST(CAST({x} AS DECIMAL(18,2)) * CAST({x} AS DECIMAL(18,2))"
+        " AS DECIMAL(38,4)))"
+    )
+    n = "CAST(n_gb AS DOUBLE)"
+    parts = [f"""
+WITH cells AS (
+  SELECT l_partkey AS gene_id, l_suppkey % 60 AS sample_id,
+         CAST({dsum.format(x='l_extendedprice')} AS DOUBLE) AS v
+  FROM lineitem WHERE l_partkey <= 120 GROUP BY 1, 2
+), cb AS (
+  SELECT *, 'b' || CAST(sample_id % 3 AS VARCHAR) AS batch FROM cells
+), pgb AS (
+  SELECT gene_id, batch, COUNT(*) AS n_gb,
+         {dsum.format(x='v')} AS sxd,
+         {dsum2.format(x='v')} AS sx2d
+  FROM cb GROUP BY 1, 2
+), pg AS (
+  SELECT gene_id, CAST(SUM(sxd) AS DOUBLE) AS sxg, SUM(n_gb) AS n_g
+  FROM pgb GROUP BY 1
+), gb AS (
+  SELECT gene_id, batch, n_gb, CAST(sxd AS DOUBLE) AS sx,
+         CAST(sx2d AS DOUBLE) AS sx2
+  FROM pgb
+), vpt AS (
+  SELECT gene_id,
+         CAST(FLOOR((sx2 - sx * sx / n_gb) * 1e4 + 0.5) AS DECIMAL(38,0)) AS t
+  FROM gb
+), vp AS (
+  SELECT v.gene_id, p.sxg / p.n_g AS gm,
+         CAST(SUM(v.t) AS DOUBLE) / 1e4 / p.n_g AS vp
+  FROM vpt v JOIN pg p USING (gene_id)
+  GROUP BY v.gene_id, p.sxg, p.n_g
+  HAVING CAST(SUM(v.t) AS DOUBLE) / 1e4 / p.n_g > 0
+), st AS (
+  SELECT g.gene_id, g.batch, g.n_gb, vp.gm, vp.vp,
+         (g.sx - g.n_gb * vp.gm) / sqrt(vp.vp) AS s_sum,
+         (g.sx2 - 2.0 * vp.gm * g.sx + g.n_gb * vp.gm * vp.gm) / vp.vp AS s_sum2
+  FROM gb g JOIN vp USING (gene_id)
+  WHERE g.n_gb >= 2
+), st2 AS (
+  SELECT *, s_sum / n_gb AS g_hat,
+         (s_sum2 - s_sum * s_sum / n_gb) / (n_gb - 1) AS d_hat
+  FROM st
+), st3 AS (
+  SELECT *, FLOOR(g_hat * 1e6 + 0.5) AS gq, FLOOR(d_hat * 1e6 + 0.5) AS dq
+  FROM st2 WHERE d_hat > 0
+), pr AS (
+  SELECT batch, COUNT(*) AS G,
+         CAST(SUM(CAST(gq AS DECIMAL(18,0))) AS DOUBLE) AS sg,
+         CAST(SUM(CAST(CAST(gq AS DECIMAL(18,0)) * CAST(gq AS DECIMAL(18,0))
+              AS DECIMAL(38,0))) AS DOUBLE) AS sg2,
+         CAST(SUM(CAST(dq AS DECIMAL(18,0))) AS DOUBLE) AS sd,
+         CAST(SUM(CAST(CAST(dq AS DECIMAL(18,0)) * CAST(dq AS DECIMAL(18,0))
+              AS DECIMAL(38,0))) AS DOUBLE) AS sd2
+  FROM st3 GROUP BY 1
+), pr2 AS (
+  SELECT batch,
+         sg / G / 1e6 AS gbar,
+         CASE WHEN G > 1 THEN (sg2 - sg * sg / G) / (G - 1) / 1e12
+              ELSE 1.0 END AS t2,
+         sd / G / 1e6 AS m,
+         CASE WHEN G > 1 THEN (sd2 - sd * sd / G) / (G - 1) / 1e12
+              ELSE 1.0 END AS vv
+  FROM pr
+), pr3 AS (
+  SELECT batch, gbar, t2,
+         CASE WHEN vv > 0 THEN (2.0 * vv + m * m) / vv ELSE 2.0 END AS aprior,
+         CASE WHEN vv > 0 THEN (m * vv + m * m * m) / vv ELSE m END AS bprior
+  FROM pr2
+), it0 AS (
+  SELECT s.*, p.gbar, p.t2, p.aprior, p.bprior, s.d_hat AS d_cur
+  FROM st3 s JOIN pr3 p USING (batch)
+)"""]
+    prev = "it0"
+    for i in range(1, n_iter + 1):
+        excl = "gq, dq" if i == 1 else "g_cur"
+        parts.append(f""", ga{i} AS (
+  SELECT * EXCLUDE ({excl}),
+         ({n} * t2 * g_hat + d_cur * gbar) / ({n} * t2 + d_cur) AS g_cur
+  FROM {prev}
+), da{i} AS (
+  SELECT * EXCLUDE (d_cur),
+         (0.5 * (s_sum2 - 2.0 * g_cur * s_sum + {n} * g_cur * g_cur) + bprior)
+         / ({n} / 2.0 + aprior - 1.0) AS d_cur
+  FROM ga{i}
+)""")
+        prev = f"da{i}"
+    parts.append(f"""
+SELECT c.gene_id, c.sample_id, c.batch,
+       ROUND(((c.v - e.gm) / sqrt(e.vp) - e.g_cur) / sqrt(e.d_cur)
+             * sqrt(e.vp) + e.gm, 6) AS value
+FROM cb c JOIN {prev} e ON c.gene_id = e.gene_id AND c.batch = e.batch
+""")
+    return "".join(parts)
+
+
+QUERIES_NORM["combat_eb2"] = q_combat_eb2
+ORACLES_NORM["combat_eb2"] = _oracle_combat_eb2()
