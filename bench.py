@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "ivf_fixed",
     "pq_fixed",
     "combat_eb2",
+    "doc_logprob",
     "pca_outliers",
 ]
 

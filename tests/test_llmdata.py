@@ -704,3 +704,18 @@ def test_pq_fixed_codes_match_arrow_encode(spark):
         r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, books).collect()
     }
     assert rel == arrow
+
+
+def test_doc_logprob_ranks_gibberish_below_normal_text(spark):
+    from transcriptomics_data_integration_spark.llmdata.text import doc_logprob
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and the cat"),
+        (2, "the dog and the cat and the fox run over the field"),
+        (3, "zxqv jkwpf qqxzv wvvtkj zzpqx mmvnx"),  # gibberish: rare tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in doc_logprob(df, "doc_id").collect()}
+    assert got[3]["mean_logprob"] < got[1]["mean_logprob"]
+    assert got[3]["mean_logprob"] < got[2]["mean_logprob"]
+    assert got[1]["n_tokens"] == 12

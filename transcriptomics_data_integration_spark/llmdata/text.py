@@ -171,6 +171,51 @@ def vocab_topk(
     )
 
 
+def doc_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram language-model quality score — the CCNet/Gopher-style
+    "LM filter" at corpus scale: a Laplace-smoothed unigram model is
+    fit on the corpus itself (one token-count aggregation) and every
+    document is scored by its mean token log-probability.  Documents
+    far below the corpus mode (gibberish, boilerplate soup, wrong
+    tokenization) surface as low scores; the standard cheap proxy for
+    a perplexity filter when no external LM is available.
+
+    p(t) = (c_t + 1) / (N + V)  (add-one over the corpus vocabulary),
+    score = sum(ln p(t_i)) / n_tokens.
+
+    Plan shape: explode -> (token) count agg (map-side combined; "the"
+    never becomes a hot shuffle key) -> broadcast model join back to
+    the token relation -> per-doc sum/count.  Two passes over the
+    token stream, zero driver state; the model relation is
+    vocabulary-sized.  ln() is transcendental, so gated outputs round
+    (repo FP policy).
+    """
+    toks = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+    tokens = df.select(F.col(id_col), F.explode(toks).alias("token")).where(
+        F.col("token") != ""
+    )
+    freq = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    totals = freq.agg(
+        F.sum("c").alias("N"), F.count(F.lit(1)).alias("V")
+    )
+    model = freq.join(F.broadcast(totals)).select(
+        "token",
+        F.log((F.col("c") + 1.0) / (F.col("N") + F.col("V"))).alias("lp"),
+    )
+    return (
+        tokens.join(model, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("lp") / F.count(F.lit(1))).alias("mean_logprob"),
+        )
+    )
+
+
 def contamination_check(
     train: DataFrame,
     eval_docs: DataFrame,

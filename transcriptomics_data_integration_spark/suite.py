@@ -1445,7 +1445,7 @@ _ROUND3_FRONT = [
     # -- (b) round-3 additions ------------------------------------------
     "rnaseq_pipeline_binned", "closed_pipeline", "normalized_de",
     "meta_pipeline", "pca_outliers", "pca_covariance", "mds_bmatrix",
-    "kmeans_lloyd2", "ivf_fixed", "pq_fixed", "combat_eb2",
+    "kmeans_lloyd2", "ivf_fixed", "pq_fixed", "combat_eb2", "doc_logprob",
     # -- (c) r2 hash-reds, oracles fixed --------------------------------
     "icc_meta", "dup_correlation", "quality_filter",
     # -- (d) changed kernels + r2 rows-only re-stamp --------------------
@@ -1455,7 +1455,6 @@ _ROUND3_FRONT = [
     "pricing_summary", "gene_stats", "library_size", "gene_exclusion",
     "outlier_removal", "zero_variance_filter", "nonspecific_filter",
     "value_conditioning", "merge_left_join", "interval_join",
-    "venn_membership",
     "quantile_thresholds", "sample_correlation", "quantile_normalization",
     "diff_expression", "bh_histogram", "stouffer_meta", "fem_rem",
     "p_improvement", "pack_sequences", "minhash_lsh",

@@ -734,7 +734,41 @@ SELECT query_id, cand_id, rank, adist FROM ranked WHERE rank <= 5
 """
 
 
+def q_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (CCNet-style perplexity-proxy
+    filter), HASH-GATED — corpus-fit Laplace unigram model, per-doc
+    mean token log-probability (`llmdata/text.py:doc_logprob`).
+    ln() is transcendental -> round(6) per repo FP policy."""
+    from transcriptomics_data_integration_spark.llmdata.text import doc_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    out = doc_logprob(docs, "doc_id")
+    return out.select(
+        "doc_id", "n_tokens", F.round("mean_logprob", 6).alias("mean_logprob")
+    )
+
+
+ORACLE_DOC_LOGPROB = """
+WITH tokens AS (
+  SELECT doc_id, t AS token
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> ''
+), freq AS (
+  SELECT token, COUNT(*) AS c FROM tokens GROUP BY token
+), totals AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS N, COUNT(*) AS V FROM freq
+), model AS (
+  SELECT token, ln((c + 1.0) / (N + V)) AS lp FROM freq CROSS JOIN totals
+)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(m.lp) / COUNT(*), 6) AS mean_logprob
+FROM tokens t JOIN model m USING (token)
+GROUP BY t.doc_id
+"""
+
+
 QUERIES_LLM = {
+    "doc_logprob": q_doc_logprob,
     "ivf_fixed": q_ivf_fixed,
     "pq_fixed": q_pq_fixed,
     "token_stats": q_token_stats,
@@ -755,6 +789,7 @@ QUERIES_LLM = {
 }
 
 ORACLES_LLM = {
+    "doc_logprob": ORACLE_DOC_LOGPROB,
     "ivf_fixed": ORACLE_IVF_FIXED,
     "pq_fixed": _oracle_pq_fixed(),
     "token_stats": ORACLE_TOKEN_STATS,
