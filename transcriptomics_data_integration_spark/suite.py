@@ -1429,8 +1429,13 @@ def _reorder_front(registry: dict, front: list[str]) -> dict:
 # Round-3 window: (a) the 7 queries that have NEVER produced a driver
 # row (rows-only by nature — the rotation debt VERDICT r2 item 1 holds
 # us to), (b) the round-3 additions (hash-gated compositions A/B/C +
-# meta, PCA-space M17, and the hash-gated distributed phases of M11
-# [pca_covariance] and M12 [mds_bmatrix]), (c) the three r2 hash-reds with
+# meta, PCA-space M17, the distributed phases of M11/M12
+# [pca_covariance, mds_bmatrix, kmeans_lloyd2], the deterministic ANN
+# twins [ivf_fixed, pq_fixed], fixed-schedule EB ComBat [combat_eb2]
+# and the unigram-LM quality score [doc_logprob]), plus the three
+# adaptive-window queries whose physical plan changed this round
+# (skyline, ks_strata + pack_sequences below) and moderated_de for the
+# ttest seam refactor, (c) the three r2 hash-reds with
 # their oracles cast/sign-fixed this round, (d) the rows-only kernels
 # whose code changed this round (ward.D, voom residual SD) plus the
 # r2 rows-only set for a second stamp, and (e) 30 r1-gated oracled
@@ -1452,7 +1457,7 @@ _ROUND3_FRONT = [
     "ward_hclust", "voom_lowess", "rnaseq_pipeline", "cqn_spline",
     "median_polish", "combat_full", "combat_nonparam", "pca_samples",
     # -- (e) cumulative reconfirmation (r1-only oracled) -----------------
-    "pricing_summary", "gene_stats", "library_size", "gene_exclusion",
+    "skyline", "ks_strata", "moderated_de", "gene_exclusion",
     "outlier_removal", "zero_variance_filter", "nonspecific_filter",
     "value_conditioning", "merge_left_join", "interval_join",
     "quantile_thresholds", "sample_correlation", "quantile_normalization",
