@@ -12,6 +12,7 @@ bit-for-bit.  Python appears only in the multimodal decode stubs
 
 from transcriptomics_data_integration_spark.llmdata.text import (
     doc_fingerprint,
+    doc_logprob,
     language_id,
     scrub_pii,
     text_quality,
@@ -25,13 +26,18 @@ from transcriptomics_data_integration_spark.llmdata.dedup import (
 )
 from transcriptomics_data_integration_spark.llmdata.similarity import (
     cosine_topk,
+    ivf_fixed_topk,
     ivf_topk,
     pq_encode,
+    pq_fixed_topk,
     pq_topk,
     pq_train,
 )
 
 __all__ = [
+    "pq_fixed_topk",
+    "ivf_fixed_topk",
+    "doc_logprob",
     "cosine_topk",
     "ivf_topk",
     "pq_encode",

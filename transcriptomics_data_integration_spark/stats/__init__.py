@@ -17,9 +17,19 @@ from transcriptomics_data_integration_spark.stats.normalize import (
     cqn_spline,
     voom_weights_lowess,
 )
-from transcriptomics_data_integration_spark.stats.mlkernels import pca_space_outliers
+from transcriptomics_data_integration_spark.stats.combat import combat_eb_fixed
+from transcriptomics_data_integration_spark.stats.mlkernels import (
+    feature_covariance,
+    kmeans_lloyd_fixed,
+    mds_bmatrix,
+    pca_space_outliers,
+)
 
 __all__ = [
+    "combat_eb_fixed",
+    "feature_covariance",
+    "kmeans_lloyd_fixed",
+    "mds_bmatrix",
     "pca_space_outliers",
     "bh_adjust",
     "bh_adjust_histogram",
