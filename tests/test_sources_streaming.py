@@ -544,3 +544,35 @@ def test_streaming_minhash_state_cap_evicts_oldest(spark, tmp_path):
     assert {(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)} <= got
     # doc 1 was evicted before doc 4 arrived -> no (1, 4) pair
     assert (1, 4) not in got
+
+
+def test_streaming_quality_filter_matches_batch(spark, tmp_path):
+    """quality_filter (per-rule keep/drop verdicts) is stateless
+    per-row SQL, so the same operator runs unchanged on a readStream
+    source — at-ingest quality gating with output identical to the
+    batch form over the same files."""
+    from transcriptomics_data_integration_spark.llmdata.text import quality_filter
+    from transcriptomics_data_integration_spark.streaming.ingest import (
+        run_stream_to_memory,
+    )
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    rows = [
+        (1, "A perfectly ordinary paragraph of prose with sufficient "
+            "length, words and normal punctuation to pass every rule."),
+        (2, "x"),                          # too short
+        (3, "!!! ??? ### $$$ %%% ^^^ &&&"),  # punctuation soup
+    ]
+    batch_df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch_df.coalesce(1).write.mode("overwrite").parquet(str(d))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(d))
+    run_stream_to_memory(quality_filter(stream, "text"), "stream_quality")
+    got = {r["doc_id"]: r.asDict() for r in spark.sql("SELECT * FROM stream_quality").collect()}
+    want = {
+        r["doc_id"]: r.asDict()
+        for r in quality_filter(spark.read.parquet(str(d)), "text").collect()
+    }
+    assert got == want and set(got) == {1, 2, 3}
+    assert bool(want[1]["keep"]) and not bool(want[2]["keep"])
