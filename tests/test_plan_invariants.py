@@ -35,6 +35,8 @@ BNLJ_WHITELIST = {
     "ivf_fixed",
     # pq_fixed: broadcast sub-centroid joins + the ADC codes x LUT sweep
     "pq_fixed",
+    # doc_logprob: 1-row (N, V) model-total attach
+    "doc_logprob",
 }
 
 
