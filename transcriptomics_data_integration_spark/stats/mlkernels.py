@@ -603,34 +603,34 @@ def mds_embedding(
     O(10-1000) samples, so the centering + eigendecomposition of the
     S x S matrix runs on the driver (numpy), exactly where the reference
     runs cmdscale.  Deterministic up to eigenvector sign (like
-    cmdscale), so suite exposure is rows-only.
+    cmdscale), so suite exposure is rows-only.  The input is COMPLETED
+    (zero-fill of absent sample x gene cells) first — R ``dist`` sees a
+    complete matrix, same rule as ``ward_hclust``.
     """
     import numpy as np
 
-    a = long_df.select(
-        F.col(sample_col).alias("sa"), F.col(gene_col).alias("g"),
-        F.col(value_col).alias("x"),
+    # distances AND double centering run in-plan via mds_bmatrix (the
+    # hash-gated distributed phase); the driver only ever sees the
+    # S x S centered B — eigendecomposition is the sole local step,
+    # exactly where the reference runs cmdscale
+    cells = long_df.select(
+        F.col(sample_col), F.col(gene_col), F.col(value_col)
     )
-    b = long_df.select(
-        F.col(sample_col).alias("sb"), F.col(gene_col).alias("g"),
-        F.col(value_col).alias("y"),
+    grid = (
+        cells.select(gene_col)
+        .distinct()
+        .crossJoin(cells.select(sample_col).distinct())
+        .join(cells, [gene_col, sample_col], "left")
+        .fillna({value_col: 0.0})
     )
-    d2 = (
-        a.join(b, "g")
-        .where(F.col("sa") <= F.col("sb"))
-        .groupBy("sa", "sb")
-        .agg(F.sum((F.col("x") - F.col("y")) ** 2).alias("d2"))
-    )
-    rows = d2.collect()
-    samples = sorted({r["sa"] for r in rows} | {r["sb"] for r in rows})
+    brel = mds_bmatrix(grid, sample_col, gene_col, value_col)
+    rows = brel.collect()
+    samples = sorted({r["sa"] for r in rows})
     idx = {s: i for i, s in enumerate(samples)}
     n = len(samples)
-    D2 = np.zeros((n, n))
+    B = np.zeros((n, n))
     for r in rows:
-        i, j = idx[r["sa"]], idx[r["sb"]]
-        D2[i, j] = D2[j, i] = r["d2"]
-    J = np.eye(n) - np.ones((n, n)) / n
-    B = -0.5 * J @ D2 @ J
+        B[idx[r["sa"]], idx[r["sb"]]] = r["b_centered"]
     vals, vecs = np.linalg.eigh(B)
     order = np.argsort(vals)[::-1][:k]
     coords = vecs[:, order] * np.sqrt(np.maximum(vals[order], 0.0))
