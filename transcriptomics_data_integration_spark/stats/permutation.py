@@ -71,9 +71,12 @@ def permutation_fdr(
 
     perms = permuted_labels(df, sample_col, group_col, n_perm)
     expanded = df.join(perms, sample_col)
+    # persisted: (gene x K) rows, bounded — its two consumers (observed
+    # split + permuted split) would otherwise each re-execute the
+    # K-expanded fact aggregation
     tstats = two_group_ttest(
         expanded, [gene_col, "k"], "perm_group", value_col, group_a, group_b, exact_scale
-    ).select(gene_col, "k", "t_statistic")
+    ).select(gene_col, "k", "t_statistic").persist()
     obs = tstats.where(F.col("k") == 0).select(
         gene_col, F.col("t_statistic").alias("t_obs")
     )
