@@ -349,3 +349,30 @@ def test_quantile_norm_average_ties_matches_r_semantics(spark):
     assert set(got) == set(expected)
     for k, v in expected.items():
         assert abs(got[k] - v) < 1e-12, (k, got[k], v)
+
+
+def test_bh_adjust_delegates_to_histogram_above_single_task_size(spark, tmp_path):
+    """Unpartitioned bh_adjust must route to the bucket-partitioned
+    histogram form when Catalyst cannot prove the p-set small (local
+    relations report unknown stats), and keep the simple sort window
+    for provably-small parquet inputs."""
+    from transcriptomics_data_integration_spark.stats.bh import bh_adjust
+
+    # unknown stats (local relation) -> conservative histogram plan
+    local = spark.createDataFrame(
+        [(i, (i % 97) / 97.0) for i in range(200)], "gene long, p double"
+    )
+    plan_local = bh_adjust(local, "p", "adj", tiebreak_col="gene")._jdf.queryExecution().optimizedPlan().toString()
+    assert "_bkt" in plan_local
+
+    # small parquet input -> plain sort-window plan (no buckets)
+    d = str(tmp_path / "p")
+    local.write.parquet(d)
+    small = spark.read.parquet(d)
+    plan_small = bh_adjust(small, "p", "adj", tiebreak_col="gene")._jdf.queryExecution().optimizedPlan().toString()
+    assert "_bkt" not in plan_small
+
+    # both produce identical values
+    a = sorted((r["gene"], r["adj"]) for r in bh_adjust(local, "p", "adj", tiebreak_col="gene").collect())
+    b = sorted((r["gene"], r["adj"]) for r in bh_adjust(small, "p", "adj", tiebreak_col="gene").collect())
+    assert a == b
