@@ -1465,4 +1465,14 @@ _ROUND3_FRONT = [
     "p_improvement", "pack_sequences", "minhash_lsh",
 ]
 
+# Round-4 rotation plan: 67 queries sit outside the r3 window (66
+# oracled + vocab_size_sketch), every one driver-green in r1/r2.
+# Rotate for r4: (a) queries whose kernels were touched in r3 and are
+# not in the r3 window — permutation_fdr (persisted t-table),
+# weighted_de (ttest seam), sample_distances, cosine_topk/lsh_ann
+# (similarity module refactor), batch_center, expression_pipeline; (b)
+# a fresh 40-ish slice of the r1-only-gated remainder (llm-data +
+# sources families first: token_stats .. rsem_convert above) so every
+# query shows a STRICT-gate-era row within two more rounds; keep the
+# r3 additions out unless their kernels change again.
 QUERIES = _reorder_front(QUERIES, _ROUND3_FRONT)
