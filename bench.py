@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "pq_fixed",
     "combat_eb2",
     "doc_logprob",
+    "jsonl_parse",
     "pca_outliers",
 ]
 

@@ -576,3 +576,60 @@ def test_streaming_quality_filter_matches_batch(spark, tmp_path):
     }
     assert got == want and set(got) == {1, 2, 3}
     assert bool(want[1]["keep"]) and not bool(want[2]["keep"])
+
+
+def test_read_jsonl_docs_captures_corrupt_lines_and_validates(spark, tmp_path):
+    """S-source JSONL contract on real files: schema-projected scan,
+    corrupt lines captured (not dropped), required-field validation
+    splits clean/rejects with reasons."""
+    from transcriptomics_data_integration_spark.sources.jsonl import (
+        read_jsonl_docs,
+        validate_docs,
+    )
+
+    p = tmp_path / "shard.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                '{"doc_id": 1, "text": "hello world", "lang": "en"}',
+                '{"doc_id": 2, "text": "bonjour", "lang": "fr"}',
+                '{"doc_id": 3, "text": "truncated line',          # parse error
+                '{"text": "no id here", "lang": "en"}',            # missing id
+                '{"doc_id": 5, "lang": "de"}',                     # missing text
+            ]
+        )
+    )
+    df = read_jsonl_docs(spark, str(p), "doc_id LONG, text STRING, lang STRING")
+    clean, rejects = validate_docs(df)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
+    got = {r["reject_reason"]: r for r in rejects.collect()}
+    assert set(got) == {"parse_error", "missing_id", "missing_text"}
+    # the corrupt raw line is preserved for the audit trail
+    assert got["parse_error"]["_corrupt_record"].startswith('{"doc_id": 3')
+    assert got["missing_text"]["doc_id"] == 5
+
+
+def test_read_jsonl_docs_streaming_twin(spark, tmp_path):
+    """The same JSONL contract lifts onto readStream (schema required
+    for streams anyway) — at-ingest validation for arriving shards."""
+    from transcriptomics_data_integration_spark.sources.jsonl import validate_docs
+    from transcriptomics_data_integration_spark.streaming.ingest import (
+        run_stream_to_memory,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en"}\n{"doc_id": 2, "text": "broken'
+    )
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING, lang STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(d))
+    )
+    clean, rejects = validate_docs(stream)
+    run_stream_to_memory(clean, "jsonl_clean")
+    run_stream_to_memory(rejects.select("reject_reason"), "jsonl_rejects")
+    assert [r["doc_id"] for r in spark.sql("SELECT * FROM jsonl_clean").collect()] == [1]
+    assert [r["reject_reason"] for r in spark.sql("SELECT * FROM jsonl_rejects").collect()] == ["parse_error"]

@@ -1376,6 +1376,102 @@ QUERIES["rsem_convert"] = q_rsem_convert
 ORACLES["rsem_convert"] = ORACLE_RSEM
 
 
+def q_jsonl_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL-source parse/validate contract, HASH-GATED — the engine's
+    training-corpus ingest semantics (`sources/jsonl.py`): both engines
+    parse identically-CONCAT-constructed JSON lines (documents table),
+    with every 23rd line truncated (parse error) and every 29th missing
+    its id (validation reject).  Gates: corrupt-line detection, the
+    reject-reason split, and the typed field extraction the clean path
+    relies on.  The real file scan (PERMISSIVE + corrupt-record column,
+    schema-projected) runs on temp files in
+    `tests/test_sources_streaming.py::test_read_jsonl_docs_*`."""
+    docs = _t(spark, sf_dir, "documents")
+    line = (
+        F.when(
+            F.col("doc_id") % 23 == 0,
+            # truncated line: parse error
+            F.concat(
+                F.lit('{"id": '), F.col("doc_id"), F.lit(', "lang": "'),
+                F.col("lang"), F.lit('", "nchars": '), F.col("n_chars"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 29 == 0,
+            # valid JSON, required id missing
+            F.concat(
+                F.lit('{"lang": "'), F.col("lang"), F.lit('", "nchars": '),
+                F.col("n_chars"), F.lit("}"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"id": '), F.col("doc_id"), F.lit(', "lang": "'),
+                F.col("lang"), F.lit('", "nchars": '), F.col("n_chars"),
+                F.lit("}"),
+            )
+        )
+    )
+    # from_json PERMISSIVE yields an all-null struct (not a null
+    # struct) for malformed input — detect parse failure through the
+    # corrupt-record column, exactly like the file scan does
+    parsed = docs.select(
+        F.from_json(
+            line,
+            "id LONG, lang STRING, nchars LONG, _corrupt_record STRING",
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("j")
+    )
+    status = (
+        F.when(F.col("j._corrupt_record").isNotNull(), F.lit("parse_error"))
+        .when(F.col("j.id").isNull(), F.lit("missing_id"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        parsed.select(
+            status.alias("status"),
+            F.coalesce(F.col("j.lang"), F.lit("?")).alias("lang"),
+            F.col("j.nchars").alias("nchars"),
+        )
+        .groupBy("status", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("nchars").alias("sum_nchars"),
+        )
+    )
+
+
+ORACLE_JSONL_PARSE = """
+WITH lines AS (
+  SELECT CASE
+    WHEN doc_id % 23 = 0 THEN
+      '{"id": ' || doc_id || ', "lang": "' || lang || '", "nchars": ' || n_chars
+    WHEN doc_id % 29 = 0 THEN
+      '{"lang": "' || lang || '", "nchars": ' || n_chars || '}'
+    ELSE
+      '{"id": ' || doc_id || ', "lang": "' || lang || '", "nchars": ' || n_chars || '}'
+  END AS line
+  FROM documents
+), parsed AS (
+  SELECT CASE WHEN json_valid(line) THEN line END AS j FROM lines
+), typed AS (
+  SELECT
+    CASE WHEN j IS NULL THEN 'parse_error'
+         WHEN json_extract(j, '$.id') IS NULL THEN 'missing_id'
+         ELSE 'ok' END AS status,
+    COALESCE(j ->> '$.lang', '?') AS lang,
+    CAST(j ->> '$.nchars' AS BIGINT) AS nchars
+  FROM parsed
+)
+SELECT status, lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(nchars) AS BIGINT) AS sum_nchars
+FROM typed GROUP BY 1, 2
+"""
+
+QUERIES["jsonl_parse"] = q_jsonl_parse
+ORACLES["jsonl_parse"] = ORACLE_JSONL_PARSE
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -1450,14 +1546,14 @@ _ROUND3_FRONT = [
     # -- (b) round-3 additions ------------------------------------------
     "rnaseq_pipeline_binned", "closed_pipeline", "normalized_de",
     "meta_pipeline", "pca_outliers", "pca_covariance", "mds_bmatrix",
-    "kmeans_lloyd2", "ivf_fixed", "pq_fixed", "combat_eb2", "doc_logprob",
+    "kmeans_lloyd2", "ivf_fixed", "pq_fixed", "combat_eb2", "doc_logprob", "jsonl_parse",
     # -- (c) r2 hash-reds, oracles fixed --------------------------------
     "icc_meta", "dup_correlation", "quality_filter",
     # -- (d) changed kernels + r2 rows-only re-stamp --------------------
     "ward_hclust", "voom_lowess", "rnaseq_pipeline", "cqn_spline",
     "median_polish", "combat_full", "combat_nonparam", "pca_samples",
     # -- (e) cumulative reconfirmation (r1-only oracled) -----------------
-    "skyline", "ks_strata", "moderated_de", "gene_exclusion",
+    "skyline", "ks_strata", "moderated_de",
     "outlier_removal", "zero_variance_filter", "nonspecific_filter",
     "value_conditioning", "merge_left_join", "interval_join",
     "quantile_thresholds", "sample_correlation", "quantile_normalization",
