@@ -633,3 +633,62 @@ def test_read_jsonl_docs_streaming_twin(spark, tmp_path):
     run_stream_to_memory(rejects.select("reject_reason"), "jsonl_rejects")
     assert [r["doc_id"] for r in spark.sql("SELECT * FROM jsonl_clean").collect()] == [1]
     assert [r["reject_reason"] for r in spark.sql("SELECT * FROM jsonl_rejects").collect()] == ["parse_error"]
+
+
+def test_streaming_window_counts_drops_late_events_past_watermark(spark, tmp_path):
+    """Watermark semantics under append mode: a window finalizes once
+    the watermark passes its end, and an event arriving AFTER that
+    (older than the watermark) is dropped — the finalized count never
+    changes.  This is the load-bearing guarantee that bounds window
+    state at 100 TB stream scale."""
+    import json as _json
+
+    from transcriptomics_data_integration_spark.streaming.ingest import (
+        streaming_window_counts,
+    )
+
+    d = tmp_path / "ev"
+    d.mkdir()
+
+    def write(name, rows):
+        (d / name).write_text(
+            "\n".join(_json.dumps(r) for r in rows)
+        )
+
+    # batch 1: two events in window [00:00, 00:10), plus one far-future
+    # event that advances the watermark well past that window's end
+    write("a.jsonl", [
+        {"ts": "2024-01-01 00:01:00", "k": "g1", "v": 1.0},
+        {"ts": "2024-01-01 00:04:00", "k": "g1", "v": 2.0},
+        {"ts": "2024-01-01 02:00:00", "k": "g1", "v": 9.0},
+    ])
+    stream = (
+        spark.readStream.schema("ts timestamp, k string, v double").json(str(d))
+    )
+    agg = streaming_window_counts(stream, "ts", "k", "v",
+                                  window="10 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append").format("memory")
+        .queryName("late_windows")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE event for the already-finalized window — must
+        # be dropped, not re-open the window
+        write("b.jsonl", [
+            {"ts": "2024-01-01 00:02:00", "k": "g1", "v": 100.0},
+            {"ts": "2024-01-01 02:30:00", "k": "g1", "v": 1.0},
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        (str(r["window_start"]), r["k"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM late_windows").collect()
+    }
+    key = ("2024-01-01 00:00:00", "g1")
+    assert key in rows, rows
+    # 2 events, sum 3.0 — the late v=100 event did NOT land
+    assert rows[key] == (2, 3.0)
