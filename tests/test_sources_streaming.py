@@ -692,3 +692,37 @@ def test_streaming_window_counts_drops_late_events_past_watermark(spark, tmp_pat
     assert key in rows, rows
     # 2 events, sum 3.0 — the late v=100 event did NOT land
     assert rows[key] == (2, 3.0)
+
+
+def test_write_jsonl_shards_roundtrip_gzip(spark, tmp_path):
+    """Sharded gzip JSONL sink roundtrips through the schema-projected
+    scan (Spark decompresses .gz transparently); shard sizing follows
+    the Catalyst estimate."""
+    import os
+
+    from transcriptomics_data_integration_spark.sources.jsonl import (
+        read_jsonl_docs,
+        validate_docs,
+        write_jsonl_shards,
+    )
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(i, f"document number {i}", "en") for i in range(200)],
+        "doc_id long, text string, lang string",
+    ).write.parquet(str(src))
+    df = spark.read.parquet(str(src))
+
+    out = tmp_path / "shards"
+    n = write_jsonl_shards(df, str(out), target_shard_bytes=4 << 10)
+    gz = [f for f in os.listdir(out) if f.endswith(".json.gz")]
+    assert n >= 2 and len(gz) >= 1  # sized well under the estimate -> split
+
+    back = read_jsonl_docs(
+        spark, str(out), "doc_id LONG, text STRING, lang STRING"
+    )
+    clean, rejects = validate_docs(back)
+    assert rejects.count() == 0
+    got = sorted((r["doc_id"], r["text"]) for r in clean.collect())
+    want = sorted((r["doc_id"], r["text"]) for r in df.collect())
+    assert got == want

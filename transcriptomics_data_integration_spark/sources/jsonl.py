@@ -43,7 +43,11 @@ def read_jsonl_docs(
     in ``corrupt_col``.  Multiline mode stays off: one document per
     line is what makes JSONL splittable — Spark assigns byte ranges of
     a shard to tasks and each task parses only its lines, so a single
-    100 GB shard still fans out.
+    100 GB shard still fans out.  Caveat: that splitting only applies
+    to UNCOMPRESSED (or splittable-codec) shards; a .gz shard is one
+    task no matter its size — gzipped corpora must arrive as many
+    shards sized for one task each (what :func:`write_jsonl_shards`
+    produces).  Spark decompresses .gz transparently on read.
     """
     return (
         spark.read.schema(f"{schema}, {corrupt_col} STRING")
@@ -51,6 +55,41 @@ def read_jsonl_docs(
         .option("columnNameOfCorruptRecord", corrupt_col)
         .json(path)
     )
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    target_shard_bytes: int = 256 << 20,
+    compression: str | None = "gzip",
+) -> int:
+    """Size-targeted sharded JSONL sink — the output format training
+    jobs consume (shard-per-worker streaming reads).
+
+    Shard count = ceil(Catalyst size estimate / target), clamped to
+    [1, 65536]; unknown estimates fall back to the current partition
+    count (no repartition shuffle).  Gzip by default: output shards
+    are read WHOLE by downstream loaders, so non-splittability does
+    not matter on the sink side — the sizing here is exactly what
+    keeps each shard one worker's bite.  Returns the shard count used.
+
+    (For the scan side the rule inverts: a single huge .gz shard
+    cannot be split across tasks — see :func:`read_jsonl_docs`.)
+    """
+    from transcriptomics_data_integration_spark.operators.windows import (
+        estimated_plan_bytes,
+    )
+
+    est = estimated_plan_bytes(df)
+    if est is None:
+        n = df.rdd.getNumPartitions()
+    else:
+        n = max(1, min(65536, -(-est // target_shard_bytes)))
+    w = df.repartition(n).write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+    return n
 
 
 def validate_docs(
