@@ -20,6 +20,7 @@ from transcriptomics_data_integration_spark.llmdata.text import (
 )
 from transcriptomics_data_integration_spark.llmdata.dedup import (
     exact_dedup,
+    minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
@@ -47,6 +48,7 @@ __all__ = [
     "doc_fingerprint",
     "exact_dedup",
     "language_id",
+    "minhash_lsh_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "simhash",
