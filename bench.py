@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "combat_eb2",
     "doc_logprob",
     "jsonl_parse",
+    "bpe_merges",
     "pca_outliers",
 ]
 

@@ -719,3 +719,65 @@ def test_doc_logprob_ranks_gibberish_below_normal_text(spark):
     assert got[3]["mean_logprob"] < got[1]["mean_logprob"]
     assert got[3]["mean_logprob"] < got[2]["mean_logprob"]
     assert got[1]["n_tokens"] == 12
+
+
+def test_bpe_train_fixed_matches_reference_and_encode_roundtrips(spark):
+    """bpe_train_fixed == a local classic BPE trainer (same
+    pre-tokenization, tie-break, greedy merge); bpe_encode applies the
+    learned merges and its token concatenation reconstructs the words."""
+    import re as _re
+    from collections import Counter
+
+    from transcriptomics_data_integration_spark.llmdata.bpe import (
+        bpe_encode,
+        bpe_train_fixed,
+    )
+
+    texts = [
+        "the theme of the thesis is the theory",
+        "then there is another theorem about the theory",
+        "banana bandana and the band played on and on",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    N = 6
+    got = {
+        r["merge_rank"]: (r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_train_fixed(docs, "text", n_merges=N).collect()
+    }
+
+    # local reference
+    words = Counter()
+    for t in texts:
+        for w in _re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                words[w] += 1
+    vocab = {tuple(w): c for w, c in words.items()}
+    want = {}
+    for rank in range(1, N + 1):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        (a, b), c = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want[rank] = (a, b, c)
+        new = {}
+        for syms, cnt in vocab.items():
+            out = [syms[0]]
+            for x in syms[1:]:
+                if out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            key = tuple(out)
+            new[key] = new.get(key, 0) + cnt
+        vocab = new
+    assert got == want
+
+    merges = [(got[r][0], got[r][1]) for r in sorted(got)]
+    enc = bpe_encode(docs, merges, "text")
+    for r in enc.collect():
+        joined = "".join(r["bpe_tokens"])
+        plain = "".join(w for w in _re.split(r"[^a-z0-9]+", texts[r["doc_id"]].lower()) if w)
+        assert joined == plain  # merging never loses characters

@@ -37,6 +37,8 @@ BNLJ_WHITELIST = {
     "pq_fixed",
     # doc_logprob: 1-row (N, V) model-total attach
     "doc_logprob",
+    # bpe_merges: 1-row winning-pair attach per merge iteration
+    "bpe_merges",
 }
 
 

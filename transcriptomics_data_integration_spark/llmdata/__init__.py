@@ -10,6 +10,7 @@ bit-for-bit.  Python appears only in the multimodal decode stubs
 (mapInPandas) where a binary-decoding library would run.
 """
 
+from transcriptomics_data_integration_spark.llmdata.bpe import bpe_encode, bpe_train_fixed
 from transcriptomics_data_integration_spark.llmdata.text import (
     doc_fingerprint,
     doc_logprob,
@@ -36,6 +37,8 @@ from transcriptomics_data_integration_spark.llmdata.similarity import (
 )
 
 __all__ = [
+    "bpe_encode",
+    "bpe_train_fixed",
     "pq_fixed_topk",
     "ivf_fixed_topk",
     "doc_logprob",

@@ -767,7 +767,58 @@ GROUP BY t.doc_id
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, HASH-GATED — four merge iterations over
+    the corpus word-frequency table (`llmdata/bpe.py:bpe_train_fixed`):
+    pair counting, deterministic top-1 (count DESC, lhs, rhs), greedy
+    left-to-right merge fold.  Integer counts + fixed fold order make
+    the whole training loop engine-exact; the oracle unrolls the
+    iterations into CTEs with the same list fold."""
+    from transcriptomics_data_integration_spark.llmdata.bpe import bpe_train_fixed
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train_fixed(docs, "text", n_merges=4)
+
+
+def _oracle_bpe_merges(n_merges: int = 4) -> str:
+    fold = (
+        "CASE WHEN len(s) <= 1 THEN s ELSE "
+        "list_reduce(list_prepend([s[1]], "
+        "list_transform(generate_series(2, len(s)), j -> [s[j]])), "
+        "(acc, x) -> CASE WHEN acc[-1] = a AND x[1] = b "
+        "THEN acc[1:len(acc)-1] || [a || b] "
+        "ELSE acc || x END) END"
+    )
+    parts = ["""
+WITH w0 AS (
+  SELECT t AS w, COUNT(*) AS wc
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> '' GROUP BY t
+), s0 AS (
+  SELECT wc, list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)) AS s
+  FROM w0
+)"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f""", p{r} AS (
+  SELECT s[i] AS a, s[i + 1] AS b, CAST(SUM(wc) AS BIGINT) AS c
+  FROM s{r - 1}, unnest(generate_series(1, len(s) - 1)) AS t(i)
+  GROUP BY 1, 2
+), b{r} AS (
+  SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1
+), s{r} AS (
+  SELECT wc, {fold} AS s FROM s{r - 1} CROSS JOIN b{r}
+)""")
+    selects = [
+        f"SELECT {r} AS merge_rank, a AS lhs, b AS rhs, a || b AS merged, "
+        f"c AS pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
 QUERIES_LLM = {
+    "bpe_merges": q_bpe_merges,
     "doc_logprob": q_doc_logprob,
     "ivf_fixed": q_ivf_fixed,
     "pq_fixed": q_pq_fixed,
@@ -789,6 +840,7 @@ QUERIES_LLM = {
 }
 
 ORACLES_LLM = {
+    "bpe_merges": _oracle_bpe_merges(),
     "doc_logprob": ORACLE_DOC_LOGPROB,
     "ivf_fixed": ORACLE_IVF_FIXED,
     "pq_fixed": _oracle_pq_fixed(),
