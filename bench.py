@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "doc_logprob",
     "jsonl_parse",
     "bpe_merges",
+    "edit_pairs",
     "pca_outliers",
 ]
 

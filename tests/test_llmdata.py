@@ -781,3 +781,47 @@ def test_bpe_train_fixed_matches_reference_and_encode_roundtrips(spark):
         joined = "".join(r["bpe_tokens"])
         plain = "".join(w for w in _re.split(r"[^a-z0-9]+", texts[r["doc_id"]].lower()) if w)
         assert joined == plain  # merging never loses characters
+
+
+def test_edit_distance_pairs_complete_vs_bruteforce(spark):
+    """SymSpell banding is candidate-complete: the banded operator
+    returns exactly the brute-force levenshtein pairs at max_dist 1
+    and 2 on a vocab with planted typos."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        edit_distance_pairs,
+    )
+
+    words = [
+        "banana", "bananna", "bnana",        # 1-del / 1-ins neighbors
+        "theory", "theorie", "tehory",       # subst/transposition-ish
+        "spark", "sparks", "shark", "stark",
+        "tokenizer", "tokenzier", "alignment",
+        "x", "xy",                            # short edge cases
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+
+    def brute(k):
+        import itertools
+
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(
+                        dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                    )
+            return dp[len(b)]
+
+        return sorted(
+            (a, b, lev(a, b))
+            for a, b in itertools.combinations(sorted(words), 2)
+            if 1 <= lev(a, b) <= k
+        )
+
+    for k in (1, 2):
+        got = sorted(
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in edit_distance_pairs(df, "w", "w", max_dist=k).collect()
+        )
+        assert got == brute(k), f"max_dist={k}"

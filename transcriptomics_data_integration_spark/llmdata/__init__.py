@@ -10,6 +10,7 @@ bit-for-bit.  Python appears only in the multimodal decode stubs
 (mapInPandas) where a binary-decoding library would run.
 """
 
+from transcriptomics_data_integration_spark.llmdata.dedup import edit_distance_pairs
 from transcriptomics_data_integration_spark.llmdata.bpe import bpe_encode, bpe_train_fixed
 from transcriptomics_data_integration_spark.llmdata.text import (
     doc_fingerprint,
@@ -37,6 +38,7 @@ from transcriptomics_data_integration_spark.llmdata.similarity import (
 )
 
 __all__ = [
+    "edit_distance_pairs",
     "bpe_encode",
     "bpe_train_fixed",
     "pq_fixed_topk",

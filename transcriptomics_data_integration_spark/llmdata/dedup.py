@@ -235,6 +235,72 @@ def lsh_candidates_from_columns(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Fuzzy near-duplicate PAIRS by edit distance — entity/title/vocab
+    dedup (typo clustering), the string-metric member of the dedup
+    family.
+
+    Symmetric-delete banding (SymSpell): every string emits its
+    ``max_dist``-deletion neighborhood (all variants reachable by
+    deleting up to ``max_dist`` characters, itself included); two
+    strings within edit distance ``max_dist`` ALWAYS share at least
+    one variant, so bucketing on the variant key is candidate-COMPLETE
+    — no distance-d pair can be missed — while typical buckets stay
+    tiny.  Candidates verify with exact ``levenshtein``.
+
+    Shape: explode x O(len^max_dist) variants -> one shuffle on the
+    variant key -> in-bucket pairing -> id-distinct -> exact verify.
+    Quadratic only within a variant bucket (strings sharing a deletion
+    variant), the same contract as the MinHash band buckets.  Intended
+    for SHORT strings (titles, entities, vocabulary terms); for
+    documents use MinHash/SimHash.
+
+    Output: (id_a, id_b, dist) with id_a < id_b, dist <= max_dist,
+    exact duplicates excluded (dist >= 1) — integers end-to-end, so
+    the whole operator is oracle-checkable.
+    """
+    if max_dist not in (1, 2):
+        raise ValueError("edit_distance_pairs supports max_dist in {1, 2}")
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    # 0- and 1-deletion variants; for max_dist=2 also 2-deletions
+    del1 = (
+        "transform(sequence(1, length(_t)), "
+        "i -> concat(substring(_t, 1, i - 1), substring(_t, i + 1, length(_t))))"
+    )
+    variants = f"array_union(array(_t), {del1})"
+    if max_dist == 2:
+        variants = (
+            f"array_union({variants}, flatten(transform({del1}, v -> "
+            "transform(sequence(1, length(v)), "
+            "j -> concat(substring(v, 1, j - 1), substring(v, j + 1, length(v)))))))"
+        )
+    banded = base.select(
+        "_id", "_t", F.explode(F.expr(f"CASE WHEN length(_t) = 0 THEN array(_t) ELSE {variants} END")).alias("_v")
+    )
+    a = banded.select(
+        F.col("_id").alias("id_a"), F.col("_t").alias("ta"), "_v"
+    )
+    b = banded.select(
+        F.col("_id").alias("id_b"), F.col("_t").alias("tb"), "_v"
+    )
+    cands = (
+        a.join(b, "_v")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ta", "tb")
+        .distinct()
+    )
+    return (
+        cands.withColumn("dist", F.levenshtein("ta", "tb"))
+        .where((F.col("dist") >= 1) & (F.col("dist") <= max_dist))
+        .select("id_a", "id_b", "dist")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

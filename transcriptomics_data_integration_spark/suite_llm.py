@@ -817,7 +817,57 @@ WITH w0 AS (
     return "".join(parts)
 
 
+def q_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs, HASH-GATED — SymSpell
+    symmetric-delete banding + exact levenshtein verify
+    (`llmdata/dedup.py:edit_distance_pairs`) over the corpus
+    vocabulary (typo clustering of terms).  Integer distances,
+    lexicographic pair order — engine-exact end-to-end."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        edit_distance_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+    vocab = (
+        docs.select(F.explode(toks).alias("w"))
+        .where((F.length("w") >= 4) & (F.length("w") <= 10))
+        .distinct()
+    )
+    return edit_distance_pairs(vocab, "w", "w", max_dist=2)
+
+
+ORACLE_EDIT_PAIRS = """
+WITH vocab AS (
+  SELECT DISTINCT t AS w
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE length(t) BETWEEN 4 AND 10
+), banded AS (
+  SELECT w, v
+  FROM vocab, unnest(
+    list_prepend(w,
+      list_concat(
+        list_transform(generate_series(1, length(w)),
+          i -> substr(w, 1, i - 1) || substr(w, i + 1, length(w))),
+        flatten(list_transform(
+          list_transform(generate_series(1, length(w)),
+            i -> substr(w, 1, i - 1) || substr(w, i + 1, length(w))),
+          d -> list_transform(generate_series(1, length(d)),
+            j -> substr(d, 1, j - 1) || substr(d, j + 1, length(d)))))))
+  ) AS s(v)
+), cands AS (
+  SELECT DISTINCT a.w AS id_a, b.w AS id_b
+  FROM banded a JOIN banded b ON a.v = b.v
+  WHERE a.w < b.w
+)
+SELECT id_a, id_b, levenshtein(id_a, id_b) AS dist
+FROM cands
+WHERE levenshtein(id_a, id_b) BETWEEN 1 AND 2
+"""
+
+
 QUERIES_LLM = {
+    "edit_pairs": q_edit_pairs,
     "bpe_merges": q_bpe_merges,
     "doc_logprob": q_doc_logprob,
     "ivf_fixed": q_ivf_fixed,
@@ -840,6 +890,7 @@ QUERIES_LLM = {
 }
 
 ORACLES_LLM = {
+    "edit_pairs": ORACLE_EDIT_PAIRS,
     "bpe_merges": _oracle_bpe_merges(),
     "doc_logprob": ORACLE_DOC_LOGPROB,
     "ivf_fixed": ORACLE_IVF_FIXED,
