@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "jsonl_parse",
     "bpe_merges",
     "edit_pairs",
+    "url_canonical",
     "pca_outliers",
 ]
 

@@ -825,3 +825,37 @@ def test_edit_distance_pairs_complete_vs_bruteforce(spark):
             for r in edit_distance_pairs(df, "w", "w", max_dist=k).collect()
         )
         assert got == brute(k), f"max_dist={k}"
+
+
+def test_canonical_url_normalizations(spark):
+    from pyspark.sql import functions as F
+
+    from transcriptomics_data_integration_spark.llmdata.urls import (
+        canonical_url,
+        url_domain,
+    )
+
+    cases = {
+        "HTTPS://WWW.Example.COM:443/Path/page/?utm_source=x&id=7#s":
+            "https://example.com/Path/page?id=7",
+        "http://example.com:80/": "http://example.com",
+        "https://sub.Example.org/a/b?x=1&utm_campaign=z&y=2":
+            "https://sub.example.org/a/b?x=1&y=2",
+        "https://e.com/?utm_a=1&utm_b=2&utm_c=3&q=1": "https://e.com?q=1",
+        "http://www.foo.net?utm_medium=a": "http://foo.net",
+        "https://ok.com/keep:8080/path": "https://ok.com/keep:8080/path",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "u string")
+    got = {
+        r["u"]: r["c"]
+        for r in df.select("u", canonical_url(F.col("u")).alias("c")).collect()
+    }
+    assert got == cases
+    doms = {
+        r["c"]: r["d"]
+        for r in df.select(canonical_url(F.col("u")).alias("c"))
+        .withColumn("d", url_domain(F.col("c")))
+        .collect()
+    }
+    assert doms["https://example.com/Path/page?id=7"] == "example.com"
+    assert doms["https://sub.example.org/a/b?x=1&y=2"] == "sub.example.org"

@@ -11,6 +11,7 @@ bit-for-bit.  Python appears only in the multimodal decode stubs
 """
 
 from transcriptomics_data_integration_spark.llmdata.dedup import edit_distance_pairs
+from transcriptomics_data_integration_spark.llmdata.urls import canonical_url, domain_stats, url_domain
 from transcriptomics_data_integration_spark.llmdata.bpe import bpe_encode, bpe_train_fixed
 from transcriptomics_data_integration_spark.llmdata.text import (
     doc_fingerprint,
@@ -38,6 +39,9 @@ from transcriptomics_data_integration_spark.llmdata.similarity import (
 )
 
 __all__ = [
+    "canonical_url",
+    "domain_stats",
+    "url_domain",
     "edit_distance_pairs",
     "bpe_encode",
     "bpe_train_fixed",

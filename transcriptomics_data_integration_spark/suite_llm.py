@@ -866,7 +866,67 @@ WHERE levenshtein(id_a, id_b) BETWEEN 1 AND 2
 """
 
 
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + per-domain inventory, HASH-GATED — the
+    provenance axis of crawl curation (`llmdata/urls.py`): mixed-case
+    hosts, default ports, www prefixes, fragments, tracking params and
+    trailing slashes all normalize away, then `domain_stats` inventories
+    docs / distinct canonical urls / text volume per domain.  The
+    oracle replays the SAME `_CANON_STEPS` table (single source of
+    truth), translated to RE2 replacement syntax."""
+    from transcriptomics_data_integration_spark.llmdata.urls import domain_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.COM:443/docs/"),
+        F.col("lang"), F.lit("/"), (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("/?utm_source=feed&ref="), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("?id="), F.col("doc_id").cast("string"),
+                       F.lit("&utm_campaign=x#top")))
+        .otherwise(F.lit("/")),
+    )
+    with_url = docs.withColumn("url", url)
+    out = domain_stats(with_url, "url", text_col="text")
+    return out.select("domain", "n_docs", "n_urls", "total_chars")
+
+
+def _oracle_url_canonical() -> str:
+    from transcriptomics_data_integration_spark.llmdata.urls import _CANON_STEPS
+
+    expr = "u"
+    head = f"regexp_extract({expr}, '^([a-zA-Z]+://[^/?#]*)', 1)"
+    out = (
+        f"(lower({head}) || substr({expr}, length({head}) + 1, length({expr})))"
+    )
+    for pat, rep in _CANON_STEPS:
+        rep_sql = rep.replace("$", "\\")  # Java $1 -> RE2 \1
+        out = f"regexp_replace({out}, '{pat}', '{rep_sql}', 'g')"
+    return f"""
+WITH raw AS (
+  SELECT doc_id, text,
+         'HTTPS://WWW.' || source || '.Example.COM:443/docs/' || lang || '/' ||
+         CAST(doc_id % 40 AS VARCHAR) ||
+         CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
+              WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x#top'
+              ELSE '/' END AS u
+  FROM documents
+), canon AS (
+  SELECT doc_id, text, {out} AS cu FROM raw
+), dom AS (
+  SELECT doc_id, text, cu, regexp_extract(cu, '^[a-z]+://([^/:?#]+)', 1) AS domain
+  FROM canon
+)
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT cu) AS BIGINT) AS n_urls,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM dom GROUP BY domain
+"""
+
+
 QUERIES_LLM = {
+    "url_canonical": q_url_canonical,
     "edit_pairs": q_edit_pairs,
     "bpe_merges": q_bpe_merges,
     "doc_logprob": q_doc_logprob,
@@ -890,6 +950,7 @@ QUERIES_LLM = {
 }
 
 ORACLES_LLM = {
+    "url_canonical": _oracle_url_canonical(),
     "edit_pairs": ORACLE_EDIT_PAIRS,
     "bpe_merges": _oracle_bpe_merges(),
     "doc_logprob": ORACLE_DOC_LOGPROB,
