@@ -299,6 +299,34 @@ def probe_pq_fixed(spark, copies: int) -> dict:
             "sec": round(time.perf_counter() - t0, 2)}
 
 
+def probe_bpe(spark, copies: int) -> dict:
+    """BPE training under corpus inflation: the word-frequency collapse
+    means only the first aggregation sees xN text — merge iterations
+    run on the (unchanged) vocabulary relation, so wall-clock should
+    stay nearly flat."""
+    from transcriptomics_data_integration_spark.llmdata.bpe import bpe_train_fixed
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    big = inflate(docs.select("doc_id", "text"), "doc_id", copies, shift_keys=True)
+    t0 = time.perf_counter()
+    n = bpe_train_fixed(big, "text", n_merges=4).count()
+    return {"probe": f"bpe_corpus_x{copies}", "rows_out": n,
+            "sec": round(time.perf_counter() - t0, 2)}
+
+
+def probe_doc_logprob(spark, copies: int) -> dict:
+    """Unigram-LM scoring under corpus inflation: two token-stream
+    passes, model relation vocabulary-sized."""
+    from transcriptomics_data_integration_spark.llmdata.text import doc_logprob
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    big = inflate(docs.select("doc_id", "text"), "doc_id", copies, shift_keys=True)
+    t0 = time.perf_counter()
+    n = doc_logprob(big, "doc_id").count()
+    return {"probe": f"doc_logprob_corpus_x{copies}", "rows_out": n,
+            "sec": round(time.perf_counter() - t0, 2)}
+
+
 def probe_rnaseq_binned(spark, copies: int) -> dict:
     """Entry-point-B binned composition under row inflation (same gene
     set, xN observations per gene)."""
@@ -364,6 +392,10 @@ def main() -> None:
         (probe_kmeans_lloyd, (10,)),
         (probe_pq_fixed, (1,)),
         (probe_pq_fixed, (4,)),
+        (probe_bpe, (1,)),
+        (probe_bpe, (10,)),
+        (probe_doc_logprob, (1,)),
+        (probe_doc_logprob, (10,)),
     ]:
         spark.catalog.clearCache()
         print(json.dumps(fn(spark, *args)), flush=True)
