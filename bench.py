@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "bpe_merges",
     "edit_pairs",
     "url_canonical",
+    "line_dedup",
     "pca_outliers",
 ]
 

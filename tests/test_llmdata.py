@@ -859,3 +859,21 @@ def test_canonical_url_normalizations(spark):
     }
     assert doms["https://example.com/Path/page?id=7"] == "example.com"
     assert doms["https://sub.example.org/a/b?x=1&y=2"] == "sub.example.org"
+
+
+def test_dedup_lines_keeps_first_occurrence_in_order(spark):
+    from transcriptomics_data_integration_spark.llmdata.text import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "banner\nA\nbanner\nB\nA\nbanner"),
+            (2, "single"),
+            (3, "x\nx\nx"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup_lines(df, "doc_id").collect()}
+    assert got[1]["text_deduped"] == "banner\nA\nB"
+    assert (got[1]["n_lines"], got[1]["n_unique_lines"]) == (6, 3)
+    assert got[2]["text_deduped"] == "single"
+    assert got[3]["text_deduped"] == "x" and got[3]["n_unique_lines"] == 1

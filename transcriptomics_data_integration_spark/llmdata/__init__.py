@@ -14,6 +14,7 @@ from transcriptomics_data_integration_spark.llmdata.dedup import edit_distance_p
 from transcriptomics_data_integration_spark.llmdata.urls import canonical_url, domain_stats, url_domain
 from transcriptomics_data_integration_spark.llmdata.bpe import bpe_encode, bpe_train_fixed
 from transcriptomics_data_integration_spark.llmdata.text import (
+    dedup_lines,
     doc_fingerprint,
     doc_logprob,
     language_id,
@@ -39,6 +40,7 @@ from transcriptomics_data_integration_spark.llmdata.similarity import (
 )
 
 __all__ = [
+    "dedup_lines",
     "canonical_url",
     "domain_stats",
     "url_domain",

@@ -171,6 +171,46 @@ def vocab_topk(
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """Within-document line deduplication — the CCNet-style boilerplate
+    trim: repeated lines (nav bars, cookie banners, headers re-pasted
+    by the scraper) keep only their FIRST occurrence, original order
+    otherwise preserved.
+
+    Pure array algebra, no explode/shuffle: for each line position,
+    an ordered fold over the earlier positions decides whether the
+    line appeared before — O(L^2) per document in the line count,
+    which is the right trade (documents have tens-to-hundreds of
+    lines; the operator stays a map-side transform with NO per-doc
+    aggregation state, so it composes into scans and streams).
+    Deterministic and engine-replayable.
+
+    Output: the input plus (n_lines, n_unique_lines, ``out_col``).
+    """
+    lines = F.split(F.col(text_col), "\n")
+    base = df.withColumn("_ls", lines)
+    # position form (not the (x, i) lambda) so the DuckDB oracle can
+    # replay the identical expression shape with generate_series
+    keep = (
+        "filter(transform(sequence(1, size(_ls)), i -> "
+        "CASE WHEN size(filter(slice(_ls, 1, i - 1), "
+        "p -> p = element_at(_ls, i))) = 0 "
+        "THEN element_at(_ls, i) END), v -> v IS NOT NULL)"
+    )
+    return (
+        base.withColumn("_kept", F.expr(keep))
+        .withColumn("n_lines", F.size("_ls"))
+        .withColumn("n_unique_lines", F.size("_kept"))
+        .withColumn(out_col, F.array_join("_kept", "\n"))
+        .drop("_ls", "_kept")
+    )
+
+
 def doc_logprob(
     df: DataFrame,
     id_col: str,

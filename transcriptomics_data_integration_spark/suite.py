@@ -1546,7 +1546,7 @@ _ROUND3_FRONT = [
     # -- (b) round-3 additions ------------------------------------------
     "rnaseq_pipeline_binned", "closed_pipeline", "normalized_de",
     "meta_pipeline", "pca_outliers", "pca_covariance", "mds_bmatrix",
-    "kmeans_lloyd2", "ivf_fixed", "pq_fixed", "combat_eb2", "doc_logprob", "jsonl_parse", "bpe_merges", "edit_pairs", "url_canonical",
+    "kmeans_lloyd2", "ivf_fixed", "pq_fixed", "combat_eb2", "doc_logprob", "jsonl_parse", "bpe_merges", "edit_pairs", "url_canonical", "line_dedup",
     # -- (c) r2 hash-reds, oracles fixed --------------------------------
     "icc_meta", "dup_correlation", "quality_filter",
     # -- (d) changed kernels + r2 rows-only re-stamp --------------------
@@ -1554,7 +1554,7 @@ _ROUND3_FRONT = [
     "median_polish", "combat_full", "combat_nonparam", "pca_samples",
     # -- (e) cumulative reconfirmation (r1-only oracled) -----------------
     "skyline", "ks_strata", "moderated_de",
-    "value_conditioning", "merge_left_join", "interval_join",
+    "merge_left_join", "interval_join",
     "quantile_thresholds", "sample_correlation", "quantile_normalization",
     "diff_expression", "bh_histogram", "stouffer_meta", "fem_rem",
     "p_improvement", "pack_sequences", "minhash_lsh",

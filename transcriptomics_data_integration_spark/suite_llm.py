@@ -925,7 +925,61 @@ FROM dom GROUP BY domain
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc line dedup, HASH-GATED — CCNet-style boilerplate
+    trim (`llmdata/text.py:dedup_lines`): multi-line docs are built
+    from the corpus with planted repeated banner lines; repeated lines
+    keep their first occurrence, order preserved.  Gated on line
+    counts + the md5 of the deduped text."""
+    from transcriptomics_data_integration_spark.llmdata.text import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 40),
+            F.lit("COOKIE BANNER"),
+            F.substring("text", 41, 40),
+            F.lit("COOKIE BANNER"),
+            F.substring("text", 1, 40),
+            F.concat(F.lit("footer "), F.col("lang")),
+        ).alias("text"),
+    )
+    out = dedup_lines(multi, "doc_id")
+    return out.select(
+        "doc_id", "n_lines", "n_unique_lines",
+        F.md5(F.col("text_deduped").cast("binary")).alias("dedup_md5"),
+    )
+
+
+ORACLE_LINE_DEDUP = """
+WITH multi AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+           substr(text, 1, 40), 'COOKIE BANNER', substr(text, 41, 40),
+           'COOKIE BANNER', substr(text, 1, 40), 'footer ' || lang) AS text
+  FROM documents
+), arr AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM multi
+), kept AS (
+  SELECT doc_id, len(ls) AS n_lines,
+         list_filter(
+           list_transform(generate_series(1, len(ls)), i ->
+             CASE WHEN len(list_filter(ls[1:i - 1], p -> p = ls[i])) = 0
+             THEN ls[i] END),
+           v -> v IS NOT NULL) AS kl
+  FROM arr
+)
+SELECT doc_id, CAST(n_lines AS INTEGER) AS n_lines,
+       CAST(len(kl) AS INTEGER) AS n_unique_lines,
+       md5(list_aggregate(kl, 'string_agg', chr(10))) AS dedup_md5
+FROM kept
+"""
+
+
 QUERIES_LLM = {
+    "line_dedup": q_line_dedup,
     "url_canonical": q_url_canonical,
     "edit_pairs": q_edit_pairs,
     "bpe_merges": q_bpe_merges,
@@ -950,6 +1004,7 @@ QUERIES_LLM = {
 }
 
 ORACLES_LLM = {
+    "line_dedup": ORACLE_LINE_DEDUP,
     "url_canonical": _oracle_url_canonical(),
     "edit_pairs": ORACLE_EDIT_PAIRS,
     "bpe_merges": _oracle_bpe_merges(),
