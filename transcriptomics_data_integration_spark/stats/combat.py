@@ -23,7 +23,6 @@ batch that is perfectly confounded with the biological group.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
