@@ -877,3 +877,56 @@ def test_dedup_lines_keeps_first_occurrence_in_order(spark):
     assert (got[1]["n_lines"], got[1]["n_unique_lines"]) == (6, 3)
     assert got[2]["text_deduped"] == "single"
     assert got[3]["text_deduped"] == "x" and got[3]["n_unique_lines"] == 1
+
+
+def test_winnow_fingerprints_matches_python_reference(spark):
+    """Pin winnow_fingerprints against a pure-Python robust-winnowing
+    reference (Schleimer et al. 2003, Fig. 5 semantics: rightmost
+    minimum per window) using the same 60-bit md5 k-gram hash."""
+    import hashlib as _hl
+
+    from transcriptomics_data_integration_spark.llmdata.text import (
+        winnow_fingerprints,
+    )
+
+    def _h(s: str) -> int:
+        return int(_hl.md5(s.encode()).hexdigest()[:15], 16)
+
+    def _ref(text: str, k: int, w: int) -> dict[int, int]:
+        if len(text) < k:
+            return {}
+        hs = [_h(text[i : i + k]) for i in range(len(text) - k + 1)]
+        out: dict[int, int] = {}
+        for p in range(max(len(hs) - w + 1, 1)):
+            win = hs[p : p + w]
+            m = win[0]
+            for x in win[1:]:  # rightmost min: <= replaces
+                if x <= m:
+                    m = x
+            out[m] = out.get(m, 0) + 1
+        return out
+
+    texts = [
+        (1, "adorunrunrunadorunrun"),  # the paper's running example text
+        (2, "do run run run do run run"),
+        (3, "abcde"),      # exactly k chars -> one k-gram, one window
+        (4, "abcd"),       # shorter than k -> no fingerprints
+        (5, "abcdefg"),    # k <= len < k+w-1 -> fewer hashes than window
+    ]
+    df = spark.createDataFrame(texts, "doc_id int, text string")
+    got: dict[int, dict[int, int]] = {}
+    for r in winnow_fingerprints(df, "doc_id", k=5, window=4).collect():
+        got.setdefault(r["doc_id"], {})[r["fingerprint"]] = r["n_positions"]
+    for doc_id, text in texts:
+        assert got.get(doc_id, {}) == _ref(text, 5, 4), doc_id
+
+    # winnowing guarantee: any shared substring of length >= k+w-1 (=8)
+    # produces at least one shared fingerprint
+    pair = spark.createDataFrame(
+        [(10, "xxxx commonsubstring yyyy"), (11, "zz commonsubstring qq")],
+        "doc_id int, text string",
+    )
+    fp = {}
+    for r in winnow_fingerprints(pair, "doc_id", k=5, window=4).collect():
+        fp.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert fp[10] & fp[11], "shared >=8-char substring must share a fingerprint"

@@ -103,6 +103,66 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.expr(expr))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    MOSS algorithm): hash every k-gram, then keep the MINIMUM hash of
+    each sliding window of ``window`` consecutive k-gram hashes
+    (rightmost minimum on ties, the paper's robust-winnowing rule).
+    Guarantees every shared substring of length >= k + window - 1
+    yields a shared fingerprint — position-robust overlap detection
+    that a single whole-document hash cannot give.
+
+    Relational shape: per-position k-gram hashes and the window minima
+    are pure array algebra (ordered folds over slices) — a map-side
+    transform, no explode/shuffle; only the final distinct-fingerprint
+    explode shuffles, carrying fingerprints instead of text.  Hashes
+    are the repo-standard 60-bit md5 prefixes, so any engine replays
+    them bit-for-bit.
+
+    Output: one row per (id, fingerprint, n_positions) — the relation
+    fingerprint-match joins (plagiarism, contamination, near-dup
+    evidence) run against.
+
+    Plan-shape note: the k-gram hash array MUST be let-bound inside the
+    window expression via ``transform(array(<kg>), hs -> ...)[0]`` — a
+    plain ``withColumn("_h", kg)`` feeding a second projection gets
+    CollapseProject-inlined into every ``slice(_h, p, ...)``, so each of
+    the ~L window positions re-evaluates all ~L md5 hashes: a measured
+    O(L^2) blowup (12s vs 1.5s for 1000 docs at sf-bench shape).  With
+    the lambda binding, ``hs`` is evaluated once per row and inner
+    references are variable lookups.
+    """
+    kg = (
+        f"transform(sequence(1, length({text_col}) - {k - 1}), "
+        f"i -> CAST(conv(substring(md5(CAST(substring({text_col}, i, {k}) "
+        f"AS BINARY)), 1, 15), 16, 10) AS BIGINT))"
+    )
+    # window minima with RIGHTMOST tie: fold positions left->right,
+    # taking <= (not <) on the running min.  Explicit short-text guard:
+    # sequence(1, 0) DESCENDS in Spark, so gate on length < k (the
+    # ELSE branch then always sees size(hs) >= 1).
+    win = (
+        f"CASE WHEN length({text_col}) < {k} THEN array() ELSE "
+        f"transform(array({kg}), hs -> "
+        f"transform(sequence(1, greatest(size(hs) - {window - 1}, 1)), "
+        f"p -> aggregate(slice(hs, p, least({window}, size(hs))), "
+        f"CAST(NULL AS BIGINT), "
+        f"(acc, x) -> CASE WHEN acc IS NULL OR x <= acc THEN x ELSE acc END)))[0] "
+        f"END"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.expr(win)).alias("fingerprint"))
+        .groupBy(id_col, "fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_positions"))
+    )
+
+
 def duplicate_chunk_stats(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1528,7 +1528,8 @@ def _reorder_front(registry: dict, front: list[str]) -> dict:
 # meta, PCA-space M17, the distributed phases of M11/M12
 # [pca_covariance, mds_bmatrix, kmeans_lloyd2], the deterministic ANN
 # twins [ivf_fixed, pq_fixed], fixed-schedule EB ComBat [combat_eb2]
-# and the unigram-LM quality score [doc_logprob]), plus the three
+# the unigram-LM quality score [doc_logprob] and the MOSS winnowing
+# overlap [winnow_overlap]), plus the three
 # adaptive-window queries whose physical plan changed this round
 # (skyline, ks_strata + pack_sequences below) and moderated_de for the
 # ttest seam refactor, (c) the three r2 hash-reds with
@@ -1547,6 +1548,7 @@ _ROUND3_FRONT = [
     "rnaseq_pipeline_binned", "closed_pipeline", "normalized_de",
     "meta_pipeline", "pca_outliers", "pca_covariance", "mds_bmatrix",
     "kmeans_lloyd2", "ivf_fixed", "pq_fixed", "combat_eb2", "doc_logprob", "jsonl_parse", "bpe_merges", "edit_pairs", "url_canonical", "line_dedup",
+    "winnow_overlap",
     # -- (c) r2 hash-reds, oracles fixed --------------------------------
     "icc_meta", "dup_correlation", "quality_filter",
     # -- (d) changed kernels + r2 rows-only re-stamp --------------------
@@ -1557,7 +1559,7 @@ _ROUND3_FRONT = [
     "merge_left_join", "interval_join",
     "quantile_thresholds", "sample_correlation", "quantile_normalization",
     "diff_expression", "bh_histogram", "stouffer_meta", "fem_rem",
-    "p_improvement", "pack_sequences", "minhash_lsh",
+    "p_improvement", "pack_sequences",
 ]
 
 # Round-4 rotation plan: 67 queries sit outside the r3 window (66

@@ -978,7 +978,84 @@ FROM kept
 """
 
 
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint overlap, HASH-GATED — MOSS-style
+    position-robust duplicate evidence (`llmdata/text.py:
+    winnow_fingerprints`, Schleimer et al. 2003): per-doc window-min
+    k-gram fingerprints, ubiquitous fingerprints dropped (> 20 docs —
+    the paper's common-idiom removal), then doc pairs ranked by shared
+    fingerprint count.  60-bit md5 hashes + integer counts:
+    engine-exact end-to-end."""
+    from transcriptomics_data_integration_spark.llmdata.text import (
+        winnow_fingerprints,
+    )
+
+    # the k-gram hash transform is COMPUTE-bound (~len(text) md5 calls
+    # per doc), so a small parquet file's 1-split scan would serialize
+    # it on one core — repartition by id to spread the map work (at
+    # lake scale the scan splits naturally and this is a no-op cost)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    fps = winnow_fingerprints(docs, "doc_id", k=5, window=4)
+    # fps feeds THREE consumers (the rarity count + both sides of the
+    # pair self-join); without a persist the md5 winnowing recomputes
+    # 3x (measured: dominates wall time at sf0.1)
+    fps = fps.persist()
+    # fps rows are distinct (doc_id, fingerprint), so docs-per-
+    # fingerprint is a plain count — a window avoids the groupBy +
+    # re-join against fps
+    w = Window.partitionBy("fingerprint")
+    kept = (
+        fps.withColumn("_nd", F.count(F.lit(1)).over(w))
+        .where(F.col("_nd") <= 20)
+        .select("doc_id", "fingerprint")
+        .persist()
+    )
+    a = kept.select(F.col("doc_id").alias("id_a"), "fingerprint")
+    b = kept.select(F.col("doc_id").alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 5)
+    )
+
+
+ORACLE_WINNOW_OVERLAP = """
+WITH hs AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(text) - 4),
+           i -> ('0x' || substr(md5(substr(text, i, 5)), 1, 15))::BIGINT) AS h
+  FROM documents
+  WHERE length(text) >= 5
+), wins AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(h) - 3, 1)),
+           p -> list_reduce(
+             list_prepend(CAST(NULL AS BIGINT),
+                          h[p : p + least(4, len(h)) - 1]),
+             (acc, x) -> CASE WHEN acc IS NULL OR x <= acc
+                         THEN x ELSE acc END)) AS w
+  FROM hs WHERE len(h) >= 1
+), fps AS (
+  SELECT doc_id, fp, CAST(COUNT(*) AS BIGINT) AS n_positions
+  FROM wins, unnest(w) AS u(fp) GROUP BY 1, 2
+), rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(DISTINCT doc_id) <= 20
+), kept AS (
+  SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 5
+"""
+
+
 QUERIES_LLM = {
+    "winnow_overlap": q_winnow_overlap,
     "line_dedup": q_line_dedup,
     "url_canonical": q_url_canonical,
     "edit_pairs": q_edit_pairs,
@@ -1004,6 +1081,7 @@ QUERIES_LLM = {
 }
 
 ORACLES_LLM = {
+    "winnow_overlap": ORACLE_WINNOW_OVERLAP,
     "line_dedup": ORACLE_LINE_DEDUP,
     "url_canonical": _oracle_url_canonical(),
     "edit_pairs": ORACLE_EDIT_PAIRS,
