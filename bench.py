@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "url_canonical",
     "line_dedup",
     "pca_outliers",
+    "winnow_overlap",
 ]
 
 
