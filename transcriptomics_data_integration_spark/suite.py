@@ -1562,12 +1562,15 @@ _ROUND3_FRONT = [
     "p_improvement", "pack_sequences",
 ]
 
-# Round-4 rotation plan: 67 queries sit outside the r3 window (66
-# oracled + vocab_size_sketch), every one driver-green in r1/r2.
+# Round-4 rotation plan: 68 queries sit outside the r3 window (67
+# oracled + vocab_size_sketch), every one driver-green in r1/r2
+# (minhash_lsh rotated out late-r3 to make room for winnow_overlap;
+# it is r1-green and pytest-covered, rotate it back in r4).
 # Rotate for r4: (a) queries whose kernels were touched in r3 and are
 # not in the r3 window — permutation_fdr (persisted t-table),
 # weighted_de (ttest seam), sample_distances, cosine_topk/lsh_ann
-# (similarity module refactor), batch_center, expression_pipeline; (b)
+# (similarity module refactor), batch_center, expression_pipeline,
+# minhash_lsh; (b)
 # a fresh 40-ish slice of the r1-only-gated remainder (llm-data +
 # sources families first: token_stats .. rsem_convert above) so every
 # query shows a STRICT-gate-era row within two more rounds; keep the
