@@ -726,3 +726,46 @@ def test_write_jsonl_shards_roundtrip_gzip(spark, tmp_path):
     got = sorted((r["doc_id"], r["text"]) for r in clean.collect())
     want = sorted((r["doc_id"], r["text"]) for r in df.collect())
     assert got == want
+
+
+def test_streaming_winnow_fingerprints_matches_batch(spark, tmp_path):
+    """winnow_fingerprints is let-bound array algebra ending in a
+    keyed aggregation, so it runs unchanged on a readStream source
+    (complete output mode for the agg); streamed fingerprints equal
+    the batch relation over the same files."""
+    from transcriptomics_data_integration_spark.llmdata.text import (
+        winnow_fingerprints,
+    )
+    from transcriptomics_data_integration_spark.streaming.ingest import (
+        run_stream_to_memory,
+    )
+
+    d = tmp_path / "winnow_docs"
+    d.mkdir()
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox leaps over the lazy dog"),
+        (3, "tiny"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(d))
+    run_stream_to_memory(
+        winnow_fingerprints(stream, "doc_id", k=5, window=4),
+        "stream_winnow",
+        out_mode="complete",
+    )
+    got = {
+        (r["doc_id"], r["fingerprint"]): r["n_positions"]
+        for r in spark.sql("SELECT * FROM stream_winnow").collect()
+    }
+    want = {
+        (r["doc_id"], r["fingerprint"]): r["n_positions"]
+        for r in winnow_fingerprints(
+            spark.read.parquet(str(d)), "doc_id", k=5, window=4
+        ).collect()
+    }
+    assert got == want and got
+    assert not any(k[0] == 3 for k in got)  # len < k yields no fingerprints
