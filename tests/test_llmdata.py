@@ -930,3 +930,36 @@ def test_winnow_fingerprints_matches_python_reference(spark):
     for r in winnow_fingerprints(pair, "doc_id", k=5, window=4).collect():
         fp.setdefault(r["doc_id"], set()).add(r["fingerprint"])
     assert fp[10] & fp[11], "shared >=8-char substring must share a fingerprint"
+
+
+def test_keep_best_per_cluster_survivors(spark):
+    """Longest member survives per cluster (min-id tie-break);
+    singletons survive as themselves with cluster_size 1."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        keep_best_per_cluster,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short"),
+            (2, "the longest member of cluster one"),
+            (3, "mid length"),
+            (4, "alone and unclustered"),
+            (5, "tie text"),
+            (6, "tie abcd"),  # same length as 5 -> min id 5 wins
+        ],
+        "doc_id long, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)],
+        "doc_id long, canonical_id long",
+    )
+    got = {
+        r["cluster_key"]: r
+        for r in keep_best_per_cluster(docs, clusters, "doc_id").collect()
+    }
+    assert set(got) == {1, 4, 5}
+    assert got[1]["kept_id"] == 2 and got[1]["cluster_size"] == 3
+    assert got[4]["kept_id"] == 4 and got[4]["cluster_size"] == 1
+    assert got[5]["kept_id"] == 5 and got[5]["cluster_size"] == 2
+    assert got[1]["kept_score"] == len("the longest member of cluster one")

@@ -604,3 +604,50 @@ def dedup_clusters(
         F.col("component").alias("canonical_id"),
         w_size.alias("cluster_size"),
     )
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    score: Column | None = None,
+) -> DataFrame:
+    """Duplicate-cluster survivor selection: given the corpus and a
+    :func:`dedup_clusters` decision table, keep ONE doc per near-dup
+    cluster — the highest-``score`` member (ties broken by min id) —
+    and every unclustered doc as its own survivor.  This is the
+    "which duplicate do you keep" step of a production dedup pipeline
+    (keep-longest is the common heuristic; pass any deterministic
+    Column to rank by quality instead).
+
+    Relational shape: broadcast-friendly left join of the corpus onto
+    the (small) cluster table, then a single argmax window per cluster
+    key — the same W2 argmax-per-group machinery as the probe->gene
+    dedup (`MultiGene2ProbeFilter.R:50-64` analogue at corpus scale).
+    Output: one row per survivor (cluster_key, kept id, cluster_size,
+    kept_score); cluster_size is 1 for singletons.
+    """
+    if score is None:
+        score = F.length("text")
+    joined = (
+        docs.select(F.col(id_col), score.alias("_score"))
+        .join(clusters.select(id_col, "canonical_id"), id_col, "left")
+        .withColumn("cluster_key", F.coalesce("canonical_id", F.col(id_col)))
+    )
+    w = Window.partitionBy("cluster_key").orderBy(
+        F.col("_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_key")),
+        )
+        .where(F.col("_rn") == 1)
+        .select(
+            "cluster_key",
+            F.col(id_col).alias("kept_id"),
+            "cluster_size",
+            F.col("_score").alias("kept_score"),
+        )
+    )

@@ -1548,7 +1548,7 @@ _ROUND3_FRONT = [
     "rnaseq_pipeline_binned", "closed_pipeline", "normalized_de",
     "meta_pipeline", "pca_outliers", "pca_covariance", "mds_bmatrix",
     "kmeans_lloyd2", "ivf_fixed", "pq_fixed", "combat_eb2", "doc_logprob", "jsonl_parse", "bpe_merges", "edit_pairs", "url_canonical", "line_dedup",
-    "winnow_overlap",
+    "winnow_overlap", "dedup_keep_best",
     # -- (c) r2 hash-reds, oracles fixed --------------------------------
     "icc_meta", "dup_correlation", "quality_filter",
     # -- (d) changed kernels + r2 rows-only re-stamp --------------------
@@ -1559,13 +1559,14 @@ _ROUND3_FRONT = [
     "merge_left_join", "interval_join",
     "quantile_thresholds", "sample_correlation", "quantile_normalization",
     "diff_expression", "bh_histogram", "stouffer_meta", "fem_rem",
-    "p_improvement", "pack_sequences",
+    "pack_sequences",
 ]
 
-# Round-4 rotation plan: 68 queries sit outside the r3 window (67
+# Round-4 rotation plan: 69 queries sit outside the r3 window (68
 # oracled + vocab_size_sketch), every one driver-green in r1/r2
-# (minhash_lsh rotated out late-r3 to make room for winnow_overlap;
-# it is r1-green and pytest-covered, rotate it back in r4).
+# (minhash_lsh and p_improvement rotated out late-r3 to make room for
+# winnow_overlap and dedup_keep_best; both are r1-green and
+# pytest-covered, rotate them back in r4).
 # Rotate for r4: (a) queries whose kernels were touched in r3 and are
 # not in the r3 window — permutation_fdr (persisted t-table),
 # weighted_de (ttest seam), sample_distances, cosine_topk/lsh_ann

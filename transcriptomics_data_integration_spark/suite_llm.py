@@ -1296,6 +1296,59 @@ QUERIES_LLM["dedup_clusters"] = q_dedup_clusters
 ORACLES_LLM["dedup_clusters"] = ORACLE_DEDUP_CLUSTERS
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster survivor selection, HASH-GATED — the "which duplicate
+    do you keep" step (`llmdata/dedup.py:keep_best_per_cluster`):
+    SimHash near-dup pairs -> connected components -> keep the LONGEST
+    member of each cluster (min-id tie-break), singletons survive as
+    themselves.  Integer lengths/counts end-to-end: engine-exact.
+    Oracle = the dedup_clusters recursive-CTE closure + an argmax
+    window — two independent formulations of the whole pipeline."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        dedup_clusters,
+        keep_best_per_cluster,
+        simhash_neardup_pairs,
+    )
+
+    docs = _two_crawls(_t(spark, sf_dir, "documents"))
+    pairs = simhash_neardup_pairs(docs, "doc_id", max_hamming=3)
+    clusters = dedup_clusters(pairs.select("id_a", "id_b"))
+    return keep_best_per_cluster(
+        docs, clusters, "doc_id", score=F.length("text").cast("long")
+    )
+
+
+def _oracle_dedup_keep_best() -> str:
+    closure = ORACLE_DEDUP_CLUSTERS.strip().rstrip()
+    # reuse the full dedup_clusters oracle as a subquery, then attach
+    # the corpus and pick the argmax-length member per cluster
+    return f"""
+WITH closure_q AS (
+{closure}
+), crawls2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+), joined AS (
+  SELECT c.doc_id,
+         CAST(length(c.text) AS BIGINT) AS _score,
+         COALESCE(q.canonical_id, c.doc_id) AS cluster_key
+  FROM crawls2 c LEFT JOIN closure_q q USING (doc_id)
+)
+SELECT cluster_key,
+       doc_id AS kept_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_key) AS BIGINT) AS cluster_size,
+       _score AS kept_score
+FROM joined
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY cluster_key ORDER BY _score DESC, doc_id ASC) = 1
+"""
+
+
+QUERIES_LLM["dedup_keep_best"] = q_dedup_keep_best
+ORACLES_LLM["dedup_keep_best"] = _oracle_dedup_keep_best()
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language top-20 vocabulary over the documents corpus:
     explode tokens -> (lang, token) count -> per-lang rank window with
