@@ -913,12 +913,13 @@ def test_winnow_fingerprints_matches_python_reference(spark):
         (4, "abcd"),       # shorter than k -> no fingerprints
         (5, "abcdefg"),    # k <= len < k+w-1 -> fewer hashes than window
     ]
-    df = spark.createDataFrame(texts, "doc_id int, text string")
+    df = spark.createDataFrame(texts + [(6, None)], "doc_id int, text string")
     got: dict[int, dict[int, int]] = {}
     for r in winnow_fingerprints(df, "doc_id", k=5, window=4).collect():
-        got.setdefault(r["doc_id"], {})[r["fingerprint"]] = r["n_positions"]
+        got.setdefault(r["doc_id"], {})[r["fingerprint"]] = r["n_windows"]
     for doc_id, text in texts:
         assert got.get(doc_id, {}) == _ref(text, 5, 4), doc_id
+    assert 6 not in got  # NULL text yields no rows (not a NULL fingerprint)
 
     # winnowing guarantee: any shared substring of length >= k+w-1 (=8)
     # produces at least one shared fingerprint
@@ -963,3 +964,12 @@ def test_keep_best_per_cluster_survivors(spark):
     assert got[4]["kept_id"] == 4 and got[4]["cluster_size"] == 1
     assert got[5]["kept_id"] == 5 and got[5]["cluster_size"] == 2
     assert got[1]["kept_score"] == len("the longest member of cluster one")
+
+    # id_col other than "doc_id" works against a dedup_clusters-style
+    # table (whose id column is always literally "doc_id")
+    renamed = docs.withColumnRenamed("doc_id", "id")
+    got2 = {
+        r["cluster_key"]: r["kept_id"]
+        for r in keep_best_per_cluster(renamed, clusters, "id").collect()
+    }
+    assert got2 == {1: 2, 4: 4, 5: 5}

@@ -758,11 +758,11 @@ def test_streaming_winnow_fingerprints_matches_batch(spark, tmp_path):
         out_mode="complete",
     )
     got = {
-        (r["doc_id"], r["fingerprint"]): r["n_positions"]
+        (r["doc_id"], r["fingerprint"]): r["n_windows"]
         for r in spark.sql("SELECT * FROM stream_winnow").collect()
     }
     want = {
-        (r["doc_id"], r["fingerprint"]): r["n_positions"]
+        (r["doc_id"], r["fingerprint"]): r["n_windows"]
         for r in winnow_fingerprints(
             spark.read.parquet(str(d)), "doc_id", k=5, window=4
         ).collect()

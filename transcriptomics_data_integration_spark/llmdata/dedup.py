@@ -31,6 +31,15 @@ N_BANDS = 4  # 4 rows per band
 SIMHASH_BITS = 60
 
 
+# the repo-standard 60-bit hash as a SQL-expression template, for call
+# sites that build string expressions (lambda bodies inside HOFs);
+# _md5_60bit below is the same recipe as a Column function.  DuckDB
+# twin: ('0x' || substring(md5(x), 1, 15))::BIGINT.
+MD5_60BIT_SQL = (
+    "CAST(conv(substring(md5(CAST({arg} AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+)
+
+
 def _md5_60bit(col: Column) -> Column:
     """First 60 bits of md5 as a non-negative bigint — identical in
     DuckDB via ('0x' || substring(md5(x), 1, 15))::BIGINT."""
@@ -629,9 +638,16 @@ def keep_best_per_cluster(
     """
     if score is None:
         score = F.length("text")
+    # dedup_clusters names its id column "doc_id" regardless of the
+    # caller's id_col; accept either spelling in the clusters table
+    cl_id = id_col if id_col in clusters.columns else "doc_id"
     joined = (
         docs.select(F.col(id_col), score.alias("_score"))
-        .join(clusters.select(id_col, "canonical_id"), id_col, "left")
+        .join(
+            clusters.select(F.col(cl_id).alias(id_col), "canonical_id"),
+            id_col,
+            "left",
+        )
         .withColumn("cluster_key", F.coalesce("canonical_id", F.col(id_col)))
     )
     w = Window.partitionBy("cluster_key").orderBy(

@@ -113,10 +113,18 @@ def winnow_fingerprints(
     """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
     MOSS algorithm): hash every k-gram, then keep the MINIMUM hash of
     each sliding window of ``window`` consecutive k-gram hashes
-    (rightmost minimum on ties, the paper's robust-winnowing rule).
-    Guarantees every shared substring of length >= k + window - 1
-    yields a shared fingerprint — position-robust overlap detection
-    that a single whole-document hash cannot give.
+    (rightmost minimum on ties).  Guarantees every shared substring of
+    length >= k + window - 1 yields a shared fingerprint —
+    position-robust overlap detection that a single whole-document
+    hash cannot give.
+
+    Multiplicity semantics: ``n_windows`` counts the WINDOWS whose
+    minimum is that fingerprint, not the paper's deduplicated
+    selections — Fig. 5 robust winnowing records a selection only when
+    it differs from the previous window's, so runs of repeated text
+    yield smaller multiplicities there.  The distinct fingerprint SET
+    per document is identical under both rules; only the counts
+    differ, and overlap queries join on the set.
 
     Relational shape: per-position k-gram hashes and the window minima
     are pure array algebra (ordered folds over slices) — a map-side
@@ -125,7 +133,7 @@ def winnow_fingerprints(
     are the repo-standard 60-bit md5 prefixes, so any engine replays
     them bit-for-bit.
 
-    Output: one row per (id, fingerprint, n_positions) — the relation
+    Output: one row per (id, fingerprint, n_windows) — the relation
     fingerprint-match joins (plagiarism, contamination, near-dup
     evidence) run against.
 
@@ -138,18 +146,20 @@ def winnow_fingerprints(
     the lambda binding, ``hs`` is evaluated once per row and inner
     references are variable lookups.
     """
-    kg = (
-        f"transform(sequence(1, length({text_col}) - {k - 1}), "
-        f"i -> CAST(conv(substring(md5(CAST(substring({text_col}, i, {k}) "
-        f"AS BINARY)), 1, 15), 16, 10) AS BIGINT))"
-    )
+    from transcriptomics_data_integration_spark.llmdata.dedup import MD5_60BIT_SQL
+
+    kgram_hash = MD5_60BIT_SQL.format(arg=f"substring({text_col}, i, {k})")
+    kg = f"transform(sequence(1, length({text_col}) - {k - 1}), i -> {kgram_hash})"
     # window minima with RIGHTMOST tie: fold positions left->right,
     # taking <= (not <) on the running min.  Explicit short-text guard:
-    # sequence(1, 0) DESCENDS in Spark, so gate on length < k (the
-    # ELSE branch then always sees size(hs) >= 1).
+    # sequence(1, 0) DESCENDS in Spark, and NULL text must not fall
+    # through to the ELSE branch (length(NULL) < k is NULL, not true —
+    # it would propagate to an explodable [NULL] and emit a phantom
+    # NULL-fingerprint row), so gate both; the ELSE branch then always
+    # sees size(hs) >= 1.
     win = (
-        f"CASE WHEN length({text_col}) < {k} THEN array() ELSE "
-        f"transform(array({kg}), hs -> "
+        f"CASE WHEN {text_col} IS NULL OR length({text_col}) < {k} THEN array() "
+        f"ELSE transform(array({kg}), hs -> "
         f"transform(sequence(1, greatest(size(hs) - {window - 1}, 1)), "
         f"p -> aggregate(slice(hs, p, least({window}, size(hs))), "
         f"CAST(NULL AS BIGINT), "
@@ -159,7 +169,7 @@ def winnow_fingerprints(
     return (
         df.select(F.col(id_col), F.explode(F.expr(win)).alias("fingerprint"))
         .groupBy(id_col, "fingerprint")
-        .agg(F.count(F.lit(1)).alias("n_positions"))
+        .agg(F.count(F.lit(1)).alias("n_windows"))
     )
 
 

@@ -992,19 +992,19 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the k-gram hash transform is COMPUTE-bound (~len(text) md5 calls
     # per doc), so a small parquet file's 1-split scan would serialize
-    # it on one core — repartition by id to spread the map work (at
-    # lake scale the scan splits naturally and this is a no-op cost)
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    # it on one core — spread the map work ONLY when the scan is
+    # under-split (at lake scale the scan splits naturally and this
+    # branch inserts no shuffle)
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
     fps = winnow_fingerprints(docs, "doc_id", k=5, window=4)
-    # fps feeds THREE consumers (the rarity count + both sides of the
-    # pair self-join); without a persist the md5 winnowing recomputes
-    # 3x (measured: dominates wall time at sf0.1)
-    fps = fps.persist()
     # fps rows are distinct (doc_id, fingerprint), so docs-per-
     # fingerprint is a plain count — a window avoids the groupBy +
-    # re-join against fps
+    # re-join against fps.  kept feeds both sides of the pair
+    # self-join; the persist keeps the md5 winnowing + rarity window
+    # from executing twice (measured: it dominates wall time at sf0.1)
     w = Window.partitionBy("fingerprint")
     kept = (
         fps.withColumn("_nd", F.count(F.lit(1)).over(w))
@@ -1040,7 +1040,7 @@ WITH hs AS (
                          THEN x ELSE acc END)) AS w
   FROM hs WHERE len(h) >= 1
 ), fps AS (
-  SELECT doc_id, fp, CAST(COUNT(*) AS BIGINT) AS n_positions
+  SELECT doc_id, fp, CAST(COUNT(*) AS BIGINT) AS n_windows
   FROM wins, unnest(w) AS u(fp) GROUP BY 1, 2
 ), rare AS (
   SELECT fp FROM fps GROUP BY fp HAVING COUNT(DISTINCT doc_id) <= 20
