@@ -973,3 +973,44 @@ def test_keep_best_per_cluster_survivors(spark):
         for r in keep_best_per_cluster(renamed, clusters, "id").collect()
     }
     assert got2 == {1: 2, 4: 4, 5: 5}
+
+
+def test_text_operators_survive_degenerate_docs(spark):
+    """ANSI-mode safety battery: empty, whitespace-only, single-char,
+    and NULL text must not raise (divide-by-zero in ratio columns,
+    sequence(1,0) descents, NULL propagation) in any of the per-doc
+    text operators."""
+    from transcriptomics_data_integration_spark.llmdata.text import (
+        dedup_lines,
+        doc_fingerprint,
+        language_id,
+        language_id_ngram,
+        normalize_text,
+        quality_filter,
+        repetition_stats,
+        scrub_pii,
+        text_quality,
+        token_stats,
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "x"), (4, None), (5, "\n\n"), (6, "ok doc")],
+        "doc_id long, text string",
+    )
+    for fn in (
+        token_stats,
+        text_quality,
+        language_id,
+        language_id_ngram,
+        doc_fingerprint,
+        normalize_text,
+        quality_filter,
+        scrub_pii,
+    ):
+        rows = fn(df).collect()
+        assert len(rows) == 6, fn.__name__
+    assert len(dedup_lines(df, "doc_id").collect()) == 6
+    assert len(repetition_stats(df, "doc_id").collect()) == 6
+    fps = winnow_fingerprints(df, "doc_id").collect()
+    assert {r["doc_id"] for r in fps} == {6}

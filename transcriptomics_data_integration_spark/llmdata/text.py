@@ -55,11 +55,15 @@ def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"]))
     )
     n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[\.,;:!\?]", ""))
+    # try_divide, not "/": ANSI mode makes integer division by zero a
+    # runtime ERROR, so empty/whitespace docs would crash the job;
+    # NULL ratios are the honest value for them (identical results for
+    # every non-degenerate doc)
     return (
         df.withColumn("n_tokens", n_tok)
-        .withColumn("mean_token_len", (n_chars - (n_tok - 1)) / n_tok)
-        .withColumn("stopword_ratio", stop_hits / n_tok)
-        .withColumn("punct_ratio", n_punct / n_chars)
+        .withColumn("mean_token_len", F.try_divide(n_chars - (n_tok - 1), n_tok))
+        .withColumn("stopword_ratio", F.try_divide(stop_hits, n_tok))
+        .withColumn("punct_ratio", F.try_divide(n_punct, n_chars))
     )
 
 
