@@ -1014,3 +1014,36 @@ def test_text_operators_survive_degenerate_docs(spark):
     assert len(repetition_stats(df, "doc_id").collect()) == 6
     fps = winnow_fingerprints(df, "doc_id").collect()
     assert {r["doc_id"] for r in fps} == {6}
+
+
+def test_similarity_operators_survive_zero_vectors(spark):
+    """ANSI-mode safety battery for the embedding family: a zero-norm
+    vector must be excluded (no cosine exists for it), not crash the
+    job with DIVIDE_BY_ZERO."""
+    from transcriptomics_data_integration_spark.llmdata.similarity import (
+        cosine_neardup_pairs,
+        lsh_bucketed_topk,
+        quantize_embeddings,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+            (3, [0.9, 0.1, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = cosine_topk(emb, emb, k=2).collect()
+    ids = {r["query_id"] for r in out}
+    assert 2 not in ids  # zero vector is not a query...
+    assert all(r["cand_id"] != 2 for r in out)  # ...nor a candidate
+    assert {r["cand_id"] for r in out if r["query_id"] == 1} == {3}
+
+    lsh = lsh_bucketed_topk(emb, emb, k=2, n_planes=2, dim=4).collect()
+    assert all(r["cand_id"] != 2 and r["query_id"] != 2 for r in lsh)
+
+    nd = cosine_neardup_pairs(emb, threshold=0.5, n_planes=2, n_bands=1, dim=4)
+    assert all(2 not in (r["id_a"], r["id_b"]) for r in nd.collect())
+
+    assert len(quantize_embeddings(emb).collect()) == 3

@@ -70,7 +70,13 @@ def cosine_topk(
         F.col(vec_col).alias("c_vec"),
         F.sqrt(_norm2(vec_col)).alias("c_norm"),
     )
-    pairs = q.crossJoin(c).where(F.col("query_id") != F.col("cand_id"))
+    # ANSI guard: a zero vector has no cosine — exclude before dividing
+    # (same rule as cosine_neardup_pairs)
+    pairs = (
+        q.where(F.col("q_norm") > 0)
+        .crossJoin(c.where(F.col("c_norm") > 0))
+        .where(F.col("query_id") != F.col("cand_id"))
+    )
     sim = pairs.withColumn(
         "cosine",
         _dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")),
@@ -151,7 +157,12 @@ def lsh_bucketed_topk(
         bits.alias("bucket"),
         F.sqrt(_norm2(vec_col)).alias("q_norm"),
     )
-    pairs = q.join(c, "bucket").where(F.col("query_id") != F.col("cand_id"))
+    # ANSI guard: zero-norm vectors have no cosine — exclude both sides
+    pairs = (
+        q.where(F.col("q_norm") > 0)
+        .join(c.where(F.col("c_norm") > 0), "bucket")
+        .where(F.col("query_id") != F.col("cand_id"))
+    )
     sim = pairs.withColumn(
         "cosine",
         _dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")),
@@ -227,10 +238,11 @@ def _ivf_search(
         .select("query_id", "q_vec", "cell")
     )
     pairs = probes.join(assigned, "cell").where(F.col("query_id") != F.col("cand_id"))
-    sim = pairs.withColumn(
-        "cosine",
-        _dot("q_vec", "c_vec")
-        / (F.sqrt(_norm2("q_vec")) * F.sqrt(_norm2("c_vec"))),
+    # ANSI guard: zero-norm vectors have no cosine — exclude before dividing
+    sim = pairs.withColumn("_qn", F.sqrt(_norm2("q_vec"))).withColumn(
+        "_cn", F.sqrt(_norm2("c_vec"))
+    ).where((F.col("_qn") > 0) & (F.col("_cn") > 0)).withColumn(
+        "cosine", _dot("q_vec", "c_vec") / (F.col("_qn") * F.col("_cn"))
     )
     w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
