@@ -376,3 +376,25 @@ def test_bh_adjust_delegates_to_histogram_above_single_task_size(spark, tmp_path
     a = sorted((r["gene"], r["adj"]) for r in bh_adjust(local, "p", "adj", tiebreak_col="gene").collect())
     b = sorted((r["gene"], r["adj"]) for r in bh_adjust(small, "p", "adj", tiebreak_col="gene").collect())
     assert a == b
+
+
+def test_two_group_ttest_drops_zero_variance_genes(spark):
+    """Genes with zero pooled variance have no t-statistic; they are
+    excluded from the result (the reference removes them up front with
+    the zero-variance filter F4), never NaN/Inf rows or ANSI errors."""
+    from transcriptomics_data_integration_spark.stats.ttest import two_group_ttest
+
+    rows = []
+    for g, va, vb in [
+        ("const", [5.0, 5.0, 5.0], [5.0, 5.0, 5.0]),
+        ("constdiff", [1.0, 1.0, 1.0], [2.0, 2.0, 2.0]),
+        ("normal", [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+    ]:
+        rows += [(g, f"a{i}", "A", v) for i, v in enumerate(va)]
+        rows += [(g, f"b{i}", "B", v) for i, v in enumerate(vb)]
+    df = spark.createDataFrame(
+        rows, "gene_id string, sample_id string, grp string, value double"
+    )
+    out = two_group_ttest(df, "gene_id", "grp", "value", "A", "B").collect()
+    assert [r[0] for r in out] == ["normal"]
+    assert all(r["t_statistic"] is not None for r in out)
