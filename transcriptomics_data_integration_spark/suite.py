@@ -1566,7 +1566,9 @@ _ROUND3_FRONT = [
 # oracled + vocab_size_sketch), every one driver-green in r1/r2
 # (minhash_lsh and p_improvement rotated out late-r3 to make room for
 # winnow_overlap and dedup_keep_best; both are r1-green and
-# pytest-covered, rotate them back in r4).
+# pytest-covered, rotate them back in r4).  Late-r3 additions never
+# driver-gated (locally 3-SF green): winnow_containment,
+# domain_dup_rate — put both in the r4 front.
 # Rotate for r4: (a) queries whose kernels were touched in r3 and are
 # not in the r3 window — permutation_fdr (persisted t-table),
 # weighted_de (ttest seam), sample_distances, cosine_topk/lsh_ann

@@ -1349,6 +1349,119 @@ QUERIES_LLM["dedup_keep_best"] = q_dedup_keep_best
 ORACLES_LLM["dedup_keep_best"] = _oracle_dedup_keep_best()
 
 
+def q_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment evidence, HASH-GATED — detects when one
+    document CONTAINS another (quotes, sub-document copies), which
+    symmetric resemblance scores miss (Broder 1997 distinguishes
+    containment |A∩B|/|A| from resemblance |A∩B|/|A∪B|).  Output per
+    overlapping pair: shared-fingerprint count plus each side's
+    distinct-fingerprint count — pure integers so the gate is bitwise;
+    containment_a = n_shared/n_fp_a is a trivial ratio on top.  Reuses
+    `winnow_fingerprints` (distinct fingerprint sets per doc).
+    Ubiquitous fingerprints (> 20 docs) are dropped BEFORE pairing,
+    exactly as in `winnow_overlap` — without that discipline common
+    idioms make the pair space near-quadratic in corpus size (measured
+    122k pairs from 500 docs); n_fp_* therefore counts each doc's
+    MATCH-ELIGIBLE (rare) fingerprints, the consistent denominator."""
+    from transcriptomics_data_integration_spark.llmdata.text import (
+        winnow_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
+    fps = winnow_fingerprints(docs, "doc_id", k=5, window=4).select(
+        "doc_id", "fingerprint"
+    )
+    w = Window.partitionBy("fingerprint")
+    kept = (
+        fps.withColumn("_nd", F.count(F.lit(1)).over(w))
+        .where(F.col("_nd") <= 20)
+        .select("doc_id", "fingerprint")
+        .persist()
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = kept.select(F.col("doc_id").alias("id_a"), "fingerprint")
+    b = kept.select(F.col("doc_id").alias("id_b"), "fingerprint")
+    shared = (
+        a.join(b, "fingerprint")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 5)
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("n_fp_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("n_fp_b"))
+    return shared.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b", "n_shared", "n_fp_a", "n_fp_b"
+    )
+
+
+def _oracle_winnow_containment() -> str:
+    # reuse the winnowing CTEs from ORACLE_WINNOW_OVERLAP through the
+    # rare-fingerprint `kept` relation, then pair + attach sizes
+    head = ORACLE_WINNOW_OVERLAP.split(")\nSELECT a.doc_id AS id_a")[0]
+    return f"""{head}), sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM kept GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 5
+)
+SELECT s.id_a, s.id_b, s.n_shared,
+       sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.id_a
+JOIN sizes sb ON sb.doc_id = s.id_b
+"""
+
+
+QUERIES_LLM["winnow_containment"] = q_winnow_containment
+ORACLES_LLM["winnow_containment"] = _oracle_winnow_containment()
+
+
+def q_domain_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicate-content inventory, HASH-GATED — the
+    curation report "which sources produce duplicated text": per
+    `source`, total docs and docs whose exact content digest appears
+    on more than one doc corpus-wide (cross-source duplicates count
+    for every source involved).  One digest-keyed window + one
+    source-keyed aggregate; integer counts end-to-end."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("_d")
+    )
+    w = Window.partitionBy("_d")
+    flagged = docs.withColumn(
+        "_dup", (F.count(F.lit(1)).over(w) > 1).cast("int")
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_dup").alias("n_dup_docs"),
+    )
+
+
+ORACLE_DOMAIN_DUP_RATE = """
+WITH digests AS (
+  SELECT doc_id, source, md5(text) AS d FROM documents
+), flagged AS (
+  SELECT source,
+         CASE WHEN COUNT(*) OVER (PARTITION BY d) > 1 THEN 1 ELSE 0 END AS dup
+  FROM digests
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dup) AS BIGINT) AS n_dup_docs
+FROM flagged
+GROUP BY source
+"""
+
+QUERIES_LLM["domain_dup_rate"] = q_domain_dup_rate
+ORACLES_LLM["domain_dup_rate"] = ORACLE_DOMAIN_DUP_RATE
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language top-20 vocabulary over the documents corpus:
     explode tokens -> (lang, token) count -> per-lang rank window with
