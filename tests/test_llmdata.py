@@ -1047,3 +1047,55 @@ def test_similarity_operators_survive_zero_vectors(spark):
     assert all(2 not in (r["id_a"], r["id_b"]) for r in nd.collect())
 
     assert len(quantize_embeddings(emb).collect()) == 3
+
+
+def test_winnow_containment_detects_subdocument_copy(spark):
+    """A document fully contained in a larger one yields n_shared equal
+    to (nearly all of) the small doc's eligible fingerprints —
+    containment evidence the symmetric overlap score understates."""
+    from transcriptomics_data_integration_spark.llmdata.text import (
+        winnow_fingerprints,
+    )
+
+    quoted = "the quick brown fox jumps over the lazy dog near the river bank"
+    big = "PREFIX material here. " + quoted + " SUFFIX trailing content."
+    df = spark.createDataFrame(
+        [(1, quoted), (2, big), (3, "completely unrelated words entirely")],
+        "doc_id long, text string",
+    )
+    fp = {}
+    for r in winnow_fingerprints(df, "doc_id", k=5, window=4).collect():
+        fp.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    shared_12 = fp[1] & fp[2]
+    # winnowing guarantee: every shared substring >= 8 chars shares a
+    # fingerprint; the full quoted sentence is shared, so doc 1's set
+    # is almost entirely contained in doc 2's
+    assert len(shared_12) >= 0.8 * len(fp[1])
+    assert not (fp[1] & fp[3])
+
+
+def test_domain_dup_rate_flags_cross_source_duplicates(spark, tmp_path):
+    """Exact duplicates count for EVERY source involved; unique docs
+    do not."""
+    import os
+
+    from transcriptomics_data_integration_spark.suite_llm import q_domain_dup_rate
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    spark.createDataFrame(
+        [
+            (1, "srcA", "same text"),
+            (2, "srcB", "same text"),      # cross-source dup
+            (3, "srcA", "unique one"),
+            (4, "srcB", "unique two"),
+            (5, "srcB", "another dup"),
+            (6, "srcB", "another dup"),    # within-source dup
+        ],
+        "doc_id long, source string, text string",
+    ).write.parquet(os.path.join(str(d), "documents.parquet"))
+    got = {
+        r["source"]: (r["n_docs"], r["n_dup_docs"])
+        for r in q_domain_dup_rate(spark, str(d)).collect()
+    }
+    assert got == {"srcA": (2, 1), "srcB": (4, 3)}
