@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "line_dedup",
     "pca_outliers",
     "winnow_overlap",
+    "winnow_containment",
+    "domain_dup_rate",
 ]
 
 
