@@ -214,6 +214,46 @@ def test_pca_space_outliers_matches_numpy_and_flags_planted(spark):
     )
 
 
+def test_pca_space_outliers_long_matches_mllib_path(spark):
+    """The covariance-route rewrite (feature_covariance + driver eigh)
+    must reproduce the MLlib scaler+PCA path's d2 to machine precision
+    on the same completed grid — including a constant gene, which
+    StandardScaler maps to zero contribution."""
+    import numpy as np
+
+    from transcriptomics_data_integration_spark.stats.mlkernels import (
+        pca_space_outliers,
+        pca_space_outliers_long,
+        sample_vectors,
+    )
+
+    rng = np.random.RandomState(11)
+    n_s, n_g = 18, 9
+    X = rng.randn(n_s, n_g)
+    X[:, 0] += np.linspace(0, 4, n_s)
+    X[:, 3] = 7.5  # constant gene: sd = 0
+    X[17] += 9.0  # planted outlier
+    rows = [
+        (f"s{s:02d}", f"g{g:02d}", float(X[s, g]))
+        for s in range(n_s) for g in range(n_g)
+    ]
+    df = spark.createDataFrame(rows, ["sample_id", "gene_id", "value"])
+    genes = [f"g{g:02d}" for g in range(n_g)]
+    vecs = sample_vectors(df, "gene_id", "sample_id", "value", genes)
+    ml = {r["sample_id"]: r for r in pca_space_outliers(vecs, "sample_id").collect()}
+    cov = {
+        r["sample_id"]: r
+        for r in pca_space_outliers_long(
+            df, "sample_id", "gene_id", "value"
+        ).collect()
+    }
+    assert set(ml) == set(cov)
+    for s, r in cov.items():
+        assert r["d2"] == pytest.approx(ml[s]["d2"], rel=1e-9)
+        assert r["chi2_p"] == pytest.approx(ml[s]["chi2_p"], rel=1e-9)
+        assert r["is_outlier"] == ml[s]["is_outlier"]
+
+
 def test_feature_covariance_matches_numpy(spark):
     """pca_covariance's kernel: gene-gene Pearson (standardize) and
     sample covariance (raw) against numpy on a dense grid."""

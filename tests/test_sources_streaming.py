@@ -714,9 +714,11 @@ def test_write_jsonl_shards_roundtrip_gzip(spark, tmp_path):
     df = spark.read.parquet(str(src))
 
     out = tmp_path / "shards"
-    n = write_jsonl_shards(df, str(out), target_shard_bytes=4 << 10)
+    # target well under estimate/3 (the gzip ratio now scales the
+    # uncompressed Catalyst estimate before sizing) -> must split
+    n = write_jsonl_shards(df, str(out), target_shard_bytes=1 << 10)
     gz = [f for f in os.listdir(out) if f.endswith(".json.gz")]
-    assert n >= 2 and len(gz) >= 1  # sized well under the estimate -> split
+    assert n >= 2 and len(gz) >= 1
 
     back = read_jsonl_docs(
         spark, str(out), "doc_id LONG, text STRING, lang STRING"

@@ -25,6 +25,8 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from transcriptomics_data_integration_spark.runtime import register_persisted
+
 
 def _merge_fold(a_sql: str, b_sql: str, s: str = "s") -> str:
     """Left-greedy single-pair merge over the symbol array ``s``.
@@ -67,6 +69,7 @@ def bpe_train_fixed(
             "s"
         ),
     ).persist()  # bounded: one row per distinct word (the vocabulary)
+    register_persisted(syms)
     merge_rows = []
     for r in range(1, n_merges + 1):
         pairs = (
@@ -103,6 +106,7 @@ def bpe_train_fixed(
             .select("wc", "s")
             .persist()
         )
+        register_persisted(syms)
     return reduce(lambda x, y: x.unionByName(y), merge_rows)
 
 

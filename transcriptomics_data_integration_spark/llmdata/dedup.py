@@ -620,6 +620,7 @@ def keep_best_per_cluster(
     clusters: DataFrame,
     id_col: str = "doc_id",
     score: Column | None = None,
+    text_col: str = "text",
 ) -> DataFrame:
     """Duplicate-cluster survivor selection: given the corpus and a
     :func:`dedup_clusters` decision table, keep ONE doc per near-dup
@@ -637,7 +638,10 @@ def keep_best_per_cluster(
     kept_score); cluster_size is 1 for singletons.
     """
     if score is None:
-        score = F.length("text")
+        # default keep-longest ranks by text_col so corpora whose text
+        # column is named differently work without a custom score
+        # (r3 ADVICE: the hard-coded "text" raised AnalysisException)
+        score = F.length(text_col)
     # dedup_clusters names its id column "doc_id" regardless of the
     # caller's id_col; accept either spelling in the clusters table
     cl_id = id_col if id_col in clusters.columns else "doc_id"

@@ -217,6 +217,21 @@ def ivf_topk(
     return _ivf_search(assigned, centers_df, q, k, n_probe)
 
 
+def _knuth_hash(col: str):
+    """Overflow-safe Knuth multiplicative hash ``(id mod 2^32) * 2654435761
+    mod 2^32``.  The naive ``id * 2654435761`` overflows BIGINT for ids
+    above ~3.47e9 (a runtime error under ANSI mode) — plausible at
+    crawl-scale id ranges.  Split the reduced id a = ah*2^16 + al, then
+    a*K mod 2^32 = ((ah*K mod 2^16) * 2^16 + al*K) mod 2^32; every
+    intermediate stays under 2^48.  Identical value to the naive form
+    for ids < 2^32 (so existing gated hashes are unchanged).  Mirrored
+    literally in the DuckDB oracles (suite_llm)."""
+    return F.expr(
+        f"((((({col} % 4294967296) DIV 65536) * 2654435761) % 65536) * 65536"
+        f" + (({col} % 65536) * 2654435761)) % 4294967296"
+    )
+
+
 def _ivf_search(
     assigned: DataFrame, centers_df: DataFrame, q: DataFrame, k: int, n_probe: int
 ) -> DataFrame:
@@ -281,9 +296,7 @@ def ivf_fixed_topk(
     base = embeddings.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
     )
-    hashed = base.withColumn(
-        "_h", (F.col("cand_id") * F.lit(2654435761)) % F.lit(4294967296)
-    )
+    hashed = base.withColumn("_h", _knuth_hash("cand_id"))
     # distributed top-k (TakeOrderedAndProject), NOT a global window —
     # the corpus never funnels through one task; only the n_cells-row
     # result sees the cell-numbering window
@@ -397,9 +410,7 @@ def _pq_fixed_centers(base: DataFrame, m: int, n_cent: int) -> DataFrame:
     """(s, c, center) sub-centroid relation — ``n_cent`` hash-picked
     corpus vectors sliced into ``m`` subspaces; m * n_cent rows,
     broadcast-sized.  ``base`` = (cand_id, vec)."""
-    hashed = base.withColumn(
-        "_h", (F.col("cand_id") * F.lit(2654435761)) % F.lit(4294967296)
-    )
+    hashed = base.withColumn("_h", _knuth_hash("cand_id"))
     picked = hashed.orderBy(F.col("_h"), F.col("cand_id")).limit(n_cent)
     numbered = picked.select(
         (
@@ -503,9 +514,14 @@ def pq_fixed_topk(
     pairs = codes.crossJoin(F.broadcast(lut)).where(
         F.col("query_id") != F.col("cand_id")
     )
+    # LUT stride derives from the LUT's ACTUAL length, not the requested
+    # n_cent: when the corpus has fewer than n_cent vectors the codebook
+    # (and every code) shrinks with it, and a fixed s*n_cent stride would
+    # overrun the array (ANSI runtime error) — r3 ADVICE finding.
     adist = F.expr(
         f"aggregate(sequence(0, {m - 1}), CAST(0 AS DOUBLE), "
-        f"(acc, s) -> acc + element_at(lut, s * {n_cent} + element_at(codes, s + 1) + 1))"
+        f"(acc, s) -> acc + element_at(lut, CAST(s * (size(lut) DIV {m}) "
+        f"+ element_at(codes, s + 1) + 1 AS INT)))"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("cand_id"))
     return (

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from transcriptomics_data_integration_spark.runtime import register_persisted
+
 from transcriptomics_data_integration_spark.stats.bh import bh_adjust
 from transcriptomics_data_integration_spark.stats.combat import check_confounding, combat
 from transcriptomics_data_integration_spark.stats.ttest import moderated_t, two_group_ttest
@@ -83,6 +85,7 @@ def _f5_ttest_single_pass(
         sum2_a.alias("_sa2"),
         sum2_b.alias("_sb2"),
     ).persist()
+    register_persisted(mom)
     ranked = mom.where(F.col("_n_all") >= 2).withColumn(
         "_sd",
         F.sqrt(
@@ -176,6 +179,7 @@ def differential_expression(
                 F.sum(dv).alias("_sd_gb"),
                 F.count(F.lit(1)).alias("_n_gb"),
             ).persist()
+            register_persisted(per_gb_dec)
             per_g = per_gb_dec.groupBy(gene_col).agg(
                 F.sum("_sd_gb").cast("double").alias("_s_g"),
                 F.sum("_n_gb").alias("_n_g"),

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from transcriptomics_data_integration_spark.runtime import register_persisted
+
 from transcriptomics_data_integration_spark.stats.icc import icc
 from transcriptomics_data_integration_spark.stats.stouffer import p_improvement, stouffer_combine
 from transcriptomics_data_integration_spark.stats.ttest import two_group_ttest
@@ -52,6 +54,7 @@ def meta_analysis(
         group_b,
         exact_scale=exact_scale,
     ).persist()
+    register_persisted(de)
     if with_icc:
         platforms = [r[0] for r in expr.select(platform_col).distinct().collect()]
         cells = expr.select(

@@ -1,0 +1,39 @@
+"""Session-scoped bookkeeping for persisted relations.
+
+Several kernels ``persist()`` bounded intermediate relations whose
+final consumer is the (lazy) DataFrame they return — the function
+cannot unpersist before returning, so across a long multi-query
+session (the 124-query driver gate, bench reps) cached blocks would
+accumulate in executor storage (r3 ADVICE finding).  Sites register
+those relations here; the suite wrapper drains the registry when the
+NEXT query is constructed — by then the previous query's action has
+run, so eviction never costs a recompute.
+
+``unpersist`` only drops cache entries (lineage is intact), so a stale
+drain is always correctness-safe; it can at worst cost a recompute for
+a caller that interleaves query construction, which no harness does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_PERSISTED: list[DataFrame] = []
+
+
+def register_persisted(df: DataFrame) -> DataFrame:
+    """Record ``df`` (already ``.persist()``-ed) for deferred cleanup."""
+    _PERSISTED.append(df)
+    return df
+
+
+def cleanup_persisted() -> int:
+    """Unpersist every registered relation; returns how many."""
+    n = len(_PERSISTED)
+    for df in _PERSISTED:
+        try:
+            df.unpersist()
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+    _PERSISTED.clear()
+    return n

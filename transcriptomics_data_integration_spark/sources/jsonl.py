@@ -66,12 +66,19 @@ def write_jsonl_shards(
     """Size-targeted sharded JSONL sink — the output format training
     jobs consume (shard-per-worker streaming reads).
 
-    Shard count = ceil(Catalyst size estimate / target), clamped to
-    [1, 65536]; unknown estimates fall back to the current partition
-    count (no repartition shuffle).  Gzip by default: output shards
-    are read WHOLE by downstream loaders, so non-splittability does
-    not matter on the sink side — the sizing here is exactly what
-    keeps each shard one worker's bite.  Returns the shard count used.
+    Shard count = ceil(compressed size estimate / target), clamped to
+    [1, 65536] — the Catalyst (uncompressed) plan estimate scaled by an
+    approximate codec ratio when compression is on, so gzip shards land
+    near ``target_shard_bytes`` instead of several-fold under it.
+    Unknown estimates write with the EXISTING partitioning: a
+    ``repartition(n)`` is a full round-robin shuffle even when ``n``
+    equals the current partition count, so skipping it entirely is the
+    only true no-shuffle fallback (r3 ADVICE finding).  Gzip by
+    default: output shards are read WHOLE by downstream loaders, so
+    non-splittability does not matter on the sink side — the sizing
+    here is exactly what keeps each shard one worker's bite.  Returns
+    the shard count used (-1 = existing partitioning, unknown count —
+    resolving it would run ``df.rdd`` planning just for a log line).
 
     (For the scan side the rule inverts: a single huge .gz shard
     cannot be split across tasks — see :func:`read_jsonl_docs`.)
@@ -80,12 +87,20 @@ def write_jsonl_shards(
         estimated_plan_bytes,
     )
 
+    # JSON text of natural-language docs gzips ~3-4x; a conservative
+    # 3x keeps shards at-or-under target rather than far under
+    _COMPRESSION_RATIO = {"gzip": 3.0, "bzip2": 4.0, "deflate": 3.0}
+
     est = estimated_plan_bytes(df)
     if est is None:
-        n = df.rdd.getNumPartitions()
+        out = df
+        n = -1
     else:
+        if compression:
+            est = int(est / _COMPRESSION_RATIO.get(compression, 1.0))
         n = max(1, min(65536, -(-est // target_shard_bytes)))
-    w = df.repartition(n).write.mode("overwrite")
+        out = df.repartition(n)
+    w = out.write.mode("overwrite")
     if compression:
         w = w.option("compression", compression)
     w.json(path)

@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from transcriptomics_data_integration_spark.runtime import register_persisted
+
 EB_SCHEMA = (
     "gene_id string, batch string, gamma_star double, delta_star double"
 )
@@ -275,6 +277,7 @@ def combat_eb_fixed(
         F.sum(dv).alias("_sx_d"),
         F.sum((dv * dv).cast(f"decimal(38,{2 * s})")).alias("_sx2_d"),
     ).persist()  # 3 consumers: per-gene rollup, vp terms, EB stats
+    register_persisted(per_gb)
     per_g = (
         per_gb.groupBy(gene_col)
         .agg(
@@ -338,6 +341,7 @@ def combat_eb_fixed(
         .withColumn("dq", F.floor(F.col("d_hat") * 1e6 + F.lit(0.5)))
         .persist()  # consumers: prior aggregation + iteration rows
     )
+    register_persisted(stats)
     gq, dq = F.col("gq").cast("decimal(18,0)"), F.col("dq").cast("decimal(18,0)")
     priors = stats.groupBy(batch_col).agg(
         F.count(F.lit(1)).alias("_G"),

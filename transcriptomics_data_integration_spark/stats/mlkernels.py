@@ -679,6 +679,19 @@ def pca_space_outliers(
     arr = emb.select(
         sample_col, *[F.element_at("pcs", i + 1).alias(f"_pc{i + 1}") for i in range(k)]
     )
+    return _mahalanobis_chi2_tail(arr, sample_col, k, alpha)
+
+
+def _mahalanobis_chi2_tail(arr: DataFrame, sample_col: str, k: int, alpha: float) -> DataFrame:
+    """Shared scoring tail: empirical per-component Mahalanobis d2 over
+    ``_pc1.._pck`` columns + the closed chi-square(3) upper tail
+    (odd-df form, stays in whole-stage codegen)."""
+    import math
+
+    from pyspark.sql import Window
+
+    from transcriptomics_data_integration_spark.functions.normal import norm_cdf_sql
+
     w = Window.partitionBy()
     d2 = None
     for i in range(k):
@@ -697,3 +710,108 @@ def pca_space_outliers(
         .withColumn("is_outlier", (F.col("chi2_p") < F.lit(alpha)).cast("int"))
         .select(sample_col, "d2", "chi2_p", "is_outlier")
     )
+
+
+# driver-side eigh bound for the covariance-route PCA: a G x G double
+# matrix at this cap is 32 MB / ~seconds of LAPACK — far above any
+# post-F5 gene set, far below driver memory.
+_MAX_EIGH_GENES = 2000
+
+
+def pca_space_outliers_long(
+    long_df: DataFrame,
+    sample_col: str,
+    gene_col: str,
+    value_col: str,
+    k: int = 3,
+    alpha: float = 0.001,
+) -> DataFrame:
+    """M17 full fidelity, covariance route — same semantics as
+    :func:`pca_space_outliers` (``ArrayOutliers(alpha=0.001,
+    pc2use=1:3)``, `QC_Affy_U133Plus2.R:156-164`) but built from the
+    LONG relation with the gated ``feature_covariance`` kernel instead
+    of MLlib's StandardScaler+PCA double fit.
+
+    Why: the MLlib path runs three passes over the pivoted S x G
+    relation (scaler fit, PCA fit, transform), each re-executing the
+    pivot+assemble subtree when unpersisted — the r3 driver bench's
+    single most expensive query (10.05 s).  Here the distributed work
+    is exactly two actions over one persisted completed grid: (1) the
+    G x G gene-gene correlation matrix (one self-join + moment
+    aggregation — S-free, the whole shuffle cost of PCA), (2) the
+    per-sample PC scores (one broadcast loadings join + one groupBy).
+    The eigendecomposition runs on the bounded G x G matrix driver-side
+    (numpy), exactly like ``mds_embedding``; G is bounded by the F5
+    top-k contract (hard cap ``_MAX_EIGH_GENES``).
+
+    Numerics: identical to the MLlib path — the grid is completed with
+    zero fill (= ``sample_vectors``' ``na.fill(0.0)``), standardization
+    is (x - mean)/sd with ddof=1 (= StandardScaler withMean/withStd),
+    and the covariance of standardized columns IS the correlation
+    matrix, so the eigenvectors agree up to sign and the Mahalanobis d2
+    (sign-invariant) matches to machine precision.  Constant genes
+    (sd = 0) get zero loadings and zero scores, matching StandardScaler
+    mapping them to 0.  Deterministic even under degenerate eigenvalues
+    (within a block all score variances equal the eigenvalue, so d2 is
+    rotation-invariant); still rows-only in the suite because the eigen
+    stage itself is not SQL-expressible.
+    """
+    import numpy as np
+
+    from transcriptomics_data_integration_spark.runtime import register_persisted
+
+    if k != 3:
+        raise ValueError("pca_space_outliers_long implements pc2use=1:3 (k=3)")
+    cells = long_df.select(sample_col, gene_col, value_col)
+    grid = (
+        cells.select(gene_col)
+        .distinct()
+        .crossJoin(cells.select(sample_col).distinct())
+        .join(cells, [gene_col, sample_col], "left")
+        .fillna({value_col: 0.0})
+        .persist()  # 2 consumers: correlation moments + score join
+    )
+    register_persisted(grid)
+    corr = feature_covariance(grid, gene_col, sample_col, value_col, standardize=True)
+    rows = corr.collect()
+    genes = sorted({r["ga"] for r in rows} | {r["gb"] for r in rows})
+    if len(genes) > _MAX_EIGH_GENES:
+        raise ValueError(
+            f"covariance-route PCA needs a bounded gene set (> {_MAX_EIGH_GENES} "
+            "genes seen) — apply nonspecific_filter_topk (F5) first"
+        )
+    gidx = {g: i for i, g in enumerate(genes)}
+    R = np.zeros((len(genes), len(genes)))
+    for r in rows:
+        s = r["stat"]
+        v = 0.0 if s is None or s != s else float(s)  # constant gene -> 0
+        R[gidx[r["ga"]], gidx[r["gb"]]] = v
+        R[gidx[r["gb"]], gidx[r["ga"]]] = v
+    vals, vecs = np.linalg.eigh(R)
+    order = np.argsort(vals)[::-1][:k]
+    V = vecs[:, order]  # G x k loadings
+    spark = long_df.sparkSession
+    gene_type = grid.schema[gene_col].dataType.simpleString()
+    loadings = spark.createDataFrame(
+        [(g, [float(x) for x in V[gidx[g]]]) for g in genes],
+        f"{gene_col} {gene_type}, _load array<double>",
+    )
+    from pyspark.sql import Window
+
+    w_g = Window.partitionBy(gene_col)
+    sd_g = F.stddev_samp(value_col).over(w_g)
+    z = F.when(
+        sd_g > 0, (F.col(value_col) - F.avg(value_col).over(w_g)) / sd_g
+    ).otherwise(F.lit(0.0))
+    arr = (
+        grid.withColumn("_z", z)
+        .join(F.broadcast(loadings), gene_col)
+        .groupBy(sample_col)
+        .agg(
+            *[
+                F.sum(F.col("_z") * F.element_at("_load", i + 1)).alias(f"_pc{i + 1}")
+                for i in range(k)
+            ]
+        )
+    )
+    return _mahalanobis_chi2_tail(arr, sample_col, k, alpha)

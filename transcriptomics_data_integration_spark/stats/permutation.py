@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from transcriptomics_data_integration_spark.runtime import register_persisted
+
 
 def permuted_labels(
     samples: DataFrame, sample_col: str, group_col: str, n_perm: int
@@ -77,6 +79,7 @@ def permutation_fdr(
     tstats = two_group_ttest(
         expanded, [gene_col, "k"], "perm_group", value_col, group_a, group_b, exact_scale
     ).select(gene_col, "k", "t_statistic").persist()
+    register_persisted(tstats)
     obs = tstats.where(F.col("k") == 0).select(
         gene_col, F.col("t_statistic").alias("t_obs")
     )

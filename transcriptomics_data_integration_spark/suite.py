@@ -1522,6 +1522,25 @@ def _reorder_front(registry: dict, front: list[str]) -> dict:
     return ordered
 
 
+def _with_persist_drain(fn: QueryFn) -> QueryFn:
+    """Drain the previous query's registered persists when the NEXT
+    query is constructed (r3 ADVICE: kernels persist bounded relations
+    their lazy return value consumes, so they cannot unpersist before
+    returning; across a 124-query session the blocks accumulate).  By
+    construction time of query N+1 every harness has already collected
+    query N, so eviction never costs a recompute."""
+    import functools
+
+    from transcriptomics_data_integration_spark.runtime import cleanup_persisted
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cleanup_persisted()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 # Round-3 window: (a) the 7 queries that have NEVER produced a driver
 # row (rows-only by nature — the rotation debt VERDICT r2 item 1 holds
 # us to), (b) the round-3 additions (hash-gated compositions A/B/C +
@@ -1579,3 +1598,4 @@ _ROUND3_FRONT = [
 # query shows a STRICT-gate-era row within two more rounds; keep the
 # r3 additions out unless their kernels change again.
 QUERIES = _reorder_front(QUERIES, _ROUND3_FRONT)
+QUERIES = {n: _with_persist_drain(fn) for n, fn in QUERIES.items()}

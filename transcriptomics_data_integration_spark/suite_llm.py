@@ -14,6 +14,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from transcriptomics_data_integration_spark.runtime import register_persisted
+
 from transcriptomics_data_integration_spark.llmdata.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -609,7 +611,8 @@ _L2_SQL = (
 ORACLE_IVF_FIXED = f"""
 WITH base AS (
   SELECT vec_id AS cand_id, embedding AS c_vec,
-         (vec_id * 2654435761) % 4294967296 AS h
+         (((((vec_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536
+          + ((vec_id % 65536) * 2654435761)) % 4294967296 AS h
   FROM embeddings
 ), picked AS (
   SELECT h, cand_id, c_vec FROM base ORDER BY h, cand_id LIMIT 16
@@ -684,7 +687,8 @@ def _oracle_pq_fixed(m: int = 8, n_cent: int = 16) -> str:
     return f"""
 WITH base AS (
   SELECT vec_id AS cand_id, embedding AS vec,
-         (vec_id * 2654435761) % 4294967296 AS h
+         (((((vec_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536
+          + ((vec_id % 65536) * 2654435761)) % 4294967296 AS h
   FROM embeddings
 ), picked AS (
   SELECT h, cand_id, vec FROM base ORDER BY h, cand_id LIMIT {n_cent}
@@ -721,7 +725,7 @@ WITH base AS (
   SELECT l.query_id, cd.cand_id,
          list_reduce(list_prepend(CAST(0 AS DOUBLE),
            list_transform(generate_series(0, {m - 1}),
-             s -> l.lut[s * {n_cent} + cd.codes[s + 1] + 1])),
+             s -> l.lut[s * (len(l.lut) // {m}) + cd.codes[s + 1] + 1])),
            (x, y) -> x + y) AS adist
   FROM codes cd CROSS JOIN lut l
   WHERE l.query_id <> cd.cand_id
@@ -1012,6 +1016,7 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fingerprint")
         .persist()
     )
+    register_persisted(kept)
     a = kept.select(F.col("doc_id").alias("id_a"), "fingerprint")
     b = kept.select(F.col("doc_id").alias("id_b"), "fingerprint")
     return (
@@ -1381,6 +1386,7 @@ def q_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fingerprint")
         .persist()
     )
+    register_persisted(kept)
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     a = kept.select(F.col("doc_id").alias("id_a"), "fingerprint")
     b = kept.select(F.col("doc_id").alias("id_b"), "fingerprint")

@@ -183,13 +183,16 @@ def q_pca_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     `QC_Affy_U133Plus2.R:156-164`).  The distance is sign-invariant so
     the output is deterministic, but the eigendecomposition is not
     SQL-expressible -> rows-only; numerics pinned by
-    tests/test_mlkernels.py golden fixture."""
-    from transcriptomics_data_integration_spark.stats.mlkernels import pca_space_outliers
+    tests/test_mlkernels.py golden fixture (MLlib path == covariance
+    path == numpy).  Uses the covariance route (gated
+    ``feature_covariance`` + driver eigh) — the MLlib scaler+PCA double
+    fit re-executed the unpersisted pivot per pass (r3 verdict)."""
+    from transcriptomics_data_integration_spark.stats.mlkernels import (
+        pca_space_outliers_long,
+    )
 
     cells = _cells(spark, sf_dir)
-    genes = _gene_list(cells)
-    vecs = sample_vectors(cells, "gene_id", "sample_id", "value", genes)
-    out = pca_space_outliers(vecs, "sample_id", k=3, alpha=0.001)
+    out = pca_space_outliers_long(cells, "sample_id", "gene_id", "value", k=3, alpha=0.001)
     return out.select(
         "sample_id",
         F.round("d2", 6).alias("d2"),
