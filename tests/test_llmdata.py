@@ -122,12 +122,91 @@ def test_multimodal_featurize_and_frames(spark):
     media = attach_binary_payload(df, "doc_id")
     feats = {r["media_id"]: r for r in featurize_media(media).collect()}
     assert feats[1]["n_bytes"] == 11
-    assert feats[1]["width"] == 12 and feats[1]["height"] == 12
+    # opaque text payload: honest unknown -> passthrough type, NULL dims
+    assert feats[1]["media_type"] == "application/octet-stream"
+    assert feats[1]["width"] is None and feats[1]["height"] is None
     assert feats[1]["checksum"] == sum(b"hello world") % 2147483647
     frames = frame_sample(featurize_media(media), "media_id", n_frames=4).collect()
     assert len(frames) == 8
     offs = sorted(r["byte_offset"] for r in frames if r["media_id"] == 1)
     assert offs == [0, 2, 5, 8]
+
+
+def _png_bytes(w, h):
+    import struct, zlib
+
+    ihdr = struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00"
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+
+
+def _jpeg_bytes(w, h, sof=0xC0, extra_segments=2):
+    import struct
+
+    out = b"\xff\xd8"
+    for i in range(extra_segments):  # APP0/COM segments the scan must skip
+        payload = bytes([i]) * (5 + i)
+        out += bytes([0xFF, 0xE0 + i]) + struct.pack(">H", 2 + len(payload)) + payload
+    out += bytes([0xFF, sof]) + struct.pack(">H", 17) + b"\x08"
+    out += struct.pack(">HH", h, w) + b"\x03" + b"\x00" * 9
+    return out
+
+
+def test_decode_image_header_real_formats():
+    """The pure-Python header parser recovers planted dimensions from
+    real PNG/JPEG/GIF header bytes — including a progressive JPEG
+    (SOF2) behind multiple APPn segments — and degrades honestly."""
+    import struct
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        decode_image_header,
+    )
+
+    assert decode_image_header(_png_bytes(640, 480)) == ("image/png", 640, 480)
+    assert decode_image_header(_png_bytes(1, 100000)) == ("image/png", 1, 100000)
+    assert decode_image_header(_jpeg_bytes(1024, 768)) == ("image/jpeg", 1024, 768)
+    assert decode_image_header(_jpeg_bytes(33, 7, sof=0xC2, extra_segments=4)) == (
+        "image/jpeg", 33, 7
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert decode_image_header(gif) == ("image/gif", 320, 200)
+    # JPEG that hits SOS before any SOF: recognized container, no dims
+    no_sof = b"\xff\xd8\xff\xda\x00\x04\x00\x00"
+    assert decode_image_header(no_sof) == ("image/jpeg", None, None)
+    assert decode_image_header(b"plain text payload") is None
+    assert decode_image_header(b"") is None
+    # truncated PNG signature-only
+    assert decode_image_header(b"\x89PNG\r\n\x1a\n\x00\x00") is None
+
+
+def test_featurize_media_decodes_real_headers(spark):
+    """featurize_media over a mixed real-format corpus extracts true
+    dimensions distributed-side (mapInPandas)."""
+    rows = [
+        (1, bytearray(_png_bytes(12, 34))),
+        (2, bytearray(_jpeg_bytes(56, 78))),
+        (3, bytearray(b"not an image at all")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary").select(
+        "media_id",
+        "payload",
+        F.octet_length("payload").alias("n_bytes"),
+        F.lit("application/octet-stream").alias("media_type"),
+    )
+    feats = {r["media_id"]: r for r in featurize_media(df).collect()}
+    assert (feats[1]["media_type"], feats[1]["width"], feats[1]["height"]) == (
+        "image/png", 12, 34
+    )
+    assert (feats[2]["media_type"], feats[2]["width"], feats[2]["height"]) == (
+        "image/jpeg", 56, 78
+    )
+    assert feats[3]["media_type"] == "application/octet-stream"
+    assert feats[3]["width"] is None
 
 
 def test_ivf_topk_matches_bruteforce_top1(spark):

@@ -2,11 +2,11 @@
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``
 operators.
 
-The decode kernels themselves are STUBS (this container has no
-image/audio libraries — see the clearly-marked seams below); the
-Spark-side contract is real and tested: schema, batch iteration,
-partitioning, and the deterministic fake featurizer used by the
-correctness gate.
+Header decode (format sniff + dimensions) is REAL: pure-Python parsing
+of PNG IHDR, the JPEG SOF marker family, and the GIF logical-screen
+descriptor — no image library needed (r3 verdict item 3; the container
+has no PIL/opencv, which only precludes PIXEL decode).  Pixel-level
+ops (resample in :func:`resize_media`) remain clearly-marked stubs.
 
 At scale: mapInPandas streams Arrow batches — constant memory per
 task; binary payloads should be stored in their own parquet column so
@@ -36,40 +36,118 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str = "text") ->
         F.col(id_col).alias("media_id"),
         F.col(text_col).cast("binary").alias("payload"),
         F.octet_length(F.col(text_col)).alias("n_bytes"),
-        F.lit("image/fake").alias("media_type"),
+        F.lit("application/octet-stream").alias("media_type"),
     )
 
 
-def _decode_image_stub(payload: bytes) -> tuple[int, int]:
-    """STUB: a real implementation would call PIL/opencv here.
+# SOF0-SOF15 minus DHT (C4), JPG-reserved (C8), DAC (CC): every frame
+# header variant (baseline, extended, progressive, lossless, arithmetic
+# and differential forms) carries precision(1) height(2) width(2) at
+# payload offset 0 (ITU T.81 B.2.2)
+_JPEG_SOF_MARKERS = frozenset(
+    {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+)
 
-    Deterministic fake: derive (width, height) from payload length so
-    the pipeline is testable without image libraries.
+
+def decode_image_header(payload: bytes) -> tuple[str, int | None, int | None] | None:
+    """Sniff an image payload and parse its dimensions from the header
+    bytes alone — pure Python, no image library.
+
+    - PNG: 8-byte signature, then the IHDR chunk (always first, its
+      13-byte data starting with width/height as 4-byte big-endian).
+    - JPEG: SOI then a marker scan skipping segments by their 2-byte
+      big-endian length until a SOF-family marker; height/width are
+      big-endian 16-bit at payload offsets 1/3.
+    - GIF: GIF87a/GIF89a signature; logical screen width/height are
+      LITTLE-endian 16-bit at offsets 6/8.
+
+    Returns ``(media_type, width, height)``; width/height are ``None``
+    for a recognized container whose dimension header is truncated or
+    absent (e.g. JPEG with no SOF before SOS); returns ``None`` for an
+    unrecognized format.
     """
-    n = len(payload)
-    return (n % 1024) + 1, (n % 768) + 1
-    # real path (library not in container):
-    # raise NotImplementedError("image decode requires PIL/opencv")
+    if (
+        len(payload) >= 24
+        and payload[:8] == b"\x89PNG\r\n\x1a\n"
+        and payload[12:16] == b"IHDR"
+    ):
+        return (
+            "image/png",
+            int.from_bytes(payload[16:20], "big"),
+            int.from_bytes(payload[20:24], "big"),
+        )
+    if len(payload) >= 2 and payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 2 <= len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            # fill bytes and standalone markers (SOI, RSTn, TEM) have
+            # no length field
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: no SOF seen
+                break
+            if i + 4 > len(payload):
+                break
+            seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if marker in _JPEG_SOF_MARKERS:
+                if i + 9 <= len(payload) and seglen >= 7:
+                    return (
+                        "image/jpeg",
+                        int.from_bytes(payload[i + 7 : i + 9], "big"),
+                        int.from_bytes(payload[i + 5 : i + 7], "big"),
+                    )
+                break
+            if seglen < 2:
+                break
+            i += 2 + seglen
+        return ("image/jpeg", None, None)
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            "image/gif",
+            int.from_bytes(payload[6:8], "little"),
+            int.from_bytes(payload[8:10], "little"),
+        )
+    return None
 
 
 def featurize_media(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
-    Arrow batches in, Arrow batches out; one output row per media row
-    (width/height from the stub decoder, checksum = sum of bytes mod
-    2^31 — deterministic and oracle-checkable).
+    Arrow batches in, Arrow batches out; one output row per media row.
+    width/height come from the REAL header parser
+    (:func:`decode_image_header`); unrecognized payloads keep the
+    input's ``media_type`` and get NULL dimensions.  checksum = sum of
+    payload bytes mod 2^31 - 1 — deterministic and oracle-checkable.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = pdf["payload"].map(_decode_image_stub)
+            mts: list[str] = []
+            ws: list[int | None] = []
+            hs: list[int | None] = []
+            for payload, fallback_mt in zip(pdf["payload"], pdf["media_type"]):
+                dec = decode_image_header(bytes(payload))
+                if dec is None:
+                    mts.append(fallback_mt)
+                    ws.append(None)
+                    hs.append(None)
+                else:
+                    mts.append(dec[0])
+                    ws.append(dec[1])
+                    hs.append(dec[2])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": pdf["n_bytes"].astype("int32"),
-                    "media_type": pdf["media_type"],
-                    "width": dims.map(lambda t: t[0]).astype("int32"),
-                    "height": dims.map(lambda t: t[1]).astype("int32"),
+                    "media_type": mts,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
                     "checksum": pdf["payload"].map(lambda b: sum(b) % 2147483647),
                 }
             )
@@ -93,9 +171,10 @@ def frame_sample(df: DataFrame, id_col: str, n_frames: int = 4) -> DataFrame:
 
 def _resize_stub(payload: bytes, target_w: int, target_h: int) -> bytes:
     """STUB: a real implementation decodes with PIL/opencv, resamples,
-    and re-encodes.  Deterministic fake: truncate/tile the payload to a
-    size proportional to the target pixel count so batch shapes and
-    byte budgets behave like a real resize.
+    and re-encodes — PIXEL work the container's library set cannot do.
+    Deterministic fake: truncate/tile the payload to a size
+    proportional to the target pixel count so batch shapes and byte
+    budgets behave like a real resize.
     """
     n_out = max(1, (target_w * target_h) // 256)
     reps = (n_out // max(len(payload), 1)) + 1

@@ -135,32 +135,26 @@ def moderated_lmfit(fit_df: DataFrame) -> DataFrame:
     """eBayes variance moderation over a general-design fit (limma
     ``eBayes`` after ``lmFit``, `DiffExpression_closedPlatform.R:546`).
 
-    Same two-pass scheme as the two-group ``moderated_t``: residual
-    variance s2 = rss/df (df = n - 3 design columns) is shrunk toward
-    the global prior with method-of-moments prior df, and the contrast t
-    rescales by sqrt(s2/s2_post).  The prior rides a window over the
-    per-gene fit table — the whole operator stays in the lazy plan and
-    the moment aggregation executes once.
+    Same exact fitFDist prior as the two-group ``moderated_t``
+    (``stats.ttest.squeeze_var_fitfdist``): residual variance
+    s2 = rss/df (df = n - 3 design columns) is shrunk toward the fitted
+    scaled-F prior and the contrast t rescales by sqrt(s2/s2_post).
+    The prior rides windows over the per-gene fit table — the whole
+    operator stays in the lazy plan and the moment aggregation executes
+    once.
     """
-    with_s2 = fit_df.withColumn("_df", F.col("n_obs") - 3).withColumn(
-        "_s2", F.col("rss") / (F.col("n_obs") - 3)
+    from transcriptomics_data_integration_spark.stats.ttest import (
+        squeeze_var_fitfdist,
     )
-    # global prior as a window over the per-gene fit table (bounded; one
-    # row per gene) so the moment aggregation executes once
-    w_all = Window.partitionBy()
-    with_prior = with_s2.withColumn("_s2_prior", F.avg("_s2").over(w_all)).withColumn(
-        "_d0",
-        F.greatest(
-            F.lit(1.0),
-            2.0 / F.greatest(F.var_samp(F.log("_s2")).over(w_all), F.lit(1e-6)),
-        ),
-    )
-    post = (F.col("_d0") * F.col("_s2_prior") + F.col("_df") * F.col("_s2")) / (
-        F.col("_d0") + F.col("_df")
-    )
+
+    with_s2 = fit_df.withColumn(
+        "_df", (F.col("n_obs") - 3).cast("double")
+    ).withColumn("_s2", F.col("rss") / (F.col("n_obs") - 3))
+    squeezed = squeeze_var_fitfdist(with_s2)
     return (
-        with_prior.withColumn(
-            "t_moderated", F.col("t_statistic") * F.sqrt(F.col("_s2") / post)
+        squeezed.withColumn(
+            "t_moderated",
+            F.col("t_statistic") * F.sqrt(F.col("_s2") / F.col("_s2_post")),
         )
-        .drop("_df", "_s2", "_s2_prior", "_d0")
+        .drop("_df", "_s2", "_s2_post", "_d0")
     )

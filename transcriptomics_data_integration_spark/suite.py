@@ -706,23 +706,29 @@ FROM ranked JOIN ref ON ranked.rank = ref.rank
 # ---------------------------------------------------------------------------
 
 
-def _ttest_cte(group_by: str, extra_col: str, table_filter: str) -> str:
+def _ttest_cte(
+    group_by: str,
+    extra_col: str,
+    table_filter: str,
+    value_expr: str = "l_extendedprice",
+    scale: int = 2,
+) -> str:
     """Oracle CTE chain computing the exact-moment pooled t per group.
 
     Mirrors stats/ttest.py `_group_moments` + `two_group_ttest` op
     shapes exactly (same IEEE op sequence on identical inputs).
     """
-    case_a = "CASE WHEN l_returnflag = 'R' THEN l_extendedprice END"
-    case_b = "CASE WHEN l_returnflag = 'A' THEN l_extendedprice END"
+    case_a = f"CASE WHEN l_returnflag = 'R' THEN {value_expr} END"
+    case_b = f"CASE WHEN l_returnflag = 'A' THEN {value_expr} END"
     return f"""
 agg AS (
   SELECT {group_by}{extra_col},
          COUNT({case_a}) AS n_a,
          COUNT({case_b}) AS n_b,
-         {_dsum_sql(case_a)} AS sa,
-         {_dsum_sql(case_b)} AS sb,
-         {_dsum2_sql(case_a)} AS sa2,
-         {_dsum2_sql(case_b)} AS sb2
+         {_dsum_sql(case_a, scale)} AS sa,
+         {_dsum_sql(case_b, scale)} AS sb,
+         {_dsum2_sql(case_a, scale)} AS sa2,
+         {_dsum2_sql(case_b, scale)} AS sb2
   FROM lineitem
   WHERE l_returnflag IN ('R', 'A'){table_filter}
   GROUP BY ALL

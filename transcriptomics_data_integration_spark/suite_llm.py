@@ -446,6 +446,11 @@ SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM sims WHERE cosine >= 0.99e0
 
 
 def q_multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata pass over OPAQUE payloads (text wrapped as
+    binary): the real header sniffer recognizes none of them, so the
+    media_type passes through and the dimensions are NULL — the honest
+    answer, vs the r1-r3 payload-length fake.  Real decoded dimensions
+    are gated by ``media_header_decode`` below."""
     docs = _t(spark, sf_dir, "documents")
     media = attach_binary_payload(docs, "doc_id")
     return featurize_media(media)
@@ -454,14 +459,80 @@ def q_multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MULTIMODAL = """
 SELECT doc_id AS media_id,
        CAST(length(text) AS INTEGER) AS n_bytes,
-       'image/fake' AS media_type,
-       CAST((length(text) % 1024) + 1 AS INTEGER) AS width,
-       CAST((length(text) % 768) + 1 AS INTEGER) AS height,
+       'application/octet-stream' AS media_type,
+       CAST(NULL AS INTEGER) AS width,
+       CAST(NULL AS INTEGER) AS height,
        list_reduce(
          list_prepend(CAST(0 AS BIGINT),
            list_transform(generate_series(1, length(text)),
                           i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
          (a, b) -> a + b) % 2147483647 AS checksum
+FROM documents
+"""
+
+
+def q_media_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image header decode, HASH-GATED (r3 verdict item 3): a
+    deterministic synthetic corpus of well-formed PNG / JPEG / GIF
+    header bytes is built IN-PLAN from doc_id (dimension fields packed
+    with hex/unhex byte algebra), and ``featurize_media``'s pure-Python
+    parser (`llmdata/multimodal.py:decode_image_header`) must recover
+    the planted width/height from the bytes alone.  The oracle never
+    parses — it recomputes the planted ground truth from doc_id, so a
+    hash match proves the byte-level parsing (big-endian PNG/JPEG,
+    little-endian GIF, JPEG marker-scan past APP0) is right.
+
+    Scale shape: payload synthesis and featurize are both map-side
+    (one mapInPandas pass, zero shuffles)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    w = ((F.col("doc_id") * 7) % 1021 + 1).cast("int")
+    h = ((F.col("doc_id") * 13) % 509 + 1).cast("int")
+
+    def be(c, n_hex: int):
+        return F.unhex(F.lpad(F.hex(c), n_hex, "0"))
+
+    def le2(c):
+        return F.concat(
+            F.unhex(F.lpad(F.hex(c % 256), 2, "0")),
+            F.unhex(F.lpad(F.hex((c / 256).cast("int")), 2, "0")),
+        )
+
+    png = F.concat(
+        F.lit(bytes.fromhex("89504e470d0a1a0a0000000d49484452")),
+        be(w, 8),
+        be(h, 8),
+        F.lit(bytes.fromhex("0806000000")),
+    )
+    jpg = F.concat(
+        # SOI, APP0 (len 4 + 2 payload bytes), SOF0 (len 0x11), precision 8
+        F.lit(bytes.fromhex("ffd8ffe000040000ffc0001108")),
+        be(h, 4),
+        be(w, 4),
+        F.lit(bytes.fromhex("03")),
+    )
+    gif = F.concat(F.lit(b"GIF89a"), le2(w), le2(h))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, png)
+        .when(F.col("doc_id") % 3 == 1, jpg)
+        .otherwise(gif)
+        .alias("payload"),
+        F.lit("application/octet-stream").alias("media_type"),
+    ).withColumn("n_bytes", F.octet_length("payload"))
+    return featurize_media(media).select(
+        "media_id", "n_bytes", "media_type", "width", "height"
+    )
+
+
+ORACLE_MEDIA_HEADER = """
+SELECT doc_id AS media_id,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 29 WHEN 1 THEN 18 ELSE 10 END
+            AS INTEGER) AS n_bytes,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                       WHEN 1 THEN 'image/jpeg'
+                       ELSE 'image/gif' END AS media_type,
+       CAST((doc_id * 7) % 1021 + 1 AS INTEGER) AS width,
+       CAST((doc_id * 13) % 509 + 1 AS INTEGER) AS height
 FROM documents
 """
 
@@ -1080,6 +1151,7 @@ QUERIES_LLM = {
     "lsh_ann": q_lsh_ann,
     "cosine_neardup": q_cosine_neardup,
     "multimodal_featurize": q_multimodal_featurize,
+    "media_header_decode": q_media_header_decode,
     "event_window_counts": q_event_window_counts,
     "sessionize": q_sessionize,
     "json_extract": q_json_extract,
@@ -1106,6 +1178,7 @@ ORACLES_LLM = {
     "lsh_ann": ORACLE_LSH_ANN,
     "cosine_neardup": _oracle_cosine_neardup(),
     "multimodal_featurize": ORACLE_MULTIMODAL,
+    "media_header_decode": ORACLE_MEDIA_HEADER,
     "event_window_counts": ORACLE_EVENT_WINDOW,
     "sessionize": ORACLE_SESSIONIZE,
     "json_extract": ORACLE_JSON_EXTRACT,

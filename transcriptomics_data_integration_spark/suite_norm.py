@@ -8,6 +8,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from transcriptomics_data_integration_spark.functions.special import fitfdist_prior_ctes_sql
+
 from transcriptomics_data_integration_spark.pipelines.expression import build_expression_matrix
 from transcriptomics_data_integration_spark.stats.normalize import (
     array_weights,
@@ -453,15 +455,15 @@ WITH {_COUNTS_CTE}, attrs AS (
   FROM t0 WHERE se > 0
 ), de AS (
   SELECT *, {p_expr} AS p_value FROM tt
-), prior AS (
-  SELECT AVG(s2) AS s2_prior,
-         GREATEST(1.0e0, 2.0e0 / GREATEST(VAR_SAMP(ln(s2)), 1.0e-6)) AS d0
-  FROM de
-), mod AS (
+), s2t AS (
+  SELECT s2, CAST(dfree AS DOUBLE) AS df FROM de
+), {fitfdist_prior_ctes_sql("s2t")}, mod AS (
   SELECT de.*,
-         t_statistic * sqrt(s2 / ((d0 * s2_prior + dfree * s2) / (d0 + dfree)))
+         t_statistic * sqrt(s2 /
+           (CASE WHEN isinf(d0) THEN s20
+                 ELSE (d0 * s20 + dfree * s2) / (d0 + dfree) END))
            AS t_moderated
-  FROM de CROSS JOIN prior
+  FROM de CROSS JOIN ff_prior2
 ), b AS (
   SELECT *,
          ROW_NUMBER() OVER (ORDER BY p_value, gene_id) AS rnk,
@@ -602,15 +604,15 @@ WITH cells AS (
   FROM t0 WHERE se > 0
 ), de AS (
   SELECT *, {p_expr} AS p_value FROM tt
-), prior AS (
-  SELECT AVG(s2p) AS s2_prior,
-         GREATEST(1.0e0, 2.0e0 / GREATEST(VAR_SAMP(ln(s2p)), 1.0e-6)) AS d0
-  FROM de
-), moder AS (
+), s2t AS (
+  SELECT s2p AS s2, CAST(dfree AS DOUBLE) AS df FROM de
+), {fitfdist_prior_ctes_sql("s2t")}, moder AS (
   SELECT de.*,
-         t_statistic * sqrt(s2p / ((d0 * s2_prior + dfree * s2p) / (d0 + dfree)))
+         t_statistic * sqrt(s2p /
+           (CASE WHEN isinf(d0) THEN s20
+                 ELSE (d0 * s20 + dfree * s2p) / (d0 + dfree) END))
            AS t_moderated
-  FROM de CROSS JOIN prior
+  FROM de CROSS JOIN ff_prior2
 ), bh0 AS (
   SELECT *,
          ROW_NUMBER() OVER (ORDER BY p_value, gene_id) AS rnk,
@@ -759,15 +761,15 @@ WITH cells0 AS (
   FROM t0 WHERE se > 0
 ), de AS (
   SELECT *, {p_expr} AS p_value FROM tt
-), prior AS (
-  SELECT AVG(s2p) AS s2_prior,
-         GREATEST(1.0e0, 2.0e0 / GREATEST(VAR_SAMP(ln(s2p)), 1.0e-6)) AS d0
-  FROM de
-), moder AS (
+), s2t AS (
+  SELECT s2p AS s2, CAST(dfree AS DOUBLE) AS df FROM de
+), {fitfdist_prior_ctes_sql("s2t")}, moder AS (
   SELECT de.*,
-         t_statistic * sqrt(s2p / ((d0 * s2_prior + dfree * s2p) / (d0 + dfree)))
+         t_statistic * sqrt(s2p /
+           (CASE WHEN isinf(d0) THEN s20
+                 ELSE (d0 * s20 + dfree * s2p) / (d0 + dfree) END))
            AS t_moderated
-  FROM de CROSS JOIN prior
+  FROM de CROSS JOIN ff_prior2
 ), bh0 AS (
   SELECT *,
          ROW_NUMBER() OVER (ORDER BY p_value, gene_id) AS rnk,

@@ -550,8 +550,23 @@ def q_moderated_de(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrinkage on top of the pooled t (`DiffExpression_closedPlatform.R:546`)."""
     from transcriptomics_data_integration_spark.stats.ttest import moderated_t
 
-    li = _t(spark, sf_dir, "lineitem")
-    tt = two_group_ttest(li, "l_partkey", "l_returnflag", "l_extendedprice", "R", "A")
+    # gene-dependent variance scaling: the raw synthetic values are
+    # homoscedastic across genes, for which fitFDist CORRECTLY infers
+    # an infinite prior df (evar <= 0) and the Newton branch never
+    # runs — scale INTEGER quantities by (1 + gene % 7) so the gated
+    # query exercises the finite-d0 trigammaInverse path end-to-end.
+    # Integer values at exact_scale=0 sidestep both strict-gate FP
+    # traps: no fractional ties in the decimal cast, and the moment
+    # integers stay far below 2^53 at every SF (beyond it DuckDB's
+    # int128 -> double -> /10^scale cast double-rounds while Spark's
+    # BigDecimal cast rounds once)
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "qty_scaled",
+        (F.col("l_quantity") * (1 + F.col("l_partkey") % 7)).cast("double"),
+    )
+    tt = two_group_ttest(
+        li, "l_partkey", "l_returnflag", "qty_scaled", "R", "A", exact_scale=0
+    )
     out = moderated_t(tt)
     return out.select(
         "l_partkey",
@@ -559,26 +574,37 @@ def q_moderated_de(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         "t_statistic",
         F.round("t_moderated", 6).alias("t_moderated"),
+        # relative-precision-safe: s2_post is O(1e11) here, absolute
+        # round(6) would demand 17 significant digits from a double
+        F.round(F.log("s2_post"), 6).alias("ln_s2_post"),
+        F.round("df_prior", 6).alias("df_prior"),
     )
 
 
 def _oracle_moderated_de() -> str:
+    from transcriptomics_data_integration_spark.functions.special import (
+        fitfdist_prior_ctes_sql,
+    )
     from transcriptomics_data_integration_spark.suite import _ttest_cte
 
+    value = "(l_quantity * (1 + l_partkey % 7))"
     return f"""
-WITH {_ttest_cte("l_partkey", "", "")}, s2t AS (
+WITH {_ttest_cte("l_partkey", "", "", value_expr=value, scale=0)}, s2t AS (
   SELECT l_partkey, n_a, n_b, t_statistic,
          ((n_a - 1) * var_a + (n_b - 1) * var_b) / (n_a + n_b - 2) AS s2,
-         n_a + n_b - 2 AS df
+         CAST(n_a + n_b - 2 AS DOUBLE) AS df
   FROM de
-), prior AS (
-  SELECT AVG(s2) AS s2_prior,
-         GREATEST(1.0e0, 2.0e0 / GREATEST(VAR_SAMP(ln(s2)), 1.0e-6)) AS d0
-  FROM s2t
+), {fitfdist_prior_ctes_sql("s2t")}, posted AS (
+  SELECT l_partkey, n_a, n_b, t_statistic, s2, df, d0,
+         CASE WHEN isinf(d0) THEN s20
+              ELSE (d0 * s20 + df * s2) / (d0 + df) END AS s2_post
+  FROM s2t CROSS JOIN ff_prior2
 )
 SELECT l_partkey, n_a, n_b, t_statistic,
-       ROUND(t_statistic * sqrt(s2 / ((d0 * s2_prior + df * s2) / (d0 + df))), 6) AS t_moderated
-FROM s2t CROSS JOIN prior
+       ROUND(t_statistic * sqrt(s2 / s2_post), 6) AS t_moderated,
+       ROUND(ln(s2_post), 6) AS ln_s2_post,
+       ROUND(d0, 6) AS df_prior
+FROM posted
 """
 
 
@@ -1566,6 +1592,9 @@ def q_moderated_lmfit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_moderated_lmfit() -> str:
+    from transcriptomics_data_integration_spark.functions.special import (
+        fitfdist_prior_ctes_sql,
+    )
     from transcriptomics_data_integration_spark.stats.lmfit import (
         BETA0_SQL,
         BETA1_SQL,
@@ -1594,17 +1623,18 @@ WITH agg AS (
   SELECT *, {SE1_SQL} AS se
   FROM r WHERE n > 3 AND rss > 0 AND n * s22 - s2 * s2 > 0
 ), t AS (
-  SELECT *, beta1 / se AS t_statistic, rss / (n - 3) AS s2v, n - 3 AS dfv
+  SELECT *, beta1 / se AS t_statistic, rss / (n - 3) AS s2v,
+         CAST(n - 3 AS DOUBLE) AS dfv
   FROM s WHERE se > 0
-), prior AS (
-  SELECT AVG(s2v) AS s2_prior,
-         GREATEST(1.0e0, 2.0e0 / GREATEST(VAR_SAMP(ln(s2v)), 1.0e-6)) AS d0
-  FROM t
-)
+), s2t AS (
+  SELECT s2v AS s2, dfv AS df FROM t
+), {fitfdist_prior_ctes_sql("s2t")}
 SELECT l_partkey, CAST(n AS BIGINT) AS n_obs, beta1, t_statistic,
-       ROUND(t_statistic * sqrt(s2v / ((d0 * s2_prior + dfv * s2v) / (d0 + dfv))), 6)
+       ROUND(t_statistic * sqrt(s2v /
+         (CASE WHEN isinf(d0) THEN s20
+               ELSE (d0 * s20 + dfv * s2v) / (d0 + dfv) END)), 6)
          AS t_moderated
-FROM t CROSS JOIN prior
+FROM t CROSS JOIN ff_prior2
 """
 
 
