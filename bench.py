@@ -94,6 +94,11 @@ BENCH_QUERIES = [
     "winnow_overlap",
     "winnow_containment",
     "domain_dup_rate",
+    # round-4 additions
+    "media_header_decode",
+    "voom_loess2",
+    "cqn_irls2",
+    "moderated_de",
 ]
 
 

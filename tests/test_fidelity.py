@@ -219,3 +219,89 @@ def test_voom_lowess_design_residual_sd(spark):
     assert any(
         abs(out[g]["sqrt_sd"] - float(raw[g]) ** 0.25) > 1e-6 for g in shifted
     )
+
+
+def test_cqn_irls2_twin_tracks_spline_kernel(spark):
+    """The fixed 2-step IRLS twin must land near the free-run spline
+    kernel on clean data (same basis family, same Huber objective):
+    bias curves within 15% RMS of each other, and both must remove
+    most of a planted monotone GC bias."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from transcriptomics_data_integration_spark.stats.fixed_twins import (
+        cqn_irls2_fixed,
+    )
+    from transcriptomics_data_integration_spark.stats.normalize import cqn_spline
+
+    rnd = random.Random(5)
+    rows, attrs = [], []
+    for g in range(150):
+        gc = 20 + (g % 50)
+        attrs.append((g, float(gc)))
+        for s in range(6):
+            # counts rise with gc: a planted exponential bias
+            lam = math.exp(3.0 + 0.04 * gc + rnd.gauss(0, 0.1))
+            rows.append((g, s, float(max(1, int(lam)))))
+    counts = spark.createDataFrame(rows, "gene_id long, sample_id long, cnt double")
+    gattrs = spark.createDataFrame(attrs, "gene_id long, gc double")
+
+    twin = cqn_irls2_fixed(counts, "gene_id", "sample_id", "cnt", gattrs, "gc")
+    full = cqn_spline(counts, "gene_id", "sample_id", "cnt", gattrs, "gc")
+    t = {(r["gene_id"], r["sample_id"]): r for r in twin.collect()}
+    f = {(r["gene_id"], r["sample_id"]): r for r in full.collect()}
+    assert set(t) == set(f)
+    # planted bias magnitude on the lcpm scale across the gc range
+    raw_spread = 0.04 * 49 / math.log(2)  # ~2.8 log2 units
+    diffs = []
+    for k in t:
+        tb = t[k]["lcpm"] - t[k]["lcpm_cqn"]
+        fb = f[k]["lcpm"] - f[k]["lcpm_cqn"]
+        diffs.append((tb - fb) ** 2)
+    rms = (sum(diffs) / len(diffs)) ** 0.5
+    assert rms < 0.15 * raw_spread, rms
+    # the twin removes the planted bias: residual gc correlation of
+    # corrected values far below the raw one
+    cells = twin.drop("gc").join(gattrs, "gene_id")
+    raw_corr = cells.agg(F.corr("gc", "lcpm")).first()[0]
+    cqn_corr = cells.agg(F.corr("gc", "lcpm_cqn")).first()[0]
+    assert abs(raw_corr) > 0.8
+    assert abs(cqn_corr) < 0.25 * abs(raw_corr)
+
+
+def test_voom_loess_fixed_tracks_r_lowess(spark):
+    """The binned tricube local-linear twin must track the R-exact
+    lowess trend it gates (same smoother family): trend values within
+    10% relative on a smooth mean-variance relation."""
+    import random
+
+    from transcriptomics_data_integration_spark.stats.fixed_twins import (
+        voom_loess_fixed,
+    )
+    from transcriptomics_data_integration_spark.stats.normalize import (
+        voom_weights_lowess,
+    )
+
+    rnd = random.Random(11)
+    rows = []
+    for g in range(400):
+        base = 10 + g * 5
+        for s in range(8):
+            noise = 1 + 0.5 * rnd.random()
+            rows.append((g, s, float(int(base * noise))))
+    counts = spark.createDataFrame(rows, "gene_id long, sample_id long, cnt double")
+    twin = {r["gene_id"]: r for r in voom_loess_fixed(
+        counts, "gene_id", "sample_id", "cnt", n_bins=32).collect()}
+    full = {r["gene_id"]: r for r in voom_weights_lowess(
+        counts, "gene_id", "sample_id", "cnt").collect()}
+    shared = set(twin) & set(full)
+    assert len(shared) > 350
+    rel = [
+        abs(twin[g]["trend_sqrt_sd"] - full[g]["trend_sqrt_sd"])
+        / full[g]["trend_sqrt_sd"]
+        for g in shared
+    ]
+    assert sum(rel) / len(rel) < 0.05, sum(rel) / len(rel)
+    assert max(rel) < 0.2, max(rel)

@@ -1178,3 +1178,52 @@ def test_domain_dup_rate_flags_cross_source_duplicates(spark, tmp_path):
         for r in q_domain_dup_rate(spark, str(d)).collect()
     }
     assert got == {"srcA": (2, 1), "srcB": (4, 3)}
+
+
+def test_minhash_star_mode_connectivity_equivalent(spark):
+    """expand='star' must produce the SAME connected components (hence
+    the same dedup decisions) as the quadratic expand='all' edge set,
+    with linearly many intra-clique edges."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    for i in range(12):  # exact-dup clique of 12
+        rows.append((i, base * 3))
+    for i in range(12, 18):  # near-dup variants of one text
+        rows.append((i, base * 3 + f"tail{i % 2}"))
+    for i in range(18, 24):  # unique singletons
+        rows.append((i, f"totally different text number {i} " * 4))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    all_pairs = minhash_lsh_pairs(docs, "doc_id", expand="all")
+    star_pairs = minhash_lsh_pairs(docs, "doc_id", expand="star")
+    n_all = all_pairs.count()
+    n_star = star_pairs.count()
+    assert n_all >= 66  # 12-clique alone contributes C(12,2) = 66
+    assert n_star < n_all  # star is strictly smaller on cliques
+
+    def comp(pairs):
+        return {
+            (r["node"], r["component"])
+            for r in connected_components(pairs).collect()
+        }
+
+    assert comp(all_pairs) == comp(star_pairs)
+
+
+def test_connected_components_stats_rounds(spark):
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "id_a long, id_b long"
+    )
+    st = {}
+    cc = connected_components(pairs, stats=st)
+    assert cc.select("component").distinct().count() == 1
+    assert 1 <= st["rounds"] <= 8  # log2(21) + confirm pass

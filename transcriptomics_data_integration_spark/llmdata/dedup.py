@@ -318,6 +318,7 @@ def minhash_lsh_pairs(
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
     threshold: float = 0.8,
+    expand: str = "all",
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline with exact-duplicate cluster
     compression: signatures -> banded candidates -> exact-Jaccard
@@ -333,7 +334,23 @@ def minhash_lsh_pairs(
     output bit-for-bit at a fraction of the join cost.  On web-crawl
     corpora (where exact dups dominate) this is the difference between
     verifying every clique edge and verifying one edge per clique pair.
+
+    ``expand`` selects the output edge set:
+
+    - ``"all"`` (default): every member-level near-dup pair — the
+      uncompressed semantics the DuckDB oracle replays.  Intra-cluster
+      expansion is QUADRATIC in exact-dup clique size, so this mode is
+      for pair-level consumers (inventory, audits) at moderate clique
+      sizes.
+    - ``"star"``: connectivity-equivalent linear edge set for the
+      clustering chain (-> connected_components): verified rep-level
+      pairs plus one member->rep star edge per exact duplicate.  A
+      web-crawl dup storm of 10^6 identical docs yields 10^6 - 1 star
+      edges instead of ~5*10^11 pairs; the transitive closure (and
+      hence dedup_clusters / keep_best_per_cluster) is IDENTICAL.
     """
+    if expand not in ("all", "star"):
+        raise ValueError(f"expand must be 'all' or 'star', got {expand!r}")
     # (id, digest) is two narrow columns — cache it; it feeds the rep
     # election and both expansion joins.  No broadcast hints on the rep
     # relation: one row per *distinct text* is not a small dim at crawl
@@ -429,6 +446,19 @@ def minhash_lsh_pairs(
             "jaccard",
         )
     )
+    if expand == "star":
+        # member -> representative star edges (id order normalized);
+        # rep-level cross pairs stay as-is — already one per clique pair
+        star = (
+            member.join(rep, "digest")
+            .where(F.col(id_col) != F.col("rep_id"))
+            .select(
+                F.least(id_col, "rep_id").alias("id_a"),
+                F.greatest(id_col, "rep_id").alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        return rep_pairs.unionByName(star)
     return cross.unionByName(intra)
 
 
@@ -516,6 +546,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list -> one row per
     node ``(node, component)`` with ``component`` = the minimum node id
@@ -550,7 +581,9 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = None
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # (1) neighbor min: candidate labels flowing along edges
         nbr = (
             sym.join(labels.withColumnRenamed("node", "b"), "b")
@@ -594,6 +627,10 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
+    if stats is not None:
+        # rounds-to-converge, measurable by scale probes (the last
+        # round is the no-change confirmation pass)
+        stats["rounds"] = rounds
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -1587,21 +1587,52 @@ _ROUND3_FRONT = [
     "pack_sequences",
 ]
 
-# Round-4 rotation plan: 69 queries sit outside the r3 window (68
-# oracled + vocab_size_sketch), every one driver-green in r1/r2
-# (minhash_lsh and p_improvement rotated out late-r3 to make room for
-# winnow_overlap and dedup_keep_best; both are r1-green and
-# pytest-covered, rotate them back in r4).  Late-r3 additions never
-# driver-gated (locally 3-SF green): winnow_containment,
-# domain_dup_rate — put both in the r4 front.
-# Rotate for r4: (a) queries whose kernels were touched in r3 and are
-# not in the r3 window — permutation_fdr (persisted t-table),
-# weighted_de (ttest seam), sample_distances, cosine_topk/lsh_ann
-# (similarity module refactor), batch_center, expression_pipeline,
-# minhash_lsh; (b)
-# a fresh 40-ish slice of the r1-only-gated remainder (llm-data +
-# sources families first: token_stats .. rsem_convert above) so every
-# query shows a STRICT-gate-era row within two more rounds; keep the
-# r3 additions out unless their kernels change again.
-QUERIES = _reorder_front(QUERIES, _ROUND3_FRONT)
+# Round-4 window: (a) the five queries that have NEVER produced a
+# driver row (r4 additions media_header_decode / voom_loess2 /
+# cqn_irls2 + late-r3 winnow_containment / domain_dup_rate), (b) every
+# query whose kernel or oracle changed in r4 — the exact-fitFDist
+# eBayes chain (moderated_de, moderated_lmfit, weighted_de,
+# rnaseq_pipeline_binned, closed_pipeline, normalized_de,
+# diff_expression + bh_histogram for the optimized-plan window
+# routing, with skyline/ks_strata/pack_sequences re-stamping the other
+# adaptive-window users), the overflow-safe Knuth hash (ivf_fixed,
+# pq_fixed), the real-header multimodal semantics
+# (multimodal_featurize), the covariance-route M17 (pca_outliers,
+# rows-only), and the jsonl/keep_best ADVICE fixes (jsonl_parse,
+# dedup_keep_best), (c) the r3-touched kernels the r3 plan deferred
+# (permutation_fdr, sample_distances, cosine_topk, lsh_ann,
+# batch_center, expression_pipeline, minhash_lsh, p_improvement), and
+# (d) a 20-slice of the r1-only-gated remainder (llm-data + sources
+# families per plan).
+_ROUND4_FRONT = [
+    # -- (a) never gated -------------------------------------------------
+    "media_header_decode", "winnow_containment", "domain_dup_rate",
+    "voom_loess2", "cqn_irls2",
+    # -- (b) r4-changed kernels/oracles ----------------------------------
+    "moderated_de", "moderated_lmfit", "weighted_de",
+    "rnaseq_pipeline_binned", "closed_pipeline", "normalized_de",
+    "diff_expression", "bh_histogram", "skyline", "ks_strata",
+    "pack_sequences", "ivf_fixed", "pq_fixed", "multimodal_featurize",
+    "pca_outliers", "jsonl_parse", "dedup_keep_best",
+    # -- (c) r3-touched, deferred from the r3 window ---------------------
+    "permutation_fdr", "sample_distances", "cosine_topk", "lsh_ann",
+    "batch_center", "expression_pipeline", "minhash_lsh", "p_improvement",
+    # -- (d) r1-only-gated slice (llm-data + sources families) -----------
+    "token_stats", "text_quality", "language_id", "doc_fingerprint",
+    "dedup_exact", "ngram_jaccard", "simhash", "cosine_neardup",
+    "event_window_counts", "sessionize", "json_extract",
+    "duplicate_chunks", "simhash_neardup", "asof_join", "dedup_clusters",
+    "vocab_topk", "embedding_quantize", "doc_sample", "contamination",
+    "language_id_ngram",
+]
+
+# Round-5 rotation plan: after r4 the only queries without a
+# strict-gate-era driver row are the 13-query r1-only remainder
+# (pricing_summary, gene_stats, library_size, gene_exclusion,
+# outlier_removal, zero_variance_filter, nonspecific_filter,
+# value_conditioning, argmax_dedup, dedup_rows, frequency_table,
+# venn_membership, vocab_size_sketch [rows-only]) — put all 13 in the
+# r5 front, plus any r5-touched kernels, and fill the rest with the
+# longest-unstamped queries by round.
+QUERIES = _reorder_front(QUERIES, _ROUND4_FRONT)
 QUERIES = {n: _with_persist_drain(fn) for n, fn in QUERIES.items()}

@@ -1085,3 +1085,210 @@ FROM cb c JOIN {prev} e ON c.gene_id = e.gene_id AND c.batch = e.batch
 
 QUERIES_NORM["combat_eb2"] = q_combat_eb2
 ORACLES_NORM["combat_eb2"] = _oracle_combat_eb2()
+
+
+def q_voom_loess2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 fixed twin, HASH-GATED — the lowess trend as a binned
+    tricube local-linear smoother with one global bandwidth
+    (`stats/fixed_twins.py:voom_loess_fixed`); the data-sized work of
+    `voom_lowess` (per-gene moment pass, bin compression, weighted
+    solves) under a full DuckDB oracle, mirroring the combat_eb2
+    pattern (r3 verdict item 6)."""
+    from transcriptomics_data_integration_spark.stats.fixed_twins import (
+        voom_loess_fixed,
+    )
+
+    counts = _counts(spark, sf_dir)
+    out = voom_loess_fixed(counts, "gene_id", "sample_id", "cnt", n_bins=64)
+    return out.select(
+        "gene_id",
+        "n_obs",
+        F.round("mean_lcpm", 6).alias("mean_lcpm"),
+        F.round("sqrt_sd", 6).alias("sqrt_sd"),
+        F.round("trend_sqrt_sd", 6).alias("trend_sqrt_sd"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
+def _oracle_voom_loess2() -> str:
+    tri = (
+        "(CASE WHEN h <= 0.0e0 THEN 1.0e0"
+        " WHEN abs(x - cb) / h < 1.0e0 THEN"
+        " (1.0e0 - (abs(x - cb) / h) * (abs(x - cb) / h) * (abs(x - cb) / h))"
+        " * (1.0e0 - (abs(x - cb) / h) * (abs(x - cb) / h) * (abs(x - cb) / h))"
+        " * (1.0e0 - (abs(x - cb) / h) * (abs(x - cb) / h) * (abs(x - cb) / h))"
+        " ELSE 0.0e0 END)"
+    )
+    return f"""
+WITH {_COUNTS_CTE}, per_gene AS (
+  SELECT gene_id, AVG(lcpm) AS mean_lcpm,
+         sqrt(sqrt(VAR_SAMP(lcpm))) AS sqrt_sd,
+         COUNT(*) AS n_obs
+  FROM lcpm GROUP BY gene_id
+), ok AS (
+  SELECT *, ROUND(mean_lcpm, 9) AS x, ROUND(sqrt_sd, 9) AS y
+  FROM per_gene WHERE sqrt_sd IS NOT NULL AND sqrt_sd > 0
+), ranked AS (
+  SELECT *, NTILE(64) OVER (ORDER BY x, gene_id) AS bin,
+         ROUND((MAX(x) OVER () - MIN(x) OVER ()) / 2.0e0, 9) AS h
+  FROM ok
+), bins AS (
+  SELECT bin, ROUND(AVG(x), 9) AS cb, COUNT(*) AS nb,
+         ROUND(SUM(x), 9) AS bsx, ROUND(SUM(y), 9) AS bsy,
+         ROUND(SUM(x * y), 9) AS bsxy, ROUND(SUM(x * x), 9) AS bsxx
+  FROM ranked GROUP BY bin
+), pairs AS (
+  SELECT r.gene_id, r.x, r.mean_lcpm, r.sqrt_sd, r.n_obs,
+         ROUND({tri}, 9) AS tw, b.nb, b.bsx, b.bsy, b.bsxy, b.bsxx
+  FROM ranked r CROSS JOIN bins b
+), mom AS (
+  SELECT gene_id, x, mean_lcpm, sqrt_sd, n_obs,
+         SUM(tw * nb) AS sw, SUM(tw * bsx) AS swx, SUM(tw * bsy) AS swy,
+         SUM(tw * bsxx) AS swxx, SUM(tw * bsxy) AS swxy
+  FROM pairs GROUP BY gene_id, x, mean_lcpm, sqrt_sd, n_obs
+), fit AS (
+  SELECT *, sw * swxx - swx * swx AS _den FROM mom
+), tr AS (
+  SELECT gene_id, n_obs, mean_lcpm, sqrt_sd,
+         CASE WHEN _den > 1.0e-12 THEN
+           (swy - ((sw * swxy - swx * swy) / _den) * swx) / sw
+           + ((sw * swxy - swx * swy) / _den) * x
+         ELSE swy / sw END AS trend_sqrt_sd
+  FROM fit
+)
+SELECT gene_id, n_obs,
+       ROUND(mean_lcpm, 6) AS mean_lcpm,
+       ROUND(sqrt_sd, 6) AS sqrt_sd,
+       ROUND(trend_sqrt_sd, 6) AS trend_sqrt_sd,
+       ROUND(POWER(trend_sqrt_sd, -4.0), 6) AS weight
+FROM tr WHERE trend_sqrt_sd > 0
+"""
+
+
+def q_cqn_irls2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 fixed twin, HASH-GATED — per-sample GC spline fit with a
+    FIXED 2-step Huber IRLS (OLS -> MAD reweight -> weighted refit) on
+    a 3-knot natural-spline basis, fully relational
+    (`stats/fixed_twins.py:cqn_irls2_fixed`); gates `cqn_spline`'s
+    data-sized work under a full DuckDB oracle (r3 verdict item 6).
+    Output shape mirrors q_cqn_spline's per-sample summary."""
+    from transcriptomics_data_integration_spark.stats.fixed_twins import (
+        cqn_irls2_fixed,
+    )
+
+    counts = _counts(spark, sf_dir)
+    part = _t(spark, sf_dir, "part")
+    attrs = part.select(F.col("p_partkey").alias("gene_id"), F.col("p_size").alias("gc"))
+    out = cqn_irls2_fixed(counts, "gene_id", "sample_id", "cnt", attrs, "gc")
+    return out.groupBy("sample_id").agg(
+        F.count(F.lit(1)).alias("n_genes"),
+        F.round(F.avg("lcpm"), 6).alias("avg_lcpm"),
+        F.round(F.avg("lcpm_cqn"), 6).alias("avg_lcpm_cqn"),
+        F.round(F.max(F.abs(F.col("lcpm") - F.col("lcpm_cqn"))), 6).alias("max_bias"),
+    )
+
+
+def _oracle_cqn_irls2() -> str:
+    from transcriptomics_data_integration_spark.stats.fixed_twins import (
+        _HUBER_K,
+        _MAD_SIGMA,
+        cramer3_sql,
+        ns_basis_n1_sql,
+    )
+
+    n1 = ns_basis_n1_sql("xs", "kap1", "kap3")
+    it1_names = {k: "s" + k[1:] for k in
+                 ["sw", "swx", "swn", "swxx", "swxn", "swnn", "swy", "swxy", "swny"]}
+    det1, b0_1, b1_1, b2_1 = cramer3_sql(it1_names)
+    it2_names = {k: "t" + k[1:] for k in
+                 ["sw", "swx", "swn", "swxx", "swxn", "swnn", "swy", "swxy", "swny"]}
+    det2, b0_2, b1_2, b2_2 = cramer3_sql(it2_names)
+    return f"""
+WITH {_COUNTS_CTE}, attrs AS (
+  SELECT p_partkey AS gene_id, CAST(p_size AS DOUBLE) AS gc FROM part
+), kn AS (
+  SELECT ROUND(quantile_cont(gc, 0.25), 6) AS k1,
+         ROUND(quantile_cont(gc, 0.5), 6) AS k2,
+         ROUND(quantile_cont(gc, 0.75), 6) AS k3
+  FROM attrs
+), basis AS (
+  SELECT gene_id, gc,
+         CASE WHEN k3 > k1 AND k3 > k2 THEN (gc - k2) / (k3 - k1) END AS xs,
+         CASE WHEN k3 > k1 AND k3 > k2 THEN (k1 - k2) / (k3 - k1) END AS kap1,
+         CASE WHEN k3 > k1 AND k3 > k2 THEN (k3 - k2) / (k3 - k1) END AS kap3
+  FROM attrs CROSS JOIN kn
+), basis2 AS (
+  SELECT gene_id, gc, xs, {n1} AS n1 FROM basis
+), cells AS (
+  SELECT l.gene_id, l.sample_id, l.lcpm, b.gc, b.xs, b.n1
+  FROM lcpm l JOIN basis2 b ON l.gene_id = b.gene_id
+), m1 AS (
+  SELECT sample_id,
+         SUM(1.0e0) AS sw, SUM(xs) AS swx, SUM(n1) AS swn,
+         SUM(xs * xs) AS swxx, SUM(xs * n1) AS swxn, SUM(n1 * n1) AS swnn,
+         SUM(lcpm) AS swy, SUM(xs * lcpm) AS swxy, SUM(n1 * lcpm) AS swny
+  FROM cells GROUP BY sample_id
+), d1 AS (
+  SELECT *, {det1} AS _det FROM m1
+), it1 AS (
+  SELECT sample_id, ROUND({b0_1}, 9) AS b0, ROUND({b1_1}, 9) AS b1,
+         ROUND({b2_1}, 9) AS b2
+  FROM d1 WHERE abs(_det) > 1.0e-12
+), wr AS (
+  SELECT c.*, c.lcpm - (i.b0 + i.b1 * c.xs + i.b2 * c.n1) AS r
+  FROM cells c JOIN it1 i USING (sample_id)
+), wmed AS (
+  SELECT *, quantile_cont(r, 0.5) OVER (PARTITION BY sample_id) AS _rmed
+  FROM wr
+), wmad AS (
+  SELECT *, ROUND(quantile_cont(abs(r - _rmed), 0.5)
+                    OVER (PARTITION BY sample_id) * {_MAD_SIGMA}, 9) AS _mad
+  FROM wmed
+), ww AS (
+  SELECT *, ROUND(CASE WHEN _mad <= 0.0e0 THEN 1.0e0
+                       WHEN abs(r) / _mad <= {_HUBER_K} THEN 1.0e0
+                       ELSE {_HUBER_K} * _mad / abs(r) END, 6) AS w2
+  FROM wmad
+), m2 AS (
+  SELECT sample_id,
+         SUM(w2) AS tw, SUM(w2 * xs) AS twx, SUM(w2 * n1) AS twn,
+         SUM(w2 * xs * xs) AS twxx, SUM(w2 * xs * n1) AS twxn,
+         SUM(w2 * n1 * n1) AS twnn,
+         SUM(w2 * lcpm) AS twy, SUM(w2 * xs * lcpm) AS twxy,
+         SUM(w2 * n1 * lcpm) AS twny
+  FROM ww GROUP BY sample_id
+), d2 AS (
+  SELECT *, {det2} AS _det FROM m2
+), it2 AS (
+  SELECT sample_id, ROUND({b0_2}, 9) AS b0, ROUND({b1_2}, 9) AS b1,
+         ROUND({b2_2}, 9) AS b2
+  FROM d2 WHERE abs(_det) > 1.0e-12
+), fitted AS (
+  SELECT c.gene_id, c.sample_id, c.lcpm,
+         i.b0 + i.b1 * c.xs + i.b2 * c.n1 AS fit2
+  FROM cells c JOIN it2 i USING (sample_id)
+), centered AS (
+  SELECT *, ROUND(quantile_cont(fit2, 0.5)
+                    OVER (PARTITION BY sample_id), 9) AS _fmed
+  FROM fitted
+)
+SELECT sample_id, COUNT(*) AS n_genes,
+       ROUND(AVG(lcpm), 6) AS avg_lcpm,
+       ROUND(AVG(lcpm - (fit2 - _fmed)), 6) AS avg_lcpm_cqn,
+       ROUND(MAX(abs(fit2 - _fmed)), 6) AS max_bias
+FROM centered GROUP BY sample_id
+"""
+
+
+QUERIES_NORM.update(
+    {
+        "voom_loess2": q_voom_loess2,
+        "cqn_irls2": q_cqn_irls2,
+    }
+)
+ORACLES_NORM.update(
+    {
+        "voom_loess2": _oracle_voom_loess2(),
+        "cqn_irls2": _oracle_cqn_irls2(),
+    }
+)
