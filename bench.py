@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "voom_loess2",
     "cqn_irls2",
     "moderated_de",
+    "paragraph_dedup",
+    "ngram_span_mask",
 ]
 
 

@@ -1227,3 +1227,77 @@ def test_connected_components_stats_rounds(spark):
     cc = connected_components(pairs, stats=st)
     assert cc.select("component").distinct().count() == 1
     assert 1 <= st["rounds"] <= 8  # log2(21) + confirm pass
+
+
+def test_dedup_paragraphs_corpus_level(spark):
+    """Cross-document paragraph dedup: a paragraph repeated across
+    docs survives only at its first (doc_id, pos); normalization is
+    case/space-insensitive; sub-min_chars paragraphs are exempt."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        dedup_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\n\nSUBSCRIBE NOW\n\ndelta"),
+            (2, "other text\n\nsubscribe now\n\nmore text"),
+            (3, "subscribe   now\n\n\n\nunique tail"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in dedup_paragraphs(docs, "doc_id").collect()
+    }
+    assert out[1]["text_deduped"] == "alpha beta\n\nSUBSCRIBE NOW\n\ndelta"
+    assert out[2]["text_deduped"] == "other text\n\nmore text"
+    # doc 3: "subscribe   now" normalizes differently ("subscribe   now"
+    # has inner spaces -> distinct class), empty para exempt and kept
+    assert out[3]["n_paras"] == 3
+    assert out[3]["n_kept"] == 3
+    # a fully-duplicated doc returns an empty string, not a lost row
+    docs2 = spark.createDataFrame(
+        [(1, "same para"), (2, "same para")], "doc_id long, text string"
+    )
+    out2 = {r["doc_id"]: r for r in dedup_paragraphs(docs2, "doc_id").collect()}
+    assert out2[2]["n_kept"] == 0
+    assert out2[2]["text_deduped"] == ""
+
+
+def test_mask_frequent_ngrams_spans(spark):
+    """Every token covered by a corpus-frequent 8-gram is removed from
+    ALL docs (including the first occurrence); sub-n docs and unique
+    spans are untouched."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        mask_frequent_ngrams,
+    )
+
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} tail1 x"),
+            (2, f"pre {shared} tail2"),
+            (3, "short doc"),
+            (4, "nine distinct tokens that never repeat anywhere here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in mask_frequent_ngrams(docs, "doc_id", n=8, min_count=2).collect()
+    }
+    assert out[1]["text_masked"] == "tail1 x"
+    assert out[1]["n_masked"] == 8
+    assert out[2]["text_masked"] == "pre tail2"
+    assert out[3]["text_masked"] == "short doc"  # < n tokens: no grams
+    assert out[4]["n_masked"] == 0
+    # overlapping frequent grams: a 9-token shared span masks all 9
+    docs2 = spark.createDataFrame(
+        [(1, f"{shared} nine endA"), (2, f"{shared} nine endB")],
+        "doc_id long, text string",
+    )
+    out2 = {
+        r["doc_id"]: r
+        for r in mask_frequent_ngrams(docs2, "doc_id", n=8, min_count=2).collect()
+    }
+    assert out2[1]["text_masked"] == "endA"
+    assert out2[1]["n_masked"] == 9

@@ -708,3 +708,173 @@ def keep_best_per_cluster(
             F.col("_score").alias("kept_score"),
         )
     )
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    out_col: str = "text_deduped",
+    sep: str = "\n\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """CORPUS-level paragraph deduplication — the CCNet/RefinedWeb
+    pre-pass: every paragraph keeps only its FIRST corpus occurrence
+    (ordered by ``(doc_id, position)``); later copies are dropped from
+    their documents.  Complements :func:`~..text.dedup_lines`, which is
+    within-document only — the boilerplate this pass removes (subscribe
+    blocks, legal footers, syndicated intro paragraphs) repeats
+    *across* documents, where no per-doc operator can see it.
+
+    Paragraphs shorter than ``min_chars`` (after trim) are exempt —
+    they are kept everywhere and never define a duplicate class (empty
+    strings and one-word connectives would otherwise vanish corpus-wide
+    after their first occurrence).
+
+    Scale shape (the reason this is NOT a digest window): the winner
+    per duplicate class is ``min(struct(doc_id, pos))`` under groupBy,
+    which is map-side combinable — a paragraph repeated in 10^8 docs
+    (cookie banners at crawl scale) collapses to one row per map task
+    before the shuffle, where a ``row_number() over (partition by
+    digest)`` window would funnel all 10^8 rows through one reducer.
+    Two further shuffles, both well-keyed: winner join-back on digest,
+    reassembly groupBy on ``id_col``.
+
+    Output: one row per input doc — ``(id_col, n_paras, n_kept,
+    out_col)``, paragraph order preserved, docs whose every paragraph
+    was a later copy come back with an empty string.
+    """
+    paras = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
+                "pos", "para"
+            ),
+        )
+        # dedup on the normalized form (case/outer-space insensitive),
+        # reassemble the original bytes — CCNet hashes normalized text
+        .withColumn("norm", F.lower(F.trim("para")))
+        .withColumn("exempt", F.length("norm") < min_chars)
+    )
+    winners = (
+        paras.where(~F.col("exempt"))
+        .groupBy("norm")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w"))
+        .select("norm", F.col(f"w.{id_col}").alias("_wid"), F.col("w.pos").alias("_wpos"))
+    )
+    kept = paras.join(winners, "norm", "left").where(
+        F.col("exempt")
+        | ((F.col(id_col) == F.col("_wid")) & (F.col("pos") == F.col("_wpos")))
+    )
+    stats = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), F.lit(sep), -1)).alias("n_paras"),
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "para"))).alias("ps"))
+        .select(
+            F.col(id_col),
+            F.size("ps").alias("n_kept"),
+            F.array_join(F.transform("ps", lambda s: s["para"]), sep).alias(out_col),
+        )
+    )
+    return (
+        stats.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_paras",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce(out_col, F.lit("")).alias(out_col),
+        )
+    )
+
+
+def mask_frequent_ngrams(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    out_col: str = "text_masked",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Repeated-substring removal at n-gram granularity — the
+    distributed approximation of suffix-array training-data dedup
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better"): any span of ``n`` consecutive whitespace tokens
+    occurring at least ``min_count`` times in the CORPUS is masked
+    (its tokens removed) from every document, including the first.
+
+    A true suffix array is a global sequential structure with no
+    shuffle-friendly construction; the standard scale substitute is
+    exactly this — fixed-width n-gram inventory, corpus frequency
+    filter, span-cover mask — which upper-bounds it: every repeated
+    substring of length >= n tokens is covered by its repeated
+    n-grams.  All stages are hash-partitioned aggregates/joins:
+
+    - gram inventory: md5 digest of each n-token window (md5 so the
+      DuckDB oracle replays bit-identically; the digest also bounds
+      shuffle width vs shipping raw gram text),
+    - corpus counts: groupBy(gram) — map-side combinable, the
+      mega-repeated gram collapses before the shuffle,
+    - cover: matched starts explode to ``sequence(pos, pos+n-1)``;
+      kept tokens = posexploded tokens anti-joined on (id, pos),
+    - reassembly: one groupBy(id), order restored via sort_array.
+
+    Output: ``(id_col, n_tokens, n_masked, out_col)`` — every input
+    doc present, fully-masked docs come back empty.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("ts"),
+    )
+    grams = toks.select(
+        F.col(id_col),
+        # CASE guard, not greatest(.., 0): Spark's sequence(1, 0) is a
+        # DESCENDING [1, 0], not empty — a 7-token doc would emit a
+        # bogus position-0 gram (and slice(ts, 0, n) is an ANSI error)
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(ts) >= {n} THEN "
+                f"transform(sequence(1, size(ts) - {n - 1}), "
+                f"i -> md5(CAST(array_join(slice(ts, i, {n}), ' ') AS BINARY))) "
+                f"ELSE array() END"
+            )
+        ).alias("pos0", "g"),
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "g")
+    frequent = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select("g")
+    )
+    covered = (
+        grams.join(frequent, "g")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("p"),
+        )
+    )
+    tok_rows = toks.select(
+        F.col(id_col), F.posexplode("ts").alias("p0", "tok")
+    ).select(F.col(id_col), (F.col("p0") + 1).alias("p"), "tok")
+    kept = tok_rows.join(covered, [id_col, "p"], "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("p", "tok"))).alias("ps"))
+        .select(
+            F.col(id_col),
+            F.size("ps").alias("n_kept"),
+            F.array_join(F.transform("ps", lambda s: s["tok"]), " ").alias(out_col),
+        )
+    )
+    return (
+        toks.select(F.col(id_col), F.size("ts").alias("n_tokens"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_masked"),
+            F.coalesce(out_col, F.lit("")).alias(out_col),
+        )
+    )

@@ -1607,7 +1607,7 @@ _ROUND3_FRONT = [
 _ROUND4_FRONT = [
     # -- (a) never gated -------------------------------------------------
     "media_header_decode", "winnow_containment", "domain_dup_rate",
-    "voom_loess2", "cqn_irls2",
+    "voom_loess2", "cqn_irls2", "paragraph_dedup", "ngram_span_mask",
     # -- (b) r4-changed kernels/oracles ----------------------------------
     "moderated_de", "moderated_lmfit", "weighted_de",
     "rnaseq_pipeline_binned", "closed_pipeline", "normalized_de",
@@ -1622,17 +1622,18 @@ _ROUND4_FRONT = [
     "dedup_exact", "ngram_jaccard", "simhash", "cosine_neardup",
     "event_window_counts", "sessionize", "json_extract",
     "duplicate_chunks", "simhash_neardup", "asof_join", "dedup_clusters",
-    "vocab_topk", "embedding_quantize", "doc_sample", "contamination",
-    "language_id_ngram",
+    "vocab_topk", "embedding_quantize", "doc_sample",
 ]
 
 # Round-5 rotation plan: after r4 the only queries without a
-# strict-gate-era driver row are the 13-query r1-only remainder
+# strict-gate-era driver row are the 15-query r1-only remainder
 # (pricing_summary, gene_stats, library_size, gene_exclusion,
 # outlier_removal, zero_variance_filter, nonspecific_filter,
 # value_conditioning, argmax_dedup, dedup_rows, frequency_table,
-# venn_membership, vocab_size_sketch [rows-only]) — put all 13 in the
-# r5 front, plus any r5-touched kernels, and fill the rest with the
-# longest-unstamped queries by round.
+# venn_membership, contamination, language_id_ngram [both bumped from
+# the r4 slice by the new paragraph_dedup/ngram_span_mask gates],
+# vocab_size_sketch [rows-only]) — put all 15 in the r5 front, plus
+# any r5-touched kernels, and fill the rest with the longest-unstamped
+# queries by round.
 QUERIES = _reorder_front(QUERIES, _ROUND4_FRONT)
 QUERIES = {n: _with_persist_drain(fn) for n, fn in QUERIES.items()}

@@ -2146,3 +2146,147 @@ FROM injected
 
 QUERIES_LLM["pii_scrub"] = q_pii_scrub
 ORACLES_LLM["pii_scrub"] = ORACLE_PII_SCRUB
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-level paragraph dedup, HASH-GATED — the CCNet/RefinedWeb
+    cross-document boilerplate pass (`llmdata/dedup.py:
+    dedup_paragraphs`): multi-paragraph docs are built from the corpus
+    with a universal subscribe block and a per-source legal footer
+    planted in every doc; each duplicate paragraph class keeps only its
+    first (doc_id, position) occurrence, winner chosen by a map-side
+    combinable min(struct) — no digest window, so a crawl-scale banner
+    repeated in 10^8 docs never funnels one reducer.  Gated on
+    paragraph counts + the md5 of the reassembled text."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import dedup_paragraphs
+
+    docs = _t(spark, sf_dir, "documents")
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.substring("text", 1, 80),
+            F.lit("Subscribe to our newsletter"),
+            F.substring("text", 81, 80),
+            F.concat(F.lit("(c) all rights reserved "), F.col("source")),
+        ).alias("text"),
+    )
+    out = dedup_paragraphs(multi, "doc_id")
+    return out.select(
+        "doc_id",
+        "n_paras",
+        "n_kept",
+        F.md5(F.col("text_deduped").cast("binary")).alias("dedup_md5"),
+    )
+
+
+ORACLE_PARAGRAPH_DEDUP = """
+WITH multi AS (
+  SELECT doc_id,
+         concat_ws(chr(10) || chr(10),
+           substr(text, 1, 80), 'Subscribe to our newsletter',
+           substr(text, 81, 80),
+           '(c) all rights reserved ' || source) AS text
+  FROM documents
+), arr AS (
+  SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ls FROM multi
+), p0 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ls)),
+                               i -> {'pos': i, 'para': ls[i]})) AS u
+  FROM arr
+), paras AS (
+  SELECT doc_id, u.pos AS pos, u.para AS para,
+         lower(trim(u.para)) AS norm
+  FROM p0
+), win AS (
+  SELECT norm, doc_id AS wid, pos AS wpos FROM (
+    SELECT norm, doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id, pos) AS rn
+    FROM paras WHERE length(norm) >= 1
+  ) WHERE rn = 1
+), kept AS (
+  SELECT p.doc_id, p.pos, p.para
+  FROM paras p LEFT JOIN win w ON p.norm = w.norm
+  WHERE length(p.norm) < 1 OR (p.doc_id = w.wid AND p.pos = w.wpos)
+), reb AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         md5(string_agg(para, chr(10) || chr(10) ORDER BY pos)) AS dedup_md5
+  FROM kept GROUP BY doc_id
+), base AS (
+  SELECT doc_id, len(string_split(text, chr(10) || chr(10))) AS n_paras
+  FROM multi
+)
+SELECT b.doc_id, CAST(b.n_paras AS INTEGER) AS n_paras,
+       CAST(COALESCE(r.n_kept, 0) AS INTEGER) AS n_kept,
+       COALESCE(r.dedup_md5, md5('')) AS dedup_md5
+FROM base b LEFT JOIN reb r USING (doc_id)
+"""
+
+QUERIES_LLM["paragraph_dedup"] = q_paragraph_dedup
+ORACLES_LLM["paragraph_dedup"] = ORACLE_PARAGRAPH_DEDUP
+
+
+def q_ngram_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring removal, HASH-GATED — the distributed
+    suffix-array-dedup substitute (Lee et al. 2021; `llmdata/dedup.py:
+    mask_frequent_ngrams`): every 8-token span occurring >= 2 times
+    corpus-wide is masked from every document.  Gram inventory,
+    frequency filter, and span cover are all hash-partitioned
+    aggregates/joins (map-side-combinable counts); gated on token
+    counts + the md5 of the masked text."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        mask_frequent_ngrams,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mask_frequent_ngrams(docs, "doc_id", n=8, min_count=2)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_masked",
+        F.md5(F.col("text_masked").cast("binary")).alias("masked_md5"),
+    )
+
+
+ORACLE_NGRAM_SPAN_MASK = r"""
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts FROM documents
+), g0 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ts) - 7, 0)),
+                i -> {'pos': i,
+                      'g': md5(list_aggregate(ts[i:i+7], 'string_agg', ' '))})) AS u
+  FROM arr
+), grams AS (
+  SELECT doc_id, u.pos AS pos, u.g AS g FROM g0
+), freq AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+), cov AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS p
+  FROM grams JOIN freq USING (g)
+), t0 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ts)),
+                               i -> {'p': i, 'tok': ts[i]})) AS u
+  FROM arr
+), toks AS (
+  SELECT doc_id, u.p AS p, u.tok AS tok FROM t0
+), kept AS (
+  SELECT t.doc_id, t.p, t.tok
+  FROM toks t ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+), reb AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY p)) AS masked_md5
+  FROM kept GROUP BY doc_id
+), base AS (
+  SELECT doc_id, len(ts) AS n_tokens FROM arr
+)
+SELECT b.doc_id, CAST(b.n_tokens AS INTEGER) AS n_tokens,
+       CAST(b.n_tokens - COALESCE(r.n_kept, 0) AS INTEGER) AS n_masked,
+       COALESCE(r.masked_md5, md5('')) AS masked_md5
+FROM base b LEFT JOIN reb r USING (doc_id)
+"""
+
+QUERIES_LLM["ngram_span_mask"] = q_ngram_span_mask
+ORACLES_LLM["ngram_span_mask"] = ORACLE_NGRAM_SPAN_MASK
