@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "moderated_de",
     "paragraph_dedup",
     "ngram_span_mask",
+    "cel_decode",
 ]
 
 

@@ -771,3 +771,57 @@ def test_streaming_winnow_fingerprints_matches_batch(spark, tmp_path):
     }
     assert got == want and got
     assert not any(k[0] == 3 for k in got)  # len < k yields no fingerprints
+
+
+def _cel_bytes(ncols, nrows, cells, magic=64, version=4, truncate=None):
+    import struct
+
+    hdr, alg, prm = b"hdr", b"alg", b""
+    out = (
+        struct.pack("<5i", magic, version, ncols, nrows, len(cells))
+        + struct.pack("<i", len(hdr)) + hdr
+        + struct.pack("<i", len(alg)) + alg
+        + struct.pack("<i", len(prm)) + prm
+        + struct.pack("<iIIi", 2, 0, 0, 0)
+        + b"".join(struct.pack("<ffh", i, s, n) for i, s, n in cells)
+    )
+    return out if truncate is None else out[:truncate]
+
+
+def test_parse_cel_v4_roundtrip_and_rejects():
+    """The CEL v4 parser recovers the planted grid bit-exactly and
+    rejects wrong-magic / wrong-version / truncated payloads instead
+    of mis-reading them."""
+    from transcriptomics_data_integration_spark.sources.cel import parse_cel_v4
+
+    cells = [(101.5, 3.25, 9), (7.0, 1.0, 16), (2.5, 0.5, 25), (65535.0, 2.0, 36)]
+    good = _cel_bytes(2, 2, cells)
+    ncols, nrows, parsed = parse_cel_v4(good)
+    assert (ncols, nrows) == (2, 2)
+    # row-major: index = y * ncols + x
+    assert parsed[1][:2] == (1, 0) and parsed[2][:2] == (0, 1)
+    assert [c[2:] for c in parsed] == cells
+    assert parse_cel_v4(_cel_bytes(2, 2, cells, magic=65)) is None
+    assert parse_cel_v4(_cel_bytes(2, 2, cells, version=3)) is None
+    assert parse_cel_v4(good[:-5]) is None  # truncated cell block
+    assert parse_cel_v4(b"") is None
+    # ncells inconsistent with the grid
+    bad = _cel_bytes(2, 2, cells[:3])
+    assert parse_cel_v4(bad) is None
+
+
+def test_cel_long_tolerant_scan(spark):
+    """cel_long explodes valid CEL payloads to the per-cell long
+    relation and silently drops malformed ones (tolerant-reader
+    contract, same stance as the JSONL source)."""
+    from transcriptomics_data_integration_spark.sources.cel import cel_long
+
+    good = _cel_bytes(2, 1, [(5.0, 1.5, 9), (6.0, 2.5, 16)])
+    rows = [(1, bytearray(good)), (2, bytearray(b"not a cel file"))]
+    df = spark.createDataFrame(rows, "sample_id long, payload binary")
+    out = cel_long(df).collect()
+    assert len(out) == 2
+    assert {r["sample_id"] for r in out} == {1}
+    by_x = {r["cell_x"]: r for r in out}
+    assert by_x[0]["intensity"] == 5.0 and by_x[1]["npixels"] == 16
+    assert by_x[1]["cell_y"] == 0 and by_x[1]["nrows"] == 1

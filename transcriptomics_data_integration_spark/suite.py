@@ -1382,6 +1382,87 @@ QUERIES["rsem_convert"] = q_rsem_convert
 ORACLES["rsem_convert"] = ORACLE_RSEM
 
 
+def q_cel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — REAL Affymetrix CEL v4 binary scan, HASH-GATED
+    (`sources/cel.py:cel_long`; reference load:
+    `QC_Affy_U133A2.R:107-111` ``ReadAffy``).  Mirrors the
+    ``media_header_decode`` pattern: well-formed CEL v4 payloads are
+    synthesized IN-PLAN per doc — the constant header via the struct
+    layout, the per-cell float32 intensities packed by SQL bit algebra
+    (exponent from the bit length, mantissa by shift — exact for
+    integers < 2^24) — and the pure-Python parser must recover the
+    planted 2x2 grid from the bytes alone.  The oracle never parses:
+    it recomputes the planted ground truth from doc_id, so a hash
+    match proves the binary layer (little-endian header walk,
+    length-prefixed string skip, 10-byte cell stride, row-major cell
+    indexing) is right.  Payload synthesis and the mapInPandas decode
+    are both map-side: zero shuffles."""
+    import struct as _struct
+
+    from transcriptomics_data_integration_spark.sources.cel import cel_long
+
+    hdr, alg, prm = b"synthetic CEL", b"Percentile", b""
+    head = (
+        _struct.pack("<5i", 64, 4, 2, 2, 4)
+        + _struct.pack("<i", len(hdr)) + hdr
+        + _struct.pack("<i", len(alg)) + alg
+        + _struct.pack("<i", len(prm)) + prm
+        + _struct.pack("<iIIi", 2, 0, 0, 0)
+    )
+
+    def byte(e):
+        return f"unhex(lpad(hex(({e}) % 256), 2, '0'))"
+
+    def le4(e):
+        return (
+            f"concat({byte(e)}, {byte(f'({e}) DIV 256')}, "
+            f"{byte(f'({e}) DIV 65536')}, {byte(f'({e}) DIV 16777216')})"
+        )
+
+    def f32le(v):
+        # IEEE-754 binary32 of a positive integer v < 2^24, exactly:
+        # e = bit_length - 1, mantissa = (v << (23 - e)) - 2^23
+        e = f"(length(conv({v}, 10, 2)) - 1)"
+        bits = f"(shiftleft(127 + {e}, 23) + shiftleft({v}, 23 - {e}) - 8388608)"
+        return le4(bits)
+
+    def le2(e):
+        return f"concat({byte(e)}, {byte(f'({e}) DIV 256')})"
+
+    cells = ", ".join(
+        f"{f32le(f'(doc_id * 7 + {31 * i}) % 65521 + 1')}, "
+        f"{f32le(f'(doc_id * 3 + {i}) % 251 + 1')}, "
+        f"{le2(str(i + 9))}"
+        for i in range(4)
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = docs.select(
+        F.col("doc_id").alias("sample_id"),
+        F.expr(f"concat(X'{head.hex()}', {cells})").alias("payload"),
+    )
+    return cel_long(media).select(
+        "sample_id", "ncols", "nrows", "cell_x", "cell_y",
+        "intensity", "stdev", "npixels",
+    )
+
+
+ORACLE_CEL_DECODE = """
+WITH idx AS (
+  SELECT doc_id, unnest(generate_series(0, 3)) AS i FROM documents
+)
+SELECT doc_id AS sample_id,
+       CAST(2 AS INTEGER) AS ncols, CAST(2 AS INTEGER) AS nrows,
+       CAST(i % 2 AS INTEGER) AS cell_x, CAST(i // 2 AS INTEGER) AS cell_y,
+       CAST((doc_id * 7 + 31 * i) % 65521 + 1 AS DOUBLE) AS intensity,
+       CAST((doc_id * 3 + i) % 251 + 1 AS DOUBLE) AS stdev,
+       CAST(i + 9 AS INTEGER) AS npixels
+FROM idx
+"""
+
+QUERIES["cel_decode"] = q_cel_decode
+ORACLES["cel_decode"] = ORACLE_CEL_DECODE
+
+
 def q_jsonl_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL-source parse/validate contract, HASH-GATED — the engine's
     training-corpus ingest semantics (`sources/jsonl.py`): both engines
@@ -1608,6 +1689,7 @@ _ROUND4_FRONT = [
     # -- (a) never gated -------------------------------------------------
     "media_header_decode", "winnow_containment", "domain_dup_rate",
     "voom_loess2", "cqn_irls2", "paragraph_dedup", "ngram_span_mask",
+    "cel_decode",
     # -- (b) r4-changed kernels/oracles ----------------------------------
     "moderated_de", "moderated_lmfit", "weighted_de",
     "rnaseq_pipeline_binned", "closed_pipeline", "normalized_de",
@@ -1622,17 +1704,18 @@ _ROUND4_FRONT = [
     "dedup_exact", "ngram_jaccard", "simhash", "cosine_neardup",
     "event_window_counts", "sessionize", "json_extract",
     "duplicate_chunks", "simhash_neardup", "asof_join", "dedup_clusters",
-    "vocab_topk", "embedding_quantize", "doc_sample",
+    "vocab_topk", "embedding_quantize",
 ]
 
 # Round-5 rotation plan: after r4 the only queries without a
-# strict-gate-era driver row are the 15-query r1-only remainder
+# strict-gate-era driver row are the r1-only remainder
 # (pricing_summary, gene_stats, library_size, gene_exclusion,
 # outlier_removal, zero_variance_filter, nonspecific_filter,
 # value_conditioning, argmax_dedup, dedup_rows, frequency_table,
-# venn_membership, contamination, language_id_ngram [both bumped from
-# the r4 slice by the new paragraph_dedup/ngram_span_mask gates],
-# vocab_size_sketch [rows-only]) — put all 15 in the r5 front, plus
+# venn_membership, contamination, language_id_ngram, doc_sample
+# [bumped from the r4 slice by the new paragraph_dedup /
+# ngram_span_mask / cel_decode gates], vocab_size_sketch [rows-only])
+# — a 16-query remainder: put all 16 in the r5 front, plus
 # any r5-touched kernels, and fill the rest with the longest-unstamped
 # queries by round.
 QUERIES = _reorder_front(QUERIES, _ROUND4_FRONT)
