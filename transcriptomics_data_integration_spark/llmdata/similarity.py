@@ -267,6 +267,48 @@ def _ivf_search(
     )
 
 
+def _hash_pick_centers(base: DataFrame, n_cells: int) -> DataFrame:
+    """``n_cells`` deterministic coarse centers: the corpus vectors with
+    the smallest Knuth multiplicative hash of their id — a reproducible
+    random sample standing in for Lloyd iterations.  Distributed top-k
+    (TakeOrderedAndProject), NOT a global window — the corpus never
+    funnels through one task; only the n_cells-row result sees the
+    cell-numbering window.  ``base`` = (cand_id, c_vec)."""
+    hashed = base.withColumn("_h", _knuth_hash("cand_id"))
+    picked = hashed.orderBy(F.col("_h"), F.col("cand_id")).limit(n_cells)
+    return picked.select(
+        (
+            F.row_number().over(Window.orderBy(F.col("_h"), F.col("cand_id"))) - 1
+        ).alias("cell"),
+        F.col("c_vec").cast("array<double>").alias("center"),
+    )
+
+
+def _assign_to_centers(base: DataFrame, centers_df: DataFrame) -> DataFrame:
+    """Nearest-center cell assignment (argmin L2, ties to the smaller
+    cell id) -> (cand_id, c_vec, cell).  Argmin via min(struct):
+    partially aggregable (the x n_cells blowup collapses map-side
+    before any exchange), unlike a per-id window.  Struct comparison is
+    (dist, cell, ...) lexicographic; cell is unique per candidate so
+    the vector field is never compared."""
+    ac = base.crossJoin(F.broadcast(centers_df)).withColumn(
+        "dist",
+        F.expr(
+            "aggregate(zip_with(c_vec, center, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        ),
+    )
+    return (
+        ac.groupBy("cand_id")
+        .agg(
+            F.min(
+                F.struct(F.col("dist"), F.col("cell"), F.col("c_vec").alias("v"))
+            ).alias("_m")
+        )
+        .select("cand_id", F.col("_m.v").alias("c_vec"), F.col("_m.cell").alias("cell"))
+    )
+
+
 def ivf_fixed_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -296,37 +338,8 @@ def ivf_fixed_topk(
     base = embeddings.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
     )
-    hashed = base.withColumn("_h", _knuth_hash("cand_id"))
-    # distributed top-k (TakeOrderedAndProject), NOT a global window —
-    # the corpus never funnels through one task; only the n_cells-row
-    # result sees the cell-numbering window
-    picked = hashed.orderBy(F.col("_h"), F.col("cand_id")).limit(n_cells)
-    centers_df = picked.select(
-        (
-            F.row_number().over(Window.orderBy(F.col("_h"), F.col("cand_id"))) - 1
-        ).alias("cell"),
-        F.col("c_vec").cast("array<double>").alias("center"),
-    )
-    ac = base.crossJoin(F.broadcast(centers_df)).withColumn(
-        "dist",
-        F.expr(
-            "aggregate(zip_with(c_vec, center, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        ),
-    )
-    # argmin via min(struct): partially aggregable (the x n_cells blowup
-    # collapses map-side before any exchange), unlike a per-id window.
-    # Struct comparison is (dist, cell, ...) lexicographic; cell is
-    # unique per candidate so the vector field is never compared.
-    assigned = (
-        ac.groupBy("cand_id")
-        .agg(
-            F.min(
-                F.struct(F.col("dist"), F.col("cell"), F.col("c_vec").alias("v"))
-            ).alias("_m")
-        )
-        .select("cand_id", F.col("_m.v").alias("c_vec"), F.col("_m.cell").alias("cell"))
-    )
+    centers_df = _hash_pick_centers(base, n_cells)
+    assigned = _assign_to_centers(base, centers_df)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
