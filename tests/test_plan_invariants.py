@@ -39,6 +39,15 @@ BNLJ_WHITELIST = {
     "doc_logprob",
     # bpe_merges: 1-row winning-pair attach per merge iteration
     "bpe_merges",
+    # pca_outliers (r4 covariance route): bounded gene x gene grid
+    # completion for the covariance matrix (same class as
+    # pca_covariance) plus 1-row mean-vector / threshold attaches —
+    # every BNLJ side is <= n_genes rows, never data-sized
+    "pca_outliers",
+    # voom_loess2 (voom_loess_fixed twin): deliberate
+    # ranked.join(broadcast(bins)) <=64-row bin cross join + the 1-row
+    # lowess bandwidth (h) bounds attach — both broadcast-small dims
+    "voom_loess2",
 }
 
 

@@ -1,0 +1,50 @@
+"""Quick per-query timing probe: `python tools/timeq.py q1 q2 ... [--sf DIR] [--reps N]`.
+
+Mirrors bench.py's measurement shape (count() action, min of reps) for
+fast local A/B iteration on individual queries without the full suite.
+"""
+from __future__ import annotations
+
+import argparse
+import gc
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="+")
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+    for name in args.names:
+        fn = qs[name]
+        times = []
+        for _ in range(args.reps):
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            n = fn(spark, args.sf).count()
+            times.append(time.perf_counter() - t0)
+        print(f"{name}: min={min(times):.2f}s all={[round(t, 2) for t in times]} rows={n}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -21,7 +21,7 @@ Set to None for plain float aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from transcriptomics_data_integration_spark.functions.normal import two_sided_p_sql
@@ -153,64 +153,104 @@ def squeeze_var_fitfdist(with_s2: DataFrame) -> DataFrame:
     shrinkage, as in limma.  The polygamma family and the fixed-
     schedule Newton ``trigammaInverse`` are portable SQL text
     (functions/special.py), so the whole prior stays IN the lazy plan
-    (windows over the bounded per-gene table, no driver action) and
-    the DuckDB oracle can replay it term-for-term.  Within each
-    emitted expression the Newton chain is LET-BOUND (lambda
-    variables), so CollapseProject inlining cannot blow it up.
+    (no driver action) and the DuckDB oracle can replay it
+    term-for-term.  Within each emitted expression the Newton chain is
+    LET-BOUND (lambda variables), so CollapseProject inlining cannot
+    blow it up.
+
+    Physical shape (r4 verdict item 2): the prior moments — and the
+    Newton ``trigammaInverse`` chain that turns them into (d0, s2_0) —
+    are per-contrast SCALARS.  The r4 shape kept them in-plan as three
+    chained unpartitioned windows feeding a ~100 KB generated-SQL
+    Newton tree evaluated per GENE; measured at sf0.1 that cost the
+    compositions 2-3x twice over — once in executor time (interpreted
+    tree x 20k rows x consuming branch) and once at the DRIVER
+    (Catalyst parses/optimizes the 47 KB ``trigammaInverse`` text
+    embedded twice in every consuming plan, seconds of construction
+    per query).  Here the prior is finished at plan-build time
+    instead: the bounded per-gene relation is persisted (gene-count
+    rows, never data-sized), the two moment aggregates are collected
+    (tiny map-side-partial jobs over the cache), and the Newton chain
+    runs ONCE on a 1-row relation — still through the Spark SQL
+    expression engine, so the arithmetic is bit-identical to the
+    in-plan r4 form and the DuckDB oracle replays it unchanged.  The
+    returned plan carries only the finished (d0, s2_0) LITERALS and
+    two codegen-able arithmetic CASEs per row; the giant tree never
+    enters a composed plan (so downstream ``optimizedPlan``-stats
+    probes like the BH single-task router stay cheap too).
     """
     from transcriptomics_data_integration_spark.functions.special import (
         digamma_sql,
-        let_sql,
         tetragamma_sql,  # noqa: F401  (re-exported for oracle builders)
         trigamma_inverse_sql,
         trigamma_sql,
     )
+    from transcriptomics_data_integration_spark.runtime import register_persisted
 
-    w_all = Window.partitionBy()
-    step = (
-        with_s2.withColumn("_tri", F.expr(trigamma_sql("(_df / 2.0e0)")))
+    ws2 = register_persisted(with_s2.persist())
+    med_row = ws2.agg(F.expr("percentile(_s2, 0.5)").alias("_med")).collect()
+    med = med_row[0][0] if med_row else None
+    if med is None:
+        # empty input: no rows to shrink — keep the schema contract
+        return ws2.withColumn("_s2_post", F.col("_s2")).withColumn(
+            "_d0", F.lit(float("inf"))
+        )
+    mom = (
+        ws2.withColumn("_tri", F.expr(trigamma_sql("(_df / 2.0e0)")))
         .withColumn("_dig", F.expr(digamma_sql("(_df / 2.0e0)")))
-        .withColumn("_med", F.expr("percentile(_s2, 0.5)").over(w_all))
         .withColumn(
             "_e",
             F.expr(
-                "ln(greatest(_s2, 1.0e-5 * (CASE WHEN _med = 0.0e0 THEN 1.0e0 "
-                "ELSE _med END))) - _dig + ln(_df / 2.0e0)"
+                "ln(greatest(_s2, 1.0e-5 * (CASE WHEN "
+                f"{float(med)!r}d = 0.0e0 THEN 1.0e0 "
+                f"ELSE {float(med)!r}d END))) - _dig + ln(_df / 2.0e0)"
             ),
         )
+        .agg(
+            F.avg("_e").alias("_emean"),
+            F.var_samp("_e").alias("_evsamp"),
+            F.avg("_tri").alias("_tribar"),
+        )
+        .collect()[0]
     )
-    step = (
-        step.withColumn("_emean", F.avg("_e").over(w_all))
-        .withColumn("_evsamp", F.var_samp("_e").over(w_all))
-        .withColumn("_tribar", F.avg("_tri").over(w_all))
-    )
-    evar = "(_evsamp - _tribar)"
+    emean, evsamp, tribar = mom["_emean"], mom["_evsamp"], mom["_tribar"]
+    if evsamp is None or tribar is None:
+        # single-gene input: var_samp is NULL, so the r4 in-plan CASE
+        # (NULL > 0 is false) took the degenerate full-shrinkage branch
+        evar = "(CAST(NULL AS DOUBLE) - CAST(NULL AS DOUBLE))"
+    else:
+        evar = f"({evsamp!r}d - {tribar!r}d)"
     d0_core = f"(2.0e0 * {trigamma_inverse_sql(evar, dialect='spark')})"
-    s20 = "exp(_emean + " + digamma_sql("(d0v / 2.0e0)") + " - ln(d0v / 2.0e0))"
-    post_sql = (
-        f"CASE WHEN {evar} > 0.0e0 THEN "
-        + let_sql(
-            d0_core,
-            "d0v",
-            let_sql(
-                s20,
-                "s20v",
-                "(d0v * s20v + _df * _s2) / (d0v + _df)",
-                dialect="spark",
-            ),
-            dialect="spark",
+    spark = with_s2.sparkSession
+    # two tiny sequential 1-row evals so the ~47 KB Newton text is
+    # parsed exactly ONCE (s2_0 reuses the collected d0 as a literal —
+    # the same double the r4 let-binding carried, so values are
+    # bitwise unchanged)
+    d0 = spark.range(1).select(
+        F.expr(
+            f"CASE WHEN {evar} > 0.0e0 THEN {d0_core}"
+            " ELSE CAST('Infinity' AS DOUBLE) END"
+        ).alias("_d0")
+    ).collect()[0][0]
+    if d0 == float("inf"):
+        # degenerate full-shrinkage prior: s2post = exp(mean(e))
+        s20_sql = f"exp({emean!r}d)"
+    else:
+        s20_sql = (
+            f"exp({emean!r}d + " + digamma_sql(f"({d0!r}d / 2.0e0)")
+            + f" - ln({d0!r}d / 2.0e0))"
         )
-        + " ELSE exp(_emean) END"
-    )
-    d0_sql = (
-        f"CASE WHEN {evar} > 0.0e0 THEN {d0_core}"
-        " ELSE CAST('Infinity' AS DOUBLE) END"
-    )
-    return (
-        step.withColumn("_s2_post", F.expr(post_sql))
-        .withColumn("_d0", F.expr(d0_sql))
-        .drop("_tri", "_dig", "_med", "_e", "_emean", "_evsamp", "_tribar")
-    )
+    s20 = spark.range(1).select(F.expr(s20_sql).alias("_s20")).collect()[0][0]
+    # per-row residue: plain literal arithmetic (d0 is finite-positive
+    # or Infinity by construction; Inf => full shrinkage to s2_0,
+    # exactly limma's squeezeVar limit case)
+    if d0 == float("inf"):
+        post = F.lit(float(s20))
+    else:
+        post = (F.lit(float(d0)) * F.lit(float(s20)) + F.col("_df") * F.col("_s2")) / (
+            F.lit(float(d0)) + F.col("_df")
+        )
+    return ws2.withColumn("_s2_post", post).withColumn("_d0", F.lit(float(d0)))
 
 
 def moderated_t(
