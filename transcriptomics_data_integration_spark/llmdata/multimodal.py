@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -148,7 +149,12 @@ def featurize_media(df: DataFrame) -> DataFrame:
                     "media_type": mts,
                     "width": pd.array(ws, dtype="Int32"),
                     "height": pd.array(hs, dtype="Int32"),
-                    "checksum": pdf["payload"].map(lambda b: sum(b) % 2147483647),
+                    # vectorized byte sum: a per-byte Python sum() is a
+                    # row-at-a-time loop over megabyte payloads
+                    "checksum": pdf["payload"].map(
+                        lambda b: int(np.frombuffer(b, dtype=np.uint8).sum())
+                        % 2147483647
+                    ),
                 }
             )
 

@@ -34,6 +34,7 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -45,13 +46,20 @@ CEL_LONG_SCHEMA = (
     "intensity double, stdev double, npixels int"
 )
 
+# the fixed 10-byte cell stride: float32le intensity, float32le stdev,
+# int16le npixels — numpy packs this structured dtype without padding,
+# so one frombuffer call decodes the whole cell block
+_CELL_DTYPE = np.dtype([("intensity", "<f4"), ("stdev", "<f4"), ("npixels", "<i2")])
 
-def parse_cel_v4(payload: bytes) -> tuple[int, int, list[tuple]] | None:
-    """Parse one CEL v4 binary payload -> ``(ncols, nrows, cells)``
-    with ``cells`` = row-major ``(x, y, intensity, stdev, npixels)``.
-    Returns ``None`` for anything that is not a well-formed v4 CEL
-    (wrong magic/version, truncated header or cell block).
-    """
+# cells per emitted Arrow batch from cel_long: bounds per-task pandas
+# memory to ~40 MB however large the arrays are (a U133-class chip is
+# ~1.35 M cells; hundreds of payloads stream through in chunks)
+_CEL_CHUNK_CELLS = 1 << 20
+
+
+def _parse_cel_v4_header(payload: bytes) -> tuple[int, int, int] | None:
+    """Walk the v4 header -> ``(ncols, nrows, cell_block_offset)``;
+    ``None`` for anything that is not a well-formed v4 CEL."""
     if len(payload) < 24:
         return None
     magic, version, ncols, nrows, ncells = struct.unpack_from("<5i", payload, 0)
@@ -75,11 +83,46 @@ def parse_cel_v4(payload: bytes) -> tuple[int, int, list[tuple]] | None:
     off += 16
     if off + 10 * ncells > len(payload):
         return None
-    cells = []
-    for idx in range(ncells):
-        inten, sd, npix = struct.unpack_from("<ffh", payload, off + 10 * idx)
-        cells.append((idx % ncols, idx // ncols, float(inten), float(sd), int(npix)))
+    return ncols, nrows, off
+
+
+def parse_cel_v4_arrays(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Parse one CEL v4 binary payload -> ``(ncols, nrows, cells)``
+    with ``cells`` a structured numpy array (intensity f4, stdev f4,
+    npixels i2) in row-major cell order — ONE vectorized
+    ``np.frombuffer`` over the fixed 10-byte stride, no per-cell
+    Python objects (r4 verdict item 4; a real U133-class chip is
+    ~1.35 M cells per payload).  Returns ``None`` for anything that is
+    not a well-formed v4 CEL (wrong magic/version, truncated header or
+    cell block)."""
+    hdr = _parse_cel_v4_header(payload)
+    if hdr is None:
+        return None
+    ncols, nrows, off = hdr
+    cells = np.frombuffer(payload, dtype=_CELL_DTYPE, count=ncols * nrows, offset=off)
     return ncols, nrows, cells
+
+
+def parse_cel_v4(payload: bytes) -> tuple[int, int, list[tuple]] | None:
+    """Tuple-list view of :func:`parse_cel_v4_arrays` — ``cells`` =
+    row-major ``(x, y, intensity, stdev, npixels)``.  Convenience /
+    test surface; the scan hot path (`cel_long`) stays on the numpy
+    arrays and never materializes per-cell tuples."""
+    parsed = parse_cel_v4_arrays(payload)
+    if parsed is None:
+        return None
+    ncols, nrows, cells = parsed
+    out = [
+        (
+            idx % ncols,
+            idx // ncols,
+            float(c["intensity"]),
+            float(c["stdev"]),
+            int(c["npixels"]),
+        )
+        for idx, c in enumerate(cells)
+    ]
+    return ncols, nrows, out
 
 
 def cel_long(
@@ -88,32 +131,36 @@ def cel_long(
     """CEL binary scan -> per-cell long relation ``(sample_id, ncols,
     nrows, cell_x, cell_y, intensity, stdev, npixels)``.
 
-    One Arrow-batched ``mapInPandas`` pass (map-side only); float32
+    One Arrow-batched ``mapInPandas`` pass (map-side only); the cell
+    block decodes via a single vectorized ``np.frombuffer`` per
+    payload and streams out in ``_CEL_CHUNK_CELLS``-row chunks, so
+    per-task memory stays bounded regardless of grid size.  float32
     intensities widen to double exactly.  Invalid payloads contribute
     zero rows.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: dict[str, list] = {
-                "sample_id": [], "ncols": [], "nrows": [], "cell_x": [],
-                "cell_y": [], "intensity": [], "stdev": [], "npixels": [],
-            }
             for sid, payload in zip(pdf[id_col], pdf[payload_col]):
-                parsed = parse_cel_v4(bytes(payload))
+                parsed = parse_cel_v4_arrays(bytes(payload))
                 if parsed is None:
                     continue
                 ncols, nrows, cells = parsed
-                for x, y, inten, sd, npix in cells:
-                    out["sample_id"].append(sid)
-                    out["ncols"].append(ncols)
-                    out["nrows"].append(nrows)
-                    out["cell_x"].append(x)
-                    out["cell_y"].append(y)
-                    out["intensity"].append(inten)
-                    out["stdev"].append(sd)
-                    out["npixels"].append(npix)
-            yield pd.DataFrame(out)
+                for start in range(0, len(cells), _CEL_CHUNK_CELLS):
+                    c = cells[start : start + _CEL_CHUNK_CELLS]
+                    idx = np.arange(start, start + len(c), dtype=np.int64)
+                    yield pd.DataFrame(
+                        {
+                            "sample_id": np.full(len(c), sid, dtype=np.int64),
+                            "ncols": np.full(len(c), ncols, dtype=np.int32),
+                            "nrows": np.full(len(c), nrows, dtype=np.int32),
+                            "cell_x": (idx % ncols).astype(np.int32),
+                            "cell_y": (idx // ncols).astype(np.int32),
+                            "intensity": c["intensity"].astype(np.float64),
+                            "stdev": c["stdev"].astype(np.float64),
+                            "npixels": c["npixels"].astype(np.int32),
+                        }
+                    )
 
     return (
         df.select(id_col, payload_col)
