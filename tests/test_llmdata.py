@@ -1261,6 +1261,20 @@ def test_dedup_paragraphs_corpus_level(spark):
     out2 = {r["doc_id"]: r for r in dedup_paragraphs(docs2, "doc_id").collect()}
     assert out2[2]["n_kept"] == 0
     assert out2[2]["text_deduped"] == ""
+    # regex-metacharacter separator splits LITERALLY and round-trips
+    # (the split regex is escaped; reassembly is literal — r4 ADVICE)
+    docs3 = spark.createDataFrame(
+        [(1, "alpha | beta | alpha"), (2, "alpha | gamma")],
+        "doc_id long, text string",
+    )
+    out3 = {
+        r["doc_id"]: r
+        for r in dedup_paragraphs(docs3, "doc_id", sep=" | ").collect()
+    }
+    assert out3[1]["n_paras"] == 3
+    # the second "alpha" is a later copy of the (doc 1, pos 0) winner
+    assert out3[1]["text_deduped"] == "alpha | beta"
+    assert out3[2]["text_deduped"] == "gamma"
 
 
 def test_mask_frequent_ngrams_spans(spark):

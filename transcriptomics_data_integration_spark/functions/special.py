@@ -163,9 +163,9 @@ def trigamma_inverse_sql(x: str, *, dialect: str) -> str:
     y = 0.5 + 1/x with step ``dif = tri(y) * (1 - tri(y)/x) /
     psigamma(y, 2)``, unrolled to a FIXED ``_TRIGAMMA_INV_ITERS``
     schedule (limma iterates to tol 1e-8; the fixed schedule is at
-    tolerance over the whole admissible range — pinned by
-    tests/test_normal.py — and keeps the expression deterministic and
-    engine-identical).  Each iteration let-binds the previous ``y``
+    tolerance over the whole admissible range — the round-trip pin
+    lives in tests/test_stats_kernels.py — and keeps the expression
+    deterministic and engine-identical).  Each iteration let-binds the previous ``y``
     and its trigamma, so the emitted text grows LINEARLY in the
     iteration count.
 

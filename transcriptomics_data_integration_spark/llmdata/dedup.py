@@ -22,6 +22,8 @@ Scale notes (the reason each variant exists):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -744,10 +746,14 @@ def dedup_paragraphs(
     out_col)``, paragraph order preserved, docs whose every paragraph
     was a later copy come back with an empty string.
     """
+    # F.split takes a REGEX but array_join reassembles with the LITERAL
+    # separator — escape it so metacharacter separators ('. ', '|')
+    # split literally and the kept text round-trips (r4 ADVICE)
+    sep_re = re.escape(sep)
     paras = (
         docs.select(
             F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
+            F.posexplode(F.split(F.col(text_col), F.lit(sep_re), -1)).alias(
                 "pos", "para"
             ),
         )
@@ -768,7 +774,7 @@ def dedup_paragraphs(
     )
     stats = docs.select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), F.lit(sep), -1)).alias("n_paras"),
+        F.size(F.split(F.col(text_col), F.lit(sep_re), -1)).alias("n_paras"),
     )
     rebuilt = (
         kept.groupBy(id_col)

@@ -772,14 +772,19 @@ def pca_space_outliers_long(
         .persist()  # 2 consumers: correlation moments + score join
     )
     register_persisted(grid)
+    # bound check BEFORE collecting the G x G correlation relation: an
+    # unfiltered 50k-gene input is a ~1.25e9-row collect that would OOM
+    # the driver instead of raising the friendly error (r4 ADVICE)
+    n_genes = cells.select(gene_col).distinct().count()
+    if n_genes > _MAX_EIGH_GENES:
+        raise ValueError(
+            f"covariance-route PCA needs a bounded gene set ({n_genes} > "
+            f"{_MAX_EIGH_GENES} genes seen) — apply nonspecific_filter_topk "
+            "(F5) first"
+        )
     corr = feature_covariance(grid, gene_col, sample_col, value_col, standardize=True)
     rows = corr.collect()
     genes = sorted({r["ga"] for r in rows} | {r["gb"] for r in rows})
-    if len(genes) > _MAX_EIGH_GENES:
-        raise ValueError(
-            f"covariance-route PCA needs a bounded gene set (> {_MAX_EIGH_GENES} "
-            "genes seen) — apply nonspecific_filter_topk (F5) first"
-        )
     gidx = {g: i for i, g in enumerate(genes)}
     R = np.zeros((len(genes), len(genes)))
     for r in rows:
