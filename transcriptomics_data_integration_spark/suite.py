@@ -1707,16 +1707,47 @@ _ROUND4_FRONT = [
     "vocab_topk", "embedding_quantize",
 ]
 
-# Round-5 rotation plan: after r4 the only queries without a
-# strict-gate-era driver row are the r1-only remainder
-# (pricing_summary, gene_stats, library_size, gene_exclusion,
-# outlier_removal, zero_variance_filter, nonspecific_filter,
-# value_conditioning, argmax_dedup, dedup_rows, frequency_table,
-# venn_membership, contamination, language_id_ngram, doc_sample
-# [bumped from the r4 slice by the new paragraph_dedup /
-# ngram_span_mask / cel_decode gates], vocab_size_sketch [rows-only])
-# — a 16-query remainder: put all 16 in the r5 front, plus
-# any r5-touched kernels, and fill the rest with the longest-unstamped
-# queries by round.
-QUERIES = _reorder_front(QUERIES, _ROUND4_FRONT)
+# Round-5 window, executing the r4 plan verbatim: (a) the 16-query
+# r1-only remainder — the last queries without a strict-gate-era
+# driver row; after this window every declared query has one, (b)
+# every query whose kernel changed in r5 — the plan-build-time
+# fitFDist prior (moderated_de, moderated_lmfit, weighted_de,
+# diff_expression, closed_pipeline, normalized_de,
+# rnaseq_pipeline_binned), the unrolled pq_fixed ADC sum, the
+# vectorized CEL decode (cel_decode, expression_pipeline), the
+# vectorized media checksum (media_header_decode,
+# multimodal_featurize), the regex-safe paragraph separator
+# (paragraph_dedup), and the pre-collect gene bound in the
+# covariance-route M17 (pca_outliers, rows-only), and (c) a 20-slice
+# of the longest-unstamped remainder (r2-only-stamped queries,
+# registry order).
+_ROUND5_FRONT = [
+    # -- (a) never driver-gated (r1-only rows) ---------------------------
+    "pricing_summary", "gene_stats", "library_size", "gene_exclusion",
+    "outlier_removal", "zero_variance_filter", "nonspecific_filter",
+    "value_conditioning", "argmax_dedup", "dedup_rows", "frequency_table",
+    "venn_membership", "doc_sample", "contamination", "language_id_ngram",
+    "vocab_size_sketch",
+    # -- (b) r5-changed kernels ------------------------------------------
+    "moderated_de", "moderated_lmfit", "weighted_de", "diff_expression",
+    "closed_pipeline", "normalized_de", "rnaseq_pipeline_binned",
+    "pq_fixed", "cel_decode", "expression_pipeline", "media_header_decode",
+    "multimodal_featurize", "paragraph_dedup", "pca_outliers",
+    # -- (c) longest-unstamped slice (r2-only driver rows) ---------------
+    "reliability_filter", "set_compare", "rolling_stats", "mixture_sample",
+    "funnel", "cohort_retention", "normalize_dedup", "pii_scrub",
+    "mahalanobis_outliers", "strata_correlation", "term_enrichment",
+    "fisher_enrichment", "pairwise_contrasts", "lmfit_design",
+    "impute_missing", "impute_em", "median_polish_fixed", "logistic_irls2",
+    "voom_trend", "cqn_bias",
+]
+
+# Round-6 rotation plan: after r5 the longest-unstamped queries are the
+# 10 remaining r2-only rows (array_weights, qc_sample_metrics,
+# dataset_group_means, rollup_summary, pivot_matrix, melt_measures,
+# registry_upsert, full_outer_merge, htseq_scan, rsem_convert) — put
+# those 10 in the r6 front, plus every r6-touched kernel, and fill the
+# remainder with the r3-only-stamped queries (merge_left_join,
+# interval_join, quantile_thresholds, ... registry order).
+QUERIES = _reorder_front(QUERIES, _ROUND5_FRONT)
 QUERIES = {n: _with_persist_drain(fn) for n, fn in QUERIES.items()}
