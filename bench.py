@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "ngram_span_mask",
     "cel_decode",
+    # round-5 additions
+    "voom_loess3",
 ]
 
 

@@ -305,3 +305,55 @@ def test_voom_loess_fixed_tracks_r_lowess(spark):
     ]
     assert sum(rel) / len(rel) < 0.05, sum(rel) / len(rel)
     assert max(rel) < 0.2, max(rel)
+
+
+def test_voom_loess_robust_downweights_outlier(spark):
+    """The 1-robustifying-step twin (r4 verdict item 7): on clean data
+    it stays close to the 0-step twin, and an injected outlier gene
+    perturbs the robust trend at its neighbors LESS than the 0-step
+    trend — the bisquare reweighting is doing its job."""
+    import random
+
+    from transcriptomics_data_integration_spark.stats.fixed_twins import (
+        voom_loess_fixed,
+        voom_loess_robust_fixed,
+    )
+
+    rnd = random.Random(17)
+    rows = []
+    for g in range(300):
+        base = 10 + g * 5
+        for s in range(8):
+            noise = 1 + 0.5 * rnd.random()
+            rows.append((g, s, float(int(base * noise))))
+    # outlier gene: wildly inflated variance in the middle of the axis
+    for s in range(8):
+        rows.append((1000, s, 800.0 if s % 2 == 0 else 80000.0))
+    clean = spark.createDataFrame(
+        [r for r in rows if r[0] != 1000],
+        "gene_id long, sample_id long, cnt double",
+    )
+    dirty = spark.createDataFrame(rows, "gene_id long, sample_id long, cnt double")
+
+    def trends(fn, df):
+        return {
+            r["gene_id"]: r["trend_sqrt_sd"]
+            for r in fn(df, "gene_id", "sample_id", "cnt", n_bins=32).collect()
+        }
+
+    t0_clean = trends(voom_loess_fixed, clean)
+    t1_clean = trends(voom_loess_robust_fixed, clean)
+    shared = set(t0_clean) & set(t1_clean)
+    assert len(shared) > 250
+    rel = [abs(t1_clean[g] - t0_clean[g]) / t0_clean[g] for g in shared]
+    assert sum(rel) / len(rel) < 0.05, sum(rel) / len(rel)
+
+    t0_dirty = trends(voom_loess_fixed, dirty)
+    t1_dirty = trends(voom_loess_robust_fixed, dirty)
+    move0 = sum(
+        abs(t0_dirty[g] - t0_clean[g]) for g in shared if g in t0_dirty
+    )
+    move1 = sum(
+        abs(t1_dirty[g] - t1_clean[g]) for g in shared if g in t1_dirty
+    )
+    assert move1 < move0, (move1, move0)

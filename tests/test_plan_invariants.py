@@ -48,6 +48,10 @@ BNLJ_WHITELIST = {
     # ranked.join(broadcast(bins)) <=64-row bin cross join + the 1-row
     # lowess bandwidth (h) bounds attach — both broadcast-small dims
     "voom_loess2",
+    # voom_loess3 (1-robustifying-step twin): same bounded bin cross
+    # joins twice (pass 1 + rw-weighted pass 2) + the 1-row
+    # residual-median delta attach
+    "voom_loess3",
 }
 
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from transcriptomics_data_integration_spark.runtime import register_persisted
 from transcriptomics_data_integration_spark.stats.normalize import log2_cpm
 
 # --------------------------------------------------------------------------
@@ -253,7 +254,8 @@ def voom_loess_fixed(
     ).withColumn(
         "h",
         F.round((F.max("x").over(w_all) - F.min("x").over(w_all)) / 2.0, 9),
-    )
+    ).persist()  # gene-bounded; read by the bin moments AND the sweep
+    register_persisted(ranked)
     bins = ranked.groupBy("bin").agg(
         F.round(F.avg("x"), 9).alias("cb"),
         F.count(F.lit(1)).alias("nb"),
@@ -288,6 +290,159 @@ def voom_loess_fixed(
                 " (swy - ((sw * swxy - swx * swy) / _den) * swx) / sw"
                 " + ((sw * swxy - swx * swy) / _den) * x"
                 " ELSE swy / sw END"
+            ),
+        )
+        .where(F.col("trend_sqrt_sd") > 0)
+        .withColumn("weight", F.pow(F.col("trend_sqrt_sd"), -4.0))
+    )
+    return fitted.select(
+        gene_col, "n_obs", "mean_lcpm", "sqrt_sd", "trend_sqrt_sd", "weight"
+    )
+
+
+def voom_loess_robust_fixed(
+    df: DataFrame,
+    gene_col: str,
+    sample_col: str,
+    count_col: str,
+    n_bins: int = 64,
+) -> DataFrame:
+    """M5 twin with ONE lowess robustifying pass (r4 verdict item 7):
+    the :func:`voom_loess_fixed` tricube local-linear fit, then R
+    lowess's bisquare reweighting off the residuals
+
+        delta = 6 * median(|y - trend1|)
+        rw    = (1 - (r/delta)^2)^2  for |r| < delta, else 0
+        (delta = 0 -> rw = 1: a perfect first fit robustifies to itself)
+
+    and a refit over rw-weighted bin moments (bin centers stay the
+    pass-1 geometry; robustness reweights points, not the binning).
+    R's lowess at voom's call (``lowess(sx, sy, f=0.5)``) runs iter=3
+    robustifying passes — the FULL schedule lives in the R-exact
+    sequential ``voom_weights_lowess`` (rows-only); this twin pins the
+    first robustifying step under a hash gate, bounding the family
+    (0-step twin, 1-step twin, exact rows-only) so a regression in the
+    robust machinery cannot hide behind the rows-only gate.
+
+    Scale shape matches the 0-step twin: one per-gene moment pass, bin
+    compression (bounded n_bins relation, broadcast), map-side
+    combinable aggregates; the only additions are a second bounded bin
+    pass and a 1-row residual-median attach (crossJoin(broadcast),
+    monotone_range_buckets pattern).
+    """
+    lcpm = log2_cpm(df, sample_col, count_col)
+    per_gene = (
+        lcpm.groupBy(gene_col)
+        .agg(
+            F.avg("lcpm").alias("mean_lcpm"),
+            F.sqrt(F.sqrt(F.var_samp("lcpm"))).alias("sqrt_sd"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .where(F.col("sqrt_sd").isNotNull() & (F.col("sqrt_sd") > 0))
+        .withColumn("x", F.round("mean_lcpm", 9))
+        .withColumn("y", F.round("sqrt_sd", 9))
+    )
+    w_all = Window.partitionBy()
+    ranked = per_gene.withColumn(
+        "bin",
+        F.ntile(n_bins).over(Window.orderBy(F.col("x").asc(), F.col(gene_col).asc())),
+    ).withColumn(
+        "h",
+        F.round((F.max("x").over(w_all) - F.min("x").over(w_all)) / 2.0, 9),
+    ).persist()  # gene-bounded; read by the bin moments AND the sweep
+    register_persisted(ranked)
+    bins = ranked.groupBy("bin").agg(
+        F.round(F.avg("x"), 9).alias("cb"),
+        F.count(F.lit(1)).alias("nb"),
+        F.round(F.sum("x"), 9).alias("bsx"),
+        F.round(F.sum("y"), 9).alias("bsy"),
+        F.round(F.sum(F.col("x") * F.col("y")), 9).alias("bsxy"),
+        F.round(F.sum(F.col("x") * F.col("x")), 9).alias("bsxx"),
+    )
+    tri = (
+        "(CASE WHEN h <= 0.0e0 THEN 1.0e0"  # degenerate axis: global fit
+        " WHEN abs(x - cb) / h < 1.0e0 THEN"
+        " (1.0e0 - (abs(x - cb) / h) * (abs(x - cb) / h) * (abs(x - cb) / h))"
+        " * (1.0e0 - (abs(x - cb) / h) * (abs(x - cb) / h) * (abs(x - cb) / h))"
+        " * (1.0e0 - (abs(x - cb) / h) * (abs(x - cb) / h) * (abs(x - cb) / h))"
+        " ELSE 0.0e0 END)"
+    )
+    trend_sql = (
+        "CASE WHEN _den > 1.0e-12 THEN"
+        " (swy - ((sw * swxy - swx * swy) / _den) * swx) / sw"
+        " + ((sw * swxy - swx * swy) / _den) * x"
+        " ELSE swy / sw END"
+    )
+    # bins enters pairs as a CROSS join (each gene weighs ALL bins via
+    # the tricube, zero beyond h) — rename its key so the gene's own
+    # bin id survives unambiguously into the residual pass
+    binsr = bins.withColumnRenamed("bin", "_bb")
+    pairs = ranked.join(F.broadcast(binsr)).withColumn("tw", F.round(F.expr(tri), 9))
+    fit1 = (
+        pairs.groupBy(gene_col, "bin", "x", "y", "mean_lcpm", "sqrt_sd", "n_obs", "h")
+        .agg(
+            F.sum(F.expr("tw * nb")).alias("sw"),
+            F.sum(F.expr("tw * bsx")).alias("swx"),
+            F.sum(F.expr("tw * bsy")).alias("swy"),
+            F.sum(F.expr("tw * bsxx")).alias("swxx"),
+            F.sum(F.expr("tw * bsxy")).alias("swxy"),
+        )
+        .withColumn("_den", F.expr("sw * swxx - swx * swx"))
+        .withColumn("r", F.expr(f"round(y - round({trend_sql}, 9), 9)"))
+        .drop("sw", "swx", "swy", "swxx", "swxy", "_den")
+        # gene-bounded; read by the residual-median agg, the pass-2
+        # bin moments AND the pass-2 sweep — without the cache the
+        # whole gene x bins pass-1 cross join re-executes per branch
+        .persist()
+    )
+    register_persisted(fit1)
+    delta = fit1.agg(
+        F.round(F.expr("6.0e0 * percentile(abs(r), 0.5e0)"), 9).alias("delta")
+    )
+    rw_sql = (
+        "CASE WHEN delta <= 0.0e0 THEN 1.0e0"
+        " WHEN abs(r) / delta < 1.0e0 THEN"
+        " (1.0e0 - (r / delta) * (r / delta)) * (1.0e0 - (r / delta) * (r / delta))"
+        " ELSE 0.0e0 END"
+    )
+    rob = fit1.crossJoin(F.broadcast(delta)).withColumn(
+        "rw", F.round(F.expr(rw_sql), 9)
+    )
+    # pass-2 bin moments: rw-weighted; centers (cb) stay the pass-1
+    # geometry — robustness reweights points, not the binning
+    bins2 = (
+        rob.groupBy("bin")
+        .agg(
+            F.round(F.sum("rw"), 9).alias("nb2"),
+            F.round(F.sum(F.expr("rw * x")), 9).alias("bsx2"),
+            F.round(F.sum(F.expr("rw * y")), 9).alias("bsy2"),
+            F.round(F.sum(F.expr("rw * x * y")), 9).alias("bsxy2"),
+            F.round(F.sum(F.expr("rw * x * x")), 9).alias("bsxx2"),
+        )
+        .join(binsr.select(F.col("_bb").alias("bin"), "cb"), "bin")
+        .withColumnRenamed("bin", "_bb")
+    )
+    pairs2 = rob.join(F.broadcast(bins2)).withColumn("tw", F.round(F.expr(tri), 9))
+    fitted = (
+        pairs2.groupBy(gene_col, "x", "y", "mean_lcpm", "sqrt_sd", "n_obs")
+        .agg(
+            F.sum(F.expr("tw * nb2")).alias("sw"),
+            F.sum(F.expr("tw * bsx2")).alias("swx"),
+            F.sum(F.expr("tw * bsy2")).alias("swy"),
+            F.sum(F.expr("tw * bsxx2")).alias("swxx"),
+            F.sum(F.expr("tw * bsxy2")).alias("swxy"),
+        )
+        .withColumn("_den", F.expr("sw * swxx - swx * swx"))
+        .withColumn(
+            "trend_sqrt_sd",
+            F.expr(
+                "CASE WHEN _den > 1.0e-12 THEN"
+                " (swy - ((sw * swxy - swx * swy) / _den) * swx) / sw"
+                " + ((sw * swxy - swx * swy) / _den) * x"
+                " WHEN sw > 0.0e0 THEN swy / sw"
+                # every robustness weight in reach is 0: keep the
+                # gene's own y (then subject to the > 0 output filter)
+                " ELSE y END"
             ),
         )
         .where(F.col("trend_sqrt_sd") > 0)

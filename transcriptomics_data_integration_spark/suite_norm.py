@@ -1165,6 +1165,121 @@ FROM tr WHERE trend_sqrt_sd > 0
 """
 
 
+def q_voom_loess3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 fixed twin with ONE lowess robustifying pass, HASH-GATED —
+    bisquare reweighting off the pass-1 residuals (delta = 6 *
+    median|r|) and a refit over rw-weighted bin moments
+    (`stats/fixed_twins.py:voom_loess_robust_fixed`).  Bounds the twin
+    family around the R-exact rows-only `voom_lowess` (which runs R's
+    full iter=3 schedule): 0-step (`voom_loess2`) and 1-step (this)
+    are both fully oracled, so a regression in the robust machinery
+    cannot hide behind the rows-only gate (r4 verdict item 7)."""
+    from transcriptomics_data_integration_spark.stats.fixed_twins import (
+        voom_loess_robust_fixed,
+    )
+
+    counts = _counts(spark, sf_dir)
+    out = voom_loess_robust_fixed(counts, "gene_id", "sample_id", "cnt", n_bins=64)
+    return out.select(
+        "gene_id",
+        "n_obs",
+        F.round("mean_lcpm", 6).alias("mean_lcpm"),
+        F.round("sqrt_sd", 6).alias("sqrt_sd"),
+        F.round("trend_sqrt_sd", 6).alias("trend_sqrt_sd"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
+def _oracle_voom_loess3() -> str:
+    tri = (
+        "(CASE WHEN h <= 0.0e0 THEN 1.0e0"
+        " WHEN abs(x - cb) / h < 1.0e0 THEN"
+        " (1.0e0 - (abs(x - cb) / h) * (abs(x - cb) / h) * (abs(x - cb) / h))"
+        " * (1.0e0 - (abs(x - cb) / h) * (abs(x - cb) / h) * (abs(x - cb) / h))"
+        " * (1.0e0 - (abs(x - cb) / h) * (abs(x - cb) / h) * (abs(x - cb) / h))"
+        " ELSE 0.0e0 END)"
+    )
+    trend1 = (
+        "CASE WHEN _den > 1.0e-12 THEN"
+        " (swy - ((sw * swxy - swx * swy) / _den) * swx) / sw"
+        " + ((sw * swxy - swx * swy) / _den) * x"
+        " ELSE swy / sw END"
+    )
+    return f"""
+WITH {_COUNTS_CTE}, per_gene AS (
+  SELECT gene_id, AVG(lcpm) AS mean_lcpm,
+         sqrt(sqrt(VAR_SAMP(lcpm))) AS sqrt_sd,
+         COUNT(*) AS n_obs
+  FROM lcpm GROUP BY gene_id
+), ok AS (
+  SELECT *, ROUND(mean_lcpm, 9) AS x, ROUND(sqrt_sd, 9) AS y
+  FROM per_gene WHERE sqrt_sd IS NOT NULL AND sqrt_sd > 0
+), ranked AS (
+  SELECT *, NTILE(64) OVER (ORDER BY x, gene_id) AS bin,
+         ROUND((MAX(x) OVER () - MIN(x) OVER ()) / 2.0e0, 9) AS h
+  FROM ok
+), bins AS (
+  SELECT bin, ROUND(AVG(x), 9) AS cb, COUNT(*) AS nb,
+         ROUND(SUM(x), 9) AS bsx, ROUND(SUM(y), 9) AS bsy,
+         ROUND(SUM(x * y), 9) AS bsxy, ROUND(SUM(x * x), 9) AS bsxx
+  FROM ranked GROUP BY bin
+), pairs AS (
+  SELECT r.gene_id, r.bin, r.x, r.y, r.mean_lcpm, r.sqrt_sd, r.n_obs, r.h,
+         ROUND({tri}, 9) AS tw, b.nb, b.bsx, b.bsy, b.bsxy, b.bsxx
+  FROM ranked r CROSS JOIN bins b
+), mom1 AS (
+  SELECT gene_id, bin, x, y, mean_lcpm, sqrt_sd, n_obs, h,
+         SUM(tw * nb) AS sw, SUM(tw * bsx) AS swx, SUM(tw * bsy) AS swy,
+         SUM(tw * bsxx) AS swxx, SUM(tw * bsxy) AS swxy
+  FROM pairs GROUP BY gene_id, bin, x, y, mean_lcpm, sqrt_sd, n_obs, h
+), fit1 AS (
+  SELECT gene_id, bin, x, y, mean_lcpm, sqrt_sd, n_obs, h,
+         ROUND(y - ROUND({trend1}, 9), 9) AS r
+  FROM (SELECT *, sw * swxx - swx * swx AS _den FROM mom1)
+), dl AS (
+  SELECT ROUND(6.0e0 * quantile_cont(abs(r), 0.5e0), 9) AS delta FROM fit1
+), rob AS (
+  SELECT f.*, ROUND(
+    CASE WHEN delta <= 0.0e0 THEN 1.0e0
+         WHEN abs(r) / delta < 1.0e0 THEN
+           (1.0e0 - (r / delta) * (r / delta)) * (1.0e0 - (r / delta) * (r / delta))
+         ELSE 0.0e0 END, 9) AS rw
+  FROM fit1 f CROSS JOIN dl
+), bins2 AS (
+  SELECT g.bin, ROUND(SUM(rw), 9) AS nb2,
+         ROUND(SUM(rw * x), 9) AS bsx2, ROUND(SUM(rw * y), 9) AS bsy2,
+         ROUND(SUM(rw * x * y), 9) AS bsxy2, ROUND(SUM(rw * x * x), 9) AS bsxx2,
+         ANY_VALUE(b.cb) AS cb
+  FROM rob g JOIN bins b ON g.bin = b.bin
+  GROUP BY g.bin
+), pairs2 AS (
+  SELECT g.gene_id, g.x, g.y, g.mean_lcpm, g.sqrt_sd, g.n_obs, g.h,
+         ROUND({tri.replace("cb", "b.cb")}, 9) AS tw,
+         b.nb2, b.bsx2, b.bsy2, b.bsxy2, b.bsxx2
+  FROM rob g CROSS JOIN bins2 b
+), mom2 AS (
+  SELECT gene_id, x, y, mean_lcpm, sqrt_sd, n_obs,
+         SUM(tw * nb2) AS sw, SUM(tw * bsx2) AS swx, SUM(tw * bsy2) AS swy,
+         SUM(tw * bsxx2) AS swxx, SUM(tw * bsxy2) AS swxy
+  FROM pairs2 GROUP BY gene_id, x, y, mean_lcpm, sqrt_sd, n_obs
+), tr AS (
+  SELECT gene_id, n_obs, mean_lcpm, sqrt_sd,
+         CASE WHEN _den > 1.0e-12 THEN
+           (swy - ((sw * swxy - swx * swy) / _den) * swx) / sw
+           + ((sw * swxy - swx * swy) / _den) * x
+         WHEN sw > 0.0e0 THEN swy / sw
+         ELSE y END AS trend_sqrt_sd
+  FROM (SELECT *, sw * swxx - swx * swx AS _den FROM mom2)
+)
+SELECT gene_id, n_obs,
+       ROUND(mean_lcpm, 6) AS mean_lcpm,
+       ROUND(sqrt_sd, 6) AS sqrt_sd,
+       ROUND(trend_sqrt_sd, 6) AS trend_sqrt_sd,
+       ROUND(POWER(trend_sqrt_sd, -4.0), 6) AS weight
+FROM tr WHERE trend_sqrt_sd > 0
+"""
+
+
 def q_cqn_irls2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 fixed twin, HASH-GATED — per-sample GC spline fit with a
     FIXED 2-step Huber IRLS (OLS -> MAD reweight -> weighted refit) on
@@ -1283,12 +1398,14 @@ FROM centered GROUP BY sample_id
 QUERIES_NORM.update(
     {
         "voom_loess2": q_voom_loess2,
+        "voom_loess3": q_voom_loess3,
         "cqn_irls2": q_cqn_irls2,
     }
 )
 ORACLES_NORM.update(
     {
         "voom_loess2": _oracle_voom_loess2(),
+        "voom_loess3": _oracle_voom_loess3(),
         "cqn_irls2": _oracle_cqn_irls2(),
     }
 )
