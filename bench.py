@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "cel_decode",
     # round-5 additions
     "voom_loess3",
+    "gopher_repetition",
+    "semdedup",
 ]
 
 

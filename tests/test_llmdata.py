@@ -257,6 +257,73 @@ def test_cosine_neardup_finds_planted_pairs(spark):
     assert all(r["cosine"] > 0.999 for r in out)
 
 
+def test_repetition_stats_flags_stuffing(spark):
+    """Gopher repetition signals: keyword stuffing scores high on
+    top_2gram_frac, wholesale repetition on dup_5gram_frac, diverse
+    text low on both; short docs yield zero-gram rows, not errors."""
+    from transcriptomics_data_integration_spark.llmdata.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now buy now"),
+            (2, "one two three four five one two three four five"),
+            (3, "the quick brown fox jumps over a lazy dog tonight"),
+            (4, "tiny"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, "doc_id").collect()}
+    # "buy now"/"now buy" dominate doc 1's 2-grams
+    assert out[1]["top_2gram_frac"] > 0.5
+    # doc 2 repeats its 5-gram sentence verbatim (2 of its 6 5-grams)
+    assert out[2]["dup_5gram_frac"] > 0.3
+    assert out[3]["top_2gram_frac"] < 0.2
+    assert out[3]["dup_5gram_frac"] == 0.0
+    assert out[4]["n2_chars"] == 0 and out[4]["top_2gram_frac"] == 0.0
+
+
+def test_semdedup_drops_planted_twin_keeps_diverse(spark):
+    """SemDeDup: each (vector, perturbed-twin) pair lands in one cell
+    and exactly one member survives (the lower-centroid-cosine one);
+    vectors without a near-dup are all kept."""
+    import random
+
+    from transcriptomics_data_integration_spark.llmdata.similarity import semdedup
+
+    rnd = random.Random(7)
+    base = []
+    for i in range(30):
+        v = [rnd.gauss(0, 1) for _ in range(16)]
+        n = sum(x * x for x in v) ** 0.5
+        base.append((i, [x / n for x in v]))
+    planted = [(i + 1000, [x + 1e-4 for x in v]) for i, v in base]
+    emb = spark.createDataFrame(base + planted, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in semdedup(emb, n_cells=4, tau=0.999).collect()}
+    assert len(out) == 60
+    colocated = 0
+    for i in range(30):
+        a, b = out[i], out[i + 1000]
+        if a["cell"] == b["cell"]:
+            # co-located twins: exactly one survives, and it is the one
+            # less similar to its centroid
+            colocated += 1
+            assert a["kept"] != b["kept"], (i, a, b)
+            kept = a if a["kept"] else b
+            drop = b if a["kept"] else a
+            assert kept["cos_centroid"] <= drop["cos_centroid"]
+        else:
+            # a twin can straddle a cell boundary (near-equidistant to
+            # two centers — the paper's k-means has the same recall
+            # property); both members are then kept
+            assert a["kept"] and b["kept"]
+    # the boundary-straddling case must be the rare exception
+    assert colocated >= 25, colocated
+    # no near-dups at all -> everything kept
+    solo = spark.createDataFrame(base, ["vec_id", "embedding"])
+    kept_solo = semdedup(solo, n_cells=4, tau=0.999).collect()
+    assert all(r["kept"] for r in kept_solo)
+
+
 def test_duplicate_chunk_stats_counts_cross_doc_repeats(spark):
     from transcriptomics_data_integration_spark.llmdata.text import (
         duplicate_chunk_stats,

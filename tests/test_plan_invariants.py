@@ -52,6 +52,9 @@ BNLJ_WHITELIST = {
     # joins twice (pass 1 + rw-weighted pass 2) + the 1-row
     # residual-median delta attach
     "voom_loess3",
+    # semdedup: broadcast center crossJoin for cell assignment
+    # (n_cells-row dim), same class as ivf_ann / ivf_fixed
+    "semdedup",
 }
 
 

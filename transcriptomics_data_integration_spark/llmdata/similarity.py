@@ -555,6 +555,106 @@ def pq_fixed_topk(
     )
 
 
+def semdedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    tau: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540) over an embedding corpus — the embedding-space
+    complement of MinHash/SimHash text dedup:
+
+    1. cluster the corpus into ``n_cells`` cells (here: the
+       deterministic Knuth-hash-picked centers + argmin-L2 assignment
+       shared with :func:`ivf_fixed_topk`, standing in for the paper's
+       k-means exactly as in the IVF twin),
+    2. within each cell, compute pairwise cosines (the SemDeDup trick:
+       quadratic work only WITHIN cells, never corpus-wide),
+    3. a vector is DROPPED iff some same-cell vector with cosine
+       >= ``tau`` is keep-preferred — the paper keeps the member with
+       the LOWEST cosine to its centroid (maximum diversity); ties
+       break on smaller id.
+
+    Zero-norm vectors have no cosine: every cosine is guarded to 0.0
+    (below any sensible tau), so they are always kept and never define
+    a duplicate — no ANSI division error.
+
+    Output: one row per input vector — (id, cell, cos_centroid, kept).
+    Deterministic end-to-end (ordered folds, explicit tie-breaks), so
+    the whole operator is DuckDB-oracle-replayable.
+
+    Scale shape: centers broadcast (n_cells rows); assignment is one
+    map-side-combinable min(struct) aggregate; the pair sweep shuffles
+    once on the cell key, and per-cell cost is |cell|^2 — at 100 TB
+    raise n_cells so cells stay bounded (the paper uses ~10^5 clusters
+    for 10^9 docs), which this layout absorbs without plan changes.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
+    )
+    centers = _hash_pick_centers(base, n_cells)
+    assigned = _assign_to_centers(base, centers)
+    cen = centers.withColumn("center_norm", F.sqrt(_norm2("center")))
+    scored = (
+        assigned.join(F.broadcast(cen), "cell")
+        .withColumn("_vnorm", F.sqrt(_norm2("c_vec")))
+        .withColumn(
+            "cos_centroid",
+            F.when(
+                F.col("_vnorm") * F.col("center_norm") > 0,
+                _dot("c_vec", "center") / (F.col("_vnorm") * F.col("center_norm")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select("cand_id", "cell", "c_vec", "_vnorm", "cos_centroid")
+    )
+    left = scored.select(
+        F.col("cand_id").alias("a_id"),
+        "cell",
+        F.col("c_vec").alias("a_vec"),
+        F.col("_vnorm").alias("a_norm"),
+        F.col("cos_centroid").alias("a_cc"),
+    )
+    right = scored.select(
+        F.col("cand_id").alias("b_id"),
+        "cell",
+        F.col("c_vec").alias("b_vec"),
+        F.col("_vnorm").alias("b_norm"),
+        F.col("cos_centroid").alias("b_cc"),
+    )
+    dropped = (
+        left.join(right, "cell")
+        .where(F.col("a_id") != F.col("b_id"))
+        # keep-preference first: only pairs where b is preferred over a
+        # can drop a — prunes half the sweep before the d-length fold
+        .where(
+            (F.col("b_cc") < F.col("a_cc"))
+            | ((F.col("b_cc") == F.col("a_cc")) & (F.col("b_id") < F.col("a_id")))
+        )
+        .withColumn(
+            "_cos",
+            F.when(
+                F.col("a_norm") * F.col("b_norm") > 0,
+                _dot("a_vec", "b_vec") / (F.col("a_norm") * F.col("b_norm")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .where(F.col("_cos") >= F.lit(tau))
+        .select(F.col("a_id").alias("cand_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        scored.join(dropped, "cand_id", "left")
+        .select(
+            F.col("cand_id").alias(id_col),
+            "cell",
+            "cos_centroid",
+            F.col("_dropped").isNull().alias("kept"),
+        )
+    )
+
+
 def quantize_embeddings(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -139,9 +139,9 @@ def moderated_lmfit(fit_df: DataFrame) -> DataFrame:
     (``stats.ttest.squeeze_var_fitfdist``): residual variance
     s2 = rss/df (df = n - 3 design columns) is shrunk toward the fitted
     scaled-F prior and the contrast t rescales by sqrt(s2/s2_post).
-    The prior rides windows over the per-gene fit table — the whole
-    operator stays in the lazy plan and the moment aggregation executes
-    once.
+    The prior scalars are finished at plan build (see
+    ``squeeze_var_fitfdist``); the returned plan carries only literal
+    (d0, s2_0) arithmetic over the persisted per-gene fit table.
     """
     from transcriptomics_data_integration_spark.stats.ttest import (
         squeeze_var_fitfdist,

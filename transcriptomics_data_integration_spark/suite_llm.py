@@ -1220,6 +1220,144 @@ QUERIES_LLM["duplicate_chunks"] = q_duplicate_chunks
 ORACLES_LLM["duplicate_chunks"] = ORACLE_DUPLICATE_CHUNKS
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher repetition-filter
+    family, Rae et al. 2021): per doc, the char fraction covered by the
+    most frequent word 2-gram and by duplicated word 5-grams — the
+    standard keyword-stuffing / template-spam filters, complementary to
+    the corpus-wide `duplicate_chunks` signal.  Integer counts end in
+    single IEEE divisions, so the oracle matches bitwise."""
+    from transcriptomics_data_integration_spark.llmdata.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text")
+
+
+ORACLE_GOPHER_REPETITION = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+), g2 AS (
+  SELECT doc_id,
+         UNNEST(CASE WHEN len(w) >= 2 THEN list_transform(
+             generate_series(1, len(w) - 1),
+             i -> array_to_string(list_slice(w, i, i + 1), ' '))
+           ELSE [] END) AS gram
+  FROM words
+), p2 AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt, length(gram) AS glen
+  FROM g2 GROUP BY doc_id, gram
+), a2 AS (
+  SELECT doc_id, CAST(SUM(cnt * glen) AS BIGINT) AS total_2,
+         CAST(MAX(cnt * glen) AS BIGINT) AS top_2
+  FROM p2 GROUP BY doc_id
+), g5 AS (
+  SELECT doc_id,
+         UNNEST(CASE WHEN len(w) >= 5 THEN list_transform(
+             generate_series(1, len(w) - 4),
+             i -> array_to_string(list_slice(w, i, i + 4), ' '))
+           ELSE [] END) AS gram
+  FROM words
+), p5 AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt, length(gram) AS glen
+  FROM g5 GROUP BY doc_id, gram
+), a5 AS (
+  SELECT doc_id, CAST(SUM(cnt * glen) AS BIGINT) AS total_5,
+         CAST(SUM(CASE WHEN cnt > 1 THEN cnt * glen ELSE 0 END) AS BIGINT) AS dup_5
+  FROM p5 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(total_2, 0) AS n2_chars,
+       COALESCE(top_2 / CAST(total_2 AS DOUBLE), 0.0e0) AS top_2gram_frac,
+       COALESCE(total_5, 0) AS n5_chars,
+       COALESCE(dup_5 / CAST(total_5 AS DOUBLE), 0.0e0) AS dup_5gram_frac
+FROM documents d LEFT JOIN a2 USING (doc_id) LEFT JOIN a5 USING (doc_id)
+"""
+
+QUERIES_LLM["gopher_repetition"] = q_gopher_repetition
+ORACLES_LLM["gopher_repetition"] = ORACLE_GOPHER_REPETITION
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup on a corpus with planted near-dups
+    (every vector unioned with its +0.01-perturbed copy, the
+    cosine_neardup fixture): Knuth-hash cells -> within-cell pairwise
+    cosine -> keep the lowest-centroid-cosine member of each duplicate
+    pair.  HASH-GATED end-to-end (`llmdata/similarity.py:semdedup`)."""
+    from transcriptomics_data_integration_spark.llmdata.similarity import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pert = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(_PERTURB_SPARK).alias("embedding"),
+    )
+    corpus = emb.unionByName(pert)
+    out = semdedup(corpus, n_cells=16, tau=0.9)
+    return out.select(
+        "vec_id",
+        "cell",
+        F.round("cos_centroid", 6).alias("cos_centroid"),
+        "kept",
+    )
+
+
+def _oracle_semdedup() -> str:
+    l2 = _L2_SQL
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, {_PERTURB_SQL} AS embedding FROM embeddings
+), base AS (
+  SELECT vec_id AS cand_id, embedding AS c_vec,
+         (((((vec_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536
+          + ((vec_id % 65536) * 2654435761)) % 4294967296 AS h
+  FROM corpus
+), picked AS (
+  SELECT h, cand_id, c_vec FROM base ORDER BY h, cand_id LIMIT 16
+), centers AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY h, cand_id) - 1 AS cell,
+         list_transform(c_vec, x -> CAST(x AS DOUBLE)) AS center
+  FROM picked
+), ac AS (
+  SELECT b.cand_id, b.c_vec, c.cell, c.center,
+         {l2.format(a='b.c_vec', b='c.center')} AS dist
+  FROM base b CROSS JOIN centers c
+), assigned AS (
+  SELECT cand_id, c_vec, cell, center FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cand_id ORDER BY dist, cell) AS rn
+    FROM ac
+  ) WHERE rn = 1
+), normed AS (
+  SELECT cand_id, cell, c_vec,
+         sqrt({_DOT_SQL.format(a='c_vec', b='c_vec')}) AS vnorm,
+         sqrt({_DOT_SQL.format(a='center', b='center')}) AS center_norm,
+         {_DOT_SQL.format(a='c_vec', b='center')} AS dc
+  FROM assigned
+), scored AS (
+  SELECT cand_id, cell, c_vec, vnorm,
+         CASE WHEN vnorm * center_norm > 0 THEN dc / (vnorm * center_norm)
+              ELSE 0.0e0 END AS cos_centroid
+  FROM normed
+), dropped AS (
+  SELECT DISTINCT a.cand_id
+  FROM scored a JOIN scored b ON a.cell = b.cell AND a.cand_id <> b.cand_id
+  WHERE (b.cos_centroid < a.cos_centroid
+         OR (b.cos_centroid = a.cos_centroid AND b.cand_id < a.cand_id))
+    AND (CASE WHEN a.vnorm * b.vnorm > 0 THEN
+           {_DOT_SQL.format(a='a.c_vec', b='b.c_vec')} / (a.vnorm * b.vnorm)
+         ELSE 0.0e0 END) >= 0.9e0
+)
+SELECT s.cand_id AS vec_id, s.cell,
+       ROUND(s.cos_centroid, 6) AS cos_centroid,
+       d.cand_id IS NULL AS kept
+FROM scored s LEFT JOIN dropped d ON s.cand_id = d.cand_id
+"""
+
+
+QUERIES_LLM["semdedup"] = q_semdedup
+ORACLES_LLM["semdedup"] = _oracle_semdedup()
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs on the two-crawl corpus: banded 60-bit
     signatures, exact-Hamming verify (<= 3).  Complete for distance <
