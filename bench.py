@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "voom_loess3",
     "gopher_repetition",
     "semdedup",
+    "idat_decode",
 ]
 
 

@@ -810,6 +810,80 @@ def test_parse_cel_v4_roundtrip_and_rejects():
     assert parse_cel_v4(bad) is None
 
 
+def _idat_bytes(ids, means, sds, beads, magic=b"IDAT", version=3,
+                drop_field=None, truncate=None):
+    import struct
+
+    n = len(ids)
+    fields = [(1000, None), (102, None), (103, None), (104, None), (107, None)]
+    if drop_field is not None:
+        fields = [f for f in fields if f[0] != drop_field]
+    base = 16 + 10 * len(fields)
+    blocks, offsets, off = [], {}, base
+    for code, _ in fields:
+        if code == 1000:
+            blk = struct.pack("<i", n)
+        elif code == 102:
+            blk = struct.pack(f"<{n}i", *ids)
+        elif code == 103:
+            blk = struct.pack(f"<{n}H", *sds)
+        elif code == 104:
+            blk = struct.pack(f"<{n}H", *means)
+        else:
+            blk = struct.pack(f"<{n}B", *beads)
+        offsets[code] = off
+        blocks.append(blk)
+        off += len(blk)
+    out = (
+        magic + struct.pack("<q", version) + struct.pack("<i", len(fields))
+        + b"".join(struct.pack("<HQ", c, offsets[c]) for c, _ in fields)
+        + b"".join(blocks)
+    )
+    return out if truncate is None else out[:truncate]
+
+
+def test_parse_idat_v3_roundtrip_and_rejects():
+    """The IDAT v3 parser recovers the planted probe arrays bit-exactly
+    and rejects wrong-magic / wrong-version / missing-field / truncated
+    payloads instead of mis-reading them."""
+    from transcriptomics_data_integration_spark.sources.idat import (
+        parse_idat_v3_arrays,
+    )
+
+    ids, means, sds, beads = [7, 11, 13, 17], [100, 200, 300, 400], \
+        [5, 6, 7, 8], [9, 10, 11, 12]
+    good = _idat_bytes(ids, means, sds, beads)
+    n, arrays = parse_idat_v3_arrays(good)
+    assert n == 4
+    assert list(arrays[102]) == ids and list(arrays[104]) == means
+    assert list(arrays[103]) == sds and list(arrays[107]) == beads
+    assert parse_idat_v3_arrays(_idat_bytes(ids, means, sds, beads,
+                                            magic=b"XDAT")) is None
+    assert parse_idat_v3_arrays(_idat_bytes(ids, means, sds, beads,
+                                            version=1)) is None
+    assert parse_idat_v3_arrays(_idat_bytes(ids, means, sds, beads,
+                                            drop_field=104)) is None
+    assert parse_idat_v3_arrays(good[:-3]) is None  # truncated block
+    assert parse_idat_v3_arrays(b"") is None
+
+
+def test_idat_long_tolerant_scan(spark):
+    """idat_long explodes valid IDAT payloads to the per-probe long
+    relation and silently drops malformed ones (tolerant-reader
+    contract, same stance as the CEL and JSONL sources)."""
+    from transcriptomics_data_integration_spark.sources.idat import idat_long
+
+    good = _idat_bytes([7, 11], [100, 200], [5, 6], [9, 10])
+    rows = [(1, bytearray(good)), (2, bytearray(b"not an idat"))]
+    df = spark.createDataFrame(rows, "sample_id long, payload binary")
+    out = idat_long(df).collect()
+    assert len(out) == 2
+    assert {r["sample_id"] for r in out} == {1}
+    by_id = {r["illumina_id"]: r for r in out}
+    assert by_id[7]["mean"] == 100 and by_id[7]["sd"] == 5
+    assert by_id[11]["n_beads"] == 10 and by_id[11]["n_probes"] == 2
+
+
 def test_cel_long_tolerant_scan(spark):
     """cel_long explodes valid CEL payloads to the per-cell long
     relation and silently drops malformed ones (tolerant-reader

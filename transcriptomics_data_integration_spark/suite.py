@@ -1463,6 +1463,85 @@ QUERIES["cel_decode"] = q_cel_decode
 ORACLES["cel_decode"] = ORACLE_CEL_DECODE
 
 
+def q_idat_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 Illumina IDAT v3 binary scan, HASH-GATED with planted ground
+    truth — the `cel_decode` scheme applied to the Illumina layer
+    (`sources/idat.py`): a REAL IDAT v3 payload (magic, int64 version,
+    field table with byte offsets, nSNPsRead, and the 102/103/104/107
+    intensity blocks) is synthesized IN-PLAN per doc — the constant
+    header/field-table via the struct layout, the per-probe int arrays
+    packed by SQL byte algebra — and the pure-Python parser must
+    recover the planted 4-probe arrays from the bytes alone.  The
+    oracle never parses: it recomputes the ground truth from doc_id,
+    so a hash match proves the binary layer (field-table walk, offset
+    dereference, int32/uint16/uint8 little-endian blocks) is right.
+    Payload synthesis and the mapInPandas decode are both map-side:
+    zero shuffles."""
+    import struct as _struct
+
+    from transcriptomics_data_integration_spark.sources.idat import idat_long
+
+    # fixed layout: header 16 B + 5x10 B field table = 66; then
+    # n(int32)@66, 102@70 (4xi4), 103@86 (4xu2), 104@94 (4xu2),
+    # 107@102 (4xu1)
+    head = (
+        b"IDAT"
+        + _struct.pack("<q", 3)
+        + _struct.pack("<i", 5)
+        + _struct.pack("<HQ", 1000, 66)
+        + _struct.pack("<HQ", 102, 70)
+        + _struct.pack("<HQ", 103, 86)
+        + _struct.pack("<HQ", 104, 94)
+        + _struct.pack("<HQ", 107, 102)
+        + _struct.pack("<i", 4)
+    )
+
+    def byte(e):
+        return f"unhex(lpad(hex(({e}) % 256), 2, '0'))"
+
+    def le4(e):
+        return (
+            f"concat({byte(e)}, {byte(f'({e}) DIV 256')}, "
+            f"{byte(f'({e}) DIV 65536')}, {byte(f'({e}) DIV 16777216')})"
+        )
+
+    def le2(e):
+        return f"concat({byte(e)}, {byte(f'({e}) DIV 256')})"
+
+    ids = ", ".join(
+        le4(f"(doc_id * 13 + {101 * i}) % 9999991 + 1") for i in range(4)
+    )
+    sds = ", ".join(le2(f"(doc_id * 3 + {7 * i}) % 65536") for i in range(4))
+    means = ", ".join(le2(f"(doc_id * 5 + {11 * i}) % 65536") for i in range(4))
+    beads = ", ".join(byte(f"(doc_id + {i}) % 256") for i in range(4))
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = docs.select(
+        F.col("doc_id").alias("sample_id"),
+        F.expr(
+            f"concat(X'{head.hex()}', {ids}, {sds}, {means}, {beads})"
+        ).alias("payload"),
+    )
+    return idat_long(media).select(
+        "sample_id", "n_probes", "illumina_id", "mean", "sd", "n_beads"
+    )
+
+
+ORACLE_IDAT_DECODE = """
+WITH idx AS (
+  SELECT doc_id, unnest(generate_series(0, 3)) AS i FROM documents
+)
+SELECT doc_id AS sample_id, CAST(4 AS INTEGER) AS n_probes,
+       CAST((doc_id * 13 + 101 * i) % 9999991 + 1 AS INTEGER) AS illumina_id,
+       CAST((doc_id * 5 + 11 * i) % 65536 AS INTEGER) AS mean,
+       CAST((doc_id * 3 + 7 * i) % 65536 AS INTEGER) AS sd,
+       CAST((doc_id + i) % 256 AS INTEGER) AS n_beads
+FROM idx
+"""
+
+QUERIES["idat_decode"] = q_idat_decode
+ORACLES["idat_decode"] = ORACLE_IDAT_DECODE
+
+
 def q_jsonl_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL-source parse/validate contract, HASH-GATED — the engine's
     training-corpus ingest semantics (`sources/jsonl.py`): both engines
@@ -1733,23 +1812,24 @@ _ROUND5_FRONT = [
     "closed_pipeline", "normalized_de", "rnaseq_pipeline_binned",
     "pq_fixed", "cel_decode", "expression_pipeline", "media_header_decode",
     "multimodal_featurize", "paragraph_dedup", "pca_outliers",
-    "voom_loess3", "gopher_repetition", "semdedup",
+    "voom_loess3", "gopher_repetition", "semdedup", "idat_decode",
     # -- (c) longest-unstamped slice (r2-only driver rows) ---------------
     "reliability_filter", "set_compare", "rolling_stats", "mixture_sample",
     "funnel", "cohort_retention", "normalize_dedup", "pii_scrub",
     "mahalanobis_outliers", "strata_correlation", "term_enrichment",
     "fisher_enrichment", "pairwise_contrasts", "lmfit_design",
-    "impute_missing", "impute_em", "median_polish_fixed",
+    "impute_missing", "impute_em",
 ]
 
 # Round-6 rotation plan: after r5 the longest-unstamped queries are the
-# 13 remaining r2-only rows (logistic_irls2, voom_trend, cqn_bias
-# [bumped from the r5 slice by the new voom_loess3 / gopher_repetition
-# / semdedup gates], array_weights, qc_sample_metrics,
-# dataset_group_means, rollup_summary, pivot_matrix, melt_measures,
-# registry_upsert, full_outer_merge, htseq_scan, rsem_convert) — put
-# those 13 in the r6 front, plus every r6-touched kernel, and fill the
-# remainder with the r3-only-stamped queries (merge_left_join,
-# interval_join, quantile_thresholds, ... registry order).
+# 14 remaining r2-only rows (median_polish_fixed, logistic_irls2,
+# voom_trend, cqn_bias [bumped from the r5 slice by the new
+# voom_loess3 / gopher_repetition / semdedup / idat_decode gates],
+# array_weights, qc_sample_metrics, dataset_group_means,
+# rollup_summary, pivot_matrix, melt_measures, registry_upsert,
+# full_outer_merge, htseq_scan, rsem_convert) — put those 14 in the r6
+# front, plus every r6-touched kernel, and fill the remainder with the
+# r3-only-stamped queries (merge_left_join, interval_join,
+# quantile_thresholds, ... registry order).
 QUERIES = _reorder_front(QUERIES, _ROUND5_FRONT)
 QUERIES = {n: _with_persist_drain(fn) for n, fn in QUERIES.items()}
