@@ -322,6 +322,19 @@ def test_semdedup_drops_planted_twin_keeps_diverse(spark):
     solo = spark.createDataFrame(base, ["vec_id", "embedding"])
     kept_solo = semdedup(solo, n_cells=4, tau=0.999).collect()
     assert all(r["kept"] for r in kept_solo)
+    # the Arrow/BLAS scale path applies the identical cell + keep rule:
+    # kept flags match the JVM fold exactly away from the tau boundary
+    from transcriptomics_data_integration_spark.llmdata.similarity import (
+        semdedup_arrow,
+    )
+
+    arrow = {r["vec_id"]: r for r in semdedup_arrow(emb, n_cells=4, tau=0.999).collect()}
+    assert {v: r["kept"] for v, r in arrow.items()} == {
+        v: r["kept"] for v, r in out.items()
+    }
+    assert {v: r["cell"] for v, r in arrow.items()} == {
+        v: r["cell"] for v, r in out.items()
+    }
 
 
 def test_duplicate_chunk_stats_counts_cross_doc_repeats(spark):
