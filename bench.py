@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "gopher_repetition",
     "semdedup",
     "idat_decode",
+    "quality_model",
 ]
 
 

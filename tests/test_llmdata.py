@@ -257,6 +257,39 @@ def test_cosine_neardup_finds_planted_pairs(spark):
     assert all(r["cosine"] > 0.999 for r in out)
 
 
+def test_quality_model_learns_discriminating_scores(spark):
+    """The fixed-IRLS quality classifier separates the weak labels:
+    positive-label docs score higher on average than negative ones,
+    betas are finite, and scores stay in (0, 1)."""
+    import random
+
+    from transcriptomics_data_integration_spark.llmdata.quality_model import (
+        quality_model_score,
+    )
+
+    rnd = random.Random(3)
+    vocab = ["alpha", "beta", "gamma", "the", "and", "of", "scan", "sort"]
+    rows = []
+    for i in range(200):
+        n = rnd.randint(5, 60)
+        words = [rnd.choice(vocab) for _ in range(n)]
+        # longer docs likelier to carry the marker — learnable signal
+        if rnd.random() < min(0.9, n / 50):
+            words.insert(rnd.randrange(len(words)), "spark")
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = quality_model_score(docs).collect()
+    assert len(out) == 200
+    assert all(0.0 < r["score"] < 1.0 for r in out)
+    assert all(
+        r["b0"] == out[0]["b0"] and r["b1"] == out[0]["b1"] for r in out
+    )
+    pos = [r["score"] for r in out if r["label"] == 1]
+    neg = [r["score"] for r in out if r["label"] == 0]
+    assert pos and neg
+    assert sum(pos) / len(pos) > sum(neg) / len(neg) + 0.05
+
+
 def test_repetition_stats_flags_stuffing(spark):
     """Gopher repetition signals: keyword stuffing scores high on
     top_2gram_frac, wholesale repetition on dup_5gram_frac, diverse

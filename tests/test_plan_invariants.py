@@ -55,6 +55,9 @@ BNLJ_WHITELIST = {
     # semdedup: broadcast center crossJoin for cell assignment
     # (n_cells-row dim), same class as ivf_ann / ivf_fixed
     "semdedup",
+    # quality_model: three 1-row broadcast attaches (feature means,
+    # step-1 betas, step-2 betas) — the monotone_range_buckets pattern
+    "quality_model",
 }
 
 

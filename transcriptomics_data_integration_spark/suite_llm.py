@@ -1358,6 +1358,97 @@ QUERIES_LLM["semdedup"] = q_semdedup
 ORACLES_LLM["semdedup"] = _oracle_semdedup()
 
 
+def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine weak-supervision quality classifier, HASH-GATED —
+    global 3-parameter logistic (intercept + centered ln-token-count +
+    centered stopword ratio) fit by fixed 2-step IRLS from beta = 0
+    (Cramer 3x3 solve shared verbatim with the oracle), then sigmoid
+    scores per doc (`llmdata/quality_model.py`).  The corpus-side
+    composition of M14's modelOutcome logistic
+    (`Meta_analysis.R:581-598`)."""
+    from transcriptomics_data_integration_spark.llmdata.quality_model import (
+        quality_model_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = quality_model_score(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "label",
+        F.round("score", 6).alias("score"),
+        "decision",
+        F.round("b0", 6).alias("b0"),
+        F.round("b1", 6).alias("b1"),
+        F.round("b2", 6).alias("b2"),
+    )
+
+
+def _oracle_quality_model() -> str:
+    from transcriptomics_data_integration_spark.stats.fixed_twins import cramer3_sql
+
+    det, b0, b1, b2 = cramer3_sql({k: k for k in [
+        "sw", "swx", "swn", "swxx", "swxn", "swnn", "swy", "swxy", "swny"]})
+    moments = (
+        "SUM(w) AS sw, SUM(w * x) AS swx, SUM(w * n) AS swn, "
+        "SUM(w * x * x) AS swxx, SUM(w * x * n) AS swxn, "
+        "SUM(w * n * n) AS swnn, SUM(w * z) AS swy, "
+        "SUM(w * x * z) AS swxy, SUM(w * n * z) AS swny"
+    )
+    eta = "greatest(least(b0 + b1 * x + b2 * n, 30.0e0), -30.0e0)"
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents
+), feats0 AS (
+  SELECT doc_id,
+         ln(1.0e0 + CAST(len(tk) AS DOUBLE)) AS x_raw,
+         COALESCE(CAST(len(list_filter(tk,
+             t -> t IN ('the', 'and', 'of', 'a', 'to'))) AS DOUBLE)
+           / NULLIF(CAST(len(tk) AS DOUBLE), 0), 0.0e0) AS n_raw,
+         CASE WHEN list_contains(tk, 'spark') THEN 1.0e0 ELSE 0.0e0 END AS y
+  FROM toks
+), mns AS (
+  SELECT AVG(x_raw) AS mx, AVG(n_raw) AS mn FROM feats0
+), feats AS (
+  SELECT doc_id, y, x_raw - mx AS x, n_raw - mn AS n
+  FROM feats0 CROSS JOIN mns
+), s1 AS (
+  SELECT *, 0.25e0 AS w, 4.0e0 * (y - 0.5e0) AS z FROM feats
+), mom1 AS (
+  SELECT {moments} FROM s1
+), beta1 AS (
+  SELECT {b0} AS b0, {b1} AS b1, {b2} AS b2
+  FROM (SELECT *, {det} AS _det FROM mom1)
+), s2e AS (
+  SELECT f.*, {eta} AS eta FROM feats f CROSS JOIN beta1
+), s2m AS (
+  SELECT *, 1.0e0 / (1.0e0 + exp(-eta)) AS mu FROM s2e
+), s2w AS (
+  SELECT *, greatest(mu * (1.0e0 - mu), 1.0e-9) AS w FROM s2m
+), s2 AS (
+  SELECT *, eta + (y - mu) / w AS z FROM s2w
+), mom2 AS (
+  SELECT {moments} FROM s2
+), beta2 AS (
+  SELECT {b0} AS b0, {b1} AS b1, {b2} AS b2
+  FROM (SELECT *, {det} AS _det FROM mom2)
+), scored AS (
+  SELECT f.doc_id, f.y, b0, b1, b2,
+         1.0e0 / (1.0e0 + exp(-({eta}))) AS score
+  FROM feats f CROSS JOIN beta2
+)
+SELECT doc_id, CAST(y AS INTEGER) AS label,
+       ROUND(score, 6) AS score,
+       ROUND(score, 6) >= 0.5e0 AS decision,
+       ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2
+FROM scored
+"""
+
+
+QUERIES_LLM["quality_model"] = q_quality_model
+ORACLES_LLM["quality_model"] = _oracle_quality_model()
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs on the two-crawl corpus: banded 60-bit
     signatures, exact-Hamming verify (<= 3).  Complete for distance <
