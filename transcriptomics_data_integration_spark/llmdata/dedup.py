@@ -147,6 +147,73 @@ def minhash_signatures(
     return minhash_from_shingles(sh, id_col, n_hashes)
 
 
+def minhash_accuracy(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = SHINGLE_LEN,
+    n_hashes: int = N_HASHES,
+) -> DataFrame:
+    """MinHash estimator calibration — exact k-shingle Jaccard vs the
+    signature-agreement estimate on every shingle-sharing pair of a
+    (bounded) corpus sample: the measurement an engine needs before
+    trusting banded LSH thresholds at scale (E[est] = J; sd =
+    sqrt(J(1-J)/n_hashes)).
+
+    Output per pair (id_a < id_b, >= 1 shared shingle): sizes,
+    intersection, exact ``jaccard``, ``estimate`` (matching-minima
+    fraction), ``abs_err``.  All numerators/denominators are integer
+    counts, so both ratios are single IEEE divisions —
+    engine-bit-identical and fully oracle-replayable.
+
+    Scale shape: deliberately quadratic in the SAMPLE (signature
+    self-join on seed + inverted-index intersection) — bound the input
+    like the other exact baselines (`ngram_jaccard`); the production
+    path stays `minhash_lsh_pairs`.
+    """
+    sh = shingles(docs, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sig = minhash_from_shingles(sh, id_col, n_hashes)
+    sa = sig.select(F.col(id_col).alias("id_a"), "seed", F.col("minhash").alias("ha"))
+    sb = sig.select(F.col(id_col).alias("id_b"), "seed", F.col("minhash").alias("hb"))
+    est = (
+        sa.join(sb, "seed")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.when(F.col("ha") == F.col("hb"), 1).otherwise(0)).alias("n_match"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .join(est, ["id_a", "id_b"], "left")
+        .withColumn("n_match", F.coalesce("n_match", F.lit(0)))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .withColumn("estimate", F.col("n_match") / F.lit(float(n_hashes)))
+        .withColumn("abs_err", F.abs(F.col("estimate") - F.col("jaccard")))
+    )
+    return out.select(
+        "id_a", "id_b", "n_a", "n_b", "n_inter", "n_match",
+        "jaccard", "estimate", "abs_err",
+    )
+
+
 def lsh_candidates(
     signatures: DataFrame,
     id_col: str,

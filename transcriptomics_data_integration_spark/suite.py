@@ -1813,23 +1813,23 @@ _ROUND5_FRONT = [
     "pq_fixed", "cel_decode", "expression_pipeline", "media_header_decode",
     "multimodal_featurize", "paragraph_dedup", "pca_outliers",
     "voom_loess3", "gopher_repetition", "semdedup", "idat_decode",
-    "quality_model",
+    "quality_model", "minhash_accuracy",
     # -- (c) longest-unstamped slice (r2-only driver rows) ---------------
     "reliability_filter", "set_compare", "rolling_stats", "mixture_sample",
     "funnel", "cohort_retention", "normalize_dedup", "pii_scrub",
     "mahalanobis_outliers", "strata_correlation", "term_enrichment",
     "fisher_enrichment", "pairwise_contrasts", "lmfit_design",
-    "impute_missing",
 ]
 
 # Round-6 rotation plan: after r5 the longest-unstamped queries are the
-# 15 remaining r2-only rows (impute_em, median_polish_fixed,
-# logistic_irls2, voom_trend, cqn_bias [bumped from the r5 slice by
-# the five new r5 gates voom_loess3 / gopher_repetition / semdedup /
-# idat_decode / quality_model], array_weights, qc_sample_metrics,
+# 16 remaining r2-only rows (impute_missing, impute_em,
+# median_polish_fixed, logistic_irls2, voom_trend, cqn_bias [bumped
+# from the r5 slice by the six new r5 gates voom_loess3 /
+# gopher_repetition / semdedup / idat_decode / quality_model /
+# minhash_accuracy], array_weights, qc_sample_metrics,
 # dataset_group_means, rollup_summary, pivot_matrix, melt_measures,
 # registry_upsert, full_outer_merge, htseq_scan, rsem_convert) — put
-# those 15 in the r6 front, plus every r6-touched kernel, and fill the
+# those 16 in the r6 front, plus every r6-touched kernel, and fill the
 # remainder with the r3-only-stamped queries (merge_left_join,
 # interval_join, quantile_thresholds, ... registry order).
 QUERIES = _reorder_front(QUERIES, _ROUND5_FRONT)

@@ -1449,6 +1449,76 @@ QUERIES_LLM["quality_model"] = q_quality_model
 ORACLES_LLM["quality_model"] = _oracle_quality_model()
 
 
+def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration, HASH-GATED — exact 5-shingle
+    Jaccard vs the 64-hash signature-agreement estimate on every
+    shingle-sharing pair of a 5% doc sample
+    (`llmdata/dedup.py:minhash_accuracy`): the measurement that
+    justifies the banded-LSH thresholds `minhash_lsh` runs with
+    (E[est] = J, sd = sqrt(J(1-J)/64)).  Bounded quadratic by
+    construction, like the other exact baselines."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        minhash_accuracy,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    out = minhash_accuracy(docs, "doc_id", "text", n_hashes=64)
+    return out.select(
+        "id_a", "id_b", "n_a", "n_b", "n_inter", "n_match",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("estimate", 6).alias("estimate"),
+        F.round("abs_err", 6).alias("abs_err"),
+    )
+
+
+ORACLE_MINHASH_ACCURACY = f"""
+WITH sample_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+), sh AS (
+  SELECT doc_id, UNNEST({_SHINGLE_SQL}) AS shingle FROM sample_docs
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), seeded AS (
+  SELECT doc_id, seed, shingle
+  FROM sh, (SELECT UNNEST(generate_series(0, 63)) AS seed)
+), sigs AS (
+  SELECT doc_id, seed,
+         MIN(('0x' || substring(md5(shingle || '#' || seed), 1, 15))::BIGINT)
+           AS minhash
+  FROM seeded GROUP BY doc_id, seed
+), est AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(SUM(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match
+  FROM sigs a JOIN sigs b ON a.seed = b.seed AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), joined AS (
+  SELECT i.id_a, i.id_b,
+         sa.n_sh AS n_a, sb.n_sh AS n_b, i.n_inter,
+         COALESCE(e.n_match, 0) AS n_match,
+         i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jaccard,
+         COALESCE(e.n_match, 0) / 64.0e0 AS estimate
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  LEFT JOIN est e ON e.id_a = i.id_a AND e.id_b = i.id_b
+)
+SELECT id_a, id_b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_inter AS BIGINT) AS n_inter, n_match,
+       ROUND(jaccard, 6) AS jaccard,
+       ROUND(estimate, 6) AS estimate,
+       ROUND(abs(estimate - jaccard), 6) AS abs_err
+FROM joined
+"""
+
+QUERIES_LLM["minhash_accuracy"] = q_minhash_accuracy
+ORACLES_LLM["minhash_accuracy"] = ORACLE_MINHASH_ACCURACY
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs on the two-crawl corpus: banded 60-bit
     signatures, exact-Hamming verify (<= 3).  Complete for distance <
