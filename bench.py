@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "idat_decode",
     "quality_model",
     "minhash_accuracy",
+    "corpus_pipeline",
 ]
 
 

@@ -1813,24 +1813,25 @@ _ROUND5_FRONT = [
     "pq_fixed", "cel_decode", "expression_pipeline", "media_header_decode",
     "multimodal_featurize", "paragraph_dedup", "pca_outliers",
     "voom_loess3", "gopher_repetition", "semdedup", "idat_decode",
-    "quality_model", "minhash_accuracy",
+    "quality_model", "minhash_accuracy", "corpus_pipeline",
     # -- (c) longest-unstamped slice (r2-only driver rows) ---------------
     "reliability_filter", "set_compare", "rolling_stats", "mixture_sample",
     "funnel", "cohort_retention", "normalize_dedup", "pii_scrub",
     "mahalanobis_outliers", "strata_correlation", "term_enrichment",
-    "fisher_enrichment", "pairwise_contrasts", "lmfit_design",
+    "fisher_enrichment", "pairwise_contrasts",
 ]
 
 # Round-6 rotation plan: after r5 the longest-unstamped queries are the
-# 16 remaining r2-only rows (impute_missing, impute_em,
+# 17 remaining r2-only rows (lmfit_design, impute_missing, impute_em,
 # median_polish_fixed, logistic_irls2, voom_trend, cqn_bias [bumped
-# from the r5 slice by the six new r5 gates voom_loess3 /
+# from the r5 slice by the seven new r5 gates voom_loess3 /
 # gopher_repetition / semdedup / idat_decode / quality_model /
-# minhash_accuracy], array_weights, qc_sample_metrics,
-# dataset_group_means, rollup_summary, pivot_matrix, melt_measures,
-# registry_upsert, full_outer_merge, htseq_scan, rsem_convert) — put
-# those 16 in the r6 front, plus every r6-touched kernel, and fill the
-# remainder with the r3-only-stamped queries (merge_left_join,
-# interval_join, quantile_thresholds, ... registry order).
+# minhash_accuracy / corpus_pipeline], array_weights,
+# qc_sample_metrics, dataset_group_means, rollup_summary,
+# pivot_matrix, melt_measures, registry_upsert, full_outer_merge,
+# htseq_scan, rsem_convert) — put those 17 in the r6 front, plus every
+# r6-touched kernel, and fill the remainder with the r3-only-stamped
+# queries (merge_left_join, interval_join, quantile_thresholds, ...
+# registry order).
 QUERIES = _reorder_front(QUERIES, _ROUND5_FRONT)
 QUERIES = {n: _with_persist_drain(fn) for n, fn in QUERIES.items()}

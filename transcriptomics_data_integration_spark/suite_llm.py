@@ -1519,6 +1519,131 @@ QUERIES_LLM["minhash_accuracy"] = q_minhash_accuracy
 ORACLES_LLM["minhash_accuracy"] = ORACLE_MINHASH_ACCURACY
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-corpus preparation END-TO-END, HASH-GATED — the training-
+    data analogue of the DE-side `closed_pipeline`: two-crawl corpus
+    -> Gopher quality filter (keep verdicts) -> SimHash near-dup pairs
+    -> connected-component closure -> keep-longest survivor per
+    cluster -> per-survivor token accounting.  Every stage is an
+    already-gated kernel; the composition gets its own end-to-end
+    DuckDB oracle (quality flags + banded-signature pairs + recursive
+    closure + argmax window + token stats chained as one SQL), so a
+    regression ANYWHERE in the chain trips one hash."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        dedup_clusters,
+        keep_best_per_cluster,
+        simhash_neardup_pairs,
+    )
+    from transcriptomics_data_integration_spark.llmdata.text import quality_filter
+
+    from transcriptomics_data_integration_spark.runtime import register_persisted
+
+    docs = _two_crawls(_t(spark, sf_dir, "documents"))
+    kept_docs = (
+        quality_filter(docs).where(F.col("keep")).select("doc_id", "text")
+        # three chain branches read the filtered corpus (pair mining,
+        # survivor selection, final token accounting) — cache it once
+        .persist()
+    )
+    register_persisted(kept_docs)
+    pairs = simhash_neardup_pairs(kept_docs, "doc_id", max_hamming=3)
+    clusters = dedup_clusters(pairs.select("id_a", "id_b"))
+    survivors = keep_best_per_cluster(
+        kept_docs, clusters, "doc_id", score=F.length("text").cast("long")
+    )
+    out = survivors.join(
+        kept_docs.select(F.col("doc_id").alias("kept_id"), "text"), "kept_id"
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return out.select(
+        "kept_id",
+        "cluster_key",
+        "cluster_size",
+        "kept_score",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def _oracle_corpus_pipeline() -> str:
+    # the dedup_clusters closure chain, re-rooted at the quality-kept
+    # corpus: crawls -> quality keep -> simhash pairs -> recursive
+    # closure -> keep-longest survivor -> token accounting
+    return r"""
+WITH RECURSIVE crawls AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+), qs AS (
+  SELECT doc_id, text,
+         len(string_split(trim(text), ' ')) AS n_tokens,
+         length(text) AS n_chars,
+         len(list_filter(string_split(trim(text), ' '),
+             t -> t IN ('the', 'and', 'of', 'a', 'to'))) AS stop_hits,
+         length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS n_punct
+  FROM crawls
+), kept AS (
+  SELECT doc_id, text FROM qs
+  WHERE (n_tokens BETWEEN 3 AND 100000)
+    AND (((n_chars - (n_tokens - 1)) / n_tokens) BETWEEN 2.0 AND 12.0)
+    AND (n_punct / n_chars) <= 0.3
+    AND (stop_hits / n_tokens) > 0.0
+), toks AS (
+  SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS token FROM kept
+), hashed AS (
+  SELECT doc_id, ('0x' || substring(md5(token), 1, 15))::BIGINT AS h FROM toks
+), bits AS (
+  SELECT doc_id, bit, SUM(((h >> bit) & CAST(1 AS BIGINT)) * 2 - 1) AS s
+  FROM hashed, (SELECT UNNEST(generate_series(0, 59)) AS bit)
+  GROUP BY doc_id, bit
+), sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, simhash, b.b AS band, (simhash >> (b.b * 15)) & 32767 AS key
+  FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS b) b
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM banded a JOIN banded b2
+    ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
+  WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+), closure AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical_id
+  FROM reach GROUP BY src
+), joined AS (
+  SELECT k.doc_id,
+         CAST(length(k.text) AS BIGINT) AS _score,
+         COALESCE(q.canonical_id, k.doc_id) AS cluster_key
+  FROM kept k LEFT JOIN closure q USING (doc_id)
+), surv AS (
+  SELECT cluster_key,
+         doc_id AS kept_id,
+         CAST(COUNT(*) OVER (PARTITION BY cluster_key) AS BIGINT) AS cluster_size,
+         _score AS kept_score
+  FROM joined
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY cluster_key ORDER BY _score DESC, doc_id ASC) = 1
+)
+SELECT s.kept_id, s.cluster_key, s.cluster_size, s.kept_score,
+       CAST(len(string_split(trim(k.text), ' ')) AS INTEGER) AS n_tokens,
+       CAST(length(k.text) AS INTEGER) AS n_chars
+FROM surv s JOIN kept k ON k.doc_id = s.kept_id
+"""
+
+
+QUERIES_LLM["corpus_pipeline"] = q_corpus_pipeline
+ORACLES_LLM["corpus_pipeline"] = _oracle_corpus_pipeline()
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs on the two-crawl corpus: banded 60-bit
     signatures, exact-Hamming verify (<= 3).  Complete for distance <
