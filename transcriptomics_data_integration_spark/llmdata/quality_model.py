@@ -89,12 +89,23 @@ def quality_model_score(
     means = feats.agg(
         F.avg("x_raw").alias("mx"), F.avg("n_raw").alias("mn")
     )
-    feats = feats.crossJoin(F.broadcast(means)).select(
-        id_col,
-        "y",
-        (F.col("x_raw") - F.col("mx")).alias("x"),
-        (F.col("n_raw") - F.col("mn")).alias("n"),
+    feats = (
+        feats.crossJoin(F.broadcast(means))
+        .select(
+            id_col,
+            "y",
+            (F.col("x_raw") - F.col("mx")).alias("x"),
+            (F.col("n_raw") - F.col("mn")).alias("n"),
+        )
+        # four plan branches read the feature relation (means agg runs
+        # upstream; step-1 moments, step-2 moments, final scoring) —
+        # without the cache each branch re-scans and re-tokenizes the
+        # corpus; the cached relation is 4 scalars per doc
+        .persist()
     )
+    from transcriptomics_data_integration_spark.runtime import register_persisted
+
+    register_persisted(feats)
     # IRLS step 1: beta = 0 => w = 1/4, z = 4(y - 1/2)
     step1 = feats.withColumn("w", F.lit(0.25)).withColumn(
         "z", F.expr("4.0e0 * (y - 0.5e0)")
