@@ -746,6 +746,86 @@ def test_pack_sequences_property_random_corpora(spark):
     check()
 
 
+def test_dedup_paragraphs_roundtrip_property(spark):
+    """Property: for ANY corpus (random word paragraphs, separators
+    drawn from a set including regex metacharacters) a doc whose
+    normalized paragraphs are all corpus-unique round-trips EXACTLY;
+    in general each doc keeps a subset of its paragraphs in order and
+    n_kept <= n_paras."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        dedup_paragraphs,
+    )
+
+    words = st.text(alphabet="abcxyz", min_size=1, max_size=6)
+    para = st.lists(words, min_size=1, max_size=4).map(" ".join)
+
+    @given(
+        st.lists(st.lists(para, min_size=1, max_size=4), min_size=1, max_size=5),
+        st.sampled_from(["\n\n", " | ", ". ", "##"]),
+    )
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    def check(doc_paras, sep):
+        rows = [(i, sep.join(ps)) for i, ps in enumerate(doc_paras)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in dedup_paragraphs(docs, "doc_id", sep=sep).collect()}
+        # first-occurrence map over the normalized corpus
+        seen: dict[str, tuple[int, int]] = {}
+        for i, ps in enumerate(doc_paras):
+            for pos, p in enumerate(ps):
+                seen.setdefault(p.strip().lower(), (i, pos))
+        for i, ps in enumerate(doc_paras):
+            r = out[i]
+            assert r["n_paras"] == len(ps)
+            expected = [
+                p for pos, p in enumerate(ps)
+                if len(p.strip()) < 1 or seen[p.strip().lower()] == (i, pos)
+            ]
+            assert r["text_deduped"] == sep.join(expected), (sep, ps, r)
+            assert r["n_kept"] == len(expected)
+
+    check()
+
+
+def test_semdedup_preferred_member_always_kept_property(spark):
+    """Property: for ANY random embedding corpus, the (cos_centroid,
+    id)-minimal member of every cell survives (it has no
+    keep-preferred peer), and kept is monotone — dropping only ever
+    removes rows with a surviving preferred witness in-cell."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from transcriptomics_data_integration_spark.llmdata.similarity import semdedup
+
+    @given(
+        st.lists(
+            st.lists(
+                st.floats(min_value=-1, max_value=1, allow_nan=False),
+                min_size=8, max_size=8,
+            ),
+            min_size=3, max_size=25,
+        ),
+        st.floats(min_value=0.5, max_value=0.999),
+    )
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    def check(vecs, tau):
+        emb = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+        )
+        out = semdedup(emb, n_cells=2, tau=tau).collect()
+        assert len(out) == len(vecs)
+        by_cell: dict[int, list] = {}
+        for r in out:
+            by_cell.setdefault(r["cell"], []).append(r)
+        for cell, rows in by_cell.items():
+            best = min(rows, key=lambda r: (r["cos_centroid"], r["vec_id"]))
+            assert best["kept"], (cell, rows)
+
+    check()
+
+
 def test_scrub_pii_categories_and_order(spark):
     from transcriptomics_data_integration_spark.llmdata.text import scrub_pii
 
