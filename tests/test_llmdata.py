@@ -1541,3 +1541,41 @@ def test_mask_frequent_ngrams_spans(spark):
     }
     assert out2[1]["text_masked"] == "endA"
     assert out2[1]["n_masked"] == 9
+
+
+def test_semdedup_arrow_empty_corpus_and_id_type(spark):
+    """semdedup_arrow on an empty corpus returns an empty result (the
+    center collect is empty — must short-circuit, not crash on a 1-D
+    empty center matrix), and non-bigint id columns flow through with
+    their own type instead of the previously hardcoded bigint schema
+    (r5 ADVICE)."""
+    from transcriptomics_data_integration_spark.llmdata.similarity import (
+        semdedup_arrow,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>"
+    )
+    out = semdedup_arrow(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "vec_id", "cell", "cos_centroid", "kept",
+    ]
+    # int ids: the declared schema must carry the input id type instead
+    # of silently widening to the previously hardcoded bigint (string
+    # ids are out of contract for BOTH tiers — the Knuth-hash center
+    # picker is integer arithmetic, mirrored in the oracle)
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 1e-9]),   # near-twin of 1
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    res = semdedup_arrow(emb, n_cells=2, tau=0.999)
+    assert res.schema["vec_id"].dataType.simpleString() == "int"
+    got = {r["vec_id"]: r for r in res.collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[3]["kept"]
+    # exactly one of the twin pair survives when they share a cell
+    if got[1]["cell"] == got[2]["cell"]:
+        assert got[1]["kept"] != got[2]["kept"]

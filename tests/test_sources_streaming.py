@@ -439,7 +439,7 @@ def test_streaming_pii_scrub_matches_batch(spark, tmp_path):
     d = tmp_path / "docs"
     d.mkdir()
     rows = [
-        (1, "ping admin@corp.io from 10.1.2.3"),
+        (1, "ping admin@example.com from 10.1.2.3"),
         (2, "nothing sensitive here"),
         (3, "ssn 321-54-9876 call +1 555-000-1111"),
     ]

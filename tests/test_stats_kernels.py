@@ -590,3 +590,34 @@ def test_squeeze_var_fitfdist_homoscedastic_full_shrinkage(spark):
     for r in out:
         assert math.isinf(r["_d0"])
         assert r["_s2_post"] == pytest.approx(math.exp(e), rel=1e-8)
+
+
+def test_squeeze_var_fitfdist_nonfinite_inputs_propagate(spark):
+    """Degenerate inputs with inf/NaN variances must propagate values
+    instead of raising a parse error at plan build: repr(inf) is 'infd'
+    which Spark cannot parse, so collected literals are formatted via
+    _dlit (r5 ADVICE)."""
+    import math
+
+    from transcriptomics_data_integration_spark.stats.ttest import (
+        _dlit,
+        squeeze_var_fitfdist,
+    )
+
+    # literal formatter: the three special shapes plus a plain double
+    assert _dlit(float("inf")) == "CAST('Infinity' AS DOUBLE)"
+    assert _dlit(float("-inf")) == "CAST('-Infinity' AS DOUBLE)"
+    assert _dlit(float("nan")) == "CAST('NaN' AS DOUBLE)"
+    assert _dlit(2.5) == "2.5d"
+    # an inf variance drives med/emean non-finite: the call must build
+    # and run (no parse error) and yield rows for every input gene
+    rows = [("g0", float("inf"), 10.0), ("g1", 4.0, 10.0), ("g2", 3.5, 8.0)]
+    df_in = spark.createDataFrame(rows, "gene string, _s2 double, _df double")
+    out = {r["gene"]: r for r in squeeze_var_fitfdist(df_in).collect()}
+    assert set(out) == {"g0", "g1", "g2"}
+    # the inf-variance gene's posterior is inf in every branch of the
+    # shrinkage formula; finite genes may be poisoned by the non-finite
+    # global prior (matching limma, whose fitFDist also returns NaN
+    # moments for non-finite inputs) — the contract here is only
+    # "propagate, don't raise"
+    assert math.isinf(out["g0"]["_s2_post"]) or math.isnan(out["g0"]["_s2_post"])

@@ -692,7 +692,19 @@ def semdedup_arrow(
     # the bounded center matrix is collected at plan build (n_cells x d
     # doubles) and shipped in the task closure, so assignment + scoring
     # are one numpy pass — no per-vector JVM folds anywhere in this path
+    id_type = base.schema["cand_id"].dataType.simpleString()
+    vec_type = base.schema["c_vec"].dataType.simpleString()
+    out_schema = (
+        f"cand_id {id_type}, cell int, cos_centroid double, kept boolean"
+    )
     center_rows = _hash_pick_centers(base, n_cells).orderBy("cell").collect()
+    if not center_rows:
+        # empty corpus: no centers — short-circuit with an empty result
+        # instead of letting a 1-D empty C break the axis=1 reductions
+        spark = embeddings.sparkSession
+        return spark.createDataFrame([], out_schema).select(
+            F.col("cand_id").alias(id_col), "cell", "cos_centroid", "kept"
+        )
     C = np.asarray([list(r["center"]) for r in center_rows], dtype=np.float64)
     c_norm2 = (C * C).sum(axis=1)
 
@@ -719,10 +731,9 @@ def semdedup_arrow(
                 }
             )
 
-    vec_type = base.schema["c_vec"].dataType.simpleString()
     scored = base.mapInPandas(
         assign_score,
-        schema=f"cand_id bigint, cell int, c_vec {vec_type}, cos_centroid double",
+        schema=f"cand_id {id_type}, cell int, c_vec {vec_type}, cos_centroid double",
     )
 
     def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -751,9 +762,7 @@ def semdedup_arrow(
             }
         )
 
-    out = scored.groupBy("cell").applyInPandas(
-        sweep, schema="cand_id bigint, cell int, cos_centroid double, kept boolean"
-    )
+    out = scored.groupBy("cell").applyInPandas(sweep, schema=out_schema)
     return out.select(
         F.col("cand_id").alias(id_col), "cell", "cos_centroid", "kept"
     )

@@ -22,7 +22,11 @@ bounded DataFrame references and bounded executor storage even if
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+_log = logging.getLogger(__name__)
 
 _PERSISTED: list[DataFrame] = []
 
@@ -37,6 +41,15 @@ def register_persisted(df: DataFrame) -> DataFrame:
     _PERSISTED.append(df)
     while len(_PERSISTED) > _MAX_REGISTERED:
         old = _PERSISTED.pop(0)
+        # lineage keeps eviction correct, but if the evicted relation's
+        # consuming action has not run yet its subtree silently
+        # recomputes — leave a trail so a recompute storm in a long
+        # non-suite session is diagnosable (r5 ADVICE)
+        _log.debug(
+            "persist registry cap (%d) hit: evicting oldest relation %s",
+            _MAX_REGISTERED,
+            old,
+        )
         try:
             old.unpersist()
         except Exception:  # pragma: no cover - session already stopped

@@ -26,6 +26,22 @@ from pyspark.sql import functions as F
 
 from transcriptomics_data_integration_spark.functions.normal import two_sided_p_sql
 
+import math
+
+
+def _dlit(x: float) -> str:
+    """Spark-SQL double literal for a collected Python float.
+
+    ``repr()`` of inf/nan yields ``infd``/``nand`` which Spark cannot
+    parse; degenerate inputs (e.g. all-equal variances) must propagate
+    the value, not raise at plan build (r5 ADVICE)."""
+    x = float(x)
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(x):
+        return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+    return f"{x!r}d"
+
 
 def _group_moments(
     df: DataFrame,
@@ -202,8 +218,8 @@ def squeeze_var_fitfdist(with_s2: DataFrame) -> DataFrame:
             "_e",
             F.expr(
                 "ln(greatest(_s2, 1.0e-5 * (CASE WHEN "
-                f"{float(med)!r}d = 0.0e0 THEN 1.0e0 "
-                f"ELSE {float(med)!r}d END))) - _dig + ln(_df / 2.0e0)"
+                f"{_dlit(med)} = 0.0e0 THEN 1.0e0 "
+                f"ELSE {_dlit(med)} END))) - _dig + ln(_df / 2.0e0)"
             ),
         )
         .agg(
@@ -219,7 +235,7 @@ def squeeze_var_fitfdist(with_s2: DataFrame) -> DataFrame:
         # (NULL > 0 is false) took the degenerate full-shrinkage branch
         evar = "(CAST(NULL AS DOUBLE) - CAST(NULL AS DOUBLE))"
     else:
-        evar = f"({evsamp!r}d - {tribar!r}d)"
+        evar = f"({_dlit(evsamp)} - {_dlit(tribar)})"
     d0_core = f"(2.0e0 * {trigamma_inverse_sql(evar, dialect='spark')})"
     spark = with_s2.sparkSession
     # two tiny sequential 1-row evals so the ~47 KB Newton text is
@@ -234,11 +250,11 @@ def squeeze_var_fitfdist(with_s2: DataFrame) -> DataFrame:
     ).collect()[0][0]
     if d0 == float("inf"):
         # degenerate full-shrinkage prior: s2post = exp(mean(e))
-        s20_sql = f"exp({emean!r}d)"
+        s20_sql = f"exp({_dlit(emean)})"
     else:
         s20_sql = (
-            f"exp({emean!r}d + " + digamma_sql(f"({d0!r}d / 2.0e0)")
-            + f" - ln({d0!r}d / 2.0e0))"
+            f"exp({_dlit(emean)} + " + digamma_sql(f"({_dlit(d0)} / 2.0e0)")
+            + f" - ln({_dlit(d0)} / 2.0e0))"
         )
     s20 = spark.range(1).select(F.expr(s20_sql).alias("_s20")).collect()[0][0]
     # per-row residue: plain literal arithmetic (d0 is finite-positive

@@ -1554,7 +1554,10 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = survivors.join(
         kept_docs.select(F.col("doc_id").alias("kept_id"), "text"), "kept_id"
     )
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    # single-space split — the SAME tokenizer the quality_filter stage
+    # (llmdata/text.py:_tokens) and the oracle's string_split use, so
+    # token counts agree for inputs with runs of whitespace (r5 ADVICE)
+    toks = F.split(F.trim(F.col("text")), " ")
     return out.select(
         "kept_id",
         "cluster_key",
