@@ -1579,3 +1579,46 @@ def test_semdedup_arrow_empty_corpus_and_id_type(spark):
     # exactly one of the twin pair survives when they share a cell
     if got[1]["cell"] == got[2]["cell"]:
         assert got[1]["kept"] != got[2]["kept"]
+
+
+def test_connected_components_stars_matches_labelprop(spark):
+    """The large/small-star variant reaches the same fixpoint
+    (component = min reachable id) as the label-propagation default on
+    random graphs, descending-local-minima chains (the adversarial case
+    measured in r6 — ids interleaved so pointer jumps never compose),
+    self-loops, and cliques."""
+    import random
+
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        connected_components,
+        connected_components_stars,
+    )
+
+    rnd = random.Random(7)
+    cases = []
+    # random sparse graph
+    cases.append([(rnd.randrange(60), rnd.randrange(60)) for _ in range(50)])
+    # interleaved-id chain: 0-59-1-58-2-57-...  (descending local minima)
+    seq = []
+    lo, hi = 0, 59
+    for i in range(60):
+        seq.append(lo if i % 2 == 0 else hi)
+        if i % 2 == 0:
+            lo += 1
+        else:
+            hi -= 1
+    cases.append(list(zip(seq, seq[1:])))
+    # clique + isolated self-loop
+    cases.append([(a, b) for a in range(5) for b in range(a)] + [(99, 99)])
+    for rows in cases:
+        edges = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in rows], "id_a long, id_b long"
+        )
+        lp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+        st = {}
+        stars = {
+            r["node"]: r["component"]
+            for r in connected_components_stars(edges, stats=st).collect()
+        }
+        assert stars == lp, rows
+        assert st["rounds"] <= 10

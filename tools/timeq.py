@@ -18,6 +18,12 @@ def main() -> None:
     ap.add_argument("names", nargs="+")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--warm",
+        action="store_true",
+        help="bench.py-style warmup: one sf0.001 pass (codegen) + one "
+        "untimed target-SF pass (JIT tiering + page cache) per query",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -35,6 +41,10 @@ def main() -> None:
     qs = entry.queries()
     for name in args.names:
         fn = qs[name]
+        if args.warm:
+            fn(spark, "/root/testdata/sf0.001").count()
+            fn(spark, args.sf).count()
+            spark.catalog.clearCache()
         times = []
         for _ in range(args.reps):
             gc.collect()

@@ -610,6 +610,134 @@ def simhash_neardup_pairs(
     )
 
 
+def connected_components_stars(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    2014) -> ``(node, component)`` with ``component`` = min reachable
+    id — the same fixpoint as :func:`connected_components`.
+
+    Each iteration rewires every node's larger neighbors (large-star)
+    then its smaller neighbors (small-star) to the minimum of its
+    neighborhood, monotonically shrinking the edge list toward
+    per-component stars rooted at the component minimum.  Provably
+    O(log^2 n) iterations regardless of id arrangement.
+
+    Measured tradeoff vs the label-propagation default (r6, PLANS.md):
+    on the sf0.1 two-crawl SimHash graph stars converge in 5 rounds
+    where label propagation needs 10 (near-dup chains interleave
+    descending local minima, so pointer jumping composes nothing away
+    and the min advances one hop per round) — but each star round
+    shuffles ~2|E| twice + a distinct, vs one |E|-join + one |V|-join,
+    so wall-clock LOST (7.2 s vs 3.8 s closure).  Use this variant for
+    adversarial chain-heavy graphs whose diameter defeats label
+    propagation; production dedup graphs are near-cliques that
+    converge in 3-4 label rounds (50 M-doc probe).
+
+    Convergence is detected with an order-independent edge-set
+    signature: (count, sum of xxhash64(hi, lo)) — one tiny aggregate
+    that doubles as the lazy localCheckpoint's materializing action.
+    """
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # node inventory up front: self-loop-only nodes drop out of the
+    # canonical edge list but are components of their own (parity with
+    # the label-propagation contract)
+    nodes = (
+        e0.select(F.col("a").alias("node"))
+        .unionByName(e0.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # canonical directed form: (hi, lo) with hi > lo; self-loops gone
+    e = (
+        e0.where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # ---- large-star: for every node u, attach each LARGER
+        # neighbor v to m(u) = min(N(u) u {u}); m <= u < v so emitted
+        # edges are already (hi=v, lo=m) canonical, never self-loops
+        sym = e.unionByName(
+            e.select(F.col("lo").alias("hi"), F.col("hi").alias("lo"))
+        ).select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        m_lg = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least("_mv", "u").alias("m"))
+        )
+        # no distinct here: duplicate (hi, lo) rows are harmless to the
+        # small-star min and the final distinct dedups — one less
+        # E-shuffle per round
+        e_lg = (
+            sym.join(m_lg, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+        )
+        # ---- small-star on the directed (hi -> lo) list: attach every
+        # smaller neighbor (and hi itself) to m(hi) = min of them
+        m_sm = e_lg.groupBy("hi").agg(F.min("lo").alias("m"))
+        e_sm = (
+            e_lg.join(m_sm, "hi")
+            .select(F.col("lo").alias("node"), F.col("m"))
+            .unionByName(
+                m_sm.select(F.col("hi").alias("node"), F.col("m"))
+            )
+            .where(F.col("node") != F.col("m"))
+            .select(F.col("node").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+            # LAZY checkpoint: the signature aggregate right below is
+            # the materializing action, so lineage truncation and the
+            # convergence check share ONE job per round
+            .localCheckpoint(eager=False)
+        )
+        e = e_sm
+        sig_row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(F.col("hi"), F.col("lo")).cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: no fixpoint after max_iter={max_iter} "
+            "star rounds; components may be over-split.  Raise max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+    # converged edges are stars: (node -> component root); roots and
+    # self-loop-only nodes map to themselves
+    return (
+        nodes.join(
+            e.select(F.col("hi").alias("node"), F.col("lo").alias("_root")),
+            "node",
+            "left",
+        )
+        .select(
+            "node", F.coalesce("_root", F.col("node")).alias("component")
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -629,12 +757,19 @@ def connected_components(
     does (1) a neighbor step — every node takes the min label over
     itself and its neighbors (one shuffle on the edge list) — and (2) a
     pointer-jump step — label(n) <- label(label(n)) (one self-join on
-    the label table, whose size is |V|, not |E|).  Neighbor steps alone
-    need diameter rounds; the jump step short-circuits chains, giving
-    O(log diameter) convergence — the same doubling idea as the
-    large/small-star algorithm used for web-scale graphs.  Lineage is
-    truncated every round with ``localCheckpoint`` (iterative plans
-    otherwise grow unboundedly and re-execute from the scan).
+    the label table, whose size is |V|, not |E|).  Lineage is truncated
+    every round with ``localCheckpoint`` (iterative plans otherwise
+    grow unboundedly and re-execute from the scan).
+
+    Convergence is O(log diameter) when pointer jumps compose, and
+    O(diameter) on chains that interleave descending local minima
+    (measured r6: the sf0.1 two-crawl SimHash graph takes 10 rounds
+    and extra jumps compose NOTHING away — see PLANS.md).  Kept as the
+    default anyway: production dup graphs are near-cliques (tiny
+    diameter — the 50 M-doc probe converged in 4 rounds) and each
+    round is far lighter than a star round
+    (:func:`connected_components_stars`, the O(log^2 n) fallback for
+    adversarial chain-heavy graphs, measured 2x slower here).
 
     At 100 TB scale: the per-round cost is one shuffle of E on dst plus
     one shuffle of V; dup graphs have tiny diameter (near-cliques), so
