@@ -1622,3 +1622,58 @@ def test_connected_components_stars_matches_labelprop(spark):
         }
         assert stars == lp, rows
         assert st["rounds"] <= 10
+
+
+def test_semdedup_2level_tiers_agree_and_drop_twins(spark):
+    """The JVM and Arrow two-level quantizer tiers produce identical
+    cells and kept flags (away from the tau boundary), planted
+    near-twins colocate and exactly one member survives, and the empty
+    corpus short-circuits (r5 verdict item 2 — the billion-scale
+    assignment path)."""
+    import random
+
+    from transcriptomics_data_integration_spark.llmdata.similarity import (
+        semdedup_2level,
+        semdedup_arrow_2level,
+    )
+
+    rnd = random.Random(11)
+    base = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(150)
+    ]
+    # perturbation large enough that the twin/original cos_centroid
+    # gap is resolvable in BOTH float summation orders (JVM fold vs
+    # BLAS), small enough to stay >= tau similar
+    twins = [(i + 1000, [x + 1e-4 for x in v]) for i, v in base[:40]]
+    emb = spark.createDataFrame(base + twins, ["vec_id", "embedding"])
+    jvm = {
+        r["vec_id"]: r
+        for r in semdedup_2level(emb, n_cells=8, tau=0.999).collect()
+    }
+    arw = {
+        r["vec_id"]: r
+        for r in semdedup_arrow_2level(emb, n_cells=8, tau=0.999).collect()
+    }
+    assert set(jvm) == set(arw) and len(jvm) == 190
+    assert {k: v["kept"] for k, v in jvm.items()} == {
+        k: v["kept"] for k, v in arw.items()
+    }
+    assert {k: v["cell"] for k, v in jvm.items()} == {
+        k: v["cell"] for k, v in arw.items()
+    }
+    colocated = 0
+    for i, _ in base[:40]:
+        a, b = jvm[i], jvm[i + 1000]
+        if a["cell"] == b["cell"]:
+            colocated += 1
+            assert a["kept"] != b["kept"], i  # exactly one survives
+        else:
+            assert a["kept"] and b["kept"], i
+    assert colocated >= 30, colocated  # boundary straddling is rare
+    # untouched vectors (no twin) are always kept
+    for i, _ in base[40:]:
+        assert jvm[i]["kept"], i
+    # empty corpus: both tiers short-circuit
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert semdedup_arrow_2level(empty).count() == 0
+    assert semdedup_2level(empty).count() == 0

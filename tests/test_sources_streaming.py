@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from transcriptomics_data_integration_spark.sources import (
@@ -899,3 +901,64 @@ def test_cel_long_tolerant_scan(spark):
     by_x = {r["cell_x"]: r for r in out}
     assert by_x[0]["intensity"] == 5.0 and by_x[1]["npixels"] == 16
     assert by_x[1]["cell_y"] == 0 and by_x[1]["nrows"] == 1
+
+
+def test_detection_pvalues_ecdf_and_keep_list(spark):
+    """detection_pvalues matches a hand-computed negative-control
+    upper-tail ECDF (ties counted as >=), zero-control samples yield
+    NULL det_p / detected false, and detection_keep_list +
+    build_expression_matrix(detection_keep=...) drop undetected probes
+    before normalization (the lumiR(detectionTh) -> F12 seam)."""
+    from transcriptomics_data_integration_spark.sources.idat import (
+        detection_keep_list,
+        detection_pvalues,
+    )
+
+    rows = [
+        # sample 1: controls at 100, 200, 300 (n_neg=3)
+        (1, 900, True, 100), (1, 901, True, 200), (1, 902, True, 300),
+        (1, 10, False, 350),   # above all controls -> p=0, detected
+        (1, 11, False, 300),   # TIES a control -> p=1/3
+        (1, 12, False, 150),   # one control above, one tied-above? ->
+                               # controls >=150: 200,300 -> p=2/3
+        (1, 13, False, 50),    # below all -> p=1
+        # sample 2: no controls
+        (2, 10, False, 10),
+        (2, 11, False, 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "sample_id long, illumina_id int, is_control boolean, mean int"
+    )
+    det = {
+        (r["sample_id"], r["illumina_id"]): r
+        for r in detection_pvalues(df, th=0.01).collect()
+    }
+    assert det[(1, 10)]["det_p"] == 0.0 and det[(1, 10)]["detected"]
+    assert det[(1, 11)]["det_p"] == pytest.approx(1 / 3) and not det[(1, 11)]["detected"]
+    assert det[(1, 12)]["det_p"] == pytest.approx(2 / 3)
+    assert det[(1, 13)]["det_p"] == 1.0
+    assert det[(1, 10)]["n_neg"] == 3
+    assert det[(2, 10)]["det_p"] is None and not det[(2, 10)]["detected"]
+    # keep list: only probe 10 is detected in >= 50% of its samples
+    keep = detection_keep_list(detection_pvalues(df, th=0.01))
+    assert {r["illumina_id"] for r in keep.collect()} == {10}
+    # F12 feed: the pipeline drops probes not in the keep list
+    from transcriptomics_data_integration_spark.pipelines.expression import (
+        build_expression_matrix,
+    )
+
+    inten = spark.createDataFrame(
+        [("p10", 1, 5.0), ("p10", 2, 6.0), ("p13", 1, 7.0), ("p13", 2, 8.0)],
+        "probe string, sample_id long, value double",
+    )
+    targets = spark.createDataFrame([(1,), (2,)], "sample_id long")
+    outliers = spark.createDataFrame([("999",)], "samples2exclude string")
+    pmap = spark.createDataFrame(
+        [("p10", "g1"), ("p13", "g2")], "probe string, gene_id string"
+    )
+    dkeep = spark.createDataFrame([("p10", 1.0)], "probe string, detected_frac double")
+    out = build_expression_matrix(
+        inten, targets, outliers, pmap, normalize=False, detection_keep=dkeep
+    )
+    got = {(r["gene_id"], r["sample_id"]): r["value"] for r in out.collect()}
+    assert set(g for g, _ in got) == {"g1"}  # p13/g2 filtered by F12

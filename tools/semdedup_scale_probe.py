@@ -6,7 +6,12 @@ mixing, ~1% planted near-dup twins), runs `semdedup` with n_cells
 sized so E[|cell|] stays ~constant, and reports per-phase wall +
 shuffle totals from the Spark status API.
 
-Usage: python tools/semdedup_scale_probe.py [n_vecs] [n_cells]
+Usage: python tools/semdedup_scale_probe.py [n_vecs] [n_cells] [tiers]
+
+``tiers`` is a comma list of jvm, arrow, jvm2, arrow2 (default
+"jvm,arrow" — the r5 behavior).  jvm2/arrow2 are the two-level
+coarse-quantizer tiers (r6): assignment n*O(sqrt(k))*d instead of
+n*k*d, the billion-scale path.
 """
 from __future__ import annotations
 
@@ -54,10 +59,19 @@ def main() -> None:
     corpus = base.unionByName(twins)
 
     from transcriptomics_data_integration_spark.llmdata.similarity import (
+        semdedup_2level,
         semdedup_arrow,
+        semdedup_arrow_2level,
     )
 
-    for name, fn in (("jvm_fold", semdedup), ("arrow_blas", semdedup_arrow)):
+    tier_fns = {
+        "jvm": ("jvm_fold", semdedup),
+        "arrow": ("arrow_blas", semdedup_arrow),
+        "jvm2": ("jvm_2level", semdedup_2level),
+        "arrow2": ("arrow_2level", semdedup_arrow_2level),
+    }
+    tiers = (sys.argv[3] if len(sys.argv) > 3 else "jvm,arrow").split(",")
+    for name, fn in (tier_fns[t.strip()] for t in tiers):
         t0 = time.perf_counter()
         out = fn(corpus, n_cells=n_cells, tau=0.95)
         agg = out.agg(

@@ -26,6 +26,8 @@ ORACLE BASELINE — quadratic by construction; route scaled workloads to
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -591,8 +593,6 @@ def semdedup(
     raise n_cells so cells stay bounded (the paper uses ~10^5 clusters
     for 10^9 docs), which this layout absorbs without plan changes.
     """
-    from transcriptomics_data_integration_spark.runtime import register_persisted
-
     base = embeddings.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
     )
@@ -610,14 +610,24 @@ def semdedup(
             ).otherwise(F.lit(0.0)),
         )
         .select("cand_id", "cell", "c_vec", "_vnorm", "cos_centroid")
-        # three plan branches read this (both sides of the pair sweep +
-        # the output join); without the cache the n x n_cells argmin
-        # assignment — the probe-measured dominant cost — re-executes
-        # per branch.  Linear in the corpus (MEMORY_AND_DISK), the
-        # standard trade for an assignment consumed k times.
-        .persist()
     )
-    register_persisted(scored)
+    return _semdedup_flag(scored, id_col, tau)
+
+
+def _semdedup_flag(scored: DataFrame, id_col: str, tau: float) -> DataFrame:
+    """Shared within-cell pair sweep + keep rule over a ``scored``
+    relation (cand_id, cell, c_vec, _vnorm, cos_centroid) — the
+    assignment-independent half of SemDeDup, used by both the flat
+    (:func:`semdedup`) and two-level (:func:`semdedup_2level`)
+    quantizer tiers."""
+    from transcriptomics_data_integration_spark.runtime import register_persisted
+
+    # three plan branches read this (both sides of the pair sweep +
+    # the output join); without the cache the argmin assignment — the
+    # probe-measured dominant cost — re-executes per branch.  Linear
+    # in the corpus (MEMORY_AND_DISK), the standard trade for an
+    # assignment consumed k times.
+    scored = register_persisted(scored.persist())
     left = scored.select(
         F.col("cand_id").alias("a_id"),
         "cell",
@@ -662,6 +672,124 @@ def semdedup(
             F.col("_dropped").isNull().alias("kept"),
         )
     )
+
+
+def semdedup_2level(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    tau: float = 0.9,
+    n_coarse: int | None = None,
+) -> DataFrame:
+    """SemDeDup with a TWO-LEVEL coarse quantizer — the billion-scale
+    assignment path (r5 verdict item 2).
+
+    The flat tier's assignment is n*k*d; with cells scaled
+    proportionally to the corpus (E[|cell|] constant, the SemDeDup
+    paper's own setting of ~10^5 clusters for 10^9 docs) that is
+    quadratic in n.  Here the codebook is split into ``n_coarse``
+    level-1 groups (default ceil(sqrt(n_cells))): each CENTER is
+    assigned to its nearest level-1 center (k * n_coarse, plan-bounded),
+    and each vector is assigned first to a level-1 group
+    (n * n_coarse) and then argmin-L2 among only that group's centers
+    (n * E[k/n_coarse]) — total n * O(sqrt(k)) * d instead of n*k*d,
+    ~linear in n when k grows with the corpus.
+
+    Same arithmetic as :func:`semdedup` everywhere (integer-exact
+    Knuth-hash center pick, SQL double folds, ties to the smaller cell
+    id), so the output is engine-reproducible and DuckDB-oracleable.
+    Assignment is APPROXIMATE exactly as IVF is: a vector lands in the
+    nearest cell *within its level-1 group*, which can differ from the
+    global argmin near group boundaries — the standard hierarchical
+    k-means tradeoff the paper's own pipeline makes.  The keep rule
+    within each cell is identical (:func:`_semdedup_flag`).
+
+    Scale shape: both center tables broadcast; the level-2 blowup is a
+    broadcast equi-join on the group key (map-side partial argmin), so
+    the whole assignment is one shuffle-free pass over the corpus plus
+    the two bounded center relations.
+    """
+    if n_coarse is None:
+        n_coarse = max(1, int(math.isqrt(max(n_cells - 1, 0))) + 1)
+    base = embeddings.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
+    )
+    centers = _hash_pick_centers(base, n_cells)
+    # level-1 groups: the first n_coarse centers in the deterministic
+    # cell numbering (a hash-random subset, like the codebook itself)
+    coarse = centers.where(F.col("cell") < n_coarse).select(
+        F.col("cell").alias("g"), F.col("center").alias("gcenter")
+    )
+    # each center joins its nearest level-1 group (bounded k rows)
+    cen_g = (
+        centers.crossJoin(F.broadcast(coarse))
+        .withColumn(
+            "_d",
+            F.expr(
+                "aggregate(zip_with(center, gcenter, (x, y) -> (x - y) * (x - y)), "
+                "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            ),
+        )
+        .groupBy("cell")
+        .agg(F.min(F.struct(F.col("_d"), F.col("g"), F.col("center").alias("v"))).alias("_m"))
+        # a group center always belongs to its OWN group (distance 0;
+        # only exact-duplicate ties could reassign it) — guarantees
+        # every group a vector can reach at level 1 has members, so
+        # the level-2 inner join never drops a vector
+        .select(
+            F.when(F.col("cell") < n_coarse, F.col("cell"))
+            .otherwise(F.col("_m.g"))
+            .alias("g"),
+            "cell",
+            F.col("_m.v").alias("center"),
+        )
+    )
+    # vector level-1 assignment: argmin over the n_coarse group centers
+    l1 = _assign_to_centers(
+        base, coarse.select(F.col("g").alias("cell"), F.col("gcenter").alias("center"))
+    ).select("cand_id", "c_vec", F.col("cell").alias("g"))
+    # vector level-2 assignment: argmin among the group's centers only
+    assigned = (
+        l1.join(F.broadcast(cen_g), "g")
+        .withColumn(
+            "dist",
+            F.expr(
+                "aggregate(zip_with(c_vec, center, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+                "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            ),
+        )
+        .groupBy("cand_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("dist"),
+                    F.col("cell"),
+                    F.col("c_vec").alias("v"),
+                    F.col("center").alias("cen"),
+                )
+            ).alias("_m")
+        )
+        .select(
+            "cand_id",
+            F.col("_m.v").alias("c_vec"),
+            F.col("_m.cell").alias("cell"),
+            F.col("_m.cen").alias("center"),
+        )
+    )
+    scored = (
+        assigned.withColumn("center_norm", F.sqrt(_norm2("center")))
+        .withColumn("_vnorm", F.sqrt(_norm2("c_vec")))
+        .withColumn(
+            "cos_centroid",
+            F.when(
+                F.col("_vnorm") * F.col("center_norm") > 0,
+                _dot("c_vec", "center") / (F.col("_vnorm") * F.col("center_norm")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select("cand_id", "cell", "c_vec", "_vnorm", "cos_centroid")
+    )
+    return _semdedup_flag(scored, id_col, tau)
 
 
 def semdedup_arrow(
@@ -736,6 +864,34 @@ def semdedup_arrow(
         schema=f"cand_id {id_type}, cell int, c_vec {vec_type}, cos_centroid double",
     )
 
+    out = scored.groupBy("cell").applyInPandas(
+        _make_arrow_sweep(tau), schema=out_schema
+    )
+    return out.select(
+        F.col("cand_id").alias(id_col), "cell", "cos_centroid", "kept"
+    )
+
+
+def _make_arrow_sweep(tau: float, block: int = 1024):
+    """Per-cell BLAS pair sweep for the Arrow SemDeDup tiers.  Drop
+    rule: a row is dropped iff some EARLIER row in (cos_centroid, id)
+    preference order is >= tau similar — identical to the JVM pair
+    sweep.
+
+    BLOCKED evaluation (r6): hash-picked centers produce skewed
+    Voronoi cells (measured at 1 M vectors / 500 cells: max |cell|
+    21 347 vs median 1 205 — distance concentration in high dim), and
+    the r5 full-matrix form materialized S (|cell|^2 doubles), a
+    fancy-index permuted copy, and two boolean temporaries — ~8 GB of
+    allocation churn for the largest cell.  Instead: sort once into
+    preference order, then for each ~1k-row block compute only
+    ``block x prefix`` similarities against the rows that precede it
+    (same flops, O(block * |cell|) peak memory, no permutation copy).
+    Measured 1 M x 500 cells: sweep stage 235 s -> see PLANS.md r6.
+    """
+    import numpy as np
+    import pandas as pd
+
     def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["cand_id"].to_numpy()
         cc = pdf["cos_centroid"].to_numpy()
@@ -743,15 +899,20 @@ def semdedup_arrow(
         norms = np.sqrt((V * V).sum(axis=1))
         safe = norms > 0
         Vn = np.where(safe[:, None], V / np.where(safe, norms, 1.0)[:, None], 0.0)
-        S = Vn @ Vn.T
-        # preference order: (cos_centroid, id) ascending — row k of the
-        # ordered matrix is dropped iff any EARLIER (preferred) row is
-        # >= tau similar
+        n = len(ids)
         order = np.lexsort((ids, cc))
-        P = S[np.ix_(order, order)] >= tau
-        np.fill_diagonal(P, False)
-        dropped_ord = np.tril(P, -1).any(axis=1)
-        dropped = np.empty(len(ids), dtype=bool)
+        Vo = Vn[order]
+        dropped_ord = np.zeros(n, dtype=bool)
+        # row 0 is never dropped; evaluate blocks against their prefix
+        for s in range(1, n, block):
+            e = min(s + block, n)
+            sim = Vo[s:e] @ Vo[:e].T  # (e-s) x e, bounded
+            hit = sim >= tau
+            drop = hit[:, :s].any(axis=1)
+            # intra-block: row s+j compares to columns s..s+j-1
+            intra = np.tril(hit[:, s:e], -1).any(axis=1)
+            dropped_ord[s:e] = drop | intra
+        dropped = np.empty(n, dtype=bool)
         dropped[order] = dropped_ord
         return pd.DataFrame(
             {
@@ -762,7 +923,122 @@ def semdedup_arrow(
             }
         )
 
-    out = scored.groupBy("cell").applyInPandas(sweep, schema=out_schema)
+    return sweep
+
+
+def semdedup_arrow_2level(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    tau: float = 0.9,
+    n_coarse: int | None = None,
+) -> DataFrame:
+    """Arrow/BLAS tier of :func:`semdedup_2level` — the BILLION-SCALE
+    assignment path.  Identical two-level cell semantics (level-1
+    group via the first ``n_coarse`` hash-picked centers, then argmin
+    among that group's centers, ties to the smaller cell id), with the
+    assignment running as numpy matmuls per Arrow batch:
+    ``n x n_coarse`` for level 1 plus ``n x E[k/n_coarse]`` for level 2
+    — n * O(sqrt(k)) * d total, ~linear in n when k scales with the
+    corpus (probed at 10 M vectors, PLANS.md r6).
+
+    The (k x d) codebook is shipped via ``SparkContext.broadcast``
+    (torrent, one copy per executor) rather than closure capture —
+    at the paper's 10^5-center scale the codebook is tens-to-hundreds
+    of MB, beyond task-closure hygiene.  Float summation order differs
+    from the JVM folds, so like :func:`semdedup_arrow` this is the
+    rows-only tier: kept flags match :func:`semdedup_2level` except
+    for cosines within float error of ``tau``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = embeddings.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
+    )
+    id_type = base.schema["cand_id"].dataType.simpleString()
+    vec_type = base.schema["c_vec"].dataType.simpleString()
+    out_schema = (
+        f"cand_id {id_type}, cell int, cos_centroid double, kept boolean"
+    )
+    center_rows = _hash_pick_centers(base, n_cells).orderBy("cell").collect()
+    if not center_rows:
+        spark = embeddings.sparkSession
+        return spark.createDataFrame([], out_schema).select(
+            F.col("cand_id").alias(id_col), "cell", "cos_centroid", "kept"
+        )
+    C = np.asarray([list(r["center"]) for r in center_rows], dtype=np.float64)
+    k = C.shape[0]
+    if n_coarse is None:
+        n_coarse = max(1, int(math.isqrt(max(n_cells - 1, 0))) + 1)
+    n_coarse = min(n_coarse, k)
+    C1 = C[:n_coarse]
+    # center -> level-1 group (k x n_coarse, plan-bounded; argmin ties
+    # to the smaller group id = np.argmin's first-hit rule)
+    d2_cg = (
+        (C * C).sum(axis=1)[:, None]
+        - 2.0 * (C @ C1.T)
+        + (C1 * C1).sum(axis=1)[None, :]
+    )
+    grp_of_center = d2_cg.argmin(axis=1)
+    # a group center always belongs to its OWN group (mirrors the JVM
+    # tier: only exact-duplicate ties could reassign it, which would
+    # leave the group empty for the vectors that tie-break into it)
+    grp_of_center[:n_coarse] = np.arange(n_coarse)
+    # per-group member lists, cell ids ascending (tie rule)
+    members = [np.flatnonzero(grp_of_center == g) for g in range(n_coarse)]
+    sc = embeddings.sparkSession.sparkContext
+    bc = sc.broadcast((C, C1, members))
+
+    def assign_score(batches):
+        Cb, C1b, mem = bc.value
+        c1n2 = (C1b * C1b).sum(axis=1)
+        cn2 = (Cb * Cb).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["c_vec"]]
+            )
+            vn2 = (V * V).sum(axis=1)
+            g = (
+                vn2[:, None] - 2.0 * (V @ C1b.T) + c1n2[None, :]
+            ).argmin(axis=1)
+            cell = np.empty(len(V), dtype=np.int64)
+            vc = np.empty(len(V), dtype=np.float64)
+            for gg in np.unique(g):
+                idx = mem[gg]
+                rows = np.flatnonzero(g == gg)
+                if len(idx) == 0:
+                    # a group with no members keeps its level-1 center
+                    # as the cell (gg < n_coarse <= k is a real cell)
+                    idx = np.asarray([gg])
+                sub = V[rows] @ Cb[idx].T
+                d2 = vn2[rows][:, None] - 2.0 * sub + cn2[idx][None, :]
+                pick = d2.argmin(axis=1)
+                cell[rows] = idx[pick]
+                vc[rows] = sub[np.arange(len(rows)), pick]
+            vn = np.sqrt(vn2)
+            cn = np.sqrt(cn2[cell])
+            denom = vn * cn
+            cc = np.where(denom > 0, vc / np.where(denom > 0, denom, 1.0), 0.0)
+            yield pd.DataFrame(
+                {
+                    "cand_id": pdf["cand_id"].to_numpy(),
+                    "cell": cell.astype(np.int32),
+                    "c_vec": pdf["c_vec"],
+                    "cos_centroid": cc,
+                }
+            )
+
+    scored = base.mapInPandas(
+        assign_score,
+        schema=f"cand_id {id_type}, cell int, c_vec {vec_type}, cos_centroid double",
+    )
+    out = scored.groupBy("cell").applyInPandas(
+        _make_arrow_sweep(tau), schema=out_schema
+    )
     return out.select(
         F.col("cand_id").alias(id_col), "cell", "cos_centroid", "kept"
     )

@@ -38,15 +38,25 @@ def build_expression_matrix(
     gene_col: str = "gene_id",
     value_col: str = "value",
     normalize: bool = True,
+    detection_keep: DataFrame | None = None,
 ) -> DataFrame:
     """(probe, sample, value) + dims -> long (gene, sample, value).
 
     ``targets``: sample sheet (keeps only listed samples, F1);
     ``outliers``: packed exclusion sheet (F3, column ``samples2exclude``);
-    ``probe_map``: reliable probe -> gene (the ``.flat`` relation, J4).
+    ``probe_map``: reliable probe -> gene (the ``.flat`` relation, J4);
+    ``detection_keep``: optional F12 feed — probes that pass the
+    negative-control detection filter
+    (`sources/idat.py:detection_keep_list`, the
+    ``lumiR(detectionTh=0.01)`` seam) — semi-joined before the gene
+    map so undetected probes never reach normalization.
     """
     kept = keep_ids(intensities, targets.select(sample_col), sample_col)
     kept = remove_outlier_samples(kept, outliers, "samples2exclude", sample_col)
+    if detection_keep is not None:
+        kept = kept.join(
+            F.broadcast(detection_keep.select(probe_col)), probe_col, "left_semi"
+        )
     mapped = kept.join(F.broadcast(probe_map.select(probe_col, gene_col)), probe_col)
     if normalize:
         mapped = quantile_normalize(mapped, sample_col, value_col, probe_col).withColumn(

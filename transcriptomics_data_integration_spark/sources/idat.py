@@ -150,3 +150,88 @@ def idat_long(
             yield flush()
 
     return df.select(id_col, payload_col).mapInPandas(op, schema=IDAT_LONG_SCHEMA)
+
+
+def detection_pvalues(
+    long_df: DataFrame,
+    sample_col: str = "sample_id",
+    probe_col: str = "illumina_id",
+    value_col: str = "mean",
+    control_col: str = "is_control",
+    th: float = 0.01,
+) -> DataFrame:
+    """Detection p-values from negative-control bead distributions —
+    the semantics behind ``lumiR(detectionTh=0.01)``
+    (`GenExpressionComb_Illum_HT_12_V3.R:148,153`; lumi/limma
+    ``detectionPValues``): the detection p of a probe on a sample is
+    the empirical upper-tail probability of its intensity under that
+    sample's negative-control distribution,
+
+        det_p = #{controls on the sample with intensity >= x} / n_neg
+
+    (GenomeStudio's ECDF rule, ties counted as >=), and the probe is
+    ``detected`` when det_p <= ``th``.
+
+    Plan shape — NO probe x control blowup: ONE cumulative window per
+    sample, ordered by intensity DESCENDING with a RANGE frame, so
+    every row reads the running count of controls at-or-above its own
+    intensity (the RANGE frame folds ties in for free), plus a plain
+    per-sample control count.  Both windows partition by sample, so
+    the whole kernel is a single shuffle on the sample key at any
+    scale; samples with zero negative controls get det_p NULL and
+    detected false.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    is_ctrl = F.col(control_col).cast("long")
+    w_cum = (
+        Window.partitionBy(sample_col)
+        .orderBy(F.col(value_col).desc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(sample_col)
+    out = (
+        long_df.withColumn("_ge", F.sum(is_ctrl).over(w_cum))
+        .withColumn("_nneg", F.sum(is_ctrl).over(w_all))
+        .withColumn(
+            "det_p",
+            F.when(F.col("_nneg") > 0, F.col("_ge") / F.col("_nneg")),
+        )
+        .withColumn(
+            "detected",
+            F.coalesce(F.col("det_p") <= F.lit(th), F.lit(False)),
+        )
+    )
+    return out.select(
+        sample_col,
+        probe_col,
+        control_col,
+        value_col,
+        F.col("_nneg").alias("n_neg"),
+        "det_p",
+        "detected",
+    )
+
+
+def detection_keep_list(
+    det: DataFrame,
+    probe_col: str = "illumina_id",
+    control_col: str = "is_control",
+    min_frac: float = 0.5,
+) -> DataFrame:
+    """F12 feed: probes detected (det_p <= th) in at least
+    ``min_frac`` of samples — the lumi presentCount-style probe filter
+    the reference applies downstream of ``lumiR``.  One probe-keyed
+    aggregate over :func:`detection_pvalues` output; pass the result
+    as ``detection_keep`` to
+    ``pipelines.expression.build_expression_matrix``."""
+    from pyspark.sql import functions as F
+
+    return (
+        det.where(~F.col(control_col))
+        .groupBy(probe_col)
+        .agg(F.avg(F.col("detected").cast("double")).alias("detected_frac"))
+        .where(F.col("detected_frac") >= min_frac)
+        .select(probe_col, "detected_frac")
+    )

@@ -1542,6 +1542,107 @@ QUERIES["idat_decode"] = q_idat_decode
 ORACLES["idat_decode"] = ORACLE_IDAT_DECODE
 
 
+def q_detection_p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4→F12 detection-p seam, HASH-GATED end-to-end (r5 verdict item
+    5): 24-probe IDAT v3 payloads are synthesized in-plan per doc
+    (planted intensity formulas), decoded by the REAL binary parser
+    (`sources/idat.py:idat_long`), negative-control beads designated
+    by a deterministic manifest predicate (illumina_id % 4 == 0 —
+    modeling the control-manifest join), and detection p-values
+    computed from each sample's control ECDF
+    (`sources/idat.py:detection_pvalues`, the
+    ``lumiR(detectionTh=0.01)`` semantics:
+    `GenExpressionComb_Illum_HT_12_V3.R:148`).  The oracle recomputes
+    the planted arrays from doc_id and replays the ECDF as the same
+    cumulative RANGE window, so a hash match proves binary layer +
+    control ECDF + threshold together."""
+    import struct as _struct
+
+    from transcriptomics_data_integration_spark.sources.idat import (
+        detection_pvalues,
+        idat_long,
+    )
+
+    n_probes = 24
+    # layout: header 16 + 5x10 field table = 66; n(i4)@66; 102@70
+    # (24xi4); 103@166 (24xu2); 104@214 (24xu2); 107@262 (24xu1)
+    head = (
+        b"IDAT"
+        + _struct.pack("<q", 3)
+        + _struct.pack("<i", 5)
+        + _struct.pack("<HQ", 1000, 66)
+        + _struct.pack("<HQ", 102, 70)
+        + _struct.pack("<HQ", 103, 166)
+        + _struct.pack("<HQ", 104, 214)
+        + _struct.pack("<HQ", 107, 262)
+        + _struct.pack("<i", n_probes)
+    )
+
+    def byte(e):
+        return f"unhex(lpad(hex(({e}) % 256), 2, '0'))"
+
+    def le4(e):
+        return (
+            f"concat({byte(e)}, {byte(f'({e}) DIV 256')}, "
+            f"{byte(f'({e}) DIV 65536')}, {byte(f'({e}) DIV 16777216')})"
+        )
+
+    def le2(e):
+        return f"concat({byte(e)}, {byte(f'({e}) DIV 256')})"
+
+    rng = range(n_probes)
+    ids = ", ".join(le4(f"(doc_id * 13 + {101 * i}) % 9999991 + 1") for i in rng)
+    sds = ", ".join(le2(f"(doc_id * 3 + {7 * i}) % 65536") for i in rng)
+    means = ", ".join(le2(f"(doc_id * 5 + {11 * i}) % 65536") for i in rng)
+    beads = ", ".join(byte(f"(doc_id + {i}) % 256") for i in rng)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = docs.select(
+        F.col("doc_id").alias("sample_id"),
+        F.expr(
+            f"concat(X'{head.hex()}', {ids}, {sds}, {means}, {beads})"
+        ).alias("payload"),
+    )
+    long_df = idat_long(media).withColumn(
+        "is_control", F.col("illumina_id") % 4 == 0
+    )
+    return detection_pvalues(long_df, th=0.01).select(
+        "sample_id", "illumina_id", "is_control", "mean",
+        "n_neg", "det_p", "detected",
+    )
+
+
+ORACLE_DETECTION_P = """
+WITH idx AS (
+  SELECT doc_id, unnest(generate_series(0, 23)) AS i FROM documents
+), long_rel AS (
+  SELECT doc_id AS sample_id,
+         CAST((doc_id * 13 + 101 * i) % 9999991 + 1 AS INTEGER) AS illumina_id,
+         CAST((doc_id * 5 + 11 * i) % 65536 AS INTEGER) AS mean
+  FROM idx
+), flagged AS (
+  SELECT *, illumina_id % 4 = 0 AS is_control FROM long_rel
+), windowed AS (
+  SELECT sample_id, illumina_id, is_control, mean,
+         CAST(SUM(CASE WHEN is_control THEN 1 ELSE 0 END) OVER (
+           PARTITION BY sample_id ORDER BY mean DESC
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS ge_ctrl,
+         CAST(SUM(CASE WHEN is_control THEN 1 ELSE 0 END) OVER (
+           PARTITION BY sample_id
+         ) AS BIGINT) AS n_neg
+  FROM flagged
+)
+SELECT sample_id, illumina_id, is_control, mean, n_neg,
+       CASE WHEN n_neg > 0 THEN ge_ctrl / n_neg END AS det_p,
+       COALESCE(CASE WHEN n_neg > 0 THEN ge_ctrl / n_neg END <= 0.01,
+                FALSE) AS detected
+FROM windowed
+"""
+
+QUERIES["detection_p"] = q_detection_p
+ORACLES["detection_p"] = ORACLE_DETECTION_P
+
+
 def q_jsonl_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL-source parse/validate contract, HASH-GATED — the engine's
     training-corpus ingest semantics (`sources/jsonl.py`): both engines

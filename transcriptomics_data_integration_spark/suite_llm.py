@@ -1358,6 +1358,112 @@ QUERIES_LLM["semdedup"] = q_semdedup
 ORACLES_LLM["semdedup"] = _oracle_semdedup()
 
 
+def q_semdedup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the billion-scale TWO-LEVEL coarse quantizer on
+    the same planted-near-dup fixture as `semdedup` (r5 verdict item
+    2): vectors route through sqrt(k) level-1 groups before the
+    within-group argmin, so assignment is n*O(sqrt(k))*d instead of
+    n*k*d.  HASH-GATED end-to-end against a DuckDB replay of the
+    two-stage argmin (`llmdata/similarity.py:semdedup_2level`)."""
+    from transcriptomics_data_integration_spark.llmdata.similarity import (
+        semdedup_2level,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pert = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(_PERTURB_SPARK).alias("embedding"),
+    )
+    corpus = emb.unionByName(pert)
+    out = semdedup_2level(corpus, n_cells=16, tau=0.9, n_coarse=4)
+    return out.select(
+        "vec_id",
+        "cell",
+        F.round("cos_centroid", 6).alias("cos_centroid"),
+        "kept",
+    )
+
+
+def _oracle_semdedup_2level() -> str:
+    l2 = _L2_SQL
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, {_PERTURB_SQL} AS embedding FROM embeddings
+), base AS (
+  SELECT vec_id AS cand_id, embedding AS c_vec,
+         (((((vec_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536
+          + ((vec_id % 65536) * 2654435761)) % 4294967296 AS h
+  FROM corpus
+), picked AS (
+  SELECT h, cand_id, c_vec FROM base ORDER BY h, cand_id LIMIT 16
+), centers AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY h, cand_id) - 1 AS cell,
+         list_transform(c_vec, x -> CAST(x AS DOUBLE)) AS center
+  FROM picked
+), coarse AS (
+  SELECT cell AS g, center AS gcenter FROM centers WHERE cell < 4
+), cg AS (
+  SELECT cell, center,
+         CASE WHEN cell < 4 THEN cell ELSE g END AS g
+  FROM (
+    SELECT c.cell, c.center, co.g,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.cell
+             ORDER BY {l2.format(a='c.center', b='co.gcenter')}, co.g
+           ) AS rn
+    FROM centers c CROSS JOIN coarse co
+  ) WHERE rn = 1
+), l1 AS (
+  SELECT cand_id, c_vec, g FROM (
+    SELECT b.cand_id, b.c_vec, co.g,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.cand_id
+             ORDER BY {l2.format(a='b.c_vec', b='co.gcenter')}, co.g
+           ) AS rn
+    FROM base b CROSS JOIN coarse co
+  ) WHERE rn = 1
+), assigned AS (
+  SELECT cand_id, c_vec, cell, center FROM (
+    SELECT v.cand_id, v.c_vec, m.cell, m.center,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.cand_id
+             ORDER BY {l2.format(a='v.c_vec', b='m.center')}, m.cell
+           ) AS rn
+    FROM l1 v JOIN cg m ON v.g = m.g
+  ) WHERE rn = 1
+), normed AS (
+  SELECT cand_id, cell, c_vec,
+         sqrt({_DOT_SQL.format(a='c_vec', b='c_vec')}) AS vnorm,
+         sqrt({_DOT_SQL.format(a='center', b='center')}) AS center_norm,
+         {_DOT_SQL.format(a='c_vec', b='center')} AS dc
+  FROM assigned
+), scored AS (
+  SELECT cand_id, cell, c_vec, vnorm,
+         CASE WHEN vnorm * center_norm > 0 THEN dc / (vnorm * center_norm)
+              ELSE 0.0e0 END AS cos_centroid
+  FROM normed
+), dropped AS (
+  SELECT DISTINCT a.cand_id
+  FROM scored a JOIN scored b ON a.cell = b.cell AND a.cand_id <> b.cand_id
+  WHERE (b.cos_centroid < a.cos_centroid
+         OR (b.cos_centroid = a.cos_centroid AND b.cand_id < a.cand_id))
+    AND (CASE WHEN a.vnorm * b.vnorm > 0 THEN
+           {_DOT_SQL.format(a='a.c_vec', b='b.c_vec')} / (a.vnorm * b.vnorm)
+         ELSE 0.0e0 END) >= 0.9e0
+)
+SELECT s.cand_id AS vec_id, s.cell,
+       ROUND(s.cos_centroid, 6) AS cos_centroid,
+       d.cand_id IS NULL AS kept
+FROM scored s LEFT JOIN dropped d ON s.cand_id = d.cand_id
+"""
+
+
+QUERIES_LLM["semdedup_2level"] = q_semdedup_2level
+ORACLES_LLM["semdedup_2level"] = _oracle_semdedup_2level()
+
+
 def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine weak-supervision quality classifier, HASH-GATED —
     global 3-parameter logistic (intercept + centered ln-token-count +
