@@ -110,6 +110,9 @@ BENCH_QUERIES = [
     "quality_model",
     "minhash_accuracy",
     "corpus_pipeline",
+    # round-6 additions
+    "semdedup_2level",
+    "detection_p",
 ]
 
 

@@ -55,6 +55,12 @@ BNLJ_WHITELIST = {
     # semdedup: broadcast center crossJoin for cell assignment
     # (n_cells-row dim), same class as ivf_ann / ivf_fixed
     "semdedup",
+    # semdedup_2level: TWO bounded broadcast center crossJoins — the
+    # k x n_coarse center->group assignment and the n x n_coarse
+    # level-1 vector assignment; both non-stream sides are <= n_cells
+    # rows (the whole point of the tier is that the big n x k blowup
+    # is GONE), same class as semdedup / ivf_fixed
+    "semdedup_2level",
     # quality_model: three 1-row broadcast attaches (feature means,
     # step-1 betas, step-2 betas) — the monotone_range_buckets pattern
     "quality_model",

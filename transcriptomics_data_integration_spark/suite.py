@@ -1922,17 +1922,45 @@ _ROUND5_FRONT = [
     "fisher_enrichment", "pairwise_contrasts",
 ]
 
-# Round-6 rotation plan: after r5 the longest-unstamped queries are the
-# 17 remaining r2-only rows (lmfit_design, impute_missing, impute_em,
-# median_polish_fixed, logistic_irls2, voom_trend, cqn_bias [bumped
-# from the r5 slice by the seven new r5 gates voom_loess3 /
-# gopher_repetition / semdedup / idat_decode / quality_model /
-# minhash_accuracy / corpus_pipeline], array_weights,
-# qc_sample_metrics, dataset_group_means, rollup_summary,
-# pivot_matrix, melt_measures, registry_upsert, full_outer_merge,
-# htseq_scan, rsem_convert) — put those 17 in the r6 front, plus every
-# r6-touched kernel, and fill the remainder with the r3-only-stamped
-# queries (merge_left_join, interval_join, quantile_thresholds, ...
-# registry order).
-QUERIES = _reorder_front(QUERIES, _ROUND5_FRONT)
+# Round-6 window, executing the r5 verdict item 1 exactly: (a) the 17
+# remaining r2-only-stamped queries (pure evidence debt — all pass the
+# judge's 3-SF strict gate, they just lack a recent driver row), (b)
+# every query whose kernel changed or was added in r6 — the corpus
+# tokenizer fix (corpus_pipeline), the _dlit non-finite literal guard
+# in the fitFDist prior (the 7-query DE chain), the _semdedup_flag
+# refactor (semdedup), the NEW semdedup_2level and detection_p gates,
+# the dedup_clusters re-stamp after the drift adjudication, the
+# expression_pipeline optional-F12 param, and the idat.py extension
+# (idat_decode) — and (c) a 19-slice of the r3-only-stamped remainder
+# in registry order.  Exactly 50 = the driver's gated window.
+_ROUND6_FRONT = [
+    # -- (a) r2-only-stamped (longest evidence debt) ----------------------
+    "lmfit_design", "impute_missing", "impute_em", "median_polish_fixed",
+    "logistic_irls2", "voom_trend", "cqn_bias", "array_weights",
+    "qc_sample_metrics", "dataset_group_means", "rollup_summary",
+    "pivot_matrix", "melt_measures", "registry_upsert", "full_outer_merge",
+    "htseq_scan", "rsem_convert",
+    # -- (b) r6-changed/new kernels ---------------------------------------
+    "corpus_pipeline", "diff_expression", "moderated_de", "moderated_lmfit",
+    "weighted_de", "closed_pipeline", "normalized_de",
+    "rnaseq_pipeline_binned", "semdedup", "semdedup_2level", "detection_p",
+    "dedup_clusters", "expression_pipeline", "idat_decode",
+    # -- (c) r3-only-stamped slice (registry order) -----------------------
+    "merge_left_join", "interval_join", "quantile_thresholds",
+    "sample_correlation", "quantile_normalization", "stouffer_meta",
+    "fem_rem", "icc_meta", "dup_correlation", "quality_filter",
+    "median_polish", "combat_full", "combat_nonparam", "pca_samples",
+    "voom_lowess", "cqn_spline", "ward_hclust", "rnaseq_pipeline",
+    "ivf_ann",
+]
+
+# Round-7 rotation plan: after r6 the longest-unstamped queries are the
+# r3-only remainder bumped from this window (pq_ann, hclust_samples,
+# kmeans_samples, mds_samples, quantile_sketch, logistic_de,
+# meta_pipeline, pca_covariance, mds_bmatrix, kmeans_lloyd2, combat_eb2,
+# doc_logprob, bpe_merges, edit_pairs, url_canonical, line_dedup,
+# winnow_overlap) — put those 17 in the r7 front, plus every r7-touched
+# kernel, and fill the remainder with the r4-only-stamped queries
+# (bh_histogram, p_improvement, token_stats, ... registry order).
+QUERIES = _reorder_front(QUERIES, _ROUND6_FRONT)
 QUERIES = {n: _with_persist_drain(fn) for n, fn in QUERIES.items()}
