@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     # round-6 additions
     "semdedup_2level",
     "detection_p",
+    "png_pixels",
+    "wav_decode",
 ]
 
 

@@ -1677,3 +1677,51 @@ def test_semdedup_2level_tiers_agree_and_drop_twins(spark):
     empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
     assert semdedup_arrow_2level(empty).count() == 0
     assert semdedup_2level(empty).count() == 0
+
+
+def test_png_wav_codecs_roundtrip_and_tolerant(spark):
+    """REAL stdlib codecs (r6): PNG encode/decode round-trips exactly
+    across sizes that exercise all five scanline filters, the resize
+    path re-encodes a valid PNG, WAV moments are integer-exact, and
+    malformed payloads (bad CRC, truncation, junk) return None instead
+    of raising — plus the resize_media Spark path emits real resized
+    PNGs for PNG inputs."""
+    import numpy as np
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        decode_png_pixels,
+        decode_wav,
+        encode_png,
+        encode_wav,
+        resize_media,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(17)
+    for h, w in [(1, 1), (5, 5), (6, 8), (11, 3)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png_pixels(encode_png(px)), px), (h, w)
+    # corrupting one IDAT byte must fail the CRC -> None, not garbage
+    px = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+    good = bytearray(encode_png(px))
+    good[40] ^= 0xFF
+    assert decode_png_pixels(bytes(good)) is None
+    assert decode_png_pixels(b"\x89PNG\r\n\x1a\xFFrest") is None
+    # wav: moments match numpy; truncated/malformed -> None
+    s = (rng.integers(0, 65536, 128) - 32768).astype(np.int16)
+    d = decode_wav(encode_wav(s, rate=44100, n_channels=2))
+    a = s.astype(np.int64)
+    assert (d["sum_amp"], d["sum_sq"]) == (int(a.sum()), int((a * a).sum()))
+    assert (d["min_amp"], d["max_amp"]) == (int(a.min()), int(a.max()))
+    assert d["n_samples"] == 64 and d["n_channels"] == 2
+    assert decode_wav(encode_wav(s)[:20]) is None
+    assert decode_wav(b"RIFFxxxxNOPE") is None
+    # Spark resize path: PNG input -> REAL resized PNG out
+    pays = [(1, encode_png(px), len(encode_png(px)), "image/png")]
+    df = spark.createDataFrame(
+        pays, "media_id long, payload binary, n_bytes int, media_type string"
+    )
+    out = resize_media(df, target_w=4, target_h=3).collect()[0]
+    dec = decode_png_pixels(bytes(out["payload"]))
+    assert dec is not None and dec.shape == (3, 4, 3)
+    assert np.array_equal(dec, resize_nearest(px, 4, 3))

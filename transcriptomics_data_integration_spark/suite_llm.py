@@ -537,6 +537,167 @@ FROM documents
 """
 
 
+def q_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG pixel decode + nearest-neighbor resize, HASH-GATED
+    (r6): per doc a 6x8 RGB image with planted pixels
+    p(y,x,c) = (doc_id*7 + y*31 + x*13 + c*5) % 256 is encoded by the
+    real PNG encoder (stdlib zlib stream, CRC32 chunks, scanline
+    filter cycling through ALL FIVE types), decoded back by the
+    independent unfilter path (`llmdata/multimodal.py:
+    decode_png_pixels`), resized 8x6 -> 4x4 with the real
+    nearest-neighbor rule, and reduced to integer-exact channel sums.
+    The oracle recomputes those sums from the pixel formula alone —
+    it never touches PNG bytes — so a hash match proves zlib framing,
+    CRC verification, and the Sub/Up/Average/Paeth unfilter
+    arithmetic end-to-end.  Both stages are map-side mapInPandas:
+    zero shuffles."""
+    import pandas as pd
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        decode_png_pixels,
+        encode_png,
+        resize_nearest,
+    )
+
+    H, W = 6, 8
+
+    def op(batches):
+        import numpy as np
+
+        y, x = np.mgrid[0:H, 0:W]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                px = np.stack(
+                    [(did * 7 + y * 31 + x * 13 + c * 5) % 256 for c in range(3)],
+                    axis=-1,
+                ).astype(np.uint8)
+                dec = decode_png_pixels(encode_png(px))
+                if dec is None:
+                    continue
+                small = resize_nearest(dec, 4, 4)
+                s = dec.astype(np.int64).sum(axis=(0, 1))
+                rs = small.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    (did, dec.shape[1], dec.shape[0],
+                     int(s[0]), int(s[1]), int(s[2]),
+                     int(rs[0]), int(rs[1]), int(rs[2]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height",
+                    "sum_r", "sum_g", "sum_b",
+                    "rsum_r", "rsum_g", "rsum_b",
+                ],
+            )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        op,
+        schema=(
+            "media_id bigint, width int, height int, "
+            "sum_r bigint, sum_g bigint, sum_b bigint, "
+            "rsum_r bigint, rsum_g bigint, rsum_b bigint"
+        ),
+    )
+
+
+# nearest-neighbor source indices for 6x8 -> 4x4: ys = floor(i*6/4) =
+# (0,1,3,4), xs = floor(j*8/4) = (0,2,4,6) — mirrored in the oracle
+ORACLE_PNG_PIXELS = """
+WITH px AS (
+  SELECT d.doc_id, y.y, x.x
+  FROM documents d,
+       (SELECT unnest(generate_series(0, 5)) AS y) y,
+       (SELECT unnest(generate_series(0, 7)) AS x) x
+)
+SELECT doc_id AS media_id,
+       CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+       CAST(SUM((doc_id * 7 + y * 31 + x * 13) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((doc_id * 7 + y * 31 + x * 13 + 5) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((doc_id * 7 + y * 31 + x * 13 + 10) % 256) AS BIGINT) AS sum_b,
+       CAST(SUM(CASE WHEN y IN (0, 1, 3, 4) AND x IN (0, 2, 4, 6)
+                THEN (doc_id * 7 + y * 31 + x * 13) % 256 END) AS BIGINT) AS rsum_r,
+       CAST(SUM(CASE WHEN y IN (0, 1, 3, 4) AND x IN (0, 2, 4, 6)
+                THEN (doc_id * 7 + y * 31 + x * 13 + 5) % 256 END) AS BIGINT) AS rsum_g,
+       CAST(SUM(CASE WHEN y IN (0, 1, 3, 4) AND x IN (0, 2, 4, 6)
+                THEN (doc_id * 7 + y * 31 + x * 13 + 10) % 256 END) AS BIGINT) AS rsum_b
+FROM px GROUP BY doc_id
+"""
+
+
+def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV (RIFF/PCM16) decode, HASH-GATED (r6): per doc a
+    64-sample mono 8 kHz waveform with planted samples
+    s(i) = ((doc_id*3 + i*7) % 65536) - 32768 is encoded by the real
+    RIFF writer and decoded by the independent chunk-walking reader
+    (`llmdata/multimodal.py:decode_wav`), reduced to integer-exact
+    amplitude moments (the features an audio-quality filter uses).
+    The oracle recomputes the moments from the sample formula alone.
+    Map-side, zero shuffles."""
+    import pandas as pd
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    N = 64
+
+    def op(batches):
+        import numpy as np
+
+        i = np.arange(N, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                s = ((did * 3 + i * 7) % 65536 - 32768).astype(np.int16)
+                d = decode_wav(encode_wav(s, rate=8000, n_channels=1))
+                if d is None:
+                    continue
+                rows.append(
+                    (did, d["n_channels"], d["sample_rate"], d["n_samples"],
+                     d["sum_amp"], d["sum_sq"], d["min_amp"], d["max_amp"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_channels", "sample_rate", "n_samples",
+                    "sum_amp", "sum_sq", "min_amp", "max_amp",
+                ],
+            )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        op,
+        schema=(
+            "media_id bigint, n_channels int, sample_rate int, "
+            "n_samples int, sum_amp bigint, sum_sq bigint, "
+            "min_amp int, max_amp int"
+        ),
+    )
+
+
+ORACLE_WAV_DECODE = """
+WITH s AS (
+  SELECT d.doc_id, (doc_id * 3 + i.i * 7) % 65536 - 32768 AS amp
+  FROM documents d, (SELECT unnest(generate_series(0, 63)) AS i) i
+)
+SELECT doc_id AS media_id,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(64 AS INTEGER) AS n_samples,
+       CAST(SUM(amp) AS BIGINT) AS sum_amp,
+       CAST(SUM(amp * amp) AS BIGINT) AS sum_sq,
+       CAST(MIN(amp) AS INTEGER) AS min_amp,
+       CAST(MAX(amp) AS INTEGER) AS max_amp
+FROM s GROUP BY doc_id
+"""
+
+
 # --- event stream (batch analogues) ---------------------------------------
 
 
@@ -1152,6 +1313,8 @@ QUERIES_LLM = {
     "cosine_neardup": q_cosine_neardup,
     "multimodal_featurize": q_multimodal_featurize,
     "media_header_decode": q_media_header_decode,
+    "png_pixels": q_png_pixels,
+    "wav_decode": q_wav_decode,
     "event_window_counts": q_event_window_counts,
     "sessionize": q_sessionize,
     "json_extract": q_json_extract,
@@ -1179,6 +1342,8 @@ ORACLES_LLM = {
     "cosine_neardup": _oracle_cosine_neardup(),
     "multimodal_featurize": ORACLE_MULTIMODAL,
     "media_header_decode": ORACLE_MEDIA_HEADER,
+    "png_pixels": ORACLE_PNG_PIXELS,
+    "wav_decode": ORACLE_WAV_DECODE,
     "event_window_counts": ORACLE_EVENT_WINDOW,
     "sessionize": ORACLE_SESSIONIZE,
     "json_extract": ORACLE_JSON_EXTRACT,
