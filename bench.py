@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "detection_p",
     "png_pixels",
     "wav_decode",
+    "gopher_quality",
 ]
 
 

@@ -1725,3 +1725,30 @@ def test_png_wav_codecs_roundtrip_and_tolerant(spark):
     dec = decode_png_pixels(bytes(out["payload"]))
     assert dec is not None and dec.shape == (3, 4, 3)
     assert np.array_equal(dec, resize_nearest(px, 4, 3))
+
+
+def test_gopher_quality_rule_battery(spark):
+    """Each of the four r6 Gopher rules trips on its crafted fixture
+    and a clean English doc passes all eight."""
+    from transcriptomics_data_integration_spark.llmdata.text import gopher_quality
+
+    clean = "the cat sat of the mat and then a dog came to visit the house"
+    docs = [
+        (1, clean),
+        (2, "- the one\n- the two\n- the three\n- the four"),   # bullets
+        (3, "the start...\nthe more of it...\nthe end..."),      # ellipses
+        (4, "the 123 456 789 000 111 222 333 444 555 of a"),     # low alpha
+        (5, "the a of # # # to and"),                            # symbols
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert out[1]["keep"], out[1]
+    assert not any(
+        out[1][f] for f in ("fail_bullets", "fail_ellipsis", "fail_alpha", "fail_symbols")
+    )
+    assert out[2]["fail_bullets"] and not out[2]["keep"]
+    assert out[3]["fail_ellipsis"] and not out[3]["keep"]
+    assert out[4]["fail_alpha"] and not out[4]["keep"]
+    assert out[5]["fail_symbols"] and not out[5]["keep"]
+    assert out[2]["bullet_frac"] == 1.0
+    assert out[3]["ellipsis_frac"] == 1.0

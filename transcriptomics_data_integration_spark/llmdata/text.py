@@ -547,3 +547,77 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str = "text") -> Data
             F.coalesce(F.col("dup_5") / F.col("total_5"), F.lit(0.0)).alias("dup_5gram_frac"),
         )
     )
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The FULL Gopher quality-rule battery (Rae et al. 2021, Table A1)
+    — the four line/word-shape rules that :func:`quality_filter` (word
+    count, mean word length, punctuation, stopwords) and
+    :func:`repetition_stats` (duplicate n-gram fractions) do not cover:
+
+    - ``bullet_frac``   fraction of lines starting with a bullet
+      (fail > 0.9)
+    - ``ellipsis_frac`` fraction of lines ending with an ellipsis
+      (fail > 0.3)
+    - ``alpha_frac``    fraction of words containing an alphabetic
+      character (fail < 0.8)
+    - ``symbol_word_ratio`` (# + ellipsis occurrences) / words
+      (fail > 0.1)
+
+    plus the composite ``keep`` = quality_filter's verdict AND all
+    four new rules.  Every signal is a split/filter/length expression
+    over the text column — pure map-side codegen, zero shuffles, and
+    every ratio is an exact integer division (DuckDB-replayable).
+    Degenerate docs (no lines / no tokens) get NULL ratios via
+    try_divide and fail the affected rules by COALESCE(false) —
+    matching the oracle's CASE WHEN guards.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    bullets = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"),
+        )
+    )
+    ellipses_end = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).like("%...") | F.rtrim(l).like("%…"),
+        )
+    )
+    toks = _tokens(text_col)
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    hashes = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    ell_occ = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+    ) / F.lit(3)
+    base = quality_filter(df, text_col)
+    out = (
+        base.withColumn("bullet_frac", F.try_divide(bullets, n_lines))
+        .withColumn("ellipsis_frac", F.try_divide(ellipses_end, n_lines))
+        .withColumn("alpha_frac", F.try_divide(alpha, F.size(toks)))
+        .withColumn(
+            "symbol_word_ratio", F.try_divide(hashes + ell_occ, F.size(toks))
+        )
+        .withColumn("fail_bullets", F.coalesce(F.col("bullet_frac") > 0.9, F.lit(True)))
+        .withColumn(
+            "fail_ellipsis", F.coalesce(F.col("ellipsis_frac") > 0.3, F.lit(True))
+        )
+        .withColumn("fail_alpha", F.coalesce(F.col("alpha_frac") < 0.8, F.lit(True)))
+        .withColumn(
+            "fail_symbols",
+            F.coalesce(F.col("symbol_word_ratio") > 0.1, F.lit(True)),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        F.col("keep")
+        & ~F.col("fail_bullets")
+        & ~F.col("fail_ellipsis")
+        & ~F.col("fail_alpha")
+        & ~F.col("fail_symbols"),
+    )

@@ -2595,6 +2595,76 @@ QUERIES_LLM["quality_filter"] = q_quality_filter
 ORACLES_LLM["quality_filter"] = ORACLE_QUALITY_FILTER
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Gopher rule battery (Rae et al. 2021 Table A1), per
+    doc, HASH-GATED: the four line/word-shape rules
+    (`llmdata/text.py:gopher_quality` — bullet-start line fraction,
+    ellipsis-end line fraction, alphabetic-word fraction,
+    symbol-to-word ratio) on top of quality_filter's word-count /
+    word-length / punctuation / stopword rules, with the composite
+    keep.  Every ratio is an exact integer-derived IEEE division, so
+    the per-doc doubles hash-match DuckDB bit-for-bit.  Pure map-side
+    codegen — zero shuffles at any corpus size."""
+    from transcriptomics_data_integration_spark.llmdata.text import gopher_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_quality(docs).select(
+        "doc_id", "n_tokens",
+        "bullet_frac", "ellipsis_frac", "alpha_frac", "symbol_word_ratio",
+        "fail_bullets", "fail_ellipsis", "fail_alpha", "fail_symbols",
+        "keep",
+    )
+
+
+ORACLE_GOPHER_QUALITY = r"""
+WITH s AS (
+  SELECT doc_id, text,
+         len(string_split(trim(text), ' ')) AS n_tokens,
+         length(text) AS n_chars,
+         len(list_filter(string_split(trim(text), ' '),
+             t -> t IN ('the', 'and', 'of', 'a', 'to'))) AS stop_hits,
+         length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS n_punct,
+         string_split(text, chr(10)) AS lines,
+         len(list_filter(string_split(trim(text), ' '),
+             t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3 AS n_ell
+  FROM documents
+), m AS (
+  SELECT doc_id, n_tokens,
+         (n_chars - (n_tokens - 1)) / n_tokens AS mean_token_len,
+         stop_hits / n_tokens AS stopword_ratio,
+         n_punct / n_chars AS punct_ratio,
+         len(list_filter(lines,
+             l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) / len(lines)
+           AS bullet_frac,
+         len(list_filter(lines,
+             l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…')) / len(lines)
+           AS ellipsis_frac,
+         n_alpha / n_tokens AS alpha_frac,
+         (n_hash + n_ell) / n_tokens AS symbol_word_ratio
+  FROM s
+)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       bullet_frac, ellipsis_frac, alpha_frac, symbol_word_ratio,
+       COALESCE(bullet_frac > 0.9, TRUE) AS fail_bullets,
+       COALESCE(ellipsis_frac > 0.3, TRUE) AS fail_ellipsis,
+       COALESCE(alpha_frac < 0.8, TRUE) AS fail_alpha,
+       COALESCE(symbol_word_ratio > 0.1, TRUE) AS fail_symbols,
+       ((n_tokens BETWEEN 3 AND 100000)
+        AND (mean_token_len BETWEEN 2.0 AND 12.0)
+        AND punct_ratio <= 0.3 AND stopword_ratio > 0.0
+        AND NOT COALESCE(bullet_frac > 0.9, TRUE)
+        AND NOT COALESCE(ellipsis_frac > 0.3, TRUE)
+        AND NOT COALESCE(alpha_frac < 0.8, TRUE)
+        AND NOT COALESCE(symbol_word_ratio > 0.1, TRUE)) AS keep
+FROM m
+"""
+
+QUERIES_LLM["gopher_quality"] = q_gopher_quality
+ORACLES_LLM["gopher_quality"] = ORACLE_GOPHER_QUALITY
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture rebalancing: downsample per-source toward target
     shares (web .5 / books .3 / code .2 over the documents sources),
