@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "png_pixels",
     "wav_decode",
     "gopher_quality",
+    "bpe_encode",
 ]
 
 

@@ -1944,27 +1944,27 @@ _ROUND6_FRONT = [
     "corpus_pipeline", "diff_expression", "moderated_de", "moderated_lmfit",
     "weighted_de", "closed_pipeline", "normalized_de",
     "rnaseq_pipeline_binned", "semdedup", "semdedup_2level", "detection_p",
-    "png_pixels", "wav_decode", "gopher_quality",
+    "png_pixels", "wav_decode", "gopher_quality", "bpe_encode",
     "dedup_clusters", "expression_pipeline", "idat_decode",
     # -- (c) r3-only-stamped slice (registry order; rnaseq_pipeline /
-    # ivf_ann / ward_hclust — all declared rows-only — bumped to the
-    # r7 front to keep the window's oracled coverage at the new-gate
-    # additions)
+    # ivf_ann / ward_hclust / cqn_spline — all declared rows-only —
+    # bumped to the r7 front to keep the window's oracled coverage at
+    # the new-gate additions)
     "merge_left_join", "interval_join", "quantile_thresholds",
     "sample_correlation", "quantile_normalization", "stouffer_meta",
     "fem_rem", "icc_meta", "dup_correlation", "quality_filter",
     "median_polish", "combat_full", "combat_nonparam", "pca_samples",
-    "voom_lowess", "cqn_spline",
+    "voom_lowess",
 ]
 
 # Round-7 rotation plan: after r6 the longest-unstamped queries are the
 # r3-only remainder bumped from this window (rnaseq_pipeline, ivf_ann,
-# ward_hclust, pq_ann, hclust_samples, kmeans_samples, mds_samples,
-# quantile_sketch, logistic_de, meta_pipeline, pca_covariance,
-# mds_bmatrix, kmeans_lloyd2, combat_eb2, doc_logprob, bpe_merges,
-# edit_pairs, url_canonical, line_dedup, winnow_overlap) — put those 20
-# in the r7 front, plus every r7-touched kernel, and fill the remainder
-# with the r4-only-stamped queries (bh_histogram, p_improvement,
-# token_stats, ... registry order).
+# ward_hclust, cqn_spline, pq_ann, hclust_samples, kmeans_samples,
+# mds_samples, quantile_sketch, logistic_de, meta_pipeline,
+# pca_covariance, mds_bmatrix, kmeans_lloyd2, combat_eb2, doc_logprob,
+# bpe_merges, edit_pairs, url_canonical, line_dedup, winnow_overlap) —
+# put those 21 in the r7 front, plus every r7-touched kernel, and fill
+# the remainder with the r4-only-stamped queries (bh_histogram,
+# p_improvement, token_stats, ... registry order).
 QUERIES = _reorder_front(QUERIES, _ROUND6_FRONT)
 QUERIES = {n: _with_persist_drain(fn) for n, fn in QUERIES.items()}

@@ -1053,6 +1053,92 @@ WITH w0 AS (
     return "".join(parts)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer train -> APPLY -> count, end-to-end HASH-GATED (r6):
+    the 4 merges learned by `bpe_train_fixed` (the `bpe_merges` gate)
+    are collected at plan build (the bounded tokenizer artifact — the
+    documented scalar-artifact pattern) and replayed over every word
+    of every document by `bpe_encode`'s per-merge codegen folds; the
+    output pins per doc the BPE token count, total tokenized chars,
+    and the count of multi-char (merged) tokens.  The oracle re-learns
+    the same merges AND re-applies them in DuckDB (word-keyed symbol
+    map), so a hash match proves training and application agree across
+    engines.  Apply stage: zero shuffles, zero Python."""
+    from transcriptomics_data_integration_spark.llmdata.bpe import (
+        bpe_encode,
+        bpe_train_fixed,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train_fixed(docs, "text", n_merges=4)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    enc = bpe_encode(docs, merges)
+    toks = F.col("bpe_tokens")
+    return enc.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+        ).alias("n_chars_tok"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 1)).alias("n_merged_tokens"),
+    )
+
+
+def _oracle_bpe_encode(n_merges: int = 4) -> str:
+    fold = (
+        "CASE WHEN len(s) <= 1 THEN s ELSE "
+        "list_reduce(list_prepend([s[1]], "
+        "list_transform(generate_series(2, len(s)), j -> [s[j]])), "
+        "(acc, x) -> CASE WHEN acc[-1] = a AND x[1] = b "
+        "THEN acc[1:len(acc)-1] || [a || b] "
+        "ELSE acc || x END) END"
+    )
+    parts = ["""
+WITH w0 AS (
+  SELECT t AS w, COUNT(*) AS wc
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> '' GROUP BY t
+), s0 AS (
+  SELECT w, wc, list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)) AS s
+  FROM w0
+)"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f""", p{r} AS (
+  SELECT s[i] AS a, s[i + 1] AS b, CAST(SUM(wc) AS BIGINT) AS c
+  FROM s{r - 1}, unnest(generate_series(1, len(s) - 1)) AS t(i)
+  GROUP BY 1, 2
+), b{r} AS (
+  SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1
+), s{r} AS (
+  SELECT w, wc, {fold} AS s FROM s{r - 1} CROSS JOIN b{r}
+)""")
+    parts.append(f""", word_map AS (
+  SELECT w, s FROM s{n_merges}
+), doc_words AS (
+  SELECT doc_id, t AS w
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> ''
+), per_doc AS (
+  SELECT dw.doc_id,
+         CAST(SUM(len(m.s)) AS INTEGER) AS n_bpe_tokens,
+         CAST(SUM(length(dw.w)) AS BIGINT) AS n_chars_tok,
+         CAST(SUM(len(list_filter(m.s, t -> length(t) > 1))) AS INTEGER)
+           AS n_merged_tokens
+  FROM doc_words dw JOIN word_map m ON dw.w = m.w
+  GROUP BY dw.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_bpe_tokens, 0) AS n_bpe_tokens,
+       COALESCE(p.n_chars_tok, 0) AS n_chars_tok,
+       COALESCE(p.n_merged_tokens, 0) AS n_merged_tokens
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""")
+    return "".join(parts)
+
+
 def q_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup pairs, HASH-GATED — SymSpell
     symmetric-delete banding + exact levenshtein verify
@@ -1297,6 +1383,7 @@ QUERIES_LLM = {
     "url_canonical": q_url_canonical,
     "edit_pairs": q_edit_pairs,
     "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
     "doc_logprob": q_doc_logprob,
     "ivf_fixed": q_ivf_fixed,
     "pq_fixed": q_pq_fixed,
@@ -1326,6 +1413,7 @@ ORACLES_LLM = {
     "url_canonical": _oracle_url_canonical(),
     "edit_pairs": ORACLE_EDIT_PAIRS,
     "bpe_merges": _oracle_bpe_merges(),
+    "bpe_encode": _oracle_bpe_encode(),
     "doc_logprob": ORACLE_DOC_LOGPROB,
     "ivf_fixed": ORACLE_IVF_FIXED,
     "pq_fixed": _oracle_pq_fixed(),
