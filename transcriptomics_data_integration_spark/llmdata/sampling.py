@@ -197,3 +197,67 @@ def mixture_sample(
     keyed = df.join(F.broadcast(rates), source_col)
     h = _md5_60bit(F.col(key_col).cast("string")).cast("double")
     return keyed.where(h < F.col("_rate") * F.lit(_HASH_SPACE)).drop("_rate")
+
+
+def token_budget_sample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    budgets: dict[str, int],
+    text_col: str = "text",
+    default_budget: int = 0,
+) -> DataFrame:
+    """Token-budget mixture construction (r6) — how production
+    pretraining mixes are actually specified: per SOURCE, keep
+    documents in deterministic md5-priority order until the source's
+    TOKEN budget is exhausted (docs are whole: the first doc whose
+    inclusion would overflow the budget, and everything after it, is
+    dropped).  Sources absent from ``budgets`` get ``default_budget``.
+
+    vs :func:`mixture_sample`: that op targets row PROPORTIONS; this
+    op targets absolute token VOLUMES — the unit LM training plans are
+    written in.
+
+    Plan shape: one token count per doc (map-side split), one
+    cumulative-sum window PER SOURCE (partitioned by the source key,
+    ordered by the md5 priority — the corpus never funnels through a
+    single task), and a literal budget map.  Deterministic and
+    engine-exact: integer token counts, integer cumulative sums,
+    md5-hex priority with key tiebreak.
+    """
+    if len(budgets) > 1000:
+        raise ValueError(
+            "token_budget_sample takes budgets as a literal map; "
+            f"{len(budgets)} sources would inline a pathological "
+            "expression — pass a DataFrame dim and join instead"
+        )
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), " "))
+    pri = F.md5(F.concat_ws("#", F.col(source_col), F.col(key_col).cast("string")))
+    budget = F.coalesce(
+        F.create_map(*[F.lit(x) for kv in budgets.items() for x in kv])[
+            F.col(source_col)
+        ],
+        F.lit(default_budget),
+    ).cast("long")
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col("_pri"), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = df.withColumn("_n_tok", n_tok.cast("long")).withColumn("_pri", pri)
+    out = (
+        scored.withColumn("_cum", F.sum("_n_tok").over(w))
+        .withColumn("_budget", budget)
+        # a doc is kept iff the budget survives THROUGH it — whole-doc
+        # semantics; once one doc overflows, all later (lower-priority)
+        # docs of that source have _cum > budget too (counts are >= 0),
+        # so the kept set is a clean priority prefix
+        .where(F.col("_cum") <= F.col("_budget"))
+        .select(
+            key_col,
+            source_col,
+            F.col("_n_tok").alias("n_tokens"),
+            F.col("_cum").alias("cum_tokens"),
+        )
+    )
+    return out

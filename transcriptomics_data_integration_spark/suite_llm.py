@@ -2794,6 +2794,52 @@ QUERIES_LLM["mixture_sample"] = q_mixture_sample
 ORACLES_LLM["mixture_sample"] = _mixture_oracle()
 
 
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture construction, HASH-GATED (r6): per source
+    keep docs in md5-priority order until the source's TOKEN budget is
+    spent (`llmdata/sampling.py:token_budget_sample`) — absolute token
+    volumes, the unit LM training plans are written in, vs
+    mixture_sample's row proportions.  One cumulative window per
+    source; integer token counts and sums, md5 priority — replayed
+    verbatim by the oracle."""
+    from transcriptomics_data_integration_spark.llmdata.sampling import (
+        token_budget_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_sample(
+        docs,
+        "source",
+        "doc_id",
+        budgets={"src1": 900, "src2": 450, "src3": 0},
+        default_budget=300,
+    )
+
+
+ORACLE_TOKEN_BUDGET = """
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+         md5(source || '#' || CAST(doc_id AS VARCHAR)) AS pri,
+         CAST(CASE source WHEN 'src1' THEN 900 WHEN 'src2' THEN 450
+                          WHEN 'src3' THEN 0 ELSE 300 END AS BIGINT) AS budget
+  FROM documents
+), cum AS (
+  SELECT doc_id, source, n_tokens, budget,
+         SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY pri, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM cum WHERE cum_tokens <= budget
+"""
+
+QUERIES_LLM["token_budget_sample"] = q_token_budget_sample
+ORACLES_LLM["token_budget_sample"] = ORACLE_TOKEN_BUDGET
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-funnel analysis: per user, the first view, the first
     click strictly after that view, and the first purchase strictly
