@@ -1792,3 +1792,47 @@ def test_token_budget_sample_prefix_semantics(spark):
         df, "source", "doc_id", budgets={"a": 30}, default_budget=17
     ).collect()
     assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
+
+
+def test_png_codec_roundtrip_property():
+    """Hypothesis: ANY uint8 RGB array up to 12x12 survives the PNG
+    encode/decode round-trip bit-exactly (all five scanline filters
+    are exercised by the encoder's y%5 cycling once H >= 5), and WAV
+    moments equal numpy's for ANY int16 sample vector.  Pure-Python —
+    no Spark session in the loop."""
+    import numpy as np
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        decode_png_pixels,
+        decode_wav,
+        encode_png,
+        encode_wav,
+    )
+
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+    def png_prop(h, w, seed):
+        px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png_pixels(encode_png(px)), px)
+
+    @given(
+        samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=200)
+    )
+    @settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+    def wav_prop(samples):
+        import numpy as np
+
+        s = np.asarray(samples, dtype=np.int16)
+        d = decode_wav(encode_wav(s))
+        a = s.astype(np.int64)
+        assert d["n_samples"] == len(s)
+        assert d["sum_amp"] == int(a.sum()) and d["sum_sq"] == int((a * a).sum())
+
+    png_prop()
+    wav_prop()
