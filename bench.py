@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "gopher_quality",
     "bpe_encode",
     "token_budget_sample",
+    "ann_recall",
 ]
 
 

@@ -302,6 +302,112 @@ _DOT_SQL = (
 )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall calibration, HASH-GATED (r6) — the `minhash_accuracy`
+    scheme applied to similarity search: for every query, recall@5 of
+    the deterministic IVF tier (`ivf_fixed_topk`, 16 cells / 2 probes)
+    against the exact brute-force top-5 — the measurement an engine
+    needs before trusting an ANN index at corpus scale.  Both arms are
+    already-gated kernels; the overlap count is a plain integer join,
+    so the gate is bit-exact end-to-end.  Scale shape: the exact arm
+    is the deliberately-bounded baseline (query sample x corpus, the
+    declared quadratic); the IVF arm is the production path."""
+    from transcriptomics_data_integration_spark.llmdata.similarity import (
+        cosine_topk as _ct,
+        ivf_fixed_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 10 == 0)
+    ivf = ivf_fixed_topk(emb, queries, k=5, n_cells=16, n_probe=2).select(
+        "query_id", "cand_id"
+    )
+    exact = _ct(emb, queries, k=5).select("query_id", "cand_id")
+    hits = (
+        ivf.join(exact, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("_n"))
+    )
+    base = queries.select(F.col("vec_id").alias("query_id"))
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("_n", F.lit(0)).alias("n_hits"),
+        (F.coalesce("_n", F.lit(0)) / F.lit(5)).alias("recall_at_5"),
+    )
+
+
+def _oracle_ann_recall() -> str:
+    l2 = _L2_SQL
+    return f"""
+WITH base AS (
+  SELECT vec_id AS cand_id, embedding AS c_vec,
+         (((((vec_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536
+          + ((vec_id % 65536) * 2654435761)) % 4294967296 AS h
+  FROM embeddings
+), picked AS (
+  SELECT h, cand_id, c_vec FROM base ORDER BY h, cand_id LIMIT 16
+), centers AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY h, cand_id) - 1 AS cell,
+         list_transform(c_vec, x -> CAST(x AS DOUBLE)) AS center
+  FROM picked
+), ac AS (
+  SELECT b.cand_id, b.c_vec, c.cell,
+         {l2.format(a='b.c_vec', b='c.center')} AS dist
+  FROM base b CROSS JOIN centers c
+), assigned AS (
+  SELECT cand_id, c_vec, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cand_id ORDER BY dist, cell) AS rn
+    FROM ac
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+  WHERE vec_id % 10 = 0
+), qc AS (
+  SELECT q.query_id, q.q_vec, c.cell,
+         {l2.format(a='q.q_vec', b='c.center')} AS dist
+  FROM q CROSS JOIN centers c
+), probes AS (
+  SELECT query_id, q_vec, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rn
+    FROM qc
+  ) WHERE rn <= 2
+), isims AS (
+  SELECT p.query_id, a.cand_id,
+         {_DOT_SQL.format(a='p.q_vec', b='a.c_vec')}
+         / (sqrt({_DOT_SQL.format(a='p.q_vec', b='p.q_vec')})
+            * sqrt({_DOT_SQL.format(a='a.c_vec', b='a.c_vec')})) AS cosine
+  FROM probes p JOIN assigned a USING (cell)
+  WHERE p.query_id <> a.cand_id
+), ivf5 AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+    FROM isims
+  ) WHERE rank <= 5
+), esims AS (
+  SELECT q.query_id, b.cand_id,
+         {_DOT_SQL.format(a='q.q_vec', b='b.c_vec')}
+         / (sqrt({_DOT_SQL.format(a='q.q_vec', b='q.q_vec')})
+            * sqrt({_DOT_SQL.format(a='b.c_vec', b='b.c_vec')})) AS cosine
+  FROM q CROSS JOIN base b WHERE q.query_id <> b.cand_id
+), exact5 AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+    FROM esims
+  ) WHERE rank <= 5
+), hits AS (
+  SELECT i.query_id, CAST(COUNT(*) AS INTEGER) AS n
+  FROM ivf5 i JOIN exact5 e USING (query_id, cand_id)
+  GROUP BY i.query_id
+)
+SELECT q.query_id,
+       COALESCE(h.n, 0) AS n_hits,
+       COALESCE(h.n, 0) / 5 AS recall_at_5
+FROM q LEFT JOIN hits h USING (query_id)
+"""
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 10 == 0)
@@ -1384,6 +1490,7 @@ QUERIES_LLM = {
     "edit_pairs": q_edit_pairs,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
+    "ann_recall": q_ann_recall,
     "doc_logprob": q_doc_logprob,
     "ivf_fixed": q_ivf_fixed,
     "pq_fixed": q_pq_fixed,
@@ -1414,6 +1521,7 @@ ORACLES_LLM = {
     "edit_pairs": ORACLE_EDIT_PAIRS,
     "bpe_merges": _oracle_bpe_merges(),
     "bpe_encode": _oracle_bpe_encode(),
+    "ann_recall": _oracle_ann_recall(),
     "doc_logprob": ORACLE_DOC_LOGPROB,
     "ivf_fixed": ORACLE_IVF_FIXED,
     "pq_fixed": _oracle_pq_fixed(),
