@@ -1836,3 +1836,31 @@ def test_png_codec_roundtrip_property():
 
     png_prop()
     wav_prop()
+
+
+def test_token_budget_sample_bucketed_path_matches_single_task(spark, monkeypatch):
+    """The bucketed two-pass prefix (the 100 TB shape: md5-domain
+    buckets + per-source base offsets) returns BIT-IDENTICAL rows to
+    the single-task per-source window — forced by patching the size
+    router both ways on the same input."""
+    import transcriptomics_data_integration_spark.operators.windows as W
+    from transcriptomics_data_integration_spark.llmdata import sampling
+
+    rows = [
+        (i, f"s{i % 3}", " ".join(["w"] * (2 + i % 7))) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    budgets = {"s0": 120, "s1": 75}
+
+    results = {}
+    for forced, label in ((True, "single"), (False, "bucketed")):
+        monkeypatch.setattr(W, "fits_single_task", lambda *_a, **_k: forced)
+        out = sampling.token_budget_sample(
+            df, "source", "doc_id", budgets=budgets, default_budget=40
+        )
+        results[label] = sorted(
+            (r["doc_id"], r["source"], r["n_tokens"], r["cum_tokens"])
+            for r in out.collect()
+        )
+    assert results["single"] == results["bucketed"]
+    assert len(results["single"]) > 0

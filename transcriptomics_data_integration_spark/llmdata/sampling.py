@@ -218,13 +218,28 @@ def token_budget_sample(
     op targets absolute token VOLUMES — the unit LM training plans are
     written in.
 
-    Plan shape: one token count per doc (map-side split), one
-    cumulative-sum window PER SOURCE (partitioned by the source key,
-    ordered by the md5 priority — the corpus never funnels through a
-    single task), and a literal budget map.  Deterministic and
-    engine-exact: integer token counts, integer cumulative sums,
-    md5-hex priority with key tiebreak.
+    Plan shape: one token count per doc (map-side split), a
+    cumulative-sum over the md5 priority per source, and a literal
+    budget map.  Deterministic and engine-exact: integer token counts,
+    integer cumulative sums, md5-hex priority with key tiebreak.
+
+    Scale: a per-source window is parallel ACROSS sources but
+    single-task per source — at 100 TB with a handful of sources that
+    is the whole corpus through a few tasks.  Above the Catalyst
+    single-task size estimate the cumsum routes to the bucketed
+    two-pass shape (the `pack_sequences` machinery): the md5 priority's
+    fixed uniform domain [0, 16^15) buckets for free (prefix-15 hex ->
+    long, top 10 bits — no bounds pass), per-(source, bucket) totals
+    carry cross-bucket base offsets via a small per-source window over
+    <= 1024 rows, and the only corpus-sized window is
+    ``partitionBy(source, bucket)``.  Bit-identical output either way
+    (fixed-length lowercase hex: numeric prefix order == string
+    order).
     """
+    from transcriptomics_data_integration_spark.operators.windows import (
+        fits_single_task,
+    )
+
     if len(budgets) > 1000:
         raise ValueError(
             "token_budget_sample takes budgets as a literal map; "
@@ -239,15 +254,47 @@ def token_budget_sample(
         ],
         F.lit(default_budget),
     ).cast("long")
-    w = (
-        Window.partitionBy(source_col)
-        .orderBy(F.col("_pri"), F.col(key_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     scored = df.withColumn("_n_tok", n_tok.cast("long")).withColumn("_pri", pri)
+    if fits_single_task(scored):
+        w = (
+            Window.partitionBy(source_col)
+            .orderBy(F.col("_pri"), F.col(key_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = scored.withColumn("_cum", F.sum("_n_tok").over(w))
+    else:
+        # bucketed two-pass prefix: md5's domain is fixed and uniform,
+        # so bucket = top 10 bits of the 60-bit hex prefix (2^60/2^10)
+        bucketed = scored.withColumn(
+            "_bkt",
+            F.expr(
+                # integer DIV: 60-bit prefix values exceed double's 53-bit
+                # mantissa, so float division could wobble at boundaries
+                "CAST(CAST(conv(substring(_pri, 1, 15), 16, 10) AS BIGINT) "
+                "DIV 1125899906842624 AS INT)"  # 2^50 -> 1024 buckets
+            ),
+        )
+        totals = bucketed.groupBy(source_col, "_bkt").agg(
+            F.sum("_n_tok").alias("_tok")
+        )
+        w_base = (
+            Window.partitionBy(source_col)
+            .orderBy("_bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        base = totals.withColumn(
+            "_base", F.coalesce(F.sum("_tok").over(w_base), F.lit(0))
+        ).select(source_col, "_bkt", "_base")
+        w_in = (
+            Window.partitionBy(source_col, "_bkt")
+            .orderBy(F.col("_pri"), F.col(key_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = bucketed.join(F.broadcast(base), [source_col, "_bkt"]).withColumn(
+            "_cum", F.col("_base") + F.sum("_n_tok").over(w_in)
+        )
     out = (
-        scored.withColumn("_cum", F.sum("_n_tok").over(w))
-        .withColumn("_budget", budget)
+        cum.withColumn("_budget", budget)
         # a doc is kept iff the budget survives THROUGH it — whole-doc
         # semantics; once one doc overflows, all later (lower-priority)
         # docs of that source have _cum > budget too (counts are >= 0),
