@@ -64,6 +64,11 @@ BNLJ_WHITELIST = {
     # quality_model: three 1-row broadcast attaches (feature means,
     # step-1 betas, step-2 betas) — the monotone_range_buckets pattern
     "quality_model",
+    # ann_recall: composes the two whitelisted similarity arms — the
+    # deliberately-quadratic exact baseline (cosine_topk's bounded
+    # query x corpus cross join) and ivf_fixed's broadcast center
+    # crossJoins; the recall join itself is an equi-join
+    "ann_recall",
 }
 
 
