@@ -808,6 +808,11 @@ def connected_components(
                 "node",
                 F.least(F.col("label"), F.coalesce("plabel", "label")).alias("label"),
             )
+            # eager, NOT lazy: fusing materialization into the
+            # convergence aggregate (the star-loop trick) measured
+            # SLOWER here — 4.9 -> 5.2-6.2 s at sf0.1 (r6 A/B; the
+            # label table is small and the fused job schedules worse
+            # than the dedicated checkpoint job)
             .localCheckpoint(eager=True)
         )
         labels = jumped
