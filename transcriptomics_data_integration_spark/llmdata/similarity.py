@@ -837,19 +837,44 @@ def semdedup_arrow(
     c_norm2 = (C * C).sum(axis=1)
 
     def assign_score(batches):
+        # chunked argmin over the codebook (r6): the one-shot form
+        # materialized an n_batch x k distance matrix (400 MB per
+        # Arrow batch at k=5000 — the measured 10M-flat collapse,
+        # PLANS.md) AND ran the V @ C.T GEMM twice (once for
+        # distances, once for the picked dot products).  Chunking
+        # bounds the temporaries at n_batch x 1024 and reuses one
+        # GEMM per chunk; assignment is bitwise identical (same d2
+        # elements; within-chunk argmin takes the first minimum and
+        # the strict < across chunks keeps the earlier = smaller
+        # cell, exactly the flat argmin's tie rule).
+        chunk = 1024
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             V = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf["c_vec"]]
             )
-            d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_norm2[None, :]
-            cell = d2.argmin(axis=1)  # ties -> smallest cell index
-            vc = np.take_along_axis(V @ C.T, cell[:, None], axis=1)[:, 0]
-            vn = np.sqrt((V * V).sum(axis=1))
+            n = len(V)
+            vn2 = (V * V).sum(axis=1)
+            rows = np.arange(n)
+            best_d2 = np.full(n, np.inf)
+            best_cell = np.zeros(n, dtype=np.int64)
+            best_vc = np.zeros(n)
+            for s in range(0, C.shape[0], chunk):
+                e = min(s + chunk, C.shape[0])
+                G = V @ C[s:e].T
+                d2 = vn2[:, None] - 2.0 * G + c_norm2[s:e][None, :]
+                loc = d2.argmin(axis=1)
+                ld2 = d2[rows, loc]
+                upd = ld2 < best_d2
+                best_d2[upd] = ld2[upd]
+                best_cell[upd] = loc[upd] + s
+                best_vc[upd] = G[rows, loc][upd]
+            cell = best_cell
+            vn = np.sqrt(vn2)
             cn = np.sqrt(c_norm2[cell])
             denom = vn * cn
-            cc = np.where(denom > 0, vc / np.where(denom > 0, denom, 1.0), 0.0)
+            cc = np.where(denom > 0, best_vc / np.where(denom > 0, denom, 1.0), 0.0)
             yield pd.DataFrame(
                 {
                     "cand_id": pdf["cand_id"].to_numpy(),
