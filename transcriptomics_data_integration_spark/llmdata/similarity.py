@@ -800,16 +800,20 @@ def semdedup_arrow(
     tau: float = 0.9,
 ) -> DataFrame:
     """Arrow scale path of :func:`semdedup` — same cells, same
-    keep-lowest-centroid-cosine rule, but the within-cell pair sweep
-    runs as ONE numpy matmul per cell (``applyInPandas``, BLAS) instead
-    of the JVM fold over explicit pairs.  Probe-measured ~40x on the
-    sweep; float summation order differs from the fold, so this is the
-    rows-only tier (the ivf_ann / ivf_fixed split) — kept flags match
-    the JVM path except for cosines within float error of ``tau``.
+    keep-lowest-centroid-cosine rule, with BLAS doing the work: the
+    assignment is a chunked single-GEMM argmin (1 024 cells per chunk
+    — bounded temporaries, bitwise-identical cell choice; r6) and the
+    within-cell pair sweep is the blocked preference-order pass of
+    :func:`_make_arrow_sweep` (O(block * |cell|) peak memory under the
+    measured Voronoi skew).  Float summation order differs from the
+    JVM folds, so this is the rows-only tier (the ivf_ann / ivf_fixed
+    split) — kept flags match the JVM path except for cosines within
+    float error of ``tau``.
 
-    Per-task memory is O(max_cell^2) for the similarity matrix — size
-    ``n_cells`` so cells stay in the low thousands (the SemDeDup paper
-    scales cluster count with the corpus for exactly this reason).
+    Probed at 1M/3.3M/10M vectors with cells ∝ corpus (PLANS.md r6):
+    23 / 117 / 246 s — the fastest tier through k ≈ 5 000; at the
+    SemDeDup paper's k ~ 10^5 the n*k*d assignment flops take over and
+    :func:`semdedup_arrow_2level` is the right tier.
     """
     import numpy as np
     import pandas as pd
