@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "bpe_encode",
     "token_budget_sample",
     "ann_recall",
+    "leakage_split",
 ]
 
 

@@ -1864,3 +1864,49 @@ def test_token_budget_sample_bucketed_path_matches_single_task(spark, monkeypatc
         )
     assert results["single"] == results["bucketed"]
     assert len(results["single"]) > 0
+
+
+def test_leakage_safe_split_cluster_atomicity(spark):
+    """Every near-dup cluster lands entirely on ONE side of the split
+    (the leaked-answer guard), unclustered docs key on themselves, the
+    assignment is deterministic, and val_frac=0 sends everything to
+    train."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import dedup_clusters
+    from transcriptomics_data_integration_spark.llmdata.sampling import (
+        leakage_safe_split,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 100) for i in range(30)] + [(5, 205), (7, 207)],
+        "id_a long, id_b long",
+    )
+    clusters = dedup_clusters(pairs)
+    docs = spark.createDataFrame(
+        [(i,) for i in range(30)]
+        + [(i + 100,) for i in range(30)]
+        + [(205,), (207,), (999,)],   # 999 unclustered
+        "doc_id long",
+    )
+    out = leakage_safe_split(docs, clusters, "doc_id", val_frac=0.5).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["cluster_key"], set()).add(r["split"])
+    # atomicity: one split per cluster key
+    assert all(len(v) == 1 for v in by_key.values()), by_key
+    rows = {r["doc_id"]: r for r in out}
+    # twins share key and split
+    for i in range(30):
+        assert rows[i]["cluster_key"] == rows[i + 100]["cluster_key"]
+        assert rows[i]["split"] == rows[i + 100]["split"]
+    assert rows[999]["cluster_key"] == 999
+    # both sides populated at val_frac=0.5 on 33 clusters
+    assert {r["split"] for r in out} == {"train", "val"}
+    # determinism + val_frac=0 edge
+    again = {r["doc_id"]: r["split"] for r in
+             leakage_safe_split(docs, clusters, "doc_id", val_frac=0.5).collect()}
+    assert again == {r["doc_id"]: r["split"] for r in out}
+    all_train = leakage_safe_split(docs, clusters, "doc_id", val_frac=0.0)
+    assert all_train.where(F.col("split") == "val").count() == 0
+    # clusters=None: doc-keyed fallback still total and deterministic
+    nofilter = leakage_safe_split(docs, None, "doc_id", val_frac=0.3)
+    assert nofilter.count() == docs.count()

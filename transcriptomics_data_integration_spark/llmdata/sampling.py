@@ -308,3 +308,52 @@ def token_budget_sample(
         )
     )
     return out
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame | None,
+    id_col: str = "doc_id",
+    val_frac: float = 0.1,
+    salt: str = "split",
+) -> DataFrame:
+    """Train/validation split that CANNOT leak near-duplicates across
+    the boundary: membership is hashed on the doc's DEDUP-CLUSTER key
+    (the ``canonical_id`` from :func:`llmdata.dedup.dedup_clusters`),
+    not the doc id, so every member of a near-dup cluster lands on the
+    same side — the split discipline that keeps eval perplexity honest
+    (a val doc whose twin sits in train is a leaked answer).
+
+    ``clusters`` may be None (or miss docs): unclustered docs are
+    their own key.  Assignment = md5_60bit(salt # key) < val_frac*2^60
+    — the :func:`hash_sample` rule, so splits are deterministic,
+    engine-reproducible, and stable under corpus growth (adding docs
+    never flips existing assignments; a NEW near-dup merging two
+    clusters is a re-dedup event, which re-keys that cluster only).
+
+    Plan shape: one broadcast-or-shuffle left join onto the (small)
+    cluster decision table + map-side hash arithmetic.  Output: every
+    input row with ``cluster_key`` and ``split`` ('train'/'val').
+    """
+    if clusters is not None:
+        cl = clusters.select(
+            F.col("doc_id").alias(id_col) if "doc_id" in clusters.columns
+            and id_col not in clusters.columns else F.col(id_col),
+            "canonical_id",
+        )
+        joined = docs.join(cl, id_col, "left")
+        key = F.coalesce(F.col("canonical_id"), F.col(id_col))
+    else:
+        joined = docs
+        key = F.col(id_col)
+    h = _md5_60bit(F.concat_ws("#", F.lit(salt), key.cast("string")))
+    return (
+        joined.withColumn("cluster_key", key)
+        .withColumn(
+            "split",
+            F.when(h < int(val_frac * _HASH_SPACE), F.lit("val")).otherwise(
+                F.lit("train")
+            ),
+        )
+        .drop("canonical_id")
+    )

@@ -1945,7 +1945,7 @@ _ROUND6_FRONT = [
     "weighted_de", "closed_pipeline", "normalized_de",
     "rnaseq_pipeline_binned", "semdedup", "semdedup_2level", "detection_p",
     "png_pixels", "wav_decode", "gopher_quality", "bpe_encode",
-    "token_budget_sample", "ann_recall",
+    "token_budget_sample", "ann_recall", "leakage_split",
     "dedup_clusters", "expression_pipeline", "idat_decode",
     # -- (c) r3-only-stamped slice (registry order; rnaseq_pipeline /
     # ivf_ann / ward_hclust / cqn_spline — all declared rows-only —
@@ -1954,12 +1954,13 @@ _ROUND6_FRONT = [
     "merge_left_join", "interval_join", "quantile_thresholds",
     "sample_correlation", "quantile_normalization", "stouffer_meta",
     "fem_rem", "icc_meta", "dup_correlation", "quality_filter",
-    "median_polish", "combat_full", "combat_nonparam",
+    "median_polish", "combat_full",
 ]
 
 # Round-7 rotation plan: after r6 the longest-unstamped queries are the
 # r3-only remainder bumped from this window (rnaseq_pipeline, ivf_ann,
-# ward_hclust, cqn_spline, voom_lowess, pca_samples, pq_ann, hclust_samples, kmeans_samples,
+# ward_hclust, cqn_spline, voom_lowess, pca_samples, combat_nonparam,
+# pq_ann, hclust_samples, kmeans_samples,
 # mds_samples, quantile_sketch, logistic_de, meta_pipeline,
 # pca_covariance, mds_bmatrix, kmeans_lloyd2, combat_eb2, doc_logprob,
 # bpe_merges, edit_pairs, url_canonical, line_dedup, winnow_overlap) —

@@ -2948,6 +2948,93 @@ QUERIES_LLM["token_budget_sample"] = q_token_budget_sample
 ORACLES_LLM["token_budget_sample"] = ORACLE_TOKEN_BUDGET
 
 
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split, HASH-GATED (r6): the two-crawl
+    corpus's SimHash near-dup pairs close into clusters
+    (`dedup_clusters`) and every doc is assigned to train/val by the
+    md5 hash of its CLUSTER key (`llmdata/sampling.py:
+    leakage_safe_split`, val_frac=0.2) — so a near-duplicate can never
+    sit in val while its twin trains (the leaked-answer failure mode
+    of doc-keyed splits).  The oracle replays the recursive-CTE
+    closure AND the hash threshold, so a hash match proves the whole
+    chain: pairs -> components -> cluster-keyed assignment."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        dedup_clusters,
+        simhash_neardup_pairs,
+    )
+    from transcriptomics_data_integration_spark.llmdata.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = _two_crawls(_t(spark, sf_dir, "documents")).select("doc_id")
+    pairs = simhash_neardup_pairs(
+        _two_crawls(_t(spark, sf_dir, "documents")), "doc_id", max_hamming=3
+    )
+    clusters = dedup_clusters(pairs.select("id_a", "id_b"))
+    return leakage_safe_split(docs, clusters, "doc_id", val_frac=0.2).select(
+        "doc_id", "cluster_key", "split"
+    )
+
+
+def _oracle_leakage_split() -> str:
+    # the dedup_clusters chain (same text as ORACLE_DEDUP_CLUSTERS up
+    # to the closure), then cluster-keyed md5 membership; the threshold
+    # literal is computed by the SAME python expression the engine uses
+    thr = int(0.2 * float(1 << 60))
+    return f"""
+WITH RECURSIVE crawls AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+), toks AS (
+  SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS token FROM crawls
+), hashed AS (
+  SELECT doc_id, ('0x' || substring(md5(token), 1, 15))::BIGINT AS h FROM toks
+), bits AS (
+  SELECT doc_id, bit, SUM(((h >> bit) & CAST(1 AS BIGINT)) * 2 - 1) AS s
+  FROM hashed, (SELECT UNNEST(generate_series(0, 59)) AS bit)
+  GROUP BY doc_id, bit
+), sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, simhash, b.b AS band, (simhash >> (b.b * 15)) & 32767 AS key
+  FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS b) b
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM banded a JOIN banded b2
+    ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
+  WHERE bit_count(xor(a.simhash, b2.simhash)) <= 3
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+), closure AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical_id
+  FROM reach GROUP BY src
+), keyed AS (
+  SELECT c.doc_id,
+         COALESCE(q.canonical_id, c.doc_id) AS cluster_key
+  FROM crawls c LEFT JOIN closure q USING (doc_id)
+)
+SELECT doc_id, cluster_key,
+       CASE WHEN ('0x' || substring(
+              md5('split' || '#' || CAST(cluster_key AS VARCHAR)), 1, 15)
+            )::BIGINT < {thr}
+            THEN 'val' ELSE 'train' END AS split
+FROM keyed
+"""
+
+
+QUERIES_LLM["leakage_split"] = q_leakage_split
+ORACLES_LLM["leakage_split"] = _oracle_leakage_split()
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-funnel analysis: per user, the first view, the first
     click strictly after that view, and the first purchase strictly
