@@ -47,3 +47,28 @@ def test_load_tables_returns_all_driver_tables(spark):
         "orders", "lineitem", "events", "documents", "embeddings",
     }
     assert t["region"].count() == 5
+
+
+def test_no_driver_divergent_oracle_types():
+    """Static sweep of every oracle's DESCRIBE'd output types (the r6
+    burn): DuckDB types a windowed SUM(BIGINT) as HUGEINT, and the
+    driver's pandas/Arrow oracle materialization renders HUGEINT as
+    float64 ("903.0" vs Spark's "903") — rows/schema green, hash red
+    (CORRECTNESS_r06 `token_budget_sample`).  fetchall()-based local
+    gates silently normalize HUGEINT to int, so this class is only
+    catchable statically: assert no oracle's final projection carries
+    HUGEINT / UHUGEINT / DECIMAL."""
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    from tools.check import TABLES, oracle_type_problems
+    from transcriptomics_data_integration_spark.suite import ORACLES
+
+    con = duckdb.connect()
+    sf_dir = "/root/testdata/sf0.001"
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    problems = oracle_type_problems(con, ORACLES)
+    assert problems == {}, problems

@@ -1716,6 +1716,19 @@ def test_png_wav_codecs_roundtrip_and_tolerant(spark):
     assert d["n_samples"] == 64 and d["n_channels"] == 2
     assert decode_wav(encode_wav(s)[:20]) is None
     assert decode_wav(b"RIFFxxxxNOPE") is None
+    # odd-length data chunk (malformed PCM16): tolerant reader must
+    # truncate to sample alignment, not crash the task (r6 ADVICE)
+    wav = bytearray(encode_wav(s, n_channels=1))
+    odd = wav[:-1]
+    import struct as _s
+
+    odd[4:8] = _s.pack("<I", len(odd) - 8)  # RIFF size
+    # data chunk is the last one; shrink its declared length by 1
+    dpos = bytes(odd).rindex(b"data")
+    (dlen,) = _s.unpack("<I", odd[dpos + 4 : dpos + 8])
+    odd[dpos + 4 : dpos + 8] = _s.pack("<I", dlen - 1)
+    d_odd = decode_wav(bytes(odd))
+    assert d_odd is not None and d_odd["n_samples"] == 127
     # Spark resize path: PNG input -> REAL resized PNG out
     pays = [(1, encode_png(px), len(encode_png(px)), "image/png")]
     df = spark.createDataFrame(
@@ -1910,3 +1923,36 @@ def test_leakage_safe_split_cluster_atomicity(spark):
     # clusters=None: doc-keyed fallback still total and deterministic
     nofilter = leakage_safe_split(docs, None, "doc_id", val_frac=0.3)
     assert nofilter.count() == docs.count()
+
+
+def test_connected_components_stars_nonconverged_emits_unique_nodes(spark):
+    """With max_iter exhausted before the fixpoint, the non-converged
+    edge list can hold the same node as `hi` with several distinct
+    `lo` roots; the final join must still emit exactly ONE row per
+    node (over-split components are the documented degradation —
+    duplicate/conflicting node rows are not)."""
+    import warnings
+
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        connected_components_stars,
+    )
+
+    # interleaved-id chain (descending local minima) needs several star
+    # rounds; max_iter=1 guarantees non-convergence
+    seq, lo, hi = [], 0, 59
+    for i in range(60):
+        seq.append(lo if i % 2 == 0 else hi)
+        if i % 2 == 0:
+            lo += 1
+        else:
+            hi -= 1
+    edges = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(seq, seq[1:])], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        rows = connected_components_stars(edges, max_iter=1).collect()
+    node_ids = [r["node"] for r in rows]
+    assert len(node_ids) == len(set(node_ids)) == 60
+    # every node maps to exactly one component <= itself
+    assert all(r["component"] <= r["node"] for r in rows)

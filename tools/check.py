@@ -13,6 +13,17 @@ preserves the numeric *kind* (int vs float), the float repr, and the
 sign of zero, so any oracle-typing artifact (DuckDB HUGEINT -> float64,
 negative zero from ROUND) is red locally before it is red on the
 driver.
+
+Round-7 hardening (the r6 burn): ``fetchall()`` converts DuckDB
+HUGEINT to Python int, silently normalizing exactly the typing
+artifact the driver's pandas/Arrow materialization does NOT normalize
+(a windowed ``SUM(BIGINT)`` is typed HUGEINT and the driver renders it
+"903.0" vs Spark's "903" -> hash mismatch with rows/schema green —
+the CORRECTNESS_r06 `token_budget_sample` signature).  So before
+executing anything, `oracle_type_problems()` DESCRIBEs every oracle
+and fails any whose *final* projection carries a HUGEINT / UHUGEINT /
+DECIMAL column — the whole class is red at plan-build time.  The same
+sweep runs as a pytest (tests/test_entry_contract.py).
 """
 
 from __future__ import annotations
@@ -77,6 +88,36 @@ def canon(rows, colnames):
     return out
 
 
+# DuckDB result types whose pandas/Arrow materialization diverges from
+# fetchall(): HUGEINT/UHUGEINT -> float64 (or object), DECIMAL ->
+# Decimal objects / float drift.  Oracles must CAST these away.
+FORBIDDEN_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def oracle_type_problems(con, oracles: dict[str, str]) -> dict[str, str]:
+    """DESCRIBE every oracle; return {query: problem} for any whose
+    final projection contains a forbidden (driver-divergent) type."""
+    problems: dict[str, str] = {}
+    for name, sql in oracles.items():
+        try:
+            rows = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:  # noqa: BLE001 — surfaced by the main loop
+            problems[name] = f"DESCRIBE failed: {e}"
+            continue
+        bad = [
+            f"{col}:{ctype}"
+            for col, ctype, *_ in rows
+            if any(t in str(ctype).upper() for t in FORBIDDEN_ORACLE_TYPES)
+        ]
+        if bad:
+            problems[name] = (
+                "oracle final type(s) diverge under the driver's "
+                f"pandas/Arrow materialization: {', '.join(bad)} — "
+                "CAST them (e.g. AS BIGINT / AS DOUBLE)"
+            )
+    return problems
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -86,9 +127,16 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    type_problems = oracle_type_problems(
+        con, {n: sql for n, sql in ORACLES.items() if not only or n in only}
+    )
     n_pass = n_fail = 0
     for name, fn in QUERIES.items():
         if only and name not in only:
+            continue
+        if name in type_problems and "DESCRIBE failed" not in type_problems[name]:
+            print(f"FAIL {name}: {type_problems[name]}")
+            n_fail += 1
             continue
         try:
             sdf = fn(get_spark("check"), sf_dir)

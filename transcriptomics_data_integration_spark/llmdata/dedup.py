@@ -725,10 +725,16 @@ def connected_components_stars(
     if stats is not None:
         stats["rounds"] = rounds
     # converged edges are stars: (node -> component root); roots and
-    # self-loop-only nodes map to themselves
+    # self-loop-only nodes map to themselves.  On the non-converged
+    # path a node can still appear as `hi` with several distinct `lo`
+    # roots — reduce to min(lo) so the join stays 1:1 (over-split
+    # components, never duplicate/conflicting node rows)
+    roots = e.groupBy(F.col("hi").alias("node")).agg(
+        F.min("lo").alias("_root")
+    )
     return (
         nodes.join(
-            e.select(F.col("hi").alias("node"), F.col("lo").alias("_root")),
+            roots,
             "node",
             "left",
         )

@@ -445,6 +445,9 @@ def decode_wav(payload: bytes) -> dict | None:
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
     if fmt is None or data is None or fmt[0] != 1 or fmt[5] != 16:
         return None
+    # tolerant-reader: an odd-length data chunk (malformed for PCM16)
+    # must skip, not crash the task — truncate to sample alignment
+    data = data[: len(data) & ~1]
     audio = np.frombuffer(data, dtype="<i2").astype(np.int64)
     n_ch = fmt[1]
     return {

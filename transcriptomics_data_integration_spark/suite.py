@@ -1931,7 +1931,7 @@ _ROUND5_FRONT = [
 # refactor (semdedup), the NEW semdedup_2level and detection_p gates,
 # the dedup_clusters re-stamp after the drift adjudication, the
 # expression_pipeline optional-F12 param, and the idat.py extension
-# (idat_decode) — and (c) a 19-slice of the r3-only-stamped remainder
+# (idat_decode) — and (c) a 12-slice of the r3-only-stamped remainder
 # in registry order.  Exactly 50 = the driver's gated window.
 _ROUND6_FRONT = [
     # -- (a) r2-only-stamped (longest evidence debt) ----------------------
@@ -1957,15 +1957,44 @@ _ROUND6_FRONT = [
     "median_polish", "combat_full",
 ]
 
-# Round-7 rotation plan: after r6 the longest-unstamped queries are the
-# r3-only remainder bumped from this window (rnaseq_pipeline, ivf_ann,
-# ward_hclust, cqn_spline, voom_lowess, pca_samples, combat_nonparam,
-# pq_ann, hclust_samples, kmeans_samples,
-# mds_samples, quantile_sketch, logistic_de, meta_pipeline,
-# pca_covariance, mds_bmatrix, kmeans_lloyd2, combat_eb2, doc_logprob,
-# bpe_merges, edit_pairs, url_canonical, line_dedup, winnow_overlap) —
-# put those 21 in the r7 front, plus every r7-touched kernel, and fill
-# the remainder with the r4-only-stamped queries (bh_histogram,
-# p_improvement, token_stats, ... registry order).
-QUERIES = _reorder_front(QUERIES, _ROUND6_FRONT)
+# Round-7 window, executing the r6 verdict item 3 exactly: (a) the 24
+# r3-only-stamped queries bumped from the r6 window (pure evidence
+# debt — all pass the judge's 3-SF strict gate), (b) every r7-touched
+# kernel — token_budget_sample FIRST (the one r6 red row; oracle
+# HUGEINT cast fix, engine untouched), the NEW jpeg_pixels gate,
+# wav_decode (odd-length data-chunk guard), dedup_clusters (the
+# stars-fallback non-converged dedup fix lives in the same module),
+# and icc_meta (DIMSUM tier added beside the exact kernel) — and (c) a
+# 20-slice of the r4-only-stamped remainder in registry order.
+# Exactly 50 = the driver's gated window.
+_ROUND7_FRONT = [
+    # -- (b-head) the r6 red row, cleared first ---------------------------
+    "token_budget_sample",
+    # -- (a) r3-only-stamped carry-overs (24) -----------------------------
+    "rnaseq_pipeline", "ivf_ann", "ward_hclust", "cqn_spline",
+    "voom_lowess", "pca_samples", "combat_nonparam", "pq_ann",
+    "hclust_samples", "kmeans_samples", "mds_samples", "quantile_sketch",
+    "logistic_de", "meta_pipeline", "pca_covariance", "mds_bmatrix",
+    "kmeans_lloyd2", "combat_eb2", "doc_logprob", "bpe_merges",
+    "edit_pairs", "url_canonical", "line_dedup", "winnow_overlap",
+    # -- (b) r7-touched kernels (jpeg_pixels / icc_dimsum join this
+    # list in the commits that implement them; _reorder_front asserts
+    # membership, so names land together with their kernels) ----------
+    "wav_decode", "dedup_clusters", "icc_meta",
+    # -- (c) r4-only-stamped slice (registry order) -----------------------
+    "bh_histogram", "p_improvement", "token_stats", "text_quality",
+    "language_id", "doc_fingerprint", "dedup_exact", "ngram_jaccard",
+    "minhash_lsh", "simhash", "cosine_topk", "lsh_ann", "cosine_neardup",
+    "event_window_counts", "sessionize", "json_extract",
+    "duplicate_chunks", "simhash_neardup", "asof_join", "vocab_topk",
+]
+
+# Round-8 rotation plan: the r4-only remainder bumped from this window
+# (embedding_quantize, pack_sequences, batch_center, permutation_fdr,
+# ks_strata, skyline, sample_distances, ivf_fixed, jsonl_parse,
+# dedup_keep_best, winnow_containment, domain_dup_rate, voom_loess2,
+# cqn_irls2, ngram_span_mask — 15 queries) goes in the r8 front, plus
+# every r8-touched kernel, remainder filled with r5-only-stamped
+# queries in registry order.
+QUERIES = _reorder_front(QUERIES, _ROUND7_FRONT)
 QUERIES = {n: _with_persist_drain(fn) for n, fn in QUERIES.items()}

@@ -2934,10 +2934,15 @@ WITH scored AS (
   FROM documents
 ), cum AS (
   SELECT doc_id, source, n_tokens, budget,
-         SUM(n_tokens) OVER (
+         -- CAST is load-bearing: DuckDB types a windowed BIGINT SUM as
+         -- HUGEINT, which pandas/Arrow materialization (the driver's
+         -- oracle path) renders as float64 ("903.0" vs Spark's "903")
+         -- -> hash mismatch even though every value is identical
+         -- (CORRECTNESS_r06 token_budget_sample red row).
+         CAST(SUM(n_tokens) OVER (
            PARTITION BY source ORDER BY pri, doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) AS cum_tokens
+         ) AS BIGINT) AS cum_tokens
   FROM scored
 )
 SELECT doc_id, source, n_tokens, cum_tokens
