@@ -184,17 +184,32 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Full-precision per-query artifact: the driver's stdout capture
+    # keeps only the LAST 2000 chars, and the r6 suite line (~2.2k
+    # chars, 86 queries) got its head cut -> parsed: null, two rows
+    # lost.  The artifact preserves 3-dp rows regardless of line size.
+    try:
+        with open("bench_queries.json", "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError:
+        pass
+    # The ONE contract line stays last and must fit the tail capture
+    # whole: compact separators, and degrade value precision 3dp->2dp
+    # if the line would overflow the 2000-char window (names are the
+    # bulk; 2dp keeps ~150 chars of headroom at the current 86-query
+    # suite).
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1900:
+        payload["queries"] = {n: round(v, 2) for n, v in timings.items()}
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
