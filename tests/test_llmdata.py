@@ -1956,3 +1956,85 @@ def test_connected_components_stars_nonconverged_emits_unique_nodes(spark):
     assert len(node_ids) == len(set(node_ids)) == 60
     # every node maps to exactly one component <= itself
     assert all(r["component"] <= r["node"] for r in rows)
+
+
+def test_jpeg_codec_roundtrip_and_tolerant_reader():
+    """Baseline JPEG codec (r7): 8x8-constant tiles round-trip
+    BIT-EXACTLY under the all-ones quant table (the jpeg_pixels gate
+    profile — DC-only blocks); full random images bound the float
+    rounding error (gray <=1, color <=3 via YCbCr rounding); restart
+    markers re-sync (incl. RSTn wrap past 7); partial edge blocks
+    crop correctly; malformed / out-of-profile payloads return None
+    instead of raising."""
+    import numpy as np
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(23)
+    # constant tiles: exact, with and without restart markers
+    tiles = rng.integers(0, 256, (3, 4), dtype=np.uint8)
+    img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+    for ri in (0, 1, 3):
+        dec = decode_jpeg_pixels(encode_jpeg(img, restart_interval=ri))
+        assert dec is not None and np.array_equal(dec[:, :, 0], img), ri
+    # random gray with partial edge blocks: error bound 1
+    g = rng.integers(0, 256, (21, 13), dtype=np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg(g))
+    assert dec.shape == (21, 13, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max() <= 1
+    # RSTn wrap: >8 restart intervals in one scan
+    big = rng.integers(0, 256, (40, 40), dtype=np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg(big, restart_interval=1))
+    assert np.abs(dec[:, :, 0].astype(int) - big.astype(int)).max() <= 1
+    # color: YCbCr round-trip error bound
+    c = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    dec3 = decode_jpeg_pixels(encode_jpeg(c, restart_interval=2))
+    assert dec3.shape == (16, 24, 3)
+    assert np.abs(dec3.astype(int) - c.astype(int)).max() <= 3
+    # a coarse quant table still decodes (lossy but parseable)
+    q = np.full((8, 8), 16, dtype=np.int64)
+    assert decode_jpeg_pixels(encode_jpeg(g, quant=q)) is not None
+    # malformed: truncation, junk, bad signature, progressive marker
+    good = encode_jpeg(g)
+    assert decode_jpeg_pixels(good[: len(good) // 2]) is None
+    assert decode_jpeg_pixels(b"\xff\xd8junk") is None
+    assert decode_jpeg_pixels(b"nope") is None
+    prog = bytearray(good)
+    sof = bytes(prog).index(b"\xff\xc0")
+    prog[sof + 1] = 0xC2  # pretend progressive
+    assert decode_jpeg_pixels(bytes(prog)) is None
+
+
+def test_resize_media_real_jpeg_path(spark):
+    """resize_media routes image/jpeg payloads through the REAL
+    decode -> nearest-neighbor -> re-encode path (r7): output is a
+    decodable JPEG of the target size whose pixels match resizing the
+    decoded input."""
+    import numpy as np
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+        resize_media,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(5)
+    tiles = rng.integers(0, 256, (2, 2), dtype=np.uint8)
+    img = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+    payload = encode_jpeg(img)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload), len(payload), "image/jpeg")],
+        "media_id long, payload binary, n_bytes long, media_type string",
+    )
+    out = resize_media(df, target_w=8, target_h=8).collect()[0]
+    dec = decode_jpeg_pixels(bytes(out["payload"]))
+    assert dec is not None and dec.shape == (8, 8, 1)
+    expect = resize_nearest(img[:, :, None], 8, 8)
+    # the resized image mixes tile values inside one 8x8 block, so the
+    # re-encode is lossy within the all-ones-quant float-rounding
+    # bound (+-1), not bit-exact
+    assert np.abs(dec.astype(int) - expect.astype(int)).max() <= 1

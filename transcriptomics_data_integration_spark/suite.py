@@ -1977,10 +1977,10 @@ _ROUND7_FRONT = [
     "logistic_de", "meta_pipeline", "pca_covariance", "mds_bmatrix",
     "kmeans_lloyd2", "combat_eb2", "doc_logprob", "bpe_merges",
     "edit_pairs", "url_canonical", "line_dedup", "winnow_overlap",
-    # -- (b) r7-touched kernels (jpeg_pixels / icc_dimsum join this
-    # list in the commits that implement them; _reorder_front asserts
-    # membership, so names land together with their kernels) ----------
-    "wav_decode", "dedup_clusters", "icc_meta",
+    # -- (b) r7-touched kernels (icc_dimsum joins this list in the
+    # commit that implements it; _reorder_front asserts membership,
+    # so names land together with their kernels) -----------------------
+    "jpeg_pixels", "wav_decode", "dedup_clusters", "icc_meta",
     # -- (c) r4-only-stamped slice (registry order) -----------------------
     "bh_histogram", "p_improvement", "token_stats", "text_quality",
     "language_id", "doc_fingerprint", "dedup_exact", "ngram_jaccard",

@@ -734,6 +734,95 @@ FROM px GROUP BY doc_id
 """
 
 
+def q_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG entropy decode + nearest-neighbor resize,
+    HASH-GATED (r7, closing the last multimodal pixel stub): per doc a
+    16x24 grayscale image tiled from 2x3 EIGHT-BY-EIGHT-CONSTANT
+    blocks v(bi,bj) = (doc_id*11 + bi*37 + bj*17) % 256 is encoded by
+    the real encoder (Annex-K Huffman tables, zigzag RLE, 0xFF byte
+    stuffing, DRI/RST2 restart markers) and decoded back by the
+    independent marker-walking entropy decoder
+    (`llmdata/multimodal.py:decode_jpeg_pixels`), resized 24x16 ->
+    7x5, and reduced to integer-exact pixel sums.  Constant 8x8 tiles
+    survive the lossy DCT pipeline BIT-EXACTLY under the all-ones
+    quantization table (one integer DC coefficient, zero ACs), so the
+    oracle recomputes both sums from the tile formula alone — it
+    never touches JPEG bytes.  A hash match therefore proves the
+    Huffman code tables, bit unstuffing, restart re-sync, DC
+    prediction, dequantize/IDCT arithmetic, and the resize index rule
+    end-to-end.  Map-side mapInPandas: zero shuffles."""
+    import pandas as pd
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+        resize_nearest,
+    )
+
+    BH, BW = 2, 3  # tile grid; image is (16, 24) gray
+
+    def op(batches):
+        import numpy as np
+
+        bi, bj = np.mgrid[0:BH, 0:BW]
+        ones = np.ones((8, 8), dtype=np.uint8)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                tiles = ((did * 11 + bi * 37 + bj * 17) % 256).astype(np.uint8)
+                img = np.kron(tiles, ones)
+                dec = decode_jpeg_pixels(
+                    encode_jpeg(img, restart_interval=2)
+                )
+                if dec is None or dec.shape != (16, 24, 1):
+                    continue
+                small = resize_nearest(dec, 7, 5)
+                rows.append(
+                    (
+                        did,
+                        dec.shape[1],
+                        dec.shape[0],
+                        int(dec.astype(np.int64).sum()),
+                        int(small.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "sum_v", "rsum_v"],
+            )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        op,
+        schema=(
+            "media_id bigint, width int, height int, "
+            "sum_v bigint, rsum_v bigint"
+        ),
+    )
+
+
+# resize 24x16 -> 7x5 nearest-neighbor source indices: ys = floor(i*16/5)
+# = (0,3,6,9,12) -> tile rows (0,0,0,1,1) => row weights (3,2);
+# xs = floor(j*24/7) = (0,3,6,10,13,17,20) -> tile cols (0,0,0,1,1,2,2)
+# => col weights (3,2,2) — mirrored in the oracle's weight CASEs
+ORACLE_JPEG_PIXELS = """
+WITH tiles AS (
+  SELECT d.doc_id, bi.bi, bj.bj,
+         (d.doc_id * 11 + bi.bi * 37 + bj.bj * 17) % 256 AS v
+  FROM documents d,
+       (SELECT unnest(generate_series(0, 1)) AS bi) bi,
+       (SELECT unnest(generate_series(0, 2)) AS bj) bj
+)
+SELECT doc_id AS media_id,
+       CAST(24 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+       CAST(SUM(64 * v) AS BIGINT) AS sum_v,
+       CAST(SUM((CASE bi WHEN 0 THEN 3 ELSE 2 END)
+                * (CASE bj WHEN 0 THEN 3 ELSE 2 END) * v) AS BIGINT) AS rsum_v
+FROM tiles GROUP BY doc_id
+"""
+
+
 def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV (RIFF/PCM16) decode, HASH-GATED (r6): per doc a
     64-sample mono 8 kHz waveform with planted samples
@@ -1508,6 +1597,7 @@ QUERIES_LLM = {
     "multimodal_featurize": q_multimodal_featurize,
     "media_header_decode": q_media_header_decode,
     "png_pixels": q_png_pixels,
+    "jpeg_pixels": q_jpeg_pixels,
     "wav_decode": q_wav_decode,
     "event_window_counts": q_event_window_counts,
     "sessionize": q_sessionize,
@@ -1539,6 +1629,7 @@ ORACLES_LLM = {
     "multimodal_featurize": ORACLE_MULTIMODAL,
     "media_header_decode": ORACLE_MEDIA_HEADER,
     "png_pixels": ORACLE_PNG_PIXELS,
+    "jpeg_pixels": ORACLE_JPEG_PIXELS,
     "wav_decode": ORACLE_WAV_DECODE,
     "event_window_counts": ORACLE_EVENT_WINDOW,
     "sessionize": ORACLE_SESSIONIZE,
