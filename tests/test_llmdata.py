@@ -2038,3 +2038,47 @@ def test_resize_media_real_jpeg_path(spark):
     # re-encode is lossy within the all-ones-quant float-rounding
     # bound (+-1), not bit-exact
     assert np.abs(dec.astype(int) - expect.astype(int)).max() <= 1
+
+
+def test_gif_codec_roundtrip_and_tolerant_reader():
+    """GIF LZW codec (r7): lossless round-trip over arbitrary palette
+    indices (plain + interlaced, palette sizes 2..256, dictionary
+    reset past 4096 codes), externally-encoded canonical files decode
+    (incl. the in-the-wild truncated-END-code form and GCE extension
+    blocks), malformed payloads return None."""
+    import base64
+
+    import numpy as np
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(31)
+    for k in (2, 4, 16, 256):
+        pal = rng.integers(0, 256, (k, 3)).astype(np.uint8)
+        for shape in [(1, 1), (7, 9), (33, 41)]:
+            idx = rng.integers(0, k, shape).astype(np.uint8)
+            for il in (False, True):
+                dec = decode_gif_pixels(encode_gif(idx, pal, interlace=il))
+                assert dec is not None and np.array_equal(dec, pal[idx]), (
+                    k, shape, il,
+                )
+    # dictionary reset: 100x200 random 256-color forces >4096 codes
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    idx = rng.integers(0, 256, (100, 200)).astype(np.uint8)
+    assert np.array_equal(decode_gif_pixels(encode_gif(idx, pal)), pal[idx])
+    # canonical external 1x1 GIFs: 89a black (GCE extension + END code
+    # truncated mid-bit — the tolerant-reader case) and 87a white
+    black = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    assert decode_gif_pixels(black).tolist() == [[[0, 0, 0]]]
+    white = base64.b64decode("R0lGODdhAQABAIAAAP///wAAACwAAAAAAQABAAACAkQBADs=")
+    assert decode_gif_pixels(white).tolist() == [[[255, 255, 255]]]
+    # malformed: truncation inside pixel data, junk, header-only
+    g = encode_gif(idx, pal)
+    assert decode_gif_pixels(g[: len(g) // 2]) is None
+    assert decode_gif_pixels(b"GIF89a") is None
+    assert decode_gif_pixels(b"nope") is None

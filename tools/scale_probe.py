@@ -213,6 +213,51 @@ def probe_icc_blockmatrix(spark, copies: int) -> dict:
             "sec": round(time.perf_counter() - t0, 2)}
 
 
+def probe_icc_dimsum(spark, copies: int, threshold: float = 0.2) -> dict:
+    """ICC approximation tier (r7): same inflated gene set as
+    probe_icc_blockmatrix but the gene-gene correlation stage runs
+    DIMSUM (`RowMatrix.columnSimilarities(threshold)`) and the shared
+    profile stage consumes only the surviving pairs — cost tracks
+    kept pairs, not G^2."""
+    from transcriptomics_data_integration_spark.stats.icc import icc_dimsum
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    big = inflate(
+        li.where(F.col("l_partkey") <= 200), "l_partkey", copies, shift_keys=True
+    )
+    cells = big.where(F.col("l_linestatus").isin(["O", "F"])).groupBy(
+        F.col("l_linestatus").alias("platform"),
+        F.col("l_partkey").alias("gene_id"),
+        (F.col("l_suppkey") % 50).alias("sample_id"),
+    ).agg(F.avg("l_extendedprice").alias("value"))
+    t0 = time.perf_counter()
+    n = icc_dimsum(cells, ["O", "F"], threshold=threshold).count()
+    return {"probe": f"icc_dimsum_t{threshold}_genes_x{copies}", "rows_out": n,
+            "sec": round(time.perf_counter() - t0, 2)}
+
+
+def probe_icc_sampled(spark, copies: int, frac: float = 0.1) -> dict:
+    """ICC ORACLED approximation tier (r7): same inflated gene set,
+    exact relational kernel with the md5-hashed partner subset —
+    pairs shrink G^2 -> G^2*frac before the join, the shape that
+    actually cuts work for unit-norm correlation columns."""
+    from transcriptomics_data_integration_spark.stats.icc import icc
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    big = inflate(
+        li.where(F.col("l_partkey") <= 200), "l_partkey", copies, shift_keys=True
+    )
+    cells = big.where(F.col("l_linestatus").isin(["O", "F"])).groupBy(
+        F.col("l_linestatus").alias("platform"),
+        F.col("l_partkey").alias("gene_id"),
+        (F.col("l_suppkey") % 50).alias("sample_id"),
+    ).agg(F.avg("l_extendedprice").alias("value"))
+    t0 = time.perf_counter()
+    n = icc(cells, ["O", "F"], exact_scale=None, partner_frac=frac).count()
+    return {"probe": f"icc_sampled_f{frac}_genes_x{copies}", "rows_out": n,
+            "sec": round(time.perf_counter() - t0, 2)}
+
+
 def probe_pca_covariance(spark, copies: int) -> dict:
     """M11 distributed phase under SAMPLE inflation (G fixed at 25,
     xN samples): the self-join fanout is G^2 per sample — the axis

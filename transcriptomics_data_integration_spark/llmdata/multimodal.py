@@ -980,3 +980,222 @@ def _decode_scan(
     return np.clip(
         np.round(np.stack([r, g, b], axis=-1)), 0, 255
     ).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# REAL GIF codec (r7): pure Python/numpy — GIF89a logical-screen /
+# image-descriptor framing, global color table, and the GIF flavor of
+# LZW (variable code width 3..12 bits, LSB-first bit packing, CLEAR /
+# END codes, 4096-entry dictionary reset, 255-byte sub-block
+# framing), plus the 4-pass interlace.  GIF is LOSSLESS over palette
+# indices, so — unlike JPEG — the `gif_pixels` gate round-trips
+# arbitrary planted indices bit-exactly.  Reference parity: the
+# reference ships no image codecs; engine-extension surface
+# (multimodal training-data pipelines).
+# ---------------------------------------------------------------------------
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_order(h: int) -> list[int]:
+    order = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        order.extend(range(start, h, step))
+    return order
+
+
+def encode_gif(
+    indices: np.ndarray, palette: np.ndarray, interlace: bool = False
+) -> bytes:
+    """Minimal REAL GIF89a encoder: (H, W) uint8 palette indices + a
+    (K, 3) palette (K a power of two, 2..256).  Real LZW with growing
+    code width and dictionary reset at 4096 entries; optional
+    interlaced row order."""
+    import struct as _struct
+
+    h, w = indices.shape
+    k = len(palette)
+    assert k >= 2 and (k & (k - 1)) == 0 and indices.max() < k
+    gct_bits = max(1, (k - 1).bit_length()) - 1  # field stores bits-1
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HHBBB", w, h, 0x80 | (gct_bits & 0x07), 0, 0)
+    out += bytes(int(v) for rgb in palette for v in rgb)
+    out += _struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0x00
+    )
+    rows = indices[_gif_interlace_order(h)] if interlace else indices
+    data = rows.reshape(-1).tolist()
+
+    min_code = max(2, gct_bits + 1)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out.append(min_code)
+
+    # LZW encode, LSB-first bit packing
+    bits = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(1 << min_code)}
+    next_code = end + 1
+    width = min_code + 1
+    emit(clear, width)
+    seq: tuple[int, ...] = ()
+    for px in data:
+        cand = seq + (px,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        elif next_code >= 4097:  # dictionary full: reset
+            emit(clear, width)
+            table = {(i,): i for i in range(1 << min_code)}
+            next_code = end + 1
+            width = min_code + 1
+        seq = (px,)
+    if seq:
+        emit(table[seq], width)
+    emit(end, width)
+    if nbits:
+        bits.append(acc & 0xFF)
+    for i in range(0, len(bits), 255):
+        chunk = bits[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif_pixels(payload: bytes) -> np.ndarray | None:
+    """REAL GIF pixel decode: LSD/GCT parse, extension-block skip,
+    image descriptor (incl. interlace), full LZW decode with variable
+    code width and dictionary reset, palette lookup to (H, W, 3)
+    uint8 RGB.  First image only; local color tables supported;
+    returns None for malformed input (tolerant-reader stance)."""
+    import struct as _struct
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w0, h0, packed, _bg, _ar = _struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(payload):
+            return None
+        gct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer before any image
+            return None
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            return None
+        if pos + 10 > len(payload):
+            return None
+        _l, _t, w, h, ipacked = _struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(payload):
+                return None
+            pal = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if pal is None or w == 0 or h == 0:
+            return None
+        if pos >= len(payload):
+            return None
+        min_code = payload[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            return None
+        blocks = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            blocks += payload[pos + 1 : pos + 1 + ln]
+            if pos + 1 + ln > len(payload):
+                return None
+            pos += 1 + ln
+        if pos >= len(payload):
+            return None
+        pos += 1  # sub-block terminator
+
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        width = min_code + 1
+        table: list[tuple[int, ...]] = [(i,) for i in range(1 << min_code)]
+        table += [(), ()]  # clear, end placeholders
+        acc = 0
+        nbits = 0
+        bp = 0
+        out_px: list[int] = []
+        prev: tuple[int, ...] | None = None
+        exhausted = False
+        while True:
+            while nbits < width:
+                if bp >= len(blocks):
+                    # data ended without an END code — common in the
+                    # wild (the canonical 1x1 examples truncate END's
+                    # last bit); accept iff all pixels arrived
+                    exhausted = True
+                    break
+                acc |= blocks[bp] << nbits
+                bp += 1
+                nbits += 8
+            if exhausted:
+                break
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [(i,) for i in range(1 << min_code)] + [(), ()]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                break
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + (entry[0],))
+            elif code == len(table):
+                entry = prev + (prev[0],)
+                table.append(entry)
+            else:
+                return None
+            out_px.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        if len(out_px) < w * h:
+            return None
+        arr = np.array(out_px[: w * h], dtype=np.int64).reshape(h, w)
+        if arr.max() >= len(pal):
+            return None
+        if ipacked & 0x40:  # deinterlace
+            de = np.empty_like(arr)
+            de[_gif_interlace_order(h)] = arr
+            arr = de
+        return pal[arr]
+    return None

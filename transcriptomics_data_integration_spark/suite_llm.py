@@ -823,6 +823,86 @@ FROM tiles GROUP BY doc_id
 """
 
 
+def q_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF LZW decode, HASH-GATED (r7): per doc a 12x17 16-color
+    image with planted palette indices idx(y,x) = (doc_id*13 + y*5 +
+    x*3) % 16 and palette pal[i] = ((i*37)%256, (i*59)%256, (i*83)%256)
+    is encoded by the real GIF89a encoder (variable-width LZW with
+    dictionary growth, 255-byte sub-blocks, INTERLACED row order) and
+    decoded back by the independent LZW decoder
+    (`llmdata/multimodal.py:decode_gif_pixels`), reduced to
+    integer-exact per-channel sums.  GIF is lossless, so the oracle
+    recomputes the sums from the index/palette formulas alone — it
+    never touches GIF bytes; a hash match proves the LZW bit packing,
+    code-width growth, sub-block framing, palette lookup, and the
+    4-pass deinterlace end-to-end.  Map-side mapInPandas: zero
+    shuffles."""
+    import pandas as pd
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    H, W, K = 12, 17, 16
+
+    def op(batches):
+        import numpy as np
+
+        y, x = np.mgrid[0:H, 0:W]
+        pal = np.stack(
+            [
+                (np.arange(K) * 37) % 256,
+                (np.arange(K) * 59) % 256,
+                (np.arange(K) * 83) % 256,
+            ],
+            axis=1,
+        ).astype(np.uint8)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                idx = ((did * 13 + y * 5 + x * 3) % K).astype(np.uint8)
+                dec = decode_gif_pixels(encode_gif(idx, pal, interlace=True))
+                if dec is None or dec.shape != (H, W, 3):
+                    continue
+                s = dec.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    (did, dec.shape[1], dec.shape[0],
+                     int(s[0]), int(s[1]), int(s[2]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "sum_r", "sum_g", "sum_b"],
+            )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        op,
+        schema=(
+            "media_id bigint, width int, height int, "
+            "sum_r bigint, sum_g bigint, sum_b bigint"
+        ),
+    )
+
+
+ORACLE_GIF_PIXELS = """
+WITH px AS (
+  SELECT d.doc_id,
+         (d.doc_id * 13 + y.y * 5 + x.x * 3) % 16 AS i
+  FROM documents d,
+       (SELECT unnest(generate_series(0, 11)) AS y) y,
+       (SELECT unnest(generate_series(0, 16)) AS x) x
+)
+SELECT doc_id AS media_id,
+       CAST(17 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
+       CAST(SUM((i * 37) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((i * 59) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((i * 83) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id
+"""
+
+
 def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV (RIFF/PCM16) decode, HASH-GATED (r6): per doc a
     64-sample mono 8 kHz waveform with planted samples
@@ -1598,6 +1678,7 @@ QUERIES_LLM = {
     "media_header_decode": q_media_header_decode,
     "png_pixels": q_png_pixels,
     "jpeg_pixels": q_jpeg_pixels,
+    "gif_pixels": q_gif_pixels,
     "wav_decode": q_wav_decode,
     "event_window_counts": q_event_window_counts,
     "sessionize": q_sessionize,
@@ -1630,6 +1711,7 @@ ORACLES_LLM = {
     "media_header_decode": ORACLE_MEDIA_HEADER,
     "png_pixels": ORACLE_PNG_PIXELS,
     "jpeg_pixels": ORACLE_JPEG_PIXELS,
+    "gif_pixels": ORACLE_GIF_PIXELS,
     "wav_decode": ORACLE_WAV_DECODE,
     "event_window_counts": ORACLE_EVENT_WINDOW,
     "sessionize": ORACLE_SESSIONIZE,

@@ -123,6 +123,35 @@ JOIN per_g ON li.l_partkey = per_g.l_partkey
 """
 
 
+def q_icc_dimsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 approximation tier (r7, SURVEY §4.2): the same ICC as
+    `icc_meta` but with the gene-gene correlation stage computed by
+    `RowMatrix.columnSimilarities(threshold)` (DIMSUM sampling) on
+    standardized gene columns instead of the exact relational
+    self-join — the 100 TB path when G^2 pairs stop fitting a
+    shuffle.  Declared rows-only (DIMSUM's sampled estimates are not
+    SQL-replayable); the exact `icc_meta` stays the oracle, and
+    `tests/test_stats_ml.py::test_icc_dimsum_tiers` bounds this
+    tier's error against it."""
+    from transcriptomics_data_integration_spark.stats.icc import icc_dimsum
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_linestatus").isin(["F", "O"]))
+    genes = _top_genes(spark, sf_dir, 40)
+    cells = (
+        li.join(F.broadcast(genes), "l_partkey")
+        .groupBy(
+            F.col("l_linestatus").alias("platform"),
+            F.col("l_partkey").alias("gene_id"),
+            (F.col("l_suppkey") % 100).alias("sample_id"),
+        )
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("value"))
+    )
+    out = icc_dimsum(cells, ["F", "O"], threshold=0.2)
+    return out.select(
+        "gene_id", "n_pairs", (F.round("icc", 6) + F.lit(0.0)).alias("icc")
+    )
+
+
 def q_icc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12 — integrative correlation over the (O, F) platform pair on
     the top-40-variance genes (`Meta_analysis.R:312-347`)."""
@@ -185,6 +214,89 @@ WITH {_TOP_GENES_CTE}, cells AS (
 SELECT g AS gene_id, CAST(1 AS BIGINT) AS n_pairs,
        ROUND((n * sxy - sx * sy) /
              (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6) + 0.0 AS icc
+FROM prof
+WHERE (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+"""
+
+
+def q_icc_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 ORACLED approximation tier (r7): the same ICC as `icc_meta`
+    but with each gene's correlation profile restricted to the
+    deterministic md5-hashed HALF of partner genes
+    (`stats/icc.py:_pair_corr_moments(partner_frac=0.5)`) — the
+    approximation that actually cuts the quadratic for unit-norm
+    correlation columns (DIMSUM's magnitude-proportional sampler
+    saturates there; measured loss in PLANS.md r7).  The partner
+    subset is SQL-replayable, so unlike DIMSUM this tier hash-matches
+    a DuckDB oracle end-to-end."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_linestatus").isin(["F", "O"]))
+    genes = _top_genes(spark, sf_dir, 40)
+    cells = (
+        li.join(F.broadcast(genes), "l_partkey")
+        .groupBy(
+            F.col("l_linestatus").alias("platform"),
+            F.col("l_partkey").alias("gene_id"),
+            (F.col("l_suppkey") % 100).alias("sample_id"),
+        )
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("value"))
+    )
+    out = icc(cells, ["F", "O"], exact_scale=2, partner_frac=0.5)
+    return out.select(
+        "gene_id", "n_pairs", (F.round("icc", 6) + F.lit(0.0)).alias("icc")
+    )
+
+
+# 0.5 * 2^60 — the partner-subset threshold, mirrored from
+# _pair_corr_moments(partner_frac=0.5).  The profile stage replays the
+# engine's tick-quantized order-independent mode (ticks = FLOOR(r*1e9
+# + 0.5), exact integer moments — HUGEINT here, DECIMAL(38,0) on the
+# Spark side; identical values, both cast to DOUBLE only at the final
+# ratio) so 2-partner profiles with ~1e-18 radicands can't flip sign
+# between engines' float summation orders.
+_ICC_PARTNER_HALF = 576460752303423488
+
+ORACLE_ICC_SAMPLED = f"""
+WITH {_TOP_GENES_CTE}, cells AS (
+  SELECT l_linestatus AS platform, l_partkey AS gene_id, l_suppkey % 100 AS sample_id,
+         {_DSUM.format(x='l_extendedprice')} AS value
+  FROM lineitem
+  WHERE l_linestatus IN ('O', 'F')
+    AND l_partkey IN (SELECT l_partkey FROM topg WHERE rn <= 40)
+  GROUP BY 1, 2, 3
+), pairs AS (
+  SELECT a.platform, a.gene_id AS g, b.gene_id AS h,
+         COUNT(*) AS n,
+         {_DSUM.format(x='a.value')} AS sx,
+         {_DSUM.format(x='b.value')} AS sy,
+         CAST(SUM(CAST(CAST(a.value AS DECIMAL(18,2)) * CAST(b.value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+         {_DSUM2.format(x='a.value')} AS sx2,
+         {_DSUM2.format(x='b.value')} AS sy2
+  FROM cells a JOIN cells b
+    ON a.platform = b.platform AND a.sample_id = b.sample_id AND a.gene_id <> b.gene_id
+   AND ('0x' || substring(md5('icc-partner#' || CAST(b.gene_id AS VARCHAR)), 1, 15))::BIGINT < {_ICC_PARTNER_HALF}
+  GROUP BY 1, 2, 3
+), rr AS (
+  SELECT platform, g, h,
+         (n * sxy - sx * sy) /
+         (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)) AS r
+  FROM pairs
+  WHERE (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+), ticks AS (
+  SELECT a.g,
+         CAST(FLOOR(a.r * 1000000000.0 + 0.5) AS HUGEINT) AS ta,
+         CAST(FLOOR(b.r * 1000000000.0 + 0.5) AS HUGEINT) AS tb
+  FROM (SELECT * FROM rr WHERE platform = 'F') a
+  JOIN (SELECT * FROM rr WHERE platform = 'O') b ON a.g = b.g AND a.h = b.h
+), prof AS (
+  SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(ta) AS sx, SUM(tb) AS sy, SUM(ta * tb) AS sxy,
+         SUM(ta * ta) AS sx2, SUM(tb * tb) AS sy2
+  FROM ticks GROUP BY g
+)
+SELECT g AS gene_id, CAST(1 AS BIGINT) AS n_pairs,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+             (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)) *
+              sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))), 6) + 0.0 AS icc
 FROM prof
 WHERE (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
 """
@@ -611,6 +723,8 @@ FROM posted
 QUERIES_STATS = {
     "batch_center": q_batch_center,
     "icc_meta": q_icc_meta,
+    "icc_dimsum": q_icc_dimsum,
+    "icc_sampled": q_icc_sampled,
     "permutation_fdr": q_permutation_fdr,
     "mahalanobis_outliers": q_mahalanobis_outliers,
     "strata_correlation": q_strata_correlation,
@@ -622,6 +736,7 @@ QUERIES_STATS = {
 ORACLES_STATS = {
     "batch_center": ORACLE_BATCH_CENTER,
     "icc_meta": ORACLE_ICC,
+    "icc_sampled": ORACLE_ICC_SAMPLED,
     "permutation_fdr": ORACLE_PERMUTATION,
     "mahalanobis_outliers": ORACLE_MAHALANOBIS,
     "strata_correlation": ORACLE_STRATA,
