@@ -120,6 +120,9 @@ BENCH_QUERIES = [
     "token_budget_sample",
     "ann_recall",
     "leakage_split",
+    "jpeg_pixels",
+    "gif_pixels",
+    "icc_sampled",
 ]
 
 

@@ -2082,3 +2082,85 @@ def test_gif_codec_roundtrip_and_tolerant_reader():
     assert decode_gif_pixels(g[: len(g) // 2]) is None
     assert decode_gif_pixels(b"GIF89a") is None
     assert decode_gif_pixels(b"nope") is None
+
+
+def test_mp4_header_roundtrip_and_tolerant_reader():
+    """ISO-BMFF header codec (r7): planted dims/duration/tracks
+    round-trip through the real box writer + recursive walker; v1
+    (64-bit) mvhd parses; largesize boxes parse; malformed payloads
+    return None."""
+    import struct
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        decode_video_header,
+        encode_mp4_header,
+    )
+
+    for w, h, d, n in [(640, 480, 12345, 1), (1920, 1080, 3600000, 3), (16, 16, 0, 2)]:
+        dec = decode_video_header(encode_mp4_header(w, h, d, n_tracks=n))
+        assert dec == {
+            "media_type": "video/mp4",
+            "width": w,
+            "height": h,
+            "duration_ms": d,
+            "n_tracks": n,
+        }, (w, h, d, n, dec)
+    # version-1 mvhd (64-bit times): hand-build one
+    def box(typ, body):
+        return struct.pack(">I", len(body) + 8) + typ + body
+
+    mvhd_v1 = box(
+        b"mvhd",
+        struct.pack(">B3xQQIQ", 1, 0, 0, 600, 1200) + b"\x00" * 80,
+    )
+    payload = box(b"ftyp", b"isom\x00\x00\x00\x00") + box(b"moov", mvhd_v1)
+    dec = decode_video_header(payload)
+    assert dec is not None and dec["duration_ms"] == 2000 and dec["n_tracks"] == 0
+    # malformed
+    assert decode_video_header(b"nope") is None
+    assert decode_video_header(encode_mp4_header(10, 10, 10)[:20]) is None
+    assert decode_video_header(b"") is None
+
+
+def test_temperature_sample_allocation(spark):
+    """temperature_sample (r7): integer-exact alpha-smoothed
+    allocation — k_s = floor(T * w_s / sum(w)) with tick-quantized
+    sqrt weights — and md5-priority prefix selection, replayed in
+    Python."""
+    import hashlib
+    import math
+
+    from transcriptomics_data_integration_spark.llmdata.sampling import (
+        temperature_sample,
+    )
+
+    rows = (
+        [(i, "big") for i in range(400)]
+        + [(i + 1000, "mid") for i in range(100)]
+        + [(i + 2000, "small") for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_sample(df, "source", "doc_id", total_docs=100, alpha=0.5)
+    got = out.select("doc_id", "source", "k_target", "rk").collect()
+
+    w = {s: math.floor(math.sqrt(n) * 1e6 + 0.5) for s, n in
+         [("big", 400), ("mid", 100), ("small", 25)]}
+    wsum = sum(w.values())
+    k = {s: (100 * v) // wsum for s, v in w.items()}
+    # smoothing: big gets LESS than its natural 76%, small more than 5%
+    assert k["big"] < 76 and k["small"] > 100 * 25 // 525
+    per_src = {}
+    for r in got:
+        assert r["k_target"] == k[r["source"]]
+        per_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert {s: len(v) for s, v in per_src.items()} == {
+        s: v for s, v in k.items() if v > 0
+    }
+
+    def pri(doc_id):
+        return (int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16), doc_id)
+
+    ids = {"big": range(400), "mid": range(1000, 1100), "small": range(2000, 2025)}
+    for s, members in ids.items():
+        expect = sorted(members, key=pri)[: k[s]]
+        assert sorted(per_src.get(s, [])) == sorted(expect), s

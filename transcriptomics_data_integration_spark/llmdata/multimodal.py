@@ -1199,3 +1199,126 @@ def decode_gif_pixels(payload: bytes) -> np.ndarray | None:
             arr = de
         return pal[arr]
     return None
+
+
+# ---------------------------------------------------------------------------
+# REAL MP4 / ISO-BMFF header parse (r7): pure-Python box walk of the
+# container structure every video pipeline needs before any frame
+# work — ftyp brand sniff, recursive moov traversal, mvhd
+# timescale/duration (version 0 and 1), per-trak tkhd dimensions
+# (16.16 fixed point).  FRAME decode stays the documented stub (a
+# codec library problem); header metadata is what drives
+# partitioning, filtering, and batch shaping at 100 TB, and that part
+# is now real, like decode_image_header for images.  Public spec:
+# ISO/IEC 14496-12.
+# ---------------------------------------------------------------------------
+
+
+def encode_mp4_header(
+    width: int, height: int, duration_ms: int, timescale: int = 1000,
+    n_tracks: int = 1,
+) -> bytes:
+    """Minimal REAL ISO-BMFF writer: ftyp + moov(mvhd + n x trak(tkhd))
+    with correct box sizes — enough container structure to drive the
+    parser end-to-end (no media data; mdat intentionally absent)."""
+    import struct as _struct
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return _struct.pack(">I", len(body) + 8) + typ + body
+
+    ftyp = box(b"ftyp", b"isom" + _struct.pack(">I", 512) + b"isomiso2mp41")
+    duration = duration_ms * timescale // 1000
+    mvhd = box(
+        b"mvhd",
+        _struct.pack(">B3xIIII", 0, 0, 0, timescale, duration)
+        + _struct.pack(">iH2x8x36x6xH", 0x00010000, 0x0100, n_tracks + 1),
+    )
+    traks = b""
+    for t in range(n_tracks):
+        tkhd = box(
+            b"tkhd",
+            _struct.pack(">B3xIIII", 0, 0, 0, t + 1, 0)
+            + _struct.pack(">I8xHHH2x", duration, 0, 0, 0x0100)
+            + b"\x00" * 36  # identity matrix slot (parser ignores)
+            + _struct.pack(">II", width << 16, height << 16),
+        )
+        traks += box(b"trak", tkhd)
+    moov = box(b"moov", mvhd + traks)
+    return ftyp + moov
+
+
+def decode_video_header(payload: bytes) -> dict | None:
+    """REAL MP4/ISO-BMFF header parse: top-level box walk (64-bit
+    `size==1` largesize and to-end `size==0` forms included), ftyp
+    brand check, recursive moov descent, mvhd timescale/duration
+    (version 0: 32-bit; version 1: 64-bit), first tkhd with nonzero
+    16.16 dimensions.  Returns {media_type, width, height,
+    duration_ms, n_tracks}; None for malformed/non-MP4 payloads
+    (tolerant-reader stance)."""
+    import struct as _struct
+
+    def walk(data: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = _struct.unpack(">I", data[pos : pos + 4])
+            typ = data[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:
+                if pos + 16 > end:
+                    return
+                (size,) = _struct.unpack(">Q", data[pos + 8 : pos + 16])
+                body = pos + 16
+            elif size == 0:
+                size = end - pos
+            if size < 8 or pos + size > end:
+                return
+            yield typ, body, pos + size
+            pos += size
+
+    if len(payload) < 12:
+        return None
+    boxes = list(walk(payload, 0, len(payload)))
+    if not boxes or boxes[0][0] != b"ftyp":
+        return None
+    out = {
+        "media_type": "video/mp4",
+        "width": None,
+        "height": None,
+        "duration_ms": None,
+        "n_tracks": 0,
+    }
+    for typ, body, bend in boxes:
+        if typ != b"moov":
+            continue
+        for t2, b2, e2 in walk(payload, body, bend):
+            if t2 == b"mvhd":
+                ver = payload[b2]
+                try:
+                    if ver == 1:
+                        ts, dur = _struct.unpack(
+                            ">IQ", payload[b2 + 20 : b2 + 32]
+                        )
+                    else:
+                        ts, dur = _struct.unpack(
+                            ">II", payload[b2 + 12 : b2 + 20]
+                        )
+                except _struct.error:
+                    return None
+                if ts:
+                    out["duration_ms"] = dur * 1000 // ts
+            elif t2 == b"trak":
+                out["n_tracks"] += 1
+                for t3, b3, e3 in walk(payload, b2, e2):
+                    if t3 != b"tkhd":
+                        continue
+                    ver = payload[b3]
+                    # width/height are the LAST 8 bytes of tkhd
+                    try:
+                        w_fx, h_fx = _struct.unpack(">II", payload[e3 - 8 : e3])
+                    except _struct.error:
+                        return None
+                    if out["width"] is None and (w_fx or h_fx):
+                        out["width"] = w_fx >> 16
+                        out["height"] = h_fx >> 16
+        return out
+    return None

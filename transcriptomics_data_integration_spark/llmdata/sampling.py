@@ -357,3 +357,67 @@ def leakage_safe_split(
         )
         .drop("canonical_id")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    total_docs: int,
+    alpha: float = 0.5,
+    tick_scale: int = 6,
+) -> DataFrame:
+    """Temperature-based mixture sampling — the alpha-smoothed source
+    allocation of multilingual/multi-source LM training (mT5/T5-style:
+    p_s proportional to n_s^alpha; alpha=1 keeps natural proportions,
+    alpha->0 flattens toward uniform, the standard fix for head
+    sources drowning the tail).  Allocates ``total_docs`` across
+    sources as k_s = floor(total_docs * w_s / sum(w)), with
+    w_s = floor(n_s^alpha * 10^tick_scale + 0.5) — the tick-quantized
+    INTEGER weight, so the allocation arithmetic is order-independent
+    and engine-exact (the combat_eb2 tick precedent; a raw double
+    sum over sources would be summation-order-dependent).  Within a
+    source, the k_s survivors are the md5-priority prefix (the
+    :func:`stratified_sample_exact` rank rule) — deterministic,
+    retry-stable, SQL-replayable.
+
+    Plan shape: one |sources|-row count aggregate -> integer weight /
+    allocation arithmetic on that dim (an unpartitioned window over
+    |sources| rows for sum(w), no BNLJ) -> broadcast join of k_s back
+    to the fact -> per-source md5-rank window.  At 100 TB the
+    per-source window is the same single-task-per-source shape as
+    token_budget_sample; route through its bucketed two-pass when a
+    source outgrows one task (documented there).
+
+    Output: the kept rows plus ``k_target`` (the source's allocation)
+    and ``rk`` (the doc's priority rank).
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    tick = float(10**tick_scale)
+    w_ticks = F.floor(
+        F.pow(F.col("_n").cast("double"), F.lit(float(alpha))) * tick + F.lit(0.5)
+    ).cast("long")
+    dim = counts.withColumn("_w", w_ticks)
+    wsum = F.sum("_w").over(Window.partitionBy())
+    # allocation in pure LONG arithmetic with integer DIV — exact
+    # floor in both engines (decimal division truncates at a capped
+    # scale and can misround quotients that land near integers).
+    # Caller contract: total_docs * max_w must fit int64 — lower
+    # tick_scale for extreme corpora (weights keep ~tick_scale
+    # significant digits either way).
+    alloc = dim.select(
+        source_col,
+        F.expr(f"CAST({int(total_docs)} AS BIGINT) * _w").alias("_num"),
+        wsum.alias("_den"),
+    ).select(
+        source_col,
+        F.expr("_num DIV _den").alias("k_target"),
+    )
+    keyed = df.join(F.broadcast(alloc), source_col)
+    w = Window.partitionBy(source_col).orderBy(
+        _md5_60bit(F.col(key_col).cast("string")).asc(), F.col(key_col).asc()
+    )
+    return (
+        keyed.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= F.col("k_target"))
+    )

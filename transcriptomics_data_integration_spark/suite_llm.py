@@ -903,6 +903,66 @@ FROM px GROUP BY doc_id
 """
 
 
+def q_mp4_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4/ISO-BMFF header parse, HASH-GATED (r7): per doc a
+    planted container — width (doc_id%640)+16, height (doc_id%360)+16,
+    duration doc_id%100000 ms, (doc_id%3)+1 tracks — is written by
+    the real box writer (ftyp + moov(mvhd + trak(tkhd)*) with correct
+    sizes) and parsed back by the independent recursive box walker
+    (`llmdata/multimodal.py:decode_video_header` — 16.16 fixed-point
+    dims, mvhd v0/v1 timescale math).  The oracle recomputes the
+    fields from the formulas alone.  Map-side mapInPandas, zero
+    shuffles — the metadata pass a video pipeline runs before any
+    frame work."""
+    import pandas as pd
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        decode_video_header,
+        encode_mp4_header,
+    )
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                hdr = encode_mp4_header(
+                    (did % 640) + 16,
+                    (did % 360) + 16,
+                    did % 100000,
+                    n_tracks=(did % 3) + 1,
+                )
+                d = decode_video_header(hdr)
+                if d is None:
+                    continue
+                rows.append(
+                    (did, d["width"], d["height"], d["duration_ms"], d["n_tracks"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "duration_ms", "n_tracks"],
+            )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        op,
+        schema=(
+            "media_id bigint, width int, height int, "
+            "duration_ms bigint, n_tracks int"
+        ),
+    )
+
+
+ORACLE_MP4_HEADER = """
+SELECT doc_id AS media_id,
+       CAST((doc_id % 640) + 16 AS INTEGER) AS width,
+       CAST((doc_id % 360) + 16 AS INTEGER) AS height,
+       CAST(doc_id % 100000 AS BIGINT) AS duration_ms,
+       CAST((doc_id % 3) + 1 AS INTEGER) AS n_tracks
+FROM documents
+"""
+
+
 def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV (RIFF/PCM16) decode, HASH-GATED (r6): per doc a
     64-sample mono 8 kHz waveform with planted samples
@@ -1679,6 +1739,7 @@ QUERIES_LLM = {
     "png_pixels": q_png_pixels,
     "jpeg_pixels": q_jpeg_pixels,
     "gif_pixels": q_gif_pixels,
+    "mp4_header": q_mp4_header,
     "wav_decode": q_wav_decode,
     "event_window_counts": q_event_window_counts,
     "sessionize": q_sessionize,
@@ -1712,6 +1773,7 @@ ORACLES_LLM = {
     "png_pixels": ORACLE_PNG_PIXELS,
     "jpeg_pixels": ORACLE_JPEG_PIXELS,
     "gif_pixels": ORACLE_GIF_PIXELS,
+    "mp4_header": ORACLE_MP4_HEADER,
     "wav_decode": ORACLE_WAV_DECODE,
     "event_window_counts": ORACLE_EVENT_WINDOW,
     "sessionize": ORACLE_SESSIONIZE,
@@ -3095,6 +3157,50 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         budgets={"src1": 900, "src2": 450, "src3": 0},
         default_budget=300,
     )
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling, HASH-GATED (r7): allocate
+    600 docs across sources with alpha=0.5 smoothing
+    (`llmdata/sampling.py:temperature_sample` — the mT5/T5
+    p_s ~ n_s^alpha rule that stops head sources drowning the tail),
+    tick-quantized integer weights and pure-LONG DIV allocation so
+    the arithmetic is engine-exact, md5-priority rank selection
+    within each source.  The oracle replays weights, allocation, and
+    ranks verbatim."""
+    from transcriptomics_data_integration_spark.llmdata.sampling import (
+        temperature_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_sample(docs, "source", "doc_id", total_docs=600, alpha=0.5)
+    return out.select("doc_id", "source", "k_target", "rk")
+
+
+ORACLE_TEMPERATURE = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), dim AS (
+  SELECT source,
+         CAST(FLOOR(POWER(CAST(n AS DOUBLE), 0.5) * 1000000.0 + 0.5) AS BIGINT) AS w
+  FROM counts
+), alloc AS (
+  SELECT source, (600 * w) // (SELECT SUM(w) FROM dim) AS k_target FROM dim
+), ranked AS (
+  SELECT d.doc_id, d.source, a.k_target,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                    d.doc_id
+         ) AS rk
+  FROM documents d JOIN alloc a USING (source)
+)
+SELECT doc_id, source, CAST(k_target AS BIGINT) AS k_target, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= k_target
+"""
+
+QUERIES_LLM["temperature_sample"] = q_temperature_sample
+ORACLES_LLM["temperature_sample"] = ORACLE_TEMPERATURE
 
 
 ORACLE_TOKEN_BUDGET = """
