@@ -2164,3 +2164,33 @@ def test_temperature_sample_allocation(spark):
     for s, members in ids.items():
         expect = sorted(members, key=pri)[: k[s]]
         assert sorted(per_src.get(s, [])) == sorted(expect), s
+
+
+def test_html_extract_parses_real_structure(spark):
+    """html_extract (r7): entity decode (named/decimal/hex), nested
+    drop regions, block-tag line boundaries, whitespace collapse,
+    markup-density counters, and tolerant handling of malformed
+    markup."""
+    from transcriptomics_data_integration_spark.llmdata.text import html_extract
+
+    cases = [
+        (1, "<p>a &amp; b</p><p>c &#60;d&#62;</p>", "a & b\nc <d>"),
+        # nested drop region: inner <style> inside <script> — all gone
+        (2, "<div>keep</div><script>a<style>b</style>c</script><p>end</p>",
+         "keep\nend"),
+        (3, "<ul><li> one </li><li>two</li></ul>", "one\ntwo"),
+        # malformed: unclosed tags, stray <, entities without semicolon
+        (4, "<p>x < y<div>z", "x < y\nz"),
+        (5, "<h1>T</h1>line1<br>line2   spaced", "T\nline1\nline2 spaced"),
+        # title content excluded like a browser's text extraction
+        (6, "<head><title>nope</title></head><body><p>yes</p></body>", "yes"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h, _ in cases], "doc_id long, html string"
+    )
+    got = {r["doc_id"]: r for r in html_extract(df, "doc_id", "html").collect()}
+    for i, _, expect in cases:
+        assert got[i]["text"] == expect, (i, got[i]["text"])
+    # html.parser enters CDATA mode inside <script>, so the inner
+    # <style> is script text, not a tag: one dropped region
+    assert got[2]["n_dropped_blocks"] == 1

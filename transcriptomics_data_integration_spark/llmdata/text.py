@@ -621,3 +621,87 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         & ~F.col("fail_alpha")
         & ~F.col("fail_symbols"),
     )
+
+
+def html_extract(df: DataFrame, id_col: str, html_col: str = "html") -> DataFrame:
+    """HTML -> text extraction (r7) — the first transform every
+    web-crawl corpus pipeline runs.  REAL parsing via the stdlib
+    ``html.parser`` state machine (not regex): tags stripped, text
+    inside <script>/<style>/<template>/<noscript>/<title> dropped,
+    character/numeric entities decoded (&amp; &#65; &#x41;), block
+    elements (<p> <div> <br> <li> <h1-6> <tr> ...) become newline
+    boundaries, runs of whitespace collapse, output trimmed.
+
+    Arrow-batched mapInPandas, zero shuffles — at 100 TB this is a
+    pure map stage that pipelines with the scan.  Output: (id,
+    extracted text, n_tags seen, n_dropped_blocks) so downstream
+    quality filters can use markup density as a signal (boilerplate-
+    heavy pages have high tag/text ratios).
+    """
+    import pandas as pd
+
+    from html.parser import HTMLParser
+
+    _BLOCK = {
+        "p", "div", "br", "li", "ul", "ol", "h1", "h2", "h3", "h4",
+        "h5", "h6", "tr", "table", "section", "article", "header",
+        "footer", "blockquote", "pre",
+    }
+    _DROP = {"script", "style", "template", "noscript", "title"}
+
+    class _Extract(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.parts: list[str] = []
+            self.drop_depth = 0
+            self.n_tags = 0
+            self.n_dropped = 0
+
+        def handle_starttag(self, tag, attrs):
+            self.n_tags += 1
+            if tag in _DROP:
+                self.drop_depth += 1
+                self.n_dropped += 1
+            elif tag in _BLOCK:
+                self.parts.append("\n")
+
+        def handle_endtag(self, tag):
+            if tag in _DROP and self.drop_depth:
+                self.drop_depth -= 1
+            elif tag in _BLOCK:
+                self.parts.append("\n")
+
+        def handle_data(self, data):
+            if not self.drop_depth:
+                self.parts.append(data)
+
+    def extract_one(html: str) -> tuple[str, int, int]:
+        p = _Extract()
+        try:
+            p.feed(html)
+            p.close()
+        except Exception:  # noqa: BLE001 — tolerant reader
+            return ("", p.n_tags, p.n_dropped)
+        # collapse whitespace: runs of spaces/tabs -> one space,
+        # newline boundaries kept as single newlines, edges trimmed
+        import re
+
+        text = "".join(p.parts)
+        lines = [re.sub(r"[ \t\r\f\v]+", " ", ln).strip() for ln in text.split("\n")]
+        text = "\n".join(ln for ln in lines if ln)
+        return (text, p.n_tags, p.n_dropped)
+
+    def op(batches):
+        for pdf in batches:
+            rows = [
+                (int(i), *extract_one(str(h)))
+                for i, h in zip(pdf[id_col], pdf[html_col])
+            ]
+            yield pd.DataFrame(
+                rows, columns=[id_col, "text", "n_tags", "n_dropped_blocks"]
+            )
+
+    return df.select(id_col, html_col).mapInPandas(
+        op,
+        schema=f"{id_col} long, text string, n_tags int, n_dropped_blocks int",
+    )

@@ -3159,6 +3159,48 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL HTML -> text extraction, HASH-GATED (r7): per doc an
+    in-plan HTML page wraps the doc text with head/script/style
+    boilerplate, block headings, and character/numeric entities
+    (&amp; &#65; &#x42;); the stdlib-state-machine extractor
+    (`llmdata/text.py:html_extract`) must drop the script/style
+    content, decode entities, convert block tags to line boundaries,
+    and collapse whitespace.  The oracle rebuilds the expected text
+    from the doc text alone — it never sees HTML — so a hash match
+    proves the parse + entity decode + boilerplate drop end-to-end."""
+    from transcriptomics_data_integration_spark.llmdata.text import html_extract
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                '<html><head><title>t</title><script>var x = "drop&amp;me";'
+                "</script><style>p { color: red }</style></head><body><h1>Doc "
+            ),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit("</p><div>tail &amp; &#65;&#x42;  end</div></body></html>"),
+        ).alias("html"),
+    )
+    return html_extract(docs, "doc_id", "html")
+
+
+ORACLE_HTML_EXTRACT = """
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+       trim(regexp_replace(text, '[ \t]+', ' ', 'g')) || chr(10) ||
+       'tail & AB end' AS text,
+       CAST(9 AS INTEGER) AS n_tags,
+       CAST(3 AS INTEGER) AS n_dropped_blocks
+FROM documents
+"""
+
+QUERIES_LLM["html_extract"] = q_html_extract
+ORACLES_LLM["html_extract"] = ORACLE_HTML_EXTRACT
+
+
 def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based mixture sampling, HASH-GATED (r7): allocate
     600 docs across sources with alpha=0.5 smoothing
