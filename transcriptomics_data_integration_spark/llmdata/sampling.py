@@ -413,11 +413,44 @@ def temperature_sample(
         source_col,
         F.expr("_num DIV _den").alias("k_target"),
     )
-    keyed = df.join(F.broadcast(alloc), source_col)
-    w = Window.partitionBy(source_col).orderBy(
-        _md5_60bit(F.col(key_col).cast("string")).asc(), F.col(key_col).asc()
+    keyed = df.join(F.broadcast(alloc), source_col).withColumn(
+        "_h", _md5_60bit(F.col(key_col).cast("string"))
     )
-    return (
-        keyed.withColumn("rk", F.row_number().over(w).cast("long"))
-        .where(F.col("rk") <= F.col("k_target"))
+    from transcriptomics_data_integration_spark.operators.windows import (
+        fits_single_task,
     )
+
+    if fits_single_task(keyed):
+        w = Window.partitionBy(source_col).orderBy(
+            F.col("_h").asc(), F.col(key_col).asc()
+        )
+        ranked = keyed.withColumn("rk", F.row_number().over(w).cast("long"))
+    else:
+        # bucketed two-pass rank (the token_budget_sample machinery
+        # with unit weights): the md5 hash's domain is fixed and
+        # uniform, so bucket = top 10 bits — per-(source, bucket)
+        # counts carry cross-bucket base offsets via a <= 1024-row
+        # per-source window, and the only corpus-sized window is
+        # partitionBy(source, bucket).  row_number is a cumsum of 1s,
+        # so the composed rank is bit-identical to the single window.
+        bucketed = keyed.withColumn(
+            "_bkt", F.expr("CAST(_h DIV 1125899906842624 AS INT)")  # 2^50
+        )
+        totals = bucketed.groupBy(source_col, "_bkt").agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
+        w_base = (
+            Window.partitionBy(source_col)
+            .orderBy("_bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        base = totals.withColumn(
+            "_base", F.coalesce(F.sum("_cnt").over(w_base), F.lit(0))
+        ).select(source_col, "_bkt", "_base")
+        w_in = Window.partitionBy(source_col, "_bkt").orderBy(
+            F.col("_h").asc(), F.col(key_col).asc()
+        )
+        ranked = bucketed.join(F.broadcast(base), [source_col, "_bkt"]).withColumn(
+            "rk", (F.col("_base") + F.row_number().over(w_in)).cast("long")
+        ).drop("_bkt", "_base")
+    return ranked.where(F.col("rk") <= F.col("k_target")).drop("_h")

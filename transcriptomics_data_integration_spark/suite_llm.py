@@ -3203,7 +3203,8 @@ ORACLES_LLM["html_extract"] = ORACLE_HTML_EXTRACT
 
 def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based mixture sampling, HASH-GATED (r7): allocate
-    600 docs across sources with alpha=0.5 smoothing
+    200 docs across sources with alpha=0.5 smoothing (under the
+    corpus size, so the rank-prefix truncation is actually exercised)
     (`llmdata/sampling.py:temperature_sample` — the mT5/T5
     p_s ~ n_s^alpha rule that stops head sources drowning the tail),
     tick-quantized integer weights and pure-LONG DIV allocation so
@@ -3215,7 +3216,7 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    out = temperature_sample(docs, "source", "doc_id", total_docs=600, alpha=0.5)
+    out = temperature_sample(docs, "source", "doc_id", total_docs=200, alpha=0.5)
     return out.select("doc_id", "source", "k_target", "rk")
 
 
@@ -3227,7 +3228,7 @@ WITH counts AS (
          CAST(FLOOR(POWER(CAST(n AS DOUBLE), 0.5) * 1000000.0 + 0.5) AS BIGINT) AS w
   FROM counts
 ), alloc AS (
-  SELECT source, (600 * w) // (SELECT SUM(w) FROM dim) AS k_target FROM dim
+  SELECT source, (200 * w) // (SELECT SUM(w) FROM dim) AS k_target FROM dim
 ), ranked AS (
   SELECT d.doc_id, d.source, a.k_target,
          ROW_NUMBER() OVER (
