@@ -2194,3 +2194,76 @@ def test_html_extract_parses_real_structure(spark):
     # html.parser enters CDATA mode inside <script>, so the inner
     # <style> is script text, not a tag: one dropped region
     assert got[2]["n_dropped_blocks"] == 1
+
+
+def test_codec_fuzz_never_raises():
+    """Tolerant-reader fuzz (r7): every binary decoder must return
+    None (or a valid result) on arbitrary bytes — task-crashing
+    exceptions on malformed payloads are corpus-pipeline poison.
+    Beyond pure-random bytes (which die at the signature check), each
+    decoder also gets signature-prefixed random tails and truncated
+    VALID payloads, which reach the deep parse paths."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        decode_gif_pixels,
+        decode_image_header,
+        decode_jpeg_pixels,
+        decode_png_pixels,
+        decode_video_header,
+        decode_wav,
+        encode_gif,
+        encode_jpeg,
+        encode_mp4_header,
+        encode_png,
+        encode_wav,
+    )
+
+    decoders = [
+        decode_png_pixels,
+        decode_jpeg_pixels,
+        decode_gif_pixels,
+        decode_wav,
+        decode_video_header,
+        decode_image_header,
+    ]
+    sigs = [
+        b"\x89PNG\r\n\x1a\n",
+        b"\xff\xd8",
+        b"GIF89a",
+        b"RIFF\x00\x01\x00\x00WAVE",
+        b"\x00\x00\x00\x14ftypisom",
+        b"",
+    ]
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(min_size=0, max_size=300), st.integers(0, len(decoders) - 1))
+    def fuzz(tail, i):
+        decoders[i](tail)  # must not raise
+        decoders[i](sigs[i] + tail)  # signature + junk reaches the parser
+
+    fuzz()
+
+    # truncations of VALID payloads at every length (deep-path sweep)
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (9, 7)).astype(np.uint8)
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    samples = (rng.integers(0, 65536, 40) - 32768).astype(np.int16)
+    payloads = [
+        (decode_png_pixels, encode_png(px)),
+        (decode_jpeg_pixels, encode_jpeg(px)),
+        (decode_gif_pixels, encode_gif(idx, pal, interlace=True)),
+        (decode_wav, encode_wav(samples)),
+        (decode_video_header, encode_mp4_header(64, 48, 777, n_tracks=2)),
+    ]
+    for dec, good in payloads:
+        for cut in range(len(good)):
+            dec(good[:cut])  # must not raise at any truncation point
+        # single-byte corruptions at a stride
+        for pos in range(0, len(good), 7):
+            mut = bytearray(good)
+            mut[pos] ^= 0xFF
+            dec(bytes(mut))  # must not raise
