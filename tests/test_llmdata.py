@@ -2267,3 +2267,42 @@ def test_codec_fuzz_never_raises():
             mut = bytearray(good)
             mut[pos] ^= 0xFF
             dec(bytes(mut))  # must not raise
+
+
+def test_bloom_contamination_one_sided_and_fp_rate(spark):
+    """bloom_contamination (r7): no false negatives (every exactly-
+    shared shingle survives the Bloom screen), false positives appear
+    at a plausible rate for the (k=3, m=2^17) configuration, and
+    n_maybe = n_exact + n_false_pos by construction."""
+    from transcriptomics_data_integration_spark.llmdata.text import (
+        bloom_contamination,
+        contamination_check,
+    )
+
+    import random
+
+    rnd = random.Random(13)
+    words = lambda n, seed: " ".join(
+        f"w{rnd.randrange(seed)}" for _ in range(n)
+    )
+    evals = [(1000 + i, words(30, 50)) for i in range(5)]
+    # train docs: half share text with evals (contaminated), half not
+    train = [(i, evals[i % 5][1][:80] + " " + words(20, 10_000)) for i in range(10)]
+    train += [(100 + i, words(40, 10_000)) for i in range(10)]
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    edf = spark.createDataFrame(evals, "doc_id long, text string")
+
+    bloom = {r["doc_id"]: r for r in bloom_contamination(tdf, edf).collect()}
+    exact = {r["doc_id"]: r for r in contamination_check(tdf, edf).collect()}
+
+    for did, r in exact.items():
+        # one-sided: every exact hit is inside the Bloom survivor set
+        assert did in bloom and bloom[did]["n_exact"] == r["n_shared"], did
+    for did, r in bloom.items():
+        assert r["n_maybe"] == r["n_exact"] + r["n_false_pos"]
+        assert r["n_false_pos"] >= 0
+    # contaminated docs flagged, clean docs mostly silent
+    assert all(bloom[i]["n_exact"] > 0 for i in range(10))
+    total_fp = sum(r["n_false_pos"] for r in bloom.values())
+    total_maybe = sum(r["n_maybe"] for r in bloom.values())
+    assert total_fp <= max(5, total_maybe // 10)  # k=3, m=2^17, tiny n

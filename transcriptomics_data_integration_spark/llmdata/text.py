@@ -705,3 +705,91 @@ def html_extract(df: DataFrame, id_col: str, html_col: str = "html") -> DataFram
         op,
         schema=f"{id_col} long, text string, n_tags int, n_dropped_blocks int",
     )
+
+
+def bloom_contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 3,
+    m_bits: int = 1 << 17,
+) -> DataFrame:
+    """Bloom-filter contamination screen (r7) — the 100 TB shape of
+    :func:`contamination_check`: instead of broadcasting the eval
+    corpus's full shingle inventory (gigabytes for a big benchmark
+    suite), broadcast only its BLOOM BIT SET — ``n_hashes`` md5-derived
+    positions in ``[0, m_bits)`` per shingle — and flag a training
+    shingle as a *maybe*-hit when all of its positions are set.
+    One-sided: every true collision is flagged (no false negatives);
+    false positives occur at the classic (1-e^-kn/m)^k rate and are
+    resolved by the exact join on the SURVIVORS only — the standard
+    two-phase screen (cheap probabilistic pass over everything, exact
+    pass over the ~0.1% that survive).
+
+    Determinism: positions are md5(seed # shingle) mod m — a pure
+    function of the data (SQL-replayable; no library Bloom filter with
+    private seeds), so the screen is reproducible across engines and
+    retries like every other hash decision in this package.
+
+    Plan shape: eval positions dim (<= n_hashes * |eval shingles| rows,
+    deduped) builds once; the train side explodes to (shingle,
+    position) and broadcast-joins the positions dim; a shingle
+    survives iff matched-position count == n_hashes.  Output per
+    training doc: ``n_maybe`` (Bloom survivors), ``n_exact`` (true
+    shared shingles), and the doc's false-positive count
+    ``n_false_pos = n_maybe - n_exact``.
+    """
+    from transcriptomics_data_integration_spark.llmdata.dedup import shingles
+
+    # distinct (doc, shingle) pairs: shingles() can emit repeats
+    # within a doc, and the maybe x exact join below must stay 1:1
+    tr = shingles(train, id_col, text_col, k).select(id_col, "shingle").distinct()
+    ev = shingles(eval_docs, id_col, text_col, k).select("shingle").distinct()
+
+    def positions(col):
+        return F.explode(
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat_ws("#", F.lit(f"bloom{i}"), col).cast(
+                                        "binary"
+                                    )
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("bigint")
+                        % m_bits
+                    )
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("pos")
+
+    bitset = ev.select(positions(F.col("shingle"))).distinct()
+    tr_pos = tr.select(id_col, "shingle", positions(F.col("shingle")))
+    maybe = (
+        tr_pos.join(F.broadcast(bitset), "pos")
+        .groupBy(id_col, "shingle")
+        .agg(F.count(F.lit(1)).alias("_n_set"))
+        .where(F.col("_n_set") == n_hashes)
+        .select(id_col, "shingle")
+    )
+    exact = tr.join(
+        F.broadcast(ev.withColumn("_ev", F.lit(1))), "shingle", "left"
+    ).select(id_col, "shingle", "_ev")
+    joined = maybe.join(exact, [id_col, "shingle"], "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_maybe"),
+        F.sum(F.coalesce(F.col("_ev"), F.lit(0))).alias("n_exact"),
+        (F.count(F.lit(1)) - F.sum(F.coalesce(F.col("_ev"), F.lit(0)))).alias(
+            "n_false_pos"
+        ),
+    )

@@ -2860,6 +2860,64 @@ QUERIES_LLM["contamination"] = q_contamination
 ORACLES_LLM["contamination"] = ORACLE_CONTAMINATION
 
 
+def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter contamination screen, HASH-GATED (r7): the 100 TB
+    two-phase shape of `contamination` — broadcast the eval corpus's
+    md5-position BIT SET (3 hashes into 2^17 bits) instead of its
+    full shingle inventory, flag training shingles whose positions
+    are all set, then resolve the survivors exactly
+    (`llmdata/text.py:bloom_contamination`).  The positions are pure
+    md5 functions of the shingle, so the oracle replays the entire
+    screen — including the false-positive count, which PROVES the
+    Bloom semantics rather than just the exact-join result."""
+    from transcriptomics_data_integration_spark.llmdata.text import (
+        bloom_contamination,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+    out = bloom_contamination(train, eval_docs, k=5, n_hashes=3, m_bits=1 << 17)
+    return out.select("doc_id", "n_maybe", "n_exact", "n_false_pos")
+
+
+_BLOOM_POS_SQL = (
+    "[('0x' || substring(md5('bloom0#' || shingle), 1, 15))::BIGINT % 131072, "
+    " ('0x' || substring(md5('bloom1#' || shingle), 1, 15))::BIGINT % 131072, "
+    " ('0x' || substring(md5('bloom2#' || shingle), 1, 15))::BIGINT % 131072]"
+)
+
+ORACLE_BLOOM_CONTAMINATION = f"""
+WITH tr AS (
+  SELECT DISTINCT doc_id, UNNEST({_SHINGLE_SQL}) AS shingle
+  FROM documents WHERE doc_id % 97 <> 0
+), ev AS (
+  SELECT DISTINCT UNNEST({_SHINGLE_SQL}) AS shingle
+  FROM documents WHERE doc_id % 97 = 0
+), bitset AS (
+  SELECT DISTINCT UNNEST({_BLOOM_POS_SQL}) AS pos FROM ev
+), maybe AS (
+  SELECT doc_id, shingle
+  FROM (
+    SELECT doc_id, shingle, UNNEST({_BLOOM_POS_SQL}) AS pos FROM tr
+  ) tp JOIN bitset USING (pos)
+  GROUP BY doc_id, shingle
+  HAVING COUNT(*) = 3
+)
+SELECT m.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_maybe,
+       CAST(SUM(CASE WHEN m.shingle IN (SELECT shingle FROM ev)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(COUNT(*) - SUM(CASE WHEN m.shingle IN (SELECT shingle FROM ev)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+FROM maybe m
+GROUP BY m.doc_id
+"""
+
+QUERIES_LLM["bloom_contamination"] = q_bloom_contamination
+ORACLES_LLM["bloom_contamination"] = ORACLE_BLOOM_CONTAMINATION
+
+
 def q_language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram-profile language ID (Cavnar-Trenkle-style
     presence scoring) over the documents corpus, aggregated to
