@@ -532,6 +532,8 @@ def _zigzag_coords() -> list[tuple[int, int]]:
 
 
 _ZIGZAG = _zigzag_coords()
+_ZIG_Y = np.array([y for y, _ in _ZIGZAG])
+_ZIG_X = np.array([x for _, x in _ZIGZAG])
 
 
 def _dct_matrix() -> np.ndarray:
@@ -546,8 +548,17 @@ def _dct_matrix() -> np.ndarray:
 _DCT_T = _dct_matrix()
 
 
+import functools as _functools
+
+
 def _build_huffman_codes(bits, vals) -> dict[int, tuple[int, int]]:
-    """Canonical codes: symbol -> (code, length)."""
+    """Canonical codes: symbol -> (code, length).  Cached — the
+    Annex-K tables rebuild identically for every image in a batch."""
+    return _codes_impl(tuple(bits), tuple(vals))
+
+
+@_functools.lru_cache(maxsize=64)
+def _codes_impl(bits, vals) -> dict[int, tuple[int, int]]:
     codes: dict[int, tuple[int, int]] = {}
     code = 0
     k = 0
@@ -561,7 +572,13 @@ def _build_huffman_codes(bits, vals) -> dict[int, tuple[int, int]]:
 
 
 def _build_huffman_lut(bits, vals) -> dict[tuple[int, int], int]:
-    """Decoder side: (length, code) -> symbol."""
+    """Decoder side: (length, code) -> symbol.  Cached across images
+    (DHT payloads repeat across a corpus's files)."""
+    return _lut_impl(tuple(bits), tuple(vals))
+
+
+@_functools.lru_cache(maxsize=64)
+def _lut_impl(bits, vals) -> dict[tuple[int, int], int]:
     lut: dict[tuple[int, int], int] = {}
     code = 0
     k = 0
@@ -611,7 +628,7 @@ def _encode_block(
 ) -> int:
     """Entropy-code one quantized 8x8 block (zigzag RLE); returns the
     block's DC for the next block's predictor."""
-    zz = [int(coeffs[y, x]) for y, x in _ZIGZAG]
+    zz = coeffs[_ZIG_Y, _ZIG_X].tolist()
     diff = zz[0] - prev_dc
     s = _jpeg_category(diff)
     code, ln = dc_codes[s]
@@ -964,8 +981,7 @@ def _decode_scan(
                     zz[k] = _extend(v, s)
                     k += 1
                 coeffs = np.zeros((8, 8), dtype=np.float64)
-                for i, (yy, xx) in enumerate(_ZIGZAG):
-                    coeffs[yy, xx] = zz[i] * qtables[tq][yy, xx]
+                coeffs[_ZIG_Y, _ZIG_X] = zz * qtables[tq][_ZIG_Y, _ZIG_X]
                 block = _DCT_T.T @ coeffs @ _DCT_T + 128.0
                 planes[ci][yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = block
             mcu += 1
