@@ -151,3 +151,38 @@ def test_salted_join_matches_plain_join_on_skewed_keys(spark):
     lo = salted_join(facts, dim.where(F.col("k") != "hot"), ["k"], how="left")
     hot_rows = lo.where(F.col("k") == "hot").collect()
     assert len(hot_rows) == 450 and all(r["attr"] is None for r in hot_rows)
+
+
+def test_asof_join_directions_and_tolerance(spark):
+    """asof_join r7 surface: forward / nearest directions and
+    tolerance nulling, checked against a literal python replay
+    (pandas merge_asof semantics; nearest ties -> backward)."""
+    from transcriptomics_data_integration_spark.operators.joins import asof_join
+
+    lrows = [("u", i, 100 + i) for i, t in enumerate([10, 25, 40, 70])]
+    left = spark.createDataFrame(
+        [("u", t, 100 + n) for n, t in enumerate([10, 25, 40, 70])],
+        "user_id string, ts long, click_id long",
+    )
+    right = spark.createDataFrame(
+        [("u", 5, 1), ("u", 20, 2), ("u", 30, 3), ("u", 60, 4)],
+        "user_id string, ts long, view_id long",
+    )
+
+    def run(direction, tolerance=None):
+        out = asof_join(
+            left, right, ["user_id"], "ts", ["view_id"], "ts",
+            direction=direction, tolerance=tolerance,
+        )
+        return {r["ts"]: r["view_id_asof"] for r in out.collect()}
+
+    # right ts: 5, 20, 30, 60
+    assert run("backward") == {10: 1, 25: 2, 40: 3, 70: 4}
+    assert run("forward") == {10: 2, 25: 3, 40: 4, 70: None}
+    # nearest: 10 -> 5(d5) vs 20(d10) = 1; 25 -> 20(d5) vs 30(d5) tie
+    # -> backward = 2; 40 -> 30(d10) vs 60(d20) = 3; 70 -> 60 = 4
+    assert run("nearest") == {10: 1, 25: 2, 40: 3, 70: 4}
+    # tolerance: backward deltas are 5, 5, 10, 10 -> tol 7 nulls ts 40/70
+    assert run("backward", tolerance=7) == {10: 1, 25: 2, 40: None, 70: None}
+    assert run("forward", tolerance=7) == {10: None, 25: 3, 40: None, 70: None}
+    assert run("nearest", tolerance=5) == {10: 1, 25: 2, 40: None, 70: None}

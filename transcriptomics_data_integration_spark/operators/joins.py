@@ -127,24 +127,39 @@ def asof_join(
     attach_cols: list[str],
     tiebreak_col: str,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
-    """As-of join: attach to each left row the most recent right row
-    with ``right.ts <= left.ts`` per key (left-join semantics: no
-    preceding right row -> nulls).
+    """As-of join: attach to each left row the nearest right row per
+    key (left-join semantics: no qualifying right row -> nulls), with
+    the pandas ``merge_asof`` direction/tolerance surface (r7):
+
+    - ``backward`` (default): most recent right row with ts <= left.ts;
+    - ``forward``: earliest right row with ts >= left.ts;
+    - ``nearest``: whichever of the two is closer in |Δts| (ties ->
+      backward, the pandas rule);
+    - ``tolerance``: null the attach when |left.ts - right.ts| exceeds
+      it (same units as ts).
 
     Spark shape: NOT a join.  Tag both sides, union, and take
     ``last(..., ignorenulls)`` over one window partitioned by key and
     ordered by (ts, side, tiebreak) — right rows sort before left rows
-    at equal ts, which implements the ``<=`` bound.  ONE shuffle on the
-    key, no range explode, no per-row probe: the standard scale shape
-    for temporal state attach (each partition is a single ordered merge
-    pass).  Works on any orderable ts (here: nanosecond longs).
+    at equal ts, which implements the ``<=`` bound; ``forward`` is the
+    same window over descending ts; ``nearest`` runs both windows over
+    ONE shuffle (same partitioning: Catalyst plans the second ordering
+    as an extra sort, not an extra exchange) and picks per row.  No
+    range explode, no per-row probe: the standard scale shape for
+    temporal state attach.  Works on any orderable numeric ts (here:
+    nanosecond longs).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
     rtag = right.select(
         *[F.col(c) for c in key_cols],
         F.col(ts_col),
         F.col(tiebreak_col).alias("_tb"),
         F.lit(0).alias("_side"),
+        F.col(ts_col).alias(f"_rts{suffix}"),
         *[F.col(c).alias(f"{c}{suffix}") for c in attach_cols],
     )
     lcols = [c for c in left.columns]
@@ -152,18 +167,63 @@ def asof_join(
         *[F.col(c) for c in lcols],
         F.col(tiebreak_col).alias("_tb"),
         F.lit(1).alias("_side"),
+        F.lit(None).cast(rtag.schema[f"_rts{suffix}"].dataType).alias(f"_rts{suffix}"),
         *[F.lit(None).cast(rtag.schema[f"{c}{suffix}"].dataType).alias(f"{c}{suffix}") for c in attach_cols],
     )
     unioned = ltag.unionByName(rtag, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(*key_cols)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_tb").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    attached = unioned
-    for c in attach_cols:
+
+    def attach_over(order_cols, tag):
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = unioned
+        for c in [f"_rts{suffix}", *[f"{c}{suffix}" for c in attach_cols]]:
+            out = out.withColumn(
+                f"{c}{tag}", F.last(c, ignorenulls=True).over(w)
+            )
+        return out
+
+    back_order = [F.col(ts_col).asc(), F.col("_side").asc(), F.col("_tb").asc()]
+    # forward: descending ts; right still first at equal ts (>= bound),
+    # and the tiebreak DESC so the last-seen right row is the SMALLEST
+    # (tb-ordered) among equal-ts candidates, mirroring backward's pick
+    fwd_order = [F.col(ts_col).desc(), F.col("_side").asc(), F.col("_tb").desc()]
+
+    if direction == "backward":
+        attached = attach_over(back_order, "")
+    elif direction == "forward":
+        attached = attach_over(fwd_order, "")
+    else:  # nearest: both passes over one shuffle, pick per row
+        attached = attach_over(back_order, "_b")
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(*fwd_order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for c in [f"_rts{suffix}", *[f"{c}{suffix}" for c in attach_cols]]:
+            attached = attached.withColumn(
+                f"{c}_f", F.last(f"{c}", ignorenulls=True).over(w)
+            )
+        d_b = F.col(ts_col) - F.col(f"_rts{suffix}_b")
+        d_f = F.col(f"_rts{suffix}_f") - F.col(ts_col)
+        use_b = F.col(f"_rts{suffix}_f").isNull() | (
+            F.col(f"_rts{suffix}_b").isNotNull() & (d_b <= d_f)
+        )
+        for c in [f"_rts{suffix}", *[f"{c}{suffix}" for c in attach_cols]]:
+            attached = attached.withColumn(
+                c, F.when(use_b, F.col(f"{c}_b")).otherwise(F.col(f"{c}_f"))
+            )
+    if tolerance is not None:
+        delta = F.abs(F.col(ts_col) - F.col(f"_rts{suffix}"))
+        for c in attach_cols:
+            attached = attached.withColumn(
+                f"{c}{suffix}",
+                F.when(delta <= tolerance, F.col(f"{c}{suffix}")),
+            )
         attached = attached.withColumn(
-            f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w)
+            f"_rts{suffix}", F.when(delta <= tolerance, F.col(f"_rts{suffix}"))
         )
     return attached.where(F.col("_side") == 1).select(
         *lcols, *[f"{c}{suffix}" for c in attach_cols]

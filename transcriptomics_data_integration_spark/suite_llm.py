@@ -2438,6 +2438,87 @@ FROM clicks c ASOF LEFT JOIN views v
 QUERIES_LLM["asof_join"] = q_asof_join
 ORACLES_LLM["asof_join"] = ORACLE_ASOF_JOIN
 
+
+def q_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join direction/tolerance surface, HASH-GATED (r7): the
+    pandas-merge_asof semantics added to `operators/joins.py:asof_join`
+    — backward, forward, nearest (ties -> backward), and a
+    1e14-ns tolerance on the backward arm — all from the union+window
+    shape (nearest runs both orderings over ONE shuffle).  The oracle
+    composes DuckDB's native ASOF LEFT JOIN both ways plus explicit
+    delta CASEs — two independent formulations of all four answers."""
+    from transcriptomics_data_integration_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    back = asof_join(
+        clicks, views, ["user_id"], "ts", ["event_id"], "event_id"
+    ).select("event_id", "user_id", "ts", F.col("event_id_asof").alias("back_view"))
+    fwd = asof_join(
+        clicks, views, ["user_id"], "ts", ["event_id"], "event_id",
+        direction="forward",
+    ).select("event_id", F.col("event_id_asof").alias("fwd_view"))
+    near = asof_join(
+        clicks, views, ["user_id"], "ts", ["event_id"], "event_id",
+        direction="nearest",
+    ).select("event_id", F.col("event_id_asof").alias("near_view"))
+    btol = asof_join(
+        clicks, views, ["user_id"], "ts", ["event_id"], "event_id",
+        tolerance=100_000_000_000_000,
+    ).select("event_id", F.col("event_id_asof").alias("back_view_tol"))
+    return (
+        back.join(fwd, "event_id")
+        .join(near, "event_id")
+        .join(btol, "event_id")
+        .select(
+            "event_id",
+            "user_id",
+            F.expr(f"ts div {_NS_PER_S}").alias("ts_sec"),
+            "back_view",
+            "fwd_view",
+            "near_view",
+            "back_view_tol",
+        )
+    )
+
+
+ORACLE_ASOF_DIRECTIONS = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT event_id AS view_event_id, user_id, ts FROM events
+  WHERE event_type = 'view'
+), b AS (
+  SELECT c.event_id, c.user_id, c.ts,
+         v.view_event_id AS back_view, v.ts AS bts
+  FROM clicks c ASOF LEFT JOIN views v
+    ON c.user_id = v.user_id AND v.ts <= c.ts
+), f AS (
+  SELECT c.event_id, v.view_event_id AS fwd_view, v.ts AS fts
+  FROM clicks c ASOF LEFT JOIN views v
+    ON c.user_id = v.user_id AND v.ts >= c.ts
+)
+SELECT b.event_id, b.user_id,
+       CAST(epoch_ns(b.ts) // 1000000000 AS BIGINT) AS ts_sec,
+       b.back_view, f.fwd_view,
+       CASE WHEN f.fts IS NULL THEN b.back_view
+            WHEN b.bts IS NULL THEN f.fwd_view
+            WHEN epoch_ns(b.ts) - epoch_ns(b.bts)
+                 <= epoch_ns(f.fts) - epoch_ns(b.ts) THEN b.back_view
+            ELSE f.fwd_view END AS near_view,
+       CASE WHEN epoch_ns(b.ts) - epoch_ns(b.bts) <= 100000000000000
+            THEN b.back_view END AS back_view_tol
+FROM b JOIN f USING (event_id)
+"""
+
+QUERIES_LLM["asof_directions"] = q_asof_directions
+ORACLES_LLM["asof_directions"] = ORACLE_ASOF_DIRECTIONS
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of near-dup pairs: each clustered doc with
     its canonical representative (min doc_id reachable) and cluster
