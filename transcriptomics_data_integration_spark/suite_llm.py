@@ -3385,6 +3385,58 @@ QUERIES_LLM["temperature_sample"] = q_temperature_sample
 ORACLES_LLM["temperature_sample"] = ORACLE_TEMPERATURE
 
 
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT semi-structured path, HASH-GATED (r7): per doc
+    an in-plan nested JSON payload (object -> array -> object) goes
+    through `parse_json` into a VARIANT column and back out through
+    typed `variant_get` paths — nested field, array index, array-of-
+    object traversal — plus `try_variant_get` on a missing path
+    (NULL, not error).  VARIANT is the engine's schema-on-read lane
+    for ragged metadata (crawler headers, per-source sidecars) where
+    a fixed `from_json` schema can't be declared up front; the binary
+    encoding keeps extraction JVM-side (no UDF).  The oracle
+    recomputes every extracted field from the payload formulas alone
+    (it never parses JSON), so a hash match proves the whole
+    parse_json -> variant_get path."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit('{"doc": {"id": '),
+        F.col("doc_id").cast("string"),
+        F.lit(', "langs": ["en", "fr", "de"], "meta": {"n": '),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('}}, "tags": [{"k": "alpha", "v": '),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit('}, {"k": "beta", "v": '),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("}]}"),
+    )
+    v = F.parse_json(payload)
+    return docs.select(
+        "doc_id",
+        F.variant_get(v, "$.doc.id", "bigint").alias("vid"),
+        F.variant_get(v, "$.doc.langs[1]", "string").alias("lang1"),
+        F.variant_get(v, "$.doc.meta.n", "int").alias("meta_n"),
+        F.variant_get(v, "$.tags[0].v", "int").alias("tag0_v"),
+        F.variant_get(v, "$.tags[1].k", "string").alias("tag1_k"),
+        F.try_variant_get(v, "$.doc.missing", "string").alias("absent"),
+    )
+
+
+ORACLE_VARIANT_EXTRACT = """
+SELECT doc_id,
+       CAST(doc_id AS BIGINT) AS vid,
+       'fr' AS lang1,
+       CAST(doc_id % 7 AS INTEGER) AS meta_n,
+       CAST(doc_id % 13 AS INTEGER) AS tag0_v,
+       'beta' AS tag1_k,
+       CAST(NULL AS VARCHAR) AS absent
+FROM documents
+"""
+
+QUERIES_LLM["variant_extract"] = q_variant_extract
+ORACLES_LLM["variant_extract"] = ORACLE_VARIANT_EXTRACT
+
+
 ORACLE_TOKEN_BUDGET = """
 WITH scored AS (
   SELECT doc_id, source,
