@@ -2306,3 +2306,29 @@ def test_bloom_contamination_one_sided_and_fp_rate(spark):
     total_fp = sum(r["n_false_pos"] for r in bloom.values())
     total_maybe = sum(r["n_maybe"] for r in bloom.values())
     assert total_fp <= max(5, total_maybe // 10)  # k=3, m=2^17, tiny n
+
+
+def test_global_shuffle_routes_identical(spark):
+    """global_shuffle (r7): the bucketed two-pass rank is bit-identical
+    to the single global window, positions are a 0-based permutation,
+    and the order matches a python md5 replay."""
+    import hashlib
+
+    from transcriptomics_data_integration_spark.llmdata import sampling as S
+    from transcriptomics_data_integration_spark.operators import windows as W
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["shuffle_pos"] for r in S.global_shuffle(df, "doc_id").collect()}
+    orig = W.fits_single_task
+    W.fits_single_task = lambda d, **k: False
+    try:
+        b = {r["doc_id"]: r["shuffle_pos"] for r in S.global_shuffle(df, "doc_id").collect()}
+    finally:
+        W.fits_single_task = orig
+    assert a == b
+    assert sorted(a.values()) == list(range(500))
+    expect = sorted(
+        range(500),
+        key=lambda d: (int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16), d),
+    )
+    assert [d for d, _ in sorted(a.items(), key=lambda kv: kv[1])] == expect

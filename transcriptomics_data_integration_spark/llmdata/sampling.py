@@ -454,3 +454,54 @@ def temperature_sample(
             "rk", (F.col("_base") + F.row_number().over(w_in)).cast("long")
         ).drop("_bkt", "_base")
     return ranked.where(F.col("rk") <= F.col("k_target")).drop("_h")
+
+
+def global_shuffle(df: DataFrame, key_col: str) -> DataFrame:
+    """Deterministic global corpus shuffle (r7) — the "shuffle the
+    training data" step, made a pure function of the data: every row
+    gets ``shuffle_pos`` (0-based), its position in md5-hash order
+    with the key as tiebreak.  Reproducible across retries, engines,
+    and partitionings (no seed bookkeeping, no rand()); stable
+    pagination (consumers can read any position range).
+
+    Scale: a global ORDER BY rank is the canonical single-task trap.
+    Above the Catalyst single-task estimate, the rank routes through
+    the md5-domain bucketed two-pass (hash prefix -> 1024 buckets,
+    per-bucket counts carry base offsets via ONE <=1024-row window,
+    the only corpus-sized window is partitionBy(bucket)) —
+    bit-identical to the single window, no task sees more than ~1/1024
+    of the corpus.
+    """
+    from transcriptomics_data_integration_spark.operators.windows import (
+        fits_single_task,
+    )
+
+    keyed = df.withColumn("_h", _md5_60bit(F.col(key_col).cast("string")))
+    if fits_single_task(keyed):
+        w = Window.orderBy(F.col("_h").asc(), F.col(key_col).asc())
+        ranked = keyed.withColumn(
+            "shuffle_pos", F.row_number().over(w).cast("long") - 1
+        )
+    else:
+        bucketed = keyed.withColumn(
+            "_bkt", F.expr("CAST(_h DIV 1125899906842624 AS INT)")  # 2^50
+        )
+        totals = bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+        w_base = Window.orderBy("_bkt").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        base = totals.withColumn(
+            "_base", F.coalesce(F.sum("_cnt").over(w_base), F.lit(0))
+        ).select("_bkt", "_base")
+        w_in = Window.partitionBy("_bkt").orderBy(
+            F.col("_h").asc(), F.col(key_col).asc()
+        )
+        ranked = (
+            bucketed.join(F.broadcast(base), "_bkt")
+            .withColumn(
+                "shuffle_pos",
+                (F.col("_base") + F.row_number().over(w_in)).cast("long") - 1,
+            )
+            .drop("_bkt", "_base")
+        )
+    return ranked.drop("_h")

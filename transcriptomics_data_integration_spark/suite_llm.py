@@ -3385,6 +3385,35 @@ QUERIES_LLM["temperature_sample"] = q_temperature_sample
 ORACLES_LLM["temperature_sample"] = ORACLE_TEMPERATURE
 
 
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle, HASH-GATED (r7): every doc
+    gets its 0-based position in md5-hash order
+    (`llmdata/sampling.py:global_shuffle`) — the reproducible
+    training-order randomization step (no rand(), no seed state;
+    stable under retries and engine swap).  Above the Catalyst
+    single-task estimate the rank runs as the md5-domain bucketed
+    two-pass; the oracle replays the hash order as one window."""
+    from transcriptomics_data_integration_spark.llmdata.sampling import (
+        global_shuffle,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return global_shuffle(docs, "doc_id").select("doc_id", "source", "shuffle_pos")
+
+
+ORACLE_GLOBAL_SHUFFLE = """
+SELECT doc_id, source,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                  doc_id
+       ) - 1 AS BIGINT) AS shuffle_pos
+FROM documents
+"""
+
+QUERIES_LLM["global_shuffle"] = q_global_shuffle
+ORACLES_LLM["global_shuffle"] = ORACLE_GLOBAL_SHUFFLE
+
+
 def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VARIANT semi-structured path, HASH-GATED (r7): per doc
     an in-plan nested JSON payload (object -> array -> object) goes
