@@ -743,9 +743,16 @@ def bloom_contamination(
     """
     from transcriptomics_data_integration_spark.llmdata.dedup import shingles
 
+    # explode fan-out needs input SPLITS: a small parquet file arrives
+    # as one partition, and without the repartition the ~550x shingle
+    # explode plus the distinct's map-side partial agg all run in ONE
+    # task (measured at sf0.1: 4.97 s single-task -> parallel after) —
+    # the cheap 1-row-per-doc shuffle buys the fan-out parallelism
+    par = train.sparkSession.sparkContext.defaultParallelism
+    tr_src = train.repartition(par)
     # distinct (doc, shingle) pairs: shingles() can emit repeats
-    # within a doc, and the maybe x exact join below must stay 1:1
-    tr = shingles(train, id_col, text_col, k).select(id_col, "shingle").distinct()
+    # within a doc, and the verdict join below must stay 1:1
+    tr = shingles(tr_src, id_col, text_col, k).select(id_col, "shingle").distinct()
     ev = shingles(eval_docs, id_col, text_col, k).select("shingle").distinct()
 
     def positions(col):
@@ -774,22 +781,28 @@ def bloom_contamination(
         ).alias("pos")
 
     bitset = ev.select(positions(F.col("shingle"))).distinct()
-    tr_pos = tr.select(id_col, "shingle", positions(F.col("shingle")))
-    maybe = (
-        tr_pos.join(F.broadcast(bitset), "pos")
-        .groupBy(id_col, "shingle")
+    # verdict per DISTINCT train shingle — the shingle VOCABULARY is
+    # orders of magnitude smaller than the (doc, shingle) pair
+    # relation (docs share words), so the position explode + all-set
+    # count runs over the vocab, and the pair relation sees ONE join
+    # against the verdict dim instead of a 3x explode + count shuffle
+    # (measured at sf0.1: 4.35 -> ~1.5 s; same asymptotics argument
+    # at 100 TB, where vocab/pairs is even smaller)
+    vocab = tr.select("shingle").distinct()
+    maybe_sh = (
+        vocab.select("shingle", positions(F.col("shingle")))
+        .join(F.broadcast(bitset), "pos")
+        .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("_n_set"))
         .where(F.col("_n_set") == n_hashes)
-        .select(id_col, "shingle")
+        .select("shingle")
     )
-    exact = tr.join(
-        F.broadcast(ev.withColumn("_ev", F.lit(1))), "shingle", "left"
-    ).select(id_col, "shingle", "_ev")
-    joined = maybe.join(exact, [id_col, "shingle"], "left")
+    verdict = maybe_sh.join(
+        ev.withColumn("_ev", F.lit(1)), "shingle", "left"
+    ).select("shingle", F.lit(1).alias("_maybe"), F.coalesce("_ev", F.lit(0)).alias("_evf"))
+    joined = tr.join(verdict, "shingle")
     return joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_maybe"),
-        F.sum(F.coalesce(F.col("_ev"), F.lit(0))).alias("n_exact"),
-        (F.count(F.lit(1)) - F.sum(F.coalesce(F.col("_ev"), F.lit(0)))).alias(
-            "n_false_pos"
-        ),
+        F.sum("_evf").alias("n_exact"),
+        (F.count(F.lit(1)) - F.sum("_evf")).alias("n_false_pos"),
     )

@@ -1981,18 +1981,18 @@ _ROUND7_FRONT = [
     "jpeg_pixels", "gif_pixels", "wav_decode", "dedup_clusters",
     "icc_meta", "icc_dimsum", "icc_sampled", "temperature_sample",
     "mp4_header", "html_extract", "bloom_contamination",
-    "asof_directions",
+    "asof_directions", "web_pipeline",
     # -- (c) r4-only-stamped slice (registry order) -----------------------
     "bh_histogram", "p_improvement", "token_stats", "text_quality",
     "language_id", "doc_fingerprint", "dedup_exact", "ngram_jaccard",
-    "minhash_lsh", "simhash", "cosine_topk", "lsh_ann", "cosine_neardup",
+    "minhash_lsh", "simhash", "cosine_topk", "lsh_ann",
 ]
 
 # Round-8 rotation plan: the r4-only remainder bumped from this window
-# (event_window_counts, sessionize, json_extract, duplicate_chunks, simhash_neardup, asof_join, vocab_topk, embedding_quantize, pack_sequences, batch_center, permutation_fdr,
+# (cosine_neardup, event_window_counts, sessionize, json_extract, duplicate_chunks, simhash_neardup, asof_join, vocab_topk, embedding_quantize, pack_sequences, batch_center, permutation_fdr,
 # ks_strata, skyline, sample_distances, ivf_fixed, jsonl_parse,
 # dedup_keep_best, winnow_containment, domain_dup_rate, voom_loess2,
-# cqn_irls2, ngram_span_mask — 22 queries) goes in the r8 front, plus
+# cqn_irls2, ngram_span_mask — 23 queries) goes in the r8 front, plus
 # every r8-touched kernel, remainder filled with r5-only-stamped
 # queries in registry order.
 QUERIES = _reorder_front(QUERIES, _ROUND7_FRONT)

@@ -699,7 +699,12 @@ def q_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
+    # repartition before the Python fan-out: the small parquet file is
+    # ONE split (single row group), so without it the whole per-doc
+    # codec work runs in one task (r7 finding; the 1-column shuffle is
+    # ~free next to the decode work)
     docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return docs.mapInPandas(
         op,
         schema=(
@@ -792,7 +797,12 @@ def q_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["media_id", "width", "height", "sum_v", "rsum_v"],
             )
 
+    # repartition before the Python fan-out: the small parquet file is
+    # ONE split (single row group), so without it the whole per-doc
+    # codec work runs in one task (r7 finding; the 1-column shuffle is
+    # ~free next to the decode work)
     docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return docs.mapInPandas(
         op,
         schema=(
@@ -876,7 +886,12 @@ def q_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["media_id", "width", "height", "sum_r", "sum_g", "sum_b"],
             )
 
+    # repartition before the Python fan-out: the small parquet file is
+    # ONE split (single row group), so without it the whole per-doc
+    # codec work runs in one task (r7 finding; the 1-column shuffle is
+    # ~free next to the decode work)
     docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return docs.mapInPandas(
         op,
         schema=(
@@ -3235,6 +3250,151 @@ QUERIES_LLM["gopher_quality"] = q_gopher_quality
 ORACLES_LLM["gopher_quality"] = ORACLE_GOPHER_QUALITY
 
 
+def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus construction end-to-end, HASH-GATED (r7): the
+    composition of this round's new stages over the train split
+    (doc_id % 97 != 0) —
+
+    1. in-plan HTML wrap -> REAL `html_extract` (stdlib parser);
+    2. full Gopher battery on the EXTRACTED text -> keep;
+    3. Bloom decontamination screen vs the eval slice (% 97 == 0) on
+       the raw text; drop docs sharing > 150 exact shingles;
+    4. temperature mixture (150 docs, alpha = 0.5) over survivors;
+    5. deterministic global shuffle for training order.
+
+    Every stage is an already-gated kernel; the composition proves
+    they hand off (column contracts, key alignment, bucketed rank
+    after joins).  The oracle replays all five stages in one CTE
+    chain — the HTML stage from the text formula (never parsing
+    HTML), the Bloom stage via the equivalent exact-overlap count
+    (every exact hit survives the screen by construction)."""
+    from transcriptomics_data_integration_spark.llmdata.sampling import (
+        global_shuffle,
+        temperature_sample,
+    )
+    from transcriptomics_data_integration_spark.llmdata.text import (
+        bloom_contamination,
+        gopher_quality,
+        html_extract,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+    html = train.select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                '<html><head><title>t</title><script>var x = "drop&amp;me";'
+                "</script><style>p { color: red }</style></head><body><h1>Doc "
+            ),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit("</p><div>tail &amp; &#65;&#x42;  end</div></body></html>"),
+        ).alias("html"),
+    )
+    html = html.repartition(spark.sparkContext.defaultParallelism)
+    ext = html_extract(html, "doc_id", "html").join(
+        train.select("doc_id", "source"), "doc_id"
+    )
+    # the HTML parse + Gopher battery re-executes per consumer unless
+    # materialized (Spark shares no un-persisted subtrees): `kept`
+    # feeds the screen's train side AND the clean join, and `clean`
+    # feeds temperature's count dim AND its rank join — persisting the
+    # two bounded post-filter relations collapses the plan from 80
+    # source scans to the minimal set (the corpus_pipeline discipline)
+    kept = (
+        gopher_quality(ext)
+        .where(F.col("keep"))
+        .select("doc_id", "source", "n_tokens")
+        .persist()
+    )
+    register_persisted(kept)
+    raw_kept = train.select("doc_id", "text").join(
+        kept.select("doc_id"), "doc_id"
+    )
+    screened = bloom_contamination(raw_kept, eval_docs)
+    clean = (
+        kept.join(screened.select("doc_id", "n_exact"), "doc_id", "left")
+        .where(F.coalesce(F.col("n_exact"), F.lit(0)) <= 150)
+        .drop("n_exact")
+        .persist()
+    )
+    register_persisted(clean)
+    sampled = temperature_sample(clean, "source", "doc_id", total_docs=150, alpha=0.5)
+    return global_shuffle(sampled, "doc_id").select(
+        "doc_id", "source", "n_tokens", "k_target", "rk", "shuffle_pos"
+    )
+
+
+_WEB_EXT_SQL = r"""
+  SELECT doc_id, source,
+         'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+         trim(regexp_replace(text, '[ \t]+', ' ', 'g')) || chr(10) ||
+         'tail & AB end' AS text
+  FROM documents WHERE doc_id % 97 <> 0
+"""
+
+# the gopher battery verbatim, re-rooted at the extracted-text relation
+_WEB_GQ_SQL = ORACLE_GOPHER_QUALITY.replace(
+    "FROM documents", f"FROM ({_WEB_EXT_SQL}) documents"
+)
+assert _WEB_GQ_SQL != ORACLE_GOPHER_QUALITY
+
+ORACLE_WEB_PIPELINE = f"""
+WITH gq AS (
+  SELECT * FROM ({_WEB_GQ_SQL}) q
+), kept AS (
+  SELECT g.doc_id, d.source, g.n_tokens
+  FROM gq g JOIN documents d USING (doc_id)
+  WHERE g.keep
+), tr AS (
+  SELECT DISTINCT d.doc_id, UNNEST({_SHINGLE_SQL}) AS shingle
+  FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+), ev AS (
+  SELECT DISTINCT UNNEST({_SHINGLE_SQL}) AS shingle
+  FROM documents WHERE doc_id % 97 = 0
+), cont AS (
+  SELECT doc_id, COUNT(*) AS n_exact
+  FROM tr WHERE shingle IN (SELECT shingle FROM ev)
+  GROUP BY doc_id
+), clean AS (
+  SELECT k.doc_id, k.source, k.n_tokens
+  FROM kept k LEFT JOIN cont c USING (doc_id)
+  WHERE COALESCE(c.n_exact, 0) <= 150
+), counts AS (
+  SELECT source, COUNT(*) AS n FROM clean GROUP BY source
+), dim AS (
+  SELECT source,
+         CAST(FLOOR(POWER(CAST(n AS DOUBLE), 0.5) * 1000000.0 + 0.5) AS BIGINT) AS w
+  FROM counts
+), alloc AS (
+  SELECT source, (150 * w) // (SELECT SUM(w) FROM dim) AS k_target FROM dim
+), ranked AS (
+  SELECT c.doc_id, c.source, c.n_tokens, a.k_target,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.source
+           ORDER BY ('0x' || substring(md5(CAST(c.doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                    c.doc_id
+         ) AS rk
+  FROM clean c JOIN alloc a USING (source)
+), sampled AS (
+  SELECT * FROM ranked WHERE rk <= k_target
+)
+SELECT doc_id, source, n_tokens,
+       CAST(k_target AS BIGINT) AS k_target, CAST(rk AS BIGINT) AS rk,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                  doc_id
+       ) - 1 AS BIGINT) AS shuffle_pos
+FROM sampled
+"""
+
+QUERIES_LLM["web_pipeline"] = q_web_pipeline
+ORACLES_LLM["web_pipeline"] = ORACLE_WEB_PIPELINE
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mixture rebalancing: downsample per-source toward target
     shares (web .5 / books .3 / code .2 over the documents sources),
@@ -3323,6 +3483,8 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("</p><div>tail &amp; &#65;&#x42;  end</div></body></html>"),
         ).alias("html"),
     )
+    # one-split parquet -> parallelize the per-doc parse (r7 finding)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return html_extract(docs, "doc_id", "html")
 
 
