@@ -75,7 +75,15 @@ def _two_crawls(docs: DataFrame) -> DataFrame:
     crawl2 = docs.select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "source", "n_chars"
     )
-    return docs.unionByName(crawl2)
+    # the two one-split scans union to TWO partitions; every consumer
+    # is a shingle/band exploder whose fan-out would otherwise run on
+    # 2 of 32 cores (r7 one-split finding) — the 1-row-per-doc shuffle
+    # is ~free next to the explode work
+    out = docs.unionByName(crawl2)
+    par = out.sparkSession.sparkContext.defaultParallelism
+    if out.rdd.getNumPartitions() < par:
+        out = out.repartition(par)
+    return out
 
 
 # --- text analysis ---------------------------------------------------------
@@ -198,6 +206,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-Jaccard baseline is quadratic in corpus size — bounded here
     to the first 1000 docs (the scale path is q_minhash_lsh)."""
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)  # one-split fan-out (r7 finding)
     out = ngram_jaccard_pairs(docs, "doc_id", threshold=0.5)
     return out.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
 
@@ -1803,6 +1814,9 @@ def q_duplicate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transcriptomics_data_integration_spark.llmdata.text import duplicate_chunk_stats
 
     docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)  # one-split fan-out (r7 finding)
     out = duplicate_chunk_stats(docs, "doc_id", "text", chunk_words=3)
     return out.select("doc_id", "n_chunks", "n_dup_chunks", "dup_chunk_ratio")
 
@@ -2932,6 +2946,9 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transcriptomics_data_integration_spark.llmdata.text import contamination_check
 
     docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)  # one-split fan-out (r7 finding)
     train = docs.where(F.col("doc_id") % 97 != 0)
     eval_docs = docs.where(F.col("doc_id") % 97 == 0)
     return contamination_check(train, eval_docs)
