@@ -962,3 +962,40 @@ def test_detection_pvalues_ecdf_and_keep_list(spark):
     )
     got = {(r["gene_id"], r["sample_id"]): r["value"] for r in out.collect()}
     assert set(g for g, _ in got) == {"g1"}  # p13/g2 filtered by F12
+
+
+def test_streaming_html_extract_matches_batch(spark, tmp_path):
+    """html_extract is a stateless Arrow mapInPandas, so it runs
+    unchanged on a readStream source (append mode, no state);
+    streamed extractions equal the batch relation over the same
+    files — the ingest-time shape of a web-crawl pipeline."""
+    from transcriptomics_data_integration_spark.llmdata.text import html_extract
+    from transcriptomics_data_integration_spark.streaming.ingest import (
+        run_stream_to_memory,
+    )
+
+    d = tmp_path / "html_docs"
+    d.mkdir()
+    rows = [
+        (1, "<html><body><p>hello &amp; goodbye</p><script>x</script></body></html>"),
+        (2, "<div>one</div><div>two</div>"),
+        (3, "<title>skip</title>plain <b>text</b>"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, html string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d))
+
+    batch = {
+        r["doc_id"]: (r["text"], r["n_tags"], r["n_dropped_blocks"])
+        for r in html_extract(spark.read.parquet(str(d)), "doc_id", "html").collect()
+    }
+    stream = spark.readStream.schema("doc_id long, html string").parquet(str(d))
+    run_stream_to_memory(
+        html_extract(stream, "doc_id", "html"), "html_stream", out_mode="append"
+    )
+    streamed = {
+        r["doc_id"]: (r["text"], r["n_tags"], r["n_dropped_blocks"])
+        for r in spark.sql("SELECT * FROM html_stream").collect()
+    }
+    assert streamed == batch
+    assert batch[1][0] == "hello & goodbye"
