@@ -2276,7 +2276,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from transcriptomics_data_integration_spark.runtime import register_persisted
 
-    docs = _two_crawls(_t(spark, sf_dir, "documents"))
+    docs = _two_crawls(_t(spark, sf_dir, "documents"), parallelize=False)
     kept_docs = (
         quality_filter(docs).where(F.col("keep")).select("doc_id", "text")
         # three chain branches read the filtered corpus (pair mining,
