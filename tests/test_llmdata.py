@@ -2332,3 +2332,26 @@ def test_global_shuffle_routes_identical(spark):
         key=lambda d: (int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16), d),
     )
     assert [d for d, _ in sorted(a.items(), key=lambda kv: kv[1])] == expect
+
+
+def test_unicode_clean_nfc_and_strips(spark):
+    """unicode_clean (r7): NFC composition, control/zero-width strips,
+    unicode-space folds, codepoint counters — checked against explicit
+    expectations incl. already-composed input (idempotent), tab and
+    newline preserved."""
+    from transcriptomics_data_integration_spark.llmdata.text import unicode_clean
+
+    cases = [
+        (1, "e\u0301clair", "\u00e9clair"),                 # compose
+        (2, "a\u200bb\u200cc\u200dd\ufeffe", "abcde"),    # zero-width strip
+        (3, "x\u00a0y\u2003z\u3000w", "x y z w"),          # space folds
+        (4, "keep\ttabs\nand newlines", "keep\ttabs\nand newlines"),
+        (5, "ctrl\u0007\u009f gone", "ctrl gone"),
+        (6, "\u00e9 already composed", "\u00e9 already composed"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in unicode_clean(df, "doc_id").collect()}
+    for i, t, expect in cases:
+        assert got[i]["clean_text"] == expect, (i, got[i]["clean_text"])
+        assert got[i]["n_cp_in"] == len(t)
+        assert got[i]["n_cp_out"] == len(expect)

@@ -806,3 +806,56 @@ def bloom_contamination(
         F.sum("_evf").alias("n_exact"),
         (F.count(F.lit(1)) - F.sum("_evf")).alias("n_false_pos"),
     )
+
+
+def unicode_clean(
+    df: DataFrame, id_col: str, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """Unicode normalization pass (r7) — the mojibake/invisible-char
+    hygiene step web corpora need before tokenization:
+
+    - NFC composition (e + combining-acute -> single codepoint, so
+      equal-looking strings hash equal — dedup and contamination
+      depend on it);
+    - C0/C1 control characters stripped (except tab/newline);
+    - zero-width and BOM codepoints stripped (ZWSP/ZWNJ/ZWJ/FEFF);
+    - unicode space separators folded to ASCII space (NBSP, en/em
+      spaces, ideographic space).
+
+    Arrow-batched mapInPandas (NFC needs the Unicode tables; stdlib
+    ``unicodedata`` — no JVM builtin); emits codepoint counters so a
+    quality filter can flag mojibake-heavy docs.  DuckDB replays NFC
+    via ``nfc_normalize`` and the strips via regexps — both engines
+    implement the same Unicode standard, so the gate is exact.
+    """
+    import pandas as pd
+
+    import re as _re
+    import unicodedata as _ud
+
+    _CTRL = _re.compile(
+        "[\u0000-\u0008\u000b\u000c\u000e-\u001f\u007f-\u009f"
+        "\u200b\u200c\u200d\ufeff]"
+    )
+    _SPACES = _re.compile("[\u00a0\u1680\u2000-\u200a\u202f\u205f\u3000]")
+
+    def clean_one(t: str) -> tuple[str, int, int]:
+        n0 = len(t)
+        t1 = _ud.normalize("NFC", t)
+        t2 = _SPACES.sub(" ", _CTRL.sub("", t1))
+        return (t2, n0, len(t2))
+
+    def op(batches):
+        for pdf in batches:
+            rows = [
+                (int(i), *clean_one(str(t)))
+                for i, t in zip(pdf[id_col], pdf[text_col])
+            ]
+            yield pd.DataFrame(
+                rows, columns=[id_col, out_col, "n_cp_in", "n_cp_out"]
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        op,
+        schema=f"{id_col} long, {out_col} string, n_cp_in int, n_cp_out int",
+    )

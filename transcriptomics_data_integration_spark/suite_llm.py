@@ -3526,6 +3526,39 @@ QUERIES_LLM["html_extract"] = q_html_extract
 ORACLES_LLM["html_extract"] = ORACLE_HTML_EXTRACT
 
 
+def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode hygiene pass, HASH-GATED (r7): each doc's text gets a
+    planted suffix of NFC-decomposed accent (e + U+0301), zero-width
+    space, NBSP, and a BEL control char; `llmdata/text.py:
+    unicode_clean` must compose the accent, strip the invisibles,
+    fold the NBSP to ASCII space, and count codepoints.  The oracle
+    rebuilds the expected output from the text column alone (the
+    composed form via chr(233)) — it never runs a normalizer — so a
+    hash match proves the NFC + strip semantics."""
+    from transcriptomics_data_integration_spark.llmdata.text import unicode_clean
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" e\u0301\u200bx\u00a0y\u0007z"),
+        ).alias("text"),
+    )
+    return unicode_clean(docs, "doc_id")
+
+
+ORACLE_UNICODE_CLEAN = """
+SELECT doc_id,
+       text || ' ' || chr(233) || 'x yz' AS clean_text,
+       CAST(length(text) + 9 AS INTEGER) AS n_cp_in,
+       CAST(length(text) + 6 AS INTEGER) AS n_cp_out
+FROM documents
+"""
+
+QUERIES_LLM["unicode_clean"] = q_unicode_clean
+ORACLES_LLM["unicode_clean"] = ORACLE_UNICODE_CLEAN
+
+
 def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based mixture sampling, HASH-GATED (r7): allocate
     200 docs across sources with alpha=0.5 smoothing (under the
