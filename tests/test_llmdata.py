@@ -2355,3 +2355,37 @@ def test_unicode_clean_nfc_and_strips(spark):
         assert got[i]["clean_text"] == expect, (i, got[i]["clean_text"])
         assert got[i]["n_cp_in"] == len(t)
         assert got[i]["n_cp_out"] == len(expect)
+
+
+def test_compression_ratio_separates_repetition_from_prose(spark):
+    """compression_ratio (r7): repeated text compresses far below
+    prose, random hex barely compresses, ordering is stable, and the
+    byte counts match local zlib exactly (the rows-only gate's
+    deterministic core)."""
+    import zlib
+
+    from transcriptomics_data_integration_spark.llmdata.text import (
+        compression_ratio,
+    )
+
+    import random
+
+    rnd = random.Random(3)
+    rep = "spam and eggs " * 200
+    prose = " ".join(
+        rnd.choice(["the", "quick", "brown", "fox", "jumps", "over", "lazy",
+                    "dogs", "while", "seven", "wizards", "boxed"])
+        for _ in range(400)
+    )
+    noise = "".join(rnd.choice("0123456789abcdef") for _ in range(2000))
+    df = spark.createDataFrame(
+        [(1, rep), (2, prose), (3, noise), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in compression_ratio(df, "doc_id").collect()}
+    for i, t in [(1, rep), (2, prose), (3, noise)]:
+        assert got[i]["n_compressed"] == len(zlib.compress(t.encode(), 6)), i
+    assert got[1]["compression_ratio"] < got[2]["compression_ratio"] < got[3]["compression_ratio"]
+    assert got[1]["compression_ratio"] < 0.05
+    assert got[3]["compression_ratio"] > 0.5
+    assert got[4]["compression_ratio"] is None and got[4]["n_bytes"] == 0

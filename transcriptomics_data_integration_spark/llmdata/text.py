@@ -859,3 +859,50 @@ def unicode_clean(
         op,
         schema=f"{id_col} long, {out_col} string, n_cp_in int, n_cp_out int",
     )
+
+
+def compression_ratio(
+    df: DataFrame, id_col: str, text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """Compression-ratio quality signal (r7) — the entropy proxy
+    production filters use beside the Gopher rules: highly repetitive
+    or templated documents compress far below prose (ratio << 1 end of
+    the prose band), random/binary-ish text barely compresses
+    (ratio ~ 1).  stdlib zlib at a fixed level, so the signal is
+    deterministic for a given zlib build — declared rows-only (no SQL
+    engine can replay DEFLATE), numerics pinned by pytest goldens on
+    planted repetitive/prose/random inputs.
+
+    Arrow-batched mapInPandas, zero shuffles; emits raw/compressed
+    byte counts so thresholds stay an analyst decision.
+    """
+    import zlib as _zlib
+
+    import pandas as pd
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                raw = str(t).encode("utf-8")
+                comp = _zlib.compress(raw, level)
+                rows.append(
+                    (
+                        int(i),
+                        len(raw),
+                        len(comp),
+                        (len(comp) / len(raw)) if raw else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_bytes", "n_compressed", "compression_ratio"],
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        op,
+        schema=(
+            f"{id_col} long, n_bytes int, n_compressed int, "
+            "compression_ratio double"
+        ),
+    )

@@ -3526,6 +3526,26 @@ QUERIES_LLM["html_extract"] = q_html_extract
 ORACLES_LLM["html_extract"] = ORACLE_HTML_EXTRACT
 
 
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal over the corpus (r7) —
+    rows-only by necessity (no SQL engine replays DEFLATE); the
+    kernel's determinism and the repetitive-vs-prose-vs-noise band
+    structure are pinned by
+    `test_llmdata.py::test_compression_ratio_separates_repetition_from_prose`."""
+    from transcriptomics_data_integration_spark.llmdata.text import (
+        compression_ratio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return compression_ratio(docs, "doc_id").select(
+        "doc_id", "n_bytes", "n_compressed", "compression_ratio"
+    )
+
+
+QUERIES_LLM["compression_ratio"] = q_compression_ratio
+# no oracle: DEFLATE is not SQL-expressible — declared rows-only
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode hygiene pass, HASH-GATED (r7): each doc's text gets a
     planted suffix of NFC-decomposed accent (e + U+0301), zero-width
