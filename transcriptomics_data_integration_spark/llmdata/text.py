@@ -817,7 +817,7 @@ def unicode_clean(
     - NFC composition (e + combining-acute -> single codepoint, so
       equal-looking strings hash equal — dedup and contamination
       depend on it);
-    - C0/C1 control characters stripped (except tab/newline);
+    - C0/C1 control characters stripped (tab/newline/CR kept);
     - zero-width and BOM codepoints stripped (ZWSP/ZWNJ/ZWJ/FEFF);
     - unicode space separators folded to ASCII space (NBSP, en/em
       spaces, ideographic space).
