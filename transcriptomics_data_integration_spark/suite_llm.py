@@ -3339,13 +3339,16 @@ def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.select("doc_id"), "doc_id"
     )
     screened = bloom_contamination(raw_kept, eval_docs)
+    # lineage-CUT, not just cache: consuming a persisted relation whose
+    # analyzed plan still carries the whole html->gopher->bloom tree
+    # costs tens of seconds of per-action replanning at scale (probe:
+    # mixture stage 81 -> 4 s after the cut; tools/web_pipeline_probe)
     clean = (
         kept.join(screened.select("doc_id", "n_exact"), "doc_id", "left")
         .where(F.coalesce(F.col("n_exact"), F.lit(0)) <= 150)
         .drop("n_exact")
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    register_persisted(clean)
     sampled = temperature_sample(clean, "source", "doc_id", total_docs=150, alpha=0.5)
     return global_shuffle(sampled, "doc_id").select(
         "doc_id", "source", "n_tokens", "k_target", "rk", "shuffle_pos"
