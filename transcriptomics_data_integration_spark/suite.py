@@ -1988,12 +1988,16 @@ _ROUND7_FRONT = [
     "minhash_lsh", "simhash", "cosine_topk", "lsh_ann",
 ]
 
-# Round-8 rotation plan: the r4-only remainder bumped from this window
-# (cosine_neardup, event_window_counts, sessionize, json_extract, duplicate_chunks, simhash_neardup, asof_join, vocab_topk, embedding_quantize, pack_sequences, batch_center, permutation_fdr,
-# ks_strata, skyline, sample_distances, ivf_fixed, jsonl_parse,
-# dedup_keep_best, winnow_containment, domain_dup_rate, voom_loess2,
-# cqn_irls2, ngram_span_mask — 23 queries) goes in the r8 front, plus
-# every r8-touched kernel, remainder filled with r5-only-stamped
-# queries in registry order.
+# Round-8 rotation plan: (a) the four r7 gates added AFTER the window
+# froze (global_shuffle, variant_extract, unicode_clean,
+# compression_ratio — never driver-stamped), then (b) the r4-only
+# remainder bumped from this window (cosine_neardup,
+# event_window_counts, sessionize, json_extract, duplicate_chunks,
+# simhash_neardup, asof_join, vocab_topk, embedding_quantize,
+# pack_sequences, batch_center, permutation_fdr, ks_strata, skyline,
+# sample_distances, ivf_fixed, jsonl_parse, dedup_keep_best,
+# winnow_containment, domain_dup_rate, voom_loess2, cqn_irls2,
+# ngram_span_mask — 23 queries), plus (c) every r8-touched kernel,
+# remainder filled with r5-only-stamped queries in registry order.
 QUERIES = _reorder_front(QUERIES, _ROUND7_FRONT)
 QUERIES = {n: _with_persist_drain(fn) for n, fn in QUERIES.items()}
