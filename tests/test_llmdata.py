@@ -2389,3 +2389,58 @@ def test_compression_ratio_separates_repetition_from_prose(spark):
     assert got[1]["compression_ratio"] < 0.05
     assert got[3]["compression_ratio"] > 0.5
     assert got[4]["compression_ratio"] is None and got[4]["n_bytes"] == 0
+
+
+def test_jpeg_420_subsampling_roundtrip():
+    """4:2:0 chroma subsampling (r7): the dominant photographic JPEG
+    profile — encoder writes Y at 2x2 sampling with box-averaged
+    half-resolution chroma; decoder runs the general MCU loop (4 Y
+    blocks + Cb + Cr), replication-upsamples, and matches the
+    reference numpy pipeline (YCbCr -> box-down -> replicate-up ->
+    RGB) within the all-ones-quant rounding bound; constant 16x16
+    macroblocks are near-exact; restart markers and partial MCUs
+    compose."""
+    import numpy as np
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(29)
+    mt = rng.integers(0, 256, (2, 3, 3), dtype=np.uint8)
+    img = np.kron(mt, np.ones((16, 16, 1), dtype=np.uint8))
+    dec = decode_jpeg_pixels(encode_jpeg(img, subsample=True))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+
+    def ref420(px):
+        r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+        y = np.round(0.299 * r + 0.587 * g + 0.114 * b).clip(0, 255)
+        cb = np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128).clip(0, 255)
+        cr = np.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128).clip(0, 255)
+        h, w = y.shape
+        out = [y]
+        for p in (cb, cr):
+            pe = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+            q = np.round(
+                (pe[0::2, 0::2] + pe[0::2, 1::2] + pe[1::2, 0::2] + pe[1::2, 1::2])
+                / 4.0
+            )
+            out.append(np.repeat(np.repeat(q, 2, axis=0), 2, axis=1)[:h, :w])
+        y, cb, cr = out
+        rr = y + 1.402 * (cr - 128)
+        gg = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+        bb = y + 1.772 * (cb - 128)
+        return np.clip(np.round(np.stack([rr, gg, bb], axis=-1)), 0, 255).astype(
+            np.uint8
+        )
+
+    px = rng.integers(0, 256, (34, 30, 3), dtype=np.uint8)  # partial MCUs
+    dec = decode_jpeg_pixels(encode_jpeg(px, subsample=True, restart_interval=2))
+    assert dec.shape == px.shape
+    assert np.abs(dec.astype(int) - ref420(px).astype(int)).max() <= 3
+    # grayscale + subsample flag: no-op (single component stays 1x1)
+    gimg = rng.integers(0, 256, (17, 19), dtype=np.uint8)
+    d2 = decode_jpeg_pixels(encode_jpeg(gimg, subsample=True))
+    assert np.abs(d2[:, :, 0].astype(int) - gimg.astype(int)).max() <= 1

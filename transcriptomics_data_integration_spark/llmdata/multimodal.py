@@ -665,14 +665,17 @@ def encode_jpeg(
     pixels: np.ndarray,
     quant: np.ndarray | None = None,
     restart_interval: int = 0,
+    subsample: bool = False,
 ) -> bytes:
     """Minimal REAL baseline-sequential JPEG encoder: (H, W) / (H, W, 1)
-    grayscale or (H, W, 3) RGB (JFIF YCbCr, 1x1 sampling), Annex-K
-    Huffman tables written as DHT and referenced by every component,
-    caller-supplied quantization table (default all-ones = max
-    quality, the profile under which 8x8-constant tiles round-trip
-    bit-exactly), optional DRI/RSTn restart markers every
-    ``restart_interval`` MCUs."""
+    grayscale or (H, W, 3) RGB (JFIF YCbCr), Annex-K Huffman tables
+    written as DHT and referenced by every component, caller-supplied
+    quantization table (default all-ones = max quality, the profile
+    under which 8x8-constant tiles round-trip bit-exactly), optional
+    DRI/RSTn restart markers every ``restart_interval`` MCUs, and —
+    with ``subsample`` (r7) — real 4:2:0 chroma subsampling (Y at
+    2x2 sampling factors, chroma box-averaged to half resolution;
+    the dominant profile of photographic JPEGs in the wild)."""
     import struct as _struct
 
     if pixels.ndim == 2:
@@ -691,7 +694,29 @@ def encode_jpeg(
     else:
         planes = [pixels[:, :, 0].astype(np.float64)]
 
-    by, bx = -(-h // 8), -(-w // 8)
+    use_420 = bool(subsample) and nc == 3
+    # (hi, vi) per component
+    factors = [(2, 2), (1, 1), (1, 1)] if use_420 else [(1, 1)] * nc
+    if use_420:
+        # chroma box-average to half resolution (edge-pad odd dims)
+        half = []
+        for p in planes[1:]:
+            pe = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+            q4 = (pe[0::2, 0::2] + pe[0::2, 1::2] + pe[1::2, 0::2] + pe[1::2, 1::2]) / 4.0
+            half.append(np.round(q4))
+        planes = [planes[0], *half]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # pad every plane to its MCU-aligned size with edge replication
+    padded = []
+    for p, (hi, vi) in zip(planes, factors):
+        th, tw = mcuy * vi * 8, mcux * hi * 8
+        padded.append(
+            np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        )
+
     dc_codes = _build_huffman_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _build_huffman_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     writer = _BitWriter()
@@ -699,8 +724,8 @@ def encode_jpeg(
     scan_parts: list[bytes] = []
     mcu = 0
     rst_no = 0
-    for yb in range(by):
-        for xb in range(bx):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 scan_parts.append(writer.flush())
                 scan_parts.append(bytes([0xFF, 0xD0 + rst_no]))
@@ -709,19 +734,18 @@ def encode_jpeg(
                 prev_dc = [0] * nc
             mcu += 1
             for ci in range(nc):
-                plane = planes[ci]
-                block = np.full((8, 8), plane[min(yb * 8, h - 1), min(xb * 8, w - 1)])
-                ys, xs = min(8, h - yb * 8), min(8, w - xb * 8)
-                # edge replication padding for partial blocks
-                tile = plane[yb * 8 : yb * 8 + ys, xb * 8 : xb * 8 + xs]
-                block[:ys, :xs] = tile
-                block[:ys, xs:] = tile[:, -1:]
-                block[ys:, :] = block[ys - 1 : ys, :]
-                f = _DCT_T @ (block - 128.0) @ _DCT_T.T
-                q = np.round(f / quant).astype(np.int64)
-                prev_dc[ci] = _encode_block(
-                    writer, q, prev_dc[ci], dc_codes, ac_codes
-                )
+                plane = padded[ci]
+                hi, vi = factors[ci]
+                for v in range(vi):
+                    for u in range(hi):
+                        y0 = (my * vi + v) * 8
+                        x0 = (mx * hi + u) * 8
+                        block = plane[y0 : y0 + 8, x0 : x0 + 8]
+                        f = _DCT_T @ (block - 128.0) @ _DCT_T.T
+                        q = np.round(f / quant).astype(np.int64)
+                        prev_dc[ci] = _encode_block(
+                            writer, q, prev_dc[ci], dc_codes, ac_codes
+                        )
     scan_parts.append(writer.flush())
     scan = b"".join(scan_parts)
 
@@ -731,7 +755,8 @@ def encode_jpeg(
     zz_quant = bytes(int(quant[y, x]) & 0xFF for y, x in _ZIGZAG)
     dqt = seg(0xFFDB, b"\x00" + zz_quant)
     comps = b"".join(
-        _struct.pack(">BBB", ci + 1, 0x11, 0) for ci in range(nc)
+        _struct.pack(">BBB", ci + 1, (factors[ci][0] << 4) | factors[ci][1], 0)
+        for ci in range(nc)
     )
     sof0 = seg(0xFFC0, _struct.pack(">BHHB", 8, h, w, nc) + comps)
     dht = seg(
@@ -896,9 +921,10 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
             comps = []
             for ci in range(nf):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if hv != 0x11:
-                    return None  # subsampling out of profile
-                comps.append((cid, tq))
+                hi, vi = hv >> 4, hv & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    return None  # sampling factors out of profile
+                comps.append((cid, tq, hi, vi))
             sof = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -929,67 +955,86 @@ def _decode_scan(
 ) -> np.ndarray | None:
     h, w, comps = sof
     nc = len(comps)
-    by, bx = -(-h // 8), -(-w // 8)
-    for cid, tq in comps:
+    for cid, tq, _hi, _vi in comps:
         if tq not in qtables or cid not in scan_tables:
             return None
         td, ta = scan_tables[cid]
         if (0, td) not in htables or (1, ta) not in htables:
             return None
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
     reader = _BitReader(payload, pos)
-    planes = [np.zeros((by * 8, bx * 8), dtype=np.float64) for _ in range(nc)]
+    planes = [
+        np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+        for _cid, _tq, hi, vi in comps
+    ]
     prev_dc = [0] * nc
     mcu = 0
-    for yb in range(by):
-        for xb in range(bx):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 if not reader.sync_restart():
                     return None
                 prev_dc = [0] * nc
-            for ci, (cid, tq) in enumerate(comps):
+            for ci, (cid, tq, hi, vi) in enumerate(comps):
                 td, ta = scan_tables[cid]
                 dc_lut, ac_lut = htables[(0, td)], htables[(1, ta)]
-                zz = np.zeros(64, dtype=np.int64)
-                s = _read_huffman(reader, dc_lut)
-                if s is None or s > 11:
-                    return None
-                if s:
-                    v = reader.read_bits(s)
-                    if v is None:
-                        return None
-                    prev_dc[ci] += _extend(v, s)
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = _read_huffman(reader, ac_lut)
-                    if sym is None:
-                        return None
-                    if sym == 0x00:  # EOB
-                        break
-                    run, s = sym >> 4, sym & 0x0F
-                    if s == 0:
-                        if run != 15:
+                for v in range(vi):
+                    for u in range(hi):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = _read_huffman(reader, dc_lut)
+                        if s is None or s > 11:
                             return None
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        return None
-                    v = reader.read_bits(s)
-                    if v is None:
-                        return None
-                    zz[k] = _extend(v, s)
-                    k += 1
-                coeffs = np.zeros((8, 8), dtype=np.float64)
-                coeffs[_ZIG_Y, _ZIG_X] = zz * qtables[tq][_ZIG_Y, _ZIG_X]
-                block = _DCT_T.T @ coeffs @ _DCT_T + 128.0
-                planes[ci][yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = block
+                        if s:
+                            bits = reader.read_bits(s)
+                            if bits is None:
+                                return None
+                            prev_dc[ci] += _extend(bits, s)
+                        zz[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _read_huffman(reader, ac_lut)
+                            if sym is None:
+                                return None
+                            if sym == 0x00:  # EOB
+                                break
+                            run, s = sym >> 4, sym & 0x0F
+                            if s == 0:
+                                if run != 15:
+                                    return None
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                return None
+                            bits = reader.read_bits(s)
+                            if bits is None:
+                                return None
+                            zz[k] = _extend(bits, s)
+                            k += 1
+                        coeffs = np.zeros((8, 8), dtype=np.float64)
+                        coeffs[_ZIG_Y, _ZIG_X] = zz * qtables[tq][_ZIG_Y, _ZIG_X]
+                        block = _DCT_T.T @ coeffs @ _DCT_T + 128.0
+                        y0 = (my * vi + v) * 8
+                        x0 = (mx * hi + u) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu += 1
-    planes = [p[:h, :w] for p in planes]
+    # upsample subsampled components to full resolution by replication
+    # (spec-legal; pairs with the encoder's box-average downsample),
+    # then crop everything to (h, w)
+    full = []
+    for p, (_cid, _tq, hi, vi) in zip(planes, comps):
+        if hi != hmax:
+            p = np.repeat(p, hmax // hi, axis=1)
+        if vi != vmax:
+            p = np.repeat(p, vmax // vi, axis=0)
+        full.append(p[:h, :w])
     if nc == 1:
-        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return out[:, :, None]
-    y, cb, cr = planes
+    y, cb, cr = full
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
