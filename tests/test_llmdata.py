@@ -2444,3 +2444,34 @@ def test_jpeg_420_subsampling_roundtrip():
     gimg = rng.integers(0, 256, (17, 19), dtype=np.uint8)
     d2 = decode_jpeg_pixels(encode_jpeg(gimg, subsample=True))
     assert np.abs(d2[:, :, 0].astype(int) - gimg.astype(int)).max() <= 1
+
+
+def test_flac_header_roundtrip_and_tolerant_reader():
+    """FLAC STREAMINFO codec (r7): spec bit-packing round-trips over
+    the parameter space (incl. 36-bit total-samples max); non-first
+    STREAMINFO blocks are found by the metadata walk; malformed
+    payloads return None."""
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        decode_flac_header,
+        encode_flac_header,
+    )
+
+    for r, c, b, t in [(44100, 2, 16, 441000), (48000, 1, 24, 0),
+                       (8000, 8, 32, 2 ** 36 - 1), (192000, 6, 20, 123456789)]:
+        d = decode_flac_header(encode_flac_header(r, c, b, t))
+        assert d == {
+            "media_type": "audio/flac",
+            "sample_rate": r,
+            "n_channels": c,
+            "bits_per_sample": b,
+            "total_samples": t,
+            "duration_ms": t * 1000 // r,
+        }, (r, c, b, t)
+    # STREAMINFO behind a leading padding block (type 1)
+    good = encode_flac_header(44100, 2, 16, 100)
+    pad = bytes([0x01]) + (4).to_bytes(3, "big") + b"\x00" * 4
+    reordered = b"fLaC" + pad + good[4:]
+    assert decode_flac_header(reordered)["sample_rate"] == 44100
+    assert decode_flac_header(b"nope") is None
+    assert decode_flac_header(b"fLaC") is None
+    assert decode_flac_header(good[:20]) is None

@@ -1383,3 +1383,63 @@ def decode_video_header(payload: bytes) -> dict | None:
                         out["height"] = h_fx >> 16
         return out
     return None
+
+
+def encode_flac_header(
+    sample_rate: int, n_channels: int, bits: int, total_samples: int
+) -> bytes:
+    """Minimal REAL FLAC container header: "fLaC" magic + a last
+    STREAMINFO metadata block (type 0, 34 bytes) with the given
+    stream parameters packed at their spec bit offsets (sample rate
+    20 bits, channels-1 3 bits, bits-1 5 bits, total samples 36
+    bits); frame data intentionally absent."""
+    import struct as _struct
+
+    assert 1 <= n_channels <= 8 and 4 <= bits <= 32
+    body = _struct.pack(">HH", 4096, 4096)  # min/max blocksize
+    body += (0).to_bytes(3, "big") * 2      # min/max framesize (unknown)
+    packed = (sample_rate << 44) | ((n_channels - 1) << 41) | ((bits - 1) << 36) | total_samples
+    body += packed.to_bytes(8, "big")
+    body += b"\x00" * 16                    # md5 of raw samples (unset)
+    header = bytes([0x80 | 0x00]) + len(body).to_bytes(3, "big")  # last, type 0
+    return b"fLaC" + header + body
+
+
+def decode_flac_header(payload: bytes) -> dict | None:
+    """REAL FLAC STREAMINFO parse: magic check, metadata-block walk
+    (skipping non-STREAMINFO blocks), and the spec bit-packing —
+    sample rate (20 bits), channels (3+1), bit depth (5+1), total
+    samples (36 bits), duration.  Returns None for malformed input
+    (tolerant-reader stance)."""
+    if len(payload) < 8 or payload[:4] != b"fLaC":
+        return None
+    pos = 4
+    while pos + 4 <= len(payload):
+        hdr = payload[pos]
+        last, typ = hdr & 0x80, hdr & 0x7F
+        ln = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + ln]
+        if len(body) != ln:
+            return None
+        if typ == 0:
+            if ln < 34:
+                return None
+            packed = int.from_bytes(body[10:18], "big")
+            rate = packed >> 44
+            n_ch = ((packed >> 41) & 0x07) + 1
+            bits = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+            if rate == 0:
+                return None
+            return {
+                "media_type": "audio/flac",
+                "sample_rate": rate,
+                "n_channels": n_ch,
+                "bits_per_sample": bits,
+                "total_samples": total,
+                "duration_ms": total * 1000 // rate,
+            }
+        if last:
+            return None  # last block and no STREAMINFO seen
+        pos += 4 + ln
+    return None

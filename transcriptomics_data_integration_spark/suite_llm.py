@@ -996,6 +996,66 @@ FROM documents
 """
 
 
+def q_flac_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC STREAMINFO parse, HASH-GATED (r7): per doc a planted
+    container — rate 8000+(doc_id%10)*4000, channels (doc_id%2)+1,
+    bits 16/24 by doc_id%2, total samples doc_id%1000000 — written by
+    the real header writer and parsed back by the independent
+    metadata-block walker (`llmdata/multimodal.py:decode_flac_header`
+    — spec bit-packing: 20-bit rate, 3+1 channels, 5+1 bits, 36-bit
+    total).  The oracle recomputes every field incl. the integer
+    duration from the formulas alone.  Map-side, zero shuffles."""
+    import pandas as pd
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        decode_flac_header,
+        encode_flac_header,
+    )
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                hdr = encode_flac_header(
+                    8000 + (did % 10) * 4000,
+                    (did % 2) + 1,
+                    16 if did % 2 == 0 else 24,
+                    did % 1000000,
+                )
+                d = decode_flac_header(hdr)
+                if d is None:
+                    continue
+                rows.append(
+                    (did, d["sample_rate"], d["n_channels"],
+                     d["bits_per_sample"], d["total_samples"], d["duration_ms"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_channels",
+                         "bits_per_sample", "total_samples", "duration_ms"],
+            )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        op,
+        schema=(
+            "media_id bigint, sample_rate int, n_channels int, "
+            "bits_per_sample int, total_samples bigint, duration_ms bigint"
+        ),
+    )
+
+
+ORACLE_FLAC_HEADER = """
+SELECT doc_id AS media_id,
+       CAST(8000 + (doc_id % 10) * 4000 AS INTEGER) AS sample_rate,
+       CAST((doc_id % 2) + 1 AS INTEGER) AS n_channels,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 24 END AS INTEGER) AS bits_per_sample,
+       CAST(doc_id % 1000000 AS BIGINT) AS total_samples,
+       CAST((doc_id % 1000000) * 1000 // (8000 + (doc_id % 10) * 4000) AS BIGINT) AS duration_ms
+FROM documents
+"""
+
 def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV (RIFF/PCM16) decode, HASH-GATED (r6): per doc a
     64-sample mono 8 kHz waveform with planted samples
@@ -1773,6 +1833,7 @@ QUERIES_LLM = {
     "jpeg_pixels": q_jpeg_pixels,
     "gif_pixels": q_gif_pixels,
     "mp4_header": q_mp4_header,
+    "flac_header": q_flac_header,
     "wav_decode": q_wav_decode,
     "event_window_counts": q_event_window_counts,
     "sessionize": q_sessionize,
@@ -1807,6 +1868,7 @@ ORACLES_LLM = {
     "jpeg_pixels": ORACLE_JPEG_PIXELS,
     "gif_pixels": ORACLE_GIF_PIXELS,
     "mp4_header": ORACLE_MP4_HEADER,
+    "flac_header": ORACLE_FLAC_HEADER,
     "wav_decode": ORACLE_WAV_DECODE,
     "event_window_counts": ORACLE_EVENT_WINDOW,
     "sessionize": ORACLE_SESSIONIZE,
