@@ -2221,6 +2221,10 @@ def test_codec_fuzz_never_raises():
         encode_wav,
     )
 
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        decode_flac_header,
+    )
+
     decoders = [
         decode_png_pixels,
         decode_jpeg_pixels,
@@ -2228,6 +2232,7 @@ def test_codec_fuzz_never_raises():
         decode_wav,
         decode_video_header,
         decode_image_header,
+        decode_flac_header,
     ]
     sigs = [
         b"\x89PNG\r\n\x1a\n",
@@ -2236,6 +2241,7 @@ def test_codec_fuzz_never_raises():
         b"RIFF\x00\x01\x00\x00WAVE",
         b"\x00\x00\x00\x14ftypisom",
         b"",
+        b"fLaC",
     ]
 
     @settings(max_examples=300, deadline=None)
