@@ -2481,3 +2481,63 @@ def test_flac_header_roundtrip_and_tolerant_reader():
     assert decode_flac_header(b"nope") is None
     assert decode_flac_header(b"fLaC") is None
     assert decode_flac_header(good[:20]) is None
+
+
+def test_robots_filter_longest_prefix_semantics(spark):
+    """robots_filter + parse_robots_rules (r7): RFC 9309 / Google
+    longest-prefix matching — longer match wins regardless of rule
+    order, exact-length ties go to Allow, no match means allowed;
+    the parser keeps only User-agent:* groups and drops comments and
+    empty directives."""
+    from transcriptomics_data_integration_spark.llmdata.urls import (
+        parse_robots_rules,
+        robots_filter,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com",
+             "User-agent: *\n"
+             "Disallow: /private/\n"
+             "Allow: /private/pub/\n"
+             "Disallow: /tmp\n"
+             "Allow: /tmp  # tie: allow wins\n"
+             "\n"
+             "User-agent: Googlebot\n"
+             "Disallow: /\n"),
+            ("b.com",
+             "# closed except docs\n"
+             "User-agent: *\n"
+             "Disallow: /\n"
+             "Allow: /docs/\n"
+             "Disallow:\n"),  # empty directive = allow-all, NOT a rule
+        ],
+        "domain string, robots_txt string",
+    )
+    rules = parse_robots_rules(robots)
+    got_rules = {(r["domain"], r["rule"], r["path_prefix"]) for r in rules.collect()}
+    assert ("a.com", "disallow", "/private/") in got_rules
+    assert ("a.com", "allow", "/private/pub/") in got_rules
+    # Googlebot group excluded; empty Disallow excluded
+    assert not any(d == "a.com" and p == "/" for d, _, p in got_rules)
+    assert not any(d == "b.com" and p == "" for d, _, p in got_rules)
+
+    urls = spark.createDataFrame(
+        [
+            (1, "a.com", "/private/pub/x.html"),   # allow (longest)
+            (2, "a.com", "/private/secret.html"),  # disallow
+            (3, "a.com", "/tmp/file"),             # tie at /tmp -> allow
+            (4, "a.com", "/open/page"),            # no rule -> allowed
+            (5, "b.com", "/docs/guide"),           # allow beats /
+            (6, "b.com", "/admin"),                # disallow /
+        ],
+        "url_id long, domain string, path string",
+    )
+    got = {r["url_id"]: (r["allowed"], r["matched_prefix"])
+           for r in robots_filter(urls, rules).collect()}
+    assert got[1] == (True, "/private/pub/")
+    assert got[2] == (False, "/private/")
+    assert got[3] == (True, "/tmp")
+    assert got[4] == (True, None)
+    assert got[5] == (True, "/docs/")
+    assert got[6] == (False, "/")

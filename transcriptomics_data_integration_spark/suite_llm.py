@@ -3611,6 +3611,83 @@ QUERIES_LLM["compression_ratio"] = q_compression_ratio
 # no oracle: DEFLATE is not SQL-expressible — declared rows-only
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance filter, HASH-GATED (r7): per source a
+    planted robots body (User-agent:* group with nested
+    Disallow /private/ + Allow /private/pub/ + an exact-length
+    Allow/Disallow tie on /tmp, plus a non-star group that must be
+    ignored) is PARSED by the relational directive parser
+    (`llmdata/urls.py:parse_robots_rules`) and applied to per-doc
+    paths with RFC 9309 longest-prefix semantics
+    (`robots_filter`).  The oracle recomputes verdicts from the
+    planted path formula alone — it never parses robots text — so a
+    hash match proves group selection, directive capture, prefix
+    match, longest-wins, and the tie->allow rule end-to-end."""
+    from transcriptomics_data_integration_spark.llmdata.urls import (
+        parse_robots_rules,
+        robots_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    robots = (
+        docs.select("source").distinct().select(
+            F.concat(F.col("source"), F.lit(".com")).alias("domain"),
+            F.lit(
+                "User-agent: *\n"
+                "Disallow: /private/\n"
+                "Allow: /private/pub/\n"
+                "Disallow: /tmp\n"
+                "Allow: /tmp\n"
+                "\n"
+                "User-agent: otherbot\n"
+                "Disallow: /docs/\n"
+            ).alias("robots_txt"),
+        )
+    )
+    rules = parse_robots_rules(robots)
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".com")).alias("domain"),
+        F.concat(
+            F.element_at(
+                F.array(
+                    F.lit("/private/doc"),
+                    F.lit("/private/pub/doc"),
+                    F.lit("/docs/doc"),
+                    F.lit("/tmp/doc"),
+                    F.lit("/open/doc"),
+                ),
+                (F.col("doc_id") % 5 + 1).cast("int"),
+            ),
+            F.col("doc_id").cast("string"),
+        ).alias("path"),
+    )
+    return robots_filter(urls, rules).select(
+        "doc_id", "domain", "path", "matched_prefix", "matched_rule", "allowed"
+    )
+
+
+ORACLE_ROBOTS_FILTER = """
+SELECT doc_id,
+       source || '.com' AS domain,
+       CASE doc_id % 5
+         WHEN 0 THEN '/private/doc' WHEN 1 THEN '/private/pub/doc'
+         WHEN 2 THEN '/docs/doc' WHEN 3 THEN '/tmp/doc'
+         ELSE '/open/doc' END || CAST(doc_id AS VARCHAR) AS path,
+       CASE doc_id % 5
+         WHEN 0 THEN '/private/' WHEN 1 THEN '/private/pub/'
+         WHEN 3 THEN '/tmp' END AS matched_prefix,
+       CASE doc_id % 5
+         WHEN 0 THEN 'disallow' WHEN 1 THEN 'allow'
+         WHEN 3 THEN 'allow' END AS matched_rule,
+       (doc_id % 5) <> 0 AS allowed
+FROM documents
+"""
+
+QUERIES_LLM["robots_filter"] = q_robots_filter
+ORACLES_LLM["robots_filter"] = ORACLE_ROBOTS_FILTER
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode hygiene pass, HASH-GATED (r7): each doc's text gets a
     planted suffix of NFC-decomposed accent (e + U+0301), zero-width
