@@ -2541,3 +2541,42 @@ def test_robots_filter_longest_prefix_semantics(spark):
     assert got[4] == (True, None)
     assert got[5] == (True, "/docs/")
     assert got[6] == (False, "/")
+
+
+def test_bigram_logprob_ranks_shuffled_text_lower(spark):
+    """bigram_logprob (r7): word-order sensitivity — a document whose
+    words are the corpus's usual bigrams scores higher than the SAME
+    words shuffled into unseen order; counts and interpolation match
+    a literal python replay."""
+    import math
+
+    from transcriptomics_data_integration_spark.llmdata.text import bigram_logprob
+
+    base = "the cat sat on the mat and the dog sat on the rug"
+    shuffled = "mat the on dog sat rug the cat the and on sat the"
+    corpus = [(i, base) for i in range(10)] + [(100, shuffled)]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_logprob(df, "doc_id", lam=0.8).collect()}
+    assert got[0]["mean_bigram_logprob"] > got[100]["mean_bigram_logprob"]
+
+    # literal replay
+    def toks(t):
+        import re
+        return [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+
+    uni, bi, N = {}, {}, 0
+    for _, t in corpus:
+        ts = toks(t)
+        N += len(ts)
+        for w in ts:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    for did, t in [(0, base), (100, shuffled)]:
+        ts = toks(t)
+        lps = [
+            math.log(0.8 * bi[(a, b)] / uni[a] + 0.2 * uni[b] / N)
+            for a, b in zip(ts, ts[1:])
+        ]
+        assert got[did]["n_bigrams"] == len(lps)
+        assert abs(got[did]["mean_bigram_logprob"] - sum(lps) / len(lps)) < 1e-9

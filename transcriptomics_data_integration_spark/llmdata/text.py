@@ -906,3 +906,70 @@ def compression_ratio(
             "compression_ratio double"
         ),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    lam: float = 0.8,
+) -> DataFrame:
+    """Interpolated bigram LM quality score (r7) — one modeling rung
+    above :func:`doc_logprob`'s unigram: the corpus-fit bigram model
+    with unigram back-off interpolation,
+
+        p(w2 | w1) = lam * c(w1 w2)/c(w1) + (1-lam) * c(w2)/N,
+
+    scored as the mean ln p over each document's bigram occurrences.
+    Catches the gibberish unigram filters miss (plausible words in
+    implausible ORDER — shuffled text, keyword stuffing) — the next
+    step toward CCNet's KenLM-perplexity filter without an external
+    model.
+
+    Plan shape: the bigram relation is built as in-plan array algebra
+    (no self-join on positions), aggregated once for the bigram
+    vocabulary; the model dim joins the unigram counts of ITS OWN
+    endpoints (vocab-sized, not corpus-sized) and attaches back to
+    the per-doc bigram stream with one join.  ln() is transcendental;
+    gated outputs round (repo FP policy).
+    """
+    toks = F.expr(
+        f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x <> '')"
+    )
+    bg_expr = (
+        "CASE WHEN size(_toks) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(_toks) - 1), "
+        "i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1))) END"
+    )
+    docs_t = df.select(F.col(id_col), toks.alias("_toks"))
+    tokens = docs_t.select(id_col, F.explode("_toks").alias("token"))
+    bigrams = docs_t.select(
+        id_col, F.explode(F.expr(bg_expr)).alias("bigram")
+    )
+    uni = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = uni.agg(F.sum("c").alias("N"))
+    bi = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    w1 = F.expr("split(bigram, ' ')[0]")
+    w2 = F.expr("split(bigram, ' ')[1]")
+    model = (
+        bi.withColumn("_w1", w1)
+        .withColumn("_w2", w2)
+        .join(uni.select(F.col("token").alias("_w1"), F.col("c").alias("c1")), "_w1")
+        .join(uni.select(F.col("token").alias("_w2"), F.col("c").alias("c2")), "_w2")
+        .join(F.broadcast(total))
+        .select(
+            "bigram",
+            F.log(
+                F.lit(float(lam)) * F.col("c12") / F.col("c1")
+                + F.lit(1.0 - float(lam)) * F.col("c2") / F.col("N")
+            ).alias("lp"),
+        )
+    )
+    return (
+        bigrams.join(model, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("lp") / F.count(F.lit(1))).alias("mean_bigram_logprob"),
+        )
+    )

@@ -1988,10 +1988,10 @@ _ROUND7_FRONT = [
     "minhash_lsh", "simhash", "cosine_topk", "lsh_ann",
 ]
 
-# Round-8 rotation plan: (a) the six r7 gates added AFTER the window
+# Round-8 rotation plan: (a) the seven r7 gates added AFTER the window
 # froze (global_shuffle, variant_extract, unicode_clean,
-# compression_ratio, flac_header, robots_filter — never
-# driver-stamped), then (b) the r4-only
+# compression_ratio, flac_header, robots_filter, bigram_logprob —
+# never driver-stamped), then (b) the r4-only
 # remainder bumped from this window (cosine_neardup,
 # event_window_counts, sessionize, json_extract, duplicate_chunks,
 # simhash_neardup, asof_join, vocab_topk, embedding_quantize,

@@ -3611,6 +3611,63 @@ QUERIES_LLM["compression_ratio"] = q_compression_ratio
 # no oracle: DEFLATE is not SQL-expressible — declared rows-only
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM quality scoring, HASH-GATED (r7): the
+    corpus-fit p(w2|w1) = 0.8*c12/c1 + 0.2*c2/N model scored as the
+    per-doc mean bigram log-probability
+    (`llmdata/text.py:bigram_logprob`) — catches plausible-words-in-
+    implausible-order gibberish that the unigram `doc_logprob`
+    cannot.  ln() rounds to 6 dp per repo FP policy; the oracle
+    re-fits and re-applies the identical model in SQL."""
+    from transcriptomics_data_integration_spark.llmdata.text import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bigram_logprob(docs, "doc_id", lam=0.8)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("mean_bigram_logprob", 6).alias("mean_bigram_logprob"),
+    )
+
+
+ORACLE_BIGRAM_LOGPROB = """
+WITH docs_t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), tokens AS (
+  SELECT doc_id, UNNEST(toks) AS token FROM docs_t
+), bigrams AS (
+  SELECT doc_id, UNNEST(
+    CASE WHEN len(toks) < 2 THEN []
+         ELSE list_transform(generate_series(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i + 1]) END
+  ) AS bigram FROM docs_t
+), uni AS (
+  SELECT token, COUNT(*) AS c FROM tokens GROUP BY token
+), total AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS N FROM uni
+), bi AS (
+  SELECT bigram, COUNT(*) AS c12 FROM bigrams GROUP BY bigram
+), model AS (
+  SELECT b.bigram,
+         ln(0.8 * b.c12 / u1.c + 0.19999999999999996 * u2.c / t.N) AS lp
+  FROM bi b
+  JOIN uni u1 ON u1.token = string_split(b.bigram, ' ')[1]
+  JOIN uni u2 ON u2.token = string_split(b.bigram, ' ')[2]
+  CROSS JOIN total t
+)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(m.lp) / COUNT(*), 6) AS mean_bigram_logprob
+FROM bigrams g JOIN model m USING (bigram)
+GROUP BY g.doc_id
+"""
+
+QUERIES_LLM["bigram_logprob"] = q_bigram_logprob
+ORACLES_LLM["bigram_logprob"] = ORACLE_BIGRAM_LOGPROB
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt compliance filter, HASH-GATED (r7): per source a
     planted robots body (User-agent:* group with nested
