@@ -69,6 +69,10 @@ BNLJ_WHITELIST = {
     # query x corpus cross join) and ivf_fixed's broadcast center
     # crossJoins; the recall join itself is an equi-join
     "ann_recall",
+    # bigram_logprob: the 1-row join(F.broadcast(total)) corpus-N
+    # attach in the interpolated-LM model build (llmdata/text.py:959)
+    # — identical to the whitelisted doc_logprob pattern
+    "bigram_logprob",
 }
 
 

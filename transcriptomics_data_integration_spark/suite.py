@@ -1965,7 +1965,7 @@ _ROUND6_FRONT = [
 # wav_decode (odd-length data-chunk guard), dedup_clusters (the
 # stars-fallback non-converged dedup fix lives in the same module),
 # and icc_meta (DIMSUM tier added beside the exact kernel) — and (c) a
-# 20-slice of the r4-only-stamped remainder in registry order.
+# 12-slice of the r4-only-stamped remainder in registry order.
 # Exactly 50 = the driver's gated window.
 _ROUND7_FRONT = [
     # -- (b-head) the r6 red row, cleared first ---------------------------
