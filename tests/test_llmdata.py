@@ -2146,7 +2146,13 @@ def test_temperature_sample_allocation(spark):
     w = {s: math.floor(math.sqrt(n) * 1e6 + 0.5) for s, n in
          [("big", 400), ("mid", 100), ("small", 25)]}
     wsum = sum(w.values())
-    k = {s: (100 * v) // wsum for s, v in w.items()}
+    k0 = {s: (100 * v) // wsum for s, v in w.items()}
+    rem = {s: (100 * v) % wsum for s, v in w.items()}
+    # largest-remainder completion (r8): allocations sum EXACTLY to T
+    order = sorted(w, key=lambda s: (-rem[s], s))
+    short = 100 - sum(k0.values())
+    k = {s: k0[s] + (1 if order.index(s) < short else 0) for s in w}
+    assert sum(k.values()) == 100
     # smoothing: big gets LESS than its natural 76%, small more than 5%
     assert k["big"] < 76 and k["small"] > 100 * 25 // 525
     per_src = {}
@@ -2541,6 +2547,63 @@ def test_robots_filter_longest_prefix_semantics(spark):
     assert got[4] == (True, None)
     assert got[5] == (True, "/docs/")
     assert got[6] == (False, "/")
+
+
+def test_robots_filter_rfc9309_wildcards_stacking_and_dup_urls(spark):
+    """r8 fixes: (a) RFC 9309 '*' and '$' pattern matching, (b)
+    consecutive User-agent lines stack into one shared group, (c)
+    duplicate (domain, path) input rows ALL survive — the window keys
+    on a per-row id, not (domain, path)."""
+    from transcriptomics_data_integration_spark.llmdata.urls import (
+        parse_robots_rules,
+        robots_filter,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("c.com",
+             "User-agent: somebot\n"
+             "Disallow: /ignored/\n"
+             "\n"
+             "User-agent: otherbot\n"
+             "User-agent: *\n"        # stacked: rules below apply to *
+             "Disallow: /*?q\n"       # wildcard
+             "Disallow: /dl$\n"       # end anchor
+             "Disallow: /a.b/\n"),    # '.' must stay literal
+        ],
+        "domain string, robots_txt string",
+    )
+    rules = parse_robots_rules(robots)
+    got_rules = {(r["rule"], r["path_prefix"]) for r in rules.collect()}
+    # stacked-agent group captured; non-star group dropped
+    assert ("disallow", "/*?q") in got_rules
+    assert ("disallow", "/dl$") in got_rules
+    assert not any(p == "/ignored/" for _, p in got_rules)
+
+    urls = spark.createDataFrame(
+        [
+            (1, "c.com", "/page?q=x"),    # '*' wildcard hit
+            (2, "c.com", "/page"),        # no '?q' -> allowed
+            (3, "c.com", "/dl"),          # '$' anchor hit
+            (4, "c.com", "/dl/file"),     # past anchor -> allowed
+            (5, "c.com", "/a.b/x"),       # literal dot hit
+            (6, "c.com", "/aXb/x"),       # '.' NOT a regex any-char
+            (7, "c.com", "/dup"),         # duplicate (domain, path) x3
+            (8, "c.com", "/dup"),
+            (9, "c.com", "/dup"),
+        ],
+        "url_id long, domain string, path string",
+    )
+    out = robots_filter(urls, rules).collect()
+    assert len(out) == 9, "every input row must survive, including dups"
+    got = {r["url_id"]: (r["allowed"], r["matched_prefix"]) for r in out}
+    assert got[1] == (False, "/*?q")
+    assert got[2] == (True, None)
+    assert got[3] == (False, "/dl$")
+    assert got[4] == (True, None)
+    assert got[5] == (False, "/a.b/")
+    assert got[6] == (True, None)
+    assert got[7] == got[8] == got[9] == (True, None)
 
 
 def test_bigram_logprob_ranks_shuffled_text_lower(spark):

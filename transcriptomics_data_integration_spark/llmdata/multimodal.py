@@ -1289,10 +1289,20 @@ def encode_mp4_header(
 
     ftyp = box(b"ftyp", b"isom" + _struct.pack(">I", 512) + b"isomiso2mp41")
     duration = duration_ms * timescale // 1000
+    # full ISO 14496-12 mvhd v0 body (100 bytes): rate, volume,
+    # 2+8 reserved, 36-byte unity matrix, 24-byte pre_defined, 4-byte
+    # next_track_ID — spec-valid for external tooling, not just the
+    # in-repo parser (which reads only timescale/duration)
+    unity = _struct.pack(
+        ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+    )
     mvhd = box(
         b"mvhd",
         _struct.pack(">B3xIIII", 0, 0, 0, timescale, duration)
-        + _struct.pack(">iH2x8x36x6xH", 0x00010000, 0x0100, n_tracks + 1),
+        + _struct.pack(">iH2x8x", 0x00010000, 0x0100)
+        + unity
+        + b"\x00" * 24
+        + _struct.pack(">I", n_tracks + 1),
     )
     traks = b""
     for t in range(n_tracks):

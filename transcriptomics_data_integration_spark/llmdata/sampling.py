@@ -376,7 +376,13 @@ def temperature_sample(
     w_s = floor(n_s^alpha * 10^tick_scale + 0.5) — the tick-quantized
     INTEGER weight, so the allocation arithmetic is order-independent
     and engine-exact (the combat_eb2 tick precedent; a raw double
-    sum over sources would be summation-order-dependent).  Within a
+    sum over sources would be summation-order-dependent) — then a
+    largest-remainder completion pass (r8): the floors undershoot
+    ``total_docs`` by up to |sources|-1, so the shortfall is handed
+    +1 each to the largest allocation remainders (source-name
+    tiebreak), making the allocations sum EXACTLY to ``total_docs``.
+    (Kept rows can still fall short when a source holds fewer than
+    k_s docs — allocation is exact, corpus size is a cap.)  Within a
     source, the k_s survivors are the md5-priority prefix (the
     :func:`stratified_sample_exact` rank rule) — deterministic,
     retry-stable, SQL-replayable.
@@ -405,13 +411,38 @@ def temperature_sample(
     # Caller contract: total_docs * max_w must fit int64 — lower
     # tick_scale for extreme corpora (weights keep ~tick_scale
     # significant digits either way).
-    alloc = dim.select(
+    alloc0 = dim.select(
         source_col,
         F.expr(f"CAST({int(total_docs)} AS BIGINT) * _w").alias("_num"),
         wsum.alias("_den"),
     ).select(
         source_col,
-        F.expr("_num DIV _den").alias("k_target"),
+        F.expr("_num DIV _den").alias("_k0"),
+        F.expr("_num % _den").alias("_rem"),
+    )
+    # largest-remainder completion: shortfall = sum(rem)/den <
+    # count(rem > 0), so only positive-remainder sources are ever
+    # bumped; both windows run on the |sources|-row dim.
+    w_all = Window.partitionBy()
+    alloc = (
+        alloc0.withColumn(
+            "_short", F.lit(int(total_docs)) - F.sum("_k0").over(w_all)
+        )
+        .withColumn(
+            "_rr",
+            F.row_number().over(
+                Window.partitionBy().orderBy(
+                    F.col("_rem").desc(), F.col(source_col).asc()
+                )
+            ),
+        )
+        .select(
+            source_col,
+            (
+                F.col("_k0")
+                + (F.col("_rr") <= F.col("_short")).cast("long")
+            ).alias("k_target"),
+        )
     )
     keyed = df.join(F.broadcast(alloc), source_col).withColumn(
         "_h", _md5_60bit(F.col(key_col).cast("string"))

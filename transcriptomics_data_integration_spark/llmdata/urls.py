@@ -83,43 +83,65 @@ def robots_filter(
     url_path_col: str = "path",
     rules_cols: tuple[str, str, str] = ("domain", "rule", "path_prefix"),
 ) -> DataFrame:
-    """robots.txt compliance filter (r7) — retroactive crawl-policy
-    enforcement, the step responsible-crawl pipelines run before
-    training-data inclusion.  Google's documented matching semantics
-    (also RFC 9309): among all Allow/Disallow rules for the URL's
-    domain whose path-prefix matches, the LONGEST prefix wins; on an
-    exact length tie Allow wins; a URL with no matching rule is
-    allowed.
+    """robots.txt compliance filter (r7, RFC 9309 matching r8) —
+    retroactive crawl-policy enforcement, the step responsible-crawl
+    pipelines run before training-data inclusion.  Google's documented
+    matching semantics (also RFC 9309): among all Allow/Disallow rules
+    for the URL's domain whose path pattern matches, the LONGEST
+    pattern (by octet count of the rule text) wins; on an exact length
+    tie Allow wins; a URL with no matching rule is allowed.  Patterns
+    support the two RFC 9309 specials: ``*`` matches any character
+    sequence and a trailing ``$`` anchors the match at end-of-path;
+    every other character (including a non-trailing ``$``) is literal.
 
     Input: ``urls`` (…, domain, path), ``robots`` — the PARSED rule
     table (domain, rule in {'allow','disallow'}, path_prefix), one row
     per directive (see :func:`parse_robots_rules`).  Relational shape:
-    broadcast-or-shuffle join on domain, prefix test with
-    ``startswith``, one (url-keyed) window for the longest-match pick
-    — rules dims are tiny next to URL corpora, so the join broadcasts
-    and nothing corpus-sized shuffles twice.  Deterministic, fully
-    SQL-replayable (the gate's oracle reimplements the same semantics
-    in DuckDB).
+    the wildcard→regex translation runs ONCE on the tiny rule dim (a
+    regexp-escape chain, so plain-prefix rules stay on the fast
+    ``startswith`` path and only rules that actually use ``*``/``$``
+    pay per-row regex matching); then one broadcast left join on
+    domain with the match as residual condition, and one window keyed
+    by a per-row unique id for the longest-match pick.  The window key
+    is a row id — NOT (domain, path) — because duplicate URLs are
+    normal in crawl corpora and every input row must survive.
+    Deterministic, fully SQL-replayable (the gate's oracle
+    reimplements the same semantics in DuckDB).
 
-    Output: every input row + ``matched_prefix`` (NULL when no rule
-    matched), ``matched_rule``, and ``allowed`` boolean.
+    Output: every input row + ``matched_prefix`` (the raw rule text,
+    NULL when no rule matched), ``matched_rule``, and ``allowed``.
     """
     d, r, p = rules_cols
+    # wildcard -> anchored regex, computed once on the rule dim:
+    # escape regex specials (except '*'), then turn a trailing
+    # escaped '\$' back into an end anchor, then '*' -> '.*'
+    esc = F.regexp_replace(F.col("_prefix"), r"([.^$+?(){}\[\]\\|])", r"\\$1")
+    esc = F.regexp_replace(esc, r"\\\$$", r"\$")
+    esc = F.regexp_replace(esc, r"\*", ".*")
     rul = robots.select(
         F.col(d).alias("_rdom"),
         F.col(r).alias("_rule"),
         F.col(p).alias("_prefix"),
-    )
-    joined = urls.join(
+    ).withColumn(
+        "_rwild",
+        F.col("_prefix").contains("*") | F.col("_prefix").endswith("$"),
+    ).withColumn("_rre", F.concat(F.lit("^"), esc))
+    keyed = urls.withColumn("_uid", F.monotonically_increasing_id())
+    joined = keyed.join(
         F.broadcast(rul),
         (F.col(url_domain_col) == F.col("_rdom"))
-        & F.col(url_path_col).startswith(F.col("_prefix")),
+        & F.when(
+            F.col("_rwild"),
+            F.expr(f"`{url_path_col}` rlike _rre"),
+        ).otherwise(F.col(url_path_col).startswith(F.col("_prefix"))),
         "left",
     )
-    w = Window.partitionBy(url_domain_col, url_path_col).orderBy(
+    w = Window.partitionBy("_uid").orderBy(
         F.length(F.col("_prefix")).desc(),
         # tie -> allow first ('allow' < 'disallow' lexically)
         F.col("_rule").asc(),
+        # equal-length same-verdict rules: pick deterministically
+        F.col("_prefix").asc(),
     )
     ranked = joined.withColumn("_rn", F.row_number().over(w))
     return (
@@ -140,28 +162,45 @@ def parse_robots_rules(
     relation :func:`robots_filter` consumes — pure SQL string ops
     (split to lines, regexp-capture 'Allow:'/'Disallow:' directives,
     trim), wildcard-agent groups only (the group actually applied to
-    generic research crawlers).  Lines outside a ``User-agent: *``
-    group, comments, and empty Disallow directives (which mean
-    allow-all, not a rule) are dropped."""
+    generic research crawlers).  Per RFC 9309 §2.2.1, CONSECUTIVE
+    ``User-agent:`` lines stack into ONE group sharing the directives
+    that follow (so ``User-agent: *`` immediately followed by
+    ``User-agent: otherbot`` then rules applies the rules to both
+    agents).  Lines outside a group containing ``User-agent: *``,
+    comments, and empty Disallow directives (which mean allow-all,
+    not a rule) are dropped."""
     lines = F.split(F.col(text_col), "\n")
     exploded = robots_txt.select(
         F.col(domain_col),
         F.posexplode(lines).alias("_ln", "_line"),
     ).withColumn("_line", F.regexp_replace(F.trim(F.col("_line")), "#.*$", ""))
-    # group tracking: a line belongs to the most recent User-agent
-    # block; we keep blocks whose agent set includes '*'
-    marked = exploded.withColumn(
-        "_is_agent",
-        F.when(
-            F.lower(F.col("_line")).startswith("user-agent:"), F.lit(1)
-        ).otherwise(F.lit(0)),
-    ).withColumn(
-        "_grp",
-        F.sum("_is_agent").over(
-            Window.partitionBy(domain_col)
-            .orderBy("_ln")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ),
+    # group tracking per RFC 9309: a run of adjacent User-agent lines
+    # (ignoring blank/comment lines between them) opens ONE group; a
+    # User-agent line whose previous meaningful line was a directive
+    # starts the NEXT group.  Computed over meaningful lines only so
+    # blank separators never split an agent run.
+    w_ord = Window.partitionBy(domain_col).orderBy("_ln")
+    marked = (
+        exploded.withColumn(
+            "_is_agent",
+            F.when(
+                F.lower(F.col("_line")).startswith("user-agent:"), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_is_dir",
+            F.when(
+                F.col("_line").rlike(r"(?i)^(allow|disallow):"), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .where((F.col("_is_agent") == 1) | (F.col("_is_dir") == 1))
+        .withColumn("_prev_agent", F.lag("_is_agent", 1, 0).over(w_ord))
+        .withColumn(
+            "_grp",
+            F.sum(
+                ((F.col("_is_agent") == 1) & (F.col("_prev_agent") == 0)).cast("int")
+            ).over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+        )
     )
     star_groups = (
         marked.where(

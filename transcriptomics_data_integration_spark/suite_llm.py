@@ -3458,8 +3458,17 @@ WITH gq AS (
   SELECT source,
          CAST(FLOOR(POWER(CAST(n AS DOUBLE), 0.5) * 1000000.0 + 0.5) AS BIGINT) AS w
   FROM counts
+), alloc0 AS (
+  SELECT source,
+         (150 * w) // (SELECT SUM(w) FROM dim) AS k0,
+         (150 * w) %  (SELECT SUM(w) FROM dim) AS rem
+  FROM dim
 ), alloc AS (
-  SELECT source, (150 * w) // (SELECT SUM(w) FROM dim) AS k_target FROM dim
+  SELECT source,
+         k0 + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC)
+                        <= 150 - (SELECT SUM(k0) FROM alloc0)
+                   THEN 1 ELSE 0 END AS k_target
+  FROM alloc0
 ), ranked AS (
   SELECT c.doc_id, c.source, c.n_tokens, a.k_target,
          ROW_NUMBER() OVER (
@@ -3669,17 +3678,22 @@ ORACLES_LLM["bigram_logprob"] = ORACLE_BIGRAM_LOGPROB
 
 
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """robots.txt compliance filter, HASH-GATED (r7): per source a
-    planted robots body (User-agent:* group with nested
-    Disallow /private/ + Allow /private/pub/ + an exact-length
-    Allow/Disallow tie on /tmp, plus a non-star group that must be
-    ignored) is PARSED by the relational directive parser
-    (`llmdata/urls.py:parse_robots_rules`) and applied to per-doc
-    paths with RFC 9309 longest-prefix semantics
-    (`robots_filter`).  The oracle recomputes verdicts from the
-    planted path formula alone — it never parses robots text — so a
-    hash match proves group selection, directive capture, prefix
-    match, longest-wins, and the tie->allow rule end-to-end."""
+    """robots.txt compliance filter, HASH-GATED (r7, widened r8): per
+    source a planted robots body — a non-star group that must be
+    ignored, then an RFC 9309 STACKED agent block (User-agent:
+    otherbot + User-agent: * sharing one directive list) with nested
+    Disallow /private/ + Allow /private/pub/, an exact-length
+    Allow/Disallow tie on /tmp, a '*'-wildcard rule (/*?q) and a
+    '$'-anchored rule (/download$) — is PARSED by the relational
+    directive parser (`llmdata/urls.py:parse_robots_rules`) and
+    applied to per-doc paths with RFC 9309 longest-match semantics
+    (`robots_filter`).  The %7==5 arm plants the SAME (domain, path)
+    for many docs, pinning the r8 fix that every input row survives
+    the longest-match window (row-id key, not (domain, path)).  The
+    oracle recomputes verdicts from the planted path formula alone —
+    it never parses robots text — so a hash match proves group
+    stacking, directive capture, wildcard + anchor matching,
+    longest-wins, tie->allow, and per-row output end-to-end."""
     from transcriptomics_data_integration_spark.llmdata.urls import (
         parse_robots_rules,
         robots_filter,
@@ -3690,18 +3704,22 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source").distinct().select(
             F.concat(F.col("source"), F.lit(".com")).alias("domain"),
             F.lit(
+                "User-agent: somebot\n"
+                "Disallow: /docs/\n"
+                "\n"
+                "User-agent: otherbot\n"
                 "User-agent: *\n"
                 "Disallow: /private/\n"
                 "Allow: /private/pub/\n"
                 "Disallow: /tmp\n"
                 "Allow: /tmp\n"
-                "\n"
-                "User-agent: otherbot\n"
-                "Disallow: /docs/\n"
+                "Disallow: /*?q\n"
+                "Disallow: /download$\n"
             ).alias("robots_txt"),
         )
     )
     rules = parse_robots_rules(robots)
+    m = F.col("doc_id") % 7
     urls = docs.select(
         "doc_id",
         F.concat(F.col("source"), F.lit(".com")).alias("domain"),
@@ -3713,10 +3731,13 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit("/docs/doc"),
                     F.lit("/tmp/doc"),
                     F.lit("/open/doc"),
+                    F.lit("/download"),
+                    F.lit("/download/doc"),
                 ),
-                (F.col("doc_id") % 5 + 1).cast("int"),
+                (m + 1).cast("int"),
             ),
-            F.col("doc_id").cast("string"),
+            F.when(m == 5, F.lit("")).otherwise(F.col("doc_id").cast("string")),
+            F.when(m == 4, F.lit("?q=1")).otherwise(F.lit("")),
         ).alias("path"),
     )
     return robots_filter(urls, rules).select(
@@ -3727,17 +3748,23 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ROBOTS_FILTER = """
 SELECT doc_id,
        source || '.com' AS domain,
-       CASE doc_id % 5
-         WHEN 0 THEN '/private/doc' WHEN 1 THEN '/private/pub/doc'
-         WHEN 2 THEN '/docs/doc' WHEN 3 THEN '/tmp/doc'
-         ELSE '/open/doc' END || CAST(doc_id AS VARCHAR) AS path,
-       CASE doc_id % 5
+       CASE doc_id % 7
+         WHEN 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+         WHEN 1 THEN '/private/pub/doc' || CAST(doc_id AS VARCHAR)
+         WHEN 2 THEN '/docs/doc' || CAST(doc_id AS VARCHAR)
+         WHEN 3 THEN '/tmp/doc' || CAST(doc_id AS VARCHAR)
+         WHEN 4 THEN '/open/doc' || CAST(doc_id AS VARCHAR) || '?q=1'
+         WHEN 5 THEN '/download'
+         ELSE '/download/doc' || CAST(doc_id AS VARCHAR) END AS path,
+       CASE doc_id % 7
          WHEN 0 THEN '/private/' WHEN 1 THEN '/private/pub/'
-         WHEN 3 THEN '/tmp' END AS matched_prefix,
-       CASE doc_id % 5
+         WHEN 3 THEN '/tmp' WHEN 4 THEN '/*?q'
+         WHEN 5 THEN '/download$' END AS matched_prefix,
+       CASE doc_id % 7
          WHEN 0 THEN 'disallow' WHEN 1 THEN 'allow'
-         WHEN 3 THEN 'allow' END AS matched_rule,
-       (doc_id % 5) <> 0 AS allowed
+         WHEN 3 THEN 'allow' WHEN 4 THEN 'disallow'
+         WHEN 5 THEN 'disallow' END AS matched_rule,
+       (doc_id % 7) NOT IN (0, 4, 5) AS allowed
 FROM documents
 """
 
@@ -3804,8 +3831,17 @@ WITH counts AS (
   SELECT source,
          CAST(FLOOR(POWER(CAST(n AS DOUBLE), 0.5) * 1000000.0 + 0.5) AS BIGINT) AS w
   FROM counts
+), alloc0 AS (
+  SELECT source,
+         (200 * w) // (SELECT SUM(w) FROM dim) AS k0,
+         (200 * w) %  (SELECT SUM(w) FROM dim) AS rem
+  FROM dim
 ), alloc AS (
-  SELECT source, (200 * w) // (SELECT SUM(w) FROM dim) AS k_target FROM dim
+  SELECT source,
+         k0 + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC)
+                        <= 200 - (SELECT SUM(k0) FROM alloc0)
+                   THEN 1 ELSE 0 END AS k_target
+  FROM alloc0
 ), ranked AS (
   SELECT d.doc_id, d.source, a.k_target,
          ROW_NUMBER() OVER (
