@@ -229,3 +229,78 @@ def test_estimated_plan_bytes_known_and_bounded(spark):
 
     size = estimated_plan_bytes(df.groupBy("k").count())
     assert size is not None and 0 < size < (1 << 40)
+
+
+def test_dabg_filter_exact_reference_semantics(spark):
+    """dabg_filter (F9, r8): the 3-condition DABG pipeline of
+    `GenExpressionComb_Affy_HuEx1ST_DABGfilter.R:245-308` on a
+    hand-built matrix pinning every boundary: crosshyb drop, the
+    single-sample group's STRICT > threshold branch (value exactly
+    2^3 = 8 is NOT present), the probeset rule's EXCLUSIVE half bound
+    (1 of 2 samples present -> absent), the transcript rule's
+    INCLUSIVE half bound (1 of 2 samples present -> present), and the
+    >= 2-groups transcript keep."""
+    from transcriptomics_data_integration_spark.operators.filters import dabg_filter
+
+    # samples s0,s1 -> g0; s2 -> g1 (single-sample); s3,s4 -> g2
+    groups = {0: 0, 1: 0, 2: 1, 3: 2, 4: 2}
+    # probeset -> (transcript, crosshyb, per-sample values s0..s4)
+    mat = {
+        "a1": ("A", 1, [16, 16, 0, 16, 0]),
+        "a2": ("A", 1, [16, 16, 0, 16, 0]),
+        # B present only in g0 -> transcript dropped despite kept probesets
+        "b1": ("B", 1, [16, 16, 0, 0, 0]),
+        "b2": ("B", 1, [16, 16, 0, 0, 0]),
+        # c1: g1 value is EXACTLY 8 (strict branch -> absent), g0 has
+        # 1/2 present (exclusive bound -> absent) -> present nowhere
+        "c1": ("C", 1, [16, 0, 8, 0, 0]),
+        "c2": ("C", 1, [16, 16, 0, 16, 16]),
+        # c3 cross-hybridises: must vanish before any computation
+        "c3": ("C", 2, [16, 16, 16, 16, 16]),
+        "c4": ("C", 1, [16, 16, 16, 16, 16]),
+    }
+    rows = [
+        (ps, tr, s, groups[s], float(v), ch)
+        for ps, (tr, ch, vals) in mat.items()
+        for s, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "probeset string, transcript string, sample int, grp int, "
+        "intensity double, crosshyb int",
+    )
+    out = dabg_filter(
+        df, "probeset", "transcript", "sample", "grp", "intensity",
+        crosshyb_col="crosshyb",
+    ).collect()
+    kept = {(r["probeset"], r["sample"]) for r in out}
+    # A kept via the INCLUSIVE transcript bound in g2 (1/2 samples);
+    # C kept with c1 (present nowhere) and c3 (crosshyb) removed
+    expect = {(p, s) for p in ("a1", "a2", "c2", "c4") for s in range(5)}
+    assert kept == expect
+    assert all(r["transcript"] in ("A", "C") for r in out)
+
+
+def test_qc_rle_nuse_hand_values(spark):
+    """qc_rle_nuse (M18 depth, r8): RLE deviations vs gene medians and
+    NUSE ratios vs gene-median SE, per-sample medians, replayed by
+    hand (`QC_Affy_U133Plus2.R:133-134` data surface)."""
+    from transcriptomics_data_integration_spark.stats.normalize import qc_rle_nuse
+
+    rows = [
+        # gene, sample, value, se
+        ("g1", "s1", 1.0, 1.0), ("g1", "s2", 2.0, 1.0), ("g1", "s3", 3.0, 2.0),
+        ("g2", "s1", 10.0, 2.0), ("g2", "s2", 20.0, 4.0), ("g2", "s3", 60.0, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "gene string, sample string, v double, se double")
+    got = {r["sample"]: r for r in
+           qc_rle_nuse(df, "gene", "sample", "v", se_col="se").collect()}
+    # g1 median 2 -> devs (-1, 0, 1); g2 median 20 -> devs (-10, 0, 40)
+    assert got["s1"]["rle_median"] == -5.5
+    assert got["s2"]["rle_median"] == 0.0
+    assert got["s3"]["rle_median"] == 20.5
+    # g1 se median 1 -> nse (1, 1, 2); g2 se median 4 -> (.5, 1, 1)
+    assert got["s1"]["nuse_median"] == 0.75
+    assert got["s2"]["nuse_median"] == 1.0
+    assert got["s3"]["nuse_median"] == 1.5
+    assert all(r["n_obs"] == 2 for r in got.values())

@@ -182,3 +182,82 @@ def zero_repair(df: DataFrame, sample_col: str, value_col: str) -> DataFrame:
             F.col(value_col) == 0, F.coalesce(min_nonzero, F.col(value_col))
         ).otherwise(F.col(value_col)),
     )
+
+
+def dabg_filter(
+    df: DataFrame,
+    probeset_col: str,
+    transcript_col: str,
+    sample_col: str,
+    group_col: str,
+    value_col: str,
+    crosshyb_col: str | None = None,
+    log2_threshold: float = 3.0,
+) -> DataFrame:
+    """F9 — the reference's exact 3-condition DABG (detection above
+    background) presence filter for exon arrays, as one relational
+    pass.  Reference:
+    `scripts/microarray_data_processing/GenExpressionComb_Affy_HuEx1ST_DABGfilter.R:245`
+    (crosshyb keep), `:251-269` + `:275-280` (probeset absent/present
+    per group, drop probesets present in NO group), `:282-308`
+    (transcript present per sample when >= half its probesets are
+    present, kept when present in >= half the samples of >= 2
+    groups).
+
+    Semantics, faithfully:
+
+    1. crosshyb: keep rows where ``crosshyb_col == 1`` (`:245`).
+    2. probeset x group presence: ABSENT fraction (value below the
+       log2 threshold) strictly < 0.5 (`:253`); a single-sample group
+       uses the reference's STRICT ``> threshold`` branch (`:255`).
+    3. probesets kept when present in >= 1 group (`:275-280`).
+    4. transcript x sample presence: absent fraction over the
+       transcript's (crosshyb-kept) probesets strictly < 0.5
+       (`:286-289`).
+    5. transcript x group presence: present in >= half the group's
+       samples, INCLUSIVE (`:297-303` — note the asymmetry with the
+       probeset rule's exclusive bound, preserved on purpose).
+    6. transcripts kept when present in >= 2 groups (`:306-308`).
+
+    Output: the crosshyb-kept input rows for kept probesets of kept
+    transcripts (empty transcripts disappear with their rows, the
+    relational form of `:332-334`).
+
+    Execution shape: the threshold test runs on the VALUE domain
+    (``v < 2**log2_threshold``) so no log is ever evaluated — exact
+    in any engine — and every fraction comparison is integer
+    cross-multiplication (``2*absent < n``), so the whole filter is
+    three partial-aggregate shuffles (probeset x group,
+    transcript x sample, transcript x group) plus two broadcast
+    semi-joins of the keep-lists back to the fact; nothing
+    corpus-sized is ever windowed or collected, and the keep dims are
+    probeset/transcript-sized (~1e6 rows at array scale —
+    broadcastable).
+    """
+    thr = float(2.0**log2_threshold)
+    base = df.where(F.col(crosshyb_col) == 1) if crosshyb_col else df
+    absent = F.when(F.col(value_col) < thr, 1).otherwise(0)
+    pg = base.groupBy(probeset_col, group_col).agg(
+        F.sum(absent).alias("_na"),
+        F.count(F.lit(1)).alias("_n"),
+        F.min(value_col).alias("_v1"),
+    )
+    present_pg = F.when(F.col("_n") == 1, F.col("_v1") > thr).otherwise(
+        F.col("_na") * 2 < F.col("_n")
+    )
+    ps_keep = pg.where(present_pg).select(probeset_col).distinct()
+    ts = base.groupBy(transcript_col, sample_col, group_col).agg(
+        (F.sum(absent) * 2 < F.count(F.lit(1))).cast("int").alias("_p")
+    )
+    tg = ts.groupBy(transcript_col, group_col).agg(
+        F.sum("_p").alias("_np"), F.count(F.lit(1)).alias("_ns")
+    ).where(F.col("_np") * 2 >= F.col("_ns"))
+    tr_keep = (
+        tg.groupBy(transcript_col)
+        .agg(F.count(F.lit(1)).alias("_ng"))
+        .where(F.col("_ng") >= 2)
+        .select(transcript_col)
+    )
+    return base.join(F.broadcast(ps_keep), probeset_col, "left_semi").join(
+        F.broadcast(tr_keep), transcript_col, "left_semi"
+    )

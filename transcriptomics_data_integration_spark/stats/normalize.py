@@ -382,3 +382,52 @@ def qc_sample_metrics(df: DataFrame, sample_col: str, value_col: str) -> DataFra
             F.percentile(value_col, F.lit(0.75)) - F.percentile(value_col, F.lit(0.25))
         ).alias("iqr"),
     )
+
+
+def qc_rle_nuse(
+    df: DataFrame,
+    gene_col: str,
+    sample_col: str,
+    value_col: str,
+    se_col: str | None = None,
+) -> DataFrame:
+    """M18 depth (r8) — the RLE / NUSE per-sample relative-deviation
+    QC metrics of `QC_Affy_U133Plus2.R:133-134` (``aqm.rle`` /
+    ``aqm.nuse``), as a metrics table:
+
+    - RLE (relative log expression): per (gene, sample) deviation =
+      value - median_over_samples(gene); per-sample median + IQR of
+      the deviations (the ``aqm.rle`` boxplot data — a good array has
+      RLE medians near 0 and small spread; ``outlierMethod = "KS"``
+      runs on exactly these per-sample deviation sets).
+    - NUSE (normalized unscaled standard error), when ``se_col`` is
+      given: per (gene, sample) nse = se / median_over_samples(se);
+      per-sample median + upper quartile (``aqm.nuse``'s
+      ``outlierMethod = "upperquartile"`` statistic).
+
+    Execution shape: ONE shuffle by gene (a window carrying both
+    gene-wise medians), then one aggregate by sample — the same
+    two-shuffle plan as quantile normalization, no gene-dim join and
+    nothing collected.  Exact percentiles (linear interpolation),
+    matching DuckDB ``quantile_cont`` bit-for-bit on shared inputs.
+    """
+    w_g = Window.partitionBy(gene_col)
+    dev = df.withColumn(
+        "_rle", F.col(value_col) - F.percentile(value_col, F.lit(0.5)).over(w_g)
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_obs"),
+        F.percentile("_rle", F.lit(0.5)).alias("rle_median"),
+        (
+            F.percentile("_rle", F.lit(0.75)) - F.percentile("_rle", F.lit(0.25))
+        ).alias("rle_iqr"),
+    ]
+    if se_col is not None:
+        dev = dev.withColumn(
+            "_nse", F.col(se_col) / F.percentile(se_col, F.lit(0.5)).over(w_g)
+        )
+        aggs += [
+            F.percentile("_nse", F.lit(0.5)).alias("nuse_median"),
+            F.percentile("_nse", F.lit(0.75)).alias("nuse_q75"),
+        ]
+    return dev.groupBy(sample_col).agg(*aggs)

@@ -338,6 +338,85 @@ HAVING SUM(CASE WHEN l_discount > 0.05 OR l_tax > 0.05 THEN 1 ELSE 0 END) <= 2
 """
 
 
+def q_dabg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 — the reference's exact 3-condition DABG presence filter
+    (`GenExpressionComb_Affy_HuEx1ST_DABGfilter.R:245,251-269,292-308`),
+    HASH-GATED (r8).  Fabric: a probeset x sample intensity matrix
+    from lineitem (500 probesets nested 5-per-transcript, 6 samples in
+    3 groups, intensity = SUM(quantity) % 16 so the value-domain
+    threshold v < 2^3 = 8 splits cells deterministically with NO float
+    op anywhere), a planted crosshyb_type that drops probeset % 7 == 0.
+    The oracle replays crosshyb keep, the group-pivot absent/present
+    boolean reductions (strict single-sample branch included), the
+    >= 2-groups transcript rule, and the final row filter verbatim."""
+    from transcriptomics_data_integration_spark.operators.filters import dabg_filter
+
+    li = _t(spark, sf_dir, "lineitem")
+    cell = (
+        li.select(
+            (F.col("l_partkey") % 500).alias("probeset_id"),
+            (F.col("l_suppkey") % 6).alias("sample_id"),
+            F.col("l_quantity").cast("bigint").alias("_q"),
+        )
+        .groupBy("probeset_id", "sample_id")
+        .agg((F.sum("_q") % 16).alias("intensity"))
+        .withColumn("transcript_id", F.expr("probeset_id DIV 5"))
+        .withColumn("group_id", F.col("sample_id") % 3)
+        .withColumn(
+            "crosshyb",
+            F.when(F.col("probeset_id") % 7 == 0, F.lit(2)).otherwise(F.lit(1)),
+        )
+    )
+    out = dabg_filter(
+        cell,
+        "probeset_id",
+        "transcript_id",
+        "sample_id",
+        "group_id",
+        "intensity",
+        crosshyb_col="crosshyb",
+        log2_threshold=3.0,
+    )
+    return out.select("transcript_id", "probeset_id", "sample_id", "intensity")
+
+
+ORACLE_DABG = """
+WITH cell AS (
+  SELECT l_partkey % 500 AS probeset_id,
+         (l_partkey % 500) // 5 AS transcript_id,
+         l_suppkey % 6 AS sample_id,
+         (l_suppkey % 6) % 3 AS group_id,
+         SUM(CAST(l_quantity AS BIGINT)) % 16 AS intensity
+  FROM lineitem
+  GROUP BY 1, 2, 3, 4
+), kept AS (
+  SELECT * FROM cell WHERE probeset_id % 7 <> 0
+), pg AS (
+  SELECT probeset_id, group_id,
+         SUM(CASE WHEN intensity < 8 THEN 1 ELSE 0 END) AS na,
+         COUNT(*) AS n, MIN(intensity) AS v1
+  FROM kept GROUP BY 1, 2
+), ps_keep AS (
+  SELECT DISTINCT probeset_id FROM pg
+  WHERE CASE WHEN n = 1 THEN v1 > 8 ELSE 2 * na < n END
+), ts AS (
+  SELECT transcript_id, sample_id, group_id,
+         CASE WHEN 2 * SUM(CASE WHEN intensity < 8 THEN 1 ELSE 0 END) < COUNT(*)
+              THEN 1 ELSE 0 END AS p
+  FROM kept GROUP BY 1, 2, 3
+), tg AS (
+  SELECT transcript_id, group_id
+  FROM ts GROUP BY 1, 2 HAVING 2 * SUM(p) >= COUNT(*)
+), tr_keep AS (
+  SELECT transcript_id FROM tg GROUP BY 1 HAVING COUNT(*) >= 2
+)
+SELECT k.transcript_id, k.probeset_id, k.sample_id, CAST(k.intensity AS BIGINT) AS intensity
+FROM kept k
+JOIN ps_keep USING (probeset_id)
+JOIN tr_keep USING (transcript_id)
+"""
+
+
 def q_value_conditioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F10+F11 — low-value floor then per-sample zero repair.
 
@@ -1032,6 +1111,7 @@ QUERIES: dict[str, QueryFn] = {
     "zero_variance_filter": q_zero_variance_filter,
     "nonspecific_filter": q_nonspecific_filter,
     "reliability_filter": q_reliability_filter,
+    "dabg_filter": q_dabg_filter,
     "value_conditioning": q_value_conditioning,
     "merge_left_join": q_merge_left_join,
     "interval_join": q_interval_join,
@@ -1072,6 +1152,7 @@ ORACLES: dict[str, str] = {
     "zero_variance_filter": ORACLE_ZERO_VARIANCE,
     "nonspecific_filter": ORACLE_NONSPECIFIC,
     "reliability_filter": ORACLE_RELIABILITY,
+    "dabg_filter": ORACLE_DABG,
     "value_conditioning": ORACLE_VALUE_CONDITIONING,
     "merge_left_join": ORACLE_MERGE_LEFT_JOIN,
     "interval_join": ORACLE_INTERVAL_JOIN,

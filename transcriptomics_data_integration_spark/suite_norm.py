@@ -14,6 +14,7 @@ from transcriptomics_data_integration_spark.pipelines.expression import build_ex
 from transcriptomics_data_integration_spark.stats.normalize import (
     array_weights,
     cqn_simplified,
+    qc_rle_nuse,
     qc_sample_metrics,
     voom_weights,
 )
@@ -187,6 +188,66 @@ SELECT l_suppkey AS sample_id, COUNT(*) AS n_obs,
        ROUND(quantile_cont(l_extendedprice, 0.75)
              - quantile_cont(l_extendedprice, 0.25), 4) AS iqr
 FROM lineitem GROUP BY l_suppkey
+"""
+
+
+def q_qc_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M18 depth (r8) — RLE + NUSE per-sample QC deviations
+    (`QC_Affy_U133Plus2.R:133-134`): gene = partkey, sample = suppkey,
+    value = extendedprice in CENTS (integer grid, so every interpolated
+    quantile and IQR is an exact binary double — multiples of 0.125 —
+    and the ROUND boundary can never sit between the engines' halves;
+    raw 2-decimal prices put IQRs on .00X25 ROUND half-boundaries and
+    flipped 8 samples at sf0.1), SE fabric = discount + 0.01 (strictly
+    positive so the gene-median normalizer never divides by zero)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = qc_rle_nuse(
+        li.select(
+            F.col("l_partkey").alias("gene"),
+            F.col("l_suppkey").alias("sample_id"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v"),
+            (F.col("l_discount") + F.lit(0.01)).alias("se"),
+        ),
+        "gene",
+        "sample_id",
+        "v",
+        se_col="se",
+    )
+    return out.select(
+        "sample_id",
+        "n_obs",
+        F.round("rle_median", 4).alias("rle_median"),
+        F.round("rle_iqr", 4).alias("rle_iqr"),
+        F.round("nuse_median", 6).alias("nuse_median"),
+        F.round("nuse_q75", 6).alias("nuse_q75"),
+    )
+
+
+ORACLE_QC_RLE = """
+WITH cents AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         l_discount + 0.01 AS se
+  FROM lineitem
+), gm AS (
+  SELECT l_partkey,
+         quantile_cont(v, 0.5) AS vmed,
+         quantile_cont(se, 0.5) AS smed
+  FROM cents GROUP BY l_partkey
+), dev AS (
+  SELECT c.l_suppkey AS sample_id,
+         c.v - g.vmed AS rle,
+         c.se / g.smed AS nse
+  FROM cents c JOIN gm g USING (l_partkey)
+)
+SELECT sample_id, COUNT(*) AS n_obs,
+       ROUND(quantile_cont(rle, 0.5), 4) AS rle_median,
+       ROUND(quantile_cont(rle, 0.75) - quantile_cont(rle, 0.25), 4) AS rle_iqr,
+       ROUND(quantile_cont(nse, 0.5), 6) AS nuse_median,
+       ROUND(quantile_cont(nse, 0.75), 6) AS nuse_q75
+FROM dev GROUP BY sample_id
 """
 
 
@@ -806,6 +867,7 @@ QUERIES_NORM = {
     "cqn_spline": q_cqn_spline,
     "array_weights": q_array_weights,
     "qc_sample_metrics": q_qc_sample_metrics,
+    "qc_rle": q_qc_rle,
     "expression_pipeline": q_expression_pipeline,
 }
 
@@ -817,6 +879,7 @@ ORACLES_NORM = {
     "cqn_bias": ORACLE_CQN,
     "array_weights": ORACLE_ARRAY_WEIGHTS,
     "qc_sample_metrics": ORACLE_QC_METRICS,
+    "qc_rle": ORACLE_QC_RLE,
     "expression_pipeline": ORACLE_EXPRESSION_PIPELINE,
 }
 
