@@ -2643,3 +2643,51 @@ def test_bigram_logprob_ranks_shuffled_text_lower(spark):
         ]
         assert got[did]["n_bigrams"] == len(lps)
         assert abs(got[did]["mean_bigram_logprob"] - sum(lps) / len(lps)) < 1e-9
+
+
+def test_avi_mjpeg_roundtrip_and_tolerant(spark):
+    """encode_avi_mjpeg / decode_avi_frames (r8, the last stub
+    closed): constant 8x8 tiles round-trip bit-exactly per frame,
+    avih metadata (dims, frame count, fps) survives, malformed
+    payloads return None, a corrupt frame chunk is SKIPPED without
+    sinking the rest, and resize_media re-muxes a real smaller AVI."""
+    import numpy as np
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+        resize_media,
+    )
+
+    ones = np.ones((8, 8), dtype=np.uint8)
+    frames = [
+        np.kron(((np.arange(6).reshape(2, 3) * 37 + f * 53) % 256).astype(np.uint8), ones)
+        for f in range(3)
+    ]
+    avi = encode_avi_mjpeg(frames, fps=10)
+    d = decode_avi_frames(avi)
+    assert (d["width"], d["height"], d["n_frames"], d["fps"]) == (24, 16, 3, 10)
+    for orig, dec in zip(frames, d["frames"]):
+        assert dec.shape == (16, 24, 1)
+        assert np.array_equal(dec[:, :, 0], orig)
+    # malformed containers
+    assert decode_avi_frames(b"RIFFxxxxWAVE") is None
+    assert decode_avi_frames(b"junk") is None
+    assert decode_avi_frames(avi[:40]) is None
+    # corrupt ONE frame's entropy bytes: that frame is skipped, the
+    # other two still decode (tolerant-reader stance)
+    broken = bytearray(avi)
+    first_dc = bytes(broken).index(b"00dc")
+    broken[first_dc + 60] ^= 0xFF
+    d2 = decode_avi_frames(bytes(broken))
+    assert d2 is not None and len(d2["frames"]) in (2, 3)
+    assert any(np.array_equal(f[:, :, 0], frames[2]) for f in d2["frames"])
+    # Spark resize path: AVI in -> re-muxed smaller AVI out
+    df = spark.createDataFrame(
+        [(1, avi, len(avi), "video/avi")],
+        "media_id long, payload binary, n_bytes int, media_type string",
+    )
+    out = resize_media(df, target_w=8, target_h=8).collect()[0]
+    d3 = decode_avi_frames(bytes(out["payload"]))
+    assert d3 is not None and len(d3["frames"]) == 3
+    assert d3["frames"][0].shape == (8, 8, 1) and d3["fps"] == 10

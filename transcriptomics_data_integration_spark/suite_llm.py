@@ -3772,6 +3772,109 @@ QUERIES_LLM["robots_filter"] = q_robots_filter
 ORACLES_LLM["robots_filter"] = ORACLE_ROBOTS_FILTER
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MJPEG-in-AVI video frame extraction, HASH-GATED (r8,
+    closing the repo's LAST stub): per doc, 2 + doc_id % 3 grayscale
+    16x24 frames tiled from 8x8-CONSTANT blocks
+    v(f,bi,bj) = (doc_id*11 + f*53 + bi*37 + bj*17) % 256 are encoded
+    frame-by-frame with the r7 baseline JPEG encoder, muxed into a
+    real RIFF/AVI container (`llmdata/multimodal.py:encode_avi_mjpeg`
+    — hdrl/avih/strh/strf, word-aligned '00dc' movi chunks, idx1),
+    then demuxed + entropy-decoded back by the independent RIFF
+    walker (`decode_avi_frames`) and reduced to one integer-exact
+    pixel-sum row PER FRAME.  Constant 8x8 tiles survive the DCT
+    pipeline bit-exactly under the all-ones quantization table, so
+    the oracle recomputes every frame sum from the tile formula alone
+    — it never touches container bytes.  A hash match proves the AVI
+    chunk grammar (sizes, word alignment, avih counts), per-frame
+    JPEG round-trip, and frame ordering end-to-end.  Map-side
+    mapInPandas: zero shuffles."""
+    import pandas as pd
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+
+    BH, BW = 2, 3  # tile grid; each frame is (16, 24) gray
+
+    def op(batches):
+        import numpy as np
+
+        bi, bj = np.mgrid[0:BH, 0:BW]
+        ones = np.ones((8, 8), dtype=np.uint8)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = [
+                    np.kron(
+                        ((did * 11 + f * 53 + bi * 37 + bj * 17) % 256).astype(
+                            np.uint8
+                        ),
+                        ones,
+                    )
+                    for f in range(2 + did % 3)
+                ]
+                vid = decode_avi_frames(encode_avi_mjpeg(frames, fps=12))
+                if vid is None:
+                    continue
+                for fno, px in enumerate(vid["frames"]):
+                    rows.append(
+                        (
+                            did,
+                            fno,
+                            vid["n_frames"],
+                            px.shape[1],
+                            px.shape[0],
+                            int(px.astype(np.int64).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_no", "n_frames",
+                    "width", "height", "sum_v",
+                ],
+            )
+
+    # one-split parquet -> repartition before the Python codec fan-out
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return docs.mapInPandas(
+        op,
+        schema=(
+            "media_id bigint, frame_no bigint, n_frames int, "
+            "width int, height int, sum_v bigint"
+        ),
+    )
+
+
+ORACLE_VIDEO_FRAMES = """
+WITH fr AS (
+  SELECT doc_id,
+         UNNEST(range(0, CAST(2 + doc_id % 3 AS BIGINT))) AS f
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       f AS frame_no,
+       CAST(2 + doc_id % 3 AS INT) AS n_frames,
+       24 AS width, 16 AS height,
+       CAST(64 * (
+           (doc_id*11 + f*53      ) % 256
+         + (doc_id*11 + f*53 + 17 ) % 256
+         + (doc_id*11 + f*53 + 34 ) % 256
+         + (doc_id*11 + f*53 + 37 ) % 256
+         + (doc_id*11 + f*53 + 54 ) % 256
+         + (doc_id*11 + f*53 + 71 ) % 256
+       ) AS BIGINT) AS sum_v
+FROM fr
+"""
+
+QUERIES_LLM["video_frames"] = q_video_frames
+ORACLES_LLM["video_frames"] = ORACLE_VIDEO_FRAMES
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode hygiene pass, HASH-GATED (r7): each doc's text gets a
     planted suffix of NFC-decomposed accent (e + U+0301), zero-width
