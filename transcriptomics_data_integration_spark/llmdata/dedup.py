@@ -568,6 +568,7 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     n_bands: int = 4,
+    expand: str = "all",
 ) -> DataFrame:
     """SimHash near-dup PAIRS: band the 60-bit signature (15 bits x 4),
     docs sharing any band key are candidates, verified by exact Hamming
@@ -578,8 +579,35 @@ def simhash_neardup_pairs(
     for max_hamming < n_bands this finds every qualifying pair — banding
     here is exact, not probabilistic.  All-integer pipeline: bit-exact
     in any engine.
+
+    Exact-duplicate cluster compression (r8, the `minhash_lsh_pairs`
+    machinery ported per the r7 verdict): docs with identical text
+    have identical token multisets, hence identical signatures, band
+    keys, and pairwise Hamming 0 — so the explode-heavy
+    simhash/banding/verify stages run on ONE representative per
+    distinct text, and member pairs are reconstructed from the digest
+    relation afterwards.  ``expand`` selects the output edge set:
+
+    - ``"all"`` (default): every member-level pair, bit-identical to
+      the uncompressed semantics the DuckDB oracle replays (intra-
+      clique pairs carry Hamming 0; a cross-clique member pair carries
+      its representative pair's Hamming — the texts are the same).
+    - ``"star"``: connectivity-equivalent linear edge set for the
+      clustering chain (verified rep pairs + one member->rep edge per
+      exact duplicate).  A web-crawl dup storm of 10^6 identical docs
+      yields 10^6 - 1 star edges instead of ~5*10^11 pairs; the
+      transitive closure — and hence dedup_clusters /
+      keep_best_per_cluster / leakage_safe_split — is IDENTICAL.
     """
-    sigs = simhash(df, id_col, text_col)
+    if expand not in ("all", "star"):
+        raise ValueError(f"expand must be 'all' or 'star', got {expand!r}")
+    member = df.select(
+        F.col(id_col), content_digest(F.col(text_col)).alias("digest")
+    ).cache()
+    rep = member.groupBy("digest").agg(F.min(id_col).alias("rep_id"))
+    rep_docs = df.join(rep.select(F.col("rep_id").alias(id_col)), id_col)
+
+    sigs = simhash(rep_docs, id_col, text_col)
     band_bits = SIMHASH_BITS // n_bands
     mask = (1 << band_bits) - 1
     banded = sigs.select(
@@ -599,7 +627,7 @@ def simhash_neardup_pairs(
     b = banded.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "band", "key"
     )
-    return (
+    rep_pairs = (
         a.join(b, ["band", "key"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
@@ -608,6 +636,49 @@ def simhash_neardup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    if expand == "star":
+        star = (
+            member.join(rep, "digest")
+            .where(F.col(id_col) != F.col("rep_id"))
+            .select(
+                F.least(id_col, "rep_id").alias("id_a"),
+                F.greatest(id_col, "rep_id").alias("id_b"),
+                F.lit(0).alias("hamming"),
+            )
+        )
+        return rep_pairs.unionByName(star)
+    # member-level expansion: intra-clique pairs (identical sigs share
+    # every band -> always candidates, Hamming 0) ...
+    ma = member.select(F.col(id_col).alias("mem_a"), F.col("digest").alias("dig_a"))
+    mb = member.select(F.col(id_col).alias("mem_b"), F.col("digest").alias("dig_b"))
+    intra = (
+        ma.join(mb, F.col("dig_a") == F.col("dig_b"))
+        .where(F.col("mem_a") < F.col("mem_b"))
+        .select(
+            F.col("mem_a").alias("id_a"),
+            F.col("mem_b").alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    # ... plus cross-clique rep pairs fanned out to all member pairs
+    cross = (
+        rep_pairs.join(
+            rep.select(F.col("rep_id").alias("id_a"), F.col("digest").alias("dig_a")),
+            "id_a",
+        )
+        .join(
+            rep.select(F.col("rep_id").alias("id_b"), F.col("digest").alias("dig_b")),
+            "id_b",
+        )
+        .join(ma, "dig_a")
+        .join(mb, "dig_b")
+        .select(
+            F.least("mem_a", "mem_b").alias("id_a"),
+            F.greatest("mem_a", "mem_b").alias("id_b"),
+            "hamming",
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def connected_components_stars(

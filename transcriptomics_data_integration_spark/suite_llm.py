@@ -2346,7 +2346,9 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     register_persisted(kept_docs)
-    pairs = simhash_neardup_pairs(kept_docs, "doc_id", max_hamming=3)
+    # star edge set (r8): linear in exact-dup clique size, identical
+    # transitive closure — the corpus_pipeline consumes only the closure
+    pairs = simhash_neardup_pairs(kept_docs, "doc_id", max_hamming=3, expand="star")
     clusters = dedup_clusters(pairs.select("id_a", "id_b"))
     survivors = keep_best_per_cluster(
         kept_docs, clusters, "doc_id", score=F.length("text").cast("long")
@@ -2632,7 +2634,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _two_crawls(_t(spark, sf_dir, "documents"))
-    pairs = simhash_neardup_pairs(docs, "doc_id", max_hamming=3)
+    # star edges (r8): closure-identical, linear in dup-clique size
+    pairs = simhash_neardup_pairs(docs, "doc_id", max_hamming=3, expand="star")
     return dedup_clusters(pairs.select("id_a", "id_b"))
 
 
@@ -2697,7 +2700,8 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _two_crawls(_t(spark, sf_dir, "documents"))
-    pairs = simhash_neardup_pairs(docs, "doc_id", max_hamming=3)
+    # star edges (r8): closure-identical, linear in dup-clique size
+    pairs = simhash_neardup_pairs(docs, "doc_id", max_hamming=3, expand="star")
     clusters = dedup_clusters(pairs.select("id_a", "id_b"))
     return keep_best_per_cluster(
         docs, clusters, "doc_id", score=F.length("text").cast("long")
@@ -4092,7 +4096,8 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _two_crawls(_t(spark, sf_dir, "documents")).select("doc_id")
     pairs = simhash_neardup_pairs(
-        _two_crawls(_t(spark, sf_dir, "documents")), "doc_id", max_hamming=3
+        _two_crawls(_t(spark, sf_dir, "documents")), "doc_id", max_hamming=3,
+        expand="star",  # closure-identical, linear in dup-clique size (r8)
     )
     clusters = dedup_clusters(pairs.select("id_a", "id_b"))
     return leakage_safe_split(docs, clusters, "doc_id", val_frac=0.2).select(
