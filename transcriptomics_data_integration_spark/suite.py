@@ -2069,17 +2069,50 @@ _ROUND7_FRONT = [
     "minhash_lsh", "simhash", "cosine_topk", "lsh_ann",
 ]
 
-# Round-8 rotation plan: (a) the seven r7 gates added AFTER the window
-# froze (global_shuffle, variant_extract, unicode_clean,
-# compression_ratio, flac_header, robots_filter, bigram_logprob —
-# never driver-stamped), then (b) the r4-only
-# remainder bumped from this window (cosine_neardup,
-# event_window_counts, sessionize, json_extract, duplicate_chunks,
-# simhash_neardup, asof_join, vocab_topk, embedding_quantize,
-# pack_sequences, batch_center, permutation_fdr, ks_strata, skyline,
-# sample_distances, ivf_fixed, jsonl_parse, dedup_keep_best,
-# winnow_containment, domain_dup_rate, voom_loess2, cqn_irls2,
-# ngram_span_mask — 23 queries), plus (c) every r8-touched kernel,
-# remainder filled with r5-only-stamped queries in registry order.
-QUERIES = _reorder_front(QUERIES, _ROUND7_FRONT)
+# Round-8 window, executing the r7 verdict item 2 exactly: (a) the
+# seven r7 gates added AFTER the r7 window froze (never
+# driver-stamped; compression_ratio is the window's one declared
+# rows-only member — DEFLATE is not SQL-expressible), (b) the 23
+# r4-only-stamped queries bumped from the r7 window, (c) every
+# r8-touched kernel — the three NEW gates (dabg_filter, qc_rle,
+# video_frames), temperature_sample (largest-remainder allocation),
+# web_pipeline (allocation change flows through its oracle),
+# mp4_header (spec-valid mvhd), and the simhash star-compression
+# closure consumers (dedup_clusters, leakage_split, corpus_pipeline;
+# dedup_keep_best already in (b), robots_filter already in (a)) —
+# and (d) an 11-slice of the r5-only-stamped remainder in registry
+# order.  Exactly 50 = the driver's gated window.
+_ROUND8_FRONT = [
+    # -- (a) never-stamped r7 gates ----------------------------------------
+    "global_shuffle", "variant_extract", "unicode_clean",
+    "compression_ratio", "flac_header", "robots_filter", "bigram_logprob",
+    # -- (b) r4-only-stamped carry-overs (23) ------------------------------
+    "cosine_neardup", "event_window_counts", "sessionize", "json_extract",
+    "duplicate_chunks", "simhash_neardup", "asof_join", "vocab_topk",
+    "embedding_quantize", "pack_sequences", "batch_center",
+    "permutation_fdr", "ks_strata", "skyline", "sample_distances",
+    "ivf_fixed", "jsonl_parse", "dedup_keep_best", "winnow_containment",
+    "domain_dup_rate", "voom_loess2", "cqn_irls2", "ngram_span_mask",
+    # -- (c) r8-touched kernels ---------------------------------------------
+    "dabg_filter", "qc_rle", "video_frames", "temperature_sample",
+    "web_pipeline", "mp4_header", "dedup_clusters", "leakage_split",
+    "corpus_pipeline",
+    # -- (d) r5-only-stamped slice (registry order) -------------------------
+    "pricing_summary", "gene_stats", "library_size", "gene_exclusion",
+    "outlier_removal", "zero_variance_filter", "nonspecific_filter",
+    "reliability_filter", "value_conditioning", "argmax_dedup",
+    "dedup_rows",
+]
+
+# Round-9 rotation plan: (a) every r9-touched/new kernel first, (b) the
+# r5-only-stamped remainder (28 queries: cel_decode, cohort_retention,
+# contamination, doc_sample, fisher_enrichment, frequency_table,
+# funnel, gopher_repetition, language_id_ngram, mahalanobis_outliers,
+# media_header_decode, minhash_accuracy, mixture_sample,
+# multimodal_featurize, normalize_dedup, pairwise_contrasts,
+# paragraph_dedup, pca_outliers, pii_scrub, pq_fixed, quality_model,
+# rolling_stats, set_compare, strata_correlation, term_enrichment,
+# venn_membership, vocab_size_sketch, voom_loess3), remainder filled
+# with r6-only-stamped queries in registry order.
+QUERIES = _reorder_front(QUERIES, _ROUND8_FRONT)
 QUERIES = {n: _with_persist_drain(fn) for n, fn in QUERIES.items()}
