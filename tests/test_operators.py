@@ -304,3 +304,29 @@ def test_qc_rle_nuse_hand_values(spark):
     assert got["s2"]["nuse_median"] == 1.0
     assert got["s3"]["nuse_median"] == 1.5
     assert all(r["n_obs"] == 2 for r in got.values())
+
+
+def test_rna_degradation_exact_slope(spark):
+    """rna_degradation (M18 depth, r8): per-position means and the
+    5'->3' OLS slope/intercept/t replayed by hand on a 2-sample,
+    4-position design (`QC_Affy_U133Plus2.R:143-145` data surface)."""
+    from transcriptomics_data_integration_spark.stats.normalize import (
+        rna_degradation,
+    )
+
+    rows = []
+    # s1: position means 10, 12, 14, 16 -> slope 2, intercept 8 (exact fit)
+    for p, vals in zip([1, 2, 3, 4], [(8, 12), (12, 12), (13, 15), (16, 16)]):
+        rows += [("s1", p, float(v)) for v in vals]
+    # s2: means 5, 5, 5, 5 -> slope 0
+    rows += [("s2", p, 5.0) for p in [1, 2, 3, 4] for _ in range(2)]
+    # s3: missing position 4 -> filtered out
+    rows += [("s3", p, 1.0) for p in [1, 2, 3]]
+    df = spark.createDataFrame(rows, "sample string, pos int, v double")
+    got = {r["sample"]: r for r in
+           rna_degradation(df, "sample", "pos", "v", positions=[1, 2, 3, 4]).collect()}
+    assert set(got) == {"s1", "s2"}
+    s1 = got["s1"]
+    assert (s1["mean_1"], s1["mean_2"], s1["mean_3"], s1["mean_4"]) == (10.0, 12.0, 14.0, 16.0)
+    assert abs(s1["slope"] - 2.0) < 1e-12 and abs(s1["intercept"] - 8.0) < 1e-12
+    assert got["s2"]["slope"] == 0.0 and got["s2"]["intercept"] == 5.0

@@ -750,9 +750,7 @@ def bloom_contamination(
     # the cheap 1-row-per-doc shuffle buys the fan-out parallelism
     par = train.sparkSession.sparkContext.defaultParallelism
     tr_src = train.repartition(par)
-    # distinct (doc, shingle) pairs: shingles() can emit repeats
-    # within a doc, and the verdict join below must stay 1:1
-    tr = shingles(tr_src, id_col, text_col, k).select(id_col, "shingle").distinct()
+    tr = shingles(tr_src, id_col, text_col, k).select(id_col, "shingle")
     ev = shingles(eval_docs, id_col, text_col, k).select("shingle").distinct()
 
     def positions(col):
@@ -800,7 +798,17 @@ def bloom_contamination(
     verdict = maybe_sh.join(
         ev.withColumn("_ev", F.lit(1)), "shingle", "left"
     ).select("shingle", F.lit(1).alias("_maybe"), F.coalesce("_ev", F.lit(0)).alias("_evf"))
-    joined = tr.join(verdict, "shingle")
+    # dedupe (doc, shingle) AFTER the verdict filter, not before (r8,
+    # from the 1 M-doc web_pipeline probe): shingles() can emit repeats
+    # within a doc, but a pre-filter distinct shuffles the FULL pair
+    # relation (the probe's dominant cost — 366 M rows at 1 M docs)
+    # while the post-filter distinct shuffles only Bloom survivors
+    # (~0.1% in the realistic selective regime; identical size only in
+    # the adversarial saturated-vocab case, so the reorder is
+    # equal-or-better everywhere).  The verdict dim is the shingle
+    # VOCABULARY — bounded and usually broadcast by AQE — so the
+    # verdict join itself stays map-side.
+    joined = tr.join(verdict, "shingle").select(id_col, "shingle", "_evf").distinct()
     return joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_maybe"),
         F.sum("_evf").alias("n_exact"),

@@ -431,3 +431,81 @@ def qc_rle_nuse(
             F.percentile("_nse", F.lit(0.75)).alias("nuse_q75"),
         ]
     return dev.groupBy(sample_col).agg(*aggs)
+
+
+def rna_degradation(
+    df: DataFrame,
+    sample_col: str,
+    position_col: str,
+    value_col: str,
+    positions: list[int] | None = None,
+    exact_scale: int | None = None,
+) -> DataFrame:
+    """M18 depth (r8) — the AffyRNAdeg 5'->3' RNA-degradation QC
+    slope (`QC_Affy_U133Plus2.R:143-145`, also U133A/U133A2/U95Av2):
+    per (sample, probe position) mean intensity, then the per-sample
+    OLS slope of mean-by-position — a degraded RNA sample shows a
+    steep positive 5'->3' trend; the reference plots
+    ``plotAffyRNAdeg`` and reads samples off the slope ranking.
+
+    Exactness discipline: probe positions on an array design are a
+    FIXED small set, so the per-position means become conditional
+    aggregates (one per position) in ONE aggregation pass, and the
+    slope/intercept are explicit literal-coefficient expressions of
+    those means — no second-level floating sum whose accumulation
+    order could differ between engines or runs (the qc_rle lesson:
+    deterministic expression trees, not order-sensitive folds).
+    ``exact_scale`` routes the per-position sums through decimal
+    accumulation (the suite's decimal-exact moment scheme).
+
+    When ``positions`` is None it is inferred with one bounded
+    distinct-collect (a probe-position dim is <= dozens of values —
+    the documented bounded-dim collect class).
+
+    Output: one row per sample with all positions present —
+    ``slope``, ``intercept``, ``t_statistic`` (slope / its OLS
+    standard error), plus the per-position means kept as ``mean_<p>``
+    columns (the plotAffyRNAdeg data surface).
+    """
+    if positions is None:
+        positions = sorted(
+            r[0] for r in df.select(position_col).distinct().collect()
+        )
+    n = len(positions)
+    if n < 3:
+        raise ValueError("rna_degradation needs >= 3 probe positions")
+    sx = float(sum(positions))
+    sx2 = float(sum(p * p for p in positions))
+    denom = n * sx2 - sx * sx
+
+    def _mean(p: int):
+        v = F.when(F.col(position_col) == p, F.col(value_col))
+        if exact_scale is not None:
+            s = F.sum(v.cast(f"decimal(18,{exact_scale})")).cast("double")
+        else:
+            s = F.sum(v)
+        return (s / F.count(v)).alias(f"mean_{p}")
+
+    per = df.groupBy(sample_col).agg(
+        *[_mean(p) for p in positions],
+        F.countDistinct(position_col).alias("_np"),
+    )
+    per = per.where(F.col("_np") == n).drop("_np")
+    ys = [F.col(f"mean_{p}") for p in positions]
+    sy = ys[0]
+    sxy = F.lit(float(positions[0])) * ys[0]
+    for p, y in zip(positions[1:], ys[1:]):
+        sy = sy + y
+        sxy = sxy + F.lit(float(p)) * y
+    slope = (F.lit(float(n)) * sxy - F.lit(sx) * sy) / F.lit(denom)
+    intercept = (sy - slope * F.lit(sx)) / F.lit(float(n))
+    out = per.withColumn("slope", slope).withColumn("intercept", intercept)
+    # OLS slope SE from the residual sum of squares over the n fixed
+    # positions — again an explicit expression tree over mean_<p>
+    rss = None
+    for p in positions:
+        r = F.col(f"mean_{p}") - (F.col("intercept") + F.col("slope") * F.lit(float(p)))
+        rss = r * r if rss is None else rss + r * r
+    sxx = F.lit(denom / n)  # = sum((x - xbar)^2)
+    se = F.sqrt(rss / F.lit(float(n - 2)) / sxx)
+    return out.withColumn("t_statistic", F.col("slope") / se)

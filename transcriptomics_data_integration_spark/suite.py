@@ -2080,7 +2080,7 @@ _ROUND7_FRONT = [
 # mp4_header (spec-valid mvhd), and the simhash star-compression
 # closure consumers (dedup_clusters, leakage_split, corpus_pipeline;
 # dedup_keep_best already in (b), robots_filter already in (a)) —
-# and (d) an 11-slice of the r5-only-stamped remainder in registry
+# and (d) a 10-slice of the r5-only-stamped remainder in registry
 # order.  Exactly 50 = the driver's gated window.
 _ROUND8_FRONT = [
     # -- (a) never-stamped r7 gates ----------------------------------------
@@ -2094,25 +2094,25 @@ _ROUND8_FRONT = [
     "ivf_fixed", "jsonl_parse", "dedup_keep_best", "winnow_containment",
     "domain_dup_rate", "voom_loess2", "cqn_irls2", "ngram_span_mask",
     # -- (c) r8-touched kernels ---------------------------------------------
-    "dabg_filter", "qc_rle", "video_frames", "temperature_sample",
-    "web_pipeline", "mp4_header", "dedup_clusters", "leakage_split",
-    "corpus_pipeline",
+    "dabg_filter", "qc_rle", "rna_degradation", "video_frames",
+    "temperature_sample", "web_pipeline", "mp4_header", "dedup_clusters",
+    "leakage_split", "corpus_pipeline",
     # -- (d) r5-only-stamped slice (registry order) -------------------------
     "pricing_summary", "gene_stats", "library_size", "gene_exclusion",
     "outlier_removal", "zero_variance_filter", "nonspecific_filter",
     "reliability_filter", "value_conditioning", "argmax_dedup",
-    "dedup_rows",
 ]
 
 # Round-9 rotation plan: (a) every r9-touched/new kernel first, (b) the
-# r5-only-stamped remainder (28 queries: cel_decode, cohort_retention,
-# contamination, doc_sample, fisher_enrichment, frequency_table,
-# funnel, gopher_repetition, language_id_ngram, mahalanobis_outliers,
-# media_header_decode, minhash_accuracy, mixture_sample,
-# multimodal_featurize, normalize_dedup, pairwise_contrasts,
-# paragraph_dedup, pca_outliers, pii_scrub, pq_fixed, quality_model,
-# rolling_stats, set_compare, strata_correlation, term_enrichment,
-# venn_membership, vocab_size_sketch, voom_loess3), remainder filled
-# with r6-only-stamped queries in registry order.
+# r5-only-stamped remainder (29 queries: cel_decode, cohort_retention,
+# contamination, dedup_rows, doc_sample, fisher_enrichment,
+# frequency_table, funnel, gopher_repetition, language_id_ngram,
+# mahalanobis_outliers, media_header_decode, minhash_accuracy,
+# mixture_sample, multimodal_featurize, normalize_dedup,
+# pairwise_contrasts, paragraph_dedup, pca_outliers, pii_scrub,
+# pq_fixed, quality_model, rolling_stats, set_compare,
+# strata_correlation, term_enrichment, venn_membership,
+# vocab_size_sketch, voom_loess3), remainder filled with
+# r6-only-stamped queries in registry order.
 QUERIES = _reorder_front(QUERIES, _ROUND8_FRONT)
 QUERIES = {n: _with_persist_drain(fn) for n, fn in QUERIES.items()}

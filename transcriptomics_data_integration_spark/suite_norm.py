@@ -251,6 +251,87 @@ FROM dev GROUP BY sample_id
 """
 
 
+def q_rna_degradation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M18 depth (r8) — AffyRNAdeg 5'->3' degradation slope
+    (`QC_Affy_U133Plus2.R:143-145`): sample = suppkey, probe position
+    = linenumber (the fixed 1..7 design), intensity = extendedprice
+    in cents (integer grid; the per-position mean is then ONE exact
+    division and the slope an explicit literal-coefficient expression
+    — no order-sensitive float accumulation anywhere)."""
+    from transcriptomics_data_integration_spark.stats.normalize import (
+        rna_degradation,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = rna_degradation(
+        li.select(
+            F.col("l_suppkey").alias("sample_id"),
+            F.col("l_linenumber").alias("pos"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v"),
+        ),
+        "sample_id",
+        "pos",
+        "v",
+        positions=[1, 2, 3, 4, 5, 6, 7],
+    )
+    return out.select(
+        "sample_id",
+        F.round("mean_1", 6).alias("mean_1"),
+        F.round("mean_7", 6).alias("mean_7"),
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("t_statistic", 4).alias("t_statistic"),
+    )
+
+
+_RNADEG_M = "".join(
+    f",\n         SUM(CASE WHEN pos={p} THEN v END)"
+    f" / COUNT(CASE WHEN pos={p} THEN v END) AS m{p}" for p in range(1, 8)
+)
+ORACLE_RNA_DEGRADATION = f"""
+WITH cell AS (
+  SELECT l_suppkey AS sample_id, l_linenumber AS pos,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM lineitem
+), pm AS (
+  SELECT sample_id{_RNADEG_M},
+         COUNT(DISTINCT pos) AS np
+  FROM cell GROUP BY sample_id
+), sl AS (
+  SELECT sample_id, m1, m7,
+         (7.0 * (1.0*m1 + 2.0*m2 + 3.0*m3 + 4.0*m4 + 5.0*m5 + 6.0*m6 + 7.0*m7)
+          - 28.0 * (m1 + m2 + m3 + m4 + m5 + m6 + m7)) / 196.0 AS slope,
+         m1 + m2 + m3 + m4 + m5 + m6 + m7 AS sy
+  FROM pm WHERE np = 7
+), ic AS (
+  SELECT sample_id, m1, m7, slope,
+         (sy - slope * 28.0) / 7.0 AS intercept
+  FROM sl
+), pmj AS (
+  SELECT i.*, p.m2, p.m3, p.m4, p.m5, p.m6 FROM ic i JOIN pm p USING (sample_id)
+), tt AS (
+  SELECT sample_id, m1, m7, slope, intercept,
+         (m1 - (intercept + slope * 1.0)) * (m1 - (intercept + slope * 1.0))
+       + (m2 - (intercept + slope * 2.0)) * (m2 - (intercept + slope * 2.0))
+       + (m3 - (intercept + slope * 3.0)) * (m3 - (intercept + slope * 3.0))
+       + (m4 - (intercept + slope * 4.0)) * (m4 - (intercept + slope * 4.0))
+       + (m5 - (intercept + slope * 5.0)) * (m5 - (intercept + slope * 5.0))
+       + (m6 - (intercept + slope * 6.0)) * (m6 - (intercept + slope * 6.0))
+       + (m7 - (intercept + slope * 7.0)) * (m7 - (intercept + slope * 7.0)) AS rss
+  FROM pmj
+)
+SELECT sample_id,
+       ROUND(m1, 6) AS mean_1,
+       ROUND(m7, 6) AS mean_7,
+       ROUND(slope, 6) AS slope,
+       ROUND(intercept, 6) AS intercept,
+       ROUND(slope / sqrt(rss / 5.0 / 28.0), 4) AS t_statistic
+FROM tt
+"""
+
+
 def q_expression_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entry-point A step 4 end-to-end: target projection, packed-list
     outlier removal, probe->gene map join, argmax-dedup collapse, zero-
@@ -868,6 +949,7 @@ QUERIES_NORM = {
     "array_weights": q_array_weights,
     "qc_sample_metrics": q_qc_sample_metrics,
     "qc_rle": q_qc_rle,
+    "rna_degradation": q_rna_degradation,
     "expression_pipeline": q_expression_pipeline,
 }
 
@@ -880,6 +962,7 @@ ORACLES_NORM = {
     "array_weights": ORACLE_ARRAY_WEIGHTS,
     "qc_sample_metrics": ORACLE_QC_METRICS,
     "qc_rle": ORACLE_QC_RLE,
+    "rna_degradation": ORACLE_RNA_DEGRADATION,
     "expression_pipeline": ORACLE_EXPRESSION_PIPELINE,
 }
 
