@@ -330,3 +330,5 @@ def test_rna_degradation_exact_slope(spark):
     assert (s1["mean_1"], s1["mean_2"], s1["mean_3"], s1["mean_4"]) == (10.0, 12.0, 14.0, 16.0)
     assert abs(s1["slope"] - 2.0) < 1e-12 and abs(s1["intercept"] - 8.0) < 1e-12
     assert got["s2"]["slope"] == 0.0 and got["s2"]["intercept"] == 5.0
+    # both crafted samples fit their line exactly -> t undefined (NULL)
+    assert s1["t_statistic"] is None and got["s2"]["t_statistic"] is None

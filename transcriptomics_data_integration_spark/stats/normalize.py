@@ -484,7 +484,10 @@ def rna_degradation(
             s = F.sum(v.cast(f"decimal(18,{exact_scale})")).cast("double")
         else:
             s = F.sum(v)
-        return (s / F.count(v)).alias(f"mean_{p}")
+        # ANSI mode: a sample missing this position must yield NULL,
+        # not a divide-by-zero (such samples are filtered just below)
+        cnt = F.count(v)
+        return F.when(cnt > 0, s / cnt).alias(f"mean_{p}")
 
     per = df.groupBy(sample_col).agg(
         *[_mean(p) for p in positions],
@@ -508,4 +511,8 @@ def rna_degradation(
         rss = r * r if rss is None else rss + r * r
     sxx = F.lit(denom / n)  # = sum((x - xbar)^2)
     se = F.sqrt(rss / F.lit(float(n - 2)) / sxx)
-    return out.withColumn("t_statistic", F.col("slope") / se)
+    # a perfect linear fit has rss = 0 -> se = 0: the t statistic is
+    # undefined (NULL), not a divide-by-zero
+    return out.withColumn(
+        "t_statistic", F.when(se > 0, F.col("slope") / se)
+    )
