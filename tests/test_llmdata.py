@@ -2691,3 +2691,87 @@ def test_avi_mjpeg_roundtrip_and_tolerant(spark):
     d3 = decode_avi_frames(bytes(out["payload"]))
     assert d3 is not None and len(d3["frames"]) == 3
     assert d3["frames"][0].shape == (8, 8, 1) and d3["fps"] == 10
+
+
+def test_bm25_scores_match_python_replay(spark):
+    """bm25_topk (r8): Lucene-form idf + k1/b saturation replayed in
+    Python; rare term outweighs common ones; rank deterministic."""
+    import math
+
+    from transcriptomics_data_integration_spark.llmdata.retrieval import bm25_topk
+
+    corpus = [
+        (1, "rare common common filler filler"),
+        (2, "common filler filler filler filler filler"),
+        (3, "filler filler filler"),
+        (4, "rare rare common filler"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bm25_topk(df, "doc_id", "text", ["rare", "common"], k=10).collect()}
+
+    N, avgdl = 4, (5 + 6 + 3 + 4) / 4
+    dfs = {"rare": 2, "common": 3}
+    dls = {1: 5, 2: 6, 3: 3, 4: 4}
+    tfs = {1: {"rare": 1, "common": 2}, 2: {"rare": 0, "common": 1},
+           3: {}, 4: {"rare": 2, "common": 1}}
+
+    def score(d):
+        s = 0.0
+        for t in ["rare", "common"]:
+            tf = tfs[d].get(t, 0)
+            idf = math.log(1.0 + (N - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            s += idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dls[d] / avgdl)))
+        return s
+
+    assert 3 not in got  # no query term -> no row
+    for d in (1, 2, 4):
+        assert abs(got[d]["score"] - score(d)) < 1e-12, d
+    # doc 4 (two 'rare' hits, short) must outrank doc 2 (one common hit)
+    assert got[4]["rank"] < got[2]["rank"]
+
+
+def test_pagerank_fixed_integer_mass(spark):
+    """pagerank_fixed (r8): integer-mass rounds replayed in Python on a
+    graph with a hub, a dangling node, and a cycle — bit-exact."""
+    from transcriptomics_data_integration_spark.llmdata.graph import pagerank_fixed
+
+    # 0 -> 1, 0 -> 2, 1 -> 2, 2 -> 0, 3 -> 2 ; node 4 appears only as
+    # a dst (dangling: no out-edges)
+    E = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (1, 4)]
+    df = spark.createDataFrame(E, "src long, dst long")
+    got = {r["node"]: r["pr_units"] for r in pagerank_fixed(df, n_iter=3).collect()}
+
+    U, d = 10**12, 85
+    nodes = {0, 1, 2, 3, 4}
+    out = {0: 2, 1: 2, 2: 1, 3: 1}
+    N = len(nodes)
+    pr = {v: U // N for v in nodes}
+    for _ in range(3):
+        inflow = {v: 0 for v in nodes}
+        for s, t in E:
+            inflow[t] += pr[s] // out[s]
+        dang = sum(pr[v] for v in nodes if v not in out)
+        pr = {v: ((100 - d) * U) // (100 * N) + (d * (inflow[v] + dang // N)) // 100
+              for v in nodes}
+    assert got == pr
+    # the sink hub (node 2) must hold the most mass
+    assert max(pr, key=pr.get) == 2
+
+
+def test_perplexity_buckets_tertiles(spark):
+    """perplexity_buckets (r8): fluent docs land in bucket 1, shuffled
+    gibberish in bucket 3; thresholds are corpus tertiles of the
+    rounded score; every doc gets exactly one bucket."""
+    from transcriptomics_data_integration_spark.llmdata.text import perplexity_buckets
+
+    base = "the cat sat on the mat and the dog sat on the rug"
+    shuffled = "mat the on dog sat rug the cat the and on sat the"
+    half = "the cat sat rug on and mat dog the on sat the mat"
+    corpus = ([(i, base) for i in range(6)]
+              + [(100 + i, half) for i in range(3)]
+              + [(200 + i, shuffled) for i in range(3)])
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r["doc_id"]: r["bucket"] for r in perplexity_buckets(df, "doc_id").collect()}
+    assert len(got) == 12
+    assert all(got[i] == 1 for i in range(6))
+    assert all(got[200 + i] == 3 for i in range(3))

@@ -73,6 +73,16 @@ BNLJ_WHITELIST = {
     # attach in the interpolated-LM model build (llmdata/text.py:959)
     # — identical to the whitelisted doc_logprob pattern
     "bigram_logprob",
+    # bm25_topk: TWO 1-row broadcast attaches (corpus N/avgdl stats and
+    # the per-query-term df row) — the monotone_range_buckets pattern
+    "bm25_topk",
+    # pagerank3: per unrolled round, the 1-row node-count and
+    # dangling-mass broadcast attaches (plus the init N attach) —
+    # every BNLJ side is exactly one row
+    "pagerank3",
+    # perplexity_buckets: bigram_logprob's 1-row corpus-N attach plus
+    # its own 1-row tertile-threshold attach
+    "perplexity_buckets",
 }
 
 

@@ -981,3 +981,48 @@ def bigram_logprob(
             (F.sum("lp") / F.count(F.lit(1))).alias("mean_bigram_logprob"),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    lam: float = 0.8,
+    round_dp: int = 6,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (r8): score every doc with the
+    corpus-fit interpolated bigram LM (:func:`bigram_logprob`), then
+    assign head / middle / tail by the corpus score TERTILES — the
+    quality stratification CCNet (Wenzek et al., public) applies
+    before per-bucket sampling, here on mean bigram log-prob (higher
+    = more fluent) instead of an external LM's perplexity.
+
+    Scale shape: bucket assignment is NOT a global ntile window (the
+    single-task trap) — the two tertile thresholds are ONE exact-
+    percentile 1-row aggregate, broadcast back, and the bucket is a
+    map-side comparison.  Thresholds and comparisons run on the
+    ROUNDED score (``round_dp``): the raw ln() can differ by 1 ulp
+    between engines' libm, and a doc sitting exactly on a tertile
+    boundary must land in the same bucket everywhere — rounding
+    collapses the ulp noise into the repo's standard 6-dp FP policy.
+
+    Output: (id, n_bigrams, score, bucket) with bucket 1 = head
+    (score >= upper tertile), 2 = middle, 3 = tail.
+    """
+    scored = bigram_logprob(df, id_col, text_col, lam).withColumn(
+        "score", F.round("mean_bigram_logprob", round_dp)
+    )
+    thr = scored.agg(
+        F.percentile("score", F.lit(2.0 / 3.0)).alias("_t_hi"),
+        F.percentile("score", F.lit(1.0 / 3.0)).alias("_t_lo"),
+    )
+    return (
+        scored.join(F.broadcast(thr))
+        .withColumn(
+            "bucket",
+            F.when(F.col("score") >= F.col("_t_hi"), F.lit(1))
+            .when(F.col("score") >= F.col("_t_lo"), F.lit(2))
+            .otherwise(F.lit(3)),
+        )
+        .select(id_col, "n_bigrams", "score", "bucket")
+    )

@@ -3879,6 +3879,193 @@ QUERIES_LLM["video_frames"] = q_video_frames
 ORACLES_LLM["video_frames"] = ORACLE_VIDEO_FRAMES
 
 
+_BM25_TERMS = ["dup", "spark", "merge"]  # df ~29 / ~900 / ~900 at sf0.001
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (r8): Lucene-form idf, k1=1.2 / b=0.75
+    saturation, over the documents table for a 3-term query mixing one
+    RARE term ('dup') with two common ones — so the idf weighting, the
+    length normalization, and the tf saturation all discriminate.
+    Plan: filtered-explode posting relation (query vocabulary only),
+    pivoted per-term tf columns, one 1-row corpus-stats attach, and an
+    explicit literal-coefficient score expression (no order-sensitive
+    float sum; the oracle replays the identical expression tree).
+    Top-k via orderBy+limit (TakeOrderedAndProject), rank windowed
+    over the 100-row result only."""
+    from transcriptomics_data_integration_spark.llmdata.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=100)
+    return out.select(
+        "doc_id",
+        F.col("dl").cast("bigint").alias("dl"),
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def _bm25_oracle() -> str:
+    t0, t1, t2 = _BM25_TERMS
+    tf = "\n".join(
+        f"         SUM(CASE WHEN term='{t}' THEN 1 ELSE 0 END) AS tf_{i},"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    dfs = ",\n".join(
+        f"         COUNT(DISTINCT CASE WHEN term='{t}' THEN doc_id END) AS df_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    parts = " +\n       ".join(
+        f"ln(1.0 + (N - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * ((tf_{i} * 2.2) / (tf_{i} + 1.2 * (0.25 + 0.75 * dl / avgdl)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, len(string_split(trim(text), ' ')) AS dl,
+         string_split(trim(text), ' ') AS toks
+  FROM documents
+), posting AS (
+  SELECT doc_id, dl, UNNEST(toks) AS term FROM base
+), pd AS (
+  SELECT doc_id, dl,
+{tf}
+  FROM posting WHERE term IN ('{t0}', '{t1}', '{t2}')
+  GROUP BY doc_id, dl
+), st AS (
+  SELECT COUNT(*) AS N, AVG(dl) AS avgdl FROM base
+), dfs AS (
+  SELECT
+{dfs}
+  FROM posting WHERE term IN ('{t0}', '{t1}', '{t2}')
+), sc AS (
+  SELECT doc_id, dl,
+       {parts} AS score
+  FROM pd CROSS JOIN st CROSS JOIN dfs
+), ranked AS (
+  SELECT doc_id, dl, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM sc
+)
+SELECT doc_id, CAST(dl AS BIGINT) AS dl, ROUND(score, 6) AS score,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 100
+"""
+
+
+QUERIES_LLM["bm25_topk"] = q_bm25_topk
+ORACLES_LLM["bm25_topk"] = _bm25_oracle()
+
+
+def q_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-3-iteration PageRank in tick-quantized integer mass
+    (r8) — the host-rank quality signal of crawl curation
+    (`llmdata/graph.py:pagerank_fixed`).  Fabric: a 3-out-degree link
+    graph over doc ids (dst = (doc_id * m + a) % N for three (m, a)
+    pairs — deterministic, includes hubs and self-loops).  Integer
+    DIV transfers and percent damping make every engine bit-exact;
+    the oracle unrolls the same three rounds as chained CTEs."""
+    from transcriptomics_data_integration_spark.llmdata.graph import pagerank_fixed
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # bounded scalar for the edge-formula literal
+    edges = None
+    for m, a in ((5, 1), (7, 3), (11, 4)):
+        part = docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * m + a) % n).alias("dst"),
+        )
+        edges = part if edges is None else edges.unionByName(part)
+    out = pagerank_fixed(edges, "src", "dst", n_iter=3)
+    return out.select(
+        F.col("node").alias("doc_id"),
+        F.col("outdeg").cast("bigint").alias("outdeg"),
+        "pr_units",
+    )
+
+
+def _pagerank_oracle() -> str:
+    edge_union = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id AS src, (doc_id * {m} + {a}) %"
+        " (SELECT COUNT(*) FROM documents) AS dst FROM documents"
+        for m, a in ((5, 1), (7, 3), (11, 4))
+    )
+    # one iteration template: inflow from prN, then the damped update
+    it = """, c{k} AS (
+  SELECT e.dst AS node, p.pr // p.outdeg AS c
+  FROM e JOIN pr{j} p ON e.src = p.node
+), pr{k} AS (
+  SELECT n.node, n.outdeg,
+         ((15 * CAST(1000000000000 AS BIGINT)) // (100 * nn.N))
+         + (85 * (COALESCE(i.inflow, 0) + 0 // nn.N)) // 100 AS pr
+  FROM ndeg n
+  LEFT JOIN (SELECT node, SUM(c) AS inflow FROM c{k} GROUP BY node) i
+    ON n.node = i.node
+  CROSS JOIN nn
+)"""
+    iters = "".join(it.format(k=k, j=k - 1) for k in (1, 2, 3))
+    return f"""
+WITH e AS (
+{edge_union}
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), ndeg AS (
+  SELECT n.node, o.outdeg
+  FROM nodes n LEFT JOIN (
+    SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY src
+  ) o ON n.node = o.node
+), nn AS (
+  SELECT COUNT(*) AS N FROM nodes
+), pr0 AS (
+  SELECT n.node, n.outdeg, CAST(1000000000000 AS BIGINT) // nn.N AS pr
+  FROM ndeg n CROSS JOIN nn
+){iters}
+SELECT node AS doc_id, CAST(outdeg AS BIGINT) AS outdeg,
+       CAST(pr AS BIGINT) AS pr_units
+FROM pr3
+"""
+
+
+QUERIES_LLM["pagerank3"] = q_pagerank3
+ORACLES_LLM["pagerank3"] = _pagerank_oracle()
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail LM-quality bucketing (r8):
+    interpolated bigram-LM scores -> corpus score tertiles -> map-side
+    bucket assignment (`llmdata/text.py:perplexity_buckets`).  The
+    thresholds are ONE exact-percentile 1-row broadcast attach, NOT a
+    global ntile window (single-task trap); comparisons run on the
+    6-dp rounded score so a boundary doc lands identically in both
+    engines.  Oracle: the bigram-LM model SQL wrapped with the same
+    quantile_cont thresholds and CASE."""
+    from transcriptomics_data_integration_spark.llmdata.text import (
+        perplexity_buckets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return perplexity_buckets(docs, "doc_id", lam=0.8)
+
+
+ORACLE_PERPLEXITY_BUCKETS = f"""
+WITH s AS (
+{ORACLE_BIGRAM_LOGPROB}
+), thr AS (
+  SELECT quantile_cont(mean_bigram_logprob, 2.0/3.0) AS t_hi,
+         quantile_cont(mean_bigram_logprob, 1.0/3.0) AS t_lo
+  FROM s
+)
+SELECT s.doc_id, s.n_bigrams, s.mean_bigram_logprob AS score,
+       CASE WHEN s.mean_bigram_logprob >= thr.t_hi THEN 1
+            WHEN s.mean_bigram_logprob >= thr.t_lo THEN 2
+            ELSE 3 END AS bucket
+FROM s CROSS JOIN thr
+"""
+
+QUERIES_LLM["perplexity_buckets"] = q_perplexity_buckets
+ORACLES_LLM["perplexity_buckets"] = ORACLE_PERPLEXITY_BUCKETS
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode hygiene pass, HASH-GATED (r7): each doc's text gets a
     planted suffix of NFC-decomposed accent (e + U+0301), zero-width
