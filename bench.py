@@ -123,6 +123,15 @@ BENCH_QUERIES = [
     "jpeg_pixels",
     "gif_pixels",
     "icc_sampled",
+    # round-8 additions
+    "dabg_filter",
+    "qc_rle",
+    "rna_degradation",
+    "video_frames",
+    "bm25_topk",
+    "pagerank3",
+    "perplexity_buckets",
+    "web_pipeline",
 ]
 
 

@@ -580,34 +580,42 @@ def simhash_neardup_pairs(
     here is exact, not probabilistic.  All-integer pipeline: bit-exact
     in any engine.
 
-    Exact-duplicate cluster compression (r8, the `minhash_lsh_pairs`
-    machinery ported per the r7 verdict): docs with identical text
-    have identical token multisets, hence identical signatures, band
-    keys, and pairwise Hamming 0 — so the explode-heavy
-    simhash/banding/verify stages run on ONE representative per
-    distinct text, and member pairs are reconstructed from the digest
-    relation afterwards.  ``expand`` selects the output edge set:
+    Exact-duplicate cluster compression (r8, per the r7 verdict item
+    6): docs with identical text have identical token multisets, hence
+    identical signatures, band keys, and pairwise Hamming 0.
+    ``expand`` selects the output edge set AND the execution strategy:
 
-    - ``"all"`` (default): every member-level pair, bit-identical to
-      the uncompressed semantics the DuckDB oracle replays (intra-
-      clique pairs carry Hamming 0; a cross-clique member pair carries
-      its representative pair's Hamming — the texts are the same).
+    - ``"all"`` (default): every member-level pair — the direct
+      banded pipeline over the full corpus, exactly what the DuckDB
+      oracle replays.  Measured note: reconstructing member pairs
+      from a rep-compressed run costs MORE than it saves at moderate
+      dup rates (sf0.1 two-crawl A/B: 1.1 s direct vs 1.7 s
+      reconstructed), and pair-level output is quadratic in clique
+      size regardless — so "all" stays uncompressed; dup-storm
+      corpora should consume "star".
     - ``"star"``: connectivity-equivalent linear edge set for the
-      clustering chain (verified rep pairs + one member->rep edge per
-      exact duplicate).  A web-crawl dup storm of 10^6 identical docs
-      yields 10^6 - 1 star edges instead of ~5*10^11 pairs; the
-      transitive closure — and hence dedup_clusters /
-      keep_best_per_cluster / leakage_safe_split — is IDENTICAL.
+      clustering chain: rep election by ONE window over the text
+      digest (no digest join, no cache — min-id-per-digest rides the
+      same shuffle), the explode-heavy simhash/banding/verify stages
+      run on the representatives only, output = verified rep pairs +
+      one member->rep edge per exact duplicate.  A web-crawl dup
+      storm of 10^6 identical docs yields 10^6 - 1 star edges instead
+      of ~5*10^11 pairs; the transitive closure — and hence
+      dedup_clusters / keep_best_per_cluster / leakage_safe_split —
+      is IDENTICAL (201x fewer edges, 7.4x faster closure at the
+      200k-doc storm probe; PLANS.md r8).
     """
     if expand not in ("all", "star"):
         raise ValueError(f"expand must be 'all' or 'star', got {expand!r}")
-    member = df.select(
-        F.col(id_col), content_digest(F.col(text_col)).alias("digest")
-    ).cache()
-    rep = member.groupBy("digest").agg(F.min(id_col).alias("rep_id"))
-    rep_docs = df.join(rep.select(F.col("rep_id").alias(id_col)), id_col)
+    if expand == "star":
+        tagged = df.withColumn("_dig", content_digest(F.col(text_col))).withColumn(
+            "_rep", F.min(id_col).over(Window.partitionBy("_dig"))
+        )
+        src = tagged.where(F.col(id_col) == F.col("_rep")).drop("_dig", "_rep")
+    else:
+        src = df
 
-    sigs = simhash(rep_docs, id_col, text_col)
+    sigs = simhash(src, id_col, text_col)
     band_bits = SIMHASH_BITS // n_bands
     mask = (1 << band_bits) - 1
     banded = sigs.select(
@@ -627,7 +635,7 @@ def simhash_neardup_pairs(
     b = banded.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "band", "key"
     )
-    rep_pairs = (
+    pairs = (
         a.join(b, ["band", "key"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
@@ -638,47 +646,15 @@ def simhash_neardup_pairs(
     )
     if expand == "star":
         star = (
-            member.join(rep, "digest")
-            .where(F.col(id_col) != F.col("rep_id"))
+            tagged.where(F.col(id_col) != F.col("_rep"))
             .select(
-                F.least(id_col, "rep_id").alias("id_a"),
-                F.greatest(id_col, "rep_id").alias("id_b"),
+                F.least(id_col, "_rep").alias("id_a"),
+                F.greatest(id_col, "_rep").alias("id_b"),
                 F.lit(0).alias("hamming"),
             )
         )
-        return rep_pairs.unionByName(star)
-    # member-level expansion: intra-clique pairs (identical sigs share
-    # every band -> always candidates, Hamming 0) ...
-    ma = member.select(F.col(id_col).alias("mem_a"), F.col("digest").alias("dig_a"))
-    mb = member.select(F.col(id_col).alias("mem_b"), F.col("digest").alias("dig_b"))
-    intra = (
-        ma.join(mb, F.col("dig_a") == F.col("dig_b"))
-        .where(F.col("mem_a") < F.col("mem_b"))
-        .select(
-            F.col("mem_a").alias("id_a"),
-            F.col("mem_b").alias("id_b"),
-            F.lit(0).alias("hamming"),
-        )
-    )
-    # ... plus cross-clique rep pairs fanned out to all member pairs
-    cross = (
-        rep_pairs.join(
-            rep.select(F.col("rep_id").alias("id_a"), F.col("digest").alias("dig_a")),
-            "id_a",
-        )
-        .join(
-            rep.select(F.col("rep_id").alias("id_b"), F.col("digest").alias("dig_b")),
-            "id_b",
-        )
-        .join(ma, "dig_a")
-        .join(mb, "dig_b")
-        .select(
-            F.least("mem_a", "mem_b").alias("id_a"),
-            F.greatest("mem_a", "mem_b").alias("id_b"),
-            "hamming",
-        )
-    )
-    return cross.unionByName(intra)
+        return pairs.unionByName(star)
+    return pairs
 
 
 def connected_components_stars(
