@@ -18,7 +18,12 @@ src key) and ONE inflow aggregation (shuffle on dst) — the canonical
 distributed PageRank step; dangling mass and the node count ride
 1-row broadcast attaches.  Fixed ``n_iter`` unrolls into a static
 plan (no driver loop state), which is what makes a recursive-CTE
-DuckDB oracle possible.
+DuckDB oracle possible; each round's rank relation is LAZY
+localCheckpoint-ed so the unrolled lineage stays one round deep
+(``cur`` feeds three consumers per round — contrib, dangling, and the
+update — and without the cut the plan tree triples per iteration:
+measured 22 BroadcastNestedLoopJoins in the 3-round physical plan;
+the connected_components discipline).
 """
 
 from __future__ import annotations
@@ -59,6 +64,9 @@ def pagerank_fixed(
         "pr", F.expr(f"CAST({int(total_units)} AS BIGINT) DIV _N")
     )
     for _ in range(int(n_iter)):
+        # lineage cut: cur is consumed three times this round, and the
+        # unrolled tree otherwise triples per iteration
+        cur = cur.localCheckpoint(eager=False)
         contrib = e.join(
             cur.select(F.col("node").alias("_s"), "pr", "outdeg"), "_s"
         ).select(F.col("_d").alias("node"), F.expr("pr DIV outdeg").alias("_c"))
