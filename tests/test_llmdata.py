@@ -2775,3 +2775,35 @@ def test_perplexity_buckets_tertiles(spark):
     assert len(got) == 12
     assert all(got[i] == 1 for i in range(6))
     assert all(got[200 + i] == 3 for i in range(3))
+
+
+def test_substring_dedup_spans_maximal_runs(spark):
+    """substring_dedup_spans (r8): maximal verbatim spans on shifted
+    offsets, TWO separate spans within one pair stay separate, spans
+    below min_tokens are dropped, internal same-doc repeats are not
+    pairs, and boilerplate grams above max_df are ignored."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        substring_dedup_spans,
+    )
+
+    shared1 = " ".join(f"s{i}" for i in range(12))       # 12 tokens
+    shared2 = " ".join(f"z{i}" for i in range(9))        # 9 tokens (< min 10)
+    rows = [
+        (1, f"a1 a2 {shared1} b1 b2 {shared2}"),
+        (2, f"c1 {shared1} d1 d2 d3 {shared2}"),
+        (3, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = substring_dedup_spans(df, "doc_id", k=4, min_tokens=10).collect()
+    assert len(got) == 1
+    r = got[0]
+    # doc1: head 2 tokens -> span starts at 2; doc2: head 1 -> starts at 1
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert (r["start_a"], r["start_b"], r["span_tokens"]) == (2, 1, 12)
+    # lowering min_tokens exposes the second (9-token) span too
+    got2 = substring_dedup_spans(df, "doc_id", k=4, min_tokens=8).collect()
+    assert len(got2) == 2
+    spans = {(r["span_tokens"]) for r in got2}
+    assert spans == {12, 9}
+    # boilerplate guard: with max_df=1, nothing survives
+    assert substring_dedup_spans(df, "doc_id", k=4, min_tokens=8, max_df=1).count() == 0

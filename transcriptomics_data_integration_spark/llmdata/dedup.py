@@ -1144,3 +1144,88 @@ def mask_frequent_ngrams(
             F.coalesce(out_col, F.lit("")).alias(out_col),
         )
     )
+
+
+def substring_dedup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    min_tokens: int = 20,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Exact-substring duplicate spans (r8) — the relational form of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), which removes VERBATIM repeated passages (>= ~50
+    tokens there) that whole-doc and near-dup methods miss.  The
+    paper builds a single-node suffix array; the distributed
+    equivalent here:
+
+    1. anchor: every k-TOKEN gram with its position, hashed to the
+       repo-standard 60-bit md5;
+    2. frequency guard: grams appearing in more than ``max_df`` docs
+       are dropped before the join (boilerplate grams would drive the
+       anchor self-join quadratic; the guard is the same move as
+       frequent-n-gram masking, and any span made ONLY of such grams
+       is boilerplate by definition);
+    3. match: self-join on the gram hash -> (id_a, pos_a, id_b,
+       pos_b) with id_a < id_b (same-doc internal repeats excluded);
+    4. merge: consecutive shared grams lie on one DIAGONAL
+       (pos_a - pos_b constant), so maximal shared spans are
+       consecutive-integer runs of pos_a within (pair, diagonal) —
+       the classic ``pos - row_number()`` run-grouping window;
+    5. emit spans with token length >= ``min_tokens``
+       (= run_len + k - 1 tokens).
+
+    Output: (id_a, id_b, start_a, start_b, span_tokens) — 0-based
+    token offsets of each maximal shared passage.
+
+    Scale shape: one explode (grams), one df-guard aggregation, one
+    hash-keyed self-join whose fan-out is bounded by ``max_df``, one
+    window over (pair, diagonal) — every stage keyed and
+    partitionable; nothing quadratic in corpus size, only in
+    per-gram document frequency, which the guard caps.
+    """
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    gram_expr = (
+        f"transform(sequence(1, size(_toks) - {k - 1}), "
+        f"i -> concat_ws(' ', slice(_toks, i, {k})))"
+    )
+    grams = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .where(F.size("_toks") >= k)
+        .select(
+            id_col,
+            F.posexplode(F.expr(gram_expr)).alias("pos", "_g"),
+        )
+        .select(id_col, "pos", _md5_60bit(F.col("_g")).alias("gh"))
+    )
+    rare = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .where((F.col("_df") > 1) & (F.col("_df") <= max_df))
+        .select("gh")
+    )
+    g = grams.join(rare, "gh")
+    a = g.select(F.col("gh"), F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"))
+    b = g.select(F.col("gh"), F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"))
+    m = a.join(b, "gh").where(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "pos_a", "pos_b"
+    ).distinct()
+    w = Window.partitionBy(
+        "id_a", "id_b", (F.col("pos_a") - F.col("pos_b")).alias("_diag")
+    ).orderBy("pos_a")
+    runs = m.withColumn(
+        "_run", F.col("pos_a") - F.row_number().over(w)
+    )
+    spans = (
+        runs.groupBy("id_a", "id_b", (F.col("pos_a") - F.col("pos_b")).alias("_diag"), "_run")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.max("pos_a") - F.min("pos_a") + F.lit(k)).alias("span_tokens"),
+        )
+        .where(F.col("span_tokens") >= min_tokens)
+        .select("id_a", "id_b", "start_a", "start_b", "span_tokens")
+    )
+    return spans

@@ -4066,6 +4066,98 @@ QUERIES_LLM["perplexity_buckets"] = q_perplexity_buckets
 ORACLES_LLM["perplexity_buckets"] = ORACLE_PERPLEXITY_BUCKETS
 
 
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (r8, Lee et al. 2022's verbatim-
+    passage dedup in relational form): per doc a planted token stream —
+    a VARIABLE-length unique head (2 + doc_id % 3 tokens, so matching
+    spans sit on nontrivial diagonals), a 25-token passage shared by
+    the doc's group of four (doc_id DIV 4), and a unique tail.  The
+    operator (`llmdata/dedup.py:substring_dedup_spans`, k=8 anchors,
+    min 20 tokens) must report exactly one maximal span per same-group
+    pair with the correct per-doc start offsets and length 25.  The
+    oracle replays the ALGORITHM (gram anchors -> df guard -> hash
+    self-join -> diagonal run-grouping) in DuckDB."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        substring_dedup_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    head = (
+        "transform(sequence(1, CAST(2 + doc_id % 3 AS INT)), "
+        "i -> concat('u', CAST(doc_id AS STRING), '_', CAST(i AS STRING)))"
+    )
+    mid = (
+        "transform(sequence(1, 25), "
+        "i -> concat('g', CAST(doc_id DIV 4 AS STRING), '_', CAST(i AS STRING)))"
+    )
+    tail = (
+        "transform(sequence(1, 2), "
+        "i -> concat('t', CAST(doc_id AS STRING), '_', CAST(i AS STRING)))"
+    )
+    synth = docs.select(
+        "doc_id",
+        F.expr(
+            f"array_join(concat({head}, {mid}, {tail}), ' ')"
+        ).alias("text"),
+    )
+    out = substring_dedup_spans(synth, "doc_id", k=8, min_tokens=20)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("start_a").cast("bigint").alias("start_a"),
+        F.col("start_b").cast("bigint").alias("start_b"),
+        F.col("span_tokens").cast("bigint").alias("span_tokens"),
+    )
+
+
+ORACLE_SUBSTRING_SPANS = """
+WITH txt AS (
+  SELECT doc_id,
+         list_concat(list_concat(
+           list_transform(range(1, CAST(2 + doc_id % 3 AS BIGINT) + 1),
+             i -> 'u' || CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR)),
+           list_transform(range(1, 26),
+             i -> 'g' || CAST(doc_id // 4 AS VARCHAR) || '_' || CAST(i AS VARCHAR))),
+           list_transform(range(1, 3),
+             i -> 't' || CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR))
+         ) AS toks
+  FROM documents
+), positions AS (
+  SELECT doc_id, toks, UNNEST(range(0, len(toks) - 7)) AS pos FROM txt
+), grams AS (
+  SELECT doc_id, pos,
+         ('0x' || substring(md5(array_to_string(toks[pos + 1 : pos + 8], ' ')), 1, 15))::BIGINT AS gh
+  FROM positions
+), rare AS (
+  SELECT gh FROM grams GROUP BY gh
+  HAVING COUNT(DISTINCT doc_id) > 1 AND COUNT(DISTINCT doc_id) <= 1000
+), g AS (
+  SELECT doc_id, pos, gh FROM grams JOIN rare USING (gh)
+), m AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.pos AS pos_a, b.pos AS pos_b
+  FROM g a JOIN g b USING (gh)
+  WHERE a.doc_id < b.doc_id
+), runs AS (
+  SELECT id_a, id_b, pos_a, pos_b,
+         pos_a - ROW_NUMBER() OVER (
+           PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a
+         ) AS run
+  FROM m
+)
+SELECT id_a, id_b,
+       CAST(MIN(pos_a) AS BIGINT) AS start_a,
+       CAST(MIN(pos_b) AS BIGINT) AS start_b,
+       CAST(MAX(pos_a) - MIN(pos_a) + 8 AS BIGINT) AS span_tokens
+FROM runs
+GROUP BY id_a, id_b, pos_a - pos_b, run
+HAVING MAX(pos_a) - MIN(pos_a) + 8 >= 20
+"""
+
+QUERIES_LLM["substring_spans"] = q_substring_spans
+ORACLES_LLM["substring_spans"] = ORACLE_SUBSTRING_SPANS
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode hygiene pass, HASH-GATED (r7): each doc's text gets a
     planted suffix of NFC-decomposed accent (e + U+0301), zero-width
