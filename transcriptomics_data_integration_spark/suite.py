@@ -2103,7 +2103,9 @@ _ROUND8_FRONT = [
     "reliability_filter", "value_conditioning", "argmax_dedup",
 ]
 
-# Round-9 rotation plan: (a) every r9-touched/new kernel first, (b) the
+# Round-9 rotation plan: (a) the four r8 gates added AFTER this window
+# froze (bm25_topk, pagerank3, perplexity_buckets, substring_spans —
+# never driver-stamped), then (b) every r9-touched/new kernel, (c) the
 # r5-only-stamped remainder (29 queries: cel_decode, cohort_retention,
 # contamination, dedup_rows, doc_sample, fisher_enrichment,
 # frequency_table, funnel, gopher_repetition, language_id_ngram,
@@ -2113,6 +2115,9 @@ _ROUND8_FRONT = [
 # pq_fixed, quality_model, rolling_stats, set_compare,
 # strata_correlation, term_enrichment, venn_membership,
 # vocab_size_sketch, voom_loess3), remainder filled with
-# r6-only-stamped queries in registry order.
+# r6-only-stamped queries in registry order.  (Compare r9 bench rows
+# against the r7 driver column THROUGH the same-day control band —
+# PLANS.md r8 records cosine_topk reading 1.37x its driver row with
+# zero code change on this measurement host.)
 QUERIES = _reorder_front(QUERIES, _ROUND8_FRONT)
 QUERIES = {n: _with_persist_drain(fn) for n, fn in QUERIES.items()}
