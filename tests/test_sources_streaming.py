@@ -999,3 +999,49 @@ def test_streaming_html_extract_matches_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert batch[1][0] == "hello & goodbye"
+
+
+def test_streaming_bloom_contamination_matches_batch(spark, tmp_path):
+    """streaming_bloom_contamination (r8): the stateless map twin of
+    the batch Bloom screen — same shingling, hashes, and distinct
+    semantics, so streamed counts equal the batch kernel's rows over
+    the same files."""
+    from transcriptomics_data_integration_spark.llmdata.text import (
+        bloom_contamination,
+    )
+    from transcriptomics_data_integration_spark.streaming.ingest import (
+        run_stream_to_memory,
+        streaming_bloom_contamination,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon shared passage here"),
+        (2, "totally different content with no overlap at all xyzq"),
+        (3, "shared passage here plus unique trailing words"),
+        (4, "zz"),
+    ]
+    ev = [(100, "the shared passage here sits inside this eval doc")]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_docs = spark.createDataFrame(ev, "doc_id long, text string")
+
+    batch = {
+        r["doc_id"]: (r["n_maybe"], r["n_exact"], r["n_false_pos"])
+        for r in bloom_contamination(train, eval_docs).collect()
+    }
+
+    d = tmp_path / "bloom_docs"
+    d.mkdir()
+    train.coalesce(1).write.mode("overwrite").parquet(str(d))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(d))
+    run_stream_to_memory(
+        streaming_bloom_contamination(stream, eval_docs),
+        "stream_bloom",
+        out_mode="append",
+    )
+    got = {
+        r["doc_id"]: (r["n_maybe"], r["n_exact"], r["n_false_pos"])
+        for r in spark.sql("SELECT * FROM stream_bloom").collect()
+    }
+    assert got == batch
+    assert got[1][1] > 0 and got[3][1] > 0  # real contamination found
+    assert 4 not in got or got[4][0] >= 0

@@ -339,3 +339,90 @@ def streaming_minhash_neardup(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def streaming_bloom_contamination(
+    stream_df: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 3,
+    m_bits: int = 1 << 17,
+) -> DataFrame:
+    """Streaming twin of ``llmdata.text.bloom_contamination`` (r8) —
+    decontaminate-at-ingest: every arriving training document is
+    screened against a STATIC eval corpus before it enters the pool,
+    the shape a continuously-fed corpus needs (the batch kernel
+    re-reads the whole training side; the stream screens each
+    micro-batch as it lands).
+
+    The eval side is bounded (a benchmark suite), so its distinct
+    shingle inventory, the Bloom BIT SET (same md5 'bloom{i}#shingle'
+    positions as the batch kernel), and the exact shingle set are
+    built ONCE at plan build and broadcast; each document is then a
+    stateless map — an Arrow-batched pandas UDF computing, over the
+    doc's DISTINCT k-shingles, the Bloom-maybe count, the exact-hit
+    count, and the false-positive difference.  No state store, no
+    shuffle, works identically in any output mode; counts are
+    BIT-IDENTICAL to the batch kernel's (same shingling, same hashes,
+    same distinct semantics), which the batch-equivalence test pins.
+
+    Output (docs with >= 1 Bloom survivor, like the batch kernel):
+    (id, n_maybe, n_exact, n_false_pos).
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def _shingles(t: str) -> set:
+        t = t or ""
+        n_sh = max(len(t) - k + 1, 1)
+        return {t[i : i + k] for i in range(n_sh)}
+
+    def _positions(s: str) -> tuple:
+        return tuple(
+            int(hashlib.md5(f"bloom{i}#{s}".encode()).hexdigest()[:15], 16) % m_bits
+            for i in range(n_hashes)
+        )
+
+    ev_sh: set = set()
+    for row in eval_docs.select(text_col).collect():  # bounded eval suite
+        ev_sh.update(_shingles(row[0]))
+    bits: set = set()
+    for s in ev_sh:
+        bits.update(_positions(s))
+    sc = eval_docs.sparkSession.sparkContext
+    b_bits = sc.broadcast(frozenset(bits))
+    b_ev = sc.broadcast(frozenset(ev_sh))
+
+    @F.pandas_udf(
+        StructType(
+            [StructField("n_maybe", LongType()), StructField("n_exact", LongType())]
+        )
+    )
+    def screen(texts):
+        bitset = b_bits.value
+        ev = b_ev.value
+        rows = []
+        for t in texts:
+            maybe = [
+                s for s in _shingles(t)
+                if all(p in bitset for p in _positions(s))
+            ]
+            rows.append(
+                (len(maybe), sum(1 for s in maybe if s in ev))
+            )
+        return pd.DataFrame(rows, columns=["n_maybe", "n_exact"])
+
+    return (
+        stream_df.select(F.col(id_col), screen(F.col(text_col)).alias("_s"))
+        .select(
+            id_col,
+            F.col("_s.n_maybe").alias("n_maybe"),
+            F.col("_s.n_exact").alias("n_exact"),
+            (F.col("_s.n_maybe") - F.col("_s.n_exact")).alias("n_false_pos"),
+        )
+        .where(F.col("n_maybe") > 0)
+    )
