@@ -2807,3 +2807,32 @@ def test_substring_dedup_spans_maximal_runs(spark):
     assert spans == {12, 9}
     # boilerplate guard: with max_df=1, nothing survives
     assert substring_dedup_spans(df, "doc_id", k=4, min_tokens=8, max_df=1).count() == 0
+
+
+def test_repetition_schedule_epochs_and_spread(spark):
+    """repetition_schedule (r8): per-bucket epoch fan-out, absent
+    buckets dropped, train_pos is a 0-based permutation of all
+    emissions, and a doc's copies are not adjacent (md5 spread)."""
+    from transcriptomics_data_integration_spark.llmdata.sampling import (
+        repetition_schedule,
+    )
+
+    rows = [(i, 1 if i < 4 else (2 if i < 8 else 3)) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, bucket int")
+    out = repetition_schedule(df, "doc_id", "bucket", {1: 3, 2: 2}).collect()
+    # bucket 3 absent from the map -> dropped; 4*3 + 4*2 = 20 emissions
+    assert len(out) == 20
+    assert {r["doc_id"] for r in out} == set(range(8))
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    assert all(sorted(v) == [1, 2, 3] for d, v in per_doc.items() if d < 4)
+    assert all(sorted(v) == [1, 2] for d, v in per_doc.items() if d >= 4)
+    pos = sorted(r["train_pos"] for r in out)
+    assert pos == list(range(20))
+    # spread: for at least one multi-epoch doc, copies are non-adjacent
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["train_pos"])
+    gaps = [max(v) - min(v) for v in by_doc.values() if len(v) == 3]
+    assert max(gaps) > 2

@@ -83,6 +83,9 @@ BNLJ_WHITELIST = {
     # perplexity_buckets: bigram_logprob's 1-row corpus-N attach plus
     # its own 1-row tertile-threshold attach
     "perplexity_buckets",
+    # repetition_schedule: composes perplexity_buckets (the attaches
+    # above) + global_shuffle's 1-row bounds attach
+    "repetition_schedule",
 }
 
 

@@ -536,3 +536,52 @@ def global_shuffle(df: DataFrame, key_col: str) -> DataFrame:
             .drop("_bkt", "_base")
         )
     return ranked.drop("_h")
+
+
+def repetition_schedule(
+    df: DataFrame,
+    id_col: str,
+    bucket_col: str,
+    epochs_per_bucket: dict[int, int],
+) -> DataFrame:
+    """Quality-weighted repetition schedule (r8) — the data-constrained
+    scaling move (repeat high-quality data more epochs than low; the
+    public Muennighoff et al. 2023 recipe): each doc is emitted
+    ``epochs_per_bucket[bucket]`` times with an ``epoch`` index, and
+    every emission gets a deterministic global ``train_pos`` — its
+    position in md5(key#epoch) order — so the repeated copies of a doc
+    are SPREAD across the training stream rather than adjacent (the
+    property epoch-wise shuffling gives, without materializing epochs
+    separately).
+
+    Relational shape: the bucket->epochs map is a literal CASE (tiny,
+    in-plan), the fan-out is one ``explode(sequence(1, n_epochs))``
+    (conditional repartition upstream applies — the one-split trap),
+    and train_pos reuses :func:`global_shuffle`'s bucketed two-pass
+    rank, so nothing is single-task at any corpus size.  Docs whose
+    bucket is absent from the map get 0 epochs (dropped) — the
+    "discard tail bucket" convention.
+
+    Output: (id, bucket, epoch, train_pos).
+    """
+    mapping = "CASE " + " ".join(
+        f"WHEN {bucket_col} = {int(b)} THEN {int(e)}"
+        for b, e in sorted(epochs_per_bucket.items())
+    ) + " ELSE 0 END"
+    fanned = (
+        df.select(F.col(id_col), F.col(bucket_col))
+        .withColumn("_n_ep", F.expr(mapping))
+        .where(F.col("_n_ep") > 0)
+        .select(
+            id_col,
+            bucket_col,
+            F.explode(F.expr("sequence(1, _n_ep)")).alias("epoch"),
+        )
+        .withColumn(
+            "_key", F.concat_ws("#", F.col(id_col).cast("string"), F.col("epoch").cast("string"))
+        )
+    )
+    shuffled = global_shuffle(fanned, "_key")
+    return shuffled.select(
+        id_col, bucket_col, "epoch", F.col("shuffle_pos").alias("train_pos")
+    )

@@ -4158,6 +4158,57 @@ QUERIES_LLM["substring_spans"] = q_substring_spans
 ORACLES_LLM["substring_spans"] = ORACLE_SUBSTRING_SPANS
 
 
+def q_repetition_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted repetition schedule (r8, the data-constrained
+    scaling recipe): LM-quality tertiles (`perplexity_buckets`) drive
+    per-bucket epoch counts (head x3 / middle x2 / tail x1), each
+    emission explodes with an epoch index, and every (doc, epoch) copy
+    gets a deterministic global ``train_pos`` via the bucketed
+    md5-rank shuffle — repeated copies spread across the training
+    stream instead of sitting adjacent.  Oracle: the bucket SQL
+    wrapped with the same CASE fan-out and md5-rank window."""
+    from transcriptomics_data_integration_spark.llmdata.sampling import (
+        repetition_schedule,
+    )
+    from transcriptomics_data_integration_spark.llmdata.text import (
+        perplexity_buckets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    b = perplexity_buckets(docs, "doc_id", lam=0.8)
+    out = repetition_schedule(b, "doc_id", "bucket", {1: 3, 2: 2, 3: 1})
+    return out.select(
+        "doc_id",
+        "bucket",
+        F.col("epoch").cast("bigint").alias("epoch"),
+        F.col("train_pos").cast("bigint").alias("train_pos"),
+    )
+
+
+ORACLE_REPETITION_SCHEDULE = f"""
+WITH b AS (
+{ORACLE_PERPLEXITY_BUCKETS}
+), fan AS (
+  SELECT doc_id, bucket,
+         UNNEST(range(1, CAST(CASE bucket WHEN 1 THEN 3 WHEN 2 THEN 2
+                              ELSE 1 END AS BIGINT) + 1)) AS epoch
+  FROM b
+), keyed AS (
+  SELECT doc_id, bucket, epoch,
+         CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR) AS key
+  FROM fan
+)
+SELECT doc_id, bucket, CAST(epoch AS BIGINT) AS epoch,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY ('0x' || substring(md5(key), 1, 15))::BIGINT, key
+       ) - 1 AS BIGINT) AS train_pos
+FROM keyed
+"""
+
+QUERIES_LLM["repetition_schedule"] = q_repetition_schedule
+ORACLES_LLM["repetition_schedule"] = ORACLE_REPETITION_SCHEDULE
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode hygiene pass, HASH-GATED (r7): each doc's text gets a
     planted suffix of NFC-decomposed accent (e + U+0301), zero-width
