@@ -2836,3 +2836,38 @@ def test_repetition_schedule_epochs_and_spread(spark):
         by_doc.setdefault(r["doc_id"], []).append(r["train_pos"])
     gaps = [max(v) - min(v) for v in by_doc.values() if len(v) == 3]
     assert max(gaps) > 2
+
+
+def test_warc_codec_roundtrip_and_tolerant():
+    """encode_warc / decode_warc (r8): 3-record round-trip with HTTP
+    envelope strip, status + content-type parse, 60-bit body hash;
+    truncated tails and junk are skipped without sinking the blob."""
+    import hashlib
+
+    from transcriptomics_data_integration_spark.sources.warc import (
+        decode_warc,
+        encode_warc,
+    )
+
+    recs = [
+        {"type": "request", "uri": "http://a.com/x"},
+        {"type": "response", "uri": "http://a.com/x", "body": "hello web corpus",
+         "http_status": 404, "http_content_type": "text/html"},
+        {"type": "metadata", "uri": "http://a.com/x", "body": b"k: v"},
+    ]
+    blob = encode_warc(recs)
+    d = decode_warc(blob)
+    assert [r["type"] for r in d] == ["request", "response", "metadata"]
+    r = d[1]
+    assert r["http_status"] == 404 and r["http_content_type"] == "text/html"
+    assert r["body"] == b"hello web corpus"
+    assert r["body_h"] == int(hashlib.md5(b"hello web corpus").hexdigest()[:15], 16)
+    assert r["uri"] == "http://a.com/x"
+    # CRLF inside a body must not break framing (Content-Length rules)
+    tricky = encode_warc([{"type": "response", "uri": "u",
+                           "body": "a\r\n\r\nWARC/1.0\r\nfake: x\r\n\r\nb"}])
+    d3 = decode_warc(tricky)
+    assert len(d3) == 1 and d3[0]["body"].startswith(b"a\r\n\r\nWARC/1.0")
+    # tolerant: truncated tail record skipped, earlier ones kept
+    assert len(decode_warc(blob[:-10])) == 2
+    assert decode_warc(b"garbage") == []

@@ -4209,6 +4209,92 @@ QUERIES_LLM["repetition_schedule"] = q_repetition_schedule
 ORACLES_LLM["repetition_schedule"] = ORACLE_REPETITION_SCHEDULE
 
 
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WARC/1.0 ingest, HASH-GATED (r8): per doc a 3-record WARC
+    blob (request + response carrying the doc text inside a real HTTP
+    envelope + metadata) is WRITTEN by `sources/warc.py:encode_warc`
+    and read back by the independent record walker `decode_warc` —
+    version line, CRLF header block, Content-Length framing, HTTP
+    envelope strip.  The extract keeps RESPONSE records only (the
+    first stage of every public web-corpus recipe).  The oracle
+    recomputes uri / counts / body stats from the documents formula
+    alone — it never touches WARC bytes — so a hash match proves the
+    container grammar and the envelope parse end-to-end.  Map-side
+    mapInPandas: zero shuffles."""
+    import pandas as pd
+
+    from transcriptomics_data_integration_spark.sources.warc import (
+        decode_warc,
+        encode_warc,
+    )
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for did, src, text in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
+                did = int(did)
+                uri = f"http://{src}.com/doc/{did}"
+                blob = encode_warc(
+                    [
+                        {"type": "request", "uri": uri},
+                        {
+                            "type": "response",
+                            "uri": uri,
+                            "body": str(text),
+                            "http_status": 200,
+                            "http_content_type": "text/plain",
+                        },
+                        {"type": "metadata", "uri": uri, "body": b"k: v"},
+                    ]
+                )
+                recs = decode_warc(blob)
+                resp = [r for r in recs if r["type"] == "response"]
+                if len(resp) != 1:
+                    continue
+                r = resp[0]
+                rows.append(
+                    (
+                        did,
+                        len(recs),
+                        r["uri"],
+                        r["http_status"],
+                        r["body_chars"],
+                        r["body_h"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_records", "uri",
+                    "http_status", "body_chars", "body_h",
+                ],
+            )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return docs.mapInPandas(
+        op,
+        schema=(
+            "doc_id bigint, n_records int, uri string, "
+            "http_status int, body_chars bigint, body_h bigint"
+        ),
+    )
+
+
+ORACLE_WARC_EXTRACT = """
+SELECT doc_id,
+       3 AS n_records,
+       'http://' || source || '.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+       200 AS http_status,
+       CAST(length(text) AS BIGINT) AS body_chars,
+       ('0x' || substring(md5(text), 1, 15))::BIGINT AS body_h
+FROM documents
+"""
+
+QUERIES_LLM["warc_extract"] = q_warc_extract
+ORACLES_LLM["warc_extract"] = ORACLE_WARC_EXTRACT
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode hygiene pass, HASH-GATED (r7): each doc's text gets a
     planted suffix of NFC-decomposed accent (e + U+0301), zero-width
