@@ -4295,6 +4295,148 @@ QUERIES_LLM["warc_extract"] = q_warc_extract
 ORACLES_LLM["warc_extract"] = ORACLE_WARC_EXTRACT
 
 
+def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-ingest front-end end-to-end, HASH-GATED (r8) — the stage
+    chain UPSTREAM of web_pipeline's corpus construction:
+
+    1. REAL WARC mux/demux per doc (request + response whose HTTP body
+       is the html-wrapped text, the web_pipeline wrap verbatim);
+    2. robots.txt compliance (the r8 stacked-group/wildcard body,
+       paths by the doc_id % 7 formula) — only ALLOWED docs proceed;
+    3. REAL HTML -> text extraction on the survivors;
+    4. the full Gopher battery on the extracted text.
+
+    Every stage is an already-gated kernel; the composition pins the
+    handoffs (WARC body round-trip -> robots columns -> extractor
+    input -> quality flags).  The oracle computes the allowed set from
+    the path formula, the extracted text from the wrap formula, and
+    re-roots the Gopher SQL at that relation — it never touches WARC
+    or HTML bytes."""
+    import pandas as pd
+
+    from transcriptomics_data_integration_spark.llmdata.text import (
+        gopher_quality,
+        html_extract,
+    )
+    from transcriptomics_data_integration_spark.llmdata.urls import (
+        parse_robots_rules,
+        robots_filter,
+    )
+    from transcriptomics_data_integration_spark.sources.warc import (
+        decode_warc,
+        encode_warc,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 7
+    path = F.concat(
+        F.element_at(
+            F.array(
+                F.lit("/private/doc"), F.lit("/private/pub/doc"),
+                F.lit("/docs/doc"), F.lit("/tmp/doc"), F.lit("/open/doc"),
+                F.lit("/download"), F.lit("/download/doc"),
+            ),
+            (m + 1).cast("int"),
+        ),
+        F.when(m == 5, F.lit("")).otherwise(F.col("doc_id").cast("string")),
+        F.when(m == 4, F.lit("?q=1")).otherwise(F.lit("")),
+    )
+    html = F.concat(
+        F.lit(
+            '<html><head><title>t</title><script>var x = "drop&amp;me";'
+            "</script><style>p { color: red }</style></head><body><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><div>tail &amp; &#65;&#x42;  end</div></body></html>"),
+    )
+    staged = docs.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".com")).alias("domain"),
+        path.alias("path"),
+        html.alias("html"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def warc_op(batches):
+        for pdf in batches:
+            rows = []
+            for did, dom, pth, h in zip(
+                pdf["doc_id"], pdf["domain"], pdf["path"], pdf["html"]
+            ):
+                uri = f"http://{dom}{pth}"
+                blob = encode_warc(
+                    [
+                        {"type": "request", "uri": uri},
+                        {
+                            "type": "response",
+                            "uri": uri,
+                            "body": str(h),
+                            "http_status": 200,
+                            "http_content_type": "text/html",
+                        },
+                    ]
+                )
+                resp = [
+                    r for r in decode_warc(blob) if r["type"] == "response"
+                ]
+                if len(resp) != 1:
+                    continue
+                rows.append(
+                    (int(did), str(dom), str(pth), resp[0]["body"].decode())
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "domain", "path", "html"])
+
+    fetched = staged.mapInPandas(
+        warc_op, schema="doc_id bigint, domain string, path string, html string"
+    )
+    robots = (
+        docs.select("source").distinct().select(
+            F.concat(F.col("source"), F.lit(".com")).alias("domain"),
+            F.lit(
+                "User-agent: somebot\n"
+                "Disallow: /docs/\n"
+                "\n"
+                "User-agent: otherbot\n"
+                "User-agent: *\n"
+                "Disallow: /private/\n"
+                "Allow: /private/pub/\n"
+                "Disallow: /tmp\n"
+                "Allow: /tmp\n"
+                "Disallow: /*?q\n"
+                "Disallow: /download$\n"
+            ).alias("robots_txt"),
+        )
+    )
+    rules = parse_robots_rules(robots)
+    allowed = robots_filter(fetched, rules).where(F.col("allowed")).select(
+        "doc_id", "html"
+    )
+    ext = html_extract(allowed, "doc_id", "html")
+    return gopher_quality(ext).select("doc_id", "n_tokens", "keep")
+
+
+ORACLE_INGEST_PIPELINE = (
+    r"""
+WITH ext AS (
+  SELECT doc_id,
+         'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+         trim(regexp_replace(text, '[ \t]+', ' ', 'g')) || chr(10) ||
+         'tail & AB end' AS text
+  FROM documents WHERE doc_id % 7 NOT IN (0, 4, 5)
+), gq AS (
+"""
+    + ORACLE_GOPHER_QUALITY.replace("FROM documents", "FROM ext")
+    + """
+)
+SELECT doc_id, n_tokens, keep FROM gq
+"""
+)
+
+QUERIES_LLM["ingest_pipeline"] = q_ingest_pipeline
+ORACLES_LLM["ingest_pipeline"] = ORACLE_INGEST_PIPELINE
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode hygiene pass, HASH-GATED (r7): each doc's text gets a
     planted suffix of NFC-decomposed accent (e + U+0301), zero-width
