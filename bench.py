@@ -132,6 +132,10 @@ BENCH_QUERIES = [
     "pagerank3",
     "perplexity_buckets",
     "web_pipeline",
+    "substring_spans",
+    "repetition_schedule",
+    "warc_extract",
+    "ingest_pipeline",
 ]
 
 
