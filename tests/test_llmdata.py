@@ -2871,3 +2871,14 @@ def test_warc_codec_roundtrip_and_tolerant():
     # tolerant: truncated tail record skipped, earlier ones kept
     assert len(decode_warc(blob[:-10])) == 2
     assert decode_warc(b"garbage") == []
+    # Common Crawl wire format: one gzip member per record,
+    # deterministic bytes, truncated trailing member skipped
+    from transcriptomics_data_integration_spark.sources.warc import encode_warc_gz
+
+    gz = encode_warc_gz(recs)
+    assert gz[:2] == b"\x1f\x8b" and gz == encode_warc_gz(recs)
+    dg = decode_warc(gz)
+    assert [r["type"] for r in dg] == ["request", "response", "metadata"]
+    assert dg[1]["body"] == b"hello web corpus"
+    assert len(decode_warc(gz[:-15])) == 2
+    assert decode_warc(b"\x1f\x8bjunk") == []

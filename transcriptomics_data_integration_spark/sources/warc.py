@@ -71,12 +71,55 @@ def encode_warc(records: list[dict]) -> bytes:
     return b"".join(out)
 
 
+def encode_warc_gz(records: list[dict]) -> bytes:
+    """The actual Common Crawl wire format: each WARC record gzipped
+    as its OWN gzip member and the members concatenated — the layout
+    that makes per-record random access (offset + length from the
+    CDX index) possible on .warc.gz files.  Deterministic output
+    (mtime pinned to 0)."""
+    import gzip as _gzip
+    import io as _io
+
+    out = []
+    for r in records:
+        raw = encode_warc([r])
+        buf = _io.BytesIO()
+        with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(raw)
+        out.append(buf.getvalue())
+    return b"".join(out)
+
+
 def decode_warc(payload: bytes) -> list[dict]:
     """REAL WARC/1.0 record walk: returns one dict per well-formed
     record — {type, uri, record_id, content_length, http_status,
     http_content_type, body (bytes, HTTP envelope stripped for
     response records), body_chars, body_h (repo-standard 60-bit md5
-    of the body)} — skipping malformed records (tolerant reader)."""
+    of the body)} — skipping malformed records (tolerant reader).
+
+    Accepts BOTH the plain concatenated form and the Common Crawl
+    ``.warc.gz`` member-per-record form: a gzip magic prefix routes
+    through multi-member decompression first (stdlib zlib consumes one
+    member at a time, so truncated trailing members are skipped like
+    any other malformed record)."""
+    if payload[:2] == b"\x1f\x8b":
+        import zlib as _zlib
+
+        chunks, pos, n = [], 0, len(payload)
+        while pos < n and payload[pos : pos + 2] == b"\x1f\x8b":
+            d = _zlib.decompressobj(16 + _zlib.MAX_WBITS)
+            try:
+                chunks.append(d.decompress(payload[pos:]))
+                d.flush()
+            except _zlib.error:
+                break
+            if not d.eof:  # truncated member
+                break
+            consumed = (n - pos) - len(d.unused_data)
+            if consumed <= 0:
+                break
+            pos += consumed
+        payload = b"".join(chunks)
     out: list[dict] = []
     pos = 0
     n = len(payload)

@@ -4212,10 +4212,11 @@ ORACLES_LLM["repetition_schedule"] = ORACLE_REPETITION_SCHEDULE
 def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WARC/1.0 ingest, HASH-GATED (r8): per doc a 3-record WARC
     blob (request + response carrying the doc text inside a real HTTP
-    envelope + metadata) is WRITTEN by `sources/warc.py:encode_warc`
-    and read back by the independent record walker `decode_warc` —
-    version line, CRLF header block, Content-Length framing, HTTP
-    envelope strip.  The extract keeps RESPONSE records only (the
+    envelope + metadata) is WRITTEN in the Common Crawl wire format —
+    one gzip MEMBER per record (`sources/warc.py:encode_warc_gz`) —
+    and read back by the independent record walker `decode_warc`:
+    multi-member gunzip, version line, CRLF header block,
+    Content-Length framing, HTTP envelope strip.  The extract keeps RESPONSE records only (the
     first stage of every public web-corpus recipe).  The oracle
     recomputes uri / counts / body stats from the documents formula
     alone — it never touches WARC bytes — so a hash match proves the
@@ -4225,7 +4226,7 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from transcriptomics_data_integration_spark.sources.warc import (
         decode_warc,
-        encode_warc,
+        encode_warc_gz,
     )
 
     def op(batches):
@@ -4234,7 +4235,7 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did, src, text in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
                 did = int(did)
                 uri = f"http://{src}.com/doc/{did}"
-                blob = encode_warc(
+                blob = encode_warc_gz(
                     [
                         {"type": "request", "uri": uri},
                         {
