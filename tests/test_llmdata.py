@@ -2882,3 +2882,32 @@ def test_warc_codec_roundtrip_and_tolerant():
     assert dg[1]["body"] == b"hello web corpus"
     assert len(decode_warc(gz[:-15])) == 2
     assert decode_warc(b"\x1f\x8bjunk") == []
+
+
+def test_robots_ua_run_ends_at_any_directive(spark):
+    """r8 self-review: a crawl-delay (or any directive) between two
+    User-agent lines ENDS the agent run (RFC 9309 ABNF) — the second
+    UA starts a new group, so the star group below must NOT inherit
+    rules attached to the first agent's group and vice versa."""
+    from transcriptomics_data_integration_spark.llmdata.urls import (
+        parse_robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("f.com",
+             "User-agent: somebot\n"
+             "Crawl-delay: 1\n"        # ends somebot's startgroup run
+             "User-agent: *\n"
+             "Disallow: /only-star/\n"
+             "\n"
+             "User-agent: otherbot\n"
+             "Sitemap: http://f.com/s.xml\n"
+             "Disallow: /other/\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+    got = {(r["rule"], r["path_prefix"]) for r in parse_robots_rules(robots).collect()}
+    # star group gets /only-star/ (its own rules), NOT /other/
+    assert ("disallow", "/only-star/") in got
+    assert not any(p == "/other/" for _, p in got)

@@ -188,9 +188,16 @@ def parse_robots_rules(
             ).otherwise(F.lit(0)),
         )
         .withColumn(
+            # ANY non-agent directive line (allow, disallow, crawl-delay,
+            # sitemap, ...) ends a User-agent run for grouping purposes
+            # (RFC 9309 ABNF: only blank/comment lines may sit between
+            # stacked startgrouplines); rule EXTRACTION below still
+            # keeps allow/disallow only
             "_is_dir",
             F.when(
-                F.col("_line").rlike(r"(?i)^(allow|disallow):"), F.lit(1)
+                (F.col("_is_agent") == 0)
+                & F.col("_line").rlike(r"(?i)^[a-z][a-z0-9-]*:"),
+                F.lit(1),
             ).otherwise(F.lit(0)),
         )
         .where((F.col("_is_agent") == 1) | (F.col("_is_dir") == 1))

@@ -423,8 +423,11 @@ def qc_rle_nuse(
         ).alias("rle_iqr"),
     ]
     if se_col is not None:
+        # a zero gene-median SE leaves the ratio undefined (NULL), not
+        # an ANSI divide-by-zero crash
+        se_med = F.percentile(se_col, F.lit(0.5)).over(w_g)
         dev = dev.withColumn(
-            "_nse", F.col(se_col) / F.percentile(se_col, F.lit(0.5)).over(w_g)
+            "_nse", F.when(se_med != 0, F.col(se_col) / se_med)
         )
         aggs += [
             F.percentile("_nse", F.lit(0.5)).alias("nuse_median"),
