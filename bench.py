@@ -225,9 +225,27 @@ def main() -> None:
     if len(line) > 1900:
         payload["queries"] = {n: round(v, 2) for n, v in timings.items()}
         line = json.dumps(payload, separators=(",", ":"))
-    if len(line) > 1900:  # last resort: 1dp beats an unparseable line
+    if len(line) > 1900:  # 1dp beats an unparseable line
         payload["queries"] = {n: round(v, 1) for n, v in timings.items()}
         line = json.dumps(payload, separators=(",", ":"))
+    # true last resort (r8: the suite crossed 100 queries and even the
+    # 1dp line overflows the 2000-char tail window): shed the CHEAPEST
+    # rows from the stdout dict — deterministically, with the shed
+    # count declared — rather than let the capture cut the line's head
+    # and null the whole parse (the r6 failure).  bench_queries.json
+    # always carries every row at 3dp.
+    if len(line) > 1900:
+        order = sorted(timings, key=lambda n: (timings[n], n))
+        kept = dict(payload["queries"])
+        dropped = 0
+        for name in order:
+            if len(line) <= 1900:
+                break
+            kept.pop(name)
+            dropped += 1
+            payload["queries"] = kept
+            payload["n_dropped_rows"] = dropped
+            line = json.dumps(payload, separators=(",", ":"))
     print(line)
 
 
