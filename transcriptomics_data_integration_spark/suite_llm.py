@@ -4384,7 +4384,7 @@ def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if len(resp) != 1:
                     continue
                 rows.append(
-                    (int(did), str(dom), str(pth), resp[0]["body"].decode())
+                    (int(did), str(dom), str(pth), resp[0]["body"].decode("utf-8", "replace"))
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "domain", "path", "html"])
 
