@@ -2911,3 +2911,31 @@ def test_robots_ua_run_ends_at_any_directive(spark):
     # star group gets /only-star/ (its own rules), NOT /other/
     assert ("disallow", "/only-star/") in got
     assert not any(p == "/other/" for _, p in got)
+
+
+def test_tfidf_keywords_python_replay(spark):
+    """tfidf_keywords (r8): classic ln(N/df) scoring replayed in
+    Python — a corpus-ubiquitous term scores 0 and never surfaces,
+    rare terms rank first, ties break on term text."""
+    import math
+
+    from transcriptomics_data_integration_spark.llmdata.retrieval import (
+        tfidf_keywords,
+    )
+
+    rows = [
+        (1, "every rare rare topic"),
+        (2, "every other thing"),
+        (3, "every topic note"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["rank"]): r for r in
+           tfidf_keywords(df, "doc_id", "text", k=2).collect()}
+    # doc 1: 'rare' tf=2 df=1 -> 2*ln(3); 'topic' df=2 -> ln(1.5);
+    # 'every' df=3 -> tfidf exactly 0, ranked below both
+    assert got[(1, 1)]["term"] == "rare"
+    assert abs(got[(1, 1)]["tfidf"] - 2 * math.log(3)) < 1e-12
+    assert got[(1, 2)]["term"] == "topic"
+    assert all(r["term"] != "every" or r["tfidf"] == 0.0 for r in got.values())
+    # doc 2 top: 'other'/'thing' tie (tf=1, df=1) -> term-text order
+    assert got[(2, 1)]["term"] == "other" and got[(2, 2)]["term"] == "thing"

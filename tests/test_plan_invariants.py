@@ -86,6 +86,8 @@ BNLJ_WHITELIST = {
     # repetition_schedule: composes perplexity_buckets (the attaches
     # above) + global_shuffle's 1-row bounds attach
     "repetition_schedule",
+    # tfidf_keywords: the 1-row corpus-N attach
+    "tfidf_keywords",
 }
 
 

@@ -94,6 +94,54 @@ def bm25_scores(
     )
 
 
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-document top-k keywords by tf-idf (r8) — the corpus
+    analytics/labeling primitive (topic hints, cluster naming, search
+    facets) next to :func:`bm25_scores`'s query-side scoring.
+
+    tf = term count in the doc; idf = ln(N / df) (the classic form —
+    corpus-ubiquitous terms score 0 and never surface); score =
+    tf * idf; ties broken by term text for determinism.  ``min_df``
+    drops hapax noise (OCR junk, ids) before ranking.
+
+    Scale shape: one explode -> (doc, term) count aggregation, a
+    term-keyed df aggregation joined back (term dim — AQE broadcasts
+    it when small), one 1-row N attach, and the top-k window
+    partitioned BY DOCUMENT — per-partition work is the doc's own
+    vocabulary, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    posting = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = posting.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfs = (
+        posting.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    n_docs = df.agg(F.countDistinct(id_col).alias("N"))
+    scored = (
+        tf.join(dfs, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("N") / F.col("df")))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     id_col: str,

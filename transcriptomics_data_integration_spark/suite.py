@@ -2103,10 +2103,10 @@ _ROUND8_FRONT = [
     "reliability_filter", "value_conditioning", "argmax_dedup",
 ]
 
-# Round-9 rotation plan: (a) the seven r8 gates added AFTER this window
+# Round-9 rotation plan: (a) the eight r8 gates added AFTER this window
 # froze (bm25_topk, pagerank3, perplexity_buckets, substring_spans,
-# repetition_schedule, warc_extract, ingest_pipeline — never
-# driver-stamped), then (b) every r9-touched/new kernel, (c) the
+# repetition_schedule, warc_extract, ingest_pipeline, tfidf_keywords —
+# never driver-stamped), then (b) every r9-touched/new kernel, (c) the
 # r5-only-stamped remainder (29 queries: cel_decode, cohort_retention,
 # contamination, dedup_rows, doc_sample, fisher_enrichment,
 # frequency_table, funnel, gopher_repetition, language_id_ngram,

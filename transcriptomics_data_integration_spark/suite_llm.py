@@ -4438,6 +4438,60 @@ QUERIES_LLM["ingest_pipeline"] = q_ingest_pipeline
 ORACLES_LLM["ingest_pipeline"] = ORACLE_INGEST_PIPELINE
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 tf-idf keywords (r8,
+    `llmdata/retrieval.py:tfidf_keywords`): classic ln(N/df) idf (a
+    corpus-ubiquitous term scores exactly 0), deterministic term-text
+    tiebreak, per-DOC top-k window.  tfidf = integer tf * one ln of an
+    integer ratio — a single libm call on identical operands, rounded
+    6 dp per repo FP policy."""
+    from transcriptomics_data_integration_spark.llmdata.retrieval import (
+        tfidf_keywords,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tfidf_keywords(docs, "doc_id", "text", k=3)
+    return out.select(
+        "doc_id",
+        "term",
+        "tf",
+        F.col("df").cast("bigint").alias("df"),
+        F.round("tfidf", 6).alias("tfidf"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+ORACLE_TFIDF_KEYWORDS = """
+WITH posting AS (
+  SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM posting GROUP BY doc_id, term
+), dfs AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM posting GROUP BY term
+), nn AS (
+  SELECT COUNT(DISTINCT doc_id) AS N FROM documents
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         t.tf * ln(CAST(n.N AS DOUBLE) / d.df) AS tfidf
+  FROM tf t JOIN dfs d USING (term) CROSS JOIN nn n
+), ranked AS (
+  SELECT doc_id, term, tf, df, tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+         ) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, CAST(df AS BIGINT) AS df,
+       ROUND(tfidf, 6) AS tfidf, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+QUERIES_LLM["tfidf_keywords"] = q_tfidf_keywords
+ORACLES_LLM["tfidf_keywords"] = ORACLE_TFIDF_KEYWORDS
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode hygiene pass, HASH-GATED (r7): each doc's text gets a
     planted suffix of NFC-decomposed accent (e + U+0301), zero-width
