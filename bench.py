@@ -136,6 +136,12 @@ BENCH_QUERIES = [
     "repetition_schedule",
     "warc_extract",
     "ingest_pipeline",
+    "tfidf_keywords",
+    "kneser_ney",
+    "c4_filter",
+    "doc_chunks",
+    "dsir_select",
+    "zipf_fit",
 ]
 
 

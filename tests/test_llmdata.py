@@ -2939,3 +2939,197 @@ def test_tfidf_keywords_python_replay(spark):
     assert all(r["term"] != "every" or r["tfidf"] == 0.0 for r in got.values())
     # doc 2 top: 'other'/'thing' tie (tf=1, df=1) -> term-text order
     assert got[(2, 1)]["term"] == "other" and got[(2, 2)]["term"] == "thing"
+
+
+def test_kneser_ney_logprob_matches_python_replay(spark):
+    """kneser_ney_logprob (r8): continuation-probability semantics —
+    a 'Francisco'-style word (frequent but single-context) is scored
+    near zero probability mass outside its context, and every per-doc
+    mean matches a literal python replay of the d=3/4 rational."""
+    import math
+
+    from transcriptomics_data_integration_spark.llmdata.text import (
+        kneser_ney_logprob,
+    )
+
+    corpus = [
+        (0, "san francisco is by the bay and san francisco is warm"),
+        (1, "the bay is warm and the bay is near san francisco"),
+        (2, "francisco francisco francisco"),  # repeated single word
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in kneser_ney_logprob(df, "doc_id").collect()
+    }
+
+    # literal replay
+    def toks(t):
+        import re
+
+        return [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+
+    bi = {}
+    for _, t in corpus:
+        ts = toks(t)
+        for a, b in zip(ts, ts[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    c1dot, t1, c2cont = {}, {}, {}
+    for (a, b), c in bi.items():
+        c1dot[a] = c1dot.get(a, 0) + c
+        t1[a] = t1.get(a, 0) + 1
+        c2cont[b] = c2cont.get(b, 0) + 1
+    B = len(bi)
+    for did, t in corpus:
+        ts = toks(t)
+        lps = []
+        for a, b in zip(ts, ts[1:]):
+            num = (4 * bi[(a, b)] - 3) * B + 3 * t1[a] * c2cont[b]
+            den = 4 * c1dot[a] * B
+            lps.append(math.log(num / den))
+        exp = sum(lps) / len(lps)
+        assert got[did]["n_bigrams"] == len(lps)
+        assert abs(got[did]["mean_kn_logprob"] - exp) < 1e-9
+
+    # 'francisco' follows only 'san' (and itself) — its continuation
+    # count is far below its raw frequency, so the KN back-off mass for
+    # a novel '<x> francisco' bigram is small by construction
+    assert c2cont["francisco"] < sum(
+        c for (a, b), c in bi.items() if b == "francisco"
+    )
+
+
+def test_c4_filter_line_and_doc_rules(spark):
+    """c4_filter (r8): each C4 rule binds independently — terminal
+    punctuation, min words, javascript lines, brace docs, lorem docs,
+    and the min-kept-lines floor."""
+    from transcriptomics_data_integration_spark.llmdata.text import c4_filter
+
+    rows = [
+        (0, 'Good line one here.\nGood line two here!\nGood line "quoted."\nShort.\nno terminal punct line\nthis has javascript inside.'),
+        (1, "Only one good line here.\nbad\nbad again"),
+        (2, "A fine line is here.\nAnother fine line here.\nA third fine line here.\nvar x = { broken }."),
+        (3, "Lorem ipsum dolor sit amet.\nSecond decent line here.\nThird decent line here."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_filter(df, "doc_id").collect()}
+
+    # doc 0: 6 lines; kept = 3 good ones ("Short." fails min-words,
+    # bare line fails punct, javascript line dropped) -> keep
+    assert got[0]["n_lines"] == 6 and got[0]["n_kept_lines"] == 3
+    assert got[0]["keep"] is True
+    assert got[0]["clean_text"] == 'Good line one here.\nGood line two here!\nGood line "quoted."'
+    # doc 1: only 1 kept line < 3 -> drop
+    assert got[1]["n_kept_lines"] == 1 and got[1]["keep"] is False
+    # doc 2: enough kept lines but has a brace -> drop
+    assert got[2]["has_brace"] is True and got[2]["keep"] is False
+    # doc 3: lorem ipsum -> drop
+    assert got[3]["has_lorem"] is True and got[3]["keep"] is False
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    """chunk_documents (r8): starts advance by stride, windows are
+    chunk_tokens long with the last partial kept, a short doc yields
+    exactly one chunk, and reassembling stride-prefixes + the final
+    chunk reproduces the token stream."""
+    from transcriptomics_data_integration_spark.llmdata.text import (
+        chunk_documents,
+    )
+
+    text = " ".join(f"t{i}" for i in range(1, 11))  # 10 tokens
+    df = spark.createDataFrame(
+        [(0, text), (1, "a b c")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, "doc_id", chunk_tokens=4, stride=3)
+    rows = sorted(
+        [(r["doc_id"], r["chunk_id"], r["start_token"], r["n_chunk_tokens"], r["chunk_text"])
+         for r in out.collect()]
+    )
+    # doc 0: starts 1,4,7 (upper = 10-4+3 = 9 -> 1,4,7); windows of 4
+    assert [(c, s, n) for d, c, s, n, _ in rows if d == 0] == [
+        (0, 1, 4), (1, 4, 4), (2, 7, 4)
+    ]
+    texts = {s: t for d, c, s, n, t in rows if d == 0}
+    assert texts[1] == "t1 t2 t3 t4" and texts[7] == "t7 t8 t9 t10"
+    # overlap: last token of chunk k is first token of chunk k+1
+    assert texts[1].split()[3] == texts[4].split()[0]
+    # doc 1: 3 tokens <= chunk -> one chunk, partial
+    assert [(c, s, n, t) for d, c, s, n, t in rows if d == 1] == [
+        (0, 1, 3, "a b c")
+    ]
+
+
+def test_dsir_logweights_prefers_target_like_docs(spark):
+    """dsir_logweights (r8): a raw doc written in the target's
+    vocabulary outscores a raw doc written in off-domain vocabulary,
+    and weights match a literal python replay of the Laplace-bucket
+    model."""
+    import hashlib
+    import math
+    import re
+
+    from transcriptomics_data_integration_spark.llmdata.sampling import (
+        dsir_logweights,
+    )
+
+    target_text = "protein gene expression sample assay measurement cohort"
+    rows = (
+        [(i, target_text, True) for i in range(5)]
+        + [(100, "protein gene expression assay cohort", False)]  # target-like raw
+        + [(101, "pizza soccer weather holiday traffic", False)]  # off-domain raw
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    got = {
+        r["doc_id"]: r
+        for r in dsir_logweights(df, "doc_id", "tgt", n_buckets=64).collect()
+    }
+    assert got[100]["logweight"] > got[101]["logweight"]
+
+    # literal replay
+    def bucket(tok):
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        return h % 64
+
+    ct, cr = {}, {}
+    for _, text, tgt in rows:
+        for tok in [x for x in re.split(r"[^a-z0-9]+", text.lower()) if x]:
+            d = ct if tgt else cr
+            b = bucket(tok)
+            d[b] = d.get(b, 0) + 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+    for did, text, tgt in [rows[0], rows[5], rows[6]]:
+        lw = 0.0
+        toks = [x for x in re.split(r"[^a-z0-9]+", text.lower()) if x]
+        for tok in toks:
+            b = bucket(tok)
+            lw += math.log(
+                ((ct.get(b, 0) + 1) * (tr + 64))
+                / ((cr.get(b, 0) + 1) * (tt + 64))
+            )
+        assert got[did]["n_toks"] == len(toks)
+        assert abs(got[did]["logweight"] - lw) < 1e-9
+
+
+def test_zipf_fit_recovers_planted_power_law(spark):
+    """zipf_fit (r8): a corpus whose term frequencies are planted as
+    f(r) = round(1000 * r^-1) yields a slope near -1; a uniform corpus
+    yields a slope near 0."""
+    from transcriptomics_data_integration_spark.llmdata.text import zipf_fit
+
+    rows = []
+    did = 0
+    for r in range(1, 21):
+        f = round(1000 * r ** -1.0)
+        for _ in range(f):
+            rows.append((did, f"term{r:02d}"))
+            did += 1
+    zipfy = spark.createDataFrame(rows, "doc_id long, text string")
+    slope = zipf_fit(zipfy, "doc_id", top_n=20).collect()[0]["slope"]
+    assert abs(slope - (-1.0)) < 0.01
+
+    uni = spark.createDataFrame(
+        [(i, f"u{i % 10}") for i in range(1000)], "doc_id long, text string"
+    )
+    res = zipf_fit(uni, "doc_id", top_n=10).collect()[0]
+    assert res["n_terms"] == 10
+    assert abs(res["slope"]) < 1e-9

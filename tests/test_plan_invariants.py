@@ -88,6 +88,13 @@ BNLJ_WHITELIST = {
     "repetition_schedule",
     # tfidf_keywords: the 1-row corpus-N attach
     "tfidf_keywords",
+    # kneser_ney: the 1-row distinct-bigram-total (B) broadcast attach
+    # in the KN model build — the doc_logprob / bigram_logprob pattern
+    "kneser_ney",
+    # dsir_select: two 1-row broadcast attaches — the (Tt, Tr) totals
+    # onto the bounded 1024-bucket model dim and the selection
+    # percentile threshold (the perplexity_buckets pattern)
+    "dsir_select",
 }
 
 

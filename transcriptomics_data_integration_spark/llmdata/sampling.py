@@ -585,3 +585,84 @@ def repetition_schedule(
     return shuffled.select(
         id_col, bucket_col, "epoch", F.col("shuffle_pos").alias("train_pos")
     )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    id_col: str,
+    target_col: str,
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, public): score every document in a raw pool by how much its
+    hashed-n-gram distribution looks like a TARGET distribution
+    (`target_col`, boolean — e.g. curated wiki/books docs), so a
+    downstream sampler can pull raw data that matches the target
+    domain.
+
+    Features are the paper's hashing trick: token -> md5-60-bit hash
+    -> one of ``n_buckets`` buckets.  Bucket unigram models are fit
+    with Laplace smoothing on the target and raw (non-target) halves,
+    and each doc scores
+
+        logweight = sum_tokens ln( p_target(bucket) / p_raw(bucket) )
+
+    with  p(b) = (c_b + 1) / (T + V)  — so the per-bucket log-ratio is
+
+        ln( ((ct_b + 1) * (Tr + V)) / ((cr_b + 1) * (Tt + V)) )
+
+    ONE ln() of a BIGINT-rational (identical operands in any engine);
+    the per-doc sum rounds downstream per repo FP policy.
+
+    Plan shape: one token explode aggregated straight to the
+    ``n_buckets``-row model dim (conditional sums split target/raw);
+    totals ride a 1-row broadcast attach onto that dim, never the
+    stream; the scored stream is one broadcast equi-join on bucket +
+    one doc-keyed aggregation.  At 100 TB the only corpus-sized
+    shuffle is the final doc groupBy (the explode aggregates
+    map-side-combine into <= n_buckets rows per task).
+
+    Output: (id, is_target, n_toks, logweight) — selection policy
+    (top-k, percentile threshold, Gumbel resampling) is the caller's;
+    see the suite gate for the percentile-threshold form.
+    """
+    toks = F.expr(
+        f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x <> '')"
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(target_col).cast("boolean").alias("_is_target"),
+        toks.alias("_toks"),
+    )
+    stream = base.select(
+        id_col, "_is_target", F.explode("_toks").alias("_tok")
+    ).withColumn("_bucket", _md5_60bit(F.col("_tok")) % n_buckets)
+    model = stream.groupBy("_bucket").agg(
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("_is_target"), 0).otherwise(1)).alias("cr"),
+    )
+    totals = model.agg(
+        F.sum("ct").alias("Tt"), F.sum("cr").alias("Tr")
+    )
+    lw = model.join(F.broadcast(totals)).select(
+        "_bucket",
+        F.log(
+            ((F.col("ct") + 1) * (F.col("Tr") + n_buckets)).cast("double")
+            / ((F.col("cr") + 1) * (F.col("Tt") + n_buckets)).cast("double")
+        ).alias("_lw"),
+    )
+    return (
+        stream.join(F.broadcast(lw), "_bucket")
+        .groupBy(id_col, "_is_target")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("_lw").alias("logweight"),
+        )
+        .select(
+            id_col,
+            F.col("_is_target").alias("is_target"),
+            "n_toks",
+            "logweight",
+        )
+    )

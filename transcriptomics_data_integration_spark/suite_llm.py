@@ -5129,3 +5129,335 @@ FROM base b LEFT JOIN reb r USING (doc_id)
 
 QUERIES_LLM["ngram_span_mask"] = q_ngram_span_mask
 ORACLES_LLM["ngram_span_mask"] = ORACLE_NGRAM_SPAN_MASK
+
+
+def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney bigram LM quality score (r8,
+    `llmdata/text.py:kneser_ney_logprob`): the KenLM smoothing family
+    CCNet's perplexity filter actually runs, with the continuation-
+    probability back-off raw-frequency interpolation lacks.  With the
+    fixed d = 3/4 discount the whole probability is one BIGINT
+    rational -> one DOUBLE division -> one ln() — identical operands
+    in both engines; the per-doc mean rounds 6 dp (repo FP policy)."""
+    from transcriptomics_data_integration_spark.llmdata.text import (
+        kneser_ney_logprob,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = kneser_ney_logprob(docs, "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.round("mean_kn_logprob", 6).alias("mean_kn_logprob"),
+    )
+
+
+ORACLE_KNESER_NEY = """
+WITH docs_t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), bigrams AS (
+  SELECT doc_id, UNNEST(
+    CASE WHEN len(toks) < 2 THEN []
+         ELSE list_transform(generate_series(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i + 1]) END
+  ) AS bigram FROM docs_t
+), bi AS (
+  SELECT bigram,
+         string_split(bigram, ' ')[1] AS w1,
+         string_split(bigram, ' ')[2] AS w2,
+         CAST(COUNT(*) AS BIGINT) AS c12
+  FROM bigrams GROUP BY bigram
+), lft AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1dot,
+         CAST(COUNT(*) AS BIGINT) AS t1
+  FROM bi GROUP BY w1
+), cont AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS c2cont FROM bi GROUP BY w2
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS B FROM bi
+), model AS (
+  SELECT b.bigram,
+         ln(CAST((4 * b.c12 - 3) * t.B + 3 * l.t1 * c.c2cont AS DOUBLE)
+            / CAST(4 * l.c1dot * t.B AS DOUBLE)) AS lp
+  FROM bi b
+  JOIN lft l ON b.w1 = l.w1
+  JOIN cont c ON b.w2 = c.w2
+  CROSS JOIN tot t
+)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(m.lp) / COUNT(*), 6) AS mean_kn_logprob
+FROM bigrams g JOIN model m USING (bigram)
+GROUP BY g.doc_id
+"""
+
+QUERIES_LLM["kneser_ney"] = q_kneser_ney
+ORACLES_LLM["kneser_ney"] = ORACLE_KNESER_NEY
+
+
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 heuristic cleaning battery, HASH-GATED (r8,
+    `llmdata/text.py:c4_filter` — Raffel et al. 2020 §2.2, public).
+    The gate corpus plants line structure the flat documents table
+    lacks: tokens regrouped into 8-token lines; terminator by formula
+    ((doc_id + i) % 3 == 0 -> NONE so the line fails the terminal-
+    punctuation rule, == 1 -> '.', == 2 -> '!'); a literal
+    ' javascript' token injected when (doc_id + i) % 7 == 0; a
+    brace-bearing line appended when doc_id % 11 == 0 and a
+    'Lorem ipsum' line when doc_id % 13 == 0.  The oracle recomputes
+    every line verdict AND the surviving clean_text from those
+    formulas alone — it never runs the kernel's regexes — so a hash
+    match proves the terminal-punct / min-words / javascript line
+    rules and the brace / lorem / min-kept-lines doc rules
+    end-to-end."""
+    from transcriptomics_data_integration_spark.llmdata.text import c4_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    lines = F.expr(
+        "transform(sequence(1, cast(ceil(size(_t) / 8.0) as int)), i -> "
+        "  concat("
+        "    array_join(slice(_t, (i - 1) * 8 + 1, 8), ' '),"
+        "    CASE WHEN (doc_id + i) % 7 = 0 THEN ' javascript' ELSE '' END,"
+        "    CASE WHEN (doc_id + i) % 3 = 1 THEN '.'"
+        "         WHEN (doc_id + i) % 3 = 2 THEN '!' ELSE '' END))"
+    )
+    planted = docs.select(F.col("doc_id"), toks.alias("_t")).select(
+        "doc_id",
+        F.concat(
+            F.array_join(lines, "\n"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("\nvar x = { y }.")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit("\nLorem ipsum dolor sit amet.")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = c4_filter(planted, "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_kept_lines").cast("bigint").alias("n_kept_lines"),
+        "has_brace",
+        "has_lorem",
+        "keep",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+ORACLE_C4_FILTER = """
+WITH arr AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents
+), lines AS (
+  SELECT doc_id,
+         UNNEST(list_transform(
+           generate_series(1, CAST(ceil(len(ts) / 8.0) AS INTEGER)),
+           i -> {'i': i,
+                 'txt': array_to_string(ts[(i - 1) * 8 + 1 : i * 8], ' ')
+                        || (CASE WHEN (doc_id + i) % 7 = 0
+                                 THEN ' javascript' ELSE '' END)
+                        || (CASE WHEN (doc_id + i) % 3 = 1 THEN '.'
+                                 WHEN (doc_id + i) % 3 = 2 THEN '!'
+                                 ELSE '' END),
+                 'nw': least(8, len(ts) - (i - 1) * 8)
+                       + (CASE WHEN (doc_id + i) % 7 = 0 THEN 1 ELSE 0 END),
+                 'term': (doc_id + i) % 3 <> 0,
+                 'js': (doc_id + i) % 7 = 0})) AS u
+  FROM arr
+), flat AS (
+  SELECT doc_id, u.i AS i, u.txt AS txt, u.nw AS nw, u.term AS term,
+         u.js AS js,
+         u.term AND NOT u.js AND u.nw >= 3 AS keep_line
+  FROM lines
+), extra AS (
+  SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS n_brace,
+         CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS n_lorem
+  FROM arr
+), per_doc AS (
+  SELECT f.doc_id,
+         MAX(CAST(ceil(len(a.ts) / 8.0) AS BIGINT)) AS n_base_lines,
+         CAST(SUM(CASE WHEN f.keep_line THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_base,
+         string_agg(CASE WHEN f.keep_line THEN f.txt END, chr(10) ORDER BY f.i) AS kept_base
+  FROM flat f JOIN arr a USING (doc_id)
+  GROUP BY f.doc_id
+)
+SELECT p.doc_id,
+       p.n_base_lines + e.n_brace + e.n_lorem AS n_lines,
+       p.n_kept_base + e.n_brace + e.n_lorem AS n_kept_lines,
+       e.n_brace = 1 AS has_brace,
+       e.n_lorem = 1 AS has_lorem,
+       (p.n_kept_base + e.n_brace + e.n_lorem >= 3)
+         AND e.n_brace = 0 AND e.n_lorem = 0 AS keep,
+       md5(COALESCE(p.kept_base, '')
+           || (CASE WHEN e.n_brace = 1
+                    THEN (CASE WHEN p.n_kept_base > 0 THEN chr(10) ELSE '' END)
+                         || 'var x = { y }.' ELSE '' END)
+           || (CASE WHEN e.n_lorem = 1
+                    THEN (CASE WHEN p.n_kept_base + e.n_brace > 0 THEN chr(10) ELSE '' END)
+                         || 'Lorem ipsum dolor sit amet.' ELSE '' END)) AS clean_md5
+FROM per_doc p JOIN extra e USING (doc_id)
+"""
+
+QUERIES_LLM["c4_filter"] = q_c4_filter
+ORACLES_LLM["c4_filter"] = ORACLE_C4_FILTER
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking, HASH-GATED (r8,
+    `llmdata/text.py:chunk_documents`): 16-token windows with stride
+    12 (4-token overlap), 1-based starts, last partial window kept —
+    the embedding-pipeline preprocessor.  Integer arithmetic + string
+    joins only, so the gate is bit-exact end-to-end."""
+    from transcriptomics_data_integration_spark.llmdata.text import (
+        chunk_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, "doc_id", chunk_tokens=16, stride=12)
+    return out.select(
+        "doc_id", "chunk_id", "start_token", "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+ORACLE_DOC_CHUNKS = """
+WITH arr AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents
+), starts AS (
+  SELECT doc_id, ts,
+         UNNEST(generate_series(1, greatest(len(ts) - 16 + 12, 1), 12)) AS s
+  FROM arr
+)
+SELECT doc_id,
+       CAST((s - 1) // 12 AS BIGINT) AS chunk_id,
+       CAST(s AS BIGINT) AS start_token,
+       CAST(least(16, len(ts) - s + 1) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(ts[s : s + 15], ' ')) AS chunk_md5
+FROM starts
+"""
+
+QUERIES_LLM["doc_chunks"] = q_doc_chunks
+ORACLES_LLM["doc_chunks"] = ORACLE_DOC_CHUNKS
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling selection, HASH-GATED (r8,
+    `llmdata/sampling.py:dsir_logweights` — Xie et al. 2023, public):
+    hashed-unigram (1024-bucket) Laplace models fit on the target half
+    (lang = 'en') vs the raw pool, per-doc log importance weight, then
+    the percentile-threshold selection policy: keep raw docs whose
+    6-dp-rounded weight clears the raw pool's 75th percentile (the
+    perplexity_buckets 1-row threshold-attach discipline — no global
+    ntile window).  Every per-bucket log-ratio is one ln() of a
+    BIGINT rational, so both engines score identical operands."""
+    from transcriptomics_data_integration_spark.llmdata.sampling import (
+        dsir_logweights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = dsir_logweights(
+        docs.withColumn("_tgt", F.col("lang") == "en"), "doc_id", "_tgt"
+    ).withColumn("lw", F.round("logweight", 6))
+    thr = w.where(~F.col("is_target")).agg(
+        F.percentile("lw", F.lit(0.75)).alias("_thr")
+    )
+    return (
+        w.join(F.broadcast(thr))
+        .select(
+            "doc_id",
+            "is_target",
+            F.col("n_toks").cast("bigint").alias("n_toks"),
+            F.col("lw").alias("logweight"),
+            (~F.col("is_target") & (F.col("lw") >= F.col("_thr"))).alias(
+                "selected"
+            ),
+        )
+    )
+
+
+ORACLE_DSIR_SELECT = """
+WITH stream AS (
+  SELECT doc_id, lang = 'en' AS is_target,
+         ('0x' || substring(md5(tok), 1, 15))::BIGINT % 1024 AS bucket
+  FROM (
+    SELECT doc_id, lang,
+           UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+  )
+), model AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS cr
+  FROM stream GROUP BY bucket
+), totals AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr
+  FROM model
+), lw AS (
+  SELECT bucket,
+         ln(CAST((m.ct + 1) * (t.tr + 1024) AS DOUBLE)
+            / CAST((m.cr + 1) * (t.tt + 1024) AS DOUBLE)) AS lwb
+  FROM model m CROSS JOIN totals t
+), per_doc AS (
+  SELECT s.doc_id, s.is_target,
+         CAST(COUNT(*) AS BIGINT) AS n_toks,
+         ROUND(SUM(l.lwb), 6) AS logweight
+  FROM stream s JOIN lw l USING (bucket)
+  GROUP BY s.doc_id, s.is_target
+), thr AS (
+  SELECT quantile_cont(logweight, 0.75) AS t FROM per_doc WHERE NOT is_target
+)
+SELECT p.doc_id, p.is_target, p.n_toks, p.logweight,
+       (NOT p.is_target) AND p.logweight >= thr.t AS selected
+FROM per_doc p CROSS JOIN thr
+"""
+
+QUERIES_LLM["dsir_select"] = q_dsir_select
+ORACLES_LLM["dsir_select"] = ORACLE_DSIR_SELECT
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency OLS fit, HASH-GATED (r8,
+    `llmdata/text.py:zipf_fit`): corpus-health diagnostic — ln(freq)
+    on ln(rank) over the top-100 terms (freq DESC, term ASC ties).
+    The corpus-sized work is one term groupBy; the top cut is
+    TakeOrdered; moments run on the bounded 100-row relation.  Slope
+    and intercept round 6 dp (repo FP policy)."""
+    from transcriptomics_data_integration_spark.llmdata.text import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    out = zipf_fit(docs, "doc_id", top_n=100)
+    return out.select(
+        "n_terms",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+    )
+
+
+ORACLE_ZIPF_FIT = """
+WITH tokens AS (
+  SELECT UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), freq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM tokens GROUP BY term
+), top AS (
+  SELECT term, freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS rank
+  FROM freq ORDER BY freq DESC, term ASC LIMIT 100
+), xy AS (
+  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+  FROM top
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM xy
+)
+SELECT n AS n_terms,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+             6) AS intercept
+FROM m
+"""
+
+QUERIES_LLM["zipf_fit"] = q_zipf_fit
+ORACLES_LLM["zipf_fit"] = ORACLE_ZIPF_FIT
