@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     "doc_chunks",
     "dsir_select",
     "zipf_fit",
+    "incremental_dedup",
+    "prototype_prune",
 ]
 
 

@@ -3133,3 +3133,74 @@ def test_zipf_fit_recovers_planted_power_law(spark):
     res = zipf_fit(uni, "doc_id", top_n=10).collect()[0]
     assert res["n_terms"] == 10
     assert abs(res["slope"]) < 1e-9
+
+
+def test_incremental_minhash_dedup_verdicts(spark):
+    """incremental_minhash_dedup (r8): exact copies match by digest
+    (minhash skipped, jaccard 1.0), appended-token docs match as near
+    with the right best-match id, novel docs come back 'new', and the
+    directional join never flags existing x existing pairs."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    existing = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely different corpus text here")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, base),                       # exact (ties -> min ex id 1)
+            (11, base + " qq"),               # near dup
+            (12, "zz-totally-novel-payload"), # new
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in incremental_minhash_dedup(
+            existing, incoming, "doc_id", threshold=0.8
+        ).collect()
+    }
+    assert got[10]["verdict"] == "exact" and got[10]["matched_id"] == 1
+    assert got[10]["jaccard"] == 1.0
+    assert got[11]["verdict"] == "near" and got[11]["matched_id"] in (1, 2)
+    assert got[11]["jaccard"] >= 0.8 and got[11]["jaccard"] < 1.0
+    assert got[12]["verdict"] == "new" and got[12]["matched_id"] is None
+    assert len(got) == 3  # one row per incoming doc, nothing else
+
+
+def test_prototype_prune_keeps_hardest_per_cell(spark):
+    """prototype_prune (r8): within each cell the kept set is exactly
+    the lowest-cosine (hardest) half, every vector appears once, and a
+    planted far-from-prototype vector is always kept."""
+    from transcriptomics_data_integration_spark.llmdata.similarity import (
+        prototype_prune,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        v = rng.normal(size=8)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    # vec 100: the exact negative of vec 0's direction — guaranteed
+    # anti-prototypical for whatever cell it lands in near vec 0
+    rows.append((100, [-x for x in rows[0][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = prototype_prune(df, n_cells=4, keep_frac=0.5).collect()
+    assert len(out) == 41 and len({r["vec_id"] for r in out}) == 41
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r)
+    import math
+
+    for cell, rs in by_cell.items():
+        rs.sort(key=lambda r: (r["cos_to_proto"], r["vec_id"]))
+        n = len(rs)
+        k = math.ceil(n * 0.5)
+        assert all(r["n_cell"] == n for r in rs)
+        assert [r["kept"] for r in rs] == [True] * k + [False] * (n - k)
+        assert [r["cell_rank"] for r in rs] == list(range(1, n + 1))

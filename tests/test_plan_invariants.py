@@ -95,6 +95,9 @@ BNLJ_WHITELIST = {
     # onto the bounded 1024-bucket model dim and the selection
     # percentile threshold (the perplexity_buckets pattern)
     "dsir_select",
+    # prototype_prune: broadcast center crossJoin for cell assignment
+    # (n_cells-row dim) — same class as ivf_fixed / semdedup
+    "prototype_prune",
 }
 
 

@@ -1288,3 +1288,71 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "cand_id", "rank", "adist")
     )
+
+
+def prototype_prune(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    keep_frac: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """SSL-prototype data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws", public): score every vector by its cosine to
+    its cluster prototype — high cosine = prototypical/easy, low =
+    hard — and, per cluster, KEEP the hardest ``keep_frac`` (the
+    paper's abundant-data regime, where pruning easy examples beats
+    random and can beat power-law scaling).
+
+    Determinism: prototypes are the :func:`ivf_fixed_topk` hash-picked
+    codebook (Knuth-hash sample, engine-exact), cell assignment is the
+    same argmin-L2 ordered fold, and ranking uses the ``round_dp``-
+    rounded cosine (ulp-stable boundaries) with id tiebreak — the
+    whole layout is oracle-replayable.
+
+    Scale shape: centers broadcast (n_cells x dim); assignment is the
+    map-side-combinable min(struct) — no per-id window; the keep rank
+    partitions by CELL (per-cell candidate lists).  Note the per-cell
+    window means cells should be sized (n_cells ~ n/10^5) so a cell
+    fits a task at the target corpus — same contract as semdedup.
+
+    Output: (id, cell, cos_to_proto, cell_rank, n_cell, kept).
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
+    )
+    centers = _hash_pick_centers(base, n_cells)
+    assigned = _assign_to_centers(base, centers)
+    cos = (
+        assigned.join(F.broadcast(centers), "cell")
+        .withColumn(
+            "_cos",
+            F.round(
+                _dot("c_vec", "center")
+                / (
+                    F.sqrt(_dot("c_vec", "c_vec"))
+                    * F.sqrt(_dot("center", "center"))
+                ),
+                round_dp,
+            ),
+        )
+        .select("cand_id", "cell", "_cos")
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("_cos").asc(), F.col("cand_id").asc()
+    )
+    ranked = cos.withColumn("cell_rank", F.row_number().over(w)).withColumn(
+        "n_cell", F.count(F.lit(1)).over(Window.partitionBy("cell"))
+    )
+    return ranked.select(
+        F.col("cand_id").alias(id_col),
+        "cell",
+        F.col("_cos").alias("cos_to_proto"),
+        "cell_rank",
+        "n_cell",
+        (
+            F.col("cell_rank")
+            <= F.ceil(F.col("n_cell") * F.lit(float(keep_frac))).cast("int")
+        ).alias("kept"),
+    )

@@ -5461,3 +5461,205 @@ FROM m
 
 QUERIES_LLM["zipf_fit"] = q_zipf_fit
 ORACLES_LLM["zipf_fit"] = ORACLE_ZIPF_FIT
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus dedup, HASH-GATED (r8,
+    `llmdata/dedup.py:incremental_minhash_dedup`): a synthetic "new
+    crawl" (offset ids) arrives against the kept corpus — one third
+    exact copies (digest hit, minhash skipped), one third near-dups
+    (text + an appended token; banded candidates -> exact-Jaccard
+    verify -> best match), one third genuinely new ('fresh-<id>'
+    payloads).  The oracle replays digest matching, the 16-seed
+    minhash, 4-band bucketing, directional candidate join,
+    verification, and the (jaccard DESC, ex_id ASC) best-match window
+    in DuckDB — so a hash match pins the whole incremental index
+    semantics.  Jaccard rounds 6 dp (repo FP policy)."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    incoming = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.col("text"), F.lit(" qq")))
+        .otherwise(
+            F.concat(F.lit("fresh-"), F.col("doc_id"), F.lit("-unique-content-row"))
+        )
+        .alias("text"),
+    )
+    out = incremental_minhash_dedup(docs, incoming, "doc_id", threshold=0.8)
+    return out.select(
+        "doc_id",
+        "verdict",
+        "matched_id",
+        F.col("n_inter").cast("int").alias("n_inter"),
+        F.col("n_a").cast("int").alias("n_a"),
+        F.col("n_b").cast("int").alias("n_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+ORACLE_INCREMENTAL_DEDUP = f"""
+WITH incoming AS (
+  SELECT doc_id + 1000000 AS inc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text
+              WHEN doc_id % 3 = 1 THEN text || ' qq'
+              ELSE 'fresh-' || CAST(doc_id AS VARCHAR) || '-unique-content-row'
+         END AS text
+  FROM documents
+), ex_digest AS (
+  SELECT md5(text) AS digest, MIN(doc_id) AS matched_id
+  FROM documents GROUP BY md5(text)
+), exact AS (
+  SELECT i.inc_id, e.matched_id FROM incoming i
+  JOIN ex_digest e ON md5(i.text) = e.digest
+), rest AS (
+  SELECT inc_id AS doc_id, text FROM incoming
+  WHERE md5(text) NOT IN (SELECT digest FROM ex_digest)
+), sh_inc AS (
+  SELECT doc_id, UNNEST({_SHINGLE_SQL}) AS shingle FROM rest
+), sh_ex AS (
+  SELECT doc_id, UNNEST({_SHINGLE_SQL}) AS shingle FROM documents
+), sig_inc AS (
+  SELECT doc_id, seed,
+         MIN(('0x' || substring(md5(shingle || '#' || seed), 1, 15))::BIGINT) AS minhash
+  FROM sh_inc, (SELECT UNNEST(generate_series(0, 15)) AS seed)
+  GROUP BY doc_id, seed
+), sig_ex AS (
+  SELECT doc_id, seed,
+         MIN(('0x' || substring(md5(shingle || '#' || seed), 1, 15))::BIGINT) AS minhash
+  FROM sh_ex, (SELECT UNNEST(generate_series(0, 15)) AS seed)
+  GROUP BY doc_id, seed
+), band_inc AS (
+  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         STRING_AGG(CAST(minhash AS VARCHAR), '_' ORDER BY seed) AS band_key
+  FROM sig_inc GROUP BY doc_id, CAST(seed // 4 AS INTEGER)
+), band_ex AS (
+  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         STRING_AGG(CAST(minhash AS VARCHAR), '_' ORDER BY seed) AS band_key
+  FROM sig_ex GROUP BY doc_id, CAST(seed // 4 AS INTEGER)
+), cands AS (
+  SELECT DISTINCT i.doc_id AS inc_id, e.doc_id AS ex_id
+  FROM band_inc i JOIN band_ex e
+    ON i.band = e.band AND i.band_key = e.band_key
+), sizes_inc AS (
+  SELECT doc_id, COUNT(DISTINCT shingle) AS n_sh FROM sh_inc GROUP BY doc_id
+), sizes_ex AS (
+  SELECT doc_id, COUNT(DISTINCT shingle) AS n_sh FROM sh_ex GROUP BY doc_id
+), inter AS (
+  SELECT c.inc_id, c.ex_id, COUNT(DISTINCT a.shingle) AS n_inter
+  FROM cands c
+  JOIN sh_inc a ON a.doc_id = c.inc_id
+  JOIN sh_ex b ON b.doc_id = c.ex_id AND a.shingle = b.shingle
+  GROUP BY c.inc_id, c.ex_id
+), verified AS (
+  SELECT i.inc_id, i.ex_id,
+         CAST(i.n_inter AS INTEGER) AS n_inter,
+         CAST(sa.n_sh AS INTEGER) AS n_a,
+         CAST(sb.n_sh AS INTEGER) AS n_b,
+         i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+  FROM inter i
+  JOIN sizes_inc sa ON i.inc_id = sa.doc_id
+  JOIN sizes_ex sb ON i.ex_id = sb.doc_id
+  WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.8e0
+), best AS (
+  SELECT inc_id, ex_id, n_inter, n_a, n_b, jaccard,
+         ROW_NUMBER() OVER (
+           PARTITION BY inc_id ORDER BY jaccard DESC, ex_id ASC
+         ) AS rn
+  FROM verified
+), matched AS (
+  SELECT inc_id, 'exact' AS verdict, matched_id,
+         CAST(NULL AS INTEGER) AS n_inter, CAST(NULL AS INTEGER) AS n_a,
+         CAST(NULL AS INTEGER) AS n_b, 1.0e0 AS jaccard
+  FROM exact
+  UNION ALL
+  SELECT inc_id, 'near' AS verdict, ex_id AS matched_id,
+         n_inter, n_a, n_b, jaccard
+  FROM best WHERE rn = 1
+)
+SELECT i.inc_id AS doc_id,
+       COALESCE(m.verdict, 'new') AS verdict,
+       m.matched_id, m.n_inter, m.n_a, m.n_b,
+       ROUND(m.jaccard, 6) AS jaccard
+FROM incoming i LEFT JOIN matched m USING (inc_id)
+"""
+
+QUERIES_LLM["incremental_dedup"] = q_incremental_dedup
+ORACLES_LLM["incremental_dedup"] = ORACLE_INCREMENTAL_DEDUP
+
+
+def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototype pruning, HASH-GATED (r8,
+    `llmdata/similarity.py:prototype_prune` — Sorscher et al. 2022):
+    Knuth-hash prototype codebook (the ivf_fixed layout), argmin-L2
+    cell assignment, per-cell hardest-half keep by 6-dp-rounded cosine
+    to the prototype.  The oracle replays codebook pick, assignment
+    fold, cosine fold, and the (cos ASC, id ASC) keep rank — the full
+    pruning layout is bit-checked."""
+    from transcriptomics_data_integration_spark.llmdata.similarity import (
+        prototype_prune,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = prototype_prune(emb, n_cells=16, keep_frac=0.5)
+    return out.select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        "cos_to_proto",
+        F.col("cell_rank").cast("bigint").alias("cell_rank"),
+        F.col("n_cell").cast("bigint").alias("n_cell"),
+        "kept",
+    )
+
+
+ORACLE_PROTOTYPE_PRUNE = f"""
+WITH base AS (
+  SELECT vec_id AS cand_id, embedding AS c_vec,
+         (((((vec_id % 4294967296) // 65536) * 2654435761) % 65536) * 65536
+          + ((vec_id % 65536) * 2654435761)) % 4294967296 AS h
+  FROM embeddings
+), picked AS (
+  SELECT h, cand_id, c_vec FROM base ORDER BY h, cand_id LIMIT 16
+), centers AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY h, cand_id) - 1 AS cell,
+         list_transform(c_vec, x -> CAST(x AS DOUBLE)) AS center
+  FROM picked
+), ac AS (
+  SELECT b.cand_id, b.c_vec, c.cell, c.center,
+         {{l2}} AS dist
+  FROM base b CROSS JOIN centers c
+), assigned AS (
+  SELECT cand_id, c_vec, cell, center FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cand_id ORDER BY dist, cell) AS rn
+    FROM ac
+  ) WHERE rn = 1
+), scored AS (
+  SELECT cand_id, cell,
+         ROUND({{dotac}}
+               / (sqrt({{dotaa}}) * sqrt({{dotcc}})), 6) AS cos_to_proto
+  FROM assigned a
+), ranked AS (
+  SELECT cand_id, cell, cos_to_proto,
+         ROW_NUMBER() OVER (
+           PARTITION BY cell ORDER BY cos_to_proto ASC, cand_id ASC
+         ) AS cell_rank,
+         COUNT(*) OVER (PARTITION BY cell) AS n_cell
+  FROM scored
+)
+SELECT cand_id AS vec_id, CAST(cell AS INTEGER) AS cell, cos_to_proto,
+       CAST(cell_rank AS BIGINT) AS cell_rank,
+       CAST(n_cell AS BIGINT) AS n_cell,
+       cell_rank <= CAST(ceil(n_cell * 0.5) AS BIGINT) AS kept
+FROM ranked
+""".format(
+    l2=_L2_SQL.format(a="b.c_vec", b="c.center"),
+    dotac=_DOT_SQL.format(a="a.c_vec", b="a.center"),
+    dotaa=_DOT_SQL.format(a="a.c_vec", b="a.c_vec"),
+    dotcc=_DOT_SQL.format(a="a.center", b="a.center"),
+)
+
+QUERIES_LLM["prototype_prune"] = q_prototype_prune
+ORACLES_LLM["prototype_prune"] = ORACLE_PROTOTYPE_PRUNE
