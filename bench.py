@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "zipf_fit",
     "incremental_dedup",
     "prototype_prune",
+    "gsea_es",
 ]
 
 

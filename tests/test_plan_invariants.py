@@ -98,6 +98,9 @@ BNLJ_WHITELIST = {
     # prototype_prune: broadcast center crossJoin for cell assignment
     # (n_cells-row dim) — same class as ivf_fixed / semdedup
     "prototype_prune",
+    # gsea_es: the 1-row ranked-list-total (N) broadcast attach onto
+    # the bounded term dim
+    "gsea_es",
 }
 
 

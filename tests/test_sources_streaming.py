@@ -1045,3 +1045,65 @@ def test_streaming_bloom_contamination_matches_batch(spark, tmp_path):
     assert got == batch
     assert got[1][1] > 0 and got[3][1] > 0  # real contamination found
     assert 4 not in got or got[4][0] >= 0
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    """streaming_incremental_dedup (r8): the broadcast-index ingest
+    twin of incremental_minhash_dedup — same digest/minhash/banding/
+    verify/tie rules, so streamed verdicts equal the batch kernel's
+    rows over the same files."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        incremental_minhash_dedup,
+    )
+    from transcriptomics_data_integration_spark.streaming.ingest import (
+        run_stream_to_memory,
+        streaming_incremental_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    existing = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely different corpus text here")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, base),
+            (11, base + " qq"),
+            (12, "zz-totally-novel-payload"),
+            (13, "completely different corpus text here"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def key(r):
+        return (
+            r["verdict"],
+            r["matched_id"],
+            r["n_inter"],
+            r["n_a"],
+            r["n_b"],
+            r["jaccard"],
+        )
+
+    batch = {
+        r["doc_id"]: key(r)
+        for r in incremental_minhash_dedup(
+            existing, incoming, "doc_id", threshold=0.8
+        ).collect()
+    }
+
+    d = tmp_path / "inc_docs"
+    d.mkdir()
+    incoming.coalesce(1).write.mode("overwrite").parquet(str(d))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(d))
+    run_stream_to_memory(
+        streaming_incremental_dedup(stream, existing),
+        "stream_incdedup",
+        out_mode="append",
+    )
+    got = {
+        r["doc_id"]: key(r)
+        for r in spark.sql("SELECT * FROM stream_incdedup").collect()
+    }
+    assert got == batch
+    assert got[10][0] == "exact" and got[11][0] == "near" and got[12][0] == "new"

@@ -426,3 +426,136 @@ def streaming_bloom_contamination(
         )
         .where(F.col("n_maybe") > 0)
     )
+
+
+def streaming_incremental_dedup(
+    stream_df: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Streaming twin of ``llmdata.dedup.incremental_minhash_dedup``
+    (r8) — dedupe-at-ingest: every arriving document is screened
+    against the KEPT corpus's content index (digests + band buckets +
+    shingle sets) before it enters the pool.  This is the streaming
+    half of the incremental story: the batch kernel handles
+    batch-vs-corpus (both sides shuffled); this twin handles
+    doc-at-a-time arrival against a BROADCAST-bounded index snapshot —
+    right when the kept index fits executor memory (dedup against a
+    curated core set, an eval suite, a single partner corpus).  For a
+    100 TB kept side, run the batch kernel per micro-batch window
+    instead; the hashes are the same content functions either way.
+
+    The index is built once at plan build: digest -> min kept id,
+    band tuple -> kept ids, kept id -> distinct-shingle set.  Each
+    arriving doc is then a stateless Arrow map — digest probe first
+    (exact), else 16-seed minhash -> 4 band tuples -> candidate kept
+    ids -> exact-Jaccard verify -> best match (max jaccard, tie ->
+    min kept id).  No state store, no shuffle; verdicts are
+    BIT-IDENTICAL to the batch kernel's (same md5 minhash recipe,
+    same banding, same distinct-shingle counts, same tie rules),
+    which the batch-equivalence test pins.
+
+    Output: (id, verdict, matched_id, n_inter, n_a, n_b, jaccard).
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    def _shingles(t: str) -> set:
+        t = t or ""
+        n_sh = max(len(t) - k + 1, 1)
+        return {t[i : i + k] for i in range(n_sh)}
+
+    def _minhash_bands(sh: set) -> tuple:
+        sigs = [
+            min(
+                int(hashlib.md5(f"{s}#{j}".encode()).hexdigest()[:15], 16)
+                for s in sh
+            )
+            for j in range(n_hashes)
+        ]
+        rpb = n_hashes // n_bands
+        return tuple(
+            tuple(sigs[b * rpb : (b + 1) * rpb]) for b in range(n_bands)
+        )
+
+    digest_index: dict = {}
+    band_index: dict = {}
+    shingle_sets: dict = {}
+    for ex_id, txt in existing.select(id_col, text_col).collect():  # bounded index
+        dg = hashlib.md5((txt or "").encode()).hexdigest()
+        if dg not in digest_index or ex_id < digest_index[dg]:
+            digest_index[dg] = ex_id
+        sh = _shingles(txt)
+        shingle_sets[ex_id] = frozenset(sh)
+        for b, key in enumerate(_minhash_bands(sh)):
+            band_index.setdefault((b, key), []).append(ex_id)
+
+    sc = existing.sparkSession.sparkContext
+    b_digest = sc.broadcast(digest_index)
+    b_bands = sc.broadcast(band_index)
+    b_sets = sc.broadcast(shingle_sets)
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("verdict", StringType()),
+                StructField("matched_id", LongType()),
+                StructField("n_inter", IntegerType()),
+                StructField("n_a", IntegerType()),
+                StructField("n_b", IntegerType()),
+                StructField("jaccard", DoubleType()),
+            ]
+        )
+    )
+    def screen(texts):
+        dgi = b_digest.value
+        bdi = b_bands.value
+        sets = b_sets.value
+        rows = []
+        for t in texts:
+            dg = hashlib.md5((t or "").encode()).hexdigest()
+            if dg in dgi:
+                rows.append(("exact", dgi[dg], None, None, None, 1.0))
+                continue
+            sh = _shingles(t)
+            cands: set = set()
+            for b, key in enumerate(_minhash_bands(sh)):
+                cands.update(bdi.get((b, key), ()))
+            best = None
+            for ex_id in sorted(cands):
+                ex_sh = sets[ex_id]
+                inter = len(sh & ex_sh)
+                j = inter / (len(sh) + len(ex_sh) - inter)
+                if j >= threshold and (
+                    best is None or j > best[5] or (j == best[5] and ex_id < best[1])
+                ):
+                    best = ("near", ex_id, inter, len(sh), len(ex_sh), j)
+            rows.append(best or ("new", None, None, None, None, None))
+        return pd.DataFrame(
+            rows,
+            columns=["verdict", "matched_id", "n_inter", "n_a", "n_b", "jaccard"],
+        )
+
+    return stream_df.select(F.col(id_col), screen(F.col(text_col)).alias("_s")).select(
+        id_col,
+        F.col("_s.verdict").alias("verdict"),
+        F.col("_s.matched_id").alias("matched_id"),
+        F.col("_s.n_inter").alias("n_inter"),
+        F.col("_s.n_a").alias("n_a"),
+        F.col("_s.n_b").alias("n_b"),
+        F.col("_s.jaccard").alias("jaccard"),
+    )

@@ -1840,3 +1840,90 @@ FROM lam
 
 QUERIES_STATS["ks_strata"] = q_ks_strata
 ORACLES_STATS["ks_strata"] = ORACLE_KS_STRATA
+
+
+def q_gsea_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GSEA enrichment score, HASH-GATED (r8,
+    `stats/enrichment.py:gsea_enrichment_scores` — Subramanian et al.
+    2005, p = 0 form): parts ranked by total lineitem quantity
+    (integer sums, deterministic order), gene sets = p_type terms.
+    The running-sum extremes are compared as INTEGER numerators over
+    the per-term constant denominator, so arg-max/min, sign, and
+    rank_at_max are bit-exact; only the reported ES divides (6 dp)."""
+    from transcriptomics_data_integration_spark.stats.enrichment import (
+        gsea_enrichment_scores,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    ranked = (
+        li.groupBy("l_partkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("_qty"))
+        .select(
+            "l_partkey",
+            F.row_number()
+            .over(Window.orderBy(F.col("_qty").desc(), F.col("l_partkey")))
+            .alias("rank"),
+        )
+    )
+    terms = part.select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_type").alias("term")
+    )
+    out = gsea_enrichment_scores(ranked, terms, "l_partkey", "term")
+    return out.select(
+        "term",
+        "n_hits",
+        F.round("es", 6).alias("es"),
+        "es_sign",
+        "rank_at_max",
+    )
+
+
+ORACLE_GSEA_ES = """
+WITH ranked AS (
+  SELECT l_partkey,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(SUM(l_quantity) AS BIGINT) DESC, l_partkey
+         ) AS r
+  FROM lineitem GROUP BY l_partkey
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS N FROM ranked
+), hits AS (
+  SELECT p.p_type AS term, rk.r,
+         ROW_NUMBER() OVER (PARTITION BY p.p_type ORDER BY rk.r) AS j,
+         COUNT(*) OVER (PARTITION BY p.p_type) AS ht
+  FROM part p JOIN ranked rk ON p.p_partkey = rk.l_partkey
+), scored AS (
+  SELECT term, r, j, CAST(ht AS BIGINT) AS ht, n.N,
+         j * (n.N - ht) - (r - j) * ht AS num_after,
+         (j - 1) * (n.N - ht) - (r - 1 - (j - 1)) * ht AS num_before
+  FROM hits CROSS JOIN n
+  WHERE ht < n.N
+), per_term AS (
+  SELECT term, MAX(ht) AS n_hits, MAX(N) AS N,
+         MAX(num_after) AS mx_after,
+         MIN(num_before) AS mn_before
+  FROM scored GROUP BY term
+), pos_pick AS (
+  SELECT term, MIN(r) AS pos_r FROM scored s
+  WHERE num_after = (SELECT MAX(num_after) FROM scored x WHERE x.term = s.term)
+  GROUP BY term
+), neg_pick AS (
+  SELECT term, MIN(r) AS neg_r FROM scored s
+  WHERE num_before = (SELECT MIN(num_before) FROM scored x WHERE x.term = s.term)
+  GROUP BY term
+)
+SELECT p.term, CAST(p.n_hits AS BIGINT) AS n_hits,
+       ROUND(CAST(CASE WHEN p.mx_after >= -p.mn_before
+                       THEN p.mx_after ELSE p.mn_before END AS DOUBLE)
+             / CAST(p.n_hits * (p.N - p.n_hits) AS DOUBLE), 6) AS es,
+       CASE WHEN p.mx_after >= -p.mn_before THEN 1 ELSE -1 END AS es_sign,
+       CAST(CASE WHEN p.mx_after >= -p.mn_before
+                 THEN pp.pos_r ELSE np.neg_r END AS BIGINT) AS rank_at_max
+FROM per_term p
+JOIN pos_pick pp ON p.term = pp.term
+JOIN neg_pick np ON p.term = np.term
+"""
+
+QUERIES_STATS["gsea_es"] = q_gsea_es
+ORACLES_STATS["gsea_es"] = ORACLE_GSEA_ES
