@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "prototype_prune",
     "gsea_es",
+    "c4_span_dedup",
 ]
 
 

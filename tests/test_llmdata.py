@@ -3204,3 +3204,54 @@ def test_prototype_prune_keeps_hardest_per_cell(spark):
         assert all(r["n_cell"] == n for r in rs)
         assert [r["kept"] for r in rs] == [True] * k + [False] * (n - k)
         assert [r["cell_rank"] for r in rs] == list(range(1, n + 1))
+
+
+def test_dedup_line_spans_keeps_canonical_occurrence(spark):
+    """dedup_line_spans (r8): a 3-line span shared by two docs is
+    removed from the later doc only; unique spans survive; docs with
+    fewer than span_lines lines are untouched."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        dedup_line_spans,
+    )
+
+    shared = "line one\nline two\nline three"
+    rows = [
+        (1, shared + "\nunique tail of doc one"),
+        (2, shared + "\ndifferent tail here"),
+        (3, "short\ndoc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_line_spans(df, "doc_id").collect()}
+
+    # doc 1 is canonical for the shared span -> keeps everything
+    assert got[1]["n_removed"] == 0
+    assert got[1]["clean_text"] == rows[0][1]
+    # doc 2 loses the 3 shared-span lines, keeps its unique tail
+    assert got[2]["n_removed"] == 3
+    assert got[2]["clean_text"] == "different tail here"
+    # doc 3: too short for any span -> untouched
+    assert got[3]["n_removed"] == 0 and got[3]["clean_text"] == "short\ndoc"
+
+
+def test_hashed_shingles_strategies_identical(spark):
+    """hashed_shingles (r8): the inline strategy produces the same
+    hash values as the broadcast-dim strategy — only the plan differs
+    (no broadcast collect on high-entropy corpora)."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        hashed_shingles,
+        shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "defghijklm"), (3, "zzzzzz")],
+        "doc_id long, text string",
+    )
+    sh = shingles(df, "doc_id", "text", 5)
+    cols = ["doc_id", "shingle", "h0", "h1", "h2", "h3"]
+
+    def rows(strategy):
+        out = hashed_shingles(sh, 4, strategy).select(*cols)
+        return sorted(map(tuple, out.collect()))
+
+    a, b = rows("broadcast_dim"), rows("inline")
+    assert a == b and len(a) > 0

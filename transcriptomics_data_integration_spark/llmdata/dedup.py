@@ -265,12 +265,36 @@ def minhash_sig_columns(
     )
 
 
-def hashed_shingles(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+def hashed_shingles(
+    sh: DataFrame, n_hashes: int = N_HASHES, strategy: str = "broadcast_dim"
+) -> DataFrame:
     """Posting relation with the per-seed hash columns h0..h{n-1}
-    attached via the distinct-shingle dim (md5 computed once per
-    DISTINCT shingle, broadcast back).  h0 doubles as a 60-bit integer
-    shingle id for set operations — primitive long arrays instead of
-    string arrays keeps verification allocation-light."""
+    attached.  h0 doubles as a 60-bit integer shingle id for set
+    operations — primitive long arrays instead of string arrays keeps
+    verification allocation-light.  Hash VALUES are identical under
+    either strategy; only the plan differs:
+
+    - ``"broadcast_dim"``: md5 computed once per DISTINCT shingle and
+      broadcast back.  Wins when cross-doc shingle repetition is high
+      (dup-storm crawls, bounded vocabularies) — but the dim is
+      collected to the driver, so it breaks past
+      ``spark.driver.maxResultSize`` on HIGH-ENTROPY corpora, where
+      distinct shingles grow with the corpus (measured r8: a 1 M-doc
+      md5-token corpus killed the collect at >1 GiB; PLANS.md).
+    - ``"inline"``: the 16 hash columns are computed per POSTING row —
+      ~distinct-ratio more md5 calls, but ZERO broadcast and zero
+      extra shuffle, CPU-linear at any corpus size.  The safe default
+      for arbitrary (non-storm) input.
+    """
+    if strategy == "inline":
+        out = sh
+        for j in range(n_hashes):
+            out = out.withColumn(
+                f"h{j}", _md5_60bit(F.concat_ws("#", F.col("shingle"), F.lit(j)))
+            )
+        return out
+    if strategy != "broadcast_dim":
+        raise ValueError(f"unknown strategy {strategy!r}")
     dim = sh.select("shingle").distinct()
     for j in range(n_hashes):
         dim = dim.withColumn(
@@ -388,6 +412,7 @@ def minhash_lsh_pairs(
     n_bands: int = N_BANDS,
     threshold: float = 0.8,
     expand: str = "all",
+    hash_strategy: str = "broadcast_dim",
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline with exact-duplicate cluster
     compression: signatures -> banded candidates -> exact-Jaccard
@@ -431,7 +456,11 @@ def minhash_lsh_pairs(
     rep_docs = df.join(rep.select(F.col("rep_id").alias(id_col)), id_col)
 
     sh = shingles(rep_docs, id_col, text_col, k)
-    hashed = hashed_shingles(sh, n_hashes)
+    # hash_strategy: "broadcast_dim" wins on storm-shaped crawls (reps
+    # << docs, distinct shingles bounded); pass "inline" for
+    # high-entropy corpora where the distinct-shingle dim would grow
+    # with the corpus and break the driver collect (r8, PLANS.md)
+    hashed = hashed_shingles(sh, n_hashes, strategy=hash_strategy)
     # ONE pass over the posting relation produces both the signature
     # columns (element-wise mins) and the per-doc shingle-set array
     # (collect_set of the h0 shingle ids) — fusing the two aggregations
@@ -1301,8 +1330,12 @@ def incremental_minhash_dedup(
     )
 
     def _sig_sets(df: DataFrame, out_id: str) -> DataFrame:
+        # inline hashing: an incoming crawl batch is arbitrary content,
+        # so the broadcast-dim strategy's driver collect is a scale
+        # hazard here (measured r8, PLANS.md) — inline is CPU-linear
+        # with zero broadcast at any batch size
         sh = shingles(df, id_col, text_col, k)
-        hashed = hashed_shingles(sh, n_hashes)
+        hashed = hashed_shingles(sh, n_hashes, strategy="inline")
         return hashed.groupBy(id_col).agg(
             *[F.min(f"h{j}").alias(f"m{j}") for j in range(n_hashes)],
             F.collect_set("h0").alias("sset"),
@@ -1393,5 +1426,97 @@ def incremental_minhash_dedup(
             "n_a",
             "n_b",
             "jaccard",
+        )
+    )
+
+
+def dedup_line_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    span_lines: int = 3,
+) -> DataFrame:
+    """C4's corpus-level span dedup (Raffel et al. 2020 §2.2, public):
+    every ``span_lines``-consecutive-line window ("three-sentence
+    span" in the paper; this engine's line unit matches
+    :func:`~transcriptomics_data_integration_spark.llmdata.text.c4_filter`)
+    that occurs more than once in the corpus is removed from every
+    document EXCEPT its canonical first occurrence — the smallest
+    (id, start index).  Complements :func:`dedup_paragraphs` (single-
+    unit, keep-one-globally) and :func:`mask_frequent_ngrams`
+    (mask-everywhere): C4's rule keeps exactly one copy of the whole
+    SPAN and drops every line the other occurrences cover.
+
+    Plan shape (the ngram_span_mask discipline): line split + span
+    windows are in-plan array algebra; the canonical occurrence is a
+    map-side-combinable min(struct) per span digest (no window over
+    the corpus); duplicate-cover positions explode bounded by
+    span_lines; removal is one anti-join on (id, line index); rebuild
+    aggregates each doc's surviving lines in order.  Shuffles are all
+    keyed by span digest or doc id — linear, AQE-coalescible.
+
+    Output: (id, n_lines, n_removed, clean_text) — clean_text the
+    surviving lines re-joined by newline ('' if none survive).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_i", "_line"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"),
+    )
+    spans = df.select(
+        F.col(id_col),
+        F.expr(
+            f"CASE WHEN size(split({text_col}, '\\n')) < {span_lines} THEN array() "
+            f"ELSE transform(sequence(1, size(split({text_col}, '\\n')) - {span_lines - 1}), "
+            f"s -> struct(s - 1 AS start, "
+            f"md5(array_join(slice(split({text_col}, '\\n'), s, {span_lines}), '\\n')) AS dig)) END"
+        ).alias("_sp"),
+    ).select(id_col, F.explode("_sp").alias("sp")).select(
+        id_col, F.col("sp.start").alias("_start"), F.col("sp.dig").alias("_dig")
+    )
+    per_dig = spans.groupBy("_dig").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("_start").alias("s"))).alias("_canon"),
+    )
+    dup_occ = (
+        spans.join(per_dig, "_dig")
+        .where(
+            (F.col("_n") > 1)
+            & ~(
+                (F.col(id_col) == F.col("_canon.i"))
+                & (F.col("_start") == F.col("_canon.s"))
+            )
+        )
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("_start"), F.col("_start") + F.lit(span_lines - 1))
+            ).alias("_i"),
+        )
+        .distinct()
+    )
+    kept = lines.join(dup_occ, [id_col, "_i"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_i"), F.col("_line")))
+                ),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )

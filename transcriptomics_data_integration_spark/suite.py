@@ -2103,9 +2103,11 @@ _ROUND8_FRONT = [
     "reliability_filter", "value_conditioning", "argmax_dedup",
 ]
 
-# Round-9 rotation plan: (a) the eight r8 gates added AFTER this window
+# Round-9 rotation plan: (a) the r8 gates added AFTER this window
 # froze (bm25_topk, pagerank3, perplexity_buckets, substring_spans,
-# repetition_schedule, warc_extract, ingest_pipeline, tfidf_keywords —
+# repetition_schedule, warc_extract, ingest_pipeline, tfidf_keywords,
+# kneser_ney, c4_filter, doc_chunks, dsir_select, zipf_fit,
+# incremental_dedup, prototype_prune, gsea_es, c4_span_dedup —
 # never driver-stamped), then (b) every r9-touched/new kernel, (c) the
 # r5-only-stamped remainder (29 queries: cel_decode, cohort_retention,
 # contamination, dedup_rows, doc_sample, fisher_enrichment,

@@ -5663,3 +5663,104 @@ FROM ranked
 
 QUERIES_LLM["prototype_prune"] = q_prototype_prune
 ORACLES_LLM["prototype_prune"] = ORACLE_PROTOTYPE_PRUNE
+
+
+def q_c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 corpus-level span dedup, HASH-GATED (r8,
+    `llmdata/dedup.py:dedup_line_spans` — the dedup half of C4,
+    complementing the `c4_filter` heuristics gate): tokens regrouped
+    into 8-token lines, then a two-crawl union where each copy gains a
+    unique trailing line — so interior spans duplicate (copy loses
+    those lines, canonical keeps them) while each copy's tail spans
+    stay unique (lines near the new trailer survive).  The oracle
+    replays span windows, the min-(id, start) canonical election,
+    duplicate-cover explosion, anti-join, and ordered rebuild in
+    DuckDB."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        dedup_line_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    lined = docs.select(F.col("doc_id"), toks.alias("_t")).select(
+        "doc_id",
+        F.array_join(
+            F.expr(
+                "transform(sequence(1, cast(ceil(size(_t) / 8.0) as int)), "
+                "i -> array_join(slice(_t, (i - 1) * 8 + 1, 8), ' '))"
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    crawls = lined.unionByName(
+        lined.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit("\ncopy marker "), F.col("doc_id")
+            ).alias("text"),
+        )
+    )
+    out = dedup_line_spans(crawls, "doc_id", span_lines=3)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_removed").cast("bigint").alias("n_removed"),
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+ORACLE_C4_SPAN_DEDUP = """
+WITH lined AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, CAST(ceil(len(ts) / 8.0) AS INTEGER)),
+           i -> array_to_string(ts[(i - 1) * 8 + 1 : i * 8], ' ')) AS ls
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents)
+), crawls AS (
+  SELECT doc_id, ls FROM lined
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         list_append(ls, 'copy marker ' || CAST(doc_id AS VARCHAR)) AS ls
+  FROM lined
+), lines AS (
+  SELECT doc_id, UNNEST(list_transform(generate_series(1, len(ls)),
+                 i -> {'i': i - 1, 'line': ls[i]})) AS u
+  FROM crawls
+), flat AS (
+  SELECT doc_id, u.i AS i, u.line AS line FROM lines
+), spans AS (
+  SELECT doc_id, UNNEST(
+    CASE WHEN len(ls) < 3 THEN []
+         ELSE list_transform(generate_series(1, len(ls) - 2),
+              s -> {'start': s - 1,
+                    'dig': md5(array_to_string(ls[s : s + 2], chr(10)))}) END
+  ) AS sp
+  FROM crawls
+), sflat AS (
+  SELECT doc_id, sp.start AS start, sp.dig AS dig FROM spans
+), per_dig AS (
+  SELECT dig, COUNT(*) AS n,
+         MIN({'d': doc_id, 's': start}) AS canon
+  FROM sflat GROUP BY dig
+), dup_cover AS (
+  SELECT DISTINCT s.doc_id, UNNEST(generate_series(s.start, s.start + 2)) AS i
+  FROM sflat s JOIN per_dig p USING (dig)
+  WHERE p.n > 1 AND NOT (s.doc_id = p.canon.d AND s.start = p.canon.s)
+), kept AS (
+  SELECT f.doc_id, f.i, f.line
+  FROM flat f ANTI JOIN dup_cover d ON f.doc_id = d.doc_id AND f.i = d.i
+), rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY i) AS clean_text
+  FROM kept GROUP BY doc_id
+), base AS (
+  SELECT doc_id, len(ls) AS n_lines FROM crawls
+)
+SELECT b.doc_id, CAST(b.n_lines AS BIGINT) AS n_lines,
+       CAST(b.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       md5(COALESCE(r.clean_text, '')) AS clean_md5
+FROM base b LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+QUERIES_LLM["c4_span_dedup"] = q_c4_span_dedup
+ORACLES_LLM["c4_span_dedup"] = ORACLE_C4_SPAN_DEDUP
