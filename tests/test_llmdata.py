@@ -3286,3 +3286,36 @@ def test_pack_bins_nfd_semantics(spark):
     g = {r["doc_id"]: r for r in out}
     assert g[100]["truncated"] is True and g[101]["truncated"] is False
     assert g[101]["bin_fill"] == 128
+
+
+def test_incremental_dedup_with_prebuilt_index_matches(spark):
+    """incremental_minhash_dedup (r8): passing a persisted
+    build_minhash_index relation produces row-identical verdicts to
+    the from-text path — the amortized production mode."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        build_minhash_index,
+        incremental_minhash_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    existing = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus text here")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(10, base), (11, base + " qq"), (12, "zz-novel")],
+        "doc_id long, text string",
+    )
+    direct = sorted(
+        map(tuple, incremental_minhash_dedup(existing, incoming, "doc_id").collect())
+    )
+    idx = build_minhash_index(existing, "doc_id")
+    via_index = sorted(
+        map(
+            tuple,
+            incremental_minhash_dedup(
+                None, incoming, "doc_id", existing_index=idx
+            ).collect(),
+        )
+    )
+    assert direct == via_index

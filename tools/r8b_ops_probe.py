@@ -63,10 +63,21 @@ def main() -> None:
     )
 
     # -- incremental dedup: kept corpus n_docs, incoming n_docs/5 with
-    # 40% exact copies, 40% near (appended token), 20% new
-    existing = synth_docs(spark, n_docs, "l").repartition(cores).localCheckpoint(eager=True)
+    # 40% exact copies, 40% near (appended token), 20% new.
+    # Corpora are MATERIALIZED to /tmp parquet and read back: in-plan
+    # spark.range relations carry near-zero Catalyst size estimates,
+    # which mis-plan million-row dims as broadcasts (measured r8:
+    # maxResultSize abort at 1 M docs) — parquet scans carry honest
+    # stats, like any real deployment.
+    import shutil
+    tmp = "/tmp/r8b_probe"
+    shutil.rmtree(tmp, ignore_errors=True)
+    synth_docs(spark, n_docs, "l").repartition(cores).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/existing")
+    existing = spark.read.parquet(f"{tmp}/existing")
     n_inc = n_docs // 5
-    incoming = (
+    (
         spark.range(n_inc)
         .select((F.col("id") * 5).alias("src_id"), F.col("id").alias("k"))
         .join(existing.select(F.col("doc_id").alias("src_id"), "text"), "src_id")
@@ -78,10 +89,28 @@ def main() -> None:
             .alias("text"),
         )
         .repartition(cores)
-        .localCheckpoint(eager=True)
+        .write.mode("overwrite").parquet(f"{tmp}/incoming")
+    )
+    incoming = spark.read.parquet(f"{tmp}/incoming")
+    # phase 1 (one-time, amortized in production): build + persist the
+    # content index of the kept corpus
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        build_minhash_index,
     )
     t0 = time.perf_counter()
-    out = incremental_minhash_dedup(existing, incoming, "doc_id")
+    build_minhash_index(existing, "doc_id").write.mode("overwrite").parquet(
+        f"{tmp}/index"
+    )
+    t_index = time.perf_counter() - t0
+    index = spark.read.parquet(f"{tmp}/index")
+    print(json.dumps({"probe": f"minhash_index_build_{n_docs}",
+                      "sec": round(t_index, 1),
+                      "docs_per_sec": int(n_docs / t_index)}), flush=True)
+    # phase 2 (per crawl batch): dedupe incoming against the stored index
+    t0 = time.perf_counter()
+    out = incremental_minhash_dedup(
+        None, incoming, "doc_id", existing_index=index
+    )
     counts = {r["verdict"]: r["n"] for r in
               out.groupBy("verdict").agg(F.count(F.lit(1)).alias("n")).collect()}
     t = time.perf_counter() - t0

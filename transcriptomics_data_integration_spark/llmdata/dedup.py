@@ -1260,6 +1260,34 @@ def substring_dedup_spans(
     return spans
 
 
+def build_minhash_index(
+    existing: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = SHINGLE_LEN,
+    n_hashes: int = N_HASHES,
+) -> DataFrame:
+    """The persistable content index behind
+    :func:`incremental_minhash_dedup`: one row per kept doc —
+    (ex_id, digest, m0..m{n-1}, sset).  Every column is a pure content
+    function (md5 digest, inline minhash signature, 60-bit shingle-id
+    set), so a production pipeline computes this ONCE when a corpus is
+    first deduped, writes it to parquet, and every later crawl batch
+    pays only its own size (the kernel accepts it via
+    ``existing_index=``).  Inline hashing throughout — zero broadcast,
+    CPU-linear at any corpus size."""
+    sh = shingles(existing, id_col, text_col, k)
+    hashed = hashed_shingles(sh, n_hashes, strategy="inline")
+    sigs = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{j}").alias(f"m{j}") for j in range(n_hashes)],
+        F.collect_set("h0").alias("sset"),
+    )
+    dig = existing.select(
+        F.col(id_col), content_digest(F.col(text_col)).alias("digest")
+    )
+    return sigs.join(dig, id_col).withColumnRenamed(id_col, "ex_id")
+
+
 def incremental_minhash_dedup(
     existing: DataFrame,
     incoming: DataFrame,
@@ -1269,6 +1297,7 @@ def incremental_minhash_dedup(
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
     threshold: float = 0.8,
+    existing_index: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental (cross-corpus) dedup (r8) — the OPERATIONAL dedup
     mode at 100 TB: a new crawl arrives and must be deduped against
@@ -1312,13 +1341,12 @@ def incremental_minhash_dedup(
         F.col(text_col).alias("_txt"),
         content_digest(F.col(text_col)).alias("digest"),
     )
-    ex_digest = (
-        existing.select(
-            F.col(id_col).alias("ex_id"),
-            content_digest(F.col(text_col)).alias("digest"),
+    if existing_index is None:
+        existing_index = build_minhash_index(
+            existing, id_col, text_col, k, n_hashes
         )
-        .groupBy("digest")
-        .agg(F.min("ex_id").alias("matched_id"))
+    ex_digest = existing_index.groupBy("digest").agg(
+        F.min("ex_id").alias("matched_id")
     )
     exact = inc.join(ex_digest, "digest").select(
         "inc_id",
@@ -1363,8 +1391,8 @@ def incremental_minhash_dedup(
         )
 
     inc_sigs = _sig_sets(rest, "inc_id")
-    ex_sigs = _sig_sets(
-        existing.select(F.col(id_col), F.col(text_col)), "ex_id"
+    ex_sigs = existing_index.select(
+        "ex_id", *[f"m{j}" for j in range(n_hashes)], "sset"
     )
     cands = (
         _band_keys(inc_sigs, "inc_id")

@@ -635,12 +635,21 @@ def dsir_logweights(
         F.col(target_col).cast("boolean").alias("_is_target"),
         toks.alias("_toks"),
     )
-    stream = base.select(
-        id_col, "_is_target", F.explode("_toks").alias("_tok")
-    ).withColumn("_bucket", _md5_60bit(F.col("_tok")) % n_buckets)
-    model = stream.groupBy("_bucket").agg(
-        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(F.col("_is_target"), 0).otherwise(1)).alias("cr"),
+    # counts-first: ONE explode/md5 pass, aggregated straight to
+    # per-(doc, bucket) counts (map-side combinable) — the model dim
+    # re-aggregates that relation and the scoring join carries
+    # <= distinct-buckets-per-doc rows per doc instead of the full
+    # token stream twice (measured r8: the two-pass form re-ran the
+    # explode + 80 M md5 calls for the scoring side; PLANS.md)
+    counts = (
+        base.select(id_col, "_is_target", F.explode("_toks").alias("_tok"))
+        .withColumn("_bucket", _md5_60bit(F.col("_tok")) % n_buckets)
+        .groupBy(id_col, "_is_target", "_bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    model = counts.groupBy("_bucket").agg(
+        F.sum(F.when(F.col("_is_target"), F.col("_n")).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("_is_target"), 0).otherwise(F.col("_n"))).alias("cr"),
     )
     totals = model.agg(
         F.sum("ct").alias("Tt"), F.sum("cr").alias("Tr")
@@ -653,11 +662,11 @@ def dsir_logweights(
         ).alias("_lw"),
     )
     return (
-        stream.join(F.broadcast(lw), "_bucket")
+        counts.join(F.broadcast(lw), "_bucket")
         .groupBy(id_col, "_is_target")
         .agg(
-            F.count(F.lit(1)).alias("n_toks"),
-            F.sum("_lw").alias("logweight"),
+            F.sum("_n").cast("bigint").alias("n_toks"),
+            F.sum(F.col("_lw") * F.col("_n")).alias("logweight"),
         )
         .select(
             id_col,
