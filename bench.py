@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "gsea_es",
     "c4_span_dedup",
     "pack_bins",
+    "url_blocklist",
 ]
 
 

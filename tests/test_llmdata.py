@@ -3319,3 +3319,45 @@ def test_incremental_dedup_with_prebuilt_index_matches(spark):
         )
     )
     assert direct == via_index
+
+
+def test_url_blocklist_score_weights_and_threshold(spark):
+    """url_blocklist_score (r8): domain bans alone, soft substrings
+    corroborate, negative weights offset, zero-match URLs come back
+    with score 0 and blocked False."""
+    from transcriptomics_data_integration_spark.llmdata.urls import (
+        url_blocklist_score,
+    )
+
+    urls = spark.createDataFrame(
+        [
+            ("https://bad.example/anything",),
+            ("https://ok.example/shop/item",),
+            ("https://ok.example/shop/download",),
+            ("https://ok.example/blog/shop",),
+            ("https://ok.example/clean",),
+        ],
+        "url string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("domain", "bad.example", 1.0),
+            ("substring", "shop", 0.6),
+            ("substring", "download", 0.5),
+            ("substring", "blog", -0.2),
+        ],
+        "kind string, pattern string, weight double",
+    )
+    got = {
+        r["url"]: r
+        for r in url_blocklist_score(urls, rules, threshold=1.0).collect()
+    }
+    assert got["https://bad.example/anything"]["blocked"] is True
+    assert got["https://ok.example/shop/item"]["blocked"] is False
+    assert abs(got["https://ok.example/shop/item"]["score"] - 0.6) < 1e-9
+    assert got["https://ok.example/shop/download"]["blocked"] is True
+    assert abs(got["https://ok.example/shop/download"]["score"] - 1.1) < 1e-9
+    assert abs(got["https://ok.example/blog/shop"]["score"] - 0.4) < 1e-9
+    assert got["https://ok.example/clean"]["n_matched"] == 0
+    assert got["https://ok.example/clean"]["score"] == 0.0
+    assert got["https://ok.example/clean"]["blocked"] is False

@@ -101,6 +101,9 @@ BNLJ_WHITELIST = {
     # gsea_es: the 1-row ranked-list-total (N) broadcast attach onto
     # the bounded term dim
     "gsea_es",
+    # url_blocklist: broadcast crossJoin of the bounded substring-rule
+    # dim (a curation artifact, hundreds of rows by contract)
+    "url_blocklist",
 }
 
 

@@ -233,3 +233,78 @@ def parse_robots_rules(
         .where((F.col("rule") != "") & (F.col("path_prefix") != ""))
     )
     return rules
+
+
+def url_blocklist_score(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    threshold: float = 1.0,
+) -> DataFrame:
+    """Weighted URL blocklist scoring (the RefinedWeb-style curation
+    stage, Penedo et al. 2023 §G.1, public): instead of a binary ban
+    list, every rule carries a weight and a URL is banned when its
+    accumulated score reaches ``threshold`` — soft evidence ("shop",
+    "download") needs corroboration, hard evidence (a known bad
+    domain) bans alone.
+
+    ``rules``: (kind, pattern, weight) with kind in
+    ``'domain'`` (exact registrable-domain match) or ``'substring'``
+    (case-insensitive literal match anywhere in the URL).  A URL's
+    score is the SUM of every matched rule's weight (a substring rule
+    counts once per URL, not per occurrence — the standard form).
+
+    Plan shape: the rules relation is a curation artifact (hundreds to
+    thousands of rows) — broadcast by contract.  Domain rules join on
+    the extracted domain (equi-join); substring rules are a broadcast
+    crossJoin + `contains` filter — |urls| x |substring rules| predicate
+    evaluations map-side, never a shuffle.  Weights are tick-quantized
+    to e-6 LONGS for the aggregation (engine-exact sums); the reported
+    score divides once at the end.
+
+    Output: (url, n_matched, score, blocked).
+    """
+    base = urls.select(
+        F.col(url_col),
+        url_domain(F.col(url_col)).alias("_dom"),
+        F.lower(F.col(url_col)).alias("_lc"),
+    )
+    ticked = rules.select(
+        "kind",
+        F.lower(F.col("pattern")).alias("_pat"),
+        F.round(F.col("weight") * 1000000).cast("long").alias("_w"),
+    )
+    dom_hits = base.join(
+        F.broadcast(
+            ticked.where(F.col("kind") == "domain").select(
+                F.col("_pat").alias("_dom"), "_w"
+            )
+        ),
+        "_dom",
+    ).select(url_col, "_w")
+    sub_hits = (
+        base.crossJoin(
+            F.broadcast(ticked.where(F.col("kind") == "substring").select("_pat", "_w"))
+        )
+        .where(F.col("_lc").contains(F.col("_pat")))
+        .select(url_col, "_w")
+    )
+    scored = (
+        dom_hits.unionByName(sub_hits)
+        .groupBy(url_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum("_w").alias("_score_t"),
+        )
+    )
+    thr_t = int(round(threshold * 1000000))
+    return (
+        urls.select(url_col)
+        .join(scored, url_col, "left")
+        .select(
+            url_col,
+            F.coalesce(F.col("n_matched"), F.lit(0)).cast("bigint").alias("n_matched"),
+            (F.coalesce(F.col("_score_t"), F.lit(0)) / 1000000.0).alias("score"),
+            (F.coalesce(F.col("_score_t"), F.lit(0)) >= thr_t).alias("blocked"),
+        )
+    )

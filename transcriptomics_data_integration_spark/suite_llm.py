@@ -5833,3 +5833,84 @@ FROM walk
 
 QUERIES_LLM["pack_bins"] = q_pack_bins
 ORACLES_LLM["pack_bins"] = ORACLE_PACK_BINS
+
+
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted URL blocklist scoring, HASH-GATED (r8,
+    `llmdata/urls.py:url_blocklist_score` — the RefinedWeb-style
+    soft-ban stage): per doc a planted URL whose path carries marker
+    segments by doc_id formula (shop / download / both / blog+shop /
+    clean), scored against a 4-rule list — one hard domain ban
+    (src1.com, w=1.0), two soft substrings (shop 0.6, download 0.5),
+    one negative allowlist substring (blog -0.2); blocked at
+    score >= 1.0.  Weights aggregate as e-6 tick LONGS.  The oracle
+    recomputes n_matched / score / blocked from the plant formulas
+    alone — it never runs contains() — so a hash match proves domain
+    equi-join, substring crossJoin filter, weight summation,
+    left-join zero fill, and thresholding end-to-end."""
+    from transcriptomics_data_integration_spark.llmdata.urls import (
+        url_blocklist_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    seg = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("shop"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("download"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("shop/download"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("blog/shop"))
+        .otherwise(F.lit("page"))
+    )
+    urls = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".com/"), seg,
+            F.lit("/d"), F.col("doc_id"),
+        ).alias("url")
+    )
+    rules = spark.createDataFrame(
+        [
+            ("domain", "src1.com", 1.0),
+            ("substring", "shop", 0.6),
+            ("substring", "download", 0.5),
+            ("substring", "blog", -0.2),
+        ],
+        "kind string, pattern string, weight double",
+    )
+    out = url_blocklist_score(urls, rules, threshold=1.0)
+    return out.select(
+        "url", "n_matched", F.round("score", 6).alias("score"), "blocked"
+    )
+
+
+ORACLE_URL_BLOCKLIST = """
+WITH base AS (
+  SELECT 'https://' || source || '.com/' ||
+         CASE WHEN doc_id % 5 = 0 THEN 'shop'
+              WHEN doc_id % 5 = 1 THEN 'download'
+              WHEN doc_id % 5 = 2 THEN 'shop/download'
+              WHEN doc_id % 5 = 3 THEN 'blog/shop'
+              ELSE 'page' END || '/d' || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS dom_hit,
+         doc_id % 5 AS arm
+  FROM documents
+), scored AS (
+  SELECT url,
+         dom_hit
+           + CASE WHEN arm IN (0, 2, 3) THEN 1 ELSE 0 END  -- shop
+           + CASE WHEN arm IN (1, 2) THEN 1 ELSE 0 END     -- download
+           + CASE WHEN arm = 3 THEN 1 ELSE 0 END           -- blog
+           AS n_matched,
+         dom_hit * 1000000
+           + CASE WHEN arm IN (0, 2, 3) THEN 600000 ELSE 0 END
+           + CASE WHEN arm IN (1, 2) THEN 500000 ELSE 0 END
+           + CASE WHEN arm = 3 THEN -200000 ELSE 0 END
+           AS score_t
+  FROM base
+)
+SELECT url, CAST(n_matched AS BIGINT) AS n_matched,
+       ROUND(score_t / 1000000.0, 6) AS score,
+       score_t >= 1000000 AS blocked
+FROM scored
+"""
+
+QUERIES_LLM["url_blocklist"] = q_url_blocklist
+ORACLES_LLM["url_blocklist"] = ORACLE_URL_BLOCKLIST
