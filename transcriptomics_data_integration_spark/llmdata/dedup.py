@@ -1342,9 +1342,12 @@ def incremental_minhash_dedup(
         content_digest(F.col(text_col)).alias("digest"),
     )
     if existing_index is None:
+        # built in-query: cache it — ex_digest, band keys, and the
+        # verify join all consume it (a stored-index caller already
+        # pays one parquet scan per consumer instead)
         existing_index = build_minhash_index(
             existing, id_col, text_col, k, n_hashes
-        )
+        ).cache()
     ex_digest = existing_index.groupBy("digest").agg(
         F.min("ex_id").alias("matched_id")
     )
@@ -1390,7 +1393,9 @@ def incremental_minhash_dedup(
             out_id, "bb.band", "bb.band_key"
         )
 
-    inc_sigs = _sig_sets(rest, "inc_id")
+    # two consumers (band keys + verify): cache the batch-sized
+    # signature relation so the shingle/md5 pipeline runs once
+    inc_sigs = _sig_sets(rest, "inc_id").cache()
     ex_sigs = existing_index.select(
         "ex_id", *[f"m{j}" for j in range(n_hashes)], "sset"
     )

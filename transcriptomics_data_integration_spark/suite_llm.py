@@ -5480,6 +5480,9 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)  # one-split fan-out (r7 finding)
     incoming = docs.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.when(F.col("doc_id") % 3 == 0, F.col("text"))
