@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "c4_span_dedup",
     "pack_bins",
     "url_blocklist",
+    "curation_pipeline",
 ]
 
 

@@ -5917,3 +5917,206 @@ FROM scored
 
 QUERIES_LLM["url_blocklist"] = q_url_blocklist
 ORACLES_LLM["url_blocklist"] = ORACLE_URL_BLOCKLIST
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern curation chain end-to-end, HASH-GATED (r8) — the
+    composition of this round's second-wave stages, the `web_pipeline`
+    discipline applied to the C4/packing family:
+
+    1. line-structure plant (the `c4_filter` gate formula: 8-token
+       lines, terminator/javascript arms, brace + lorem doc plants);
+    2. `c4_filter` heuristics -> keep verdicts + cleaned text;
+    3. two-crawl union (copies gain a unique trailer line) ->
+       `dedup_line_spans` corpus-level span dedup;
+    4. `chunk_documents` (16/12) over the span-cleaned text;
+    5. `pack_bins_nfd` (128-token bins, 8 md5 buckets) over the
+       span-cleaned token counts.
+
+    Every stage is an already-gated kernel; the composition proves the
+    hand-offs (clean_text -> line list -> rebuilt text -> token counts
+    -> bins).  All five stages are integer/string arithmetic, so the
+    gate is bit-exact end-to-end; the oracle replays the chain in one
+    CTE stack (c4 verdicts from the plant formulas, span dedup + NFD
+    packing replayed algorithmically)."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        dedup_line_spans,
+    )
+    from transcriptomics_data_integration_spark.llmdata.sampling import (
+        pack_bins_nfd,
+    )
+    from transcriptomics_data_integration_spark.llmdata.text import (
+        c4_filter,
+        chunk_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)  # one-split fan-out (r7 finding)
+    toks = F.split(F.trim(F.col("text")), " ")
+    lines = F.expr(
+        "transform(sequence(1, cast(ceil(size(_t) / 8.0) as int)), i -> "
+        "  concat("
+        "    array_join(slice(_t, (i - 1) * 8 + 1, 8), ' '),"
+        "    CASE WHEN (doc_id + i) % 7 = 0 THEN ' javascript' ELSE '' END,"
+        "    CASE WHEN (doc_id + i) % 3 = 1 THEN '.'"
+        "         WHEN (doc_id + i) % 3 = 2 THEN '!' ELSE '' END))"
+    )
+    planted = docs.select(F.col("doc_id"), toks.alias("_t")).select(
+        "doc_id",
+        F.concat(
+            F.array_join(lines, "\n"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("\nvar x = { y }.")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit("\nLorem ipsum dolor sit amet.")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    kept = (
+        c4_filter(planted, "doc_id")
+        .where(F.col("keep"))
+        .select("doc_id", F.col("clean_text").alias("text"))
+    )
+    crawls = kept.unionByName(
+        kept.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit("\ncopy marker "), F.col("doc_id")
+            ).alias("text"),
+        )
+    )
+    sp = dedup_line_spans(crawls, "doc_id", span_lines=3)
+    chunks = chunk_documents(
+        sp.select("doc_id", F.col("clean_text").alias("text")),
+        "doc_id", chunk_tokens=16, stride=12,
+    )
+    nch = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    tok_counts = sp.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("clean_text")), "\\s+")).alias("n_tokens"),
+    )
+    packed = pack_bins_nfd(tok_counts, "doc_id", "n_tokens", seq_len=128, n_buckets=8)
+    return (
+        sp.select("doc_id", "n_lines", "n_removed")
+        .join(nch, "doc_id")
+        .join(tok_counts, "doc_id")
+        .join(packed.select("doc_id", "bucket", "bin_in_bucket", "pos_in_bin"), "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+            F.col("n_removed").cast("bigint").alias("n_removed"),
+            F.col("n_chunks").cast("bigint").alias("n_chunks"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("bin_in_bucket").cast("bigint").alias("bin_in_bucket"),
+            F.col("pos_in_bin").cast("int").alias("pos_in_bin"),
+        )
+    )
+
+
+ORACLE_CURATION_PIPELINE = """
+WITH RECURSIVE arr AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents
+), c4lines AS (
+  SELECT doc_id,
+         UNNEST(list_transform(
+           generate_series(1, CAST(ceil(len(ts) / 8.0) AS INTEGER)),
+           i -> {'i': i,
+                 'txt': array_to_string(ts[(i - 1) * 8 + 1 : i * 8], ' ')
+                        || (CASE WHEN (doc_id + i) % 7 = 0
+                                 THEN ' javascript' ELSE '' END)
+                        || (CASE WHEN (doc_id + i) % 3 = 1 THEN '.'
+                                 WHEN (doc_id + i) % 3 = 2 THEN '!'
+                                 ELSE '' END),
+                 'ok': (doc_id + i) % 3 <> 0 AND (doc_id + i) % 7 <> 0
+                       AND least(8, len(ts) - (i - 1) * 8)
+                           + (CASE WHEN (doc_id + i) % 7 = 0 THEN 1 ELSE 0 END)
+                           >= 3})) AS u
+  FROM arr
+), kept AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN u.ok THEN u.txt END, chr(10) ORDER BY u.i) AS clean,
+         SUM(CASE WHEN u.ok THEN 1 ELSE 0 END) AS n_kept
+  FROM c4lines GROUP BY doc_id
+  HAVING SUM(CASE WHEN u.ok THEN 1 ELSE 0 END) >= 3
+     AND doc_id % 11 <> 0 AND doc_id % 13 <> 0
+), crawls AS (
+  SELECT doc_id, string_split(clean, chr(10)) AS ls FROM kept
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         list_append(string_split(clean, chr(10)),
+                     'copy marker ' || CAST(doc_id AS VARCHAR)) AS ls
+  FROM kept
+), flat AS (
+  SELECT doc_id, u.i AS i, u.line AS line FROM (
+    SELECT doc_id, UNNEST(list_transform(generate_series(1, len(ls)),
+                   i -> {'i': i - 1, 'line': ls[i]})) AS u
+    FROM crawls
+  )
+), sflat AS (
+  SELECT doc_id, sp.start AS start, sp.dig AS dig FROM (
+    SELECT doc_id, UNNEST(
+      CASE WHEN len(ls) < 3 THEN []
+           ELSE list_transform(generate_series(1, len(ls) - 2),
+                s -> {'start': s - 1,
+                      'dig': md5(array_to_string(ls[s : s + 2], chr(10)))}) END
+    ) AS sp
+    FROM crawls
+  )
+), per_dig AS (
+  SELECT dig, COUNT(*) AS n, MIN({'d': doc_id, 's': start}) AS canon
+  FROM sflat GROUP BY dig
+), dup_cover AS (
+  SELECT DISTINCT s.doc_id, UNNEST(generate_series(s.start, s.start + 2)) AS i
+  FROM sflat s JOIN per_dig p USING (dig)
+  WHERE p.n > 1 AND NOT (s.doc_id = p.canon.d AND s.start = p.canon.s)
+), keptl AS (
+  SELECT f.doc_id, f.i, f.line
+  FROM flat f ANTI JOIN dup_cover d ON f.doc_id = d.doc_id AND f.i = d.i
+), rebuilt AS (
+  SELECT c.doc_id,
+         CAST(len(c.ls) AS BIGINT) AS n_lines,
+         CAST(len(c.ls) - COUNT(k.i) AS BIGINT) AS n_removed,
+         COALESCE(string_agg(k.line, chr(10) ORDER BY k.i), '') AS clean2
+  FROM crawls c LEFT JOIN keptl k USING (doc_id)
+  GROUP BY c.doc_id, len(c.ls)
+), sized AS (
+  SELECT doc_id, n_lines, n_removed,
+         CAST(len(string_split_regex(trim(clean2), '\\s+')) AS BIGINT) AS n_tokens
+  FROM rebuilt
+), chunked AS (
+  SELECT doc_id,
+         CAST((greatest(n_tokens - 16 + 12, 1) - 1) // 12 + 1 AS BIGINT) AS n_chunks
+  FROM sized
+), pdocs AS (
+  SELECT doc_id, n_tokens AS n,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS bucket,
+         ROW_NUMBER() OVER (
+           PARTITION BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8
+           ORDER BY n_tokens DESC, doc_id
+         ) AS k
+  FROM sized
+), walk AS (
+  SELECT bucket, k, doc_id, n,
+         CAST(0 AS BIGINT) AS bin, 0 AS pos,
+         CASE WHEN n >= 128 THEN CAST(128 AS BIGINT) ELSE n END AS fill_state
+  FROM pdocs WHERE k = 1
+  UNION ALL
+  SELECT d.bucket, d.k, d.doc_id, d.n,
+         CASE WHEN d.n >= 128 OR w.fill_state + d.n > 128
+              THEN w.bin + 1 ELSE w.bin END,
+         CASE WHEN d.n >= 128 OR w.fill_state + d.n > 128
+              THEN 0 ELSE w.pos + 1 END,
+         CASE WHEN d.n >= 128 THEN CAST(128 AS BIGINT)
+              WHEN w.fill_state + d.n > 128 THEN d.n
+              ELSE w.fill_state + d.n END
+  FROM walk w JOIN pdocs d ON d.bucket = w.bucket AND d.k = w.k + 1
+)
+SELECT s.doc_id, s.n_lines, s.n_removed, c.n_chunks, s.n_tokens,
+       w.bucket, w.bin AS bin_in_bucket, w.pos AS pos_in_bin
+FROM sized s
+JOIN chunked c USING (doc_id)
+JOIN walk w USING (doc_id)
+"""
+
+QUERIES_LLM["curation_pipeline"] = q_curation_pipeline
+ORACLES_LLM["curation_pipeline"] = ORACLE_CURATION_PIPELINE
