@@ -2107,7 +2107,8 @@ _ROUND8_FRONT = [
 # froze (bm25_topk, pagerank3, perplexity_buckets, substring_spans,
 # repetition_schedule, warc_extract, ingest_pipeline, tfidf_keywords,
 # kneser_ney, c4_filter, doc_chunks, dsir_select, zipf_fit,
-# incremental_dedup, prototype_prune, gsea_es, c4_span_dedup —
+# incremental_dedup, prototype_prune, gsea_es, c4_span_dedup,
+# pack_bins, url_blocklist, curation_pipeline —
 # never driver-stamped), then (b) every r9-touched/new kernel, (c) the
 # r5-only-stamped remainder (29 queries: cel_decode, cohort_retention,
 # contamination, dedup_rows, doc_sample, fisher_enrichment,
