@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "pack_bins",
     "url_blocklist",
     "curation_pipeline",
+    "domain_prior",
 ]
 
 

@@ -3361,3 +3361,36 @@ def test_url_blocklist_score_weights_and_threshold(spark):
     assert got["https://ok.example/clean"]["n_matched"] == 0
     assert got["https://ok.example/clean"]["score"] == 0.0
     assert got["https://ok.example/clean"]["blocked"] is False
+
+
+def test_domain_quality_prior_verdicts(spark):
+    """domain_quality_prior (r8): a mostly-failing big domain bans its
+    passing docs, a mostly-passing domain keeps its failures out only
+    doc-level, and a tiny domain is exempt from the prior."""
+    from transcriptomics_data_integration_spark.llmdata.urls import (
+        domain_quality_prior,
+    )
+
+    rows = (
+        [(i, "spam.example", i == 0) for i in range(10)]       # 1/10 keep
+        + [(100 + i, "good.example", i != 0) for i in range(10)]  # 9/10 keep
+        + [(200, "tiny.example", False), (201, "tiny.example", True)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, domain string, keep boolean")
+    got = {
+        r["doc_id"]: r
+        for r in domain_quality_prior(
+            df, "doc_id", "domain", "keep", min_docs=5,
+            keep_frac_threshold=0.5,
+        ).collect()
+    }
+    # spam domain: its one passing doc is banned by the prior
+    assert got[0]["doc_keep"] is True and got[0]["domain_ok"] is False
+    assert got[0]["keep_final"] is False
+    # good domain: prior OK; doc-level verdicts decide
+    assert got[100]["domain_ok"] is True and got[100]["keep_final"] is False
+    assert got[101]["keep_final"] is True
+    # tiny domain (< min_docs): exempt, doc verdicts pass through
+    assert got[200]["domain_ok"] is True and got[200]["keep_final"] is False
+    assert got[201]["keep_final"] is True
+    assert got[200]["domain_n"] == 2

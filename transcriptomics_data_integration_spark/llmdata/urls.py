@@ -308,3 +308,61 @@ def url_blocklist_score(
             (F.coalesce(F.col("_score_t"), F.lit(0)) >= thr_t).alias("blocked"),
         )
     )
+
+
+def domain_quality_prior(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    keep_col: str,
+    min_docs: int = 5,
+    keep_frac_threshold: float = 0.5,
+) -> DataFrame:
+    """Domain-level quality prior — the two-level filter real crawl
+    pipelines run on top of per-document rules (CCNet/RefinedWeb
+    practice, public): a domain whose documents OVERWHELMINGLY fail
+    the doc-level battery is spam-farm-shaped, and its remaining
+    "passing" docs are guilty by association; a domain with too few
+    docs carries no evidence and is left alone.
+
+    Per domain: n docs, k doc-level keeps, keep fraction k/n.  Domain
+    verdict: OK iff n < ``min_docs`` (no evidence) or the keep
+    fraction clears ``keep_frac_threshold``.  The comparison is exact
+    integer arithmetic (k * 10^6 >= tick(threshold) * n) — no float
+    boundary; the reported fraction divides once for audit.
+
+    Output per input doc: (id, domain, doc_keep, domain_n,
+    domain_keep_frac, domain_ok, keep_final = doc_keep AND domain_ok).
+
+    Plan shape: ONE domain-keyed aggregation (map-side combinable
+    count/sum) and one equi-join back — the domain dim is corpus-
+    sublinear; Catalyst/AQE picks broadcast vs shuffle from its real
+    size.  At 100 TB this is a cheap pass after any per-doc filter.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.col(domain_col).alias("_dom"),
+        F.col(keep_col).cast("boolean").alias("doc_keep"),
+    )
+    thr_t = int(round(keep_frac_threshold * 1000000))
+    stats = base.groupBy("_dom").agg(
+        F.count(F.lit(1)).alias("domain_n"),
+        F.sum(F.when(F.col("doc_keep"), 1).otherwise(0)).alias("_k"),
+    ).select(
+        "_dom",
+        "domain_n",
+        (F.col("_k") / F.col("domain_n")).alias("domain_keep_frac"),
+        (
+            (F.col("domain_n") < min_docs)
+            | (F.col("_k") * 1000000 >= thr_t * F.col("domain_n"))
+        ).alias("domain_ok"),
+    )
+    return base.join(stats, "_dom").select(
+        id_col,
+        F.col("_dom").alias(domain_col),
+        "doc_keep",
+        F.col("domain_n").cast("bigint").alias("domain_n"),
+        "domain_keep_frac",
+        "domain_ok",
+        (F.col("doc_keep") & F.col("domain_ok")).alias("keep_final"),
+    )

@@ -2108,7 +2108,7 @@ _ROUND8_FRONT = [
 # repetition_schedule, warc_extract, ingest_pipeline, tfidf_keywords,
 # kneser_ney, c4_filter, doc_chunks, dsir_select, zipf_fit,
 # incremental_dedup, prototype_prune, gsea_es, c4_span_dedup,
-# pack_bins, url_blocklist, curation_pipeline —
+# pack_bins, url_blocklist, curation_pipeline, domain_prior —
 # never driver-stamped), then (b) every r9-touched/new kernel, (c) the
 # r5-only-stamped remainder (29 queries: cel_decode, cohort_retention,
 # contamination, dedup_rows, doc_sample, fisher_enrichment,

@@ -6127,3 +6127,68 @@ JOIN walk w USING (doc_id)
 
 QUERIES_LLM["curation_pipeline"] = q_curation_pipeline
 ORACLES_LLM["curation_pipeline"] = ORACLE_CURATION_PIPELINE
+
+
+def q_domain_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality prior, HASH-GATED (r8,
+    `llmdata/urls.py:domain_quality_prior`): per-doc Gopher verdicts
+    (`gopher_quality`, already gated) aggregated to planted domains
+    (source x doc_id%7 — enough domains that both the small-domain
+    exemption and the fraction threshold bind), then applied back to
+    every doc.  The domain verdict compares exact integers
+    (k*10^6 >= tick*n); the audit fraction rounds 6 dp."""
+    from transcriptomics_data_integration_spark.llmdata.text import (
+        gopher_quality,
+    )
+    from transcriptomics_data_integration_spark.llmdata.urls import (
+        domain_quality_prior,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = gopher_quality(docs).select("doc_id", "keep")
+    with_dom = scored.join(
+        docs.select(
+            "doc_id",
+            F.concat(
+                F.col("source"), F.lit("-"), (F.col("doc_id") % 7)
+            ).alias("domain"),
+        ),
+        "doc_id",
+    )
+    out = domain_quality_prior(
+        with_dom, "doc_id", "domain", "keep", min_docs=5,
+        keep_frac_threshold=0.5,
+    )
+    return out.select(
+        "doc_id",
+        "domain",
+        "doc_keep",
+        "domain_n",
+        F.round("domain_keep_frac", 6).alias("domain_keep_frac"),
+        "domain_ok",
+        "keep_final",
+    )
+
+
+ORACLE_DOMAIN_PRIOR = f"""
+WITH gq AS (
+{ORACLE_GOPHER_QUALITY}
+), with_dom AS (
+  SELECT g.doc_id, g.keep,
+         d.source || '-' || CAST(d.doc_id % 7 AS VARCHAR) AS domain
+  FROM gq g JOIN documents d USING (doc_id)
+), stats AS (
+  SELECT domain, CAST(COUNT(*) AS BIGINT) AS domain_n,
+         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM with_dom GROUP BY domain
+)
+SELECT w.doc_id, w.domain, w.keep AS doc_keep, s.domain_n,
+       ROUND(s.k / s.domain_n, 6) AS domain_keep_frac,
+       (s.domain_n < 5 OR s.k * 1000000 >= 500000 * s.domain_n) AS domain_ok,
+       w.keep AND (s.domain_n < 5 OR s.k * 1000000 >= 500000 * s.domain_n)
+         AS keep_final
+FROM with_dom w JOIN stats s USING (domain)
+"""
+
+QUERIES_LLM["domain_prior"] = q_domain_prior
+ORACLES_LLM["domain_prior"] = ORACLE_DOMAIN_PRIOR
