@@ -83,17 +83,22 @@ def test_minhash_identical_docs_share_all_bands(spark):
 
 
 def test_minhash_matches_python_md5(spark):
-    # signature reproducible outside Spark: min over shingles of the
-    # 60-bit md5-prefix of "<shingle>#<seed>"
+    # signature reproducible outside Spark: ONE md5 per shingle, seeds
+    # from the Kirsch–Mitzenmacher mix h_j = (h1 + j*h2) mod 2^60 with
+    # h1 = 60-bit md5 prefix and h2 = the next 56 bits (r9 recipe)
     text = "abcdefg"
     df = _docs(spark, [(1, text)])
     sigs = {r["seed"]: r["minhash"] for r in minhash_signatures(df, "doc_id").collect()}
     shingles = {text[i : i + 5] for i in range(len(text) - 4)}
+    halves = []
+    for s in shingles:
+        hx = hashlib.md5(s.encode()).hexdigest()
+        halves.append((int(hx[:15], 16), int(hx[15:29], 16)))
     for seed in (0, 7, 15):
-        expect = min(
-            int(hashlib.md5(f"{s}#{seed}".encode()).hexdigest()[:15], 16) for s in shingles
-        )
+        expect = min((h1 + seed * h2) % (1 << 60) for h1, h2 in halves)
         assert sigs[seed] == expect
+    # seed 0 is the raw 60-bit prefix — the canonical shingle id
+    assert sigs[0] == min(h1 for h1, _ in halves)
 
 
 def test_simhash_equal_for_identical_token_multisets(spark):

@@ -48,6 +48,46 @@ def _md5_60bit(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("bigint")
 
 
+# --- MinHash seed family: ONE md5 per shingle (r9) ---------------------
+#
+# The r8 recipe hashed md5(shingle || '#' || seed) once per (shingle,
+# seed) — 16 md5 calls per posting on the hottest dedup path (the
+# incremental index build measured ~0.9 G md5 per 200k batch, PLANS.md
+# r8b).  r9 derives the whole seed family from ONE md5 via
+# Kirsch–Mitzenmacher double hashing:
+#
+#     hex = md5(shingle)                      (one call)
+#     h1  = int(hex[ 0:15], 16)               60 bits
+#     h2  = int(hex[15:29], 16)               56 bits
+#     h_j = (h1 + j * h2) mod 2^60            j = 0 .. n_hashes-1
+#
+# h1 < 2^60 and j*h2 <= 63 * 2^56 < 2^62, so the sum stays inside a
+# signed 64-bit integer for every n_hashes <= 64 — no overflow in
+# Spark's wrapping bigint NOR in DuckDB's checked BIGINT, which is what
+# makes the recipe oracle-replayable.  h_0 == h1 == _md5_60bit(shingle),
+# so the first signature column doubles as the canonical 60-bit shingle
+# id used by the exact-Jaccard verify sets.  DuckDB twin:
+#   ((('0x' || substring(md5(s),1,15))::BIGINT
+#     + j * ('0x' || substring(md5(s),16,14))::BIGINT)
+#    % 1152921504606846976)
+_MINHASH_MOD = 1 << 60
+_MINHASH_MAX_SEEDS = 64
+
+
+def _minhash_h1h2(col: Column) -> tuple[Column, Column]:
+    """(h1, h2) halves of one md5 for the seed-family mix above."""
+    hexd = F.md5(col.cast("binary"))
+    h1 = F.conv(F.substring(hexd, 1, 15), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(hexd, 16, 14), 16, 10).cast("bigint")
+    return h1, h2
+
+
+def _minhash_mix(h1: Column, h2: Column, seed) -> Column:
+    """h_j = (h1 + seed * h2) mod 2^60; ``seed`` is a Column or int."""
+    s = F.lit(seed) if isinstance(seed, int) else seed
+    return (h1 + s * h2) % F.lit(_MINHASH_MOD)
+
+
 def content_digest(col: Column) -> Column:
     return F.md5(col.cast("binary"))
 
@@ -119,14 +159,22 @@ def minhash_from_shingles(
     """MinHash signatures from a prebuilt (id, shingle) posting relation
     — callers that also need the postings for sizes/verification should
     build them once, ``.cache()`` them, and use this entry point."""
+    if n_hashes > _MINHASH_MAX_SEEDS:
+        raise ValueError(f"seed mix is overflow-safe only up to {_MINHASH_MAX_SEEDS}")
+    # ONE md5 per distinct shingle (before the seed explode), then the
+    # integer mix per (shingle, seed) row — md5 is the expensive part
+    dim = sh.select("shingle").distinct()
+    h1, h2 = _minhash_h1h2(F.col("shingle"))
     shingle_dim = (
-        sh.select("shingle")
-        .distinct()
+        dim.select("shingle", h1.alias("_h1"), h2.alias("_h2"))
         .select(
             "shingle",
+            "_h1",
+            "_h2",
             F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
         )
-        .withColumn("h", _md5_60bit(F.concat_ws("#", F.col("shingle"), F.col("seed"))))
+        .withColumn("h", _minhash_mix(F.col("_h1"), F.col("_h2"), F.col("seed")))
+        .drop("_h1", "_h2")
     )
     hashed = sh.join(F.broadcast(shingle_dim), "shingle")
     return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
@@ -140,8 +188,9 @@ def minhash_signatures(
     n_hashes: int = N_HASHES,
 ) -> DataFrame:
     """MinHash: for seed j, sig_j = min over shingles of
-    md5_60bit(shingle || '#' || j).  Output: (id, seed, minhash) long
-    form — one row per (doc, seed), computed with a single aggregation.
+    (h1 + j*h2) mod 2^60 — ONE md5 per shingle, seeds by integer mix
+    (see ``_minhash_mix``).  Output: (id, seed, minhash) long form —
+    one row per (doc, seed), computed with a single aggregation.
     """
     sh = shingles(df, id_col, text_col, k)
     return minhash_from_shingles(sh, id_col, n_hashes)
@@ -257,7 +306,8 @@ def minhash_sig_columns(
     mins.  Versus the long form this avoids the n_hashes-fold row
     explosion through the shuffle (1 row per doc with n columns vs
     n rows per doc) and the second banding aggregation.  Hash values are
-    identical to :func:`minhash_from_shingles` (md5(shingle || '#' || seed)).
+    identical to :func:`minhash_from_shingles` (one-md5 seed mix, see
+    module notes at ``_minhash_mix``).
     """
     hashed = hashed_shingles(sh, n_hashes)
     return hashed.groupBy(id_col).agg(
@@ -286,21 +336,29 @@ def hashed_shingles(
       extra shuffle, CPU-linear at any corpus size.  The safe default
       for arbitrary (non-storm) input.
     """
+    if n_hashes > _MINHASH_MAX_SEEDS:
+        raise ValueError(f"seed mix is overflow-safe only up to {_MINHASH_MAX_SEEDS}")
+    h1c, h2c = _minhash_h1h2(F.col("shingle"))
     if strategy == "inline":
-        out = sh
+        # ONE md5 per posting row (was n_hashes md5s before r9's seed
+        # mix); the h_j columns are integer arithmetic on its halves
+        out = sh.withColumn("_h1", h1c).withColumn("_h2", h2c)
         for j in range(n_hashes):
             out = out.withColumn(
-                f"h{j}", _md5_60bit(F.concat_ws("#", F.col("shingle"), F.lit(j)))
+                f"h{j}", _minhash_mix(F.col("_h1"), F.col("_h2"), j)
             )
-        return out
+        return out.drop("_h1", "_h2")
     if strategy != "broadcast_dim":
         raise ValueError(f"unknown strategy {strategy!r}")
-    dim = sh.select("shingle").distinct()
+    dim = (
+        sh.select("shingle")
+        .distinct()
+        .withColumn("_h1", h1c)
+        .withColumn("_h2", h2c)
+    )
     for j in range(n_hashes):
-        dim = dim.withColumn(
-            f"h{j}", _md5_60bit(F.concat_ws("#", F.col("shingle"), F.lit(j)))
-        )
-    return sh.join(F.broadcast(dim), "shingle")
+        dim = dim.withColumn(f"h{j}", _minhash_mix(F.col("_h1"), F.col("_h2"), j))
+    return sh.join(F.broadcast(dim.drop("_h1", "_h2")), "shingle")
 
 
 def lsh_candidates_from_columns(

@@ -250,8 +250,9 @@ def streaming_minhash_neardup(
     for dedup-at-ingest: each arriving document is checked against
     everything previously streamed before it enters the corpus.
 
-    Per-row signature (no shuffle): the same md5-60bit minhash as the
-    batch path (``min over shingles of md5(shingle || '#' || seed)``),
+    Per-row signature (no shuffle): the same one-md5 seed-mix minhash
+    as the batch path (``h_j = (h1 + j*h2) mod 2^60`` over the halves
+    of one md5 per shingle — see ``llmdata.dedup._minhash_mix``),
     computed in an Arrow-batched pandas UDF so signatures are
     BIT-IDENTICAL to the batch pipeline's.  Docs then explode to their
     ``n_bands`` band keys and ``applyInPandasWithState`` keyed by
@@ -281,16 +282,20 @@ def streaming_minhash_neardup(
     # the explicit returnType above carries the schema
     @F.pandas_udf(ArrayType(LongType()))
     def sig_udf(texts):
+        mod = 1 << 60
         out = []
         for t in texts:
             t = t or ""
             n_sh = max(len(t) - k + 1, 1)
             sh = {t[i:i + k] for i in range(n_sh)}
+            # one md5 per shingle, then the integer seed mix — same
+            # recipe (and same call count) as the batch kernel
+            halves = []
+            for s in sh:
+                hx = hashlib.md5(s.encode()).hexdigest()
+                halves.append((int(hx[:15], 16), int(hx[15:29], 16)))
             out.append([
-                min(
-                    int(hashlib.md5(f"{s}#{j}".encode()).hexdigest()[:15], 16)
-                    for s in sh
-                )
+                min((h1 + j * h2) % mod for h1, h2 in halves)
                 for j in range(n_hashes)
             ])
         return pd.Series(out)
@@ -456,9 +461,10 @@ def streaming_incremental_dedup(
     (exact), else 16-seed minhash -> 4 band tuples -> candidate kept
     ids -> exact-Jaccard verify -> best match (max jaccard, tie ->
     min kept id).  No state store, no shuffle; verdicts are
-    BIT-IDENTICAL to the batch kernel's (same md5 minhash recipe,
-    same banding, same distinct-shingle counts, same tie rules),
-    which the batch-equivalence test pins.
+    BIT-IDENTICAL to the batch kernel's (same one-md5 seed-mix
+    recipe, same banding, same 60-bit-shingle-id verify sets — not
+    raw strings — same tie rules), which the batch-equivalence test
+    pins.
 
     Output: (id, verdict, matched_id, n_inter, n_a, n_b, jaccard).
     """
@@ -474,17 +480,26 @@ def streaming_incremental_dedup(
         StructType,
     )
 
-    def _shingles(t: str) -> set:
+    _MOD60 = 1 << 60
+
+    def _sh_halves(t: str) -> list:
+        """One md5 per distinct shingle -> [(h1, h2)] seed-mix halves.
+
+        h1 doubles as the 60-bit shingle id — the SAME set the batch
+        kernel verifies with (collect_set(h0)), so n_a/n_b/n_inter are
+        bit-identical, not merely identical-up-to-hash-collisions.
+        """
         t = t or ""
         n_sh = max(len(t) - k + 1, 1)
-        return {t[i : i + k] for i in range(n_sh)}
+        halves = []
+        for s in {t[i : i + k] for i in range(n_sh)}:
+            hx = hashlib.md5(s.encode()).hexdigest()
+            halves.append((int(hx[:15], 16), int(hx[15:29], 16)))
+        return halves
 
-    def _minhash_bands(sh: set) -> tuple:
+    def _minhash_bands(halves: list) -> tuple:
         sigs = [
-            min(
-                int(hashlib.md5(f"{s}#{j}".encode()).hexdigest()[:15], 16)
-                for s in sh
-            )
+            min((h1 + j * h2) % _MOD60 for h1, h2 in halves)
             for j in range(n_hashes)
         ]
         rpb = n_hashes // n_bands
@@ -499,9 +514,9 @@ def streaming_incremental_dedup(
         dg = hashlib.md5((txt or "").encode()).hexdigest()
         if dg not in digest_index or ex_id < digest_index[dg]:
             digest_index[dg] = ex_id
-        sh = _shingles(txt)
-        shingle_sets[ex_id] = frozenset(sh)
-        for b, key in enumerate(_minhash_bands(sh)):
+        halves = _sh_halves(txt)
+        shingle_sets[ex_id] = frozenset(h1 for h1, _ in halves)
+        for b, key in enumerate(_minhash_bands(halves)):
             band_index.setdefault((b, key), []).append(ex_id)
 
     sc = existing.sparkSession.sparkContext
@@ -531,9 +546,10 @@ def streaming_incremental_dedup(
             if dg in dgi:
                 rows.append(("exact", dgi[dg], None, None, None, 1.0))
                 continue
-            sh = _shingles(t)
+            halves = _sh_halves(t)
+            sh = {h1 for h1, _ in halves}
             cands: set = set()
-            for b, key in enumerate(_minhash_bands(sh)):
+            for b, key in enumerate(_minhash_bands(halves)):
                 cands.update(bdi.get((b, key), ()))
             best = None
             for ex_id in sorted(cands):

@@ -262,7 +262,9 @@ WITH crawls AS (
   FROM sh, (SELECT UNNEST(generate_series(0, 15)) AS seed)
 ), sigs AS (
   SELECT doc_id, seed,
-         MIN(('0x' || substring(md5(shingle || '#' || seed), 1, 15))::BIGINT) AS minhash
+         MIN(((('0x' || substring(md5(shingle), 1, 15))::BIGINT
+              + seed * ('0x' || substring(md5(shingle), 16, 14))::BIGINT)
+             % 1152921504606846976)) AS minhash
   FROM seeded GROUP BY doc_id, seed
 ), banded AS (
   SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
@@ -2287,7 +2289,9 @@ WITH sample_docs AS (
   FROM sh, (SELECT UNNEST(generate_series(0, 63)) AS seed)
 ), sigs AS (
   SELECT doc_id, seed,
-         MIN(('0x' || substring(md5(shingle || '#' || seed), 1, 15))::BIGINT)
+         MIN(((('0x' || substring(md5(shingle), 1, 15))::BIGINT
+              + seed * ('0x' || substring(md5(shingle), 16, 14))::BIGINT)
+             % 1152921504606846976))
            AS minhash
   FROM seeded GROUP BY doc_id, seed
 ), est AS (
@@ -5527,12 +5531,16 @@ WITH incoming AS (
   SELECT doc_id, UNNEST({_SHINGLE_SQL}) AS shingle FROM documents
 ), sig_inc AS (
   SELECT doc_id, seed,
-         MIN(('0x' || substring(md5(shingle || '#' || seed), 1, 15))::BIGINT) AS minhash
+         MIN(((('0x' || substring(md5(shingle), 1, 15))::BIGINT
+              + seed * ('0x' || substring(md5(shingle), 16, 14))::BIGINT)
+             % 1152921504606846976)) AS minhash
   FROM sh_inc, (SELECT UNNEST(generate_series(0, 15)) AS seed)
   GROUP BY doc_id, seed
 ), sig_ex AS (
   SELECT doc_id, seed,
-         MIN(('0x' || substring(md5(shingle || '#' || seed), 1, 15))::BIGINT) AS minhash
+         MIN(((('0x' || substring(md5(shingle), 1, 15))::BIGINT
+              + seed * ('0x' || substring(md5(shingle), 16, 14))::BIGINT)
+             % 1152921504606846976)) AS minhash
   FROM sh_ex, (SELECT UNNEST(generate_series(0, 15)) AS seed)
   GROUP BY doc_id, seed
 ), band_inc AS (
