@@ -83,22 +83,25 @@ def test_minhash_identical_docs_share_all_bands(spark):
 
 
 def test_minhash_matches_python_md5(spark):
-    # signature reproducible outside Spark: ONE md5 per shingle, seeds
-    # from the Kirsch–Mitzenmacher mix h_j = (h1 + j*h2) mod 2^60 with
-    # h1 = 60-bit md5 prefix and h2 = the next 56 bits (r9 recipe)
+    # signature reproducible outside Spark: seed j is the 30-bit half
+    # (hi for even j, lo for odd j) of the 60-bit word (j//2)%2 — hex
+    # chars [15w, 15w+15) — of md5("<shingle>#<j//4>"): four
+    # independent lanes per md5 call (r9 recipe)
     text = "abcdefg"
     df = _docs(spark, [(1, text)])
     sigs = {r["seed"]: r["minhash"] for r in minhash_signatures(df, "doc_id").collect()}
     shingles = {text[i : i + 5] for i in range(len(text) - 4)}
-    halves = []
-    for s in shingles:
-        hx = hashlib.md5(s.encode()).hexdigest()
-        halves.append((int(hx[:15], 16), int(hx[15:29], 16)))
-    for seed in (0, 7, 15):
-        expect = min((h1 + seed * h2) % (1 << 60) for h1, h2 in halves)
-        assert sigs[seed] == expect
-    # seed 0 is the raw 60-bit prefix — the canonical shingle id
-    assert sigs[0] == min(h1 for h1, _ in halves)
+
+    def lane(s, j):
+        w = (j // 2) % 2
+        word = int(
+            hashlib.md5(f"{s}#{j // 4}".encode()).hexdigest()[15 * w : 15 * w + 15],
+            16,
+        )
+        return word >> 30 if j % 2 == 0 else word & ((1 << 30) - 1)
+
+    for seed in (0, 1, 2, 3, 4, 7, 15):
+        assert sigs[seed] == min(lane(s, seed) for s in shingles)
 
 
 def test_simhash_equal_for_identical_token_multisets(spark):
@@ -3129,13 +3132,13 @@ def test_zipf_fit_recovers_planted_power_law(spark):
             rows.append((did, f"term{r:02d}"))
             did += 1
     zipfy = spark.createDataFrame(rows, "doc_id long, text string")
-    slope = zipf_fit(zipfy, "doc_id", top_n=20).collect()[0]["slope"]
+    slope = zipf_fit(zipfy, top_n=20).collect()[0]["slope"]
     assert abs(slope - (-1.0)) < 0.01
 
     uni = spark.createDataFrame(
         [(i, f"u{i % 10}") for i in range(1000)], "doc_id long, text string"
     )
-    res = zipf_fit(uni, "doc_id", top_n=10).collect()[0]
+    res = zipf_fit(uni, top_n=10).collect()[0]
     assert res["n_terms"] == 10
     assert abs(res["slope"]) < 1e-9
 
@@ -3399,3 +3402,224 @@ def test_domain_quality_prior_verdicts(spark):
     assert got[200]["domain_ok"] is True and got[200]["keep_final"] is False
     assert got[201]["keep_final"] is True
     assert got[200]["domain_n"] == 2
+
+
+def _py_unigram(texts, vocab_size=14, P=4, iters=2, n_seed=20, maxw=12):
+    """Pure-Python replay of unigram_train_fixed: same seeding, same
+    packed-string Viterbi tie-break, same integer micrologs."""
+    import math
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in re.split("[^a-z0-9]+", t.lower()):
+            if w and len(w) <= maxw:
+                words[w] += 1
+    cand = Counter()
+    for w, wc in words.items():
+        for i in range(len(w)):
+            for l in range(1, min(P, len(w) - i) + 1):
+                cand[w[i : i + l]] += wc
+    chars = {p: c for p, c in cand.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in cand.items() if len(p) >= 2),
+        key=lambda x: (-x[1], x[0]),
+    )[:n_seed]
+
+    def ml(x):
+        return round(math.log(x) * 1e6)
+
+    def scored(d):
+        T = sum(d.values())
+        return {p: ml(T) - ml(c) for p, c in d.items()}
+
+    def viterbi(w, costs):
+        best = [(0, 0, "")] + [None] * len(w)
+        for i in range(1, len(w) + 1):
+            cands = []
+            for l in range(1, min(P, i) + 1):
+                piece = w[i - l : i]
+                if piece in costs and best[i - l] is not None:
+                    c, n, lens = best[i - l]
+                    lens2 = str(l) if lens == "" else lens + "-" + str(l)
+                    cands.append((c + costs[piece], n + 1, lens2))
+            best[i] = min(
+                cands, key=lambda t: f"{t[0]:012d}:{t[1]:02d}:{t[2]}"
+            )
+        return [int(x) for x in best[len(w)][2].split("-")]
+
+    counts = dict(chars)
+    counts.update(dict(multi))
+    costs = scored(counts)
+    for _ in range(iters):
+        used = Counter()
+        for w, wc in words.items():
+            pos = 0
+            for l in viterbi(w, costs):
+                used[w[pos : pos + l]] += wc
+                pos += l
+        counts = {ch: max(used.get(ch, 0), 1) for ch in chars}
+        for p, c in used.items():
+            if len(p) >= 2:
+                counts[p] = c
+        costs = scored(counts)
+    n_chars = len(chars)
+    multi_f = sorted(
+        ((p, c) for p, c in counts.items() if len(p) >= 2),
+        key=lambda x: (-x[1], x[0]),
+    )[: max(vocab_size - n_chars, 0)]
+    fin = {p: c for p, c in counts.items() if len(p) == 1}
+    fin.update(dict(multi_f))
+    costs = scored(fin)
+    return {p: (len(p), fin[p], costs[p]) for p in fin}
+
+
+def test_unigram_train_matches_python_replay(spark):
+    from transcriptomics_data_integration_spark.llmdata.bpe import unigram_train_fixed
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the rat",
+        "a cat and a rat sat",
+        "mats and rats and cats",
+    ]
+    df = _docs(spark, list(enumerate(texts)))
+    got = {
+        r["piece"]: (r["piece_len"], r["count"], r["cost_micro"])
+        for r in unigram_train_fixed(
+            df, vocab_size=14, n_iters=2, n_seed=20
+        ).collect()
+    }
+    assert got == _py_unigram(texts)
+
+
+def test_unigram_encode_counts(spark):
+    from transcriptomics_data_integration_spark.llmdata.bpe import (
+        unigram_encode,
+        unigram_train_fixed,
+    )
+
+    texts = ["the cat sat", "mats and rats", "the the the"]
+    df = _docs(spark, list(enumerate(texts)))
+    pieces = unigram_train_fixed(df, vocab_size=14, n_iters=2, n_seed=20)
+    out = {r["doc_id"]: r for r in unigram_encode(df, pieces).collect()}
+    # chars tokenized = total word chars; every doc fully covered
+    for i, t in enumerate(texts):
+        words = [w for w in t.split() if w]
+        assert out[i]["n_chars_tok"] == sum(len(w) for w in words)
+        # at least one token per word, at most len(word) per word
+        assert len(words) <= out[i]["n_tokens"] <= sum(len(w) for w in words)
+        assert 0 <= out[i]["n_multi_tokens"] <= out[i]["n_tokens"]
+
+
+def test_flac_frame_roundtrip_all_subframes():
+    """encode_flac_frames -> decode_flac_frames is the identity on
+    amplitude moments for every subframe type, across random int16
+    signals (r9 frame codec; no Spark needed — pure codec)."""
+    import random
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        decode_flac_frames,
+        encode_flac_frames,
+    )
+
+    rng = random.Random(42)
+    for sub in ("verbatim", "fixed1", "fixed2"):
+        for _ in range(25):
+            s = [rng.randint(-32768, 32767) for _ in range(64)]
+            d = decode_flac_frames(encode_flac_frames(s, subframe=sub))
+            assert d is not None and d["subframe"] == sub
+            assert d["n_samples"] == 64
+            assert d["sum_amp"] == sum(s)
+            assert d["sum_sq"] == sum(x * x for x in s)
+            assert d["min_amp"] == min(s) and d["max_amp"] == max(s)
+    d = decode_flac_frames(encode_flac_frames([-7] * 64, subframe="constant"))
+    assert d["subframe"] == "constant" and d["sum_amp"] == -7 * 64
+    assert d["frame_bytes"] == 12  # 7 hdr + 1 sub + 2 value + 2 crc16
+
+
+def test_flac_frame_crc_rejects_corruption():
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        decode_flac_frames,
+        encode_flac_frames,
+    )
+
+    s = [((3 * i + i * (i - 1)) % 32768) - 16384 for i in range(64)]
+    raw = bytearray(encode_flac_frames(s, subframe="fixed2"))
+    good = decode_flac_frames(bytes(raw))
+    assert good is not None
+    # flip one bit in the frame body: CRC-16 must reject
+    raw[-10] ^= 0x04
+    assert decode_flac_frames(bytes(raw)) is None
+
+
+def test_flac_fixed_predictor_compresses_smooth_signal():
+    """A quadratic signal has (mostly) constant order-2 residuals, so
+    the Rice-coded FIXED frame must be smaller than VERBATIM — the
+    codec really compresses, it doesn't just reframe."""
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        decode_flac_frames,
+        encode_flac_frames,
+    )
+
+    s = [((3 * i + 2 * (i * (i - 1) // 2)) % 32768) - 16384 for i in range(64)]
+    fixed = decode_flac_frames(encode_flac_frames(s, subframe="fixed2"))
+    verb = decode_flac_frames(encode_flac_frames(s, subframe="verbatim"))
+    assert fixed["frame_bytes"] < verb["frame_bytes"] == 138
+
+
+def _py_rle_deflate_bits(t: str) -> int:
+    """Pure-Python replay of the rle_deflate cost model (symbol bits)."""
+    def lit(c):
+        return 8 if ord(c) < 144 else 9
+
+    def match_bits(l):
+        for hi, b in ((10, 7), (18, 8), (34, 9), (66, 10), (114, 11), (130, 12)):
+            if l <= hi:
+                return 5 + b
+        return 5 + 13
+
+    def run_bits(c, n):
+        if n <= 0:
+            return 0
+        r = n - 1
+        bits = lit(c) + (r // 258) * 13
+        rem = r % 258
+        return bits + (match_bits(rem) if rem >= 3 else rem * lit(c))
+
+    bits, prev, run = 0, "", 0
+    for ch in t:
+        if ch == prev:
+            run += 1
+        else:
+            bits += run_bits(prev, run)
+            prev, run = ch, 1
+    return bits + run_bits(prev, run)
+
+
+def test_rle_deflate_matches_python_replay(spark):
+    from transcriptomics_data_integration_spark.llmdata.text import rle_deflate_size
+
+    texts = [
+        "hello world",                 # no runs: all literals
+        "aaa",                         # exactly a 3-run: one small match
+        "ab" + "x" * 300 + "end",      # multi-chunk 258+ run
+        "zz",                          # 2-run: remainder literals
+        "",                            # empty doc
+        "q" * 259,                     # 258-chunk + 0 remainder
+        "r" * 262,                     # 258-chunk + 3 remainder match
+    ]
+    df = _docs(spark, list(enumerate(texts)))
+    got = {r["doc_id"]: r for r in rle_deflate_size(df, "doc_id").collect()}
+    for i, t in enumerate(texts):
+        sym = _py_rle_deflate_bits(t)
+        assert got[i]["rle_bits"] == sym + 10, (i, t[:20])
+        assert got[i]["rle_bytes"] == 6 + (sym + 10 + 7) // 8
+        if t:
+            assert got[i]["rle_ratio"] == round(got[i]["rle_bytes"] / len(t), 6)
+        else:
+            assert got[i]["rle_ratio"] is None
+    # signal direction: a run flood compresses, prose does not
+    assert got[2]["rle_bytes"] < got[2]["n_chars"]
+    assert got[0]["rle_bytes"] > got[0]["n_chars"]

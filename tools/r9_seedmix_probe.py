@@ -1,10 +1,19 @@
-"""r9 seed-mix A/B probe: re-measure the two minhash hot paths that
+"""r9 seed-family A/B probe: re-measure the two minhash hot paths that
 PLANS.md r8b recorded under the old 16-md5-per-shingle recipe —
 `build_minhash_index` (578.2 s / 1,729 docs/s at 1 M docs) and the
 incremental batch against the stored index (314.9 s / 635 docs/s for
-200 k incoming) — after the r9 one-md5 Kirsch-Mitzenmacher seed mix
-(llmdata/dedup.py:_minhash_mix).  Identical corpus recipe to
-tools/r8b_ops_probe.py so the rows are directly comparable.
+200 k incoming) — after the r9 two-lane md5 family
+(llmdata/dedup.py:_minhash_digests, ceil(n/2) md5 calls).
+
+History this probe is the evidence for: the FIRST r9 attempt was a
+Kirsch-Mitzenmacher arithmetic mix (one md5, h_j = (h1 + j*h2) mod
+2^60).  Its index build measured 320.3 s — but h_j affine in j
+order-correlates the rows of a band, band match probability collapses
+from J^4 toward J on non-storm corpora, and THIS PROBE's incremental
+phase exploded (candidate fan-out -> shuffle ENOSPC, then a stuck
+verify stage) while every dup-storm-shaped GATE stayed green.  The
+two-lane family keeps independent bits per seed, so banding math is
+unchanged by construction.
 
 Usage: python tools/r9_seedmix_probe.py [n_docs]
 Prints one JSON line per probe; paste into PLANS.md.

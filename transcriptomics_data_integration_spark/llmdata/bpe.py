@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from transcriptomics_data_integration_spark.runtime import register_persisted
@@ -139,4 +139,264 @@ def bpe_encode(
         out = out.withColumn("_syms", F.expr(f"transform(_syms, ws -> {fold})"))
     return out.withColumn(out_col, F.expr("flatten(_syms)")).drop(
         "_words", "_syms"
+    )
+
+
+# --- Unigram-LM tokenizer (SentencePiece family, Kudo 2018) ------------
+#
+# Fixed-iteration HARD-EM (Viterbi) twin of the SentencePiece unigram
+# trainer, in the repo's combat_eb2/logistic_irls2 discipline: a fixed
+# number of EM iterations with a deterministic tie-break makes the
+# whole training loop hash-gateable against a DuckDB oracle.
+# Documented deviations from Kudo 2018 (both standard simplifications):
+# hard-EM (Viterbi counts) instead of lattice forward-backward
+# expected counts, and usage-pruning (pieces unused by any best
+# segmentation drop) instead of likelihood-delta pruning.  Coverage is
+# guaranteed the same way SentencePiece does it: every single
+# character seen in the corpus stays in the vocabulary.
+#
+# FP discipline: piece scores are INTEGER micrologs —
+# round(ln(count/total) * 1e6) as BIGINT — so the Viterbi DP sums and
+# compares integers only; ln() is evaluated once per distinct count
+# value and the 1e-6 grid absorbs last-ulp libm differences between
+# the JVM and DuckDB.  Every output column is integer or string.
+#
+# Scale shape: the corpus collapses to the distinct-word frequency
+# table in one aggregation (the only pass over raw text, exactly like
+# bpe_train_fixed); every EM iteration runs on that bounded relation.
+# The per-word Viterbi is ONE whole-stage-codegen aggregate() fold
+# (string-packed DP states), and the piece table rides the plan as a
+# 1-row map_from_entries relation cross-joined in — no driver collect
+# anywhere.
+
+UNIGRAM_MAX_WORD_LEN = 12
+
+
+def _microlog_sql(x: str) -> str:
+    """round(ln(x) * 1e6) as BIGINT — the integer log-prob grid."""
+    return f"CAST(ROUND(LN(CAST({x} AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+
+
+def _unigram_words(df: DataFrame, text_col: str) -> DataFrame:
+    """Distinct-word frequency table under the repo's standard word
+    rule (lower, [^a-z0-9]+ split), capped at UNIGRAM_MAX_WORD_LEN
+    chars — longer words are excluded from training statistics (a
+    documented boundary mirrored by the oracle; production raises the
+    cap, which only widens the DP fold)."""
+    toks = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+    return (
+        df.select(F.explode(toks).alias("w"))
+        .where((F.col("w") != "") & (F.length("w") <= UNIGRAM_MAX_WORD_LEN))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+
+
+def _unigram_dp_sql(max_piece_len: int) -> str:
+    """The Viterbi fold: best segmentation of word column ``w`` under
+    the piece-cost map column ``m`` (piece -> integer microcost).
+
+    DP state per prefix length is a sortable packed string
+    ``lpad(cost,12) :: lpad(n_pieces,2) :: lens`` ("3-1-2" piece
+    lengths); position i's best is the least() over the <=
+    ``max_piece_len`` candidate extensions, each coalesced to the
+    sentinel 'Z' (lexicographically above any packed state) when the
+    piece is absent from the map.  Byte-wise least() gives the same
+    deterministic tie-break in Spark and DuckDB: min cost, then fewest
+    pieces, then lexicographically-least lengths string."""
+
+    def cand(l: int) -> str:
+        prev = f"element_at(acc, i - {l - 1})"
+        piece = f"substr(w, i - {l - 1}, {l})"
+        lens = f"split({prev}, ':')[2]"
+        return f"""coalesce(
+          CASE WHEN i >= {l} THEN
+            lpad(CAST(CAST(split({prev}, ':')[0] AS BIGINT)
+                 + try_element_at(m, {piece}) AS STRING), 12, '0')
+            || ':' || lpad(CAST(CAST(split({prev}, ':')[1] AS INT) + 1 AS STRING), 2, '0')
+            || ':' || CASE WHEN {lens} = '' THEN '{l}'
+                      ELSE {lens} || '-{l}' END
+          END, 'Z')"""
+
+    cands = ", ".join(cand(l) for l in range(1, max_piece_len + 1))
+    return f"""aggregate(
+      sequence(1, length(w)),
+      array('000000000000:00:'),
+      (acc, i) -> acc || array(least({cands})),
+      acc -> element_at(acc, -1)
+    )"""
+
+
+def _unigram_piece_map(pieces: DataFrame) -> DataFrame:
+    """1-row (piece -> microcost) map relation, built in-plan (the
+    vocabulary is the bounded tokenizer artifact)."""
+    return pieces.agg(
+        F.expr("map_from_entries(collect_list(struct(piece, cost_micro)))").alias("m")
+    )
+
+
+def _unigram_segment_words(
+    words: DataFrame, pieces: DataFrame, max_piece_len: int
+) -> DataFrame:
+    """(w, wc, lens) — Viterbi-best piece-length string per word."""
+    seg = (
+        words.crossJoin(F.broadcast(_unigram_piece_map(pieces)))
+        .withColumn("_best", F.expr(_unigram_dp_sql(max_piece_len)))
+        .select("w", "wc", F.expr("split(_best, ':')[2]").alias("lens"))
+    )
+    return seg
+
+
+def _unigram_used_counts(seg: DataFrame) -> DataFrame:
+    """Explode best segmentations to (piece, count): piece k starts
+    after the cumulative length of pieces 1..k-1."""
+    exploded = seg.select(
+        "w",
+        "wc",
+        F.posexplode(F.expr("transform(split(lens, '-'), x -> CAST(x AS INT))")).alias(
+            "k", "l"
+        ),
+    )
+    win = Window.partitionBy("w").orderBy("k").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        exploded.withColumn("_start", F.coalesce(F.sum("l").over(win), F.lit(0)) + 1)
+        .select(F.expr("substr(w, _start, l)").alias("piece"), "wc")
+        .groupBy("piece")
+        .agg(F.sum("wc").alias("count"))
+    )
+
+
+def unigram_train_fixed(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 40,
+    max_piece_len: int = 4,
+    n_iters: int = 2,
+    n_seed: int = 120,
+) -> DataFrame:
+    """Train a unigram-LM tokenizer vocabulary; returns the piece table
+    ``(piece, piece_len, count, cost_micro)`` — the artifact
+    :func:`unigram_encode` consumes.  ``cost_micro`` is the integer
+    microlog cost ``round(1e6 * ln(total/count))``.
+
+    Steps (each relational, each on the bounded distinct-word table):
+    seed = all substrings up to ``max_piece_len`` chars, keeping every
+    single character plus the top ``n_seed`` multi-char candidates by
+    (occurrence-weighted count DESC, piece ASC); then ``n_iters``
+    hard-EM rounds (Viterbi segment -> usage counts -> re-score, with
+    unused multi-char pieces dropping and characters floored at count
+    1); finally prune to ``vocab_size`` = all characters + the top
+    multi-char pieces by (count DESC, piece ASC) and re-score."""
+    words = _unigram_words(df, text_col).persist()
+    register_persisted(words)
+
+    # seed candidates: occurrence-weighted substring counts
+    cand = (
+        words.select(
+            "wc",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, length(w)), i -> "
+                    f"transform(sequence(1, least({max_piece_len}, length(w) - i + 1)), "
+                    f"l -> substr(w, i, l))))"
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("wc").alias("count"))
+    ).persist()
+    register_persisted(cand)
+    chars = cand.where(F.length("piece") == 1)
+    multi = (
+        cand.where(F.length("piece") >= 2)
+        .orderBy(F.col("count").desc(), F.col("piece"))
+        .limit(n_seed)
+    )
+
+    def _scored(p: DataFrame) -> DataFrame:
+        # cost_micro = microlog(T) - microlog(count) over the kept set
+        tot = p.agg(F.sum("count").alias("_t"))
+        return (
+            p.crossJoin(F.broadcast(tot))
+            .select(
+                "piece",
+                F.length("piece").alias("piece_len"),
+                "count",
+                (
+                    F.expr(_microlog_sql("_t")) - F.expr(_microlog_sql("count"))
+                ).alias("cost_micro"),
+            )
+        )
+
+    pieces = _scored(chars.unionByName(multi)).persist()
+    register_persisted(pieces)
+
+    for _ in range(n_iters):
+        used = _unigram_used_counts(
+            _unigram_segment_words(words, pieces, max_piece_len)
+        )
+        # characters keep coverage with a count floor of 1; unused
+        # multi-char pieces drop
+        merged = (
+            chars.select("piece")
+            .join(used, "piece", "full_outer")
+            .select(
+                "piece",
+                F.when(
+                    F.length("piece") == 1,
+                    F.greatest(F.coalesce(F.col("count"), F.lit(0)), F.lit(1)),
+                )
+                .otherwise(F.col("count"))
+                .alias("count"),
+            )
+            .where(F.col("count").isNotNull())
+        )
+        pieces = _scored(merged).persist()
+        register_persisted(pieces)
+
+    n_chars = chars.count()  # bounded scalar: the character inventory size
+    kept_multi = (
+        pieces.where(F.col("piece_len") >= 2)
+        .orderBy(F.col("count").desc(), F.col("piece"))
+        .limit(max(vocab_size - n_chars, 0))
+        .select("piece", "count")
+    )
+    final = pieces.where(F.col("piece_len") == 1).select("piece", "count").unionByName(
+        kept_multi
+    )
+    return _scored(final)
+
+
+def unigram_encode(
+    df: DataFrame,
+    pieces: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """Apply a trained piece table: per document, Viterbi-segment every
+    word (same DP, same tie-break as training) and report
+    ``(n_tokens, n_chars_tok, n_multi_tokens)``.  The corpus joins the
+    bounded word->segmentation map on the word key — the DP runs once
+    per DISTINCT word, not per occurrence; the apply stage is one
+    equi-join plus a map-side aggregation."""
+    toks = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+    doc_words = df.select(
+        F.col("doc_id"), F.explode(toks).alias("w")
+    ).where((F.col("w") != "") & (F.length("w") <= UNIGRAM_MAX_WORD_LEN))
+    words = doc_words.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    seg = _unigram_segment_words(words, pieces, max_piece_len).select(
+        "w",
+        F.expr("size(split(lens, '-'))").alias("_np"),
+        F.expr("size(filter(split(lens, '-'), x -> x <> '1'))").alias("_nm"),
+    )
+    return (
+        doc_words.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_np").cast("bigint").alias("n_tokens"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars_tok"),
+            F.sum("_nm").cast("bigint").alias("n_multi_tokens"),
+        )
     )

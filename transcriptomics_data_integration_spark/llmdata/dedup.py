@@ -27,6 +27,8 @@ import re
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from transcriptomics_data_integration_spark.runtime import register_persisted
+
 SHINGLE_LEN = 5
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
@@ -48,44 +50,64 @@ def _md5_60bit(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("bigint")
 
 
-# --- MinHash seed family: ONE md5 per shingle (r9) ---------------------
+# --- MinHash seed family: four 30-bit lanes per md5 (r9) ----------------
 #
 # The r8 recipe hashed md5(shingle || '#' || seed) once per (shingle,
-# seed) — 16 md5 calls per posting on the hottest dedup path (the
-# incremental index build measured ~0.9 G md5 per 200k batch, PLANS.md
-# r8b).  r9 derives the whole seed family from ONE md5 via
-# Kirsch–Mitzenmacher double hashing:
+# seed) — 16 md5 calls AND 16 hex->int conversions per posting on the
+# hottest dedup path (the incremental index build measured ~0.9 G md5
+# per 200k batch, PLANS.md r8b).  r9 quarters both: each md5 digest is
+# 128 bits, read as two 60-bit words (one conv each), each split into
+# two 30-bit halves by integer DIV/MOD:
 #
-#     hex = md5(shingle)                      (one call)
-#     h1  = int(hex[ 0:15], 16)               60 bits
-#     h2  = int(hex[15:29], 16)               56 bits
-#     h_j = (h1 + j * h2) mod 2^60            j = 0 .. n_hashes-1
+#     hex_k  = md5(shingle || '#' || k)            k = 0 .. ceil(n/4)-1
+#     w_{2k}   = int(hex_k[ 0:15], 16)             chars 1-15
+#     w_{2k+1} = int(hex_k[15:30], 16)             chars 16-30
+#     h_j = w_{j//2} DIV 2^30   (j even)           hi 30 bits
+#           w_{j//2} MOD 2^30   (j odd)            lo 30 bits
 #
-# h1 < 2^60 and j*h2 <= 63 * 2^56 < 2^62, so the sum stays inside a
-# signed 64-bit integer for every n_hashes <= 64 — no overflow in
-# Spark's wrapping bigint NOR in DuckDB's checked BIGINT, which is what
-# makes the recipe oracle-replayable.  h_0 == h1 == _md5_60bit(shingle),
-# so the first signature column doubles as the canonical 60-bit shingle
-# id used by the exact-Jaccard verify sets.  DuckDB twin:
-#   ((('0x' || substring(md5(s),1,15))::BIGINT
-#     + j * ('0x' || substring(md5(s),16,14))::BIGINT)
-#    % 1152921504606846976)
-_MINHASH_MOD = 1 << 60
-_MINHASH_MAX_SEEDS = 64
+# Distinct bit ranges of a strong hash are statistically independent,
+# so every LSH property (band false-positive rate J^r, estimator
+# variance J(1-J)/n; 30-bit min values add only ~n/2^30 spurious
+# equality per seed) is what the 16-md5 recipe gave — unlike
+# ARITHMETIC seed mixing: a Kirsch–Mitzenmacher A/B
+# (h_j = (h1 + j*h2) mod 2^60, tools/r9_seedmix_probe.py) made h_j
+# AFFINE in j, so the 4 rows of a band were order-correlated (a
+# shingle winning the min at seed j keeps winning at j+1..j+3), band
+# match probability collapsed from J^4 toward J, and the incremental
+# verify join exploded at the 1 M-doc probe (ENOSPC, then a stuck
+# 32-task stage).  Verified pairs stayed correct (exact-Jaccard
+# verification is recipe-independent) — the failure is a SCALE
+# failure, invisible on the dup-storm gate corpora.  Lanes of one
+# digest carry no such structure.  Measured on 30M rows (PLANS.md r9):
+# r8 recipe 18.9 s, two-60-bit-lane variant 13.4 s, THIS family 8.0 s
+# (2.4x), broken-KM lower bound 2.3 s.
+#
+# The exact-Jaccard verify sets use ``sid`` = w_0 undivided (60-bit,
+# chars 1-15 of digest 0) — already computed, and a set-membership id
+# has no cross-seed independence requirement.  DuckDB twin per
+# (shingle, seed), with w = ('0x' || substring(md5(shingle || '#' ||
+# CAST(seed // 4 AS VARCHAR)), 1 + 15 * ((seed // 2) % 2), 15))::BIGINT:
+#   CASE WHEN seed % 2 = 0 THEN w // 1073741824 ELSE w % 1073741824 END
+
+_MINHASH_SPLIT = 1 << 30
 
 
-def _minhash_h1h2(col: Column) -> tuple[Column, Column]:
-    """(h1, h2) halves of one md5 for the seed-family mix above."""
-    hexd = F.md5(col.cast("binary"))
-    h1 = F.conv(F.substring(hexd, 1, 15), 16, 10).cast("bigint")
-    h2 = F.conv(F.substring(hexd, 16, 14), 16, 10).cast("bigint")
-    return h1, h2
+def _minhash_words(shingle: Column, n_hashes: int) -> list[Column]:
+    """The ceil(n/2) 60-bit words (two per md5 digest) feeding the
+    30-bit lane family — one conv per word, one md5 per two words."""
+    words = []
+    for k in range((n_hashes + 3) // 4):
+        d = F.md5(F.concat_ws("#", shingle, F.lit(k)).cast("binary"))
+        words.append(F.conv(F.substring(d, 1, 15), 16, 10).cast("bigint"))
+        words.append(F.conv(F.substring(d, 16, 15), 16, 10).cast("bigint"))
+    return words[: (n_hashes + 1) // 2]
 
 
-def _minhash_mix(h1: Column, h2: Column, seed) -> Column:
-    """h_j = (h1 + seed * h2) mod 2^60; ``seed`` is a Column or int."""
-    s = F.lit(seed) if isinstance(seed, int) else seed
-    return (h1 + s * h2) % F.lit(_MINHASH_MOD)
+def _minhash_half(word_name: str, j: int) -> Column:
+    """30-bit half j%2 of the named 60-bit word column."""
+    if j % 2 == 0:
+        return F.expr(f"{word_name} DIV {_MINHASH_SPLIT}")
+    return F.col(word_name) % _MINHASH_SPLIT
 
 
 def content_digest(col: Column) -> Column:
@@ -159,22 +181,16 @@ def minhash_from_shingles(
     """MinHash signatures from a prebuilt (id, shingle) posting relation
     — callers that also need the postings for sizes/verification should
     build them once, ``.cache()`` them, and use this entry point."""
-    if n_hashes > _MINHASH_MAX_SEEDS:
-        raise ValueError(f"seed mix is overflow-safe only up to {_MINHASH_MAX_SEEDS}")
-    # ONE md5 per distinct shingle (before the seed explode), then the
-    # integer mix per (shingle, seed) row — md5 is the expensive part
+    # ceil(n/4) md5 digests per DISTINCT shingle (before the seed
+    # explode), four 30-bit lanes each — md5 + conv are the expensive
+    # parts and both are per-word, not per-seed
     dim = sh.select("shingle").distinct()
-    h1, h2 = _minhash_h1h2(F.col("shingle"))
-    shingle_dim = (
-        dim.select("shingle", h1.alias("_h1"), h2.alias("_h2"))
-        .select(
-            "shingle",
-            "_h1",
-            "_h2",
-            F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
-        )
-        .withColumn("h", _minhash_mix(F.col("_h1"), F.col("_h2"), F.col("seed")))
-        .drop("_h1", "_h2")
+    words = _minhash_words(F.col("shingle"), n_hashes)
+    for w, c in enumerate(words):
+        dim = dim.withColumn(f"_w{w}", c)
+    lanes = [_minhash_half(f"_w{j // 2}", j) for j in range(n_hashes)]
+    shingle_dim = dim.select(
+        "shingle", F.posexplode(F.array(*lanes)).alias("seed", "h")
     )
     hashed = sh.join(F.broadcast(shingle_dim), "shingle")
     return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
@@ -187,10 +203,11 @@ def minhash_signatures(
     k: int = SHINGLE_LEN,
     n_hashes: int = N_HASHES,
 ) -> DataFrame:
-    """MinHash: for seed j, sig_j = min over shingles of
-    (h1 + j*h2) mod 2^60 — ONE md5 per shingle, seeds by integer mix
-    (see ``_minhash_mix``).  Output: (id, seed, minhash) long form —
-    one row per (doc, seed), computed with a single aggregation.
+    """MinHash: for seed j, sig_j = min over shingles of the 30-bit
+    lane of md5(shingle || '#' || j//4) picked by (j//2)%2, j%2 — four
+    independent lanes per md5 call (module notes at ``_minhash_words``).
+    Output: (id, seed, minhash) long form — one row per (doc, seed),
+    computed with a single aggregation.
     """
     sh = shingles(df, id_col, text_col, k)
     return minhash_from_shingles(sh, id_col, n_hashes)
@@ -306,8 +323,8 @@ def minhash_sig_columns(
     mins.  Versus the long form this avoids the n_hashes-fold row
     explosion through the shuffle (1 row per doc with n columns vs
     n rows per doc) and the second banding aggregation.  Hash values are
-    identical to :func:`minhash_from_shingles` (one-md5 seed mix, see
-    module notes at ``_minhash_mix``).
+    identical to :func:`minhash_from_shingles` (30-bit md5-lane family,
+    see module notes at ``_minhash_words``).
     """
     hashed = hashed_shingles(sh, n_hashes)
     return hashed.groupBy(id_col).agg(
@@ -319,10 +336,10 @@ def hashed_shingles(
     sh: DataFrame, n_hashes: int = N_HASHES, strategy: str = "broadcast_dim"
 ) -> DataFrame:
     """Posting relation with the per-seed hash columns h0..h{n-1}
-    attached.  h0 doubles as a 60-bit integer shingle id for set
-    operations — primitive long arrays instead of string arrays keeps
-    verification allocation-light.  Hash VALUES are identical under
-    either strategy; only the plan differs:
+    (30-bit lanes) plus ``sid`` — the 60-bit shingle id (word 0
+    undivided) for set operations; primitive long arrays instead of
+    string arrays keeps verification allocation-light.  Hash VALUES
+    are identical under either strategy; only the plan differs:
 
     - ``"broadcast_dim"``: md5 computed once per DISTINCT shingle and
       broadcast back.  Wins when cross-doc shingle repetition is high
@@ -336,29 +353,25 @@ def hashed_shingles(
       extra shuffle, CPU-linear at any corpus size.  The safe default
       for arbitrary (non-storm) input.
     """
-    if n_hashes > _MINHASH_MAX_SEEDS:
-        raise ValueError(f"seed mix is overflow-safe only up to {_MINHASH_MAX_SEEDS}")
-    h1c, h2c = _minhash_h1h2(F.col("shingle"))
-    if strategy == "inline":
-        # ONE md5 per posting row (was n_hashes md5s before r9's seed
-        # mix); the h_j columns are integer arithmetic on its halves
-        out = sh.withColumn("_h1", h1c).withColumn("_h2", h2c)
+    words = _minhash_words(F.col("shingle"), n_hashes)
+    n_w = len(words)
+
+    def _attach(rel: DataFrame) -> DataFrame:
+        # ceil(n/4) md5s + ceil(n/2) convs per row (was n of each
+        # before r9's lane split); the h_j columns are integer halves
+        for w, c in enumerate(words):
+            rel = rel.withColumn(f"_w{w}", c)
         for j in range(n_hashes):
-            out = out.withColumn(
-                f"h{j}", _minhash_mix(F.col("_h1"), F.col("_h2"), j)
-            )
-        return out.drop("_h1", "_h2")
+            rel = rel.withColumn(f"h{j}", _minhash_half(f"_w{j // 2}", j))
+        rel = rel.withColumn("sid", F.col("_w0"))
+        return rel.drop(*[f"_w{w}" for w in range(n_w)])
+
+    if strategy == "inline":
+        return _attach(sh)
     if strategy != "broadcast_dim":
         raise ValueError(f"unknown strategy {strategy!r}")
-    dim = (
-        sh.select("shingle")
-        .distinct()
-        .withColumn("_h1", h1c)
-        .withColumn("_h2", h2c)
-    )
-    for j in range(n_hashes):
-        dim = dim.withColumn(f"h{j}", _minhash_mix(F.col("_h1"), F.col("_h2"), j))
-    return sh.join(F.broadcast(dim.drop("_h1", "_h2")), "shingle")
+    dim = _attach(sh.select("shingle").distinct())
+    return sh.join(F.broadcast(dim), "shingle")
 
 
 def lsh_candidates_from_columns(
@@ -521,7 +534,7 @@ def minhash_lsh_pairs(
     hashed = hashed_shingles(sh, n_hashes, strategy=hash_strategy)
     # ONE pass over the posting relation produces both the signature
     # columns (element-wise mins) and the per-doc shingle-set array
-    # (collect_set of the h0 shingle ids) — fusing the two aggregations
+    # (collect_set of the sid shingle ids) — fusing the two aggregations
     # means the wide 1-row-per-posting intermediate is never cached or
     # re-aggregated; only the 1-row-per-doc result is (measured: the
     # posting-level cache materialization was the pipeline's single
@@ -530,7 +543,7 @@ def minhash_lsh_pairs(
         hashed.groupBy(id_col)
         .agg(
             *[F.min(f"h{j}").alias(f"m{j}") for j in range(n_hashes)],
-            F.collect_set("h0").alias("sset"),
+            F.collect_set("sid").alias("sset"),
         )
         .cache()
     )
@@ -1338,7 +1351,7 @@ def build_minhash_index(
     hashed = hashed_shingles(sh, n_hashes, strategy="inline")
     sigs = hashed.groupBy(id_col).agg(
         *[F.min(f"h{j}").alias(f"m{j}") for j in range(n_hashes)],
-        F.collect_set("h0").alias("sset"),
+        F.collect_set("sid").alias("sset"),
     )
     dig = existing.select(
         F.col(id_col), content_digest(F.col(text_col)).alias("digest")
@@ -1406,6 +1419,10 @@ def incremental_minhash_dedup(
         existing_index = build_minhash_index(
             existing, id_col, text_col, k, n_hashes
         ).cache()
+        # registered for deferred unpersist: repeated batch invocations
+        # in a long-lived session must not accumulate cached relations
+        # in executor memory (r8 ADVICE)
+        register_persisted(existing_index)
     ex_digest = existing_index.groupBy("digest").agg(
         F.min("ex_id").alias("matched_id")
     )
@@ -1427,7 +1444,7 @@ def incremental_minhash_dedup(
         hashed = hashed_shingles(sh, n_hashes, strategy="inline")
         return hashed.groupBy(id_col).agg(
             *[F.min(f"h{j}").alias(f"m{j}") for j in range(n_hashes)],
-            F.collect_set("h0").alias("sset"),
+            F.collect_set("sid").alias("sset"),
         ).withColumnRenamed(id_col, out_id)
 
     rows_per_band = n_hashes // n_bands
@@ -1454,6 +1471,7 @@ def incremental_minhash_dedup(
     # two consumers (band keys + verify): cache the batch-sized
     # signature relation so the shingle/md5 pipeline runs once
     inc_sigs = _sig_sets(rest, "inc_id").cache()
+    register_persisted(inc_sigs)
     ex_sigs = existing_index.select(
         "ex_id", *[f"m{j}" for j in range(n_hashes)], "sset"
     )

@@ -1582,3 +1582,275 @@ def decode_flac_header(payload: bytes) -> dict | None:
             return None  # last block and no STREAMINFO seen
         pos += 4 + ln
     return None
+
+
+# --- FLAC frame (audio sample) codec subset (r9) ------------------------
+#
+# Closes the r8 "header-only FLAC" boundary: real FRAME encode/decode
+# for the subset a deterministic gate can exercise — mono, 16-bit, one
+# fixed-blocksize frame, subframe types CONSTANT / VERBATIM / FIXED
+# order 1-2 with Rice-coded residuals (partition order 0, fixed
+# parameter) — bit layouts per RFC 9639 (the FLAC spec): frame-header
+# sync/codes (§9.1), UTF-8-coded frame number, CRC-8 (poly 0x07) over
+# the header, subframe type codes (§9.2), Rice escape layout (§9.2.7),
+# zigzag residual folding, CRC-16 (poly 0x8005) over the whole frame.
+# The decoder is an independent bit-reader that VERIFIES both CRCs and
+# reconstructs samples through the inverse predictor; LPC subframes and
+# stereo decorrelation are out of the subset (documented boundary).
+
+
+class _FlacBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int) -> None:
+        for i in range(bits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.acc)
+                self.acc = 0
+                self.nbits = 0
+
+    def write_unary(self, q: int) -> None:
+        for _ in range(q):
+            self.write(0, 1)
+        self.write(1, 1)
+
+    def align(self) -> None:
+        while self.nbits:
+            self.write(0, 1)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+class _FlacBitReader:
+    def __init__(self, payload: bytes, pos: int = 0):
+        self.payload = payload
+        self.bitpos = pos * 8
+
+    def read(self, bits: int) -> int:
+        v = 0
+        for _ in range(bits):
+            byte = self.payload[self.bitpos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.bitpos & 7))) & 1)
+            self.bitpos += 1
+        return v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+
+    def bytepos(self) -> int:
+        return self.bitpos >> 3
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8+x^2+x+1 (0x07), init 0 — the FLAC
+    frame-header CRC (RFC 9639 §9.1.8)."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, polynomial x^16+x^15+x^2+1 (0x8005), init 0 — the FLAC
+    frame footer CRC (RFC 9639 §9.3)."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+_FLAC_RICE_K = 12  # fixed Rice parameter: deterministic, oracle-replayable
+
+
+def encode_flac_frames(
+    samples, sample_rate: int = 8000, subframe: str = "fixed2"
+) -> bytes:
+    """REAL FLAC file with sample data: STREAMINFO (via
+    :func:`encode_flac_header`) followed by ONE fixed-blocksize frame
+    holding ``samples`` (mono int16) in the requested subframe type —
+    ``'constant'`` (all samples equal), ``'verbatim'``, ``'fixed1'``
+    or ``'fixed2'`` (fixed linear predictor + Rice residuals,
+    partition order 0, parameter {k}).""".format(k=_FLAC_RICE_K)
+    samples = [int(s) for s in samples]
+    n = len(samples)
+    assert 1 <= n <= 256
+    head = encode_flac_header(sample_rate, 1, 16, n)
+
+    hw = _FlacBitWriter()
+    hw.write(0b11111111111110, 14)  # sync
+    hw.write(0, 1)                  # reserved
+    hw.write(0, 1)                  # fixed-blocksize stream
+    hw.write(0b0110, 4)             # blocksize: 8-bit n-1 follows
+    hw.write(0b0000, 4)             # sample rate: from STREAMINFO
+    hw.write(0b0000, 4)             # channels: mono
+    hw.write(0b100, 3)              # sample size: 16 bits
+    hw.write(0, 1)                  # reserved
+    hw.write(0x00, 8)               # UTF-8 frame number 0
+    hw.write(n - 1, 8)              # blocksize - 1
+    hdr = hw.bytes()
+    hdr += bytes([_crc8(hdr)])
+
+    bw = _FlacBitWriter()
+    order = {"constant": 0, "verbatim": 0, "fixed1": 1, "fixed2": 2}[subframe]
+    if subframe == "constant":
+        assert len(set(samples)) == 1
+        bw.write(0, 1)
+        bw.write(0b000000, 6)       # CONSTANT
+        bw.write(0, 1)              # no wasted bits
+        bw.write(samples[0] & 0xFFFF, 16)
+    elif subframe == "verbatim":
+        bw.write(0, 1)
+        bw.write(0b000001, 6)       # VERBATIM
+        bw.write(0, 1)
+        for s in samples:
+            bw.write(s & 0xFFFF, 16)
+    else:
+        bw.write(0, 1)
+        bw.write(0b001000 | order, 6)  # FIXED, order
+        bw.write(0, 1)
+        for s in samples[:order]:      # warmup
+            bw.write(s & 0xFFFF, 16)
+        bw.write(0b00, 2)              # residual method: 4-bit Rice
+        bw.write(0, 4)                 # partition order 0
+        bw.write(_FLAC_RICE_K, 4)
+        for i in range(order, n):
+            if order == 1:
+                r = samples[i] - samples[i - 1]
+            else:
+                r = samples[i] - 2 * samples[i - 1] + samples[i - 2]
+            u = (r << 1) if r >= 0 else (-r << 1) - 1  # zigzag fold
+            bw.write_unary(u >> _FLAC_RICE_K)
+            bw.write(u & ((1 << _FLAC_RICE_K) - 1), _FLAC_RICE_K)
+    bw.align()
+    frame = hdr + bw.bytes()
+    frame += _crc16(frame).to_bytes(2, "big")
+    return head + frame
+
+
+def decode_flac_frames(payload: bytes) -> dict | None:
+    """Independent FLAC frame decode for the encoder's subset:
+    STREAMINFO walk (reusing :func:`decode_flac_header` semantics),
+    frame-header parse with CRC-8 verification, subframe decode
+    (constant / verbatim / fixed 0-4 with Rice partition order 0),
+    inverse fixed predictor, CRC-16 verification.  Returns stream
+    params, subframe type/order, decoded-sample amplitude moments, and
+    the frame byte count; None on any malformed structure or CRC
+    mismatch (tolerant-reader stance)."""
+    info = decode_flac_header(payload)
+    if info is None:
+        return None
+    # find the end of the metadata section independently
+    pos = 4
+    while True:
+        hdr = payload[pos]
+        ln = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        pos += 4 + ln
+        if hdr & 0x80:
+            break
+    frame_start = pos
+    br = _FlacBitReader(payload, pos)
+    try:
+        if br.read(14) != 0b11111111111110:
+            return None
+        br.read(1)
+        br.read(1)
+        bs_code = br.read(4)
+        if br.read(4) != 0:   # sample rate from STREAMINFO only
+            return None
+        if br.read(4) != 0:   # mono only
+            return None
+        if br.read(3) != 0b100:  # 16-bit only
+            return None
+        br.read(1)
+        if br.read(8) & 0x80:    # UTF-8 frame number: 1-byte form only
+            return None
+        if bs_code == 0b0110:
+            n = br.read(8) + 1
+        elif bs_code == 0b0001:
+            n = 192
+        else:
+            return None
+        crc8_got = br.read(8)
+        if _crc8(payload[frame_start : br.bytepos() - 1]) != crc8_got:
+            return None
+        if br.read(1) != 0:
+            return None
+        typ = br.read(6)
+        if br.read(1) != 0:      # wasted bits unsupported
+            return None
+
+        def s16(v: int) -> int:
+            return v - 65536 if v >= 32768 else v
+
+        if typ == 0b000000:
+            samples = [s16(br.read(16))] * n
+            sub = "constant"
+            order = 0
+        elif typ == 0b000001:
+            samples = [s16(br.read(16)) for _ in range(n)]
+            sub = "verbatim"
+            order = 0
+        elif 0b001000 <= typ <= 0b001100:
+            order = typ & 0x07
+            samples = [s16(br.read(16)) for _ in range(order)]
+            if br.read(2) != 0:
+                return None
+            if br.read(4) != 0:  # partition order 0 only
+                return None
+            k = br.read(4)
+            if k == 0b1111:
+                return None
+            for i in range(order, n):
+                u = (br.read_unary() << k) | br.read(k)
+                r = (u >> 1) if u % 2 == 0 else -((u + 1) >> 1)
+                if order == 0:
+                    s = r
+                elif order == 1:
+                    s = r + samples[i - 1]
+                elif order == 2:
+                    s = r + 2 * samples[i - 1] - samples[i - 2]
+                elif order == 3:
+                    s = r + 3 * samples[i - 1] - 3 * samples[i - 2] + samples[i - 3]
+                else:
+                    s = (r + 4 * samples[i - 1] - 6 * samples[i - 2]
+                         + 4 * samples[i - 3] - samples[i - 4])
+                samples.append(s)
+            sub = f"fixed{order}"
+        else:
+            return None
+        br.align()
+        crc16_got = br.read(16)
+        if _crc16(payload[frame_start : br.bytepos() - 2]) != crc16_got:
+            return None
+        frame_bytes = br.bytepos() - frame_start
+    except IndexError:
+        return None
+    return {
+        "media_type": "audio/flac",
+        "sample_rate": info["sample_rate"],
+        "subframe": sub,
+        "predictor_order": order,
+        "n_samples": len(samples),
+        "frame_bytes": frame_bytes,
+        "sum_amp": sum(samples),
+        "sum_sq": sum(s * s for s in samples),
+        "min_amp": min(samples),
+        "max_amp": max(samples),
+    }

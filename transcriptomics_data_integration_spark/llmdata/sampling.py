@@ -661,18 +661,25 @@ def dsir_logweights(
             / ((F.col("cr") + 1) * (F.col("Tt") + n_buckets)).cast("double")
         ).alias("_lw"),
     )
-    return (
+    scored = (
         counts.join(F.broadcast(lw), "_bucket")
         .groupBy(id_col, "_is_target")
         .agg(
             F.sum("_n").cast("bigint").alias("n_toks"),
             F.sum(F.col("_lw") * F.col("_n")).alias("logweight"),
         )
+    )
+    # token-less docs vanish in the explode — left-join the aggregate
+    # back to the full id pool and emit (n_toks=0, logweight=0.0) so
+    # callers joining weights back never silently lose ids (r8 ADVICE)
+    return (
+        base.select(id_col, "_is_target")
+        .join(scored, [id_col, "_is_target"], "left")
         .select(
             id_col,
             F.col("_is_target").alias("is_target"),
-            "n_toks",
-            "logweight",
+            F.coalesce(F.col("n_toks"), F.lit(0).cast("bigint")).alias("n_toks"),
+            F.coalesce(F.col("logweight"), F.lit(0.0)).alias("logweight"),
         )
     )
 

@@ -916,6 +916,105 @@ def compression_ratio(
     )
 
 
+def _rle_match_bits(l_expr: str) -> str:
+    """Fixed-Huffman bits for ONE distance-1 match of length ``l``
+    (3..257): 5-bit distance code (dist 1 = code 0, no extra) plus the
+    RFC 1951 §3.2.5/§3.2.6 length-code cost — codes 257-279 are 7-bit
+    in the fixed tree, 280-284 are 8-bit, with 0-5 extra bits by
+    length bucket."""
+    return f"""(5 + CASE
+      WHEN {l_expr} <= 10 THEN 7
+      WHEN {l_expr} <= 18 THEN 8
+      WHEN {l_expr} <= 34 THEN 9
+      WHEN {l_expr} <= 66 THEN 10
+      WHEN {l_expr} <= 114 THEN 11
+      WHEN {l_expr} <= 130 THEN 12
+      ELSE 13 END)"""
+
+
+def _rle_run_bits(b_expr: str, n_expr: str, intdiv: str = "DIV") -> str:
+    """Fixed-Huffman bits for one maximal run of character ``b``
+    repeated ``n`` times, encoded as DEFLATE emits RLE: first
+    occurrence is a literal (8 bits for code points < 144, 9
+    otherwise — RFC 1951 fixed literal tree; code points above 255
+    are costed 9 as a documented approximation), the remaining n-1 as
+    greedy distance-1 matches — full 258-length matches (code 285:
+    8 + 5 bits, no extra), then one match for a remainder >= 3, else
+    remainder literals.  ``intdiv`` is the engine's integer-division
+    operator (Spark ``DIV``, DuckDB ``//``) — everything else is
+    portable SQL, so the DuckDB oracle reuses this generator."""
+    lit = f"(CASE WHEN ascii({b_expr}) < 144 THEN 8 ELSE 9 END)"
+    rem = f"(({n_expr} - 1) % 258)"
+    return f"""(CASE WHEN {n_expr} <= 0 THEN 0 ELSE
+      {lit}
+      + (({n_expr} - 1) {intdiv} 258) * 13
+      + CASE WHEN {rem} >= 3 THEN {_rle_match_bits(rem)}
+             ELSE {rem} * {lit} END
+    END)"""
+
+
+def rle_deflate_size(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Deterministic DEFLATE-subset size (r9) — the hash-gateable twin
+    of :func:`compression_ratio`'s zlib signal: the EXACT zlib-stream
+    byte count a canonical encoder would emit using one fixed-Huffman
+    block (RFC 1951 §3.2.6) restricted to distance-1 matches (zlib's
+    Z_RLE strategy family): every maximal character run costs one
+    literal plus greedy back-references.  Because every symbol's bit
+    cost is a table lookup and the parse is the unique maximal-run
+    decomposition, the size is pure integer arithmetic — replayable in
+    SQL, unlike full DEFLATE's implementation-defined match heuristics.
+
+    Signal: run-redundancy (whitespace floods, padding, repeated-char
+    art) — the subset of compression_ratio's signal that is
+    engine-exact; word-level repetition stays with the zlib kernel's
+    pytest-pinned goldens.
+
+    Output per doc: (n_chars, rle_bits, rle_bytes, rle_ratio) with
+    rle_bytes = 2 (zlib header) + ceil((3 + bits + 7)/8) (BFINAL+BTYPE
+    header, symbol bits, 7-bit end-of-block code 256) + 4 (adler32),
+    and rle_ratio = rle_bytes / n_chars (one IEEE division; NULL for
+    empty docs).
+
+    Plan shape: ONE whole-stage-codegen aggregate() fold per document
+    (run detection + bit cost in a single pass, no character explode,
+    no shuffle) — corpus-linear and embarrassingly parallel.
+    """
+    run_prev = _rle_run_bits("s.prev", "s.run")
+    fold = f"""aggregate(
+      transform(sequence(1, length({text_col})), i -> substring({text_col}, i, 1)),
+      named_struct('prev', '', 'run', 0, 'bits', CAST(0 AS BIGINT)),
+      (s, c) -> CASE WHEN c = s.prev
+        THEN named_struct('prev', s.prev, 'run', s.run + 1, 'bits', s.bits)
+        ELSE named_struct('prev', c, 'run', 1,
+                          'bits', s.bits + {run_prev}) END,
+      s -> s.bits + {run_prev}
+    )"""
+    bits = F.when(
+        F.length(text_col) == 0, F.lit(0).cast("bigint")
+    ).otherwise(F.expr(fold))
+    out = df.select(
+        F.col(id_col),
+        F.length(text_col).cast("int").alias("n_chars"),
+        bits.alias("_sym_bits"),
+    ).select(
+        id_col,
+        "n_chars",
+        (F.col("_sym_bits") + 10).cast("bigint").alias("rle_bits"),
+        (
+            F.lit(6) + F.floor((F.col("_sym_bits") + 10 + 7) / 8).cast("bigint")
+        ).alias("rle_bytes"),
+    )
+    return out.withColumn(
+        "rle_ratio",
+        F.when(
+            F.col("n_chars") > 0,
+            F.round(F.col("rle_bytes") / F.col("n_chars"), 6),
+        ),
+    )
+
+
 def bigram_logprob(
     df: DataFrame,
     id_col: str,
@@ -1234,7 +1333,6 @@ def chunk_documents(
 
 def zipf_fit(
     df: DataFrame,
-    id_col: str,
     text_col: str = "text",
     top_n: int = 100,
 ) -> DataFrame:
@@ -1251,8 +1349,10 @@ def zipf_fit(
     run on a bounded ``top_n``-row relation.  Deterministic ordering:
     (freq DESC, term ASC).
 
-    Output: one row — (n_terms, slope, intercept) with slope/intercept
-    raw doubles (callers round per repo FP policy).
+    Output: ONE corpus-level row — (n_terms, slope, intercept) with
+    slope/intercept raw doubles (callers round per repo FP policy).
+    The fit is corpus-global by definition (rank is a corpus rank), so
+    there is no per-doc variant and no id column (r8 ADVICE).
     """
     tokens = df.select(
         F.explode(

@@ -266,7 +266,11 @@ def url_blocklist_score(
     """
     base = urls.select(
         F.col(url_col),
-        url_domain(F.col(url_col)).alias("_dom"),
+        # domain extracted from the LOWERCASED url: hosts are
+        # case-insensitive (RFC 3986 §3.2.2) and url_domain's regex
+        # requires a lowercase scheme, so 'HTTPS://Shop.Example.com/..'
+        # must normalize the same way the substring arm does (r8 ADVICE)
+        url_domain(F.lower(F.col(url_col))).alias("_dom"),
         F.lower(F.col(url_col)).alias("_lc"),
     )
     ticked = rules.select(

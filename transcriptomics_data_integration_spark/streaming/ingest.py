@@ -250,11 +250,12 @@ def streaming_minhash_neardup(
     for dedup-at-ingest: each arriving document is checked against
     everything previously streamed before it enters the corpus.
 
-    Per-row signature (no shuffle): the same one-md5 seed-mix minhash
-    as the batch path (``h_j = (h1 + j*h2) mod 2^60`` over the halves
-    of one md5 per shingle — see ``llmdata.dedup._minhash_mix``),
-    computed in an Arrow-batched pandas UDF so signatures are
-    BIT-IDENTICAL to the batch pipeline's.  Docs then explode to their
+    Per-row signature (no shuffle): the same 30-bit md5-lane minhash
+    as the batch path (seed j = the 30-bit half of
+    ``md5(shingle || '#' || j//4)`` picked by (j//2)%2 and j%2 — see
+    ``llmdata.dedup._minhash_words``), computed in an Arrow-batched
+    pandas UDF so signatures are BIT-IDENTICAL to the batch
+    pipeline's.  Docs then explode to their
     ``n_bands`` band keys and ``applyInPandasWithState`` keyed by
     band-bucket holds the bucket's (id, signature) inventory: a new
     doc emits a pair for every stored doc whose signature agrees on
@@ -282,22 +283,29 @@ def streaming_minhash_neardup(
     # the explicit returnType above carries the schema
     @F.pandas_udf(ArrayType(LongType()))
     def sig_udf(texts):
-        mod = 1 << 60
+        n_dig = (n_hashes + 3) // 4
         out = []
         for t in texts:
             t = t or ""
             n_sh = max(len(t) - k + 1, 1)
             sh = {t[i:i + k] for i in range(n_sh)}
-            # one md5 per shingle, then the integer seed mix — same
-            # recipe (and same call count) as the batch kernel
-            halves = []
+            # ceil(n/4) md5s per shingle, four 30-bit lanes each —
+            # same recipe (and same call count) as the batch kernel
+            vals = []
             for s in sh:
-                hx = hashlib.md5(s.encode()).hexdigest()
-                halves.append((int(hx[:15], 16), int(hx[15:29], 16)))
-            out.append([
-                min((h1 + j * h2) % mod for h1, h2 in halves)
-                for j in range(n_hashes)
-            ])
+                digs = [
+                    hashlib.md5(f"{s}#{q}".encode()).hexdigest()
+                    for q in range(n_dig)
+                ]
+                ws = [
+                    int(digs[w // 2][15 * (w % 2):15 * (w % 2) + 15], 16)
+                    for w in range((n_hashes + 1) // 2)
+                ]
+                vals.append([
+                    (ws[j // 2] >> 30) if j % 2 == 0 else (ws[j // 2] & ((1 << 30) - 1))
+                    for j in range(n_hashes)
+                ])
+            out.append([min(v[j] for v in vals) for j in range(n_hashes)])
         return pd.Series(out)
 
     with_sig = stream_df.select(
@@ -461,9 +469,9 @@ def streaming_incremental_dedup(
     (exact), else 16-seed minhash -> 4 band tuples -> candidate kept
     ids -> exact-Jaccard verify -> best match (max jaccard, tie ->
     min kept id).  No state store, no shuffle; verdicts are
-    BIT-IDENTICAL to the batch kernel's (same one-md5 seed-mix
-    recipe, same banding, same 60-bit-shingle-id verify sets — not
-    raw strings — same tie rules), which the batch-equivalence test
+    BIT-IDENTICAL to the batch kernel's (same 30-bit md5-lane recipe,
+    same banding, same 60-bit-shingle-id verify sets — not raw
+    strings — same tie rules), which the batch-equivalence test
     pins.
 
     Output: (id, verdict, matched_id, n_inter, n_a, n_b, jaccard).
@@ -480,28 +488,38 @@ def streaming_incremental_dedup(
         StructType,
     )
 
-    _MOD60 = 1 << 60
+    _n_dig = (n_hashes + 3) // 4
+    _n_words = (n_hashes + 1) // 2
 
-    def _sh_halves(t: str) -> list:
-        """One md5 per distinct shingle -> [(h1, h2)] seed-mix halves.
+    def _sh_lanevals(t: str) -> list:
+        """Per distinct shingle: (sid, [h_0..h_{n-1}]) — the 60-bit
+        shingle id (word 0 undivided) plus the 30-bit md5-lane seeds.
 
-        h1 doubles as the 60-bit shingle id — the SAME set the batch
-        kernel verifies with (collect_set(h0)), so n_a/n_b/n_inter are
-        bit-identical, not merely identical-up-to-hash-collisions.
+        sid is the SAME id set the batch kernel verifies with
+        (collect_set(sid)), so n_a/n_b/n_inter are bit-identical, not
+        merely identical-up-to-hash-collisions.
         """
         t = t or ""
         n_sh = max(len(t) - k + 1, 1)
-        halves = []
+        vals = []
         for s in {t[i : i + k] for i in range(n_sh)}:
-            hx = hashlib.md5(s.encode()).hexdigest()
-            halves.append((int(hx[:15], 16), int(hx[15:29], 16)))
-        return halves
+            digs = [
+                hashlib.md5(f"{s}#{q}".encode()).hexdigest()
+                for q in range(_n_dig)
+            ]
+            ws = [
+                int(digs[w // 2][15 * (w % 2) : 15 * (w % 2) + 15], 16)
+                for w in range(_n_words)
+            ]
+            hs = [
+                (ws[j // 2] >> 30) if j % 2 == 0 else (ws[j // 2] & ((1 << 30) - 1))
+                for j in range(n_hashes)
+            ]
+            vals.append((ws[0], hs))
+        return vals
 
-    def _minhash_bands(halves: list) -> tuple:
-        sigs = [
-            min((h1 + j * h2) % _MOD60 for h1, h2 in halves)
-            for j in range(n_hashes)
-        ]
+    def _minhash_bands(vals: list) -> tuple:
+        sigs = [min(hs[j] for _, hs in vals) for j in range(n_hashes)]
         rpb = n_hashes // n_bands
         return tuple(
             tuple(sigs[b * rpb : (b + 1) * rpb]) for b in range(n_bands)
@@ -514,9 +532,9 @@ def streaming_incremental_dedup(
         dg = hashlib.md5((txt or "").encode()).hexdigest()
         if dg not in digest_index or ex_id < digest_index[dg]:
             digest_index[dg] = ex_id
-        halves = _sh_halves(txt)
-        shingle_sets[ex_id] = frozenset(h1 for h1, _ in halves)
-        for b, key in enumerate(_minhash_bands(halves)):
+        vals = _sh_lanevals(txt)
+        shingle_sets[ex_id] = frozenset(sid for sid, _ in vals)
+        for b, key in enumerate(_minhash_bands(vals)):
             band_index.setdefault((b, key), []).append(ex_id)
 
     sc = existing.sparkSession.sparkContext
@@ -546,10 +564,10 @@ def streaming_incremental_dedup(
             if dg in dgi:
                 rows.append(("exact", dgi[dg], None, None, None, 1.0))
                 continue
-            halves = _sh_halves(t)
-            sh = {h1 for h1, _ in halves}
+            vals = _sh_lanevals(t)
+            sh = {sid for sid, _ in vals}
             cands: set = set()
-            for b, key in enumerate(_minhash_bands(halves)):
+            for b, key in enumerate(_minhash_bands(vals)):
                 cands.update(bdi.get((b, key), ()))
             best = None
             for ex_id in sorted(cands):

@@ -2103,25 +2103,40 @@ _ROUND8_FRONT = [
     "reliability_filter", "value_conditioning", "argmax_dedup",
 ]
 
-# Round-9 rotation plan: (a) the r8 gates added AFTER this window
-# froze (bm25_topk, pagerank3, perplexity_buckets, substring_spans,
-# repetition_schedule, warc_extract, ingest_pipeline, tfidf_keywords,
-# kneser_ney, c4_filter, doc_chunks, dsir_select, zipf_fit,
-# incremental_dedup, prototype_prune, gsea_es, c4_span_dedup,
-# pack_bins, url_blocklist, curation_pipeline, domain_prior —
-# never driver-stamped), then (b) every r9-touched/new kernel, (c) the
-# r5-only-stamped remainder (29 queries: cel_decode, cohort_retention,
-# contamination, dedup_rows, doc_sample, fisher_enrichment,
-# frequency_table, funnel, gopher_repetition, language_id_ngram,
-# mahalanobis_outliers, media_header_decode, minhash_accuracy,
-# mixture_sample, multimodal_featurize, normalize_dedup,
-# pairwise_contrasts, paragraph_dedup, pca_outliers, pii_scrub,
-# pq_fixed, quality_model, rolling_stats, set_compare,
-# strata_correlation, term_enrichment, venn_membership,
-# vocab_size_sketch, voom_loess3), remainder filled with
-# r6-only-stamped queries in registry order.  (Compare r9 bench rows
-# against the r7 driver column THROUGH the same-day control band —
-# PLANS.md r8 records cosine_topk reading 1.37x its driver row with
-# zero code change on this measurement host.)
-QUERIES = _reorder_front(QUERIES, _ROUND8_FRONT)
+# Round-9 window, executing the r8 verdict item 1 exactly: (a) the 21
+# second-wave r8 gates never driver-stamped (judge-verified at 3 SFs
+# in r8), (b) every r9-touched/new kernel — the two re-keyed minhash
+# gates (two-lane md5 seed family; incremental_dedup already in (a)),
+# the new unigram-LM tokenizer pair, and rle_deflate (the oracled
+# DEFLATE-subset twin replacing the permanently-no_oracle
+# compression_ratio row, which left the driver window), plus the new
+# flac_decode gate (frame/Rice decode closing the r8 header-only FLAC
+# boundary) — and (c) the r5-only-stamped remainder in registry order
+# up to the 50-query window (cohort_retention, dedup_rows, doc_sample,
+# funnel, voom_loess3 slip to r10 along with the rest of the
+# r5/r6-only backlog).  (Compare r9
+# bench rows against the r8 driver column THROUGH the host band
+# recorded in BASELINE.md "r8 driver column".)
+_ROUND9_FRONT = [
+    # -- (a) never-stamped second-wave r8 gates (21) -----------------------
+    "bm25_topk", "pagerank3", "perplexity_buckets", "substring_spans",
+    "repetition_schedule", "warc_extract", "ingest_pipeline",
+    "tfidf_keywords", "kneser_ney", "c4_filter", "doc_chunks",
+    "dsir_select", "zipf_fit", "incremental_dedup", "prototype_prune",
+    "gsea_es", "c4_span_dedup", "pack_bins", "url_blocklist",
+    "curation_pipeline", "domain_prior",
+    # -- (b) r9-touched / new kernels --------------------------------------
+    "minhash_lsh", "minhash_accuracy",
+    "unigram_train", "unigram_encode", "rle_deflate", "flac_decode",
+    # -- (c) r5-only-stamped slice (registry order, 23 of 28) --------------
+    "cel_decode", "contamination", "fisher_enrichment", "frequency_table",
+    "gopher_repetition", "language_id_ngram", "mahalanobis_outliers",
+    "media_header_decode", "mixture_sample", "multimodal_featurize",
+    "normalize_dedup", "pairwise_contrasts", "paragraph_dedup",
+    "pca_outliers", "pii_scrub", "pq_fixed", "quality_model",
+    "rolling_stats", "set_compare", "strata_correlation",
+    "term_enrichment", "venn_membership", "vocab_size_sketch",
+]
+
+QUERIES = _reorder_front(QUERIES, _ROUND9_FRONT)
 QUERIES = {n: _with_persist_drain(fn) for n, fn in QUERIES.items()}

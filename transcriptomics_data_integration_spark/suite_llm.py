@@ -262,9 +262,12 @@ WITH crawls AS (
   FROM sh, (SELECT UNNEST(generate_series(0, 15)) AS seed)
 ), sigs AS (
   SELECT doc_id, seed,
-         MIN(((('0x' || substring(md5(shingle), 1, 15))::BIGINT
-              + seed * ('0x' || substring(md5(shingle), 16, 14))::BIGINT)
-             % 1152921504606846976)) AS minhash
+         MIN((CASE WHEN seed % 2 = 0
+            THEN ('0x' || substring(md5(shingle || '#' || CAST(seed // 4 AS VARCHAR)),
+                                    1 + 15 * ((seed // 2) % 2), 15))::BIGINT // 1073741824
+            ELSE ('0x' || substring(md5(shingle || '#' || CAST(seed // 4 AS VARCHAR)),
+                                    1 + 15 * ((seed // 2) % 2), 15))::BIGINT % 1073741824
+       END)) AS minhash
   FROM seeded GROUP BY doc_id, seed
 ), banded AS (
   SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
@@ -2289,9 +2292,12 @@ WITH sample_docs AS (
   FROM sh, (SELECT UNNEST(generate_series(0, 63)) AS seed)
 ), sigs AS (
   SELECT doc_id, seed,
-         MIN(((('0x' || substring(md5(shingle), 1, 15))::BIGINT
-              + seed * ('0x' || substring(md5(shingle), 16, 14))::BIGINT)
-             % 1152921504606846976))
+         MIN((CASE WHEN seed % 2 = 0
+            THEN ('0x' || substring(md5(shingle || '#' || CAST(seed // 4 AS VARCHAR)),
+                                    1 + 15 * ((seed // 2) % 2), 15))::BIGINT // 1073741824
+            ELSE ('0x' || substring(md5(shingle || '#' || CAST(seed // 4 AS VARCHAR)),
+                                    1 + 15 * ((seed // 2) % 2), 15))::BIGINT % 1073741824
+       END))
            AS minhash
   FROM seeded GROUP BY doc_id, seed
 ), est AS (
@@ -3608,24 +3614,87 @@ QUERIES_LLM["html_extract"] = q_html_extract
 ORACLES_LLM["html_extract"] = ORACLE_HTML_EXTRACT
 
 
-def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compression-ratio quality signal over the corpus (r7) —
-    rows-only by necessity (no SQL engine replays DEFLATE); the
-    kernel's determinism and the repetitive-vs-prose-vs-noise band
-    structure are pinned by
-    `test_llmdata.py::test_compression_ratio_separates_repetition_from_prose`."""
+# compression_ratio (zlib level-6) left the driver window in r9: it was
+# the one permanently-`no_oracle` row a rotation could never stamp (full
+# DEFLATE's match heuristics are not SQL-expressible).  Its signal is
+# now split: the engine-exact subset (run redundancy, fixed-Huffman
+# distance-1 DEFLATE arithmetic) is the ORACLED `rle_deflate` gate
+# below; the zlib kernel (`llmdata/text.py:compression_ratio`) remains
+# a library function whose determinism and repetitive-vs-prose-vs-noise
+# band structure stay pinned by
+# `test_llmdata.py::test_compression_ratio_separates_repetition_from_prose`.
+
+
+def q_rle_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFLATE-subset compressed size, HASH-GATED (r9,
+    `llmdata/text.py:rle_deflate_size`): the exact zlib-stream byte
+    count of a one-block fixed-Huffman encoding restricted to
+    distance-1 matches — maximal-run parse + RFC 1951 bit tables, so
+    the whole "compression" is integer arithmetic.  The engine runs
+    one aggregate() fold per doc (no char explode, no shuffle); the
+    oracle recomputes runs relationally (gaps-and-islands) and reuses
+    the same generated bit-cost CASE, so a hash match proves the run
+    decomposition, both Huffman tables, the greedy 258-chunking, and
+    the stream framing."""
     from transcriptomics_data_integration_spark.llmdata.text import (
-        compression_ratio,
+        rle_deflate_size,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    return compression_ratio(docs, "doc_id").select(
-        "doc_id", "n_bytes", "n_compressed", "compression_ratio"
+    # plant run-redundancy arms so the gate exercises every cost path:
+    # doc_id%4==0 gets a 300-char pad run (multi-chunk matches),
+    # %4==1 a short 5-char run (single small match), %4==2 a 2-char
+    # run (remainder literals), %4==3 prose as-is
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id % 4 = 0 THEN concat(text, repeat('x', 300)) "
+            "WHEN doc_id % 4 = 1 THEN concat(text, repeat('=', 5)) "
+            "WHEN doc_id % 4 = 2 THEN concat('zz', text) "
+            "ELSE text END"
+        ).alias("text"),
     )
+    return rle_deflate_size(docs, "doc_id")
 
 
-QUERIES_LLM["compression_ratio"] = q_compression_ratio
-# no oracle: DEFLATE is not SQL-expressible — declared rows-only
+def _oracle_rle_deflate() -> str:
+    from transcriptomics_data_integration_spark.llmdata.text import _rle_run_bits
+
+    run_bits = _rle_run_bits("c", "n", intdiv="//")
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN text || repeat('x', 300)
+              WHEN doc_id % 4 = 1 THEN text || repeat('=', 5)
+              WHEN doc_id % 4 = 2 THEN 'zz' || text
+              ELSE text END AS text
+  FROM documents
+), chars AS (
+  SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 1) AS c
+  FROM planted, unnest(generate_series(1, length(text))) AS t(i)
+), grouped AS (
+  SELECT doc_id, c,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id, c ORDER BY i) AS grp
+  FROM chars
+), runs AS (
+  SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n
+  FROM grouped GROUP BY doc_id, c, grp
+), per_doc AS (
+  SELECT doc_id, CAST(SUM({run_bits}) AS BIGINT) AS sym
+  FROM runs GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(length(d.text) AS INTEGER) AS n_chars,
+       CAST(COALESCE(p.sym, 0) + 10 AS BIGINT) AS rle_bits,
+       CAST(6 + (COALESCE(p.sym, 0) + 17) // 8 AS BIGINT) AS rle_bytes,
+       CASE WHEN length(d.text) > 0 THEN
+         ROUND((6 + (COALESCE(p.sym, 0) + 17) // 8) / length(d.text), 6)
+       END AS rle_ratio
+FROM planted d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+QUERIES_LLM["rle_deflate"] = q_rle_deflate
+ORACLES_LLM["rle_deflate"] = _oracle_rle_deflate()
 
 
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5429,7 +5498,7 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transcriptomics_data_integration_spark.llmdata.text import zipf_fit
 
     docs = _t(spark, sf_dir, "documents")
-    out = zipf_fit(docs, "doc_id", top_n=100)
+    out = zipf_fit(docs, top_n=100)
     return out.select(
         "n_terms",
         F.round("slope", 6).alias("slope"),
@@ -5531,16 +5600,22 @@ WITH incoming AS (
   SELECT doc_id, UNNEST({_SHINGLE_SQL}) AS shingle FROM documents
 ), sig_inc AS (
   SELECT doc_id, seed,
-         MIN(((('0x' || substring(md5(shingle), 1, 15))::BIGINT
-              + seed * ('0x' || substring(md5(shingle), 16, 14))::BIGINT)
-             % 1152921504606846976)) AS minhash
+         MIN((CASE WHEN seed % 2 = 0
+            THEN ('0x' || substring(md5(shingle || '#' || CAST(seed // 4 AS VARCHAR)),
+                                    1 + 15 * ((seed // 2) % 2), 15))::BIGINT // 1073741824
+            ELSE ('0x' || substring(md5(shingle || '#' || CAST(seed // 4 AS VARCHAR)),
+                                    1 + 15 * ((seed // 2) % 2), 15))::BIGINT % 1073741824
+       END)) AS minhash
   FROM sh_inc, (SELECT UNNEST(generate_series(0, 15)) AS seed)
   GROUP BY doc_id, seed
 ), sig_ex AS (
   SELECT doc_id, seed,
-         MIN(((('0x' || substring(md5(shingle), 1, 15))::BIGINT
-              + seed * ('0x' || substring(md5(shingle), 16, 14))::BIGINT)
-             % 1152921504606846976)) AS minhash
+         MIN((CASE WHEN seed % 2 = 0
+            THEN ('0x' || substring(md5(shingle || '#' || CAST(seed // 4 AS VARCHAR)),
+                                    1 + 15 * ((seed // 2) % 2), 15))::BIGINT // 1073741824
+            ELSE ('0x' || substring(md5(shingle || '#' || CAST(seed // 4 AS VARCHAR)),
+                                    1 + 15 * ((seed // 2) % 2), 15))::BIGINT % 1073741824
+       END)) AS minhash
   FROM sh_ex, (SELECT UNNEST(generate_series(0, 15)) AS seed)
   GROUP BY doc_id, seed
 ), band_inc AS (
@@ -6200,3 +6275,317 @@ FROM with_dom w JOIN stats s USING (domain)
 
 QUERIES_LLM["domain_prior"] = q_domain_prior
 ORACLES_LLM["domain_prior"] = ORACLE_DOMAIN_PRIOR
+
+
+# --- unigram-LM tokenizer training (r9) ---------------------------------
+
+
+def _unigram_fold_sql(max_piece_len: int = 4) -> str:
+    """The DuckDB twin of the Spark Viterbi aggregate() fold
+    (`llmdata/bpe.py:_unigram_dp_sql`): list_reduce over positions with
+    a correlated piece->microcost map ``mp``, identical packed-string
+    DP states and byte-wise least() tie-break."""
+
+    def cand(l: int) -> str:
+        prev = f"acc[CAST(x[1] AS INTEGER) - {l - 1}]"
+        piece = f"substr(w, CAST(x[1] AS INTEGER) - {l - 1}, {l})"
+        lens = f"string_split({prev}, ':')[3]"
+        return f"""coalesce(
+      CASE WHEN CAST(x[1] AS INTEGER) >= {l} THEN
+        lpad(CAST(CAST(string_split({prev}, ':')[1] AS BIGINT)
+             + mp[{piece}][1] AS VARCHAR), 12, '0')
+        || ':' || lpad(CAST(CAST(string_split({prev}, ':')[2] AS INTEGER) + 1 AS VARCHAR), 2, '0')
+        || ':' || CASE WHEN {lens} = '' THEN '{l}' ELSE {lens} || '-{l}' END
+      END, 'Z')"""
+
+    cands = ", ".join(cand(l) for l in range(1, max_piece_len + 1))
+    return f"""list_reduce(
+  list_prepend(['000000000000:00:'], list_transform(generate_series(1, length(w)), i -> [CAST(i AS VARCHAR)])),
+  (acc, x) -> acc || [least({cands})]
+)[length(w) + 1]"""
+
+
+def _unigram_oracle_ctes(
+    vocab_size: int = 40,
+    max_piece_len: int = 4,
+    n_iters: int = 2,
+    n_seed: int = 120,
+    max_word_len: int = 12,
+) -> str:
+    """The shared CTE chain replaying `llmdata/bpe.py:unigram_train_fixed`
+    in DuckDB: seed candidates, then each hard-EM iteration's Viterbi
+    fold, ending at ``pfin`` = the pruned, re-scored final piece
+    table."""
+
+    def ml(x: str) -> str:
+        return f"CAST(ROUND(LN(CAST({x} AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+
+    fold = _unigram_fold_sql(max_piece_len)
+
+    def scored(src: str, name: str) -> str:
+        return f""", {name} AS (
+  SELECT piece, count, ml_t - {ml("count")} AS cost_micro
+  FROM {src}, (SELECT {ml("SUM(count)")} AS ml_t FROM {src})
+)"""
+
+    parts = [f"""WITH w0 AS (
+  SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS wc
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> '' AND length(t) <= {max_word_len} GROUP BY t
+), c0 AS (
+  SELECT piece, CAST(SUM(wc) AS BIGINT) AS count FROM (
+    SELECT wc, substr(w, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece
+    FROM w0,
+         unnest(generate_series(1, length(w))) AS t1(i),
+         unnest(generate_series(1, least({max_piece_len}, length(w) - i + 1))) AS t2(l)
+  ) GROUP BY piece
+), chars AS (
+  SELECT piece, count FROM c0 WHERE length(piece) = 1
+), multi AS (
+  SELECT piece, count FROM c0 WHERE length(piece) >= 2
+  ORDER BY count DESC, piece LIMIT {n_seed}
+), k0 AS (
+  SELECT piece, count FROM chars UNION ALL SELECT piece, count FROM multi
+)"""]
+    parts.append(scored("k0", "p0"))
+    for it in range(1, n_iters + 1):
+        prev = f"p{it - 1}"
+        parts.append(f""", m{it} AS (
+  SELECT map_from_entries(list(struct_pack(k := piece, v := cost_micro))) AS mp
+  FROM {prev}
+), s{it} AS (
+  SELECT w, wc, string_split({fold}, ':')[3] AS lens
+  FROM w0 CROSS JOIN m{it}
+), e{it} AS (
+  SELECT substr(w, CAST(1 + COALESCE(SUM(l) OVER (
+           PARTITION BY w ORDER BY k
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER),
+         l) AS piece, wc
+  FROM (
+    SELECT w, wc, i AS k, CAST(ll[CAST(i AS INTEGER)] AS INTEGER) AS l
+    FROM (SELECT w, wc, string_split(lens, '-') AS ll FROM s{it}),
+         unnest(generate_series(1, len(ll))) AS t(i)
+  )
+), u{it} AS (
+  SELECT piece, CAST(SUM(wc) AS BIGINT) AS count FROM e{it} GROUP BY piece
+), k{it} AS (
+  SELECT COALESCE(c.piece, u.piece) AS piece,
+         CASE WHEN c.piece IS NOT NULL
+              THEN GREATEST(COALESCE(u.count, 0), 1)
+              ELSE u.count END AS count
+  FROM chars c FULL OUTER JOIN u{it} u ON c.piece = u.piece
+  WHERE c.piece IS NOT NULL OR u.count IS NOT NULL
+)""")
+        parts.append(scored(f"k{it}", f"p{it}"))
+    parts.append(f""", rankedm AS (
+  SELECT piece, count, ROW_NUMBER() OVER (ORDER BY count DESC, piece) AS rn
+  FROM p{n_iters} WHERE length(piece) >= 2
+), kfin AS (
+  SELECT piece, count FROM p{n_iters} WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, count FROM rankedm
+  WHERE rn <= {vocab_size} - (SELECT COUNT(*) FROM chars)
+)""")
+    parts.append(scored("kfin", "pfin"))
+    return "".join(parts)
+
+
+def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (SentencePiece family, Kudo 2018),
+    HASH-GATED — fixed-iteration hard-EM over the distinct-word table
+    (`llmdata/bpe.py:unigram_train_fixed`): substring seeding, two
+    Viterbi-E / re-score-M rounds on integer microlog costs, prune to
+    the vocab budget.  Every output column is integer or string; the
+    oracle replays the DP fold with DuckDB list_reduce."""
+    from transcriptomics_data_integration_spark.llmdata.bpe import unigram_train_fixed
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_train_fixed(docs, "text", vocab_size=40, n_iters=2, n_seed=120)
+
+
+ORACLE_UNIGRAM_TRAIN = _unigram_oracle_ctes() + """
+SELECT piece, CAST(length(piece) AS INTEGER) AS piece_len, count, cost_micro
+FROM pfin
+"""
+
+
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer train -> APPLY, end-to-end HASH-GATED (the bpe_encode
+    discipline): the vocabulary learned by `unigram_train_fixed` is
+    applied by `unigram_encode`'s word-keyed Viterbi join — the DP
+    runs once per DISTINCT word; documents see one equi-join plus a
+    map-side aggregation.  Pins per doc the token count, tokenized
+    chars, and multi-char token count; the oracle re-trains AND
+    re-applies in DuckDB, so a hash match proves train and apply agree
+    across engines."""
+    from transcriptomics_data_integration_spark.llmdata.bpe import (
+        unigram_encode,
+        unigram_train_fixed,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pieces = unigram_train_fixed(docs, "text", vocab_size=40, n_iters=2, n_seed=120)
+    return unigram_encode(docs, pieces)
+
+
+ORACLE_UNIGRAM_ENCODE = _unigram_oracle_ctes() + """
+, mfin AS (
+  SELECT map_from_entries(list(struct_pack(k := piece, v := cost_micro))) AS mp
+  FROM pfin
+), doc_words AS (
+  SELECT doc_id, t AS w
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> '' AND length(t) <= 12
+), sfin AS (
+  SELECT w, string_split(""" + _unigram_fold_sql() + """, ':')[3] AS lens
+  FROM (SELECT DISTINCT w FROM doc_words) CROSS JOIN mfin
+)
+SELECT doc_id,
+       CAST(SUM(len(string_split(lens, '-'))) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(w)) AS BIGINT) AS n_chars_tok,
+       CAST(SUM(len(list_filter(string_split(lens, '-'), x -> x <> '1'))) AS BIGINT)
+         AS n_multi_tokens
+FROM doc_words JOIN sfin USING (w)
+GROUP BY doc_id
+"""
+
+QUERIES_LLM["unigram_train"] = q_unigram_train
+ORACLES_LLM["unigram_train"] = ORACLE_UNIGRAM_TRAIN
+QUERIES_LLM["unigram_encode"] = q_unigram_encode
+ORACLES_LLM["unigram_encode"] = ORACLE_UNIGRAM_ENCODE
+
+
+# --- FLAC frame decode (r9) ---------------------------------------------
+
+
+def q_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC frame decode, HASH-GATED (r9) — closes the r8
+    header-only FLAC boundary: per doc a full FLAC file (STREAMINFO +
+    one 64-sample mono 16-bit frame) is written by
+    `llmdata/multimodal.py:encode_flac_frames` and decoded by the
+    independent bit-reader `decode_flac_frames` (frame-header sync +
+    CRC-8, subframe decode, Rice residuals with zigzag fold, inverse
+    fixed predictor, CRC-16 — RFC 9639 layouts).  Four planted arms by
+    doc_id%4 exercise every subframe path: CONSTANT, VERBATIM, FIXED
+    order 1 (linear signal), FIXED order 2 (quadratic signal).  The
+    oracle recomputes the amplitude moments AND the exact encoded
+    frame byte count (header + warmup + Rice quotient/remainder bits)
+    from the plant formulas alone — a hash match proves predictor,
+    zigzag, Rice framing, and both CRC walks end-to-end."""
+    import pandas as pd
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        decode_flac_frames,
+        encode_flac_frames,
+    )
+
+    N = 64
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                arm = did % 4
+                if arm == 0:
+                    samples = [(did % 2000) - 1000] * N
+                    sub = "constant"
+                elif arm == 1:
+                    samples = [((did * 3 + i * 7) % 65536) - 32768 for i in range(N)]
+                    sub = "verbatim"
+                elif arm == 2:
+                    samples = [
+                        ((did % 50 + 1) * i) % 32768 - 16384 for i in range(N)
+                    ]
+                    sub = "fixed1"
+                else:
+                    samples = [
+                        ((did % 30 + 1) * (i * (i - 1) // 2)) % 32768 - 16384
+                        for i in range(N)
+                    ]
+                    sub = "fixed2"
+                d = decode_flac_frames(encode_flac_frames(samples, subframe=sub))
+                if d is None:
+                    continue
+                rows.append(
+                    (
+                        did, d["subframe"], d["predictor_order"], d["n_samples"],
+                        d["frame_bytes"], d["sum_amp"], d["sum_sq"],
+                        d["min_amp"], d["max_amp"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "subframe", "predictor_order", "n_samples",
+                    "frame_bytes", "sum_amp", "sum_sq", "min_amp", "max_amp",
+                ],
+            )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        op,
+        schema=(
+            "media_id bigint, subframe string, predictor_order int, "
+            "n_samples int, frame_bytes int, sum_amp bigint, sum_sq bigint, "
+            "min_amp int, max_amp int"
+        ),
+    )
+
+
+def _oracle_flac_decode() -> str:
+    # closed-form signals per arm (i = 0..63); residual zigzag -> Rice
+    # bits replayed as pure integer arithmetic (k = 12 -> u//4096 + 13)
+    s1 = "((doc_id * 3 + i * 7) % 65536) - 32768"
+    s2 = "((doc_id % 50 + 1) * i) % 32768 - 16384"
+    s2p = "((doc_id % 50 + 1) * (i - 1)) % 32768 - 16384"
+    s3 = "((doc_id % 30 + 1) * (i * (i - 1) // 2)) % 32768 - 16384"
+    s3p = "((doc_id % 30 + 1) * ((i - 1) * (i - 2) // 2)) % 32768 - 16384"
+    s3pp = "((doc_id % 30 + 1) * ((i - 2) * (i - 3) // 2)) % 32768 - 16384"
+    zz = "CASE WHEN r >= 0 THEN 2 * r ELSE -2 * r - 1 END"
+    return f"""
+WITH grid AS (
+  SELECT d.doc_id, d.doc_id % 4 AS arm, i.i AS i
+  FROM documents d, (SELECT unnest(generate_series(0, 63)) AS i) i
+), sig AS (
+  SELECT doc_id, arm, i,
+         CASE arm
+           WHEN 0 THEN (doc_id % 2000) - 1000
+           WHEN 1 THEN {s1}
+           WHEN 2 THEN {s2}
+           ELSE {s3}
+         END AS s,
+         CASE WHEN arm = 2 AND i >= 1 THEN ({s2}) - ({s2p})
+              WHEN arm = 3 AND i >= 2 THEN ({s3}) - 2 * ({s3p}) + ({s3pp})
+         END AS r
+  FROM grid
+), rice AS (
+  SELECT doc_id, CAST(SUM(({zz}) // 4096 + 13) AS BIGINT) AS rice_bits
+  FROM sig WHERE r IS NOT NULL GROUP BY doc_id
+), agg AS (
+  SELECT doc_id, arm,
+         CAST(SUM(s) AS BIGINT) AS sum_amp,
+         CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+         CAST(MIN(s) AS INTEGER) AS min_amp,
+         CAST(MAX(s) AS INTEGER) AS max_amp
+  FROM sig GROUP BY doc_id, arm
+)
+SELECT a.doc_id AS media_id,
+       CASE a.arm WHEN 0 THEN 'constant' WHEN 1 THEN 'verbatim'
+                  WHEN 2 THEN 'fixed1' ELSE 'fixed2' END AS subframe,
+       CAST(CASE a.arm WHEN 2 THEN 1 WHEN 3 THEN 2 ELSE 0 END AS INTEGER)
+         AS predictor_order,
+       CAST(64 AS INTEGER) AS n_samples,
+       CAST(CASE a.arm
+         WHEN 0 THEN 12
+         WHEN 1 THEN 138
+         WHEN 2 THEN 9 + (8 + 16 + 10 + r.rice_bits + 7) // 8
+         ELSE 9 + (8 + 32 + 10 + r.rice_bits + 7) // 8
+       END AS INTEGER) AS frame_bytes,
+       a.sum_amp, a.sum_sq, a.min_amp, a.max_amp
+FROM agg a LEFT JOIN rice r USING (doc_id)
+"""
+
+
+QUERIES_LLM["flac_decode"] = q_flac_decode
+ORACLES_LLM["flac_decode"] = _oracle_flac_decode()
