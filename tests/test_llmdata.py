@@ -3623,3 +3623,55 @@ def test_rle_deflate_matches_python_replay(spark):
     # signal direction: a run flood compresses, prose does not
     assert got[2]["rle_bytes"] < got[2]["n_chars"]
     assert got[0]["rle_bytes"] > got[0]["n_chars"]
+
+
+def test_image_dhash_invariance_and_neardup(spark):
+    """dHash (r9): invariant to global brightness shift (gradient
+    bits), O(1) bits flipped by a local edit, ~half the bits across
+    unrelated images; banded pair join finds the planted near-dups."""
+    import numpy as np
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        dhash_bits,
+        dhash_neardup_pairs,
+        encode_png,
+        image_dhash,
+    )
+
+    r = np.arange(16).reshape(-1, 1)
+    c = np.arange(18).reshape(1, -1)
+    base = ((5 * (r * 19 + c * 7 + 1)) % 200).astype(np.int64)
+
+    def rgb(g):
+        return np.repeat(np.clip(g, 0, 255).astype(np.uint8)[:, :, None], 3, axis=2)
+
+    h_base = dhash_bits(rgb(base))
+    assert 0 <= h_base < (1 << 56)
+    # brightness shift (no wrap): gradients unchanged -> same hash
+    assert dhash_bits(rgb(base + 40)) == h_base
+    # local edit: few bits flip
+    edited = base.copy()
+    edited[6, 9] += 90
+    d_edit = bin(h_base ^ dhash_bits(rgb(edited))).count("1")
+    assert 1 <= d_edit <= 6
+    # unrelated image: many bits differ
+    other = ((11 * (r * 5 + c * 13 + 3)) % 200).astype(np.int64)
+    assert bin(h_base ^ dhash_bits(rgb(other))).count("1") > 10
+
+    # end-to-end: encode -> decode -> hash -> banded pairs
+    rows = [
+        (1, bytearray(encode_png(rgb(base)))),
+        (2, bytearray(encode_png(rgb(base + 40)))),   # shifted copy
+        (3, bytearray(encode_png(rgb(edited)))),      # near-dup
+        (4, bytearray(encode_png(rgb(other)))),       # unrelated
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    pairs = {
+        (p["id_a"], p["id_b"]): p["hamming"]
+        for p in dhash_neardup_pairs(
+            image_dhash(df, "doc_id"), "doc_id", max_hamming=6
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert 1 <= pairs[(1, 3)] <= 6
+    assert not any(4 in k for k in pairs)

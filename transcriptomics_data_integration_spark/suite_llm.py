@@ -6589,3 +6589,94 @@ FROM agg a LEFT JOIN rice r USING (doc_id)
 
 QUERIES_LLM["flac_decode"] = q_flac_decode
 ORACLES_LLM["flac_decode"] = _oracle_flac_decode()
+
+
+# --- perceptual image near-dup (r9) ---------------------------------------
+
+
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-duplicate detection, HASH-GATED (r9) —
+    the image-modality member of the dedup family: per doc a REAL
+    16x18 RGB PNG (planted gray formula
+    g = (((doc//2) % 997 + 3) * (r*19 + c*7 + 1)) % 256, so
+    doc pairs (2k, 2k+1) share a base image and odd docs get one
+    +128 pixel perturbation at (6, 9)) is encoded by the real PNG
+    writer, decoded back by the CRC-verified chunk walker, dHashed
+    (`llmdata/multimodal.py:dhash_bits` — 8x9 nearest-neighbor luma
+    grid, adjacent-column gradient bits), and fed to the banded
+    hamming self-join (`dhash_neardup_pairs`).  The oracle recomputes
+    the 64-bit hash from the gray formula alone (it never touches PNG
+    bytes) and replays the same 16-bit banding + bit_count(xor)
+    verify, so a hash match proves codec round-trip, luma downsample,
+    bit packing, banding, and hamming end-to-end.  Planted (2k, 2k+1)
+    pairs differ by the perturbed grid cell's gradient bits only."""
+    import numpy as np
+    import pandas as pd
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        dhash_neardup_pairs,
+        encode_png,
+        image_dhash,
+    )
+
+    H, W = 16, 18
+
+    def op(batches):
+        r = np.arange(H).reshape(-1, 1)
+        c = np.arange(W).reshape(1, -1)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g = ((((did // 2) % 997 + 3) * (r * 19 + c * 7 + 1)) % 256)
+                if did % 2 == 1:
+                    g = g.copy()
+                    g[6, 9] = (g[6, 9] + 128) % 256
+                px = np.repeat(g.astype(np.uint8)[:, :, None], 3, axis=2)
+                rows.append((did, bytearray(encode_png(px))))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    images = docs.mapInPandas(op, schema="doc_id long, payload binary")
+    hashes = image_dhash(images, "doc_id")
+    return dhash_neardup_pairs(hashes, "doc_id", max_hamming=6)
+
+
+ORACLE_IMAGE_DHASH = """
+WITH grid AS (
+  SELECT d.doc_id, r.r, c.c,
+         ((((d.doc_id // 2) % 997 + 3)
+           * ((2 * r.r) * 19 + ((c.c * 18) // 8) * 7 + 1)) % 256
+          + CASE WHEN d.doc_id % 2 = 1 AND r.r = 3 AND (c.c * 18) // 8 = 9
+                 THEN 128 ELSE 0 END
+         ) % 256 AS luma
+  FROM documents d,
+       (SELECT unnest(generate_series(0, 7)) AS r) r,
+       (SELECT unnest(generate_series(0, 7)) AS c) c
+), bits AS (
+  SELECT a.doc_id, a.r, a.c,
+         CASE WHEN a.luma < b.luma THEN 1 ELSE 0 END AS bit
+  FROM grid a JOIN grid b
+    ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+  WHERE a.c < 7
+), hashes AS (
+  SELECT doc_id,
+         CAST(SUM(bit * (CAST(1 AS BIGINT) << (r * 7 + c))) AS BIGINT) AS dhash
+  FROM bits GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, dhash, b.band,
+         (dhash // (CAST(1 AS BIGINT) << (b.band * 14))) % 16384 AS band_key
+  FROM hashes, (SELECT unnest(generate_series(0, 3)) AS band) b
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+"""
+
+QUERIES_LLM["image_dhash"] = q_image_dhash
+ORACLES_LLM["image_dhash"] = ORACLE_IMAGE_DHASH
