@@ -150,6 +150,13 @@ BENCH_QUERIES = [
     "url_blocklist",
     "curation_pipeline",
     "domain_prior",
+    # round-9 additions
+    "unigram_train",
+    "unigram_encode",
+    "rle_deflate",
+    "flac_decode",
+    "image_dhash",
+    "audio_neardup",
 ]
 
 

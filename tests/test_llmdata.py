@@ -3675,3 +3675,50 @@ def test_image_dhash_invariance_and_neardup(spark):
     assert pairs[(1, 2)] == 0
     assert 1 <= pairs[(1, 3)] <= 6
     assert not any(4 in k for k in pairs)
+
+
+def test_audio_envelope_hash_invariance_and_neardup(spark):
+    """Audio envelope hash (r9): gain-invariant (delta bits), O(1)
+    bits under a local edit, banded pairs find the planted near-dups
+    through the real WAV codec."""
+    import numpy as np
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        audio_envelope_bits,
+        audio_envelope_hash,
+        dhash_neardup_pairs,
+        encode_wav,
+    )
+
+    i = np.arange(116, dtype=np.int64)
+    base = (7 * (i * 13 + 7)) % 2048 - 1024
+    h = audio_envelope_bits(base)
+    assert 0 <= h < (1 << 28)
+    # gain: doubling every sample preserves every energy comparison
+    assert audio_envelope_bits(base * 2) == h
+    # local edit: at most the two adjacent delta bits flip (possibly
+    # zero, when the energy bump crosses neither comparison)
+    edited = base.copy()
+    edited[50] += 900
+    assert bin(h ^ audio_envelope_bits(edited)).count("1") <= 2
+    # unrelated clip differs widely
+    other = (31 * (i * 5 + 3)) % 2048 - 1024
+    assert bin(h ^ audio_envelope_bits(other)).count("1") > 5
+
+    rows = [
+        (1, bytearray(encode_wav(base.astype(np.int16)))),
+        (2, bytearray(encode_wav((base * 2).astype(np.int16)))),
+        (3, bytearray(encode_wav(edited.astype(np.int16)))),
+        (4, bytearray(encode_wav(other.astype(np.int16)))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    pairs = {
+        (p["id_a"], p["id_b"]): p["hamming"]
+        for p in dhash_neardup_pairs(
+            audio_envelope_hash(df, "doc_id"), "doc_id",
+            hash_col="ahash", max_hamming=3, n_bands=4, n_bits=28,
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert 0 <= pairs[(1, 3)] <= 2
+    assert not any(4 in k for k in pairs)

@@ -88,6 +88,14 @@ BNLJ_WHITELIST = {
     "repetition_schedule",
     # tfidf_keywords: the 1-row corpus-N attach
     "tfidf_keywords",
+    # unigram_train / unigram_encode: each EM iteration cross-joins the
+    # bounded word table with a ONE-ROW map_from_entries relation (the
+    # piece->cost vocabulary artifact) plus the 1-row total attaches in
+    # _scored — every BNLJ side is exactly one row, the
+    # monotone_range_buckets pattern; counts are high (61/63) because
+    # the map attach recurs per EM iteration and per _scored call
+    "unigram_train",
+    "unigram_encode",
     # kneser_ney: the 1-row distinct-bigram-total (B) broadcast attach
     # in the KN model build — the doc_logprob / bigram_logprob pattern
     "kneser_ney",

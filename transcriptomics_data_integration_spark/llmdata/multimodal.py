@@ -1973,3 +1973,85 @@ def dhash_neardup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# --- Perceptual audio near-dup: envelope delta hash (r9) ------------------
+
+
+def decode_wav_samples(payload: bytes) -> np.ndarray | None:
+    """RIFF/PCM16 chunk walk returning the RAW interleaved sample
+    array (int64) — the sample-level sibling of :func:`decode_wav`,
+    which reduces to moments.  None for malformed / non-PCM16 input
+    (tolerant reader, same walk)."""
+    import struct as _struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        typ = payload[pos : pos + 4]
+        (ln,) = _struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            return None
+        if typ == b"fmt ":
+            if ln < 16:
+                return None
+            fmt = _struct.unpack("<HHIIHH", body[:16])
+        elif typ == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)
+    if fmt is None or data is None or fmt[0] != 1 or fmt[5] != 16:
+        return None
+    data = data[: len(data) & ~1]
+    return np.frombuffer(data, dtype="<i2").astype(np.int64)
+
+
+def audio_envelope_bits(samples: np.ndarray, n_frames: int = 29) -> int:
+    """Envelope-delta perceptual audio hash — the audio member of the
+    dHash family: partition the waveform into ``n_frames`` equal
+    frames, take each frame's integer energy (sum of |amplitude| — no
+    division, engine-exact), and set bit f iff energy[f] <
+    energy[f + 1].  Amplitude-scaling by a constant factor preserves
+    every comparison (gain invariance, the audio analogue of dHash's
+    brightness invariance); a local edit flips O(1) bits.  29 frames
+    -> 28 bits, sized for 4x7-bit banding."""
+    n = len(samples)
+    env = []
+    for f in range(n_frames):
+        lo = f * n // n_frames
+        hi = (f + 1) * n // n_frames
+        env.append(int(np.abs(samples[lo:hi]).sum()))
+    bits = 0
+    for f in range(n_frames - 1):
+        if env[f] < env[f + 1]:
+            bits |= 1 << f
+    return bits
+
+
+def audio_envelope_hash(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    n_frames: int = 29,
+) -> DataFrame:
+    """Per-clip envelope hash over a binary WAV column: REAL PCM16
+    decode (:func:`decode_wav_samples`) + :func:`audio_envelope_bits`,
+    Arrow-batched; undecodable payloads drop.  Pure map-side — pair
+    finding happens downstream on the 1-row-per-clip hash relation via
+    :func:`dhash_neardup_pairs` (n_bits = n_frames - 1)."""
+    import pandas as pd
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                s = decode_wav_samples(bytes(payload))
+                if s is None:
+                    continue
+                rows.append((int(i), audio_envelope_bits(s, n_frames)))
+            yield pd.DataFrame(rows, columns=[id_col, "ahash"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        op, schema=f"{id_col} long, ahash long"
+    )

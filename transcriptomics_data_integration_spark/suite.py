@@ -2111,11 +2111,12 @@ _ROUND8_FRONT = [
 # DEFLATE-subset twin replacing the permanently-no_oracle
 # compression_ratio row, which left the driver window), plus the new
 # flac_decode gate (frame/Rice decode closing the r8 header-only FLAC
-# boundary) and the image_dhash perceptual near-dup gate — and (c)
+# boundary) and the image_dhash / audio_neardup perceptual near-dup
+# gates (the modality-dedup triple) — and (c)
 # the r5-only-stamped remainder in registry order up to the 50-query
 # window (cohort_retention, dedup_rows, doc_sample, funnel,
-# voom_loess3, vocab_size_sketch slip to r10 along with the rest of
-# the r5/r6-only backlog).  (Compare r9
+# voom_loess3, vocab_size_sketch, venn_membership slip to r10 along
+# with the rest of the r5/r6-only backlog).  (Compare r9
 # bench rows against the r8 driver column THROUGH the host band
 # recorded in BASELINE.md "r8 driver column".)
 _ROUND9_FRONT = [
@@ -2129,15 +2130,15 @@ _ROUND9_FRONT = [
     # -- (b) r9-touched / new kernels --------------------------------------
     "minhash_lsh", "minhash_accuracy",
     "unigram_train", "unigram_encode", "rle_deflate", "flac_decode",
-    "image_dhash",
-    # -- (c) r5-only-stamped slice (registry order, 22 of 28) --------------
+    "image_dhash", "audio_neardup",
+    # -- (c) r5-only-stamped slice (registry order, 21 of 28) --------------
     "cel_decode", "contamination", "fisher_enrichment", "frequency_table",
     "gopher_repetition", "language_id_ngram", "mahalanobis_outliers",
     "media_header_decode", "mixture_sample", "multimodal_featurize",
     "normalize_dedup", "pairwise_contrasts", "paragraph_dedup",
     "pca_outliers", "pii_scrub", "pq_fixed", "quality_model",
     "rolling_stats", "set_compare", "strata_correlation",
-    "term_enrichment", "venn_membership",
+    "term_enrichment",
 ]
 
 QUERIES = _reorder_front(QUERIES, _ROUND9_FRONT)

@@ -6680,3 +6680,93 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
 
 QUERIES_LLM["image_dhash"] = q_image_dhash
 ORACLES_LLM["image_dhash"] = ORACLE_IMAGE_DHASH
+
+
+# --- perceptual audio near-dup (r9) ---------------------------------------
+
+
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio near-duplicate detection, HASH-GATED (r9) —
+    completes the modality-dedup triple (text SimHash/MinHash, image
+    dHash, audio envelope hash): per doc a REAL 116-sample PCM16 WAV
+    (planted waveform s(i) = (((doc//2) % 997 + 3) * (i*13 + 7)) %
+    2048 - 1024, doc pairs (2k, 2k+1) sharing a base clip with odd
+    docs getting one +900 sample edit at i=50) is written by the real
+    RIFF writer, decoded back by the chunk walker, envelope-hashed
+    (`llmdata/multimodal.py:audio_envelope_bits` — 29 equal frames of
+    integer |amplitude| energy, 28 adjacent-frame delta bits), and
+    fed to the banded hamming self-join (`dhash_neardup_pairs`,
+    4x7-bit bands, max_hamming=3 < n_bands so recall is
+    pigeonhole-EXACT).  The oracle recomputes the hash from the
+    waveform formula alone (never touching WAV bytes) and replays the
+    banding + bit_count(xor) verify."""
+    import numpy as np
+    import pandas as pd
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        audio_envelope_hash,
+        dhash_neardup_pairs,
+        encode_wav,
+    )
+
+    N = 116
+
+    def op(batches):
+        i = np.arange(N, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                s = (((did // 2) % 997 + 3) * (i * 13 + 7)) % 2048 - 1024
+                if did % 2 == 1:
+                    s = s.copy()
+                    s[50] += 900
+                rows.append(
+                    (did, bytearray(encode_wav(s.astype(np.int16), rate=8000)))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    clips = docs.mapInPandas(op, schema="doc_id long, payload binary")
+    hashes = audio_envelope_hash(clips, "doc_id")
+    return dhash_neardup_pairs(
+        hashes, "doc_id", hash_col="ahash", max_hamming=3, n_bands=4, n_bits=28
+    )
+
+
+ORACLE_AUDIO_NEARDUP = """
+WITH env AS (
+  SELECT d.doc_id, f.f,
+         SUM(ABS((((d.doc_id // 2) % 997 + 3) * ((f.f * 4 + k.k) * 13 + 7)) % 2048 - 1024
+             + CASE WHEN d.doc_id % 2 = 1 AND f.f * 4 + k.k = 50
+                    THEN 900 ELSE 0 END)) AS energy
+  FROM documents d,
+       (SELECT unnest(generate_series(0, 28)) AS f) f,
+       (SELECT unnest(generate_series(0, 3)) AS k) k
+  GROUP BY d.doc_id, f.f
+), bits AS (
+  SELECT a.doc_id, a.f,
+         CASE WHEN a.energy < b.energy THEN 1 ELSE 0 END AS bit
+  FROM env a JOIN env b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+  WHERE a.f < 28
+), hashes AS (
+  SELECT doc_id,
+         CAST(SUM(bit * (CAST(1 AS BIGINT) << f)) AS BIGINT) AS ahash
+  FROM bits GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, ahash, b.band,
+         (ahash // (CAST(1 AS BIGINT) << (b.band * 7))) % 128 AS band_key
+  FROM hashes, (SELECT unnest(generate_series(0, 3)) AS band) b
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+"""
+
+QUERIES_LLM["audio_neardup"] = q_audio_neardup
+ORACLES_LLM["audio_neardup"] = ORACLE_AUDIO_NEARDUP
