@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "flac_decode",
     "image_dhash",
     "audio_neardup",
+    "wordpiece_merges",
 ]
 
 

@@ -3722,3 +3722,70 @@ def test_audio_envelope_hash_invariance_and_neardup(spark):
     assert pairs[(1, 2)] == 0
     assert 0 <= pairs[(1, 3)] <= 2
     assert not any(4 in k for k in pairs)
+
+
+def test_wordpiece_matches_python_replay(spark):
+    """wordpiece_train_fixed (r9): likelihood-ratio merge choice
+    replayed in pure Python — BPE picks the most FREQUENT pair, while
+    WordPiece picks the pair most above its independence expectation;
+    the test corpus is built so the two disagree."""
+    import re
+    from collections import Counter
+
+    from transcriptomics_data_integration_spark.llmdata.bpe import (
+        bpe_train_fixed,
+        wordpiece_train_fixed,
+    )
+
+    texts = [
+        "aa ab aa ab aa ab xy",   # 'a'+'a' frequent but 'x'+'y' pure
+        "aa ab aa ab xy",
+    ]
+
+    def replay(n_merges):
+        words = Counter()
+        for t in texts:
+            for w in re.split("[^a-z0-9]+", t.lower()):
+                if w:
+                    words[w] += 1
+        syms = {w: [ch for ch in w] for w in words}
+        out = []
+        for r in range(1, n_merges + 1):
+            sc = Counter()
+            pc = Counter()
+            for w, wc in words.items():
+                s = syms[w]
+                for x in s:
+                    sc[x] += wc
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += wc
+            best = min(
+                pc,
+                key=lambda p: (-(pc[p] / (sc[p[0]] * sc[p[1]])), p[0], p[1]),
+            )
+            out.append((r, best[0], best[1], best[0] + best[1], pc[best],
+                        sc[best[0]], sc[best[1]]))
+            for w in syms:
+                s, ns, i = syms[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                        ns.append(s[i] + s[i + 1])
+                        i += 2
+                    else:
+                        ns.append(s[i])
+                        i += 1
+                syms[w] = ns
+        return out
+
+    df = _docs(spark, list(enumerate(texts)))
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"],
+         r["lhs_count"], r["rhs_count"])
+        for r in wordpiece_train_fixed(df, n_merges=3).orderBy("merge_rank").collect()
+    ]
+    assert got == replay(3)
+    # the discriminating property: WordPiece's first merge is the pure
+    # pair (x, y), BPE's is the frequent pair (a, a or b)
+    assert got[0][1:3] == ("x", "y")
+    bpe_first = bpe_train_fixed(df, n_merges=1).collect()[0]
+    assert (bpe_first["lhs"], bpe_first["rhs"]) != ("x", "y")

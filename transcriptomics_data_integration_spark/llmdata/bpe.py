@@ -400,3 +400,100 @@ def unigram_encode(
             F.sum("_nm").cast("bigint").alias("n_multi_tokens"),
         )
     )
+
+
+# --- WordPiece merge training (r9) --------------------------------------
+#
+# Schuster & Nakajima 2012 / Wu et al. 2016 (the BERT tokenizer
+# family): identical loop shape to BPE, but the merge choice maximizes
+# the LIKELIHOOD ratio count(a,b) / (count(a) * count(b)) instead of
+# the raw pair count — merging the pair that most exceeds its
+# independence expectation.  Everything else (word-frequency collapse,
+# greedy left fold, unrolled-CTE oracle) is the bpe_train_fixed
+# machinery.
+
+
+def wordpiece_train_fixed(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 4,
+) -> DataFrame:
+    """Train ``n_merges`` WordPiece merges; returns
+    ``(merge_rank, lhs, rhs, merged, pair_count, lhs_count,
+    rhs_count)`` — integer columns only; the score
+    pair_count/(lhs_count*rhs_count) orders the choice internally
+    (computed as one IEEE double from integer counts — identical in
+    any engine — with (score DESC, lhs, rhs) the deterministic total
+    order).  At gate scale the int64 product lhs_count*rhs_count is
+    exact; a 100 TB corpus would compute the ratio in double from the
+    start, as production WordPiece does."""
+    toks = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+    words = (
+        df.select(F.explode(toks).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    syms = words.select(
+        "wc",
+        F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").alias(
+            "s"
+        ),
+    ).persist()
+    register_persisted(syms)
+    merge_rows = []
+    for r in range(1, n_merges + 1):
+        sym_counts = (
+            syms.select("wc", F.explode("s").alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("wc").alias("sc"))
+        )
+        pairs = (
+            syms.where(F.size("s") >= 2)
+            .select(
+                "wc", F.explode(F.expr("sequence(1, size(s) - 1)")).alias("i"), "s"
+            )
+            .select(
+                "wc",
+                F.expr("element_at(s, i)").alias("a"),
+                F.expr("element_at(s, i + 1)").alias("b"),
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("wc").alias("c"))
+        )
+        scored = (
+            pairs.join(
+                F.broadcast(sym_counts.select(F.col("sym").alias("a"),
+                                              F.col("sc").alias("ca"))), "a"
+            )
+            .join(
+                F.broadcast(sym_counts.select(F.col("sym").alias("b"),
+                                              F.col("sc").alias("cb"))), "b"
+            )
+            .withColumn(
+                "score",
+                F.col("c").cast("double") / (F.col("ca") * F.col("cb")),
+            )
+        )
+        best = scored.orderBy(
+            F.col("score").desc(), F.col("a"), F.col("b")
+        ).limit(1)
+        merge_rows.append(
+            best.select(
+                F.lit(r).alias("merge_rank"),
+                F.col("a").alias("lhs"),
+                F.col("b").alias("rhs"),
+                F.concat("a", "b").alias("merged"),
+                F.col("c").alias("pair_count"),
+                F.col("ca").alias("lhs_count"),
+                F.col("cb").alias("rhs_count"),
+            )
+        )
+        syms = (
+            syms.crossJoin(F.broadcast(best.select("a", "b")))
+            .withColumn("s", F.expr(_merge_fold("a", "b")))
+            .select("wc", "s")
+            .persist()
+        )
+        register_persisted(syms)
+    return reduce(lambda x, y: x.unionByName(y), merge_rows)

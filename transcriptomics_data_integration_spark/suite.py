@@ -2115,8 +2115,8 @@ _ROUND8_FRONT = [
 # gates (the modality-dedup triple) — and (c)
 # the r5-only-stamped remainder in registry order up to the 50-query
 # window (cohort_retention, dedup_rows, doc_sample, funnel,
-# voom_loess3, vocab_size_sketch, venn_membership slip to r10 along
-# with the rest of the r5/r6-only backlog).  (Compare r9
+# voom_loess3, vocab_size_sketch, venn_membership, term_enrichment
+# slip to r10 along with the rest of the r5/r6-only backlog).  (Compare r9
 # bench rows against the r8 driver column THROUGH the host band
 # recorded in BASELINE.md "r8 driver column".)
 _ROUND9_FRONT = [
@@ -2129,16 +2129,15 @@ _ROUND9_FRONT = [
     "curation_pipeline", "domain_prior",
     # -- (b) r9-touched / new kernels --------------------------------------
     "minhash_lsh", "minhash_accuracy",
-    "unigram_train", "unigram_encode", "rle_deflate", "flac_decode",
-    "image_dhash", "audio_neardup",
-    # -- (c) r5-only-stamped slice (registry order, 21 of 28) --------------
+    "unigram_train", "unigram_encode", "wordpiece_merges", "rle_deflate",
+    "flac_decode", "image_dhash", "audio_neardup",
+    # -- (c) r5-only-stamped slice (registry order, 20 of 28) --------------
     "cel_decode", "contamination", "fisher_enrichment", "frequency_table",
     "gopher_repetition", "language_id_ngram", "mahalanobis_outliers",
     "media_header_decode", "mixture_sample", "multimodal_featurize",
     "normalize_dedup", "pairwise_contrasts", "paragraph_dedup",
     "pca_outliers", "pii_scrub", "pq_fixed", "quality_model",
     "rolling_stats", "set_compare", "strata_correlation",
-    "term_enrichment",
 ]
 
 QUERIES = _reorder_front(QUERIES, _ROUND9_FRONT)

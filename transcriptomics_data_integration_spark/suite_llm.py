@@ -6770,3 +6770,70 @@ WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
 
 QUERIES_LLM["audio_neardup"] = q_audio_neardup
 ORACLES_LLM["audio_neardup"] = ORACLE_AUDIO_NEARDUP
+
+
+# --- WordPiece merge training (r9) ----------------------------------------
+
+
+def q_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer training, HASH-GATED (r9,
+    `llmdata/bpe.py:wordpiece_train_fixed`): the BPE loop with the
+    BERT-family likelihood-ratio merge score
+    count(a,b)/(count(a)*count(b)) — four iterations of pair counting
+    + per-symbol counting, deterministic top-1 on (score DESC, lhs,
+    rhs), greedy left fold.  Output columns are all integers (the
+    score orders internally as one IEEE division of integer counts —
+    engine-identical); the oracle unrolls the iterations into CTEs
+    with the same fold and the same ranking."""
+    from transcriptomics_data_integration_spark.llmdata.bpe import (
+        wordpiece_train_fixed,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return wordpiece_train_fixed(docs, "text", n_merges=4)
+
+
+def _oracle_wordpiece_merges(n_merges: int = 4) -> str:
+    fold = (
+        "CASE WHEN len(s) <= 1 THEN s ELSE "
+        "list_reduce(list_prepend([s[1]], "
+        "list_transform(generate_series(2, len(s)), j -> [s[j]])), "
+        "(acc, x) -> CASE WHEN acc[-1] = a AND x[1] = b "
+        "THEN acc[1:len(acc)-1] || [a || b] "
+        "ELSE acc || x END) END"
+    )
+    parts = ["""
+WITH w0 AS (
+  SELECT t AS w, COUNT(*) AS wc
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> '' GROUP BY t
+), s0 AS (
+  SELECT wc, list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)) AS s
+  FROM w0
+)"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f""", sym{r} AS (
+  SELECT u.sym, CAST(SUM(wc) AS BIGINT) AS sc
+  FROM s{r - 1}, unnest(s) AS u(sym) GROUP BY u.sym
+), p{r} AS (
+  SELECT s[i] AS a, s[i + 1] AS b, CAST(SUM(wc) AS BIGINT) AS c
+  FROM s{r - 1}, unnest(generate_series(1, len(s) - 1)) AS t(i)
+  GROUP BY 1, 2
+), b{r} AS (
+  SELECT p.a, p.b, p.c, ca.sc AS ca, cb.sc AS cb
+  FROM p{r} p JOIN sym{r} ca ON p.a = ca.sym JOIN sym{r} cb ON p.b = cb.sym
+  ORDER BY CAST(p.c AS DOUBLE) / (ca.sc * cb.sc) DESC, p.a, p.b LIMIT 1
+), s{r} AS (
+  SELECT wc, {fold} AS s FROM s{r - 1} CROSS JOIN b{r}
+)""")
+    selects = [
+        f"SELECT {r} AS merge_rank, a AS lhs, b AS rhs, a || b AS merged, "
+        f"c AS pair_count, ca AS lhs_count, cb AS rhs_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
+QUERIES_LLM["wordpiece_merges"] = q_wordpiece_merges
+ORACLES_LLM["wordpiece_merges"] = _oracle_wordpiece_merges()
