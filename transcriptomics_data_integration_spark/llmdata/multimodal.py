@@ -2015,7 +2015,13 @@ def audio_envelope_bits(samples: np.ndarray, n_frames: int = 29) -> int:
     energy[f + 1].  Amplitude-scaling by a constant factor preserves
     every comparison (gain invariance, the audio analogue of dHash's
     brightness invariance); a local edit flips O(1) bits.  29 frames
-    -> 28 bits, sized for 4x7-bit banding."""
+    -> 28 bits, sized for 4x7-bit banding.
+
+    CAPACITY: false pairs at hamming <= h grow ~ n^2 * 2^-bits, so the
+    28-bit default suits corpora to ~1e5 clips (measured: 13.8k false
+    pairs at 20k random clips, tools/r9_perceptual_probe.py); larger
+    corpora raise ``n_frames`` (57 -> 56 bits matches the image hash;
+    the scale probe runs that configuration at 500k)."""
     n = len(samples)
     env = []
     for f in range(n_frames):
