@@ -96,6 +96,11 @@ BNLJ_WHITELIST = {
     # the map attach recurs per EM iteration and per _scored call
     "unigram_train",
     "unigram_encode",
+    # wordpiece_merges: per iteration, the 1-row winning-pair broadcast
+    # crossJoin feeding the greedy fold (the bpe_merges pattern) — the
+    # symbol-count attaches are broadcast EQUI-joins, but the winner
+    # attach is by construction a single row
+    "wordpiece_merges",
     # kneser_ney: the 1-row distinct-bigram-total (B) broadcast attach
     # in the KN model build — the doc_logprob / bigram_logprob pattern
     "kneser_ney",

@@ -6597,10 +6597,14 @@ ORACLES_LLM["flac_decode"] = _oracle_flac_decode()
 def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-duplicate detection, HASH-GATED (r9) —
     the image-modality member of the dedup family: per doc a REAL
-    16x18 RGB PNG (planted gray formula
-    g = (((doc//2) % 997 + 3) * (r*19 + c*7 + 1)) % 256, so
-    doc pairs (2k, 2k+1) share a base image and odd docs get one
-    +128 pixel perturbation at (6, 9)) is encoded by the real PNG
+    16x18 RGB PNG (planted gray formula with a family-dependent
+    QUADRATIC term — g = (m*(r*19 + c*7 + 1) + (m*m % 251)*r*c) % 256
+    with m = (doc//2) % 997 + 3: a purely linear formula has a
+    constant horizontal gradient per family mod 256, collapsing the
+    corpus to ~256 distinct dHash patterns, the dup-storm degeneracy
+    the r9 scale probe caught — so doc pairs (2k, 2k+1) share a
+    distinct base image and odd docs get one +128 pixel perturbation
+    at (6, 9)) is encoded by the real PNG
     writer, decoded back by the CRC-verified chunk walker, dHashed
     (`llmdata/multimodal.py:dhash_bits` — 8x9 nearest-neighbor luma
     grid, adjacent-column gradient bits), and fed to the banded
@@ -6628,7 +6632,8 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                g = ((((did // 2) % 997 + 3) * (r * 19 + c * 7 + 1)) % 256)
+                m = (did // 2) % 997 + 3
+                g = (m * (r * 19 + c * 7 + 1) + (m * m % 251) * r * c) % 256
                 if did % 2 == 1:
                     g = g.copy()
                     g[6, 9] = (g[6, 9] + 128) % 256
@@ -6649,7 +6654,9 @@ ORACLE_IMAGE_DHASH = """
 WITH grid AS (
   SELECT d.doc_id, r.r, c.c,
          ((((d.doc_id // 2) % 997 + 3)
-           * ((2 * r.r) * 19 + ((c.c * 18) // 8) * 7 + 1)) % 256
+           * ((2 * r.r) * 19 + ((c.c * 18) // 8) * 7 + 1)
+           + ((((d.doc_id // 2) % 997 + 3) * ((d.doc_id // 2) % 997 + 3)) % 251)
+             * (2 * r.r) * ((c.c * 18) // 8)) % 256
           + CASE WHEN d.doc_id % 2 = 1 AND r.r = 3 AND (c.c * 18) // 8 = 9
                  THEN 128 ELSE 0 END
          ) % 256 AS luma
