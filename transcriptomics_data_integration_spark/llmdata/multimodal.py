@@ -1943,6 +1943,15 @@ def dhash_neardup_pairs(
 
     Output: (id_a, id_b, hamming) with id_a < id_b, deduped across
     bands."""
+    from transcriptomics_data_integration_spark.runtime import register_persisted
+
+    # the self-join would otherwise execute the upstream codec+hash
+    # map TWICE (Spark shares no unpersisted subtrees — the r9 explain
+    # audit showed two full scans); the hash relation is narrow (two
+    # longs per item), so persisting it is the standard bounded-fork
+    # move and halves the dominant Arrow stage
+    hashes = hashes.persist()
+    register_persisted(hashes)
     width = n_bits // n_bands
     bands = F.array(
         *[

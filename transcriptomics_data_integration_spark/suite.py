@@ -2140,5 +2140,15 @@ _ROUND9_FRONT = [
     "rolling_stats", "set_compare", "strata_correlation",
 ]
 
+# Round-10 rotation plan: (a) any r9 gate that misses a driver stamp
+# this window (all nine r9-new/re-keyed kernels sit in positions 22-30
+# of this window, so they should stamp in r9 — verify in
+# CORRECTNESS_r09.json), then (b) r10-touched/new kernels, (c) the
+# r5/r6-only-stamped backlog in registry order: the seven bumped from
+# this window (cohort_retention, dedup_rows, doc_sample, funnel,
+# voom_loess3, vocab_size_sketch, venn_membership, term_enrichment)
+# FIRST, then the r6-only-stamped remainder.  (Compare r10 bench rows
+# against BOTH the r8 driver column (through its recorded host band)
+# and the r9 clean local column in BASELINE.md.)
 QUERIES = _reorder_front(QUERIES, _ROUND9_FRONT)
 QUERIES = {n: _with_persist_drain(fn) for n, fn in QUERIES.items()}
