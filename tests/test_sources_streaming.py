@@ -1107,3 +1107,56 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
     }
     assert got == batch
     assert got[10][0] == "exact" and got[11][0] == "near" and got[12][0] == "new"
+
+
+def test_streaming_perceptual_dedup_matches_batch(spark):
+    """streaming_perceptual_dedup (r9): near/new verdicts over a
+    broadcast band index agree with the batch image_dhash +
+    dhash_neardup_pairs pipeline on the same planted corpus."""
+    import numpy as np
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        dhash_neardup_pairs,
+        encode_png,
+        image_dhash,
+    )
+    from transcriptomics_data_integration_spark.streaming.ingest import (
+        streaming_perceptual_dedup,
+    )
+
+    def png(fam, perturb=False):
+        g = np.random.RandomState(fam).randint(0, 256, (16, 18)).astype(np.int64)
+        if perturb:
+            g = g.copy()
+            g[6, 9] = (g[6, 9] + 128) % 256
+        return bytearray(
+            encode_png(np.repeat(np.clip(g, 0, 255).astype(np.uint8)[:, :, None], 3, axis=2))
+        )
+
+    existing = spark.createDataFrame(
+        [(i, png(i)) for i in range(8)], ["doc_id", "payload"]
+    )
+    incoming = spark.createDataFrame(
+        [
+            (100, png(3)),            # exact perceptual copy of kept 3
+            (101, png(5, True)),      # near-dup of kept 5
+            (102, png(12345)),        # unrelated -> new
+        ],
+        ["doc_id", "payload"],
+    )
+    got = {
+        r["doc_id"]: (r["verdict"], r["matched_id"])
+        for r in streaming_perceptual_dedup(incoming, existing).collect()
+    }
+    assert got[100] == ("near", 3) and got[102] == ("new", None)
+    assert got[101][0] == "near" and got[101][1] == 5
+
+    # batch equivalence: union both sides and run the batch pair join —
+    # every streaming 'near' verdict must appear as a batch pair
+    both = existing.unionByName(incoming)
+    batch_pairs = {
+        (p["id_a"], p["id_b"])
+        for p in dhash_neardup_pairs(image_dhash(both, "doc_id"), "doc_id").collect()
+    }
+    assert (3, 100) in batch_pairs and (5, 101) in batch_pairs
+    assert not any(102 in pair for pair in batch_pairs)

@@ -593,3 +593,95 @@ def streaming_incremental_dedup(
         F.col("_s.n_b").alias("n_b"),
         F.col("_s.jaccard").alias("jaccard"),
     )
+
+
+def streaming_perceptual_dedup(
+    stream_df: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 6,
+    n_bands: int = 4,
+    n_bits: int = 56,
+) -> DataFrame:
+    """Streaming twin of the batch perceptual image dedup
+    (`llmdata.multimodal.image_dhash` + `dhash_neardup_pairs`) —
+    screen-at-ingest for image corpora: each arriving PNG payload is
+    decoded, dHashed, and checked against a BROADCAST-bounded band
+    index of the kept corpus's hashes; the best match (min hamming,
+    tie -> min kept id) within ``max_hamming`` is reported.  Same
+    banding (equal integer bands), same pigeonhole recall contract,
+    same hash recipe as the batch kernel — the batch-equivalence test
+    pins verdict identity.  For kept sides beyond executor memory,
+    run the batch pair join per micro-batch window instead; hashes
+    are the same content function either way.
+
+    Output: (id, verdict 'near'|'new', matched_id, hamming).
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        decode_png_pixels,
+        dhash_bits,
+        image_dhash,
+    )
+
+    width = n_bits // n_bands
+    band_index: dict = {}
+    hash_by_id: dict = {}
+    for ex_id, h in image_dhash(existing, id_col, payload_col).collect():
+        hash_by_id[ex_id] = h
+        for b in range(n_bands):
+            key = (b, (h >> (b * width)) % (1 << width))
+            band_index.setdefault(key, []).append(ex_id)
+
+    sc = existing.sparkSession.sparkContext
+    b_bands = sc.broadcast(band_index)
+    b_hashes = sc.broadcast(hash_by_id)
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("verdict", StringType()),
+                StructField("matched_id", LongType()),
+                StructField("hamming", IntegerType()),
+            ]
+        )
+    )
+    def screen(payloads):
+        bdi = b_bands.value
+        hbi = b_hashes.value
+        rows = []
+        for p in payloads:
+            px = decode_png_pixels(bytes(p))
+            if px is None:
+                rows.append(("new", None, None))
+                continue
+            h = dhash_bits(px)
+            cands: set = set()
+            for b in range(n_bands):
+                key = (b, (h >> (b * width)) % (1 << width))
+                cands.update(bdi.get(key, ()))
+            best = None
+            for ex_id in sorted(cands):
+                d = bin(h ^ hbi[ex_id]).count("1")
+                if d <= max_hamming and (best is None or d < best[2]):
+                    best = ("near", ex_id, d)
+            rows.append(best or ("new", None, None))
+        return pd.DataFrame(rows, columns=["verdict", "matched_id", "hamming"])
+
+    return stream_df.select(
+        F.col(id_col), screen(F.col(payload_col)).alias("_s")
+    ).select(
+        id_col,
+        F.col("_s.verdict").alias("verdict"),
+        F.col("_s.matched_id").alias("matched_id"),
+        F.col("_s.hamming").alias("hamming"),
+    )
