@@ -2,8 +2,9 @@
 PLANS.md r8b recorded under the old 16-md5-per-shingle recipe —
 `build_minhash_index` (578.2 s / 1,729 docs/s at 1 M docs) and the
 incremental batch against the stored index (314.9 s / 635 docs/s for
-200 k incoming) — after the r9 two-lane md5 family
-(llmdata/dedup.py:_minhash_digests, ceil(n/2) md5 calls).
+200 k incoming) — after the r9 md5-lane family
+(llmdata/dedup.py:_minhash_words; final form: four 30-bit lanes per
+md5, ceil(n/4) md5 + ceil(n/2) conv calls).
 
 History this probe is the evidence for: the FIRST r9 attempt was a
 Kirsch-Mitzenmacher arithmetic mix (one md5, h_j = (h1 + j*h2) mod
@@ -12,8 +13,10 @@ order-correlates the rows of a band, band match probability collapses
 from J^4 toward J on non-storm corpora, and THIS PROBE's incremental
 phase exploded (candidate fan-out -> shuffle ENOSPC, then a stuck
 verify stage) while every dup-storm-shaped GATE stayed green.  The
-two-lane family keeps independent bits per seed, so banding math is
-unchanged by construction.
+lane families keep independent bits per seed, so banding math is
+unchanged by construction.  The intermediate two-60-bit-lane variant
+measured 704.9 s / 351.7 s on this host; the shipped 30-bit family
+455.4 s / 177.2 s (PLANS.md r9 has the full ladder).
 
 Usage: python tools/r9_seedmix_probe.py [n_docs]
 Prints one JSON line per probe; paste into PLANS.md.
