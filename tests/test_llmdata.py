@@ -3538,6 +3538,17 @@ def test_flac_frame_roundtrip_all_subframes():
     assert d["subframe"] == "constant" and d["sum_amp"] == -7 * 64
     assert d["frame_bytes"] == 12  # 7 hdr + 1 sub + 2 value + 2 crc16
 
+    # n <= order is an encode-time error (r10 ADVICE fix), not a frame
+    # that silently always fails decode
+    import pytest as _pytest
+
+    for sub, bad_n in (("fixed1", 1), ("fixed2", 2), ("fixed2", 1)):
+        with _pytest.raises(AssertionError):
+            encode_flac_frames([5] * bad_n, subframe=sub)
+    # boundary: n = order + 1 must still round-trip
+    d = decode_flac_frames(encode_flac_frames([5, -3, 11], subframe="fixed2"))
+    assert d is not None and d["n_samples"] == 3 and d["sum_amp"] == 13
+
 
 def test_flac_frame_crc_rejects_corruption():
     from transcriptomics_data_integration_spark.llmdata.multimodal import (

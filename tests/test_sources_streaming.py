@@ -1160,3 +1160,15 @@ def test_streaming_perceptual_dedup_matches_batch(spark):
     }
     assert (3, 100) in batch_pairs and (5, 101) in batch_pairs
     assert not any(102 in pair for pair in batch_pairs)
+
+    # NULL payload guard (r10 ADVICE fix): a missing payload screens as
+    # 'new' instead of killing the task with TypeError on bytes(None)
+    with_null = spark.createDataFrame(
+        [(200, None), (201, png(3))],
+        schema=incoming.schema,
+    )
+    got_null = {
+        r["doc_id"]: (r["verdict"], r["matched_id"])
+        for r in streaming_perceptual_dedup(with_null, existing).collect()
+    }
+    assert got_null[200] == ("new", None) and got_null[201] == ("near", 3)

@@ -380,7 +380,17 @@ def unigram_encode(
     ``(n_tokens, n_chars_tok, n_multi_tokens)``.  The corpus joins the
     bounded word->segmentation map on the word key — the DP runs once
     per DISTINCT word, not per occurrence; the apply stage is one
-    equi-join plus a map-side aggregation."""
+    equi-join plus a map-side aggregation.
+
+    Coverage precondition: every character of the encode corpus must
+    appear in ``pieces`` (true whenever the piece table was trained on
+    a superset corpus, as unigram_train always keeps all single
+    characters).  A word containing an uncovered character has no
+    valid segmentation — its Viterbi state resolves to the 'Z'
+    sentinel, ``lens`` is NULL, and the word silently drops out of the
+    per-doc sums, undercounting n_tokens/n_chars_tok.  Callers
+    encoding out-of-domain text should diff ``sum(length(w))`` against
+    ``n_chars_tok`` to detect uncovered words."""
     toks = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
     doc_words = df.select(
         F.col("doc_id"), F.explode(toks).alias("w")

@@ -554,8 +554,9 @@ def minhash_lsh_pairs(
     # candidate pair.  This replaces the posting-level shuffle join
     # (|candidates| x avg-postings rows through two exchanges) with a
     # per-pair set intersection — the shuffle carries |reps| arrays, not
-    # |reps| x |shingles| posting rows.  The sets hold the 60-bit h0
-    # shingle ids (primitive longs, no string-array GC churn); counts —
+    # |reps| x |shingles| posting rows.  The sets hold the sid shingle
+    # ids (word 0 undivided, 60-bit longs — not the 30-bit h-lanes;
+    # primitive longs, no string-array GC churn); counts —
     # and hence the Jaccard division — are identical to string sets.
     doc_sets = per_doc.select(id_col, "sset")
     rep_pairs = (

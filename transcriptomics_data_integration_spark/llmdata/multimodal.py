@@ -1691,6 +1691,11 @@ def encode_flac_frames(
     samples = [int(s) for s in samples]
     n = len(samples)
     assert 1 <= n <= 256
+    # Fixed subframes emit `order` warmup samples verbatim; with
+    # n <= order the decoder would read warmup past the block and the
+    # frame could never decode — reject at encode time instead.
+    _order = {"fixed1": 1, "fixed2": 2}.get(subframe, 0)
+    assert n > _order, f"{subframe} needs n > {_order} (got n={n})"
     head = encode_flac_header(sample_rate, 1, 16, n)
 
     hw = _FlacBitWriter()

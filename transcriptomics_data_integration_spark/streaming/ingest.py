@@ -660,6 +660,9 @@ def streaming_perceptual_dedup(
         hbi = b_hashes.value
         rows = []
         for p in payloads:
+            if p is None:  # NULL payload: treat like undecodable bytes
+                rows.append(("new", None, None))
+                continue
             px = decode_png_pixels(bytes(p))
             if px is None:
                 rows.append(("new", None, None))

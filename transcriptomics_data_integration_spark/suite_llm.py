@@ -6606,11 +6606,12 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct base image and odd docs get one +128 pixel perturbation
     at (6, 9)) is encoded by the real PNG
     writer, decoded back by the CRC-verified chunk walker, dHashed
-    (`llmdata/multimodal.py:dhash_bits` — 8x9 nearest-neighbor luma
-    grid, adjacent-column gradient bits), and fed to the banded
-    hamming self-join (`dhash_neardup_pairs`).  The oracle recomputes
-    the 64-bit hash from the gray formula alone (it never touches PNG
-    bytes) and replays the same 16-bit banding + bit_count(xor)
+    (`llmdata/multimodal.py:dhash_bits` — 8x8 nearest-neighbor
+    sampled-luma grid, 7 adjacent-column gradient bits per row), and
+    fed to the banded hamming self-join (`dhash_neardup_pairs`).  The
+    oracle recomputes the 56-bit hash (the 64-bit layout was rejected
+    for signed-int64 safety) from the gray formula alone (it never
+    touches PNG bytes) and replays the same banding + bit_count(xor)
     verify, so a hash match proves codec round-trip, luma downsample,
     bit packing, banding, and hamming end-to-end.  Planted (2k, 2k+1)
     pairs differ by the perturbed grid cell's gradient bits only."""
