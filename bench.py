@@ -158,6 +158,9 @@ BENCH_QUERIES = [
     "image_dhash",
     "audio_neardup",
     "wordpiece_merges",
+    # round-10 additions
+    "p_adjust_by",
+    "p_adjust_holm",
 ]
 
 

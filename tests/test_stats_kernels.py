@@ -60,6 +60,115 @@ def test_bh_histogram_matches_sort_window(spark):
     assert hist == exact  # dict equality => bitwise-equal doubles
 
 
+def test_by_matches_r_p_adjust(spark):
+    # R: p.adjust(c(.01,.02,.02,.5,.04), "BY")
+    #    -> 0.07611111 0.07611111 0.07611111 1.00000000 0.11416667
+    # (BH times c(5) = 1 + 1/2 + 1/3 + 1/4 + 1/5 = 2.2833...; the .5
+    # row clamps at 1).  Asserted to the last ulp of R's left-fold
+    # harmonic — the engine replays R's exact operand order.
+    from transcriptomics_data_integration_spark.stats import (
+        by_adjust,
+        by_adjust_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [("g1", 0.01), ("g2", 0.02), ("g3", 0.02), ("g4", 0.5), ("g5", 0.04)],
+        ["gene", "p"],
+    )
+    expected = {
+        "g1": 0.07611111111111112,
+        "g2": 0.07611111111111112,
+        "g3": 0.07611111111111112,
+        "g4": 1.0,
+        "g5": 0.11416666666666667,
+    }
+    for fn in (by_adjust, by_adjust_histogram):
+        out = {
+            r["gene"]: r["adj"]
+            for r in fn(df, "p", "adj", tiebreak_col="gene").collect()
+        }
+        assert out == expected  # dict equality => bitwise-equal doubles
+
+
+def test_holm_matches_r_p_adjust(spark):
+    # R: p.adjust(c(.01,.02,.02,.5,.04), "holm")
+    #    -> 0.05 0.08 0.08 0.50 0.08
+    # (step-down: tied .02s and the .04 all collapse to 4*.02 = .08
+    # under the forward cummax)
+    from transcriptomics_data_integration_spark.stats import (
+        holm_adjust,
+        holm_adjust_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [("g1", 0.01), ("g2", 0.02), ("g3", 0.02), ("g4", 0.5), ("g5", 0.04)],
+        ["gene", "p"],
+    )
+    expected = {"g1": 0.05, "g2": 0.08, "g3": 0.08, "g4": 0.5, "g5": 0.08}
+    for fn in (holm_adjust, holm_adjust_histogram):
+        out = {
+            r["gene"]: r["adj"]
+            for r in fn(df, "p", "adj", tiebreak_col="gene").collect()
+        }
+        assert out == expected
+
+
+def test_p_adjust_dispatch_and_de_wiring(spark):
+    # the reference's documented `adjust` argument surface
+    # (DiffExpression_closedPlatform.R:24): every method dispatches,
+    # 'fdr' aliases BH, 'none' is the identity, unknown raises; and
+    # the DE pipeline's `adjust=` parameter reaches the kernel (BY
+    # inflates every non-clamped adjusted p by the harmonic factor).
+    from transcriptomics_data_integration_spark.stats import bh_adjust, p_adjust
+
+    rows = [(f"g{i}", ((i * 37) % 97 + 1) / 100.0) for i in range(50)]
+    df = spark.createDataFrame(rows, ["gene", "p"])
+    bh = {r["gene"]: r["adj"] for r in bh_adjust(df, "p", "adj", tiebreak_col="gene").collect()}
+    fdr = {r["gene"]: r["adj"] for r in p_adjust(df, "p", "adj", method="fdr", tiebreak_col="gene").collect()}
+    assert fdr == bh
+    none = {r["gene"]: r["adj"] for r in p_adjust(df, "p", "adj", method="none").collect()}
+    assert none == {f"g{i}": ((i * 37) % 97 + 1) / 100.0 for i in range(50)}
+    by = {r["gene"]: r["adj"] for r in p_adjust(df, "p", "adj", method="BY", tiebreak_col="gene").collect()}
+    cn = 0.0
+    for i in range(1, 51):
+        cn += 1.0 / i
+    for g, v in by.items():
+        assert v == pytest.approx(min(bh[g] * cn, 1.0), abs=1e-12) or v == 1.0
+    with pytest.raises(ValueError):
+        p_adjust(df, "p", "adj", method="bonferroni")
+
+    # DE wiring: normalized_matrix_de(adjust="holm") produces holm-
+    # adjusted p (>= the BH-adjusted p of the same run, strictly
+    # different somewhere on real data)
+    from transcriptomics_data_integration_spark.pipelines.diffexpr import (
+        normalized_matrix_de,
+    )
+
+    expr = spark.createDataFrame(
+        [
+            (f"gene{g}", f"s{s}", float(((g * 7 + s * 13) % 50) + (g % 3)))
+            for g in range(12)
+            for s in range(8)
+        ],
+        ["gene_id", "sample_id", "value"],
+    )
+    targets = spark.createDataFrame(
+        [(f"s{s}", "case" if s < 4 else "ctrl") for s in range(8)],
+        ["sample_id", "target"],
+    )
+    de_bh = {
+        r["gene_id"]: r["adj_p_value"]
+        for r in normalized_matrix_de(expr, targets, "case", "ctrl").collect()
+    }
+    de_holm = {
+        r["gene_id"]: r["adj_p_value"]
+        for r in normalized_matrix_de(
+            expr, targets, "case", "ctrl", adjust="holm"
+        ).collect()
+    }
+    assert set(de_bh) == set(de_holm) and de_bh != de_holm
+
+
 def test_bh_monotone_and_bounded(spark):
     # pipeline invariant (SURVEY.md section 5.3): adj p >= raw p, <= 1
     rows = [(f"g{i}", ((i * 37) % 97 + 1) / 100.0) for i in range(50)]

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from transcriptomics_data_integration_spark.runtime import register_persisted
 
-from transcriptomics_data_integration_spark.stats.bh import bh_adjust
+from transcriptomics_data_integration_spark.stats.bh import p_adjust
 from transcriptomics_data_integration_spark.stats.combat import check_confounding, combat
 from transcriptomics_data_integration_spark.stats.ttest import moderated_t, two_group_ttest
 
@@ -134,9 +134,14 @@ def differential_expression(
     batch_adjust: str = "combat",
     alpha: float = 0.05,
     exact_scale: int | None = None,
+    adjust: str = "BH",
 ) -> DataFrame:
     """Long expression + sample sheet -> per-gene topTable
-    (log2fc, t, moderated t, p, BH-adjusted p, decide sign).
+    (log2fc, t, moderated t, p, adjusted p, decide sign).  ``adjust``
+    is the reference's documented sixth argument
+    (`DiffExpression_closedPlatform.R:24`, 'none'/'BH'/'fdr'/'BY'/
+    'holm'), dispatched through ``stats.bh.p_adjust`` with R
+    ``p.adjust`` semantics.
 
     ``batch_adjust``: ``"combat"`` (default — the reference's EB
     solver, iterative) or ``"center"`` — the closed-form location-only
@@ -222,7 +227,7 @@ def differential_expression(
         top_k_genes, exact_scale,
     )
     mod = moderated_t(tt)
-    adj = bh_adjust(mod, "p_value", "adj_p_value", tiebreak_col=gene_col)
+    adj = p_adjust(mod, "p_value", "adj_p_value", method=adjust, tiebreak_col=gene_col)
     return adj.withColumn(
         "decide",
         F.when(F.col("adj_p_value") > alpha, 0).otherwise(
@@ -245,6 +250,7 @@ def normalized_matrix_de(
     top_k_genes: int | None = None,
     alpha: float = 0.05,
     exact_scale: int | None = None,
+    adjust: str = "BH",
 ) -> DataFrame:
     """Entry-point C — standalone DE on an already-normalized matrix
     (`DiffExpression_normalisedData.R:96-499`, SURVEY §3.3): optional
@@ -292,7 +298,7 @@ def normalized_matrix_de(
         top_k_genes, exact_scale,
     )
     mod = moderated_t(tt)
-    adj = bh_adjust(mod, "p_value", "adj_p_value", tiebreak_col=gene_col)
+    adj = p_adjust(mod, "p_value", "adj_p_value", method=adjust, tiebreak_col=gene_col)
     return adj.withColumn(
         "decide",
         F.when(F.col("adj_p_value") > alpha, 0).otherwise(

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from transcriptomics_data_integration_spark.operators.filters import low_value_floor
-from transcriptomics_data_integration_spark.stats.bh import bh_adjust
+from transcriptomics_data_integration_spark.stats.bh import p_adjust
 from transcriptomics_data_integration_spark.stats.normalize import (
     cqn_simplified,
     cqn_spline,
@@ -42,6 +42,7 @@ def rnaseq_differential_expression(
     gc_col: str = "gc_content",
     floor_threshold: float = 2.0,
     fidelity: str = "binned",
+    adjust: str = "BH",
 ) -> DataFrame:
     """Long counts + sample sheet + gene attrs -> per-gene topTable
     (log2fc, weighted t, moderated t, p, BH-adjusted p).
@@ -90,4 +91,4 @@ def rnaseq_differential_expression(
         log_scale_values=True,
     )
     mod = moderated_t(tt, s2_col="s2_pooled", df_col="df_pooled")
-    return bh_adjust(mod, "p_value", "adj_p_value", tiebreak_col=gene_col)
+    return p_adjust(mod, "p_value", "adj_p_value", method=adjust, tiebreak_col=gene_col)

@@ -6,7 +6,15 @@ oracle-checkable.  Iterative kernels (ComBat EB shrinkage, general limma
 designs) use Arrow-vectorized grouped-map pandas.
 """
 
-from transcriptomics_data_integration_spark.stats.bh import bh_adjust, bh_adjust_histogram
+from transcriptomics_data_integration_spark.stats.bh import (
+    bh_adjust,
+    bh_adjust_histogram,
+    by_adjust,
+    by_adjust_histogram,
+    holm_adjust,
+    holm_adjust_histogram,
+    p_adjust,
+)
 from transcriptomics_data_integration_spark.stats.quantile_norm import quantile_normalize
 from transcriptomics_data_integration_spark.stats.ttest import two_group_ttest
 from transcriptomics_data_integration_spark.stats.stouffer import stouffer_combine
@@ -33,6 +41,11 @@ __all__ = [
     "pca_space_outliers",
     "bh_adjust",
     "bh_adjust_histogram",
+    "by_adjust",
+    "by_adjust_histogram",
+    "holm_adjust",
+    "holm_adjust_histogram",
+    "p_adjust",
     "cqn_spline",
     "fem_rem_effects",
     "lowess",

@@ -1927,3 +1927,106 @@ JOIN neg_pick np ON p.term = np.term
 
 QUERIES_STATS["gsea_es"] = q_gsea_es
 ORACLES_STATS["gsea_es"] = ORACLE_GSEA_ES
+
+
+def q_p_adjust_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 Benjamini-Yekutieli adjustment, HASH-GATED (r10) — the
+    second method of the reference DE scripts' documented ``adjust``
+    argument (`DiffExpression_closedPlatform.R:24` declares
+    {'none','BH','fdr','BY','holm'}; consumed by ``topTable`` at
+    `:566,600`).  A deterministic p-set with heavy ties (orderkey
+    Knuth-hash quantized to 4096 levels, so ~n/4096 rows share each p)
+    runs through ``stats.bh.by_adjust``; the oracle replays R's exact
+    formula — ordered-left-fold harmonic factor via ``list_reduce``,
+    the ``q * n/i * p`` operand order, reverse cummin — so a hash
+    match proves the doubles bit-for-bit, tie collapse included."""
+    from transcriptomics_data_integration_spark.stats.bh import by_adjust
+
+    orders = _t(spark, sf_dir, "orders")
+    ps = orders.where((F.col("o_orderkey") % 4) == 1).select(
+        F.col("o_orderkey").alias("id"),
+        (
+            ((F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4096))
+            / F.lit(4095.0)
+        ).alias("p_value"),
+    )
+    return by_adjust(ps, "p_value", "adj_by", tiebreak_col="id")
+
+
+ORACLE_P_ADJUST_BY = """
+WITH ps AS (
+  SELECT o_orderkey AS id,
+         ((o_orderkey * 2654435761) % 4096) / CAST(4095.0 AS DOUBLE) AS p_value
+  FROM orders WHERE o_orderkey % 4 = 1
+), nn AS (
+  SELECT COUNT(*) AS n,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(generate_series(1, COUNT(*)),
+                            i -> CAST(1 AS DOUBLE) / i)),
+           (a, b) -> a + b) AS cn
+  FROM ps
+), ranked AS (
+  SELECT id, p_value, n, cn,
+         ROW_NUMBER() OVER (ORDER BY p_value, id) AS r
+  FROM ps, nn
+), scaled AS (
+  SELECT id, p_value, r,
+         LEAST(cn * n / r * p_value, CAST(1.0 AS DOUBLE)) AS s
+  FROM ranked
+)
+SELECT id, p_value,
+       MIN(s) OVER (ORDER BY r DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS adj_by
+FROM scaled
+"""
+
+QUERIES_STATS["p_adjust_by"] = q_p_adjust_by
+ORACLES_STATS["p_adjust_by"] = ORACLE_P_ADJUST_BY
+
+
+def q_p_adjust_holm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 Holm step-down FWER adjustment, HASH-GATED (r10) — the
+    third method of the ``adjust`` argument surface (see
+    ``q_p_adjust_by``).  Same tie-heavy deterministic p-set through
+    ``stats.bh.holm_adjust``; the oracle replays R's
+    ``pmin(1, cummax((n - i + 1) * p[o]))`` as a forward-cummax
+    window, proving the step-DOWN direction (the mirror of BH/BY's
+    step-up reverse cummin) end-to-end."""
+    from transcriptomics_data_integration_spark.stats.bh import holm_adjust
+
+    orders = _t(spark, sf_dir, "orders")
+    ps = orders.where((F.col("o_orderkey") % 4) == 1).select(
+        F.col("o_orderkey").alias("id"),
+        (
+            ((F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4096))
+            / F.lit(4095.0)
+        ).alias("p_value"),
+    )
+    return holm_adjust(ps, "p_value", "adj_holm", tiebreak_col="id")
+
+
+ORACLE_P_ADJUST_HOLM = """
+WITH ps AS (
+  SELECT o_orderkey AS id,
+         ((o_orderkey * 2654435761) % 4096) / CAST(4095.0 AS DOUBLE) AS p_value
+  FROM orders WHERE o_orderkey % 4 = 1
+), nn AS (
+  SELECT COUNT(*) AS n FROM ps
+), ranked AS (
+  SELECT id, p_value, n,
+         ROW_NUMBER() OVER (ORDER BY p_value, id) AS r
+  FROM ps, nn
+), scaled AS (
+  SELECT id, p_value, r,
+         LEAST((n - r + 1) * p_value, CAST(1.0 AS DOUBLE)) AS s
+  FROM ranked
+)
+SELECT id, p_value,
+       MAX(s) OVER (ORDER BY r ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS adj_holm
+FROM scaled
+"""
+
+QUERIES_STATS["p_adjust_holm"] = q_p_adjust_holm
+ORACLES_STATS["p_adjust_holm"] = ORACLE_P_ADJUST_HOLM
