@@ -3800,3 +3800,121 @@ def test_wordpiece_matches_python_replay(spark):
     assert got[0][1:3] == ("x", "y")
     bpe_first = bpe_train_fixed(df, n_merges=1).collect()[0]
     assert (bpe_first["lhs"], bpe_first["rhs"]) != ("x", "y")
+
+
+def test_capacity_banding_and_wide_hash_family(spark):
+    """Capacity-scaled perceptual profile (r10): capacity_banding
+    widths grow with log2(n); wide image/audio hashes round-trip
+    through the real codecs, stay brightness/gain-invariant, and the
+    multi-word banded join finds planted near-dups with pigeonhole
+    recall; the bucket cap drops only storm buckets."""
+    import numpy as np
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        audio_envelope_hash_wide,
+        audio_envelope_words,
+        capacity_banding,
+        dhash_words,
+        encode_png,
+        encode_wav,
+        hamming_neardup_pairs_wide,
+        image_dhash_wide,
+    )
+
+    # width grows with corpus size, bands with the recall target
+    assert capacity_banding(100, 3) == (4, 10)
+    assert capacity_banding(500_000, 6) == (7, 21)
+    assert capacity_banding(5_000_000, 6) == (7, 25)
+    assert capacity_banding(10**9, 7) == (8, 30)  # clamped at 30
+
+    r = np.arange(16).reshape(-1, 1)
+    c = np.arange(18).reshape(1, -1)
+    base = ((5 * (r * 19 + c * 7 + 1) + 3 * r * c) % 200).astype(np.int64)
+
+    def rgb(g):
+        return np.repeat(np.clip(g, 0, 255).astype(np.uint8)[:, :, None], 3, axis=2)
+
+    w_base = dhash_words(rgb(base))
+    assert len(w_base) == 8 and all(0 <= w < (1 << 16) for w in w_base)
+    # brightness invariance, word by word
+    assert dhash_words(rgb(base + 40)) == w_base
+    # local edit flips O(1) bits across all words
+    edited = base.copy()
+    edited[6, 9] += 90
+    d = sum(
+        bin(a ^ b).count("1") for a, b in zip(w_base, dhash_words(rgb(edited)))
+    )
+    assert 1 <= d <= 6
+
+    # audio: gain invariance (integer scale) + local-edit locality
+    s = ((np.arange(400) * 13 + 7) % 2048 - 1024).astype(np.int64)
+    aw = audio_envelope_words(s)
+    assert len(aw) == 8 and audio_envelope_words(s * 3) == aw
+    s2 = s.copy()
+    s2[200] += 900
+    da = sum(bin(a ^ b).count("1") for a, b in zip(aw, audio_envelope_words(s2)))
+    assert 0 <= da <= 4
+
+    # end-to-end through codecs + banded wide join
+    other = ((11 * (r * 5 + c * 13 + 3) + 7 * r * r) % 200).astype(np.int64)
+    rows = [
+        (1, bytearray(encode_png(rgb(base)))),
+        (2, bytearray(encode_png(rgb(base + 40)))),
+        (3, bytearray(encode_png(rgb(edited)))),
+        (4, bytearray(encode_png(rgb(other)))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    hashes = image_dhash_wide(df, "doc_id")
+    pairs = {
+        (p["id_a"], p["id_b"]): p["hamming"]
+        for p in hamming_neardup_pairs_wide(hashes, "doc_id", max_hamming=6).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert 1 <= pairs[(1, 3)] <= 6
+    assert not any(4 in k for k in pairs)
+
+    clips = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(s.astype(np.int16)))),
+            (2, bytearray(encode_wav((s * 3).clip(-32768, 32767).astype(np.int16)))),
+            (3, bytearray(encode_wav(s2.astype(np.int16)))),
+        ],
+        ["doc_id", "payload"],
+    )
+    apairs = {
+        (p["id_a"], p["id_b"]): p["hamming"]
+        for p in hamming_neardup_pairs_wide(
+            audio_envelope_hash_wide(clips, "doc_id"), "doc_id", max_hamming=6
+        ).collect()
+    }
+    assert apairs[(1, 2)] == 0 and (1, 3) in apairs
+
+    # pigeonhole recall: planted pair at hamming == n_bands - 1 always
+    # agrees on >= 1 band; bucket cap excludes a planted storm bucket
+    # but spares normal pairs
+    rng = np.random.RandomState(0)
+    items = []
+    for i in range(40):
+        items.append((i, [int(v) for v in rng.randint(0, 1 << 16, 8)]))
+    # pair (100, 101): flip 7 bits of item 0's hash, one per band 1..7
+    wds = list(items[0][1])
+    twin = [wds[0]] + [w ^ 1 for w in wds[1:]]
+    items += [(100, wds), (101, twin)]
+    # storm: 12 items share band-0 key 7 (unrelated otherwise)
+    for j in range(12):
+        items.append((200 + j, [7] + [int(v) for v in rng.randint(0, 1 << 16, 7)]))
+    hdf = spark.createDataFrame(
+        [(i, w) for i, w in items], "doc_id long, dwords array<long>"
+    )
+    got = {
+        (p["id_a"], p["id_b"])
+        for p in hamming_neardup_pairs_wide(hdf, "doc_id", max_hamming=7).collect()
+    }
+    assert (100, 101) in got  # exact recall at hamming = n_bands - 1
+    capped = {
+        (p["id_a"], p["id_b"])
+        for p in hamming_neardup_pairs_wide(
+            hdf, "doc_id", max_hamming=7, max_bucket=8
+        ).collect()
+    }
+    assert (100, 101) in capped  # normal pair survives the cap

@@ -33,7 +33,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
@@ -1946,6 +1946,15 @@ def dhash_neardup_pairs(
     contract: exact for max_hamming < n_bands (pigeonhole); above
     that, banded recall is probabilistic like every LSH scheme.
 
+    CAPACITY: with fixed ``n_bits``, false candidates for unrelated
+    items grow ~ n_bands * n^2 / 2^(n_bits/n_bands) — the default
+    56-bit/4-band profile (14-bit keys) is sized for corpora to ~1e7
+    items.  Past that, switch to the capacity-scaled multi-word
+    profile (:func:`image_dhash_wide` / :func:`audio_envelope_hash_wide`
+    + :func:`hamming_neardup_pairs_wide`, sized by
+    :func:`capacity_banding`), which keeps candidate growth linear at
+    any corpus size by widening band keys with log2(n).
+
     Output: (id_a, id_b, hamming) with id_a < id_b, deduped across
     bands."""
     from transcriptomics_data_integration_spark.runtime import register_persisted
@@ -2074,4 +2083,237 @@ def audio_envelope_hash(
 
     return df.select(id_col, payload_col).mapInPandas(
         op, schema=f"{id_col} long, ahash long"
+    )
+
+
+# --- Capacity-scaled perceptual banding (r10) ------------------------------
+#
+# The fixed 56-bit/4-band profile has a hard capacity ceiling: banded
+# candidate pairs for UNRELATED items grow ~ n_bands * n^2 / 2^width,
+# so 14-bit band keys saturate around 1e7 items (r9 verdict).  Linear
+# candidate growth at any corpus size needs band width to GROW with
+# the corpus — width >= log2(n) + margin makes the expected random
+# bucket size <= 2^-margin and total false candidates O(n).  That
+# pushes total hash bits past the 60-bit signed-int64 packing limit,
+# so the wide profile carries the hash as an ARRAY of band-key words
+# (one element per band, word_bits each): the array position IS the
+# band index, the element IS the join key, and the exact hamming
+# verify is a zip_with/bit_count fold over the same array — no second
+# representation, no UDF, no overflow.
+
+
+def capacity_banding(
+    n_items: int, max_hamming: int = 6, margin_bits: int = 2
+) -> tuple[int, int]:
+    """Pick (n_bands, word_bits) for a corpus of ``n_items``:
+    ``n_bands = max_hamming + 1`` keeps recall pigeonhole-EXACT at the
+    requested distance (two hashes within hamming n_bands - 1 must
+    agree on a full band), and ``word_bits = ceil(log2 n) + margin``
+    bounds expected false candidates per band by n * 2^-margin —
+    linear in the corpus by construction, the property the fixed
+    56-bit profile loses past ~1e7 items.  word_bits is clamped to
+    [8, 30] (30-bit keys cover 10^9-item corpora at margin 0)."""
+    n_bands = max_hamming + 1
+    word_bits = 8
+    while (1 << word_bits) < n_items and word_bits < 30:
+        word_bits += 1
+    word_bits = min(word_bits + margin_bits, 30)
+    return n_bands, word_bits
+
+
+def _sampled_luma(pixels: np.ndarray, gh: int, gw: int) -> list[list[int]]:
+    """Nearest-neighbor (gh, gw) integer luma grid — the same sampling
+    and ITU-R BT.601 integer weights as :func:`dhash_bits`, factored
+    for multi-word profiles."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    grid = []
+    for r in range(gh):
+        sr = r * h // gh
+        row = pixels[sr]
+        out = []
+        for c in range(gw):
+            sc = c * w // gw
+            if pixels.ndim == 3:
+                p = row[sc]
+                out.append(
+                    (299 * int(p[0]) + 587 * int(p[1]) + 114 * int(p[2])) // 1000
+                )
+            else:
+                out.append(int(row[sc]))
+        grid.append(out)
+    return grid
+
+
+def dhash_words(
+    pixels: np.ndarray, n_bands: int = 8, word_bits: int = 16
+) -> list[int]:
+    """Multi-word dHash: an (n_bands, word_bits + 1) sampled-luma grid
+    where row r's ``word_bits`` adjacent-column gradient bits pack into
+    word r — each word is simultaneously one LSH band key and one
+    hamming segment.  ``n_bands * word_bits`` total bits (default 128)
+    with no packing limit: words stay far below 2^60.  Sources
+    narrower than ``word_bits + 1`` px still hash (nearest-neighbor
+    resampling repeats columns; repeated columns compare equal and
+    contribute 0-bits), but discrimination comes from genuine pixels —
+    keep source images at least grid-sized."""
+    grid = _sampled_luma(pixels, n_bands, word_bits + 1)
+    words = []
+    for r in range(n_bands):
+        w = 0
+        for c in range(word_bits):
+            if grid[r][c] < grid[r][c + 1]:
+                w |= 1 << c
+        words.append(w)
+    return words
+
+
+def image_dhash_wide(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    n_bands: int = 8,
+    word_bits: int = 16,
+) -> DataFrame:
+    """Per-image multi-word dHash over a binary PNG column — the
+    capacity-scaled sibling of :func:`image_dhash` for corpora past
+    the 56-bit profile's ~1e7 ceiling.  Output: (id, dwords
+    array<bigint> of length n_bands); undecodable payloads drop.
+    Size (n_bands, word_bits) with :func:`capacity_banding`."""
+    import pandas as pd
+
+    def op(batches):
+        for pdf in batches:
+            ids, words = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_png_pixels(bytes(payload))
+                if px is None:
+                    continue
+                ids.append(int(i))
+                words.append(dhash_words(px, n_bands, word_bits))
+            yield pd.DataFrame({id_col: ids, "dwords": words})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        op, schema=f"{id_col} long, dwords array<long>"
+    )
+
+
+def audio_envelope_words(
+    samples: np.ndarray, n_bands: int = 8, word_bits: int = 16
+) -> list[int]:
+    """Multi-word envelope-delta audio hash: ``n_bands * word_bits + 1``
+    equal frames of integer |amplitude| energy; delta bit f =
+    energy[f] < energy[f+1]; bits pack into ``n_bands`` words of
+    ``word_bits`` — same band-key-is-hamming-segment contract as
+    :func:`dhash_words`.  Replaces the r9 observation that 28 bits
+    saturate past ~1e5 clips with a profile that scales by
+    construction."""
+    n_frames = n_bands * word_bits + 1
+    n = len(samples)
+    env = []
+    for f in range(n_frames):
+        lo = f * n // n_frames
+        hi = (f + 1) * n // n_frames
+        env.append(int(np.abs(samples[lo:hi]).sum()))
+    words = []
+    for b in range(n_bands):
+        w = 0
+        for c in range(word_bits):
+            f = b * word_bits + c
+            if env[f] < env[f + 1]:
+                w |= 1 << c
+        words.append(w)
+    return words
+
+
+def audio_envelope_hash_wide(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    n_bands: int = 8,
+    word_bits: int = 16,
+) -> DataFrame:
+    """Per-clip multi-word envelope hash over a binary WAV column —
+    capacity-scaled sibling of :func:`audio_envelope_hash`.  Output:
+    (id, dwords array<bigint>); undecodable payloads drop."""
+    import pandas as pd
+
+    def op(batches):
+        for pdf in batches:
+            ids, words = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                s = decode_wav_samples(bytes(payload))
+                if s is None:
+                    continue
+                ids.append(int(i))
+                words.append(audio_envelope_words(s, n_bands, word_bits))
+            yield pd.DataFrame({id_col: ids, "dwords": words})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        op, schema=f"{id_col} long, dwords array<long>"
+    )
+
+
+def hamming_neardup_pairs_wide(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str = "dwords",
+    max_hamming: int = 6,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Banded hamming near-dup over multi-word perceptual hashes — the
+    capacity-scaled twin of :func:`dhash_neardup_pairs`.  The array
+    position is the band index and the element the band key, so the
+    self-join is ``posexplode`` + hash equi-join on (band, band_key);
+    the exact verify is one codegen'd ``zip_with``/``bit_count`` fold
+    per candidate.  Recall is pigeonhole-EXACT for ``max_hamming <
+    len(dwords)``.
+
+    ``max_bucket`` is the skew/adversary guard for dup-storm keys: a
+    (band, band_key) bucket larger than the cap is excluded from that
+    band's join (a windowed count over the same shuffle partitioning
+    the join needs anyway).  Recall contract under the cap: a true
+    pair is lost only if EVERY band it agrees on is oversized — for
+    near-dups that means the items sit inside a >max_bucket storm
+    cluster, which exact/MinHash dedup upstream should have collapsed
+    first.  None (default) disables the cap.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b, deduped across
+    bands."""
+    from transcriptomics_data_integration_spark.runtime import register_persisted
+
+    # same bounded-fork persist as dhash_neardup_pairs: the relation is
+    # (long, small array) per item and feeds both join sides
+    hashes = hashes.persist()
+    register_persisted(hashes)
+    banded = hashes.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.posexplode(hash_col).alias("band", "band_key"),
+    )
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "band_key")
+        banded = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .where(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("wa"), "band", "band_key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("wb"), "band", "band_key"
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "aggregate(zip_with(wa, wb, (x, y) -> bit_count(x ^ y)),"
+                " 0, (acc, v) -> acc + v)"
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )

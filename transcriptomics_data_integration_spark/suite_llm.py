@@ -6845,3 +6845,184 @@ WITH w0 AS (
 
 QUERIES_LLM["wordpiece_merges"] = q_wordpiece_merges
 ORACLES_LLM["wordpiece_merges"] = _oracle_wordpiece_merges()
+
+
+# --- capacity-scaled perceptual near-dup (r10) -----------------------------
+
+
+def q_image_dhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-scaled perceptual image near-dup, HASH-GATED (r10) —
+    the multi-word profile that removes the 56-bit/14-bit-band
+    capacity ceiling flagged by the r9 verdict: the same planted
+    16x18 PNG corpus as `q_image_dhash` (quadratic-term gray formula,
+    odd docs perturbed at (6, 9)) hashed by
+    `llmdata/multimodal.py:dhash_words` (8 bands x 16 gradient bits
+    from an 8x17 sampled-luma grid — the array element IS the band
+    key) and paired by `hamming_neardup_pairs_wide` (posexplode band
+    join + zip_with/bit_count verify).  The oracle recomputes the
+    eight 16-bit words from the gray formula alone (16x18 at grid
+    8x17 samples image row 2r, column c) and replays the band join +
+    per-band xor popcount sum, proving codec, multi-word packing,
+    array banding, and segmented hamming end-to-end.  Planted (2k,
+    2k+1) pairs differ in <= 2 bits of band 3 only, so pigeonhole
+    recall is exact with 7 bands to spare."""
+    import numpy as np
+    import pandas as pd
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        encode_png,
+        hamming_neardup_pairs_wide,
+        image_dhash_wide,
+    )
+
+    H, W = 16, 18
+
+    def op(batches):
+        r = np.arange(H).reshape(-1, 1)
+        c = np.arange(W).reshape(1, -1)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                m = (did // 2) % 997 + 3
+                g = (m * (r * 19 + c * 7 + 1) + (m * m % 251) * r * c) % 256
+                if did % 2 == 1:
+                    g = g.copy()
+                    g[6, 9] = (g[6, 9] + 128) % 256
+                px = np.repeat(g.astype(np.uint8)[:, :, None], 3, axis=2)
+                rows.append((did, bytearray(encode_png(px))))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    images = docs.mapInPandas(op, schema="doc_id long, payload binary")
+    hashes = image_dhash_wide(images, "doc_id")
+    return hamming_neardup_pairs_wide(hashes, "doc_id", max_hamming=6)
+
+
+ORACLE_IMAGE_DHASH_WIDE = """
+WITH grid AS (
+  SELECT d.doc_id, r.r, c.c,
+         ((((d.doc_id // 2) % 997 + 3)
+           * ((2 * r.r) * 19 + c.c * 7 + 1)
+           + ((((d.doc_id // 2) % 997 + 3) * ((d.doc_id // 2) % 997 + 3)) % 251)
+             * (2 * r.r) * c.c) % 256
+          + CASE WHEN d.doc_id % 2 = 1 AND r.r = 3 AND c.c = 9
+                 THEN 128 ELSE 0 END
+         ) % 256 AS luma
+  FROM documents d,
+       (SELECT unnest(generate_series(0, 7)) AS r) r,
+       (SELECT unnest(generate_series(0, 16)) AS c) c
+), bits AS (
+  SELECT a.doc_id, a.r, a.c,
+         CASE WHEN a.luma < b.luma THEN 1 ELSE 0 END AS bit
+  FROM grid a JOIN grid b
+    ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+  WHERE a.c < 16
+), words AS (
+  SELECT doc_id, r AS band,
+         CAST(SUM(bit * (CAST(1 AS BIGINT) << c)) AS BIGINT) AS band_key
+  FROM bits GROUP BY doc_id, r
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM words a JOIN words b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), ham AS (
+  SELECT c.id_a, c.id_b,
+         CAST(SUM(bit_count(xor(wa.band_key, wb.band_key))) AS INTEGER) AS hamming
+  FROM cand c
+  JOIN words wa ON wa.doc_id = c.id_a
+  JOIN words wb ON wb.doc_id = c.id_b AND wb.band = wa.band
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 6
+"""
+
+QUERIES_LLM["image_dhash_wide"] = q_image_dhash_wide
+ORACLES_LLM["image_dhash_wide"] = ORACLE_IMAGE_DHASH_WIDE
+
+
+def q_audio_neardup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-scaled perceptual audio near-dup, HASH-GATED (r10) —
+    the multi-word envelope profile replacing the r9 observation that
+    28-bit hashes saturate past ~1e5 clips: a planted 387-sample
+    PCM16 corpus (the `q_audio_neardup` waveform family extended so
+    the 129 frames hold exactly 3 samples each — frame boundaries
+    3f in BOTH engines; odd docs get one +900 edit at i=150, inside
+    frame 50 -> bits 49/50 of band 3 only) through the real WAV
+    codec, `audio_envelope_words` (128 delta bits as 8x16-bit band
+    words) and `hamming_neardup_pairs_wide`.  The oracle recomputes
+    energies by grouping i//3 and replays the band join + segmented
+    popcount."""
+    import numpy as np
+    import pandas as pd
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        audio_envelope_hash_wide,
+        encode_wav,
+        hamming_neardup_pairs_wide,
+    )
+
+    N = 387
+
+    def op(batches):
+        i = np.arange(N, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                s = (((did // 2) % 997 + 3) * (i * 13 + 7)) % 2048 - 1024
+                if did % 2 == 1:
+                    s = s.copy()
+                    s[150] += 900
+                rows.append(
+                    (did, bytearray(encode_wav(s.astype(np.int16), rate=8000)))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    clips = docs.mapInPandas(op, schema="doc_id long, payload binary")
+    hashes = audio_envelope_hash_wide(clips, "doc_id")
+    return hamming_neardup_pairs_wide(hashes, "doc_id", max_hamming=3)
+
+
+ORACLE_AUDIO_NEARDUP_WIDE = """
+WITH env AS (
+  SELECT d.doc_id, i.i // 3 AS f,
+         SUM(ABS((((d.doc_id // 2) % 997 + 3) * (i.i * 13 + 7)) % 2048 - 1024
+             + CASE WHEN d.doc_id % 2 = 1 AND i.i = 150
+                    THEN 900 ELSE 0 END)) AS energy
+  FROM documents d,
+       (SELECT unnest(generate_series(0, 386)) AS i) i
+  GROUP BY d.doc_id, i.i // 3
+), bits AS (
+  SELECT a.doc_id, a.f,
+         CASE WHEN a.energy < b.energy THEN 1 ELSE 0 END AS bit
+  FROM env a JOIN env b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+  WHERE a.f < 128
+), words AS (
+  SELECT doc_id, f // 16 AS band,
+         CAST(SUM(bit * (CAST(1 AS BIGINT) << (f % 16))) AS BIGINT) AS band_key
+  FROM bits GROUP BY doc_id, f // 16
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM words a JOIN words b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), ham AS (
+  SELECT c.id_a, c.id_b,
+         CAST(SUM(bit_count(xor(wa.band_key, wb.band_key))) AS INTEGER) AS hamming
+  FROM cand c
+  JOIN words wa ON wa.doc_id = c.id_a
+  JOIN words wb ON wb.doc_id = c.id_b AND wb.band = wa.band
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+"""
+
+QUERIES_LLM["audio_neardup_wide"] = q_audio_neardup_wide
+ORACLES_LLM["audio_neardup_wide"] = ORACLE_AUDIO_NEARDUP_WIDE
