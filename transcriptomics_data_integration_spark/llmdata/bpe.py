@@ -27,6 +27,24 @@ from pyspark.sql import functions as F
 
 from transcriptomics_data_integration_spark.runtime import register_persisted
 
+# Per-iteration lineage pin for the trainers (r10 A/B, PLANS.md):
+# False (default) persists the bounded vocab relation — iteration r+1
+# reuses cached blocks but the LOGICAL plan keeps growing, so Catalyst
+# re-analyzes an ever-deeper unrolled tree each round.  True swaps in
+# eager localCheckpoint(), which truncates the lineage to a scanned
+# RDD — shorter analysis at the cost of one materialization per
+# iteration.  Module-level so the A/B harness can flip it without
+# duplicating trainer code.
+ITER_TRUNCATE = False
+
+
+def _iter_pin(df: DataFrame) -> DataFrame:
+    if ITER_TRUNCATE:
+        return df.localCheckpoint()
+    df = df.persist()
+    register_persisted(df)
+    return df
+
 
 def _merge_fold(a_sql: str, b_sql: str, s: str = "s") -> str:
     """Left-greedy single-pair merge over the symbol array ``s``.
@@ -100,13 +118,11 @@ def bpe_train_fixed(
         )
         # bounded vocab relation again — persist so iteration r+1 (and
         # the merge-table rows) never re-execute earlier folds
-        syms = (
+        syms = _iter_pin(
             syms.crossJoin(F.broadcast(best))
             .withColumn("s", F.expr(_merge_fold("a", "b")))
             .select("wc", "s")
-            .persist()
         )
-        register_persisted(syms)
     return reduce(lambda x, y: x.unionByName(y), merge_rows)
 
 
@@ -353,8 +369,7 @@ def unigram_train_fixed(
             )
             .where(F.col("count").isNotNull())
         )
-        pieces = _scored(merged).persist()
-        register_persisted(pieces)
+        pieces = _iter_pin(_scored(merged))
 
     n_chars = chars.count()  # bounded scalar: the character inventory size
     kept_multi = (
@@ -499,11 +514,9 @@ def wordpiece_train_fixed(
                 F.col("cb").alias("rhs_count"),
             )
         )
-        syms = (
+        syms = _iter_pin(
             syms.crossJoin(F.broadcast(best.select("a", "b")))
             .withColumn("s", F.expr(_merge_fold("a", "b")))
             .select("wc", "s")
-            .persist()
         )
-        register_persisted(syms)
     return reduce(lambda x, y: x.unionByName(y), merge_rows)

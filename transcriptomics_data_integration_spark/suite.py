@@ -2150,5 +2150,39 @@ _ROUND9_FRONT = [
 # FIRST, then the r6-only-stamped remainder.  (Compare r10 bench rows
 # against BOTH the r8 driver column (through its recorded host band)
 # and the r9 clean local column in BASELINE.md.)
-QUERIES = _reorder_front(QUERIES, _ROUND9_FRONT)
+_ROUND10_FRONT = [
+    # -- (a) the seven bumped from the r9 window (r5-stamped; the
+    # eighth bump, vocab_size_sketch, is rows-only and stays OUT of
+    # front lists per the r9 verdict — no wasted no_oracle slots) ----
+    "cohort_retention", "dedup_rows", "doc_sample", "funnel",
+    "voom_loess3", "venn_membership", "term_enrichment",
+    # -- (b) r10-new kernels: the BY/holm completion of M10's adjust
+    # surface and the capacity-scaled perceptual near-dup twins ------
+    "p_adjust_by", "p_adjust_holm", "image_dhash_wide",
+    "audio_neardup_wide",
+    # -- (c) the r6-only-stamped backlog in registry order (53 total
+    # with (a)+(b); rsem_convert, idat_decode, detection_p slip to
+    # r11 along with any r10-untouched remainder) --------------------
+    "merge_left_join", "interval_join", "quantile_thresholds",
+    "sample_correlation", "quantile_normalization", "diff_expression",
+    "stouffer_meta", "fem_rem", "bpe_encode", "ann_recall",
+    "png_pixels", "semdedup", "semdedup_2level", "quality_filter",
+    "gopher_quality", "moderated_de", "dup_correlation",
+    "lmfit_design", "impute_missing", "impute_em",
+    "median_polish_fixed", "logistic_irls2", "moderated_lmfit",
+    "voom_trend", "closed_pipeline", "normalized_de",
+    "rnaseq_pipeline_binned", "cqn_bias", "array_weights",
+    "qc_sample_metrics", "expression_pipeline", "weighted_de",
+    "dataset_group_means", "rollup_summary", "pivot_matrix",
+    "melt_measures", "registry_upsert", "full_outer_merge",
+    "htseq_scan",
+]
+
+# Round-11 rotation plan: (a) any r10 gate above that misses a driver
+# stamp this window, then (b) r11-touched/new kernels, (c) the
+# three slipped here (rsem_convert, idat_decode, detection_p) FIRST,
+# then whatever remains of the r7-only-stamped tail in registry
+# order.  (Compare r11 bench rows against the r10 driver column
+# through the host band recorded in BASELINE.md.)
+QUERIES = _reorder_front(QUERIES, _ROUND10_FRONT)
 QUERIES = {n: _with_persist_drain(fn) for n, fn in QUERIES.items()}
