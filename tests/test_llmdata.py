@@ -3918,3 +3918,53 @@ def test_capacity_banding_and_wide_hash_family(spark):
         ).collect()
     }
     assert (100, 101) in capped  # normal pair survives the cap
+
+
+def test_flac_lpc_and_stereo_roundtrip():
+    """r10: LPC subframes (quantized-coefficient predictor) and all
+    three stereo decorrelation modes (left/side, right/side, mid/side
+    with the 17-bit side channel) round-trip bit-exactly — closing the
+    r9 documented subset boundary.  Pure codec, no Spark."""
+    import random
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        decode_flac_frames,
+        encode_flac_frames,
+        encode_flac_frames_stereo,
+    )
+
+    rng = random.Random(42)
+    for _ in range(20):
+        s = [rng.randint(-32768, 32767) for _ in range(64)]
+        d = decode_flac_frames(encode_flac_frames(s, subframe="lpc2"))
+        assert d is not None and d["subframe"] == "lpc2"
+        assert d["predictor_order"] == 2 and d["channel_mode"] == "mono"
+        assert d["sum_amp"] == sum(s) and d["sum_sq"] == sum(x * x for x in s)
+
+    # LPC earns its keep on smooth signals: fewer bytes than verbatim
+    s = [int(10000 * (1 - abs(i - 32) / 32)) for i in range(64)]
+    assert len(encode_flac_frames(s, subframe="lpc2")) < len(
+        encode_flac_frames(s, subframe="verbatim")
+    )
+
+    for mode in ("left_side", "right_side", "mid_side"):
+        for sub in ("verbatim", "fixed1", "fixed2", "lpc2"):
+            L = [rng.randint(-32768, 32767) for _ in range(48)]
+            R = [rng.randint(-32768, 32767) for _ in range(48)]
+            d = decode_flac_frames(
+                encode_flac_frames_stereo(L, R, mode=mode, subframe=sub)
+            )
+            assert d is not None and d["channel_mode"] == mode
+            assert d["subframe"] == sub or (mode == "right_side")
+            both = L + R
+            assert d["n_samples"] == 96
+            assert d["sum_amp"] == sum(both)
+            assert d["sum_sq"] == sum(x * x for x in both)
+            assert d["min_amp"] == min(both) and d["max_amp"] == max(both)
+
+    # corrupted stereo frame still rejected by CRC-16
+    raw = bytearray(
+        encode_flac_frames_stereo([5] * 32, [9] * 32, mode="mid_side")
+    )
+    raw[-5] ^= 0x40
+    assert decode_flac_frames(bytes(raw)) is None

@@ -1713,51 +1713,223 @@ def encode_flac_frames(
     hdr += bytes([_crc8(hdr)])
 
     bw = _FlacBitWriter()
-    order = {"constant": 0, "verbatim": 0, "fixed1": 1, "fixed2": 2}[subframe]
-    if subframe == "constant":
-        assert len(set(samples)) == 1
-        bw.write(0, 1)
-        bw.write(0b000000, 6)       # CONSTANT
-        bw.write(0, 1)              # no wasted bits
-        bw.write(samples[0] & 0xFFFF, 16)
-    elif subframe == "verbatim":
-        bw.write(0, 1)
-        bw.write(0b000001, 6)       # VERBATIM
-        bw.write(0, 1)
-        for s in samples:
-            bw.write(s & 0xFFFF, 16)
-    else:
-        bw.write(0, 1)
-        bw.write(0b001000 | order, 6)  # FIXED, order
-        bw.write(0, 1)
-        for s in samples[:order]:      # warmup
-            bw.write(s & 0xFFFF, 16)
-        bw.write(0b00, 2)              # residual method: 4-bit Rice
-        bw.write(0, 4)                 # partition order 0
-        bw.write(_FLAC_RICE_K, 4)
-        for i in range(order, n):
-            if order == 1:
-                r = samples[i] - samples[i - 1]
-            else:
-                r = samples[i] - 2 * samples[i - 1] + samples[i - 2]
-            u = (r << 1) if r >= 0 else (-r << 1) - 1  # zigzag fold
-            bw.write_unary(u >> _FLAC_RICE_K)
-            bw.write(u & ((1 << _FLAC_RICE_K) - 1), _FLAC_RICE_K)
+    _encode_flac_subframe(bw, samples, subframe, 16)
     bw.align()
     frame = hdr + bw.bytes()
     frame += _crc16(frame).to_bytes(2, "big")
     return head + frame
 
 
+# Fixed quantized-LPC profile for the 'lpc2' encode arm: order 2,
+# precision 12, shift 9, coefficients (767, -256) — prediction
+# (767*s[i-1] - 256*s[i-2]) >> 9 ~= 1.5*s[i-1] - 0.5*s[i-2], a real
+# smooth-signal predictor.  Any fixed choice keeps residuals exact
+# integers; the decoder reads whatever the bitstream carries.
+_FLAC_LPC2 = (12, 9, (767, -256))
+
+
+def _encode_flac_subframe(bw, samples, subframe: str, bits: int) -> None:
+    """Write one subframe at ``bits`` depth (17 for a stereo side
+    channel): constant / verbatim / fixed1 / fixed2 / lpc2, Rice
+    partition order 0 — the write-side mirror of
+    :func:`_decode_flac_subframe`."""
+    n = len(samples)
+    mask = (1 << bits) - 1
+
+    def rice(resids) -> None:
+        bw.write(0b00, 2)              # residual method: 4-bit Rice
+        bw.write(0, 4)                 # partition order 0
+        bw.write(_FLAC_RICE_K, 4)
+        for r in resids:
+            u = (r << 1) if r >= 0 else (-r << 1) - 1  # zigzag fold
+            bw.write_unary(u >> _FLAC_RICE_K)
+            bw.write(u & ((1 << _FLAC_RICE_K) - 1), _FLAC_RICE_K)
+
+    bw.write(0, 1)
+    if subframe == "constant":
+        assert len(set(samples)) == 1
+        bw.write(0b000000, 6)
+        bw.write(0, 1)              # no wasted bits
+        bw.write(samples[0] & mask, bits)
+    elif subframe == "verbatim":
+        bw.write(0b000001, 6)
+        bw.write(0, 1)
+        for s in samples:
+            bw.write(s & mask, bits)
+    elif subframe in ("fixed1", "fixed2"):
+        order = int(subframe[-1])
+        assert n > order
+        bw.write(0b001000 | order, 6)
+        bw.write(0, 1)
+        for s in samples[:order]:      # warmup
+            bw.write(s & mask, bits)
+        if order == 1:
+            rice(samples[i] - samples[i - 1] for i in range(1, n))
+        else:
+            rice(
+                samples[i] - 2 * samples[i - 1] + samples[i - 2]
+                for i in range(2, n)
+            )
+    elif subframe == "lpc2":
+        prec, shift, coef = _FLAC_LPC2
+        order = len(coef)
+        assert n > order
+        bw.write(0b100000 | (order - 1), 6)  # LPC, order-1 in low 5 bits
+        bw.write(0, 1)
+        for s in samples[:order]:
+            bw.write(s & mask, bits)
+        bw.write(prec - 1, 4)
+        bw.write(shift, 5)
+        pmask = (1 << prec) - 1
+        for c in coef:
+            bw.write(c & pmask, prec)
+        rice(
+            samples[i]
+            - (sum(c * samples[i - 1 - j] for j, c in enumerate(coef)) >> shift)
+            for i in range(order, n)
+        )
+    else:
+        raise ValueError(f"unknown subframe {subframe!r}")
+
+
+def encode_flac_frames_stereo(
+    left,
+    right,
+    sample_rate: int = 8000,
+    mode: str = "mid_side",
+    subframe: str = "verbatim",
+) -> bytes:
+    """REAL stereo FLAC file: STREAMINFO + ONE frame in the requested
+    decorrelation ``mode`` ('left_side' / 'right_side' / 'mid_side'),
+    both channel subframes of the requested type ('verbatim',
+    'fixed1', 'fixed2', 'lpc2').  The side channel is encoded at 17
+    bits per RFC 9639 §9.2.2; mid = (L+R) >> 1 (floor), side = L - R —
+    lossless by construction with the decoder's (mid<<1 | side&1)
+    reconstruction."""
+    left = [int(s) for s in left]
+    right = [int(s) for s in right]
+    n = len(left)
+    assert n == len(right) and 1 <= n <= 256
+    _order = {"fixed1": 1, "fixed2": 2, "lpc2": 2}.get(subframe, 0)
+    assert n > _order, f"{subframe} needs n > {_order} (got n={n})"
+    head = encode_flac_header(sample_rate, 2, 16, n)
+
+    ch_code = {"left_side": 0b1000, "right_side": 0b1001, "mid_side": 0b1010}[mode]
+    hw = _FlacBitWriter()
+    hw.write(0b11111111111110, 14)
+    hw.write(0, 1)
+    hw.write(0, 1)
+    hw.write(0b0110, 4)             # blocksize: 8-bit n-1 follows
+    hw.write(0b0000, 4)             # sample rate: from STREAMINFO
+    hw.write(ch_code, 4)
+    hw.write(0b100, 3)              # sample size: 16 bits
+    hw.write(0, 1)
+    hw.write(0x00, 8)               # UTF-8 frame number 0
+    hw.write(n - 1, 8)
+    hdr = hw.bytes()
+    hdr += bytes([_crc8(hdr)])
+
+    side = [l - r for l, r in zip(left, right)]
+    if mode == "left_side":
+        chans = [(left, 16), (side, 17)]
+    elif mode == "right_side":
+        chans = [(side, 17), (right, 16)]
+    else:
+        mid = [(l + r) >> 1 for l, r in zip(left, right)]
+        chans = [(mid, 16), (side, 17)]
+    bw = _FlacBitWriter()
+    for ch, bits in chans:
+        sf = subframe
+        if sf == "constant" and len(set(ch)) != 1:
+            sf = "verbatim"
+        _encode_flac_subframe(bw, ch, sf, bits)
+    bw.align()
+    frame = hdr + bw.bytes()
+    frame += _crc16(frame).to_bytes(2, "big")
+    return head + frame
+
+
+def _decode_flac_subframe(br, n: int, bits: int):
+    """One subframe at ``bits`` depth (17 for a stereo side channel):
+    CONSTANT / VERBATIM / FIXED 0-4 / LPC 1-32, Rice partition order 0.
+    Returns (samples, subframe_name, predictor_order) or None."""
+    if br.read(1) != 0:
+        return None
+    typ = br.read(6)
+    if br.read(1) != 0:  # wasted bits unsupported
+        return None
+    half = 1 << (bits - 1)
+
+    def sgn(v: int) -> int:
+        return v - (half << 1) if v >= half else v
+
+    def rice_residuals(samples, predict):
+        if br.read(2) != 0:
+            return None
+        if br.read(4) != 0:  # partition order 0 only
+            return None
+        k = br.read(4)
+        if k == 0b1111:
+            return None
+        for i in range(len(samples), n):
+            u = (br.read_unary() << k) | br.read(k)
+            r = (u >> 1) if u % 2 == 0 else -((u + 1) >> 1)
+            samples.append(r + predict(samples, i))
+        return samples
+
+    if typ == 0b000000:
+        return [sgn(br.read(bits))] * n, "constant", 0
+    if typ == 0b000001:
+        return [sgn(br.read(bits)) for _ in range(n)], "verbatim", 0
+    if 0b001000 <= typ <= 0b001100:
+        order = typ & 0x07
+        warm = [sgn(br.read(bits)) for _ in range(order)]
+        coef = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}[order]
+
+        def predict(s, i):
+            return sum(c * s[i - 1 - j] for j, c in enumerate(coef))
+
+        out = rice_residuals(warm, predict)
+        return (out, f"fixed{order}", order) if out is not None else None
+    if typ & 0b100000:
+        order = (typ & 0x1F) + 1
+        warm = [sgn(br.read(bits)) for _ in range(order)]
+        prec = br.read(4)
+        if prec == 0b1111:
+            return None
+        prec += 1
+        shift = br.read(5)
+        if shift >= 16:  # 5-bit two's complement: negative = invalid
+            return None
+        qhalf = 1 << (prec - 1)
+        qlp = []
+        for _ in range(order):
+            c = br.read(prec)
+            qlp.append(c - (qhalf << 1) if c >= qhalf else c)
+
+        def predict(s, i):
+            # arithmetic right shift: Python >> floors, per RFC 9639
+            return sum(c * s[i - 1 - j] for j, c in enumerate(qlp)) >> shift
+
+        out = rice_residuals(warm, predict)
+        return (out, f"lpc{order}", order) if out is not None else None
+    return None
+
+
 def decode_flac_frames(payload: bytes) -> dict | None:
     """Independent FLAC frame decode for the encoder's subset:
     STREAMINFO walk (reusing :func:`decode_flac_header` semantics),
     frame-header parse with CRC-8 verification, subframe decode
-    (constant / verbatim / fixed 0-4 with Rice partition order 0),
-    inverse fixed predictor, CRC-16 verification.  Returns stream
-    params, subframe type/order, decoded-sample amplitude moments, and
-    the frame byte count; None on any malformed structure or CRC
-    mismatch (tolerant-reader stance)."""
+    (constant / verbatim / fixed 0-4 / **LPC 1-32 with quantized
+    coefficients, r10** — Rice partition order 0), inverse fixed or
+    LPC predictor, **stereo decorrelation (left/side, right/side,
+    mid/side with the 17-bit side channel, r10)**, CRC-16
+    verification.  Returns stream params, channel mode, subframe
+    type/order (channel 0; ``subframe_ch1`` when stereo),
+    decoded-sample amplitude moments over ALL output samples, and the
+    frame byte count; None on any malformed structure or CRC mismatch
+    (tolerant-reader stance).  This closes the r9 subset boundary
+    (LPC + stereo were the documented out-of-subset line)."""
     info = decode_flac_header(payload)
     if info is None:
         return None
@@ -1779,7 +1951,9 @@ def decode_flac_frames(payload: bytes) -> dict | None:
         bs_code = br.read(4)
         if br.read(4) != 0:   # sample rate from STREAMINFO only
             return None
-        if br.read(4) != 0:   # mono only
+        ch_code = br.read(4)
+        if ch_code not in (0b0000, 0b1000, 0b1001, 0b1010):
+            # mono or one of the three stereo decorrelation modes
             return None
         if br.read(3) != 0b100:  # 16-bit only
             return None
@@ -1795,51 +1969,42 @@ def decode_flac_frames(payload: bytes) -> dict | None:
         crc8_got = br.read(8)
         if _crc8(payload[frame_start : br.bytepos() - 1]) != crc8_got:
             return None
-        if br.read(1) != 0:
-            return None
-        typ = br.read(6)
-        if br.read(1) != 0:      # wasted bits unsupported
-            return None
-
-        def s16(v: int) -> int:
-            return v - 65536 if v >= 32768 else v
-
-        if typ == 0b000000:
-            samples = [s16(br.read(16))] * n
-            sub = "constant"
-            order = 0
-        elif typ == 0b000001:
-            samples = [s16(br.read(16)) for _ in range(n)]
-            sub = "verbatim"
-            order = 0
-        elif 0b001000 <= typ <= 0b001100:
-            order = typ & 0x07
-            samples = [s16(br.read(16)) for _ in range(order)]
-            if br.read(2) != 0:
+        # channel layout: bit depth per subframe — the decorrelated
+        # side channel carries one extra bit (RFC 9639 §9.2.2)
+        mode = {
+            0b0000: "mono", 0b1000: "left_side",
+            0b1001: "right_side", 0b1010: "mid_side",
+        }[ch_code]
+        depths = {
+            "mono": (16,), "left_side": (16, 17),
+            "right_side": (17, 16), "mid_side": (16, 17),
+        }[mode]
+        decoded = []
+        sub = order = sub1 = None
+        for ci, bits in enumerate(depths):
+            got = _decode_flac_subframe(br, n, bits)
+            if got is None:
                 return None
-            if br.read(4) != 0:  # partition order 0 only
-                return None
-            k = br.read(4)
-            if k == 0b1111:
-                return None
-            for i in range(order, n):
-                u = (br.read_unary() << k) | br.read(k)
-                r = (u >> 1) if u % 2 == 0 else -((u + 1) >> 1)
-                if order == 0:
-                    s = r
-                elif order == 1:
-                    s = r + samples[i - 1]
-                elif order == 2:
-                    s = r + 2 * samples[i - 1] - samples[i - 2]
-                elif order == 3:
-                    s = r + 3 * samples[i - 1] - 3 * samples[i - 2] + samples[i - 3]
-                else:
-                    s = (r + 4 * samples[i - 1] - 6 * samples[i - 2]
-                         + 4 * samples[i - 3] - samples[i - 4])
-                samples.append(s)
-            sub = f"fixed{order}"
-        else:
-            return None
+            ch, s_name, s_order = got
+            decoded.append(ch)
+            if ci == 0:
+                sub, order = s_name, s_order
+            else:
+                sub1 = s_name
+        if mode == "mono":
+            samples = decoded[0]
+        elif mode == "left_side":
+            left, side = decoded
+            samples = left + [l - s for l, s in zip(left, side)]
+        elif mode == "right_side":
+            side, right = decoded
+            samples = [r + s for r, s in zip(right, side)] + right
+        else:  # mid/side
+            mid, side = decoded
+            m2 = [(m << 1) | (s & 1) for m, s in zip(mid, side)]
+            samples = [(a + s) >> 1 for a, s in zip(m2, side)] + [
+                (a - s) >> 1 for a, s in zip(m2, side)
+            ]
         br.align()
         crc16_got = br.read(16)
         if _crc16(payload[frame_start : br.bytepos() - 2]) != crc16_got:
@@ -1850,7 +2015,9 @@ def decode_flac_frames(payload: bytes) -> dict | None:
     return {
         "media_type": "audio/flac",
         "sample_rate": info["sample_rate"],
+        "channel_mode": mode,
         "subframe": sub,
+        "subframe_ch1": sub1,
         "predictor_order": order,
         "n_samples": len(samples),
         "frame_bytes": frame_bytes,
