@@ -1172,3 +1172,60 @@ def test_streaming_perceptual_dedup_matches_batch(spark):
         for r in streaming_perceptual_dedup(with_null, existing).collect()
     }
     assert got_null[200] == ("new", None) and got_null[201] == ("near", 3)
+
+
+def test_streaming_audio_perceptual_dedup_matches_batch(spark):
+    """streaming_audio_perceptual_dedup (r10): near/new verdicts over
+    the broadcast band index agree with the batch audio_envelope_hash
+    + dhash_neardup_pairs pipeline on the same planted clips; NULL
+    payloads screen as 'new'."""
+    import numpy as np
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        audio_envelope_hash,
+        dhash_neardup_pairs,
+        encode_wav,
+    )
+    from transcriptomics_data_integration_spark.streaming.ingest import (
+        streaming_audio_perceptual_dedup,
+    )
+
+    def wav(fam, perturb=False):
+        i = np.arange(116, dtype=np.int64)
+        s = ((fam % 997 + 3) * (i * 13 + 7)) % 2048 - 1024
+        if perturb:
+            s = s.copy()
+            s[50] += 900
+        return bytearray(encode_wav(s.astype(np.int16)))
+
+    existing = spark.createDataFrame(
+        [(i, wav(i)) for i in range(8)], ["doc_id", "payload"]
+    )
+    incoming = spark.createDataFrame(
+        [
+            (100, wav(3)),          # exact perceptual copy of kept 3
+            (101, wav(5, True)),    # near-dup of kept 5
+            (102, wav(777)),        # unrelated -> new
+            (103, None),            # NULL payload -> new
+        ],
+        schema=existing.schema,
+    )
+    got = {
+        r["doc_id"]: (r["verdict"], r["matched_id"])
+        for r in streaming_audio_perceptual_dedup(incoming, existing).collect()
+    }
+    assert got[100] == ("near", 3)
+    assert got[101][0] == "near" and got[101][1] == 5
+    assert got[102] == ("new", None) and got[103] == ("new", None)
+
+    # batch equivalence: union both sides, run the batch pair join
+    both = existing.unionByName(incoming.where(F.col("payload").isNotNull()))
+    batch_pairs = {
+        (p["id_a"], p["id_b"])
+        for p in dhash_neardup_pairs(
+            audio_envelope_hash(both, "doc_id"), "doc_id",
+            hash_col="ahash", max_hamming=3, n_bands=4, n_bits=28,
+        ).collect()
+    }
+    assert (3, 100) in batch_pairs and (5, 101) in batch_pairs
+    assert not any(102 in pair for pair in batch_pairs)

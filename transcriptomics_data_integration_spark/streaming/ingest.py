@@ -595,6 +595,84 @@ def streaming_incremental_dedup(
     )
 
 
+def _perceptual_screen(
+    stream_df: DataFrame,
+    existing_hashes: list,
+    payload_hash_fn,
+    id_col: str,
+    payload_col: str,
+    max_hamming: int,
+    n_bands: int,
+    n_bits: int,
+) -> DataFrame:
+    """Shared screen-at-ingest core for the perceptual streaming
+    twins: build a driver-side band index over the kept corpus's
+    (id, hash) rows (BOUNDED: one long per kept item), broadcast it,
+    and screen each arriving payload with ``payload_hash_fn`` —
+    same banding, same pigeonhole recall contract as the batch pair
+    join.  NULL / undecodable payloads screen as 'new'."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    width = n_bits // n_bands
+    band_index: dict = {}
+    hash_by_id: dict = {}
+    for ex_id, h in existing_hashes:
+        hash_by_id[ex_id] = h
+        for b in range(n_bands):
+            key = (b, (h >> (b * width)) % (1 << width))
+            band_index.setdefault(key, []).append(ex_id)
+
+    sc = stream_df.sparkSession.sparkContext
+    b_bands = sc.broadcast(band_index)
+    b_hashes = sc.broadcast(hash_by_id)
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("verdict", StringType()),
+                StructField("matched_id", LongType()),
+                StructField("hamming", IntegerType()),
+            ]
+        )
+    )
+    def screen(payloads):
+        bdi = b_bands.value
+        hbi = b_hashes.value
+        rows = []
+        for p in payloads:
+            h = None if p is None else payload_hash_fn(bytes(p))
+            if h is None:  # NULL or undecodable payload
+                rows.append(("new", None, None))
+                continue
+            cands: set = set()
+            for b in range(n_bands):
+                key = (b, (h >> (b * width)) % (1 << width))
+                cands.update(bdi.get(key, ()))
+            best = None
+            for ex_id in sorted(cands):
+                d = bin(h ^ hbi[ex_id]).count("1")
+                if d <= max_hamming and (best is None or d < best[2]):
+                    best = ("near", ex_id, d)
+            rows.append(best or ("new", None, None))
+        return pd.DataFrame(rows, columns=["verdict", "matched_id", "hamming"])
+
+    return stream_df.select(
+        F.col(id_col), screen(F.col(payload_col)).alias("_s")
+    ).select(
+        id_col,
+        F.col("_s.verdict").alias("verdict"),
+        F.col("_s.matched_id").alias("matched_id"),
+        F.col("_s.hamming").alias("hamming"),
+    )
+
+
 def streaming_perceptual_dedup(
     stream_df: DataFrame,
     existing: DataFrame,
@@ -618,73 +696,55 @@ def streaming_perceptual_dedup(
 
     Output: (id, verdict 'near'|'new', matched_id, hamming).
     """
-    import pandas as pd
-    from pyspark.sql.types import (
-        IntegerType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
     from transcriptomics_data_integration_spark.llmdata.multimodal import (
         decode_png_pixels,
         dhash_bits,
         image_dhash,
     )
 
-    width = n_bits // n_bands
-    band_index: dict = {}
-    hash_by_id: dict = {}
-    for ex_id, h in image_dhash(existing, id_col, payload_col).collect():
-        hash_by_id[ex_id] = h
-        for b in range(n_bands):
-            key = (b, (h >> (b * width)) % (1 << width))
-            band_index.setdefault(key, []).append(ex_id)
+    def hash_payload(raw: bytes):
+        px = decode_png_pixels(raw)
+        return None if px is None else dhash_bits(px)
 
-    sc = existing.sparkSession.sparkContext
-    b_bands = sc.broadcast(band_index)
-    b_hashes = sc.broadcast(hash_by_id)
-
-    @F.pandas_udf(
-        StructType(
-            [
-                StructField("verdict", StringType()),
-                StructField("matched_id", LongType()),
-                StructField("hamming", IntegerType()),
-            ]
-        )
+    return _perceptual_screen(
+        stream_df,
+        image_dhash(existing, id_col, payload_col).collect(),
+        hash_payload, id_col, payload_col, max_hamming, n_bands, n_bits,
     )
-    def screen(payloads):
-        bdi = b_bands.value
-        hbi = b_hashes.value
-        rows = []
-        for p in payloads:
-            if p is None:  # NULL payload: treat like undecodable bytes
-                rows.append(("new", None, None))
-                continue
-            px = decode_png_pixels(bytes(p))
-            if px is None:
-                rows.append(("new", None, None))
-                continue
-            h = dhash_bits(px)
-            cands: set = set()
-            for b in range(n_bands):
-                key = (b, (h >> (b * width)) % (1 << width))
-                cands.update(bdi.get(key, ()))
-            best = None
-            for ex_id in sorted(cands):
-                d = bin(h ^ hbi[ex_id]).count("1")
-                if d <= max_hamming and (best is None or d < best[2]):
-                    best = ("near", ex_id, d)
-            rows.append(best or ("new", None, None))
-        return pd.DataFrame(rows, columns=["verdict", "matched_id", "hamming"])
 
-    return stream_df.select(
-        F.col(id_col), screen(F.col(payload_col)).alias("_s")
-    ).select(
-        id_col,
-        F.col("_s.verdict").alias("verdict"),
-        F.col("_s.matched_id").alias("matched_id"),
-        F.col("_s.hamming").alias("hamming"),
+
+def streaming_audio_perceptual_dedup(
+    stream_df: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    n_frames: int = 29,
+) -> DataFrame:
+    """Streaming twin of the batch perceptual AUDIO dedup (r10 —
+    `llmdata.multimodal.audio_envelope_hash` + `dhash_neardup_pairs`
+    at n_bits = n_frames - 1), mirroring the r9 image
+    screen-at-ingest: each arriving WAV payload is PCM16-decoded,
+    envelope-hashed, and screened against the broadcast band index of
+    the kept corpus.  Same bounded-kept-side contract and batch
+    fallback as the image twin.
+
+    Output: (id, verdict 'near'|'new', matched_id, hamming).
+    """
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        audio_envelope_bits,
+        audio_envelope_hash,
+        decode_wav_samples,
+    )
+
+    def hash_payload(raw: bytes):
+        s = decode_wav_samples(raw)
+        return None if s is None else audio_envelope_bits(s, n_frames)
+
+    return _perceptual_screen(
+        stream_df,
+        audio_envelope_hash(existing, id_col, payload_col, n_frames).collect(),
+        hash_payload, id_col, payload_col, max_hamming, n_bands,
+        n_frames - 1,
     )
