@@ -20,22 +20,27 @@ in the suite) with the iteration unrolled into CTEs.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from transcriptomics_data_integration_spark.runtime import register_persisted
 
 # Per-iteration lineage pin for the trainers (r10 A/B, PLANS.md):
-# False (default) persists the bounded vocab relation — iteration r+1
-# reuses cached blocks but the LOGICAL plan keeps growing, so Catalyst
-# re-analyzes an ever-deeper unrolled tree each round.  True swaps in
-# eager localCheckpoint(), which truncates the lineage to a scanned
-# RDD — shorter analysis at the cost of one materialization per
-# iteration.  Module-level so the A/B harness can flip it without
-# duplicating trainer code.
-ITER_TRUNCATE = False
+# True (default) localCheckpoint()s the bounded vocab relation each
+# iteration, truncating its lineage to a scanned RDD.  This is NOT an
+# optimization nicety — the A/B measured per-iteration cost DOUBLING
+# under plain persist() (0.83 s at iter 10 -> 8.6 s at iter 15;
+# n_merges=20 non-terminating at >270 s): each merge fold references
+# its input column several times, so Catalyst's project collapsing
+# substitutes the previous fold into every reference and the
+# optimized expression grows EXPONENTIALLY in the iteration count.
+# Truncation caps the visible plan at one fold — measured linear
+# ~0.25 s/iteration through n_merges=50.  Cluster caveat: a
+# localCheckpoint block lost to executor failure is not recomputable;
+# for these vocab-bounded trainer relations the recovery story is
+# "rerun the trainer", which is acceptable for a tokenizer-training
+# job.  False restores persist() for A/B measurement.
+ITER_TRUNCATE = True
 
 
 def _iter_pin(df: DataFrame) -> DataFrame:
@@ -106,24 +111,26 @@ def bpe_train_fixed(
             .groupBy("a", "b")
             .agg(F.sum("wc").alias("c"))
         )
-        best = pairs.orderBy(F.col("c").desc(), F.col("a"), F.col("b")).limit(1)
-        merge_rows.append(
-            best.select(
-                F.lit(r).alias("merge_rank"),
-                F.col("a").alias("lhs"),
-                F.col("b").alias("rhs"),
-                F.concat("a", "b").alias("merged"),
-                F.col("c").alias("pair_count"),
-            )
-        )
-        # bounded vocab relation again — persist so iteration r+1 (and
-        # the merge-table rows) never re-execute earlier folds
+        # the winner is ONE bounded row (the tokenizer artifact grows
+        # one entry per merge): collect it and inline the pair as
+        # LITERALS in the next fold.  Keeping the winner in-plan as a
+        # crossJoin made iteration r's tree contain iteration r-1's
+        # tree TWICE (once under syms, once under best) — an
+        # EXPONENTIAL 2^r logical plan that stalled Catalyst tree
+        # walks for minutes at n_merges=20 (r10 A/B, PLANS.md);
+        # literal injection makes plan growth linear in n_merges.
+        row = pairs.orderBy(F.col("c").desc(), F.col("a"), F.col("b")).limit(1).collect()
+        if not row:
+            break
+        lhs, rhs, cnt = row[0]["a"], row[0]["b"], row[0]["c"]
+        merge_rows.append((r, lhs, rhs, lhs + rhs, cnt))
         syms = _iter_pin(
-            syms.crossJoin(F.broadcast(best))
-            .withColumn("s", F.expr(_merge_fold("a", "b")))
-            .select("wc", "s")
+            syms.withColumn("s", F.expr(_merge_fold(_sq(lhs), _sq(rhs))))
         )
-    return reduce(lambda x, y: x.unionByName(y), merge_rows)
+    return syms.sparkSession.createDataFrame(
+        merge_rows,
+        "merge_rank int, lhs string, rhs string, merged string, pair_count bigint",
+    )
 
 
 def _sq(lit: str) -> str:
@@ -369,7 +376,13 @@ def unigram_train_fixed(
             )
             .where(F.col("count").isNotNull())
         )
-        pieces = _iter_pin(_scored(merged))
+        # localCheckpoint, not persist: _scored's 1-row total attach
+        # nests tree(pieces_k) inside itself twice per EM round (the
+        # same exponential-plan shape the r10 A/B caught in the merge
+        # trainers); truncating the bounded vocab relation's lineage
+        # keeps the plan O(1) per round.  Values unchanged — the
+        # relation is materialized either way.
+        pieces = _scored(merged).localCheckpoint()
 
     n_chars = chars.count()  # bounded scalar: the character inventory size
     kept_multi = (
@@ -500,23 +513,23 @@ def wordpiece_train_fixed(
                 F.col("c").cast("double") / (F.col("ca") * F.col("cb")),
             )
         )
-        best = scored.orderBy(
+        # collect the 1-row winner and inline literals — same
+        # exponential-plan fix as bpe_train_fixed (the crossJoin form
+        # nested iteration r-1's tree twice per round)
+        row = scored.orderBy(
             F.col("score").desc(), F.col("a"), F.col("b")
-        ).limit(1)
+        ).limit(1).collect()
+        if not row:
+            break
+        lhs, rhs = row[0]["a"], row[0]["b"]
         merge_rows.append(
-            best.select(
-                F.lit(r).alias("merge_rank"),
-                F.col("a").alias("lhs"),
-                F.col("b").alias("rhs"),
-                F.concat("a", "b").alias("merged"),
-                F.col("c").alias("pair_count"),
-                F.col("ca").alias("lhs_count"),
-                F.col("cb").alias("rhs_count"),
-            )
+            (r, lhs, rhs, lhs + rhs, row[0]["c"], row[0]["ca"], row[0]["cb"])
         )
         syms = _iter_pin(
-            syms.crossJoin(F.broadcast(best.select("a", "b")))
-            .withColumn("s", F.expr(_merge_fold("a", "b")))
-            .select("wc", "s")
+            syms.withColumn("s", F.expr(_merge_fold(_sq(lhs), _sq(rhs))))
         )
-    return reduce(lambda x, y: x.unionByName(y), merge_rows)
+    return syms.sparkSession.createDataFrame(
+        merge_rows,
+        "merge_rank int, lhs string, rhs string, merged string, "
+        "pair_count bigint, lhs_count bigint, rhs_count bigint",
+    )
