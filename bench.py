@@ -161,6 +161,8 @@ BENCH_QUERIES = [
     # round-10 additions
     "p_adjust_by",
     "p_adjust_holm",
+    "image_dhash_wide",
+    "audio_neardup_wide",
 ]
 
 

@@ -1,0 +1,87 @@
+"""r10 scale probe (verdict item 5): the persisted-index incremental
+dedup at a 5 M-doc kept corpus — confirm index-build linearity past
+the r9 1 M row (455.4 s, 2,195 docs/s with the 30-bit lane family)
+and measure incoming-batch throughput against the larger index.
+
+Same corpus generator and phase split as tools/r8b_ops_probe.py
+(synth md5-keyed docs, 20% dup storms; incoming = n/5 with 40% exact
+/ 40% near / 20% new), parquet-materialized for honest stats.
+
+Usage: python tools/r10_incremental_probe.py [n_docs]
+Prints one JSON line per phase; paste into PLANS.md.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from transcriptomics_data_integration_spark.session import get_spark
+from tools.r8b_ops_probe import synth_docs
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+    spark = get_spark("r10-incremental-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    cores = spark.sparkContext.defaultParallelism
+
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        build_minhash_index,
+        incremental_minhash_dedup,
+    )
+
+    tmp = "/tmp/r10_inc_probe"
+    shutil.rmtree(tmp, ignore_errors=True)
+    synth_docs(spark, n_docs, "l").repartition(cores).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/existing")
+    existing = spark.read.parquet(f"{tmp}/existing")
+    n_inc = n_docs // 5
+    (
+        spark.range(n_inc)
+        .select((F.col("id") * 5).alias("src_id"), F.col("id").alias("k"))
+        .join(existing.select(F.col("doc_id").alias("src_id"), "text"), "src_id")
+        .select(
+            (F.col("src_id") + 10 * n_docs).alias("doc_id"),
+            F.when(F.col("k") % 5 < 2, F.col("text"))
+            .when(F.col("k") % 5 < 4, F.concat(F.col("text"), F.lit(" qq")))
+            .otherwise(F.concat(F.lit("fresh-"), F.col("k"), F.lit("-novel-payload-row")))
+            .alias("text"),
+        )
+        .repartition(cores)
+        .write.mode("overwrite").parquet(f"{tmp}/incoming")
+    )
+    incoming = spark.read.parquet(f"{tmp}/incoming")
+
+    t0 = time.perf_counter()
+    build_minhash_index(existing, "doc_id").write.mode("overwrite").parquet(
+        f"{tmp}/index"
+    )
+    t_index = time.perf_counter() - t0
+    index = spark.read.parquet(f"{tmp}/index")
+    print(json.dumps({"probe": f"r10_minhash_index_build_{n_docs}",
+                      "sec": round(t_index, 1),
+                      "docs_per_sec": int(n_docs / t_index)}), flush=True)
+
+    t0 = time.perf_counter()
+    out = incremental_minhash_dedup(
+        None, incoming, "doc_id", existing_index=index
+    )
+    counts = {r["verdict"]: r["n"] for r in
+              out.groupBy("verdict").agg(F.count(F.lit(1)).alias("n")).collect()}
+    t = time.perf_counter() - t0
+    print(json.dumps({"probe": f"r10_incremental_dedup_{n_docs}x{n_inc}",
+                      "verdicts": counts, "sec": round(t, 1),
+                      "incoming_docs_per_sec": int(n_inc / t)}), flush=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
