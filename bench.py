@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "p_adjust_holm",
     "image_dhash_wide",
     "audio_neardup_wide",
+    "video_neardup",
 ]
 
 

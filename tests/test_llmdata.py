@@ -3968,3 +3968,53 @@ def test_flac_lpc_and_stereo_roundtrip():
     )
     raw[-5] ^= 0x40
     assert decode_flac_frames(bytes(raw)) is None
+
+
+def test_video_phash_wide_neardup(spark):
+    """Video perceptual fingerprint (r10): per-sampled-frame dHash
+    words through the real MJPEG-AVI codec; a one-frame edit flips
+    bits in that frame's word only, so the banded wide join finds the
+    pair; unrelated clips stay apart; frame sampling handles clips
+    longer than n_frames."""
+    import numpy as np
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        encode_avi_mjpeg,
+        hamming_neardup_pairs_wide,
+        video_phash_wide,
+    )
+
+    ones = np.ones((8, 8), dtype=np.uint8)
+
+    def clip(seed, n_frames=8, perturb=False):
+        rng = np.random.RandomState(seed)
+        frames = []
+        for f in range(n_frames):
+            v = rng.randint(0, 256, (2, 17))
+            if perturb and f == 3:
+                v = v.copy()
+                v[0, 9] = (v[0, 9] + 128) % 256
+            frames.append(np.kron(v.astype(np.uint8), ones))
+        return bytearray(encode_avi_mjpeg(frames, fps=12))
+
+    df = spark.createDataFrame(
+        [
+            (1, clip(7)),
+            (2, clip(7, perturb=True)),   # one-frame edit of 1
+            (3, clip(99)),                # unrelated
+            (4, clip(7, n_frames=16)),    # 1's content, doubled frames
+        ],
+        ["doc_id", "payload"],
+    )
+    hashes = video_phash_wide(df, "doc_id")
+    rows = {r["doc_id"]: r["dwords"] for r in hashes.collect()}
+    assert all(len(w) == 8 for w in rows.values())
+    d12 = sum(bin(a ^ b).count("1") for a, b in zip(rows[1], rows[2]))
+    assert 1 <= d12 <= 3  # edit localized to frame 3's word
+    assert sum(bin(a ^ b).count("1") for a, b in zip(rows[1], rows[3])) > 10
+    pairs = {
+        (p["id_a"], p["id_b"]): p["hamming"]
+        for p in hamming_neardup_pairs_wide(hashes, "doc_id", max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in k for k in pairs)

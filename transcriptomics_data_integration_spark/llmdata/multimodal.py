@@ -2300,11 +2300,13 @@ def _sampled_luma(pixels: np.ndarray, gh: int, gw: int) -> list[list[int]]:
         out = []
         for c in range(gw):
             sc = c * w // gw
-            if pixels.ndim == 3:
+            if pixels.ndim == 3 and pixels.shape[2] >= 3:
                 p = row[sc]
                 out.append(
                     (299 * int(p[0]) + 587 * int(p[1]) + 114 * int(p[2])) // 1000
                 )
+            elif pixels.ndim == 3:  # single-channel (H, W, 1) grayscale
+                out.append(int(row[sc][0]))
             else:
                 out.append(int(row[sc]))
         grid.append(out)
@@ -2483,4 +2485,51 @@ def hamming_neardup_pairs_wide(
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def video_phash_wide(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    n_frames: int = 8,
+    word_bits: int = 16,
+) -> DataFrame:
+    """Perceptual VIDEO fingerprint (r10) — completes the
+    text/image/audio/video modality-dedup quadruple: demux + entropy-
+    decode the MJPEG-AVI payload (:func:`decode_avi_frames`), sample
+    ``n_frames`` frames evenly across the clip (index k * F // n),
+    dHash each sampled frame to ONE ``word_bits``-bit word
+    (:func:`dhash_words` with a single band — a 1 x (word_bits+1)
+    luma grid), and emit the fingerprint as the array of per-frame
+    words.  The array slots directly into
+    :func:`hamming_neardup_pairs_wide`: each FRAME is a band, so two
+    clips that agree on any sampled frame's hash meet in the join,
+    and recall is pigeonhole-exact for total hamming < n_frames —
+    temporal clipping tolerance comes from even resampling, content
+    tolerance from dHash's gradient bits.  Undecodable payloads and
+    clips with no decodable frames drop (tolerant-reader stance).
+    Pure map-side Arrow stage; everything downstream runs on the
+    1-row-per-clip fingerprint relation."""
+    import pandas as pd
+
+    def op(batches):
+        for pdf in batches:
+            ids, words = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                vid = decode_avi_frames(bytes(payload))
+                if vid is None or not vid["frames"]:
+                    continue
+                frames = vid["frames"]
+                nf = len(frames)
+                ws = [
+                    dhash_words(frames[k * nf // n_frames], 1, word_bits)[0]
+                    for k in range(n_frames)
+                ]
+                ids.append(int(i))
+                words.append(ws)
+            yield pd.DataFrame({id_col: ids, "dwords": words})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        op, schema=f"{id_col} long, dwords array<long>"
     )

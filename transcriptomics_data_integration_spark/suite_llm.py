@@ -7026,3 +7026,105 @@ SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
 
 QUERIES_LLM["audio_neardup_wide"] = q_audio_neardup_wide
 ORACLES_LLM["audio_neardup_wide"] = ORACLE_AUDIO_NEARDUP_WIDE
+
+
+def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual VIDEO near-dup, HASH-GATED (r10) — the fourth and
+    final member of the modality-dedup family (text SimHash/MinHash,
+    image dHash, audio envelope, video frame-hash): per doc a REAL
+    8-frame MJPEG-AVI whose 16x136 gray frames tile from 2x17
+    CONSTANT 8x8 blocks v(f,bi,bj) = (m*(f*53 + bi*37 + bj*17 + 1) +
+    (m*m % 251)*f*bj) % 256, m = (doc//2) % 997 + 3 (the quadratic
+    family term from the r9 de-degeneracy lesson) — constant tiles
+    survive the lossy JPEG pipeline bit-exactly under all-ones quant,
+    so the oracle recomputes every frame word from the tile formula
+    alone.  Odd docs perturb ONE tile (frame 3, sampled tile row 0,
+    column 9: +128), flipping <= 2 gradient bits of frame 3's word
+    only.  The fingerprint is `video_phash_wide`'s per-frame 16-bit
+    dHash word array (frame = band; the 1x17 luma grid samples pixel
+    columns 8c — exactly the tile starts), paired by
+    `hamming_neardup_pairs_wide(max_hamming=3)`: planted pairs agree
+    on 7 of 8 frames, so recall is pigeonhole-exact.  A hash match
+    proves AVI demux, per-frame JPEG round-trip, frame sampling,
+    per-frame hashing, array banding, and segmented hamming
+    end-to-end."""
+    import numpy as np
+    import pandas as pd
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        encode_avi_mjpeg,
+        hamming_neardup_pairs_wide,
+        video_phash_wide,
+    )
+
+    NF, BH, BW = 8, 2, 17
+
+    def op(batches):
+        bi = np.arange(BH).reshape(-1, 1)
+        bj = np.arange(BW).reshape(1, -1)
+        ones = np.ones((8, 8), dtype=np.uint8)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                m = (did // 2) % 997 + 3
+                frames = []
+                for f in range(NF):
+                    v = (m * (f * 53 + bi * 37 + bj * 17 + 1)
+                         + (m * m % 251) * f * bj) % 256
+                    if did % 2 == 1 and f == 3:
+                        v = v.copy()
+                        v[0, 9] = (v[0, 9] + 128) % 256
+                    frames.append(np.kron(v.astype(np.uint8), ones))
+                rows.append((did, bytearray(encode_avi_mjpeg(frames, fps=12))))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    vids = docs.mapInPandas(op, schema="doc_id long, payload binary")
+    hashes = video_phash_wide(vids, "doc_id", n_frames=NF)
+    return hamming_neardup_pairs_wide(hashes, "doc_id", max_hamming=3)
+
+
+ORACLE_VIDEO_NEARDUP = """
+WITH grid AS (
+  SELECT d.doc_id, f.f, c.c,
+         ((((d.doc_id // 2) % 997 + 3)
+           * (f.f * 53 + c.c * 17 + 1)
+           + ((((d.doc_id // 2) % 997 + 3) * ((d.doc_id // 2) % 997 + 3)) % 251)
+             * f.f * c.c) % 256
+          + CASE WHEN d.doc_id % 2 = 1 AND f.f = 3 AND c.c = 9
+                 THEN 128 ELSE 0 END
+         ) % 256 AS luma
+  FROM documents d,
+       (SELECT unnest(generate_series(0, 7)) AS f) f,
+       (SELECT unnest(generate_series(0, 16)) AS c) c
+), bits AS (
+  SELECT a.doc_id, a.f, a.c,
+         CASE WHEN a.luma < b.luma THEN 1 ELSE 0 END AS bit
+  FROM grid a JOIN grid b
+    ON a.doc_id = b.doc_id AND a.f = b.f AND b.c = a.c + 1
+  WHERE a.c < 16
+), words AS (
+  SELECT doc_id, f AS band,
+         CAST(SUM(bit * (CAST(1 AS BIGINT) << c)) AS BIGINT) AS band_key
+  FROM bits GROUP BY doc_id, f
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM words a JOIN words b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), ham AS (
+  SELECT c.id_a, c.id_b,
+         CAST(SUM(bit_count(xor(wa.band_key, wb.band_key))) AS INTEGER) AS hamming
+  FROM cand c
+  JOIN words wa ON wa.doc_id = c.id_a
+  JOIN words wb ON wb.doc_id = c.id_b AND wb.band = wa.band
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+"""
+
+QUERIES_LLM["video_neardup"] = q_video_neardup
+ORACLES_LLM["video_neardup"] = ORACLE_VIDEO_NEARDUP
