@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "image_dhash_wide",
     "audio_neardup_wide",
     "video_neardup",
+    "tfrecord_roundtrip",
 ]
 
 

@@ -22,13 +22,40 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F
 
-from transcriptomics_data_integration_spark.session import get_spark
 from tools.r8b_ops_probe import synth_docs
 
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
-    spark = get_spark("r10-incremental-probe")
+    # zstd shuffle/spill compression: the 5 M index build's sort spill
+    # exceeded this host's ~80 GB free under default lz4 (ENOSPC);
+    # zstd cuts spill bytes ~35% at negligible CPU for this shape.
+    # On a cluster the spill distributes across executors' local disks
+    # — this is a single-host probe accommodation, recorded in
+    # PLANS.md r10.  The session must be created HERE with the codec
+    # (get_spark's getOrCreate would otherwise pin the default): same
+    # configs as session.get_spark plus the codec.
+    import os as _os
+
+    from pyspark.sql import SparkSession
+
+    cpus = int(_os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("r10-incremental-probe")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", _os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.cleaner.referenceTracking.blocking", "false")
+        .config("spark.io.compression.codec", "zstd")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
     cores = spark.sparkContext.defaultParallelism
 

@@ -2159,10 +2159,10 @@ _ROUND10_FRONT = [
     # -- (b) r10-new kernels: the BY/holm completion of M10's adjust
     # surface and the capacity-scaled perceptual near-dup twins ------
     "p_adjust_by", "p_adjust_holm", "image_dhash_wide",
-    "audio_neardup_wide", "video_neardup",
-    # -- (c) the r6-only-stamped backlog in registry order (54 total
-    # with (a)+(b); htseq_scan, rsem_convert, idat_decode,
-    # detection_p slip to r11 along with any r10-untouched remainder)
+    "audio_neardup_wide", "video_neardup", "tfrecord_roundtrip",
+    # -- (c) the r6-only-stamped backlog in registry order (55 total
+    # with (a)+(b); full_outer_merge, htseq_scan, rsem_convert,
+    # idat_decode, detection_p slip to r11 with the r7 remainder)
     "merge_left_join", "interval_join", "quantile_thresholds",
     "sample_correlation", "quantile_normalization", "diff_expression",
     "stouffer_meta", "fem_rem", "bpe_encode", "ann_recall",
@@ -2174,13 +2174,13 @@ _ROUND10_FRONT = [
     "rnaseq_pipeline_binned", "cqn_bias", "array_weights",
     "qc_sample_metrics", "expression_pipeline", "weighted_de",
     "dataset_group_means", "rollup_summary", "pivot_matrix",
-    "melt_measures", "registry_upsert", "full_outer_merge",
+    "melt_measures", "registry_upsert",
 ]
 
 # Round-11 rotation plan: (a) any r10 gate above that misses a driver
 # stamp this window, then (b) r11-touched/new kernels, (c) the
-# four slipped here (htseq_scan, rsem_convert, idat_decode,
-# detection_p) FIRST,
+# five slipped here (full_outer_merge, htseq_scan, rsem_convert,
+# idat_decode, detection_p) FIRST,
 # then whatever remains of the r7-only-stamped tail in registry
 # order.  (Compare r11 bench rows against the r10 driver column
 # through the host band recorded in BASELINE.md.)

@@ -7128,3 +7128,85 @@ SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
 
 QUERIES_LLM["video_neardup"] = q_video_neardup
 ORACLES_LLM["video_neardup"] = ORACLE_VIDEO_NEARDUP
+
+
+# --- TFRecord / tf.Example codec (r10) -------------------------------------
+
+
+def q_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord/tf.Example codec, HASH-GATED (r10) — the canonical
+    TensorFlow training-data container joins the source/sink surface
+    (`sources/tfrecord.py`): per doc a REAL 3-record TFRecord stream
+    (masked-CRC-32C framing; each record a hand-wire-format
+    tf.Example with int64 features doc_id/chunk/vals — negatives
+    exercise the full 10-byte varint — and one formula-length bytes
+    feature) is encoded, then independently decoded back
+    (`tfrecord_decode_examples`: framing walk, BOTH masked CRCs
+    verified per record, proto parse) and reduced to integer-exact
+    per-record rows.  The oracle recomputes every output from the
+    plant formulas alone — it never touches TFRecord bytes — so a
+    hash match proves CRC-32C, framing, varint/length-delimited wire
+    coding, and map-entry round-trip end-to-end."""
+    import pandas as pd
+
+    from transcriptomics_data_integration_spark.sources.tfrecord import (
+        encode_example,
+        encode_tfrecord,
+        tfrecord_decode_examples,
+    )
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                recs = []
+                for r in range(3):
+                    ln = (did + r) % 7 + 1
+                    recs.append(
+                        encode_example(
+                            {
+                                "doc_id": [did],
+                                "chunk": [r],
+                                "vals": [
+                                    (did * 7 + r * 13 + k * 29) % 1000 - 500
+                                    for k in range(1, 5)
+                                ],
+                                "payload": [
+                                    bytes((did + r + j) % 256 for j in range(ln))
+                                ],
+                            }
+                        )
+                    )
+                rows.append((did, bytearray(encode_tfrecord(recs))))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    streams = docs.mapInPandas(op, schema="doc_id long, payload binary")
+    return tfrecord_decode_examples(streams, "doc_id")
+
+
+ORACLE_TFRECORD = """
+WITH recs AS (
+  SELECT d.doc_id, r.r AS rec_no
+  FROM documents d, (SELECT unnest(generate_series(0, 2)) AS r) r
+)
+SELECT doc_id, CAST(rec_no AS INTEGER) AS rec_no,
+       CAST(3 AS INTEGER) AS n_records,
+       CAST(4 AS INTEGER) AS n_features,
+       CAST(doc_id + rec_no
+            + ((doc_id * 7 + rec_no * 13 + 29) % 1000 - 500)
+            + ((doc_id * 7 + rec_no * 13 + 58) % 1000 - 500)
+            + ((doc_id * 7 + rec_no * 13 + 87) % 1000 - 500)
+            + ((doc_id * 7 + rec_no * 13 + 116) % 1000 - 500)
+         AS BIGINT) AS sum_int64,
+       CAST(1 AS INTEGER) AS n_bytes_vals,
+       CAST((doc_id + rec_no) % 7 + 1 AS BIGINT) AS bytes_len
+FROM recs
+"""
+
+QUERIES_LLM["tfrecord_roundtrip"] = q_tfrecord_roundtrip
+ORACLES_LLM["tfrecord_roundtrip"] = ORACLE_TFRECORD
