@@ -1285,3 +1285,31 @@ def test_tfrecord_codec_roundtrip_and_spark_decode(spark):
         (1, 0): (2, 2, 30, 1, 3),
         (1, 1): (2, 1, -7, 0, 0),
     }
+
+
+def test_tfrecord_encode_docs_sink_roundtrip(spark):
+    """tfrecord_encode_docs (r10 sink direction): rows pack into
+    framed streams that the decode op reads back exactly; stream
+    grouping respects records_per_stream."""
+    from transcriptomics_data_integration_spark.sources.tfrecord import (
+        decode_example,
+        decode_tfrecord,
+        tfrecord_encode_docs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i * 10, f"doc {i}") for i in range(6)],
+        ["doc_id", "score", "text"],
+    ).coalesce(1)
+    out = tfrecord_encode_docs(
+        df, "doc_id", int_cols=["score"], text_cols=["text"],
+        records_per_stream=2,
+    ).collect()
+    assert sum(r["n_records"] for r in out) == 6
+    assert all(r["n_records"] == 2 for r in out)
+    seen = {}
+    for r in out:
+        for rec in decode_tfrecord(bytes(r["payload"])):
+            ex = decode_example(rec)
+            seen[ex["doc_id"][0]] = (ex["score"][0], ex["text"][0])
+    assert seen == {i: (i * 10, f"doc {i}".encode()) for i in range(6)}

@@ -276,3 +276,62 @@ def tfrecord_decode_examples(
         schema=f"{id_col} long, rec_no int, n_records int, n_features int,"
                " sum_int64 long, n_bytes_vals int, bytes_len long",
     )
+
+
+def tfrecord_encode_docs(
+    df: DataFrame,
+    id_col: str,
+    int_cols: list[str] | None = None,
+    text_cols: list[str] | None = None,
+    records_per_stream: int = 1,
+) -> DataFrame:
+    """Sink direction: pack document rows into TFRecord streams —
+    ``(id, payload binary, n_records)`` with one tf.Example per row
+    (int columns -> Int64List, text columns -> utf-8 BytesList) and
+    ``records_per_stream`` consecutive in-partition rows framed per
+    stream.  The payload column then goes to any binary sink (the
+    repo's sharded writers, object storage, a downstream loader).
+    Pure map-side Arrow stage — encode cost is linear and co-located
+    with the data; no shuffle is introduced by packing (stream
+    grouping is per-partition arrival order, so pre-sort/repartition
+    upstream if stream membership must be deterministic)."""
+    import pandas as pd
+
+    int_cols = int_cols or []
+    text_cols = text_cols or []
+    cols = [id_col] + int_cols + text_cols
+
+    def op(batches):
+        pending_ids: list[int] = []
+        pending: list[bytes] = []
+
+        def flush():
+            sid = pending_ids[0]
+            stream = encode_tfrecord(pending)
+            row = (sid, bytearray(stream), len(pending))
+            pending_ids.clear()
+            pending.clear()
+            return row
+
+        rows = []
+        for pdf in batches:
+            for tup in pdf.itertuples(index=False):
+                rec = {id_col: [int(getattr(tup, id_col))]}
+                for c in int_cols:
+                    rec[c] = [int(getattr(tup, c))]
+                for c in text_cols:
+                    v = getattr(tup, c)
+                    rec[c] = [("" if v is None else str(v)).encode()]
+                pending_ids.append(int(getattr(tup, id_col)))
+                pending.append(encode_example(rec))
+                if len(pending) >= records_per_stream:
+                    rows.append(flush())
+        if pending:
+            rows.append(flush())
+        yield pd.DataFrame(
+            rows, columns=["stream_id", "payload", "n_records"]
+        )
+
+    return df.select(*cols).mapInPandas(
+        op, schema="stream_id long, payload binary, n_records int"
+    )
