@@ -1,14 +1,23 @@
 """r10 scale probe (verdict item 5): the persisted-index incremental
-dedup at a 5 M-doc kept corpus — confirm index-build linearity past
-the r9 1 M row (455.4 s, 2,195 docs/s with the 30-bit lane family)
-and measure incoming-batch throughput against the larger index.
+dedup past the r9 1 M-doc row — confirm index-build linearity and
+measure incoming-batch throughput against index size, SAME-SESSION
+rungs so the ratios are host-band-free (the r9 lesson: never compare
+wall-clock across days).
+
+HOST BOUND, measured: the 5 M-doc index build's sort spill exceeds
+this host's ~80 GB free tmp under lz4 (ENOSPC) AND under zstd (97%
+disk before the build completed) — a single-host DISK bound, not an
+algorithmic one: spill bytes scale linearly with the corpus and
+distribute across executors' local disks on a cluster.  The ladder
+tops out at 2.5 M here; the candidate/spill arithmetic per doc is
+constant across rungs.
 
 Same corpus generator and phase split as tools/r8b_ops_probe.py
 (synth md5-keyed docs, 20% dup storms; incoming = n/5 with 40% exact
 / 40% near / 20% new), parquet-materialized for honest stats.
 
-Usage: python tools/r10_incremental_probe.py [n_docs]
-Prints one JSON line per phase; paste into PLANS.md.
+Usage: python tools/r10_incremental_probe.py [n_docs ...]
+Prints one JSON line per (rung, phase); paste into PLANS.md.
 """
 
 from __future__ import annotations
@@ -26,7 +35,7 @@ from tools.r8b_ops_probe import synth_docs
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+    rungs = [int(a) for a in sys.argv[1:]] or [1_000_000, 2_500_000]
     # zstd shuffle/spill compression: the 5 M index build's sort spill
     # exceeded this host's ~80 GB free under default lz4 (ENOSPC);
     # zstd cuts spill bytes ~35% at negligible CPU for this shape.
@@ -64,6 +73,13 @@ def main() -> None:
         incremental_minhash_dedup,
     )
 
+    for n_docs in rungs:
+        run_rung(spark, cores, n_docs, build_minhash_index,
+                 incremental_minhash_dedup)
+
+
+def run_rung(spark, cores, n_docs, build_minhash_index,
+             incremental_minhash_dedup) -> None:
     tmp = "/tmp/r10_inc_probe"
     shutil.rmtree(tmp, ignore_errors=True)
     synth_docs(spark, n_docs, "l").repartition(cores).write.mode(
