@@ -16,6 +16,12 @@ Same corpus generator and phase split as tools/r8b_ops_probe.py
 (synth md5-keyed docs, 20% dup storms; incoming = n/5 with 40% exact
 / 40% near / 20% new), parquet-materialized for honest stats.
 
+Run ONE rung per process: within a session, a finished rung's
+shuffle files linger until the non-blocking cleaner gets to them, and
+they starved the next rung's spill space (measured: rung 2 ENOSPC'd
+with rung 1's ~50 GB still on disk).  Back-to-back processes on the
+same host keep the ladder ratio honest.
+
 Usage: python tools/r10_incremental_probe.py [n_docs ...]
 Prints one JSON line per (rung, phase); paste into PLANS.md.
 """
