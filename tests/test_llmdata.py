@@ -4019,54 +4019,3 @@ def test_video_phash_wide_neardup(spark):
     assert (1, 2) in pairs
     assert not any(3 in k for k in pairs)
 
-
-def test_incremental_dedup_pruned_index_matches_kernel(spark, tmp_path):
-    """Prefix-partitioned persisted index (r10): identical verdicts to
-    the in-memory incremental kernel, with the docs/ and bands/ scans
-    partition-pruned by the batch's own key prefixes (layout checked
-    on disk)."""
-    import os
-
-    from transcriptomics_data_integration_spark.llmdata.dedup import (
-        build_minhash_index,
-        incremental_minhash_dedup,
-        incremental_minhash_dedup_pruned,
-        write_minhash_index_partitioned,
-    )
-
-    def doc(i):
-        return " ".join(f"w{(i * 13 + j * 7) % 50}" for j in range(30))
-
-    existing = spark.createDataFrame(
-        [(i, doc(i)) for i in range(40)], ["doc_id", "text"]
-    )
-    incoming = spark.createDataFrame(
-        [
-            (100, doc(3)),                  # exact copy
-            (101, doc(5) + " zz"),          # near (one appended token)
-            (102, "completely novel words only here " * 3),  # new
-        ],
-        ["doc_id", "text"],
-    )
-    path = str(tmp_path / "minhash_index")
-    write_minhash_index_partitioned(
-        build_minhash_index(existing, "doc_id"), path, n_prefix=16
-    )
-    assert any(d.startswith("dpfx=") for d in os.listdir(f"{path}/docs"))
-    assert any(d.startswith("band=") for d in os.listdir(f"{path}/bands"))
-
-    got = {
-        r["doc_id"]: (r["verdict"], r["matched_id"], r["jaccard"])
-        for r in incremental_minhash_dedup_pruned(
-            spark, incoming, path, "doc_id", n_prefix=16
-        ).collect()
-    }
-    ref = {
-        r["doc_id"]: (r["verdict"], r["matched_id"], r["jaccard"])
-        for r in incremental_minhash_dedup(
-            existing, incoming, "doc_id"
-        ).collect()
-    }
-    assert got == ref
-    assert got[100][0] == "exact" and got[100][1] == 3
-    assert got[101][0] == "near" and got[102][0] == "new"

@@ -1,9 +1,30 @@
 """r10 probe: prefix-partitioned persisted index vs flat index for
-the incremental dedup batch phase — does partition pruning cut the
-per-batch wall time when the batch is small relative to the index?
-(The r10 ladder measured incoming throughput halving as the kept
-index grew; the pruned layout makes per-batch index I/O proportional
-to the batch's key coverage.)
+the incremental dedup batch phase — REJECTED lever (kept as the
+measured negative; the implementation was removed from dedup.py).
+
+Hypothesis: partition the stored index by content-key prefixes so a
+batch's own keys prune the scan (turning the per-batch index read
+from O(index) into O(matching buckets)).  Measured (250k index,
+min-of-2, verdicts identical to the flat kernel):
+
+  - 5k-doc batch:  flat 9.3 s, pruned 29.7 s (0.31x)
+  - 200-doc batch: flat 6.8 s, pruned 11.5 s (0.59x)
+  - partitioned write itself 2-3.4x the flat write
+
+Cause: content hashes are UNIFORM, so a batch's key-prefix coverage
+saturates the partition space at any realistic batch size (5k docs
+cover all 256 digest dirs and ~all 1024 band dirs; even 200 docs
+cover ~55%), while the layout pays 1,280 small-file dirs and
+n_bands x duplicated verify sets.  Parquet min/max row-group skipping
+is equally useless on uniform keys.  The remaining honest levers for
+the per-batch index-size component are shuffle-side, not scan-side:
+bucket the stored band relation BY band_key so the index side joins
+without a shuffle (r11 candidate), and/or a broadcast bloom of batch
+digests to pre-filter the index scan's exact arm.
+
+This run happens to also re-demonstrate the NEED the probe was
+aimed at (the r10 ladder's index-size component) — rejection of one
+lever does not close the item, it names the next two.
 
 Usage: python tools/r10_pruned_index_probe.py [n_docs n_inc]
 Prints JSON lines; paste into PLANS.md.
@@ -31,12 +52,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     cores = spark.sparkContext.defaultParallelism
 
-    from transcriptomics_data_integration_spark.llmdata.dedup import (
-        build_minhash_index,
-        incremental_minhash_dedup,
-        incremental_minhash_dedup_pruned,
-        write_minhash_index_partitioned,
-    )
+    try:
+        from transcriptomics_data_integration_spark.llmdata.dedup import (
+            build_minhash_index,
+            incremental_minhash_dedup,
+            incremental_minhash_dedup_pruned,
+            write_minhash_index_partitioned,
+        )
+    except ImportError:
+        print(json.dumps({"probe": "pruned_index", "status":
+                          "lever rejected and removed; numbers above are "
+                          "the recorded measurement"}))
+        return
 
     tmp = "/tmp/r10_pruned_probe"
     shutil.rmtree(tmp, ignore_errors=True)

@@ -1630,229 +1630,3 @@ def dedup_line_spans(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
-
-
-# --- Prefix-partitioned persisted index (r10) ------------------------------
-#
-# The r10 incremental ladder measured the per-batch cost's index-size
-# component: incoming throughput halved when the kept index grew 1 M
-# -> 2.5 M, because the exact phase scans the whole digest inventory
-# and the candidate phase scans the whole band relation per batch.
-# At 100 TB the fix is STORAGE LAYOUT, not a new algorithm: persist
-# the index partitioned by content-key prefixes so a batch's own keys
-# prune the scan to matching partitions at PLAN time.  The prefix
-# inventory of a batch is bounded by construction (<= n_prefix values
-# per phase), so the pruning filter is a driver-safe IN literal —
-# static pruning, no reliance on runtime DPP heuristics.
-
-
-def write_minhash_index_partitioned(
-    index: DataFrame, path: str, n_prefix: int = 256
-) -> None:
-    """Persist a :func:`build_minhash_index` relation as the pruned
-    two-table layout:
-
-    - ``{path}/docs``: (ex_id, digest, sset), partitioned by ``dpfx``
-      = the digest's first byte (256 dirs) — serves the exact phase.
-    - ``{path}/bands``: (ex_id, band, band_key, sset), partitioned by
-      (band, ``bpfx`` = xxhash64(band_key) % n_prefix) — serves the
-      candidate phase, and carries ``sset`` so the near VERIFY reads
-      ONLY pruned partitions too (the alternative — joining back to
-      docs by ex_id — re-introduces an O(index) scan; carrying the
-      set costs n_bands x set storage, the recorded tradeoff).
-
-    band_key is serialized to a '-'-joined string (equality-only join
-    key; arrays cannot be partition join keys)."""
-    docs = index.select(
-        "ex_id", "digest", "sset",
-        F.expr("conv(substring(digest, 1, 2), 16, 10)").cast("int").alias("dpfx"),
-    )
-    docs.write.mode("overwrite").partitionBy("dpfx").parquet(f"{path}/docs")
-    rows_per_band = N_HASHES // N_BANDS
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "-",
-                    *[
-                        F.col(f"m{j}").cast("string")
-                        for j in range(b * rows_per_band, (b + 1) * rows_per_band)
-                    ],
-                ).alias("band_key"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    (
-        index.select("ex_id", "sset", F.explode(bands).alias("bb"))
-        .select(
-            "ex_id",
-            "sset",
-            F.col("bb.band").alias("band"),
-            F.col("bb.band_key").alias("band_key"),
-            F.pmod(F.xxhash64("bb.band", "bb.band_key"), F.lit(n_prefix))
-            .cast("int")
-            .alias("bpfx"),
-        )
-        .write.mode("overwrite")
-        .partitionBy("band", "bpfx")
-        .parquet(f"{path}/bands")
-    )
-
-
-def incremental_minhash_dedup_pruned(
-    spark,
-    incoming: DataFrame,
-    index_path: str,
-    id_col: str,
-    text_col: str = "text",
-    k: int = SHINGLE_LEN,
-    n_hashes: int = N_HASHES,
-    n_bands: int = N_BANDS,
-    threshold: float = 0.8,
-    n_prefix: int = 256,
-) -> DataFrame:
-    """:func:`incremental_minhash_dedup` against a
-    :func:`write_minhash_index_partitioned` layout — identical
-    verdicts (same digests, same band keys, same exact-Jaccard
-    verify; pytest-pinned), but every index scan is partition-PRUNED
-    by the incoming batch's own key prefixes, so per-batch index I/O
-    is proportional to the batch's key coverage, not the index
-    (O(matching buckets) of 256 digest dirs / n_bands x n_prefix band
-    dirs).  The pruning inventories are collected driver-side; both
-    are bounded by construction (<= 256 and <= n_bands * n_prefix
-    values), never data-sized."""
-    inc = incoming.select(
-        F.col(id_col).alias("inc_id"),
-        F.col(text_col).alias("_txt"),
-        content_digest(F.col(text_col)).alias("digest"),
-    ).cache()
-    register_persisted(inc)
-
-    # ---- exact phase: prune docs/ by the batch's digest first bytes
-    dpfx = [
-        r[0]
-        for r in inc.select(
-            F.expr("conv(substring(digest, 1, 2), 16, 10)").cast("int").alias("p")
-        ).distinct().collect()
-    ]  # bounded: <= 256 values
-    docs = spark.read.parquet(f"{index_path}/docs").where(F.col("dpfx").isin(dpfx))
-    ex_digest = docs.groupBy("digest").agg(F.min("ex_id").alias("matched_id"))
-    exact = inc.join(ex_digest, "digest").select(
-        "inc_id", F.lit("exact").alias("verdict"), "matched_id"
-    )
-    rest = inc.join(ex_digest.select("digest"), "digest", "left_anti").select(
-        F.col("inc_id").alias(id_col), F.col("_txt").alias(text_col)
-    )
-
-    # ---- near phase: signatures for the exact-missed batch docs
-    sh = shingles(rest, id_col, text_col, k)
-    hashed = hashed_shingles(sh, n_hashes, strategy="inline")
-    inc_sigs = (
-        hashed.groupBy(id_col)
-        .agg(
-            *[F.min(f"h{j}").alias(f"m{j}") for j in range(n_hashes)],
-            F.collect_set("sid").alias("sset"),
-        )
-        .withColumnRenamed(id_col, "inc_id")
-        .cache()
-    )
-    register_persisted(inc_sigs)
-    rows_per_band = n_hashes // n_bands
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "-",
-                    *[
-                        F.col(f"m{j}").cast("string")
-                        for j in range(b * rows_per_band, (b + 1) * rows_per_band)
-                    ],
-                ).alias("band_key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    inc_bands = (
-        inc_sigs.select("inc_id", F.explode(bands).alias("bb"))
-        .select(
-            "inc_id",
-            F.col("bb.band").alias("band"),
-            F.col("bb.band_key").alias("band_key"),
-            F.pmod(F.xxhash64("bb.band", "bb.band_key"), F.lit(n_prefix))
-            .cast("int")
-            .alias("bpfx"),
-        )
-        .cache()
-    )
-    register_persisted(inc_bands)
-    bpfx = [
-        (r["band"], r["bpfx"])
-        for r in inc_bands.select("band", "bpfx").distinct().collect()
-    ]  # bounded: <= n_bands * n_prefix values
-    cond = F.lit(False)
-    for b in range(n_bands):
-        vals = [p for bb, p in bpfx if bb == b]
-        if vals:
-            cond = cond | ((F.col("band") == b) & F.col("bpfx").isin(vals))
-    ex_bands = spark.read.parquet(f"{index_path}/bands").where(cond)
-    verified = (
-        inc_bands.join(ex_bands, ["band", "band_key", "bpfx"])
-        .select("inc_id", "ex_id", F.col("sset").alias("set_b"))
-        .distinct()
-        .join(inc_sigs.select("inc_id", F.col("sset").alias("set_a")), "inc_id")
-        .select(
-            "inc_id",
-            "ex_id",
-            F.size(F.array_intersect("set_a", "set_b")).alias("n_inter"),
-            F.size("set_a").alias("n_a"),
-            F.size("set_b").alias("n_b"),
-        )
-        .withColumn(
-            "jaccard",
-            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
-    best = verified.withColumn(
-        "_rn",
-        F.row_number().over(
-            Window.partitionBy("inc_id").orderBy(
-                F.col("jaccard").desc(), F.col("ex_id").asc()
-            )
-        ),
-    ).where(F.col("_rn") == 1)
-    near = best.select(
-        "inc_id",
-        F.lit("near").alias("verdict"),
-        F.col("ex_id").alias("matched_id"),
-        "n_inter",
-        "n_a",
-        "n_b",
-        "jaccard",
-    )
-    exact_full = exact.select(
-        "inc_id",
-        "verdict",
-        "matched_id",
-        F.lit(None).cast("int").alias("n_inter"),
-        F.lit(None).cast("int").alias("n_a"),
-        F.lit(None).cast("int").alias("n_b"),
-        F.lit(1.0).alias("jaccard"),
-    )
-    matched = exact_full.unionByName(near)
-    return (
-        inc.select("inc_id")
-        .join(matched, "inc_id", "left")
-        .select(
-            F.col("inc_id").alias(id_col),
-            F.coalesce(F.col("verdict"), F.lit("new")).alias("verdict"),
-            "matched_id",
-            "n_inter",
-            "n_a",
-            "n_b",
-            "jaccard",
-        )
-    )
