@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "audio_neardup_wide",
     "video_neardup",
     "tfrecord_roundtrip",
+    "de_adjust_methods",
 ]
 
 

@@ -44,9 +44,10 @@ BNLJ_WHITELIST = {
     # pca_covariance) plus 1-row mean-vector / threshold attaches —
     # every BNLJ side is <= n_genes rows, never data-sized
     "pca_outliers",
-    # p_adjust_by (BY window path): 1-row (n, harmonic-c(n)) totals
-    # attach — the per-group aggregate broadcast back, never data-sized
-    "p_adjust_by",
+    # p_adjust_by / de_adjust_methods (BY window path): 1-row
+    # (n, harmonic-c(n)) totals attach — the per-group aggregate
+    # broadcast back, never data-sized
+    "p_adjust_by", "de_adjust_methods",
     # voom_loess2 (voom_loess_fixed twin): deliberate
     # ranked.join(broadcast(bins)) <=64-row bin cross join + the 1-row
     # lowess bandwidth (h) bounds attach — both broadcast-small dims

@@ -45,6 +45,8 @@ from transcriptomics_data_integration_spark.operators.filters import (
 from transcriptomics_data_integration_spark.stats import (
     bh_adjust,
     bh_adjust_histogram,
+    by_adjust,
+    holm_adjust,
     fem_rem_effects,
     quantile_normalize,
     stouffer_combine,
@@ -914,6 +916,62 @@ FROM adj
 """
 
 
+def q_de_adjust_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 full method surface through the REAL DE chain, HASH-GATED
+    (r10) — the reference's documented ``adjust`` argument
+    (`DiffExpression_closedPlatform.R:24`, consumed by ``topTable`` at
+    `:566,600`) exercised end-to-end: the same pooled-t p-set as
+    ``diff_expression``, adjusted with BOTH Benjamini-Yekutieli
+    (R operand order ``c(n) * n/i * p``, ordered-left-fold harmonic)
+    and Holm step-down in one output.  The oracle replays R's exact
+    arithmetic (list_reduce left fold for c(n), reverse cummin /
+    forward cummax windows), so a hash match proves the dispatcher's
+    two non-BH methods on production-shaped p-values, ties included."""
+    li = _t(spark, sf_dir, "lineitem")
+    tt = two_group_ttest(li, "l_partkey", "l_returnflag", "l_extendedprice", "R", "A")
+    out = by_adjust(tt, "p_value", "adj_by", tiebreak_col="l_partkey")
+    out = holm_adjust(out, "p_value", "adj_holm", tiebreak_col="l_partkey")
+    return out.select(
+        "l_partkey",
+        F.round("p_value", 8).alias("p_value"),
+        F.round("adj_by", 8).alias("adj_by"),
+        F.round("adj_holm", 8).alias("adj_holm"),
+    )
+
+
+def _oracle_de_adjust_methods() -> str:
+    return f"""
+WITH {_ttest_cte("l_partkey", "", "")}, b AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY p_value, l_partkey) AS rnk,
+         COUNT(*) OVER () AS nn
+  FROM de
+), h AS (
+  SELECT list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(generate_series(1, (SELECT MAX(nn) FROM b)),
+                            i -> CAST(1 AS DOUBLE) / i)),
+           (a, x) -> a + x) AS cn
+), adj AS (
+  SELECT b.*,
+         MIN(LEAST(h.cn * b.nn / b.rnk * b.p_value, CAST(1.0 AS DOUBLE))) OVER (
+           ORDER BY b.p_value DESC, b.l_partkey DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS adj_by,
+         MAX(LEAST((b.nn - b.rnk + 1) * b.p_value, CAST(1.0 AS DOUBLE))) OVER (
+           ORDER BY b.p_value, b.l_partkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS adj_holm
+  FROM b, h
+)
+SELECT l_partkey,
+       ROUND(p_value, 8) AS p_value,
+       ROUND(adj_by, 8) AS adj_by,
+       ROUND(adj_holm, 8) AS adj_holm
+FROM adj
+"""
+
+
 def q_stouffer_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A15 — weighted Stouffer combination of per-platform DE results
     (platform ~ l_linestatus), ICC-weighted (`Meta_analysis.R:76-121,
@@ -1125,6 +1183,7 @@ QUERIES: dict[str, QueryFn] = {
     "quantile_normalization": q_quantile_normalization,
     "diff_expression": q_diff_expression,
     "bh_histogram": q_bh_histogram,
+    "de_adjust_methods": q_de_adjust_methods,
     "stouffer_meta": q_stouffer_meta,
     "fem_rem": q_fem_rem,
     "p_improvement": q_p_improvement,
@@ -1166,6 +1225,7 @@ ORACLES: dict[str, str] = {
     "quantile_normalization": ORACLE_QUANTILE_NORM,
     "diff_expression": _oracle_diff_expression(),
     "bh_histogram": _oracle_bh_histogram(),
+    "de_adjust_methods": _oracle_de_adjust_methods(),
     "stouffer_meta": _oracle_stouffer(),
     "fem_rem": _oracle_fem_rem(),
     "p_improvement": _oracle_p_improvement(),
@@ -2158,11 +2218,11 @@ _ROUND10_FRONT = [
     "voom_loess3", "venn_membership", "term_enrichment",
     # -- (b) r10-new kernels: the BY/holm completion of M10's adjust
     # surface and the capacity-scaled perceptual near-dup twins ------
-    "p_adjust_by", "p_adjust_holm", "image_dhash_wide",
+    "p_adjust_by", "p_adjust_holm", "de_adjust_methods", "image_dhash_wide",
     "audio_neardup_wide", "video_neardup", "tfrecord_roundtrip",
-    # -- (c) the r6-only-stamped backlog in registry order (55 total
-    # with (a)+(b); full_outer_merge, htseq_scan, rsem_convert,
-    # idat_decode, detection_p slip to r11 with the r7 remainder)
+    # -- (c) the r6-only-stamped backlog in registry order (56 total
+    # with (a)+(b); registry_upsert, full_outer_merge, htseq_scan,
+    # rsem_convert, idat_decode, detection_p slip to r11)
     "merge_left_join", "interval_join", "quantile_thresholds",
     "sample_correlation", "quantile_normalization", "diff_expression",
     "stouffer_meta", "fem_rem", "bpe_encode", "ann_recall",
@@ -2174,13 +2234,13 @@ _ROUND10_FRONT = [
     "rnaseq_pipeline_binned", "cqn_bias", "array_weights",
     "qc_sample_metrics", "expression_pipeline", "weighted_de",
     "dataset_group_means", "rollup_summary", "pivot_matrix",
-    "melt_measures", "registry_upsert",
+    "melt_measures",
 ]
 
 # Round-11 rotation plan: (a) any r10 gate above that misses a driver
 # stamp this window, then (b) r11-touched/new kernels, (c) the
-# five slipped here (full_outer_merge, htseq_scan, rsem_convert,
-# idat_decode, detection_p) FIRST,
+# six slipped here (registry_upsert, full_outer_merge, htseq_scan,
+# rsem_convert, idat_decode, detection_p) FIRST,
 # then whatever remains of the r7-only-stamped tail in registry
 # order.  (Compare r11 bench rows against the r10 driver column
 # through the host band recorded in BASELINE.md.)
