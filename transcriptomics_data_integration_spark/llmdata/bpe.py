@@ -43,12 +43,35 @@ from transcriptomics_data_integration_spark.runtime import register_persisted
 ITER_TRUNCATE = True
 
 
-def _iter_pin(df: DataFrame) -> DataFrame:
+def _iter_pin(df: DataFrame, prev: DataFrame | None = None) -> DataFrame:
+    """Pin this iteration's relation; release the PREVIOUS iteration's
+    checkpoint blocks once the new one has materialized (eager
+    localCheckpoint), mirroring the ``register_persisted`` drain
+    discipline — without this, n_merges iterations accumulate cached
+    RDD blocks for the session's lifetime (ContextCleaner only frees
+    them on JVM GC of the orphaned Dataset).  ``prev`` must be a
+    DataFrame previously returned by this function's checkpoint arm."""
     if ITER_TRUNCATE:
-        return df.localCheckpoint()
+        pinned = df.localCheckpoint()
+        if prev is not None:
+            _unpin(prev)
+        return pinned
     df = df.persist()
     register_persisted(df)
     return df
+
+
+def _unpin(cp_df: DataFrame) -> None:
+    """Free a localCheckpoint'ed DataFrame's blocks NOW: the persisted
+    RDD is the one wrapped by the plan's LogicalRDD node.  Safe only
+    after every consumer of ``cp_df`` has materialized — the blocks are
+    not recomputable.  Best-effort (internal API shape may vary)."""
+    if not ITER_TRUNCATE:
+        return
+    try:
+        cp_df._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def _merge_fold(a_sql: str, b_sql: str, s: str = "s") -> str:
@@ -93,7 +116,9 @@ def bpe_train_fixed(
         ),
     ).persist()  # bounded: one row per distinct word (the vocabulary)
     register_persisted(syms)
+    spark_for_result = df.sparkSession
     merge_rows = []
+    prev_pin = None
     for r in range(1, n_merges + 1):
         pairs = (
             # size >= 2 guard matters: Spark's sequence(1, 0) DESCENDS
@@ -125,9 +150,13 @@ def bpe_train_fixed(
         lhs, rhs, cnt = row[0]["a"], row[0]["b"], row[0]["c"]
         merge_rows.append((r, lhs, rhs, lhs + rhs, cnt))
         syms = _iter_pin(
-            syms.withColumn("s", F.expr(_merge_fold(_sq(lhs), _sq(rhs))))
+            syms.withColumn("s", F.expr(_merge_fold(_sq(lhs), _sq(rhs)))),
+            prev=prev_pin,
         )
-    return syms.sparkSession.createDataFrame(
+        prev_pin = syms
+    if prev_pin is not None:
+        _unpin(prev_pin)  # the final pin is not read after the loop
+    return spark_for_result.createDataFrame(
         merge_rows,
         "merge_rank int, lhs string, rhs string, merged string, pair_count bigint",
     )
@@ -479,7 +508,9 @@ def wordpiece_train_fixed(
         ),
     ).persist()
     register_persisted(syms)
+    spark_for_result = df.sparkSession
     merge_rows = []
+    prev_pin = None
     for r in range(1, n_merges + 1):
         sym_counts = (
             syms.select("wc", F.explode("s").alias("sym"))
@@ -526,9 +557,13 @@ def wordpiece_train_fixed(
             (r, lhs, rhs, lhs + rhs, row[0]["c"], row[0]["ca"], row[0]["cb"])
         )
         syms = _iter_pin(
-            syms.withColumn("s", F.expr(_merge_fold(_sq(lhs), _sq(rhs))))
+            syms.withColumn("s", F.expr(_merge_fold(_sq(lhs), _sq(rhs)))),
+            prev=prev_pin,
         )
-    return syms.sparkSession.createDataFrame(
+        prev_pin = syms
+    if prev_pin is not None:
+        _unpin(prev_pin)  # the final pin is not read after the loop
+    return spark_for_result.createDataFrame(
         merge_rows,
         "merge_rank int, lhs string, rhs string, merged string, "
         "pair_count bigint, lhs_count bigint, rhs_count bigint",

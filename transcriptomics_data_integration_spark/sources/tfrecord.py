@@ -112,76 +112,110 @@ def _ld_packed(packed: bytes) -> bytes:
     return _varint((1 << 3) | 2) + _varint(len(packed)) + packed
 
 
+def _wire_fields(buf: bytes):
+    """Yield (field_number, wire_type, value) for every top-level field
+    of a protobuf message.  value is bytes for length-delimited (2),
+    int for varint (0), raw 8/4 bytes for fixed64 (1) / fixed32 (5).
+    Raises ValueError on an unknown wire type or truncation."""
+    pos, n = 0, len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:
+            val, pos = _read_varint(buf, pos)
+        elif wire == 1:
+            val = buf[pos : pos + 8]
+            pos += 8
+        elif wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos : pos + ln]
+            if len(val) != ln:
+                raise ValueError("truncated length-delimited field")
+            pos += ln
+        elif wire == 5:
+            val = buf[pos : pos + 4]
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        if pos > n:
+            raise ValueError("field overruns buffer")
+        yield field, wire, val
+
+
 def decode_example(buf: bytes) -> dict | None:
     """Serialized tf.Example -> dict (int64 lists signed-decoded,
     float32 lists as Python floats, bytes lists as bytes).  None on
-    malformed wire data (tolerant-reader stance)."""
+    malformed wire data (tolerant-reader stance).
+
+    Full proto3 merge semantics for the tf.Example schema: repeated
+    occurrences of ``Example.features``, of ``Feature.<oneof>``, and of
+    each list's ``value`` field are MERGED (concatenated in order), and
+    packed / unpacked encodings of the numeric lists are both accepted
+    — so re-serializations from any conforming protobuf writer decode
+    identically, not just this module's own encoder.  An empty Example
+    decodes to ``{}``.  Unknown fields are skipped per wire type."""
     try:
-        out = {}
-        # Example
-        pos = 0
-        tag, pos = _read_varint(buf, pos)
-        if tag != (1 << 3) | 2:
-            return None
-        flen, pos = _read_varint(buf, pos)
-        fbuf = buf[pos : pos + flen]
-        if len(fbuf) != flen:
-            return None
-        # Features: repeated map entries
-        p = 0
-        while p < len(fbuf):
-            tag, p = _read_varint(fbuf, p)
-            elen, p = _read_varint(fbuf, p)
-            entry = fbuf[p : p + elen]
-            p += elen
-            if tag != (1 << 3) | 2 or len(entry) != elen:
-                return None
-            # MapEntry { key = 1, value(Feature) = 2 }
-            q = 0
+        out: dict = {}
+        # Example { Features features = 1 } — merge every occurrence
+        fbuf = b"".join(
+            v for f, w, v in _wire_fields(buf) if f == 1 and w == 2
+        )
+        # Features { map<string, Feature> feature = 1 }
+        for f, w, entry in _wire_fields(fbuf):
+            if f != 1 or w != 2:
+                continue
+            # MapEntry { key = 1, value(Feature) = 2 } — last key wins,
+            # Feature occurrences merge
             key = None
-            feat = None
-            while q < len(entry):
-                t, q = _read_varint(entry, q)
-                ln, q = _read_varint(entry, q)
-                body = entry[q : q + ln]
-                q += ln
-                if t == (1 << 3) | 2:
+            feat = b""
+            for t, tw, body in _wire_fields(entry):
+                if t == 1 and tw == 2:
                     key = body.decode()
-                elif t == (2 << 3) | 2:
-                    feat = body
-            if key is None or feat is None:
+                elif t == 2 and tw == 2:
+                    feat += body
+            if key is None:
                 return None
-            # Feature oneof
-            t, q = _read_varint(feat, 0)
-            ln, q = _read_varint(feat, q)
-            body = feat[q : q + ln]
-            field = t >> 3
-            if field == 1:      # BytesList
-                vals, r = [], 0
-                while r < len(body):
-                    bt, r = _read_varint(body, r)
-                    bl, r = _read_varint(body, r)
-                    vals.append(body[r : r + bl])
-                    r += bl
-                out[key] = vals
-            elif field == 2:    # FloatList (packed)
-                _, r = _read_varint(body, 0)
-                pl, r = _read_varint(body, r)
-                out[key] = [
-                    struct.unpack("<f", body[r + 4 * i : r + 4 * i + 4])[0]
-                    for i in range(pl // 4)
-                ]
-            elif field == 3:    # Int64List (packed)
-                _, r = _read_varint(body, 0)
-                pl, r = _read_varint(body, r)
-                end = r + pl
-                vals = []
-                while r < end:
-                    v, r = _read_varint(body, r)
-                    vals.append(v - (1 << 64) if v >= (1 << 63) else v)
-                out[key] = vals
-            else:
-                return None
+            # Feature oneof { BytesList=1, FloatList=2, Int64List=3 } —
+            # merge repeated occurrences of whichever arm appears
+            vals: list = out.get(key, []) if key in out else []
+            kind = None
+            for t, tw, body in _wire_fields(feat):
+                if t == 1 and tw == 2:        # BytesList
+                    kind = kind or 1
+                    for bt, bw, bv in _wire_fields(body):
+                        if bt == 1 and bw == 2:
+                            vals.append(bv)
+                elif t == 2 and tw == 2:      # FloatList
+                    kind = kind or 2
+                    for bt, bw, bv in _wire_fields(body):
+                        if bt != 1:
+                            continue
+                        if bw == 2:           # packed
+                            vals.extend(
+                                struct.unpack("<f", bv[4 * i : 4 * i + 4])[0]
+                                for i in range(len(bv) // 4)
+                            )
+                        elif bw == 5:         # unpacked fixed32
+                            vals.append(struct.unpack("<f", bv)[0])
+                elif t == 3 and tw == 2:      # Int64List
+                    kind = kind or 3
+                    for bt, bw, bv in _wire_fields(body):
+                        if bt != 1:
+                            continue
+                        if bw == 2:           # packed varints
+                            r, end = 0, len(bv)
+                            while r < end:
+                                v, r = _read_varint(bv, r)
+                                vals.append(
+                                    v - (1 << 64) if v >= (1 << 63) else v
+                                )
+                        elif bw == 0:         # unpacked varint
+                            vals.append(
+                                bv - (1 << 64) if bv >= (1 << 63) else bv
+                            )
+                else:
+                    return None
+            out[key] = vals
         return out
     except (IndexError, ValueError, UnicodeDecodeError):
         return None
@@ -314,15 +348,19 @@ def tfrecord_encode_docs(
             return row
 
         rows = []
+        # positional itertuples (name=None): attribute access breaks on
+        # column names that aren't Python identifiers (pandas renames
+        # them _1, _2 positionally), so index by the cols order instead
+        idx = {c: i for i, c in enumerate(cols)}
         for pdf in batches:
-            for tup in pdf.itertuples(index=False):
-                rec = {id_col: [int(getattr(tup, id_col))]}
+            for tup in pdf[cols].itertuples(index=False, name=None):
+                rec = {id_col: [int(tup[idx[id_col]])]}
                 for c in int_cols:
-                    rec[c] = [int(getattr(tup, c))]
+                    rec[c] = [int(tup[idx[c]])]
                 for c in text_cols:
-                    v = getattr(tup, c)
+                    v = tup[idx[c]]
                     rec[c] = [("" if v is None else str(v)).encode()]
-                pending_ids.append(int(getattr(tup, id_col)))
+                pending_ids.append(int(tup[idx[id_col]]))
                 pending.append(encode_example(rec))
                 if len(pending) >= records_per_stream:
                     rows.append(flush())

@@ -160,18 +160,28 @@ def bh_adjust(
     )
 
 
-def _harmonic(n_col: str):
+def _harmonic(n_col: str, chunk: int = 1_000_000):
     """c(n) = sum_{i=1..n} 1/i as an ORDERED ascending left fold —
     the Benjamini-Yekutieli dependence factor, bit-reproducible across
-    engines (R's ``sum(1/(1:n))`` is the same left fold).  O(n) flops
-    on the (group-sized) relation that carries ``n_col``; callers keep
-    that relation tiny (one row per partition group).  Above ~10^8
-    tests the ``sequence`` literal would materialize GBs — chunk the
-    fold or precompute the scalar driver-side at that scale (the
-    fold's value is a per-job scalar, not per-row work)."""
+    engines (R's ``sum(1/(1:n))`` is the same left fold).  The fold is
+    CHUNKED: an outer fold over ceil(n/chunk) chunk indices threads the
+    accumulator through an inner left fold over each chunk's 1/i terms,
+    so the addition ORDER is identical to the flat fold (bit-identical
+    result) while the transient ``sequence`` array never exceeds
+    ``chunk`` elements (~8 MB) — no O(n) array materialization and no
+    ``sequence`` 2^31 element cap, so the expression is safe at any n a
+    bigint can hold.  Still O(n) flops in ONE evaluation: callers must
+    attach it to a ONE-row aggregate, never a per-row column."""
+    n = f"cast({n_col} as bigint)"
     return F.expr(
-        f"aggregate(transform(sequence(1, {n_col}), i -> double(1) / i),"
-        " cast(0.0 as double), (a, x) -> a + x)"
+        f"if({n} >= 1,"
+        f" aggregate(sequence(cast(0 as bigint), ({n} - 1) div {chunk}),"
+        " cast(0.0 as double),"
+        f" (acc, k) -> aggregate("
+        f"   transform(sequence(k * {chunk} + 1, least((k + 1) * {chunk}, {n})),"
+        "    i -> double(1) / i),"
+        "   acc, (a, x) -> a + x)),"
+        " cast(0.0 as double))"
     )
 
 
@@ -243,9 +253,11 @@ def by_adjust_histogram(
 ) -> DataFrame:
     """BY via the same bucket-partitioned two-pass shape as
     ``bh_adjust_histogram`` (the billion-row scale path): the only
-    deltas are the c(n) factor — computed ONCE on the <= n_buckets-row
-    cumulative relation — and the R operand order in the scaled term.
-    Bit-identical to ``by_adjust``."""
+    deltas are the c(n) factor — computed ONCE on a one-row total
+    aggregated from the histogram and broadcast into the cumulative
+    relation (the chunked ``_harmonic`` fold evaluates exactly once,
+    not once per bucket row) — and the R operand order in the scaled
+    term.  Bit-identical to ``by_adjust``."""
     order = [F.col(p_col).asc()] + (
         [F.col(tiebreak_col).asc()] if tiebreak_col else []
     )
@@ -260,10 +272,12 @@ def by_adjust_histogram(
     )
     hist = with_b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
     w_base = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    totals = hist.agg(F.sum("_cnt").alias("_n")).withColumn(
+        "_cn", _harmonic("_n")
+    )
     cum = (
         hist.withColumn("_base", F.coalesce(F.sum("_cnt").over(w_base), F.lit(0)))
-        .withColumn("_n", F.sum("_cnt").over(Window.partitionBy()))
-        .withColumn("_cn", _harmonic("_n"))
+        .crossJoin(F.broadcast(totals))
         .select("_bkt", "_base", "_n", "_cn")
     )
     w_in = Window.partitionBy("_bkt").orderBy(*order)
