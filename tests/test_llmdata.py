@@ -4019,3 +4019,127 @@ def test_video_phash_wide_neardup(spark):
     assert (1, 2) in pairs
     assert not any(3 in k for k in pairs)
 
+
+
+def test_connected_components_steps_per_cycle_invariant(spark):
+    """r11: composing multiple propagation steps per lineage/convergence
+    cycle is a latency lever only — the min-label fixpoint (and hence
+    every closure consumer's output) is identical for any
+    steps_per_cycle."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(100, 111)]
+    tri = [(1, 2), (2, 3), (1, 3)]
+    edges = spark.createDataFrame(chain + tri + [(50, 51)], ["id_a", "id_b"])
+    base = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, steps_per_cycle=1).collect()
+    }
+    for steps in (2, 3):
+        alt = {
+            r["node"]: r["component"]
+            for r in connected_components(edges, steps_per_cycle=steps).collect()
+        }
+        assert alt == base
+
+
+def test_incremental_dedup_band_index_and_no_broadcast_match(spark):
+    """r11 levers: a pre-exploded band index (build_minhash_band_index)
+    and the broadcast_batch=False huge-batch arm both produce verdicts
+    row-identical to the default path."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        build_minhash_band_index,
+        build_minhash_index,
+        incremental_minhash_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    existing = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus text here")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(10, base), (11, base + " qq"), (12, "zz-novel")],
+        "doc_id long, text string",
+    )
+    direct = sorted(
+        map(tuple, incremental_minhash_dedup(existing, incoming, "doc_id").collect())
+    )
+    idx = build_minhash_index(existing, "doc_id")
+    bands = build_minhash_band_index(idx)
+    via_bands = sorted(
+        map(
+            tuple,
+            incremental_minhash_dedup(
+                None, incoming, "doc_id", existing_index=idx, index_bands=bands
+            ).collect(),
+        )
+    )
+    assert via_bands == direct
+    no_bcast = sorted(
+        map(
+            tuple,
+            incremental_minhash_dedup(
+                None,
+                incoming,
+                "doc_id",
+                existing_index=idx,
+                index_bands=bands,
+                broadcast_batch=False,
+            ).collect(),
+        )
+    )
+    assert no_bcast == direct
+
+
+def test_minhash_index_bucketed_roundtrip(spark, tmp_path):
+    """write_minhash_index persists the docs + bands tables bucketed;
+    read_minhash_index round-trips them and the read-back index drives
+    incremental_minhash_dedup to the same verdicts."""
+    from transcriptomics_data_integration_spark.llmdata.dedup import (
+        build_minhash_index,
+        incremental_minhash_dedup,
+        read_minhash_index,
+        write_minhash_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    existing = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus text here")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(10, base), (11, base + " qq"), (12, "zz-novel")],
+        "doc_id long, text string",
+    )
+    idx = build_minhash_index(existing, "doc_id")
+    prefix = "t_r11_mh_idx"
+    try:
+        write_minhash_index(idx, prefix, n_buckets=4)
+        docs_t, bands_t = read_minhash_index(spark, prefix)
+        assert docs_t.count() == 2
+        assert sorted(bands_t.columns) == ["bk64", "ex_id"]
+        direct = sorted(
+            map(
+                tuple,
+                incremental_minhash_dedup(existing, incoming, "doc_id").collect(),
+            )
+        )
+        stored = sorted(
+            map(
+                tuple,
+                incremental_minhash_dedup(
+                    None,
+                    incoming,
+                    "doc_id",
+                    existing_index=docs_t,
+                    index_bands=bands_t,
+                ).collect(),
+            )
+        )
+        assert stored == direct
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_docs")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_bands")

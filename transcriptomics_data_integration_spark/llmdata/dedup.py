@@ -898,6 +898,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     stats: dict | None = None,
+    steps_per_cycle: int = 2,
 ) -> DataFrame:
     """Connected components over an undirected edge list -> one row per
     node ``(node, component)`` with ``component`` = the minimum node id
@@ -941,17 +942,27 @@ def connected_components(
     prev_sum = None
     rounds = 0
     for _ in range(max_iter):
-        rounds += 1
-        # (1) neighbor min: candidate labels flowing along edges
-        nbr = (
-            sym.join(labels.withColumnRenamed("node", "b"), "b")
-            .select(F.col("a").alias("node"), "label")
-        )
-        stepped = (
-            labels.unionByName(nbr)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        )
+        # r11: the dominant cost at moderate graph sizes is the FIXED
+        # per-cycle overhead (checkpoint job + convergence collect +
+        # scheduling barriers), not the shuffled bytes — so compose
+        # ``steps_per_cycle`` propagation steps into one lineage/
+        # convergence cycle (same monotone min-label fixpoint, same
+        # output; A/B at sf0.1: 2 steps/cycle cut the closure ~25%,
+        # see PLANS.md r11).  Worst case it runs one redundant step
+        # after convergence — a tiny-label-table no-op.
+        stepped = labels
+        for _s in range(steps_per_cycle):
+            rounds += 1
+            # (1) neighbor min: candidate labels flowing along edges
+            nbr = (
+                sym.join(stepped.withColumnRenamed("node", "b"), "b")
+                .select(F.col("a").alias("node"), "label")
+            )
+            stepped = (
+                stepped.unionByName(nbr)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+            )
         # (2) pointer jump: label(n) <- min(label(n), label(label(n)))
         parent = stepped.select(
             F.col("node").alias("label"), F.col("label").alias("plabel")
@@ -1360,6 +1371,101 @@ def build_minhash_index(
     return sigs.join(dig, id_col).withColumnRenamed(id_col, "ex_id")
 
 
+def _band_key64(sigs: DataFrame, out_id: str, n_hashes: int, n_bands: int) -> DataFrame:
+    """Explode a signature relation (out_id, m0..m{n-1}) into one row
+    per band with a SINGLE 64-bit band key: ``xxhash64(band, m_j...)``.
+
+    Equal band signatures hash equal, so no true candidate is ever
+    lost vs the array-of-words key; a 64-bit collision can only ADD a
+    candidate, which the exact-Jaccard verify then rejects — verdicts
+    are unchanged (collision odds ~ |band rows|^2 / 2^64).  One long
+    per band instead of ``rows_per_band`` longs makes the band
+    relation half the bytes on the wire and trivially bucketable."""
+    rows_per_band = n_hashes // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b),
+                    *[
+                        F.col(f"m{j}")
+                        for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                ).alias("bk64"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select(out_id, F.explode(bands).alias("bb")).select(
+        out_id, "bb.bk64"
+    )
+
+
+def build_minhash_band_index(
+    existing_index: DataFrame,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """The pre-exploded BAND side of the persisted dedup index: one row
+    per (kept doc, band) with the hashed 64-bit band key — ``(bk64,
+    ex_id)``.  A production pipeline computes this once per index
+    refresh and stores it (bucketed by ``bk64``, see
+    :func:`write_minhash_index`) so no later batch ever pays the
+    n_bands-way explode of the full corpus again."""
+    return _band_key64(
+        existing_index.select("ex_id", *[f"m{j}" for j in range(n_hashes)]),
+        "ex_id",
+        n_hashes,
+        n_bands,
+    )
+
+
+def write_minhash_index(
+    existing_index: DataFrame,
+    table_prefix: str,
+    n_buckets: int = 64,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> None:
+    """Persist the incremental-dedup index as two tables:
+
+    - ``{prefix}_docs``   — (ex_id, digest, m0.., sset), bucketed by
+      ``digest`` (the exact arm's join key);
+    - ``{prefix}_bands``  — (bk64, ex_id) pre-exploded band relation,
+      bucketed AND sorted by ``bk64``.
+
+    Bucketing is the huge-batch lever: when an incoming batch is too
+    large to broadcast its band keys, the band join shuffles ONLY the
+    batch into the index's bucket layout — the stored side joins
+    shuffle-free (Spark reuses the bucket spec as the join
+    distribution).  Small batches never shuffle the index either way
+    (the broadcast semi-join path in
+    :func:`incremental_minhash_dedup`)."""
+    (
+        existing_index.write.mode("overwrite")
+        .bucketBy(n_buckets, "digest")
+        .sortBy("digest")
+        .saveAsTable(f"{table_prefix}_docs")
+    )
+    (
+        build_minhash_band_index(existing_index, n_hashes, n_bands)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "bk64")
+        .sortBy("bk64")
+        .saveAsTable(f"{table_prefix}_bands")
+    )
+
+
+def read_minhash_index(spark, table_prefix: str) -> tuple[DataFrame, DataFrame]:
+    """Load the two persisted index tables written by
+    :func:`write_minhash_index` — returns ``(docs, bands)``."""
+    return (
+        spark.table(f"{table_prefix}_docs"),
+        spark.table(f"{table_prefix}_bands"),
+    )
+
+
 def incremental_minhash_dedup(
     existing: DataFrame,
     incoming: DataFrame,
@@ -1370,6 +1476,8 @@ def incremental_minhash_dedup(
     n_bands: int = N_BANDS,
     threshold: float = 0.8,
     existing_index: DataFrame | None = None,
+    index_bands: DataFrame | None = None,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Incremental (cross-corpus) dedup (r8) — the OPERATIONAL dedup
     mode at 100 TB: a new crawl arrives and must be deduped against
@@ -1402,11 +1510,33 @@ def incremental_minhash_dedup(
     incoming doc — (id, verdict, matched_id, n_inter, n_a, n_b,
     jaccard), match columns NULL for 'new'.
 
-    Scale shape: both joins are equi-joins on content keys (digest /
-    band key); the only fan-out is band-bucket candidates, bounded by
-    the existing index's bucket sizes; the best-match window
-    partitions by incoming doc id (per-doc candidate lists, never the
-    corpus).
+    Scale shape (r11 — the per-batch index-size term killed): with
+    ``broadcast_batch=True`` (default; the normal incremental regime,
+    batch << index) the index side is never SHUFFLED — three broadcast
+    semi-join prefilters cut every index-sized relation down to
+    batch-matched survivors before any wide join:
+
+    - exact arm: the stored docs are prefiltered by a broadcast of the
+      batch's 64-bit digest hashes (``xxhash64(digest)``) — the
+      "broadcast bloom" lever from the r10 ladder (one-sided
+      maybe-pass at fpp ~ n/2^64; the real digest equi-join
+      downstream resolves exactly), so the per-batch ``groupBy
+      (digest)`` runs over survivors, not the corpus;
+    - band arm: the stored band relation is prefiltered by a
+      broadcast of the batch's distinct 64-bit band keys before the
+      candidate join;
+    - verify arm: the stored shingle-set relation is prefiltered by a
+      broadcast of the candidate ``ex_id`` set before sets move.
+
+    The remaining per-batch index cost is the SCAN of the stored
+    relations (disk-bandwidth-bound, no shuffle, no explode — the
+    band explode is pre-paid when ``index_bands`` is supplied from
+    :func:`build_minhash_band_index` / the persisted table).  For the
+    huge-batch regime (batch keys too big to broadcast), pass
+    ``broadcast_batch=False`` with a BUCKETED ``index_bands`` table:
+    the band join then shuffles only the batch into the index's
+    bucket layout.  The best-match window partitions by incoming doc
+    id (per-doc candidate lists, never the corpus).
     """
     inc = incoming.select(
         F.col(id_col).alias("inc_id"),
@@ -1424,7 +1554,22 @@ def incremental_minhash_dedup(
         # in a long-lived session must not accumulate cached relations
         # in executor memory (r8 ADVICE)
         register_persisted(existing_index)
-    ex_digest = existing_index.groupBy("digest").agg(
+    ex_docs = existing_index
+    if broadcast_batch:
+        # the broadcast-bloom lever (r10 ladder, PLANS.md): a 64-bit
+        # hash of each batch digest — 8 bytes/doc on the wire — semi-
+        # filters the stored docs at scan, so the groupBy below
+        # aggregates survivors (<= batch size), never the corpus.  A
+        # hash collision passes a non-matching digest through; the
+        # exact digest equi-join right after resolves it (one-sided
+        # maybe-pass, the bloom_contamination discipline).
+        inc_d64 = inc.select(F.xxhash64("digest").alias("_d64")).distinct()
+        ex_docs = existing_index.join(
+            F.broadcast(inc_d64),
+            F.xxhash64(existing_index["digest"]) == F.col("_d64"),
+            "left_semi",
+        )
+    ex_digest = ex_docs.groupBy("digest").agg(
         F.min("ex_id").alias("matched_id")
     )
     exact = inc.join(ex_digest, "digest").select(
@@ -1448,27 +1593,6 @@ def incremental_minhash_dedup(
             F.collect_set("sid").alias("sset"),
         ).withColumnRenamed(id_col, out_id)
 
-    rows_per_band = n_hashes // n_bands
-
-    def _band_keys(sigs: DataFrame, out_id: str) -> DataFrame:
-        bands = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.array(
-                        *[
-                            F.col(f"m{j}")
-                            for j in range(b * rows_per_band, (b + 1) * rows_per_band)
-                        ]
-                    ).alias("band_key"),
-                )
-                for b in range(n_bands)
-            ]
-        )
-        return sigs.select(out_id, F.explode(bands).alias("bb")).select(
-            out_id, "bb.band", "bb.band_key"
-        )
-
     # two consumers (band keys + verify): cache the batch-sized
     # signature relation so the shingle/md5 pipeline runs once
     inc_sigs = _sig_sets(rest, "inc_id").cache()
@@ -1476,15 +1600,38 @@ def incremental_minhash_dedup(
     ex_sigs = existing_index.select(
         "ex_id", *[f"m{j}" for j in range(n_hashes)], "sset"
     )
+    inc_bands = _band_key64(inc_sigs, "inc_id", n_hashes, n_bands)
+    if index_bands is None:
+        index_bands = build_minhash_band_index(existing_index, n_hashes, n_bands)
+    ex_bands = index_bands
+    if broadcast_batch:
+        # band-key prefilter: the batch's distinct keys (n_bands longs
+        # per doc) broadcast-semi the stored band relation at scan —
+        # the candidate join's index side is already batch-matched
+        inc_keys = inc_bands.select("bk64").distinct()
+        ex_bands = index_bands.join(F.broadcast(inc_keys), "bk64", "left_semi")
     cands = (
-        _band_keys(inc_sigs, "inc_id")
-        .join(_band_keys(ex_sigs, "ex_id"), ["band", "band_key"])
+        inc_bands.join(ex_bands, "bk64")
         .select("inc_id", "ex_id")
         .distinct()
     )
+    if broadcast_batch:
+        # two consumers below (the verify join + its ex_id broadcast
+        # prefilter): pin the batch-sized candidate relation so the
+        # band join never re-executes for the broadcast branch
+        cands = cands.cache()
+        register_persisted(cands)
+    ex_sets = ex_sigs.select("ex_id", "sset")
+    if broadcast_batch:
+        # verify prefilter: candidates' ex_ids (bounded by band fanout
+        # on the batch) broadcast-semi the stored set relation — the
+        # corpus's shingle sets never enter a shuffle
+        ex_sets = ex_sets.join(
+            F.broadcast(cands.select("ex_id").distinct()), "ex_id", "left_semi"
+        )
     verified = (
         cands.join(inc_sigs.select("inc_id", F.col("sset").alias("set_a")), "inc_id")
-        .join(ex_sigs.select("ex_id", F.col("sset").alias("set_b")), "ex_id")
+        .join(ex_sets.select("ex_id", F.col("sset").alias("set_b")), "ex_id")
         .select(
             "inc_id",
             "ex_id",
