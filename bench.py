@@ -166,6 +166,9 @@ BENCH_QUERIES = [
     "video_neardup",
     "tfrecord_roundtrip",
     "de_adjust_methods",
+    # round-11 additions
+    "blocked_de",
+    "video_offset_neardup",
 ]
 
 

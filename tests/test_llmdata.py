@@ -4143,3 +4143,114 @@ def test_minhash_index_bucketed_roundtrip(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_docs")
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_bands")
+
+
+def test_perceptual_neardup_auto_selects_profile(spark):
+    """perceptual_neardup_auto (r11): at/below the capacity ceiling
+    the narrow single-long profile runs; above it the plan upgrades to
+    the capacity_banding-sized multi-word profile — and both arms find
+    the planted near-dup pair."""
+    import numpy as np
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        capacity_banding,
+        encode_png,
+        perceptual_neardup_auto,
+    )
+
+    def png(fam, perturb=False):
+        g = np.random.RandomState(fam).randint(0, 256, (16, 18)).astype(np.int64)
+        if perturb:
+            g = g.copy()
+            g[6, 9] = (g[6, 9] + 128) % 256
+        return bytearray(
+            encode_png(np.repeat(np.clip(g, 0, 255).astype(np.uint8)[:, :, None], 3, axis=2))
+        )
+
+    df = spark.createDataFrame(
+        [(1, png(3)), (2, png(3, True)), (3, png(99))], ["doc_id", "payload"]
+    )
+    stats_n: dict = {}
+    narrow = {
+        (r["id_a"], r["id_b"])
+        for r in perceptual_neardup_auto(
+            df, "doc_id", media="image", stats=stats_n
+        ).collect()
+    }
+    assert stats_n["profile"] == "narrow"
+    assert (1, 2) in narrow and not any(3 in p for p in narrow)
+
+    # force the upgrade by shrinking the ceiling below the corpus size
+    stats_w: dict = {}
+    wide = {
+        (r["id_a"], r["id_b"])
+        for r in perceptual_neardup_auto(
+            df, "doc_id", media="image", capacity_ceiling=2, stats=stats_w
+        ).collect()
+    }
+    assert stats_w["profile"] == "wide"
+    assert (stats_w["n_bands"], stats_w["word_bits"]) == capacity_banding(3)
+    assert (1, 2) in wide and not any(3 in p for p in wide)
+
+    # n_items passed explicitly skips the count job and drives the arm
+    stats_e: dict = {}
+    perceptual_neardup_auto(
+        df, "doc_id", media="image", n_items=50_000_000, stats=stats_e
+    )
+    assert stats_e["profile"] == "wide"
+
+
+def test_video_offset_tolerant_tier_catches_trims(spark):
+    """video_neardup_offset_tolerant (r11): a one-frame trim/insert
+    shifts every position band — the position-locked tier misses the
+    pair, the value-band + shift-swept tier catches it at |shift|=1
+    with a small alignment hamming."""
+    import numpy as np
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        encode_avi_mjpeg,
+        hamming_neardup_pairs_wide,
+        video_neardup_offset_tolerant,
+        video_phash_wide,
+    )
+
+    ones = np.ones((8, 8), dtype=np.uint8)
+
+    def frames_for(seed, n=8):
+        rng = np.random.RandomState(seed)
+        return [
+            np.kron(rng.randint(0, 256, (2, 17)).astype(np.uint8), ones)
+            for _ in range(n)
+        ]
+
+    base = frames_for(7)
+    lead = frames_for(555, 1)  # one alien frame prepended
+    clips = {
+        1: base,
+        2: lead + base[:-1],   # one-frame DELAY of clip 1
+        3: frames_for(99),     # unrelated
+    }
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_avi_mjpeg(fs, fps=12))) for i, fs in clips.items()],
+        ["doc_id", "payload"],
+    )
+    hashes = video_phash_wide(df, "doc_id")
+
+    locked = {
+        (p["id_a"], p["id_b"])
+        for p in hamming_neardup_pairs_wide(
+            hashes, "doc_id", max_hamming=6
+        ).collect()
+    }
+    assert (1, 2) not in locked  # the documented r10 caveat, now a test
+
+    tol = {
+        (p["id_a"], p["id_b"]): (p["best_shift"], p["hamming"])
+        for p in video_neardup_offset_tolerant(
+            hashes, "doc_id", max_hamming=6
+        ).collect()
+    }
+    assert (1, 2) in tol
+    shift, ham = tol[(1, 2)]
+    assert abs(shift) == 1 and ham <= 6
+    assert not any(3 in p for p in tol)

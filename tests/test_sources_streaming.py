@@ -1313,3 +1313,71 @@ def test_tfrecord_encode_docs_sink_roundtrip(spark):
             ex = decode_example(rec)
             seen[ex["doc_id"][0]] = (ex["score"][0], ex["text"][0])
     assert seen == {i: (i * 10, f"doc {i}".encode()) for i in range(6)}
+
+
+def test_streaming_video_perceptual_dedup_matches_batch(spark):
+    """streaming_video_perceptual_dedup (r11, completing the streaming
+    perceptual family): near/new verdicts over the broadcast
+    (frame, word) band index agree with the batch video_phash_wide +
+    hamming_neardup_pairs_wide pipeline on the same planted corpus."""
+    import numpy as np
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        encode_avi_mjpeg,
+        hamming_neardup_pairs_wide,
+        video_phash_wide,
+    )
+    from transcriptomics_data_integration_spark.streaming.ingest import (
+        streaming_video_perceptual_dedup,
+    )
+
+    ones = np.ones((8, 8), dtype=np.uint8)
+
+    def clip(seed, perturb=False):
+        rng = np.random.RandomState(seed)
+        frames = []
+        for f in range(8):
+            v = rng.randint(0, 256, (2, 17))
+            if perturb and f == 3:
+                v = v.copy()
+                v[0, 9] = (v[0, 9] + 128) % 256
+            frames.append(np.kron(v.astype(np.uint8), ones))
+        return bytearray(encode_avi_mjpeg(frames, fps=12))
+
+    existing = spark.createDataFrame(
+        [(i, clip(i)) for i in range(5)], ["doc_id", "payload"]
+    )
+    incoming = spark.createDataFrame(
+        [
+            (100, clip(2)),          # exact perceptual copy of kept 2
+            (101, clip(4, True)),    # one-frame edit of kept 4
+            (102, clip(777)),        # unrelated -> new
+        ],
+        ["doc_id", "payload"],
+    )
+    got = {
+        r["doc_id"]: (r["verdict"], r["matched_id"])
+        for r in streaming_video_perceptual_dedup(incoming, existing).collect()
+    }
+    assert got[100] == ("near", 2) and got[102] == ("new", None)
+    assert got[101][0] == "near" and got[101][1] == 4
+
+    both = existing.unionByName(incoming)
+    batch_pairs = {
+        (p["id_a"], p["id_b"])
+        for p in hamming_neardup_pairs_wide(
+            video_phash_wide(both, "doc_id"), "doc_id", max_hamming=3
+        ).collect()
+    }
+    assert (2, 100) in batch_pairs and (4, 101) in batch_pairs
+    assert not any(102 in pair for pair in batch_pairs)
+
+    # NULL payload screens as 'new' (the r10 ADVICE contract)
+    with_null = spark.createDataFrame(
+        [(200, None), (201, clip(2))], schema=incoming.schema
+    )
+    got_null = {
+        r["doc_id"]: (r["verdict"], r["matched_id"])
+        for r in streaming_video_perceptual_dedup(with_null, existing).collect()
+    }
+    assert got_null[200] == ("new", None) and got_null[201] == ("near", 2)

@@ -521,3 +521,114 @@ def test_icc_partner_sampled_tier(spark):
     }
     for g, v in half.items():
         assert abs(v - exact[g]) <= 0.5, (g, v, exact[g])
+
+
+def test_blocked_gls_ttest_matches_matrix_gls(spark):
+    """r11 (M9 consumed by M8): the closed-form blocked fit equals the
+    full GLS matrix algebra — limma gls.series' Cholesky-transform
+    lmFit(block, correlation) evaluated directly: beta = (X'V^-1X)^-1
+    X'V^-1 y with V block-diagonal compound-symmetric."""
+    import numpy as np
+
+    from transcriptomics_data_integration_spark.stats.dupcorr import (
+        blocked_gls_ttest,
+    )
+
+    rho = 0.35
+    rng_vals = {
+        # gene -> {(grp, block): values}  (blocks nested in groups)
+        1: {
+            ("A", 1): [10.0, 11.5, 9.8],
+            ("A", 2): [10.9, 12.1],
+            ("B", 3): [14.2, 13.8, 15.0],
+            ("B", 4): [13.1, 14.4],
+        },
+        2: {
+            ("A", 1): [5.0, 5.2, 4.9, 5.6],
+            ("A", 2): [6.1, 5.8],
+            ("B", 3): [5.3, 5.1],
+            ("B", 4): [4.8, 5.0, 5.4],
+        },
+    }
+    rows = [
+        (g, b, grp, v)
+        for g, d in rng_vals.items()
+        for (grp, b), vs in d.items()
+        for v in vs
+    ]
+    df = spark.createDataFrame(rows, "gene_id long, block long, grp string, value double")
+    got = {
+        r["gene_id"]: r
+        for r in blocked_gls_ttest(
+            df, "gene_id", "block", "grp", "value", "A", "B",
+            rho=rho, exact_scale=None, term_scale=12,
+        ).collect()
+    }
+
+    for g, d in rng_vals.items():
+        y, xa, blocks = [], [], []
+        for (grp, b), vs in d.items():
+            for v in vs:
+                y.append(v)
+                xa.append(1.0 if grp == "A" else 0.0)
+                blocks.append(b)
+        y = np.array(y)
+        X = np.column_stack([xa, 1.0 - np.array(xa)])
+        n = len(y)
+        V = np.zeros((n, n))
+        for i in range(n):
+            for j in range(n):
+                V[i, j] = 1.0 if i == j else (rho if blocks[i] == blocks[j] else 0.0)
+        Vi = np.linalg.inv(V)
+        XtVi = X.T @ Vi
+        C = np.linalg.inv(XtVi @ X)
+        beta = C @ (XtVi @ y)
+        rss = float(y @ Vi @ y - beta @ XtVi @ y)
+        s2 = rss / (n - 2)
+        t_gold = (beta[0] - beta[1]) / np.sqrt(s2 * (C[0, 0] + C[1, 1]))
+
+        r = got[g]
+        assert abs(r["mean_a"] - beta[0]) < 1e-6
+        assert abs(r["mean_b"] - beta[1]) < 1e-6
+        assert abs(r["t_statistic"] - t_gold) < 1e-6
+        # GLS precision identity: C_kk = 1/W_k for nested blocks
+        assert abs(r["w_a"] - 1.0 / C[0, 0]) < 1e-6
+        assert abs(r["w_b"] - 1.0 / C[1, 1]) < 1e-6
+
+
+def test_blocked_gls_ttest_downweights_replicates(spark):
+    """At rho -> 0 the blocked fit equals the pooled t; at high rho a
+    block of technical replicates counts as ~1 effective observation —
+    |t| must shrink as rho rises when the signal sits between groups
+    but replicates inflate within-group n."""
+    from transcriptomics_data_integration_spark.stats.dupcorr import (
+        blocked_gls_ttest,
+    )
+    from transcriptomics_data_integration_spark.stats.ttest import two_group_ttest
+
+    rows = []
+    for b, grp, base in [(1, "A", 10.0), (2, "A", 10.6), (3, "B", 12.1), (4, "B", 12.9)]:
+        for k in range(5):
+            rows.append((1, b, grp, base + 0.05 * k))
+    df = spark.createDataFrame(rows, "gene_id long, block long, grp string, value double")
+
+    t_pooled = two_group_ttest(
+        df, "gene_id", "grp", "value", "A", "B",
+        exact_scale=None, log_scale_values=True,
+    ).collect()[0]["t_statistic"]
+    t0 = blocked_gls_ttest(
+        df, "gene_id", "block", "grp", "value", "A", "B",
+        rho=1e-12, exact_scale=None, term_scale=12,
+    ).collect()[0]["t_statistic"]
+    t_hi = blocked_gls_ttest(
+        df, "gene_id", "block", "grp", "value", "A", "B",
+        rho=0.9, exact_scale=None, term_scale=12,
+    ).collect()[0]["t_statistic"]
+    assert abs(t0 - t_pooled) < 1e-4
+    assert abs(t_hi) < abs(t0)
+    # effective observations: w_g ~ k_blocks at rho ~ 1, n_g at rho ~ 0
+    w = blocked_gls_ttest(
+        df, "gene_id", "block", "grp", "value", "A", "B",
+        rho=0.9, exact_scale=None, term_scale=12,
+    ).collect()[0]
+    assert 2.0 < w["w_a"] < 3.0  # 2 blocks of 5 at rho=.9 -> ~2.17

@@ -484,6 +484,7 @@ def wordpiece_train_fixed(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 4,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Train ``n_merges`` WordPiece merges; returns
     ``(merge_rank, lhs, rhs, merged, pair_count, lhs_count,
@@ -511,13 +512,42 @@ def wordpiece_train_fixed(
     spark_for_result = df.sparkSession
     merge_rows = []
     prev_pin = None
+    if stats is not None:
+        stats["iter_sec"] = []
+    import time as _time
+
     for r in range(1, n_merges + 1):
-        sym_counts = (
+        _t0 = _time.perf_counter()
+        # r11 (the 86-s n=50 tail, PLANS.md r10): the two per-iteration
+        # broadcast joins re-aggregated the full word table once per
+        # BROADCAST EXCHANGE (sym_counts evaluated twice) on top of the
+        # pair aggregation — three corpus-sized aggregations per round.
+        # The symbol-count relation is VOCAB-bounded (initial alphabet
+        # + one row per prior merge, <= ~40 + n_merges rows), so it is
+        # a bounded trainer artifact exactly like the winner row:
+        # collect it and inline a literal lookup map — ONE distributed
+        # aggregation per round, scores bit-identical (same integer
+        # counts through the same double division).
+        sym_rows = (
             syms.select("wc", F.explode("s").alias("sym"))
             .groupBy("sym")
             .agg(F.sum("wc").alias("sc"))
+            .collect()
         )
-        pairs = (
+        # counts as BIGINT literals: F.lit of a small Python int makes
+        # an int32 literal and the exact score product ca*cb would
+        # overflow under ANSI at corpus scale (the sums were longs)
+        sc_map = F.create_map(
+            *[
+                c
+                for row_ in sym_rows
+                for c in (
+                    F.lit(row_["sym"]),
+                    F.lit(int(row_["sc"])).cast("bigint"),
+                )
+            ]
+        )
+        scored = (
             syms.where(F.size("s") >= 2)
             .select(
                 "wc", F.explode(F.expr("sequence(1, size(s) - 1)")).alias("i"), "s"
@@ -529,16 +559,8 @@ def wordpiece_train_fixed(
             )
             .groupBy("a", "b")
             .agg(F.sum("wc").alias("c"))
-        )
-        scored = (
-            pairs.join(
-                F.broadcast(sym_counts.select(F.col("sym").alias("a"),
-                                              F.col("sc").alias("ca"))), "a"
-            )
-            .join(
-                F.broadcast(sym_counts.select(F.col("sym").alias("b"),
-                                              F.col("sc").alias("cb"))), "b"
-            )
+            .withColumn("ca", F.element_at(sc_map, F.col("a")))
+            .withColumn("cb", F.element_at(sc_map, F.col("b")))
             .withColumn(
                 "score",
                 F.col("c").cast("double") / (F.col("ca") * F.col("cb")),
@@ -561,6 +583,8 @@ def wordpiece_train_fixed(
             prev=prev_pin,
         )
         prev_pin = syms
+        if stats is not None:
+            stats["iter_sec"].append(round(_time.perf_counter() - _t0, 3))
     if prev_pin is not None:
         _unpin(prev_pin)  # the final pin is not read after the loop
     return spark_for_result.createDataFrame(

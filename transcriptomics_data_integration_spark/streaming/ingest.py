@@ -748,3 +748,133 @@ def streaming_audio_perceptual_dedup(
         hash_payload, id_col, payload_col, max_hamming, n_bands,
         n_frames - 1,
     )
+
+
+def _perceptual_screen_wide(
+    stream_df: DataFrame,
+    existing_words: list,
+    payload_words_fn,
+    id_col: str,
+    payload_col: str,
+    max_hamming: int,
+) -> DataFrame:
+    """Screen-at-ingest core for MULTI-WORD perceptual hashes (r11):
+    the kept corpus's (id, words array) rows build a driver-side band
+    index keyed (band position, word) — each word is one band key, the
+    capacity-scaled contract of `multimodal.hamming_neardup_pairs_wide`
+    — and each arriving payload's words probe it; candidates verify by
+    total summed bit_count across positions.  Bounded kept side
+    (n_bands longs per kept item), broadcast once; NULL / undecodable
+    payloads screen as 'new'."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    band_index: dict = {}
+    words_by_id: dict = {}
+    for ex_id, ws in existing_words:
+        ws = list(ws)
+        words_by_id[ex_id] = ws
+        for b, w in enumerate(ws):
+            band_index.setdefault((b, w), []).append(ex_id)
+
+    sc = stream_df.sparkSession.sparkContext
+    b_bands = sc.broadcast(band_index)
+    b_words = sc.broadcast(words_by_id)
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("verdict", StringType()),
+                StructField("matched_id", LongType()),
+                StructField("hamming", IntegerType()),
+            ]
+        )
+    )
+    def screen(payloads):
+        bdi = b_bands.value
+        wbi = b_words.value
+        rows = []
+        for p in payloads:
+            ws = None if p is None else payload_words_fn(bytes(p))
+            if ws is None:
+                rows.append(("new", None, None))
+                continue
+            cands: set = set()
+            for b, w in enumerate(ws):
+                cands.update(bdi.get((b, w), ()))
+            best = None
+            for ex_id in sorted(cands):
+                ew = wbi[ex_id]
+                d = sum(
+                    bin(x ^ y).count("1") for x, y in zip(ws, ew)
+                )
+                if d <= max_hamming and (best is None or d < best[2]):
+                    best = ("near", ex_id, d)
+            rows.append(best or ("new", None, None))
+        return pd.DataFrame(rows, columns=["verdict", "matched_id", "hamming"])
+
+    return stream_df.select(
+        F.col(id_col), screen(F.col(payload_col)).alias("_s")
+    ).select(
+        id_col,
+        F.col("_s.verdict").alias("verdict"),
+        F.col("_s.matched_id").alias("matched_id"),
+        F.col("_s.hamming").alias("hamming"),
+    )
+
+
+def streaming_video_perceptual_dedup(
+    stream_df: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    n_frames: int = 8,
+    word_bits: int = 16,
+) -> DataFrame:
+    """Streaming twin of the batch perceptual VIDEO dedup (r11,
+    completing the streaming perceptual family: image r9, audio r10 —
+    `llmdata.multimodal.video_phash_wide` +
+    `hamming_neardup_pairs_wide`): each arriving MJPEG-AVI payload is
+    demuxed, its evenly-sampled frames dHashed to the per-frame word
+    fingerprint, and screened against the broadcast (frame position,
+    word) band index of the kept corpus — frame = band, identical to
+    the batch join's contract, so the batch-equivalence test pins
+    verdict identity.  Same bounded-kept-side contract (n_frames longs
+    per kept clip) and per-micro-batch batch fallback as the other
+    twins.
+
+    Output: (id, verdict 'near'|'new', matched_id, hamming).
+    """
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        decode_avi_frames,
+        dhash_words,
+        video_phash_wide,
+    )
+
+    def payload_words(raw: bytes):
+        vid = decode_avi_frames(raw)
+        if vid is None or not vid["frames"]:
+            return None
+        frames = vid["frames"]
+        nf = len(frames)
+        return [
+            dhash_words(frames[k * nf // n_frames], 1, word_bits)[0]
+            for k in range(n_frames)
+        ]
+
+    kept = [
+        (r[id_col], list(r["dwords"]))
+        for r in video_phash_wide(
+            existing, id_col, payload_col, n_frames, word_bits
+        ).collect()
+    ]
+    return _perceptual_screen_wide(
+        stream_df, kept, payload_words, id_col, payload_col, max_hamming
+    )

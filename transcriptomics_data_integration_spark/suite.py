@@ -2237,12 +2237,39 @@ _ROUND10_FRONT = [
     "melt_measures",
 ]
 
-# Round-11 rotation plan: (a) any r10 gate above that misses a driver
-# stamp this window, then (b) r11-touched/new kernels, (c) the
-# six slipped here (registry_upsert, full_outer_merge, htseq_scan,
-# rsem_convert, idat_decode, detection_p) FIRST,
-# then whatever remains of the r7-only-stamped tail in registry
-# order.  (Compare r11 bench rows against the r10 driver column
-# through the host band recorded in BASELINE.md.)
-QUERIES = _reorder_front(QUERIES, _ROUND10_FRONT)
+# Round-11 rotation window (executed this round; CORRECTNESS_r10.json
+# confirmed every _ROUND10_FRONT slot stamped, including the late
+# de_adjust_methods): (a) the six r6-only-stamped gates that slipped
+# the r10 window, (b) r11-new gates (blocked_de = duplicateCorrelation
+# CONSUMED by the GLS DE fit; video_offset_neardup = the
+# offset-tolerant video tier) and r11-TOUCHED kernels that must
+# re-stamp under the reworked plans (incremental_dedup's broadcast
+# prefilter levers; the steps_per_cycle closure under dedup_clusters /
+# corpus_pipeline / leakage_split / dedup_keep_best; wordpiece_merges
+# under the trainer rework), (c) the r7-only-stamped backlog in
+# registry order, topped to ~50 with the oldest r8 rows.  Zero
+# rows-only slots.  (Compare r11 bench rows against the r10 driver
+# column through the host band recorded in BASELINE.md.)
+_ROUND11_FRONT = [
+    # -- (a) r6-stamped slipped six ----------------------------------
+    "registry_upsert", "full_outer_merge", "htseq_scan",
+    "rsem_convert", "idat_decode", "detection_p",
+    # -- (b) r11-new + r11-touched -----------------------------------
+    "blocked_de", "video_offset_neardup", "incremental_dedup",
+    "dedup_clusters", "corpus_pipeline", "leakage_split",
+    "dedup_keep_best", "wordpiece_merges",
+    # -- (c) the r7-only-stamped backlog (registry order) ------------
+    "simhash", "ngram_jaccard", "edit_pairs", "dedup_exact",
+    "cosine_topk", "bh_histogram", "asof_directions", "meta_pipeline",
+    "icc_meta", "icc_sampled", "p_improvement", "combat_eb2",
+    "pca_covariance", "mds_bmatrix", "kmeans_lloyd2", "bpe_merges",
+    "token_stats", "doc_fingerprint", "language_id", "text_quality",
+    "token_budget_sample", "doc_logprob", "bloom_contamination",
+    "lsh_ann", "line_dedup", "winnow_overlap", "html_extract",
+    "url_canonical", "jpeg_pixels", "gif_pixels", "wav_decode",
+    # -- top-up: oldest r8 rows in registry order --------------------
+    "pricing_summary", "gene_stats", "gene_exclusion",
+    "outlier_removal", "zero_variance_filter", "nonspecific_filter",
+]
+QUERIES = _reorder_front(QUERIES, _ROUND11_FRONT)
 QUERIES = {n: _with_persist_drain(fn) for n, fn in QUERIES.items()}

@@ -7210,3 +7210,131 @@ FROM recs
 
 QUERIES_LLM["tfrecord_roundtrip"] = q_tfrecord_roundtrip
 ORACLES_LLM["tfrecord_roundtrip"] = ORACLE_TFRECORD
+
+
+def q_video_offset_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-tolerant video near-dup, HASH-GATED (r11, VERDICT item
+    7): the r10 `video_neardup` fingerprint bands on frame POSITION,
+    so a one-frame delay defeats every band — this gate PLANTS exactly
+    that failure and requires the value-band + shift-swept tier
+    (`multimodal.video_neardup_offset_tolerant`) to recover it.  Per
+    doc pair (2k, 2k+1): the even doc's 8 frames tile from the same
+    constant-block formula as `video_neardup` (v(f) = T(m, f), 16x136
+    gray, 2x17 8x8-constant tiles — bit-exact through the lossy JPEG
+    pipeline, so the oracle replays frame words from the formula
+    alone); the ODD doc is the even doc DELAYED one frame (frame 0 =
+    alien content T(m, 9), frame f = T(m, f-1) for f >= 1) with one
+    +128 tile edit in its copy of T(m, 2) — position-locked hamming is
+    large at every band, but the min-4-distinct-word anchor join finds
+    the pair and the shift sweep aligns it at s = +-1 with hamming
+    <= 2.  The oracle replays anchors (row_number over distinct
+    words), the value-band candidate join, and the shift-swept
+    alignment minimum in DuckDB."""
+    import numpy as np
+    import pandas as pd
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        encode_avi_mjpeg,
+        video_neardup_offset_tolerant,
+        video_phash_wide,
+    )
+
+    NF, BH, BW = 8, 2, 17
+
+    def op(batches):
+        bi = np.arange(BH).reshape(-1, 1)
+        bj = np.arange(BW).reshape(1, -1)
+        ones = np.ones((8, 8), dtype=np.uint8)
+
+        def tile(m, f):
+            return (m * (f * 53 + bi * 37 + bj * 17 + 1)
+                    + (m * m % 251) * f * bj) % 256
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                m = (did // 2) % 997 + 3
+                frames = []
+                for f in range(NF):
+                    src = f if did % 2 == 0 else (9 if f == 0 else f - 1)
+                    v = tile(m, src)
+                    if did % 2 == 1 and src == 2:
+                        v = v.copy()
+                        v[0, 9] = (v[0, 9] + 128) % 256
+                    frames.append(np.kron(v.astype(np.uint8), ones))
+                rows.append((did, bytearray(encode_avi_mjpeg(frames, fps=12))))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    vids = docs.mapInPandas(op, schema="doc_id long, payload binary")
+    hashes = video_phash_wide(vids, "doc_id", n_frames=NF)
+    out = video_neardup_offset_tolerant(hashes, "doc_id", max_hamming=3)
+    return out.select(
+        "id_a", "id_b",
+        F.col("best_shift").cast("int").alias("best_shift"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
+ORACLE_VIDEO_OFFSET_NEARDUP = """
+WITH src AS (
+  SELECT d.doc_id, f.f,
+         CASE WHEN d.doc_id % 2 = 0 THEN f.f
+              WHEN f.f = 0 THEN 9 ELSE f.f - 1 END AS sf
+  FROM documents d, (SELECT unnest(generate_series(0, 7)) AS f) f
+), grid AS (
+  SELECT s.doc_id, s.f, c.c,
+         ((((s.doc_id // 2) % 997 + 3)
+           * (s.sf * 53 + c.c * 17 + 1)
+           + ((((s.doc_id // 2) % 997 + 3) * ((s.doc_id // 2) % 997 + 3)) % 251)
+             * s.sf * c.c) % 256
+          + CASE WHEN s.doc_id % 2 = 1 AND s.sf = 2 AND c.c = 9
+                 THEN 128 ELSE 0 END
+         ) % 256 AS luma
+  FROM src s, (SELECT unnest(generate_series(0, 16)) AS c) c
+), bits AS (
+  SELECT a.doc_id, a.f, a.c,
+         CASE WHEN a.luma < b.luma THEN 1 ELSE 0 END AS bit
+  FROM grid a JOIN grid b
+    ON a.doc_id = b.doc_id AND a.f = b.f AND b.c = a.c + 1
+  WHERE a.c < 16
+), words AS (
+  SELECT doc_id, f AS band,
+         CAST(SUM(bit * (CAST(1 AS BIGINT) << c)) AS BIGINT) AS band_key
+  FROM bits GROUP BY doc_id, f
+), anch AS (
+  SELECT doc_id, band_key AS word FROM (
+    SELECT doc_id, band_key,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY band_key) AS rk
+    FROM (SELECT DISTINCT doc_id, band_key FROM words)
+  ) WHERE rk <= 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM anch a JOIN anch b ON a.word = b.word AND a.doc_id < b.doc_id
+), shifted AS (
+  SELECT c.id_a, c.id_b, s.s,
+         CAST(SUM(bit_count(xor(wa.band_key, wb.band_key))) AS INTEGER) AS h
+  FROM cand c, (SELECT unnest(generate_series(-1, 1)) AS s) s
+  JOIN words wa ON wa.doc_id = c.id_a
+  JOIN words wb ON wb.doc_id = c.id_b
+   AND wa.band - wb.band = s.s
+  GROUP BY c.id_a, c.id_b, s.s
+), best AS (
+  SELECT id_a, id_b, s AS best_shift, h AS hamming,
+         ROW_NUMBER() OVER (
+           PARTITION BY id_a, id_b ORDER BY h ASC, s ASC
+         ) AS rn
+  FROM shifted
+)
+SELECT id_a, id_b,
+       CAST(best_shift AS INTEGER) AS best_shift,
+       CAST(hamming AS INTEGER) AS hamming
+FROM best WHERE rn = 1 AND hamming <= 3
+"""
+
+QUERIES_LLM["video_offset_neardup"] = q_video_offset_neardup
+ORACLES_LLM["video_offset_neardup"] = ORACLE_VIDEO_OFFSET_NEARDUP

@@ -955,6 +955,150 @@ QUERIES_STATS["dup_correlation"] = q_dup_correlation
 ORACLES_STATS["dup_correlation"] = ORACLE_DUP_CORRELATION
 
 
+def q_blocked_de(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 CONSUMED by M8 (r11, the verdict's last unconsumed reference
+    semantic): duplicateCorrelation -> lmFit(block, correlation) GLS
+    downweighting end-to-end (`DiffExpression_closedPlatform.R:
+    487-534`).  Per-gene block ICCs (one-way ANOVA moments) feed the
+    order-free Fisher-z consensus, which feeds the closed-form
+    2-group compound-symmetry GLS fit — technical-replicate blocks
+    (supplier buckets) are downweighted by their design effect
+    1+(n_i-1)rho instead of counting as independent arrays.  The
+    oracle replays the whole chain (icc moments, quantized-z
+    consensus, quantized GLS terms, t, normal p) in DuckDB."""
+    from transcriptomics_data_integration_spark.stats.dupcorr import (
+        blocked_gls_ttest,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    # +3000/block: a deterministic block-mean component so the
+    # per-gene ICCs (and hence the consensus) are solidly POSITIVE —
+    # compound symmetry needs rho > -1/(n_max - 1) for a PD V, and
+    # raw price data's near-zero icc would put the gate at that edge
+    df = li.select(
+        (F.col("l_partkey") % 200).alias("gene_id"),
+        (F.col("l_suppkey") % 4).alias("block"),
+        F.when((F.col("l_suppkey") % 4) < 2, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("grp"),
+        (F.col("l_extendedprice") + 3000.0 * (F.col("l_suppkey") % 4)).alias("value"),
+    )
+    out = blocked_gls_ttest(
+        df, "gene_id", "block", "grp", "value", "A", "B",
+        exact_scale=2, term_scale=2,
+    )
+    return out.select(
+        "gene_id",
+        "n_a",
+        "n_b",
+        F.round("w_a", 6).alias("w_a"),
+        F.round("w_b", 6).alias("w_b"),
+        F.round("rho", 6).alias("rho"),
+        F.round("mean_a", 4).alias("mean_a"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("t_statistic", 6).alias("t_statistic"),
+        F.round("p_value", 8).alias("p_value"),
+    )
+
+
+def _oracle_blocked_de() -> str:
+    p_expr = two_sided_p_sql("t_statistic")
+    return f"""
+WITH df AS (
+  SELECT l_partkey % 200 AS gene_id, l_suppkey % 4 AS block,
+         CASE WHEN l_suppkey % 4 < 2 THEN 'A' ELSE 'B' END AS grp,
+         l_extendedprice + 3000.0e0 * (l_suppkey % 4) AS value
+  FROM lineitem
+), icc_pb AS (
+  SELECT gene_id, block, COUNT(value) AS n_i,
+         SUM(CAST(value AS DECIMAL(18,2))) AS s_dec,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS s2_i
+  FROM df GROUP BY gene_id, block
+), icc_terms AS (
+  SELECT gene_id, block, n_i, s_dec, s2_i,
+         CAST(ROUND(s2_i - CAST(s_dec AS DOUBLE) * CAST(s_dec AS DOUBLE) / n_i, 0) AS DECIMAL(28,0)) AS w_t,
+         CAST(ROUND(CAST(s_dec AS DOUBLE) * CAST(s_dec AS DOUBLE) / n_i, 0) AS DECIMAL(28,0)) AS b_t
+  FROM icc_pb
+), icc_pg AS (
+  SELECT gene_id, COUNT(*) AS k_blocks, CAST(SUM(n_i) AS BIGINT) AS n_obs,
+         CAST(SUM(w_t) AS DOUBLE) AS ssw, CAST(SUM(b_t) AS DOUBLE) AS ssb_part,
+         CAST(SUM(s_dec) AS DOUBLE) AS s_tot, SUM(n_i * n_i) AS sn2
+  FROM icc_terms GROUP BY gene_id
+  HAVING COUNT(*) >= 2 AND SUM(n_i) > COUNT(*)
+), icc_m AS (
+  SELECT gene_id,
+         ssw / (n_obs - k_blocks) AS msw,
+         (ssb_part - s_tot * s_tot / n_obs) / (k_blocks - 1) AS msb,
+         (n_obs - sn2 / n_obs) / (k_blocks - 1) AS n0
+  FROM icc_pg
+), iccs AS (
+  SELECT gene_id, (msb - msw) / (msb + (n0 - 1.0e0) * msw) AS icc
+  FROM icc_m WHERE msw > 0
+), zq AS (
+  SELECT CAST(ROUND(
+           0.5e0 * ln((1.0e0 + LEAST(GREATEST(icc, -0.999999), 0.999999))
+                    / (1.0e0 - LEAST(GREATEST(icc, -0.999999), 0.999999))) * 1e12,
+           0) AS DECIMAL(38,0)) AS z
+  FROM iccs
+), rho_t AS (
+  SELECT COUNT(*) AS n_genes, CAST(SUM(z) AS DOUBLE) / 1e12 AS zsum FROM zq
+), rho AS (
+  SELECT (exp(2.0e0 * zsum / n_genes) - 1.0e0)
+       / (exp(2.0e0 * zsum / n_genes) + 1.0e0) AS rho
+  FROM rho_t
+), pb AS (
+  SELECT gene_id, grp, block, COUNT(value) AS n_i,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s_i,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS q_i
+  FROM df GROUP BY gene_id, grp, block
+), terms AS (
+  SELECT gene_id, grp, n_i, r.rho AS rho_v,
+         CAST(ROUND(n_i / (1.0e0 + (n_i - 1.0e0) * r.rho) * 100, 0) AS DECIMAL(38,0)) AS w_q,
+         CAST(ROUND(s_i / (1.0e0 + (n_i - 1.0e0) * r.rho) * 100, 0) AS DECIMAL(38,0)) AS m_q,
+         CAST(ROUND((q_i - r.rho * s_i * s_i / (1.0e0 + (n_i - 1.0e0) * r.rho))
+                    / (1.0e0 - r.rho) * 100, 0) AS DECIMAL(38,0)) AS q_q
+  FROM pb, rho r
+), pg AS (
+  SELECT gene_id,
+         CAST(SUM(CASE WHEN grp = 'A' THEN n_i END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN grp = 'B' THEN n_i END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN grp = 'A' THEN w_q END) AS DOUBLE) / 100 AS w_a,
+         CAST(SUM(CASE WHEN grp = 'B' THEN w_q END) AS DOUBLE) / 100 AS w_b,
+         CAST(SUM(CASE WHEN grp = 'A' THEN m_q END) AS DOUBLE) / 100 AS m_a,
+         CAST(SUM(CASE WHEN grp = 'B' THEN m_q END) AS DOUBLE) / 100 AS m_b,
+         CAST(SUM(q_q) AS DOUBLE) / 100 AS q,
+         MIN(rho_v) AS rho
+  FROM terms GROUP BY gene_id
+  HAVING SUM(CASE WHEN grp = 'A' THEN n_i END) >= 2
+     AND SUM(CASE WHEN grp = 'B' THEN n_i END) >= 2
+     AND CAST(SUM(CASE WHEN grp = 'A' THEN w_q END) AS DOUBLE) > 0
+     AND CAST(SUM(CASE WHEN grp = 'B' THEN w_q END) AS DOUBLE) > 0
+     AND SUM(n_i) > 2
+), fit AS (
+  SELECT gene_id, n_a, n_b, w_a, w_b, rho,
+         m_a / w_a AS mean_a, m_b / w_b AS mean_b,
+         (q - w_a * (m_a / w_a) * (m_a / w_a)
+            - w_b * (m_b / w_b) * (m_b / w_b)) / (n_a + n_b - 2) AS s2
+  FROM pg
+), tt AS (
+  SELECT *, (mean_a - mean_b)
+            / sqrt(s2 * (1.0e0 / w_a + 1.0e0 / w_b)) AS t_statistic
+  FROM fit WHERE s2 > 0
+)
+SELECT gene_id, n_a, n_b,
+       ROUND(w_a, 6) AS w_a, ROUND(w_b, 6) AS w_b,
+       ROUND(rho, 6) AS rho,
+       ROUND(mean_a, 4) AS mean_a, ROUND(mean_b, 4) AS mean_b,
+       ROUND(t_statistic, 6) AS t_statistic,
+       ROUND({p_expr}, 8) AS p_value
+FROM tt
+"""
+
+
+QUERIES_STATS["blocked_de"] = q_blocked_de
+ORACLES_STATS["blocked_de"] = _oracle_blocked_de()
+
+
 def q_pairwise_contrasts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 all-pairwise contrasts + per-contrast BH + decideTests sign
     matrix + A9 Venn of significant sets — the reference's dynamic
