@@ -48,6 +48,11 @@ BNLJ_WHITELIST = {
     # (n, harmonic-c(n)) totals attach — the per-group aggregate
     # broadcast back, never data-sized
     "p_adjust_by", "de_adjust_methods",
+    # blocked_de (r11): the 1-row Fisher-z consensus scalar broadcast-
+    # crossJoined into the per-block moment relation (once per branch
+    # of the icc->consensus->GLS chain) — same 1-row-attach class as
+    # the BY harmonic above, never data-sized
+    "blocked_de",
     # voom_loess2 (voom_loess_fixed twin): deliberate
     # ranked.join(broadcast(bins)) <=64-row bin cross join + the 1-row
     # lowess bandwidth (h) bounds attach — both broadcast-small dims
