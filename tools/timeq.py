@@ -26,17 +26,15 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
-
     import __spark_entry__ as entry
 
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "16g")
-        .config("spark.sql.adaptive.enabled", "true")
-        .getOrCreate()
-    )
+    # the BENCH session factory, not an ad-hoc builder: A/B numbers are
+    # only comparable to bench.py rows if broadcast threshold, AQE,
+    # codec and cleaner settings match (r11 — the old ad-hoc session
+    # measured dedup_clusters 9.1 s where the bench session runs 6.4)
+    from transcriptomics_data_integration_spark.session import get_spark
+
+    spark = get_spark("timeq")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
     for name in args.names:

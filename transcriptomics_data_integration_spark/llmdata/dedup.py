@@ -635,7 +635,15 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """SimHash over whitespace tokens: per bit position b of the 60-bit
     token hash, sum +1/-1 across tokens; bit is set where the sum is
-    positive.  One explode + aggregation; signature is a bigint."""
+    positive.  One explode + aggregation; signature is a bigint.
+
+    Plan-shape note (r11, measured NEGATIVE): a single groupBy(id)
+    with 60 conditional-sum columns — no bit explode, one exchange
+    fewer — timed 1.50 s vs 0.67 s for THIS shape on the sf0.1 docs
+    (min-of-3, same session): a 60-field aggregation buffer loses the
+    fast codegen'd hash-aggregate path, which costs more than the
+    60x-row bit explode saves (the exploded rows are 3 narrow ints
+    and partial aggregation collapses them map-side).  Kept exploded."""
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("token"),
@@ -739,11 +747,19 @@ def simhash_neardup_pairs(
     pairs = (
         a.join(b, ["band", "key"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
+        # r11 plan shape: verify BEFORE the distinct.  A candidate pair
+        # surfaces once per shared band (<= n_bands dup rows); hamming
+        # is a pure function of the pair, so dedup-then-filter and
+        # filter-then-dedup return the same pair set — but filtering
+        # first means the distinct exchange carries only VERIFIED pairs
+        # (3 narrow columns), not every banded candidate plus two
+        # 64-bit signatures.  The bit_count runs per duplicate row —
+        # one codegen'd integer op, orders cheaper than the shuffle
+        # bytes it saves (guide §2.3: shuffle fewer bytes).
         .withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)"))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
     if expand == "star":
         star = (

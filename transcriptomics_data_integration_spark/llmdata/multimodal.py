@@ -2602,6 +2602,7 @@ def video_neardup_offset_tolerant(
     max_shift: int = 1,
     anchor_k: int = 4,
     max_bucket: int | None = None,
+    n_frames: int | None = None,
 ) -> DataFrame:
     """Offset-tolerant video near-dup tier (r11, VERDICT item 7):
     :func:`video_phash_wide` bands on frame POSITION, so a one-frame
@@ -2627,22 +2628,37 @@ def video_neardup_offset_tolerant(
     (id_a, id_b, best_shift, hamming), id_a < id_b.  Positions the
     two tiers as complements: position-locked for exact-alignment
     corpora (cheapest), this tier when ingest cannot rule out
-    trims/retimings."""
+    trims/retimings.
+
+    ``n_frames`` (r11 optimization): when every fingerprint is known
+    to hold exactly ``n_frames`` words (the :func:`video_phash_wide`
+    contract), pass it to UNROLL each shift's overlap fold into a
+    static sum of ``bit_count`` terms — whole-stage-codegen instead of
+    an interpreted per-element HOF lambda.  The verify stage evaluates
+    |shifts| folds per candidate pair, and value-banded candidate
+    counts are corpus-shaped (a shared 16-bit word is a weak filter),
+    so the per-pair cost is the stage's wall clock.  Integer sums in
+    either form — identical output.  Leave ``None`` for variable-
+    length fingerprints (the generic fold)."""
     from transcriptomics_data_integration_spark.runtime import register_persisted
 
     hashes = hashes.persist()
     register_persisted(hashes)
-    anchors = (
-        hashes.select(F.col(id_col), F.explode(hash_col).alias("word"))
-        .distinct()
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy(F.col("word").asc())
-            ),
-        )
-        .where(F.col("_rk") <= anchor_k)
-        .select(id_col, "word")
+    # min-k distinct frame words per clip, computed MAP-SIDE (r11):
+    # array_distinct -> array_sort -> slice over the fingerprint array
+    # is exactly "distinct words, ascending, first anchor_k" — the
+    # previous explode -> distinct -> row_number window paid two
+    # shuffles (hash dedup + window sort) for a per-row array
+    # computation (guide §2.4: remove shuffles outright).  Identical
+    # anchor set: dwords holds no nulls, and slice past the array end
+    # returns the shorter prefix just as _rk <= k did.
+    anchors = hashes.select(
+        F.col(id_col),
+        F.explode(
+            F.slice(
+                F.array_sort(F.array_distinct(F.col(hash_col))), 1, anchor_k
+            )
+        ).alias("word"),
     )
     if max_bucket is not None:
         w = Window.partitionBy("word")
@@ -2671,6 +2687,15 @@ def video_neardup_offset_tolerant(
         # overlap fold at integer shift s: wa[i + max(s,0)] vs
         # wb[i + max(-s,0)] for i = 1 .. min(len) - |s| (1-based HOF)
         off_a, off_b, width = max(s, 0), max(-s, 0), abs(s)
+        if n_frames is not None:
+            # static unroll (codegen): same integer sum, same term
+            # order, no per-element lambda interpretation
+            terms = " + ".join(
+                f"bit_count(element_at(wa, {i + off_a}) "
+                f"^ element_at(wb, {i + off_b}))"
+                for i in range(1, n_frames - width + 1)
+            )
+            return f"({terms})"
         return (
             f"aggregate(sequence(1, least(size(wa), size(wb)) - {width}), 0, "
             f"(acc, i) -> acc + bit_count(element_at(wa, i + {off_a}) "

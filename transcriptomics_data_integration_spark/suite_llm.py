@@ -7272,7 +7272,12 @@ def q_video_offset_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = docs.repartition(par)
     vids = docs.mapInPandas(op, schema="doc_id long, payload binary")
     hashes = video_phash_wide(vids, "doc_id", n_frames=NF)
-    out = video_neardup_offset_tolerant(hashes, "doc_id", max_hamming=3)
+    # n_frames=NF: every fingerprint is exactly NF words (the
+    # video_phash_wide contract), so the shift-swept verify unrolls to
+    # codegen'd bit_count sums — identical integers, no HOF lambda
+    out = video_neardup_offset_tolerant(
+        hashes, "doc_id", max_hamming=3, n_frames=NF
+    )
     return out.select(
         "id_a", "id_b",
         F.col("best_shift").cast("int").alias("best_shift"),
