@@ -2428,14 +2428,20 @@ def hamming_neardup_pairs_wide(
     hash_col: str = "dwords",
     max_hamming: int = 6,
     max_bucket: int | None = None,
+    n_words: int | None = None,
 ) -> DataFrame:
     """Banded hamming near-dup over multi-word perceptual hashes — the
     capacity-scaled twin of :func:`dhash_neardup_pairs`.  The array
     position is the band index and the element the band key, so the
     self-join is ``posexplode`` + hash equi-join on (band, band_key);
-    the exact verify is one codegen'd ``zip_with``/``bit_count`` fold
-    per candidate.  Recall is pigeonhole-EXACT for ``max_hamming <
-    len(dwords)``.
+    the exact verify is one ``bit_count`` fold per candidate.  Recall
+    is pigeonhole-EXACT for ``max_hamming < len(dwords)``.
+
+    ``n_words`` (r11): when every fingerprint holds exactly this many
+    words (the wide-profile contract — profiles emit fixed n_bands
+    arrays), the verify fold UNROLLS to a flat sum of ``bit_count``
+    terms — whole-stage codegen instead of an interpreted HOF lambda
+    per candidate.  Integer sums either way — identical output.
 
     ``max_bucket`` is the skew/adversary guard for dup-storm keys: a
     (band, band_key) bucket larger than the cap is excluded from that
@@ -2472,17 +2478,22 @@ def hamming_neardup_pairs_wide(
     b = banded.select(
         F.col(id_col).alias("id_b"), F.col(hash_col).alias("wb"), "band", "band_key"
     )
+    if n_words is not None:
+        ham = F.expr(
+            " + ".join(
+                f"bit_count(element_at(wa, {i}) ^ element_at(wb, {i}))"
+                for i in range(1, n_words + 1)
+            )
+        )
+    else:
+        ham = F.expr(
+            "aggregate(zip_with(wa, wb, (x, y) -> bit_count(x ^ y)),"
+            " 0, (acc, v) -> acc + v)"
+        )
     return (
         a.join(b, ["band", "band_key"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.expr(
-                "aggregate(zip_with(wa, wb, (x, y) -> bit_count(x ^ y)),"
-                " 0, (acc, v) -> acc + v)"
-            ).alias("hamming"),
-        )
+        .select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
@@ -2544,7 +2555,9 @@ def perceptual_neardup_auto(
         hashes = image_dhash_wide(df, id_col, payload_col, n_bands, word_bits)
     else:
         hashes = audio_envelope_hash_wide(df, id_col, payload_col, n_bands, word_bits)
-    return hamming_neardup_pairs_wide(hashes, id_col, "dwords", max_hamming)
+    return hamming_neardup_pairs_wide(
+        hashes, id_col, "dwords", max_hamming, n_words=n_bands
+    )
 
 
 def video_phash_wide(

@@ -32,17 +32,66 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot(a: str, b: str) -> Column:
+def _dot(a: str, b: str, dim: int | None = None) -> Column:
+    """Dot product of two array columns as a left fold.
+
+    ``dim`` (r11, guide §4.1): when the vector width is statically
+    known, the fold UNROLLS to ``0.0 + t1 + t2 + ...`` — SQL ``+`` is
+    left-associative, so the IEEE addition sequence ``(((0+t1)+t2)+…)``
+    is IDENTICAL to the interpreted ``aggregate`` lambda's, bit for
+    bit, while the flat expression stays inside whole-stage codegen
+    (HOF lambdas are interpreted per element).  MEASURED LIMIT (r11):
+    a single expression tree cannot be split across generated methods,
+    so past ~16 terms the ANSI ``element_at`` checks blow janino's
+    64 KB method cap and the WHOLE stage falls back to interpreted —
+    cosine_neardup timed 1.7 -> 16.7 s with dim=64 engaged.  Pass
+    ``dim`` only for SHORT fixed widths (PQ subspaces, multi-word
+    fingerprints); leave None for full-width embedding folds.  ANSI
+    note: ``element_at`` past the array end raises — callers pass
+    ``dim`` only under a fixed-width contract, where an error is a
+    loud contract violation, never a silent wrong sum."""
+    if dim is not None:
+        terms = " + ".join(
+            f"CAST(element_at({a}, {i}) AS DOUBLE) * "
+            f"CAST(element_at({b}, {i}) AS DOUBLE)"
+            for i in range(1, dim + 1)
+        )
+        return F.expr(f"(CAST(0 AS DOUBLE) + {terms})")
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
 
 
-def _norm2(a: str) -> Column:
+def _norm2(a: str, dim: int | None = None) -> Column:
+    """Sum of squares; same unroll contract as :func:`_dot`."""
+    if dim is not None:
+        terms = " + ".join(
+            f"CAST(element_at({a}, {i}) AS DOUBLE) * "
+            f"CAST(element_at({a}, {i}) AS DOUBLE)"
+            for i in range(1, dim + 1)
+        )
+        return F.expr(f"(CAST(0 AS DOUBLE) + {terms})")
     return F.expr(
         f"aggregate({a}, CAST(0 AS DOUBLE), "
         f"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+    )
+
+
+def _l2_dist(a: str, b: str, dim: int | None = None) -> Column:
+    """Squared L2 distance between an array column and a (double)
+    center column; same left-fold order and unroll contract as
+    :func:`_dot` (terms are ``(CAST(x)-y)*(CAST(x)-y)``)."""
+    if dim is not None:
+        terms = " + ".join(
+            f"(CAST(element_at({a}, {i}) AS DOUBLE) - element_at({b}, {i})) * "
+            f"(CAST(element_at({a}, {i}) AS DOUBLE) - element_at({b}, {i}))"
+            for i in range(1, dim + 1)
+        )
+        return F.expr(f"(CAST(0 AS DOUBLE) + {terms})")
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
 
 
@@ -52,12 +101,15 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbours for each query vector.
 
     ``queries`` is a (possibly filtered) subset of ``embeddings`` with
     the same schema.  Self-matches are excluded.  Deterministic
-    tie-break on candidate id.
+    tie-break on candidate id.  ``dim``: pass the fixed vector width to
+    unroll the per-pair fold into codegen (see :func:`_dot` — values
+    bit-identical either way).
     """
     # norms are per-vector, not per-pair: compute each once and carry the
     # scalar through the cross join (same fold expression -> identical
@@ -65,12 +117,12 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.sqrt(_norm2(vec_col)).alias("q_norm"),
+        F.sqrt(_norm2(vec_col, dim)).alias("q_norm"),
     )
     c = embeddings.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("c_vec"),
-        F.sqrt(_norm2(vec_col)).alias("c_norm"),
+        F.sqrt(_norm2(vec_col, dim)).alias("c_norm"),
     )
     # ANSI guard: a zero vector has no cosine — exclude before dividing
     # (same rule as cosine_neardup_pairs)
@@ -81,7 +133,7 @@ def cosine_topk(
     )
     sim = pairs.withColumn(
         "cosine",
-        _dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")),
+        _dot("q_vec", "c_vec", dim) / (F.col("q_norm") * F.col("c_norm")),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
@@ -119,6 +171,13 @@ def hyperplane_bits(vec_col: str, n_planes: int, dim: int) -> Column:
     generator) instead of n_planes * dim md5 calls PER ROW — the fold
     order over elements is unchanged, so bucket ids are identical.
     """
+    # r11 measured NEGATIVE (do not re-attempt): unrolling these folds
+    # into n_planes x dim flat multiply-add chains generates "Code
+    # grows beyond 64 KB" in janino (a single expression tree cannot be
+    # split across methods), which drops the WHOLE stage to interpreted
+    # execution — cosine_neardup timed 1.7 -> 16.7 s.  Unrolls only pay
+    # below ~16 terms per expression (see _pq_sub_l2 / the bit_count
+    # verifies); wide folds stay as lambdas.
     terms = []
     for p in range(n_planes):
         comps = ", ".join(plane_literals(p, dim))
@@ -235,18 +294,19 @@ def _knuth_hash(col: str):
 
 
 def _ivf_search(
-    assigned: DataFrame, centers_df: DataFrame, q: DataFrame, k: int, n_probe: int
+    assigned: DataFrame,
+    centers_df: DataFrame,
+    q: DataFrame,
+    k: int,
+    n_probe: int,
+    dim: int | None = None,
 ) -> DataFrame:
     """Shared IVF probe + re-rank: query -> ``n_probe`` nearest cells by
     euclidean distance to the (broadcast) centers, then exact cosine
     top-k within the probed cells.  ``assigned`` = (cand_id, c_vec,
-    cell); ``q`` = (query_id, q_vec)."""
+    cell); ``q`` = (query_id, q_vec).  ``dim``: :func:`_dot` unroll."""
     qc = q.crossJoin(F.broadcast(centers_df)).withColumn(
-        "dist",
-        F.expr(
-            "aggregate(zip_with(q_vec, center, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        ),
+        "dist", _l2_dist("q_vec", "center", dim)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("cell"))
     probes = (
@@ -256,10 +316,10 @@ def _ivf_search(
     )
     pairs = probes.join(assigned, "cell").where(F.col("query_id") != F.col("cand_id"))
     # ANSI guard: zero-norm vectors have no cosine — exclude before dividing
-    sim = pairs.withColumn("_qn", F.sqrt(_norm2("q_vec"))).withColumn(
-        "_cn", F.sqrt(_norm2("c_vec"))
+    sim = pairs.withColumn("_qn", F.sqrt(_norm2("q_vec", dim))).withColumn(
+        "_cn", F.sqrt(_norm2("c_vec", dim))
     ).where((F.col("_qn") > 0) & (F.col("_cn") > 0)).withColumn(
-        "cosine", _dot("q_vec", "c_vec") / (F.col("_qn") * F.col("_cn"))
+        "cosine", _dot("q_vec", "c_vec", dim) / (F.col("_qn") * F.col("_cn"))
     )
     w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
@@ -286,19 +346,17 @@ def _hash_pick_centers(base: DataFrame, n_cells: int) -> DataFrame:
     )
 
 
-def _assign_to_centers(base: DataFrame, centers_df: DataFrame) -> DataFrame:
+def _assign_to_centers(
+    base: DataFrame, centers_df: DataFrame, dim: int | None = None
+) -> DataFrame:
     """Nearest-center cell assignment (argmin L2, ties to the smaller
     cell id) -> (cand_id, c_vec, cell).  Argmin via min(struct):
     partially aggregable (the x n_cells blowup collapses map-side
     before any exchange), unlike a per-id window.  Struct comparison is
     (dist, cell, ...) lexicographic; cell is unique per candidate so
-    the vector field is never compared."""
+    the vector field is never compared.  ``dim``: :func:`_dot` unroll."""
     ac = base.crossJoin(F.broadcast(centers_df)).withColumn(
-        "dist",
-        F.expr(
-            "aggregate(zip_with(c_vec, center, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        ),
+        "dist", _l2_dist("c_vec", "center", dim)
     )
     return (
         ac.groupBy("cand_id")
@@ -319,6 +377,7 @@ def ivf_fixed_topk(
     k: int = 5,
     n_cells: int = 16,
     n_probe: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF ANN with a DETERMINISTIC coarse quantizer — the
     hash-gateable twin of :func:`ivf_topk` (same inverted-file layout,
@@ -341,11 +400,11 @@ def ivf_fixed_topk(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
     )
     centers_df = _hash_pick_centers(base, n_cells)
-    assigned = _assign_to_centers(base, centers_df)
+    assigned = _assign_to_centers(base, centers_df, dim)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    return _ivf_search(assigned, centers_df, q, k, n_probe)
+    return _ivf_search(assigned, centers_df, q, k, n_probe, dim)
 
 
 def cosine_neardup_pairs(
@@ -443,10 +502,25 @@ def _pq_fixed_centers(base: DataFrame, m: int, n_cent: int) -> DataFrame:
     )
 
 
-def _pq_sub_l2(vec_expr: str, m: int) -> str:
+def _pq_sub_l2(vec_expr: str, m: int, dim: int | None = None) -> str:
     """Ordered-fold squared L2 between ``vec_expr``'s subspace ``s``
     slice and the joined ``center`` column (both engines evaluate the
-    identical left-to-right double chain)."""
+    identical left-to-right double chain).  With ``dim`` known the
+    fold UNROLLS to dim/m flat terms — ``slice(v, s*d+1, d)[i]`` is
+    ``v[s*d+i]``, so element indexing (with the runtime ``s`` column
+    in the offset) replaces the interpreted lambda at identical values
+    and order (the :func:`_dot` contract); this fold runs per
+    (vector, subspace, sub-centroid) row — the PQ encode hot loop."""
+    if dim is not None:
+        dsub = dim // m
+        terms = " + ".join(
+            f"(CAST(element_at({vec_expr}, s * {dsub} + {i}) AS DOUBLE)"
+            f" - element_at(center, {i})) * "
+            f"(CAST(element_at({vec_expr}, s * {dsub} + {i}) AS DOUBLE)"
+            f" - element_at(center, {i}))"
+            for i in range(1, dsub + 1)
+        )
+        return f"(CAST(0 AS DOUBLE) + {terms})"
     return (
         f"aggregate(zip_with(slice({vec_expr}, s * (size({vec_expr}) / {m}) + 1, "
         f"size({vec_expr}) / {m}), center, "
@@ -455,14 +529,16 @@ def _pq_sub_l2(vec_expr: str, m: int) -> str:
     )
 
 
-def _pq_fixed_codes(base: DataFrame, centers: DataFrame, m: int) -> DataFrame:
+def _pq_fixed_codes(
+    base: DataFrame, centers: DataFrame, m: int, dim: int | None = None
+) -> DataFrame:
     """(cand_id, codes array) — argmin sub-centroid per subspace via a
     partially-aggregable min(struct), collected in s order."""
     exploded = base.select(
         "cand_id", "vec", F.explode(F.expr(f"sequence(0, {m - 1})")).alias("s")
     )
     scored = exploded.join(F.broadcast(centers), "s").withColumn(
-        "dist", F.expr(_pq_sub_l2("vec", m))
+        "dist", F.expr(_pq_sub_l2("vec", m, dim))
     )
     return (
         scored.groupBy("cand_id", "s")
@@ -484,6 +560,7 @@ def pq_fixed_topk(
     k: int = 5,
     m: int = 8,
     n_cent: int = 16,
+    dim: int | None = None,
 ) -> DataFrame:
     """Product-quantization ADC search with a DETERMINISTIC codebook —
     the hash-gateable twin of the ``pq_train``/``pq_encode``/``pq_topk``
@@ -511,14 +588,14 @@ def pq_fixed_topk(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("vec")
     )
     centers = _pq_fixed_centers(base, m, n_cent)
-    codes = _pq_fixed_codes(base, centers, m)
+    codes = _pq_fixed_codes(base, centers, m, dim)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     qex = q.select(
         "query_id", "qv", F.explode(F.expr(f"sequence(0, {m - 1})")).alias("s")
     )
     lut = (
         qex.join(F.broadcast(centers), "s")
-        .withColumn("l2", F.expr(_pq_sub_l2("qv", m)))
+        .withColumn("l2", F.expr(_pq_sub_l2("qv", m, dim)))
         .groupBy("query_id")
         .agg(
             F.expr(
@@ -563,6 +640,7 @@ def semdedup(
     vec_col: str = "embedding",
     n_cells: int = 16,
     tau: float = 0.9,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540) over an embedding corpus — the embedding-space
@@ -597,24 +675,27 @@ def semdedup(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
     )
     centers = _hash_pick_centers(base, n_cells)
-    assigned = _assign_to_centers(base, centers)
-    cen = centers.withColumn("center_norm", F.sqrt(_norm2("center")))
+    assigned = _assign_to_centers(base, centers, dim)
+    cen = centers.withColumn("center_norm", F.sqrt(_norm2("center", dim)))
     scored = (
         assigned.join(F.broadcast(cen), "cell")
-        .withColumn("_vnorm", F.sqrt(_norm2("c_vec")))
+        .withColumn("_vnorm", F.sqrt(_norm2("c_vec", dim)))
         .withColumn(
             "cos_centroid",
             F.when(
                 F.col("_vnorm") * F.col("center_norm") > 0,
-                _dot("c_vec", "center") / (F.col("_vnorm") * F.col("center_norm")),
+                _dot("c_vec", "center", dim)
+                / (F.col("_vnorm") * F.col("center_norm")),
             ).otherwise(F.lit(0.0)),
         )
         .select("cand_id", "cell", "c_vec", "_vnorm", "cos_centroid")
     )
-    return _semdedup_flag(scored, id_col, tau)
+    return _semdedup_flag(scored, id_col, tau, dim)
 
 
-def _semdedup_flag(scored: DataFrame, id_col: str, tau: float) -> DataFrame:
+def _semdedup_flag(
+    scored: DataFrame, id_col: str, tau: float, dim: int | None = None
+) -> DataFrame:
     """Shared within-cell pair sweep + keep rule over a ``scored``
     relation (cand_id, cell, c_vec, _vnorm, cos_centroid) — the
     assignment-independent half of SemDeDup, used by both the flat
@@ -655,7 +736,7 @@ def _semdedup_flag(scored: DataFrame, id_col: str, tau: float) -> DataFrame:
             "_cos",
             F.when(
                 F.col("a_norm") * F.col("b_norm") > 0,
-                _dot("a_vec", "b_vec") / (F.col("a_norm") * F.col("b_norm")),
+                _dot("a_vec", "b_vec", dim) / (F.col("a_norm") * F.col("b_norm")),
             ).otherwise(F.lit(0.0)),
         )
         .where(F.col("_cos") >= F.lit(tau))
@@ -681,6 +762,7 @@ def semdedup_2level(
     n_cells: int = 16,
     tau: float = 0.9,
     n_coarse: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup with a TWO-LEVEL coarse quantizer — the billion-scale
     assignment path (r5 verdict item 2).
@@ -724,13 +806,9 @@ def semdedup_2level(
     # each center joins its nearest level-1 group (bounded k rows)
     cen_g = (
         centers.crossJoin(F.broadcast(coarse))
-        .withColumn(
-            "_d",
-            F.expr(
-                "aggregate(zip_with(center, gcenter, (x, y) -> (x - y) * (x - y)), "
-                "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-            ),
-        )
+        # both arrays are already double, so the unrolled _l2_dist's
+        # CAST is an identity — same values as the bare (x-y)*(x-y) fold
+        .withColumn("_d", _l2_dist("center", "gcenter", dim))
         .groupBy("cell")
         .agg(F.min(F.struct(F.col("_d"), F.col("g"), F.col("center").alias("v"))).alias("_m"))
         # a group center always belongs to its OWN group (distance 0;
@@ -747,18 +825,14 @@ def semdedup_2level(
     )
     # vector level-1 assignment: argmin over the n_coarse group centers
     l1 = _assign_to_centers(
-        base, coarse.select(F.col("g").alias("cell"), F.col("gcenter").alias("center"))
+        base,
+        coarse.select(F.col("g").alias("cell"), F.col("gcenter").alias("center")),
+        dim,
     ).select("cand_id", "c_vec", F.col("cell").alias("g"))
     # vector level-2 assignment: argmin among the group's centers only
     assigned = (
         l1.join(F.broadcast(cen_g), "g")
-        .withColumn(
-            "dist",
-            F.expr(
-                "aggregate(zip_with(c_vec, center, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-                "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-            ),
-        )
+        .withColumn("dist", _l2_dist("c_vec", "center", dim))
         .groupBy("cand_id")
         .agg(
             F.min(
@@ -778,18 +852,19 @@ def semdedup_2level(
         )
     )
     scored = (
-        assigned.withColumn("center_norm", F.sqrt(_norm2("center")))
-        .withColumn("_vnorm", F.sqrt(_norm2("c_vec")))
+        assigned.withColumn("center_norm", F.sqrt(_norm2("center", dim)))
+        .withColumn("_vnorm", F.sqrt(_norm2("c_vec", dim)))
         .withColumn(
             "cos_centroid",
             F.when(
                 F.col("_vnorm") * F.col("center_norm") > 0,
-                _dot("c_vec", "center") / (F.col("_vnorm") * F.col("center_norm")),
+                _dot("c_vec", "center", dim)
+                / (F.col("_vnorm") * F.col("center_norm")),
             ).otherwise(F.lit(0.0)),
         )
         .select("cand_id", "cell", "c_vec", "_vnorm", "cos_centroid")
     )
-    return _semdedup_flag(scored, id_col, tau)
+    return _semdedup_flag(scored, id_col, tau, dim)
 
 
 def semdedup_arrow(
@@ -1297,6 +1372,7 @@ def prototype_prune(
     n_cells: int = 16,
     keep_frac: float = 0.5,
     round_dp: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """SSL-prototype data pruning (Sorscher et al. 2022, "Beyond
     neural scaling laws", public): score every vector by its cosine to
@@ -1323,16 +1399,16 @@ def prototype_prune(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
     )
     centers = _hash_pick_centers(base, n_cells)
-    assigned = _assign_to_centers(base, centers)
+    assigned = _assign_to_centers(base, centers, dim)
     cos = (
         assigned.join(F.broadcast(centers), "cell")
         .withColumn(
             "_cos",
             F.round(
-                _dot("c_vec", "center")
+                _dot("c_vec", "center", dim)
                 / (
-                    F.sqrt(_dot("c_vec", "c_vec"))
-                    * F.sqrt(_dot("center", "center"))
+                    F.sqrt(_dot("c_vec", "c_vec", dim))
+                    * F.sqrt(_dot("center", "center", dim))
                 ),
                 round_dp,
             ),

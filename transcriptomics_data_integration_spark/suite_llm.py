@@ -1336,7 +1336,7 @@ def q_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 10 == 0)
-    return pq_fixed_topk(emb, queries, k=5, m=8, n_cent=16)
+    return pq_fixed_topk(emb, queries, k=5, m=8, n_cent=16, dim=64)
 
 
 def _oracle_pq_fixed(m: int = 8, n_cent: int = 16) -> str:
@@ -6899,7 +6899,9 @@ def q_image_dhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = docs.repartition(par)
     images = docs.mapInPandas(op, schema="doc_id long, payload binary")
     hashes = image_dhash_wide(images, "doc_id")
-    return hamming_neardup_pairs_wide(hashes, "doc_id", max_hamming=6)
+    # n_words=8: the wide profile emits fixed 8-word fingerprints, so
+    # the verify fold unrolls to codegen (identical integer sums)
+    return hamming_neardup_pairs_wide(hashes, "doc_id", max_hamming=6, n_words=8)
 
 
 ORACLE_IMAGE_DHASH_WIDE = """
@@ -6988,7 +6990,8 @@ def q_audio_neardup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = docs.repartition(par)
     clips = docs.mapInPandas(op, schema="doc_id long, payload binary")
     hashes = audio_envelope_hash_wide(clips, "doc_id")
-    return hamming_neardup_pairs_wide(hashes, "doc_id", max_hamming=3)
+    # n_words=8: fixed-width wide profile -> unrolled codegen verify
+    return hamming_neardup_pairs_wide(hashes, "doc_id", max_hamming=3, n_words=8)
 
 
 ORACLE_AUDIO_NEARDUP_WIDE = """
@@ -7085,7 +7088,8 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = docs.repartition(par)
     vids = docs.mapInPandas(op, schema="doc_id long, payload binary")
     hashes = video_phash_wide(vids, "doc_id", n_frames=NF)
-    return hamming_neardup_pairs_wide(hashes, "doc_id", max_hamming=3)
+    # n_words=NF: one word per sampled frame by contract -> unrolled verify
+    return hamming_neardup_pairs_wide(hashes, "doc_id", max_hamming=3, n_words=NF)
 
 
 ORACLE_VIDEO_NEARDUP = """
