@@ -301,20 +301,26 @@ def _unigram_segment_words(
 
 def _unigram_used_counts(seg: DataFrame) -> DataFrame:
     """Explode best segmentations to (piece, count): piece k starts
-    after the cumulative length of pieces 1..k-1."""
-    exploded = seg.select(
-        "w",
-        "wc",
-        F.posexplode(F.expr("transform(split(lens, '-'), x -> CAST(x AS INT))")).alias(
-            "k", "l"
-        ),
-    )
-    win = Window.partitionBy("w").orderBy("k").rowsBetween(
-        Window.unboundedPreceding, -1
+    after the cumulative length of pieces 1..k-1.
+
+    Plan shape (r11): the cumulative start offsets are a PREFIX SCAN
+    over the per-word lens array — computed map-side by one
+    ``aggregate`` fold that threads (next_start, pieces_so_far), then
+    exploded straight into the piece aggregation.  The previous shape
+    posexploded (w, k, l) rows and ran a per-word running-sum WINDOW —
+    a full extra shuffle + sort on the word table PER EM ROUND for
+    offsets that are a pure function of the row (guide §2.4).  Piece
+    strings are identical (same substr(w, start, l) calls)."""
+    pieces = F.expr(
+        "aggregate(split(lens, '-'), "
+        "named_struct('pos', 1, 'ps', CAST(array() AS ARRAY<STRING>)), "
+        "(acc, x) -> named_struct("
+        "'pos', acc.pos + CAST(x AS INT), "
+        "'ps', array_append(acc.ps, substr(w, acc.pos, CAST(x AS INT)))), "
+        "acc -> acc.ps)"
     )
     return (
-        exploded.withColumn("_start", F.coalesce(F.sum("l").over(win), F.lit(0)) + 1)
-        .select(F.expr("substr(w, _start, l)").alias("piece"), "wc")
+        seg.select(F.explode(pieces).alias("piece"), "wc")
         .groupBy("piece")
         .agg(F.sum("wc").alias("count"))
     )

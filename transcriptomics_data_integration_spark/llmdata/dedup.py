@@ -1327,7 +1327,13 @@ def substring_dedup_spans(
             F.posexplode(F.expr(gram_expr)).alias("pos", "_g"),
         )
         .select(id_col, "pos", _md5_60bit(F.col("_g")).alias("gh"))
+        # two consumers (df-guard aggregation + the guarded join): pin
+        # the narrow (id, pos, gh) relation so the token explode + md5
+        # pass runs ONCE, not once per branch (r11; bounded — 3 ints
+        # per token)
+        .persist()
     )
+    register_persisted(grams)
     rare = (
         grams.groupBy("gh")
         .agg(F.countDistinct(id_col).alias("_df"))
@@ -1337,9 +1343,14 @@ def substring_dedup_spans(
     g = grams.join(rare, "gh")
     a = g.select(F.col("gh"), F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"))
     b = g.select(F.col("gh"), F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"))
+    # no distinct on the match table (r11): a (doc, pos) emits exactly
+    # ONE gram row, so a 4-tuple (id_a, id_b, pos_a, pos_b) can only
+    # arise from one join row — the former .distinct() deduplicated
+    # nothing and cost a full exchange of every anchor match.  (The
+    # DuckDB oracle's SELECT DISTINCT is equally a no-op — same rows.)
     m = a.join(b, "gh").where(F.col("id_a") < F.col("id_b")).select(
         "id_a", "id_b", "pos_a", "pos_b"
-    ).distinct()
+    )
     w = Window.partitionBy(
         "id_a", "id_b", (F.col("pos_a") - F.col("pos_b")).alias("_diag")
     ).orderBy("pos_a")

@@ -5565,7 +5565,19 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("text"),
     )
-    out = incremental_minhash_dedup(docs, incoming, "doc_id", threshold=0.8)
+    # broadcast_batch=False (r11): the gate's batch IS corpus-sized by
+    # construction, i.e. the kernel docstring's huge-batch regime — the
+    # three broadcast-bloom prefilters (sized for batch << index) each
+    # broadcast ~the whole relation and re-scan the index for a filter
+    # that keeps almost everything.  Same-session A/B min-of-3 at
+    # sf0.1: 10.9 s (True) vs 5.8 s (False); rows identical (pytested
+    # arm equivalence + this gate's DuckDB oracle, which replays
+    # semantics, not plan).  Production incremental mode (batch <<
+    # stored index) keeps the default True arm — its flat-in-index-size
+    # ladder is pinned in PLANS.md r11.
+    out = incremental_minhash_dedup(
+        docs, incoming, "doc_id", threshold=0.8, broadcast_batch=False
+    )
     return out.select(
         "doc_id",
         "verdict",
