@@ -20,7 +20,7 @@ in the suite) with the iteration unrolled into CTEs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from transcriptomics_data_integration_spark.runtime import register_persisted
