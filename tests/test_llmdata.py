@@ -3494,6 +3494,66 @@ def test_unigram_train_matches_python_replay(spark):
     assert got == _py_unigram(texts)
 
 
+def test_unigram_dp_struct_state_tiebreaks(spark):
+    """r11: the Viterbi fold's struct state (c, n, lens) must order
+    EXACTLY like the r10 packed string ``lpad(c,12):lpad(n,2):lens``.
+    Adversarial cost map: every piece costs the same, so min-cost TIES
+    everywhere and (n_pieces, lens-string) decide; plus an uncovered
+    word (no 'z' piece), which must yield lens NULL (the documented
+    contract)."""
+    from pyspark.sql import functions as F
+
+    from transcriptomics_data_integration_spark.llmdata.bpe import (
+        _unigram_dp_sql,
+    )
+
+    P = 4
+    pieces = ["a", "b", "c", "ab", "bc", "abc", "abca", "bcab"]
+    cost = {p: 1000 for p in pieces}  # all ties: n, then lens decide
+
+    def brute(w):
+        # enumerate all segmentations, pick min by the PACKED rule
+        def segs(s):
+            if not s:
+                return [[]]
+            out = []
+            for l in range(1, min(P, len(s)) + 1):
+                if s[:l] in cost:
+                    out += [[l] + rest for rest in segs(s[l:])]
+            return out
+
+        cands = segs(w)
+        if not cands:
+            return None
+        packed = [
+            (
+                f"{sum(cost[_piece(w, ls, k)] for k, _ in enumerate(ls)):012d}"
+                f":{len(ls):02d}:" + "-".join(str(l) for l in ls)
+            )
+            for ls in cands
+        ]
+        return "-".join(str(l) for l in cands[packed.index(min(packed))])
+
+    def _piece(w, ls, k):
+        start = sum(ls[:k])
+        return w[start : start + ls[k]]
+
+    words = ["abcabc", "abcab", "aabbcc", "abca", "cba", "zab", "a"]
+    df = spark.createDataFrame([(w,) for w in words], ["w"]).withColumn(
+        "m",
+        F.create_map(
+            *[x for p in pieces for x in (F.lit(p), F.lit(cost[p]).cast("bigint"))]
+        ),
+    )
+    got = {
+        r["w"]: r["lens"]
+        for r in df.withColumn("lens", F.expr(_unigram_dp_sql(P))).collect()
+    }
+    for w in words:
+        assert got[w] == brute(w), (w, got[w], brute(w))
+    assert got["zab"] is None  # uncovered word -> NULL, not an error
+
+
 def test_unigram_encode_counts(spark):
     from transcriptomics_data_integration_spark.llmdata.bpe import (
         unigram_encode,

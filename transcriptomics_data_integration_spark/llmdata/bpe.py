@@ -74,6 +74,20 @@ def _unpin(cp_df: DataFrame) -> None:
         pass
 
 
+def _spread_input(df: DataFrame) -> DataFrame:
+    """r11 (guide §2.5 input parallelism): the corpus tokenize+explode
+    stage runs on the scan's splits — a small single-file corpus
+    arrives as ONE split and serializes the regex split + explode on
+    one core.  Round-robin up to session parallelism first; on a
+    many-split corpus this is a no-op (no shuffle inserted), and the
+    downstream word counts are integer aggregates, so the result is
+    partitioning-invariant."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def _merge_fold(a_sql: str, b_sql: str, s: str = "s") -> str:
     """Left-greedy single-pair merge over the symbol array ``s``.
     An element produced by a merge can never re-match the pair's left
@@ -104,7 +118,7 @@ def bpe_train_fixed(
     """
     toks = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
     words = (
-        df.select(F.explode(toks).alias("w"))
+        _spread_input(df).select(F.explode(toks).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))
@@ -237,7 +251,7 @@ def _unigram_words(df: DataFrame, text_col: str) -> DataFrame:
     cap, which only widens the DP fold)."""
     toks = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
     return (
-        df.select(F.explode(toks).alias("w"))
+        _spread_input(df).select(F.explode(toks).alias("w"))
         .where((F.col("w") != "") & (F.length("w") <= UNIGRAM_MAX_WORD_LEN))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))
@@ -246,36 +260,50 @@ def _unigram_words(df: DataFrame, text_col: str) -> DataFrame:
 
 def _unigram_dp_sql(max_piece_len: int) -> str:
     """The Viterbi fold: best segmentation of word column ``w`` under
-    the piece-cost map column ``m`` (piece -> integer microcost).
+    the piece-cost map column ``m`` (piece -> integer microcost);
+    returns the best final state's piece-lengths string ("3-1-2"), or
+    NULL when the word has no segmentation under the map.
 
-    DP state per prefix length is a sortable packed string
-    ``lpad(cost,12) :: lpad(n_pieces,2) :: lens`` ("3-1-2" piece
-    lengths); position i's best is the least() over the <=
-    ``max_piece_len`` candidate extensions, each coalesced to the
-    sentinel 'Z' (lexicographically above any packed state) when the
-    piece is absent from the map.  Byte-wise least() gives the same
-    deterministic tie-break in Spark and DuckDB: min cost, then fewest
-    pieces, then lexicographically-least lengths string."""
+    DP state per prefix length is ``struct(c: cost, n: n_pieces,
+    lens)``; position i's best is the least() over the <=
+    ``max_piece_len`` candidate extensions, each falling to a sentinel
+    struct (cost 10^15, above any reachable cost — pieces are <= ~4e7
+    microcosts x <= UNIGRAM_MAX_WORD_LEN of them) when the piece is
+    absent from the map.  Spark/DuckDB struct least() compares fields
+    lexicographically: (min cost, fewest pieces, lexicographically-
+    least lengths string) — EXACTLY the order of the r10 packed-string
+    state ``lpad(cost,12) :: lpad(n,2) :: lens`` (fixed-width zero-
+    padded non-negative decimal compares as the integer; the lens tail
+    compares as the bare string; the 'Z' sentinel sat above every
+    packed state just as 10^15 sits above every reachable cost), so
+    segmentations are bit-identical — r11 regated at 3 SFs, struct-vs-
+    packed tie-break order pinned by
+    ``test_unigram_dp_struct_state_tiebreaks``.  The struct form drops
+    the three per-candidate regex ``split()``s, the string->int casts
+    and the lpad/concat packing the string state paid per extension
+    (gate-level A/B, state form toggled alone: unigram_train
+    5.52 -> 3.53 s).  The absent-piece lookup is let-bound via
+    ``transform(array(...))`` so it is evaluated once per candidate
+    (the repo-standard binding against re-evaluation)."""
 
     def cand(l: int) -> str:
         prev = f"element_at(acc, i - {l - 1})"
         piece = f"substr(w, i - {l - 1}, {l})"
-        lens = f"split({prev}, ':')[2]"
-        return f"""coalesce(
-          CASE WHEN i >= {l} THEN
-            lpad(CAST(CAST(split({prev}, ':')[0] AS BIGINT)
-                 + try_element_at(m, {piece}) AS STRING), 12, '0')
-            || ':' || lpad(CAST(CAST(split({prev}, ':')[1] AS INT) + 1 AS STRING), 2, '0')
-            || ':' || CASE WHEN {lens} = '' THEN '{l}'
-                      ELSE {lens} || '-{l}' END
-          END, 'Z')"""
+        return f"""transform(array(CASE WHEN i >= {l}
+                                   THEN try_element_at(m, {piece}) END), mc ->
+          CASE WHEN mc IS NOT NULL THEN
+            named_struct('c', {prev}.c + mc, 'n', {prev}.n + 1,
+              'lens', CASE WHEN {prev}.lens = '' THEN '{l}'
+                      ELSE {prev}.lens || '-{l}' END)
+          ELSE named_struct('c', CAST(1000000000000000 AS BIGINT), 'n', 99,
+                            'lens', CAST(NULL AS STRING)) END)[0]"""
 
     cands = ", ".join(cand(l) for l in range(1, max_piece_len + 1))
     return f"""aggregate(
       sequence(1, length(w)),
-      array('000000000000:00:'),
+      array(named_struct('c', CAST(0 AS BIGINT), 'n', 0, 'lens', '')),
       (acc, i) -> acc || array(least({cands})),
-      acc -> element_at(acc, -1)
+      acc -> element_at(acc, -1).lens
     )"""
 
 
@@ -294,7 +322,7 @@ def _unigram_segment_words(
     seg = (
         words.crossJoin(F.broadcast(_unigram_piece_map(pieces)))
         .withColumn("_best", F.expr(_unigram_dp_sql(max_piece_len)))
-        .select("w", "wc", F.expr("split(_best, ':')[2]").alias("lens"))
+        .select("w", "wc", F.col("_best").alias("lens"))
     )
     return seg
 
@@ -455,6 +483,10 @@ def unigram_encode(
     encoding out-of-domain text should diff ``sum(length(w))`` against
     ``n_chars_tok`` to detect uncovered words."""
     toks = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+    # r11 measured NEGATIVE (do not re-attempt): _spread_input here —
+    # doc_words feeds TWO consumers (the distinct-word aggregation and
+    # the final per-doc join), so the round-robin exchange re-executes
+    # per branch and the A/B regressed 3.8 -> 5.4 s.
     doc_words = df.select(
         F.col("doc_id"), F.explode(toks).alias("w")
     ).where((F.col("w") != "") & (F.length("w") <= UNIGRAM_MAX_WORD_LEN))
@@ -503,7 +535,7 @@ def wordpiece_train_fixed(
     start, as production WordPiece does."""
     toks = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
     words = (
-        df.select(F.explode(toks).alias("w"))
+        _spread_input(df).select(F.explode(toks).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))

@@ -32,25 +32,43 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+_FOLD_UNROLL_MAX = 16  # flat-unroll ceiling (janino 64 KB, measured r11)
+
+
 def _dot(a: str, b: str, dim: int | None = None) -> Column:
     """Dot product of two array columns as a left fold.
 
     ``dim`` (r11, guide §4.1): when the vector width is statically
-    known, the fold UNROLLS to ``0.0 + t1 + t2 + ...`` — SQL ``+`` is
-    left-associative, so the IEEE addition sequence ``(((0+t1)+t2)+…)``
-    is IDENTICAL to the interpreted ``aggregate`` lambda's, bit for
-    bit, while the flat expression stays inside whole-stage codegen
-    (HOF lambdas are interpreted per element).  MEASURED LIMIT (r11):
-    a single expression tree cannot be split across generated methods,
-    so past ~16 terms the ANSI ``element_at`` checks blow janino's
-    64 KB method cap and the WHOLE stage falls back to interpreted —
-    cosine_neardup timed 1.7 -> 16.7 s with dim=64 engaged.  Pass
-    ``dim`` only for SHORT fixed widths (PQ subspaces, multi-word
-    fingerprints); leave None for full-width embedding folds.  ANSI
-    note: ``element_at`` past the array end raises — callers pass
-    ``dim`` only under a fixed-width contract, where an error is a
-    loud contract violation, never a silent wrong sum."""
-    if dim is not None:
+    known AND <= ``_FOLD_UNROLL_MAX``, the fold UNROLLS to
+    ``0.0 + t1 + t2 + ...`` — SQL ``+`` is left-associative, so the
+    IEEE addition sequence ``(((0+t1)+t2)+…)`` is IDENTICAL to the
+    interpreted ``aggregate`` lambda's, bit for bit, while the flat
+    expression stays inside whole-stage codegen (HOF lambdas are
+    interpreted per element).  MEASURED LIMITS (r11, both negatives —
+    do not re-attempt):
+
+    - FLAT unroll past ~16 terms: a single expression tree cannot be
+      split across generated methods, so the ANSI ``element_at``
+      checks blow janino's 64 KB method cap and the WHOLE stage falls
+      back to interpreted — cosine_neardup timed 1.7 -> 16.7 s with a
+      flat dim=64 unroll.
+    - CHUNKED wide fold (``aggregate`` over 8-term chunk indices,
+      same addition order, never handed to janino): bit-identical and
+      0.72 vs 0.96 s on an ISOLATED checkpointed 400k-pair table
+      (tools/r11_dot_ab.py), but a consistent net LOSS inside the
+      real queries — same-session A/B with ONLY the chunk toggled:
+      cosine_topk 1.38 -> 2.47, ivf_fixed 2.00 -> 3.46, semdedup
+      1.52 -> 2.49.  In situ the fold shares its stage with scans,
+      joins and windows, and the chunk variant's per-term interpreted
+      ``element_at`` calls (bounds+null checked, boxed) cost more
+      than the per-element lambda it replaces; the isolated probe's
+      win did not transfer.  Wide dims therefore KEEP the per-element
+      lambda below.
+
+    ANSI note: ``element_at`` past the array end raises — callers
+    pass ``dim`` only under a fixed-width contract, where an error is
+    a loud contract violation, never a silent wrong sum."""
+    if dim is not None and dim <= _FOLD_UNROLL_MAX:
         terms = " + ".join(
             f"CAST(element_at({a}, {i}) AS DOUBLE) * "
             f"CAST(element_at({b}, {i}) AS DOUBLE)"
@@ -64,8 +82,12 @@ def _dot(a: str, b: str, dim: int | None = None) -> Column:
 
 
 def _norm2(a: str, dim: int | None = None) -> Column:
-    """Sum of squares; same unroll contract as :func:`_dot`."""
-    if dim is not None:
+    """Sum of squares; same unroll contract (and same wide-fold
+    negatives) as :func:`_dot`.  The squared-term chunk was even worse
+    than the dot chunk — each chunked term evaluates ``element_at``
+    TWICE per dim where the per-element lambda binds ``v`` once
+    (ivf_fixed 2.1 -> 4.0 s with both squared-fold chunks engaged)."""
+    if dim is not None and dim <= _FOLD_UNROLL_MAX:
         terms = " + ".join(
             f"CAST(element_at({a}, {i}) AS DOUBLE) * "
             f"CAST(element_at({a}, {i}) AS DOUBLE)"
@@ -80,9 +102,11 @@ def _norm2(a: str, dim: int | None = None) -> Column:
 
 def _l2_dist(a: str, b: str, dim: int | None = None) -> Column:
     """Squared L2 distance between an array column and a (double)
-    center column; same left-fold order and unroll contract as
-    :func:`_dot` (terms are ``(CAST(x)-y)*(CAST(x)-y)``)."""
-    if dim is not None:
+    center column; short widths unroll (the :func:`_dot` contract).
+    Wide widths keep the zip_with lambda — chunking evaluates
+    ``element_at`` FOUR times per dim vs the lambda's two bound reads
+    (see :func:`_norm2`; the r11 A/B regression)."""
+    if dim is not None and dim <= _FOLD_UNROLL_MAX:
         terms = " + ".join(
             f"(CAST(element_at({a}, {i}) AS DOUBLE) - element_at({b}, {i})) * "
             f"(CAST(element_at({a}, {i}) AS DOUBLE) - element_at({b}, {i}))"
@@ -108,9 +132,22 @@ def cosine_topk(
     ``queries`` is a (possibly filtered) subset of ``embeddings`` with
     the same schema.  Self-matches are excluded.  Deterministic
     tie-break on candidate id.  ``dim``: pass the fixed vector width to
-    unroll the per-pair fold into codegen (see :func:`_dot` — values
+    unroll/chunk the per-pair fold (see :func:`_dot` — values
     bit-identical either way).
     """
+    # r11 (guide §2.5 input parallelism): the exact tier's work is the
+    # Q x N pair stage, which runs on the CANDIDATE scan's partitions —
+    # a small single-file corpus arrives as ONE split, serializing the
+    # whole quadratic stage on one core (measured: the entire sf0.1
+    # query single-task).  Round-robin the candidate side up to the
+    # session parallelism first: the shuffle moves N narrow rows, the
+    # pair stage does Q x N folds — always amortized for Q > ~1.  On a
+    # many-split corpus this is a no-op; per-row compute + a
+    # deterministic (cosine, cand_id) tie-break make the result
+    # partitioning-invariant.
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    if embeddings.rdd.getNumPartitions() < par:
+        embeddings = embeddings.repartition(par)
     # norms are per-vector, not per-pair: compute each once and carry the
     # scalar through the cross join (same fold expression -> identical
     # value, 1/3 of the per-pair flops)
@@ -125,9 +162,12 @@ def cosine_topk(
         F.sqrt(_norm2(vec_col, dim)).alias("c_norm"),
     )
     # ANSI guard: a zero vector has no cosine — exclude before dividing
-    # (same rule as cosine_neardup_pairs)
+    # (same rule as cosine_neardup_pairs).  The query side is the small
+    # side of the exact tier by contract — broadcast it DELIBERATELY
+    # (guide §3.1) so the pair stage streams the repartitioned
+    # candidates instead of nesting the loop the other way around.
     pairs = (
-        q.where(F.col("q_norm") > 0)
+        F.broadcast(q.where(F.col("q_norm") > 0))
         .crossJoin(c.where(F.col("c_norm") > 0))
         .where(F.col("query_id") != F.col("cand_id"))
     )
@@ -210,13 +250,13 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("c_vec"),
         bits.alias("bucket"),
-        F.sqrt(_norm2(vec_col)).alias("c_norm"),
+        F.sqrt(_norm2(vec_col, dim)).alias("c_norm"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         bits.alias("bucket"),
-        F.sqrt(_norm2(vec_col)).alias("q_norm"),
+        F.sqrt(_norm2(vec_col, dim)).alias("q_norm"),
     )
     # ANSI guard: zero-norm vectors have no cosine — exclude both sides
     pairs = (
@@ -226,7 +266,7 @@ def lsh_bucketed_topk(
     )
     sim = pairs.withColumn(
         "cosine",
-        _dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")),
+        _dot("q_vec", "c_vec", dim) / (F.col("q_norm") * F.col("c_norm")),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
@@ -354,7 +394,14 @@ def _assign_to_centers(
     partially aggregable (the x n_cells blowup collapses map-side
     before any exchange), unlike a per-id window.  Struct comparison is
     (dist, cell, ...) lexicographic; cell is unique per candidate so
-    the vector field is never compared.  ``dim``: :func:`_dot` unroll."""
+    the vector field is never compared.  ``dim``: :func:`_dot` unroll.
+
+    r11 measured NEGATIVE (do not re-attempt): repartitioning a
+    one-split ``base`` to session parallelism before the fold — the
+    n x n_cells assignment fold is light enough that the round-robin
+    shuffle (plus its sortBeforeRepartition local sort) costs more
+    than the serial fold saves (ivf_fixed A/B regressed; contrast
+    cosine_topk, whose Q x N pair stage IS heavy enough)."""
     ac = base.crossJoin(F.broadcast(centers_df)).withColumn(
         "dist", _l2_dist("c_vec", "center", dim)
     )
@@ -432,11 +479,16 @@ def cosine_neardup_pairs(
     """
     rows_per_band = n_planes // n_bands
     mask = (1 << rows_per_band) - 1
+    # r11 measured NEGATIVE (do not re-attempt): repartitioning a
+    # few-split corpus here before the per-row hyperplane folds —
+    # ``base`` feeds THREE plan branches (banding + both vector
+    # re-attach joins), so the keyless repartition's sort+exchange
+    # re-executes per branch and the A/B regressed 2.7 -> 5.0 s.
     base = embeddings.select(
         F.col(id_col),
         F.col(vec_col).alias("vec"),
         hyperplane_bits(vec_col, n_planes, dim).alias("_bits"),
-        F.sqrt(_norm2(vec_col)).alias("_norm"),
+        F.sqrt(_norm2(vec_col, dim)).alias("_norm"),
     )
     banded = base.select(
         F.col(id_col),
@@ -474,7 +526,7 @@ def cosine_neardup_pairs(
     return (
         # ANSI guard: a zero vector has no cosine — drop before dividing
         withv.where((F.col("na") > 0) & (F.col("nb") > 0))
-        .withColumn("cosine", _dot("va", "vb") / (F.col("na") * F.col("nb")))
+        .withColumn("cosine", _dot("va", "vb", dim) / (F.col("na") * F.col("nb")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

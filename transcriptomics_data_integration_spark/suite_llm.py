@@ -342,10 +342,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 10 == 0)
-    ivf = ivf_fixed_topk(emb, queries, k=5, n_cells=16, n_probe=2).select(
+    ivf = ivf_fixed_topk(emb, queries, k=5, n_cells=16, n_probe=2, dim=64).select(
         "query_id", "cand_id"
     )
-    exact = _ct(emb, queries, k=5).select("query_id", "cand_id")
+    exact = _ct(emb, queries, k=5, dim=64).select("query_id", "cand_id")
     hits = (
         ivf.join(exact, ["query_id", "cand_id"])
         .groupBy("query_id")
@@ -434,7 +434,7 @@ FROM q LEFT JOIN hits h USING (query_id)
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 10 == 0)
-    out = cosine_topk(emb, queries, k=5)
+    out = cosine_topk(emb, queries, k=5, dim=64)
     return out.select("query_id", "cand_id", "rank", F.round("cosine", 6).alias("cosine"))
 
 
@@ -1260,7 +1260,7 @@ def q_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 10 == 0)
-    out = ivf_fixed_topk(emb, queries, k=5, n_cells=16, n_probe=2)
+    out = ivf_fixed_topk(emb, queries, k=5, n_cells=16, n_probe=2, dim=64)
     return out.select(
         "query_id", "cand_id", "rank", F.round("cosine", 6).alias("cosine")
     )
@@ -1509,7 +1509,14 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("merge_rank")
         .collect()
     ]
-    enc = bpe_encode(docs, merges)
+    # r11 (guide §2.5): the apply stage is per-word fold compute on the
+    # scan's splits — spread a one-split corpus (the winnow guard; at
+    # lake scale the scan splits naturally and this inserts no shuffle)
+    apply_docs = docs
+    par = spark.sparkContext.defaultParallelism
+    if apply_docs.rdd.getNumPartitions() < par:
+        apply_docs = apply_docs.repartition(par, "doc_id")
+    enc = bpe_encode(apply_docs, merges)
     toks = F.col("bpe_tokens")
     return enc.select(
         "doc_id",
@@ -1990,7 +1997,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_PERTURB_SPARK).alias("embedding"),
     )
     corpus = emb.unionByName(pert)
-    out = semdedup(corpus, n_cells=16, tau=0.9)
+    out = semdedup(corpus, n_cells=16, tau=0.9, dim=64)
     return out.select(
         "vec_id",
         "cell",
@@ -2074,7 +2081,7 @@ def q_semdedup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_PERTURB_SPARK).alias("embedding"),
     )
     corpus = emb.unionByName(pert)
-    out = semdedup_2level(corpus, n_cells=16, tau=0.9, n_coarse=4)
+    out = semdedup_2level(corpus, n_cells=16, tau=0.9, n_coarse=4, dim=64)
     return out.select(
         "vec_id",
         "cell",
@@ -5702,7 +5709,7 @@ def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = prototype_prune(emb, n_cells=16, keep_frac=0.5)
+    out = prototype_prune(emb, n_cells=16, keep_frac=0.5, dim=64)
     return out.select(
         "vec_id",
         F.col("cell").cast("int").alias("cell"),
@@ -6535,6 +6542,17 @@ def q_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # r11 (guide §2.5 input parallelism): the per-doc encode+decode
+    # bit-walk is the whole query and runs on the scan's splits — a
+    # single-file corpus serializes every FLAC decode in ONE Python
+    # worker.  Round-robin the narrow doc_id relation first (no-op on
+    # a many-split corpus; per-row pure function, partitioning-
+    # invariant).  Sub-second sibling gates (wav/mp4/header) stay
+    # unrepartitioned — there the shuffle costs more than it saves
+    # (the r7 dedup_exact lesson).
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     return docs.mapInPandas(
         op,
         schema=(
