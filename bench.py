@@ -240,6 +240,20 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # r12 (addition-only): host-drift calibration.  These four rows are
+    # untouched since r3, sub-second, and span scan/agg, hash-agg,
+    # pushdown and sessionize shapes; their standing quiet-host band is
+    # gene_stats 0.30-0.41, dedup_exact 0.29-0.33, pricing_summary
+    # 0.31-0.32, sessionize 0.42-0.49 (BASELINE.md).  Printing them as
+    # a dedicated field lets any consumer normalize a run's host window
+    # mechanically (r9/r11 both needed this reconstructed forensically).
+    # Values are copies of the same timed rows in `queries` — no new
+    # measurement, no timed-region change.
+    payload["calibration"] = {
+        n: timings[n]
+        for n in ("gene_stats", "dedup_exact", "pricing_summary", "sessionize")
+        if n in timings
+    }
     # Full-precision per-query artifact: the driver's stdout capture
     # keeps only the LAST 2000 chars, and the r6 suite line (~2.2k
     # chars, 86 queries) got its head cut -> parsed: null, two rows

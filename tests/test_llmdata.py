@@ -2016,6 +2016,47 @@ def test_jpeg_codec_roundtrip_and_tolerant_reader():
     assert decode_jpeg_pixels(bytes(prog)) is None
 
 
+def test_jpeg_batched_idct_bit_identity():
+    """r12 vectorization pin: the batched forward/inverse DCT passes
+    (np.matmul over stacked (n, 8, 8) blocks) must be BIT-identical to
+    the r11 per-block 2-D expressions — same left-associated grouping,
+    same IEEE order per slice — and the batched dequant/zigzag/round
+    paths must match elementwise.  If a BLAS/numpy upgrade ever breaks
+    slice-for-slice identity, this trips before any oracle gate does."""
+    import numpy as np
+
+    from transcriptomics_data_integration_spark.llmdata.multimodal import (
+        _DCT_T,
+        _ZIG_X,
+        _ZIG_Y,
+    )
+
+    rng = np.random.default_rng(12)
+    blocks = rng.integers(-1024, 1024, (37, 8, 8)).astype(np.float64)
+    # decode-side grouping: (D.T @ C) @ D + 128
+    batched = np.matmul(np.matmul(_DCT_T.T, blocks), _DCT_T) + 128.0
+    for i in range(blocks.shape[0]):
+        single = _DCT_T.T @ blocks[i] @ _DCT_T + 128.0
+        assert np.array_equal(batched[i], single), i
+    # encode-side grouping: (D @ (B - 128)) @ D.T, then round/quant
+    quant = np.ones((8, 8), dtype=np.int64)
+    pix = rng.integers(0, 256, (37, 8, 8)).astype(np.float64)
+    fb = np.matmul(np.matmul(_DCT_T, pix - 128.0), _DCT_T.T)
+    qb = np.round(fb / quant).astype(np.int64)
+    for i in range(pix.shape[0]):
+        f1 = _DCT_T @ (pix[i] - 128.0) @ _DCT_T.T
+        q1 = np.round(f1 / quant).astype(np.int64)
+        assert np.array_equal(qb[i], q1), i
+    # zigzag de-scan batched == per block
+    zz = rng.integers(-512, 512, (11, 64))
+    c_b = np.zeros((11, 8, 8), dtype=np.float64)
+    c_b[:, _ZIG_Y, _ZIG_X] = zz
+    for i in range(11):
+        c_1 = np.zeros((8, 8), dtype=np.float64)
+        c_1[_ZIG_Y, _ZIG_X] = zz[i]
+        assert np.array_equal(c_b[i], c_1)
+
+
 def test_resize_media_real_jpeg_path(spark):
     """resize_media routes image/jpeg payloads through the REAL
     decode -> nearest-neighbor -> re-encode path (r7): output is a
@@ -3538,7 +3579,12 @@ def test_unigram_dp_struct_state_tiebreaks(spark):
         start = sum(ls[:k])
         return w[start : start + ls[k]]
 
-    words = ["abcabc", "abcab", "aabbcc", "abca", "cba", "zab", "a"]
+    # r12: the two 12-char words (UNIGRAM_MAX_WORD_LEN) exercise the
+    # full 12-digit base-5 lens pack, all-ones vs mixed segmentations
+    words = [
+        "abcabc", "abcab", "aabbcc", "abca", "cba", "zab", "a",
+        "abcabcabcabc", "aabbccaabbcc",
+    ]
     df = spark.createDataFrame([(w,) for w in words], ["w"]).withColumn(
         "m",
         F.create_map(
@@ -4152,6 +4198,56 @@ def test_incremental_dedup_band_index_and_no_broadcast_match(spark):
         )
     )
     assert no_bcast == direct
+
+
+def test_incremental_dedup_auto_arm_selection(spark, tmp_path):
+    """r12: broadcast_batch=None self-selects the arm from Catalyst's
+    plan-size estimate.  A small PARQUET-backed batch (the gate shape —
+    file-size statistics exist) picks the broadcast arm; an RDD-backed
+    batch (createDataFrame — unknown stats, Long.MaxValue sentinel)
+    falls back to the always-safe shuffle arm; both arms produce
+    identical rows."""
+    from transcriptomics_data_integration_spark.llmdata import dedup as dd
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    mem_existing = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus text here")],
+        "doc_id long, text string",
+    )
+    mem_incoming = spark.createDataFrame(
+        [(10, base), (11, base + " qq"), (12, "zz-novel")],
+        "doc_id long, text string",
+    )
+    p_ex, p_in = str(tmp_path / "ex.parquet"), str(tmp_path / "in.parquet")
+    mem_existing.write.parquet(p_ex)
+    mem_incoming.write.parquet(p_in)
+    existing, incoming = spark.read.parquet(p_ex), spark.read.parquet(p_in)
+    # parquet-backed: file-size estimate, tiny -> broadcast arm
+    est = dd._plan_size_bytes(incoming)
+    assert 0 < est < dd.INCREMENTAL_BROADCAST_AUTO_MAX_BYTES
+    # RDD-backed: unknown stats -> the Long.MaxValue sentinel -> shuffle arm
+    assert dd._plan_size_bytes(mem_incoming) > dd.INCREMENTAL_BROADCAST_AUTO_MAX_BYTES
+    auto_bcast = sorted(
+        map(
+            tuple,
+            dd.incremental_minhash_dedup(existing, incoming, "doc_id").collect(),
+        )
+    )
+    old = dd.INCREMENTAL_BROADCAST_AUTO_MAX_BYTES
+    try:
+        # force the auto rule to the shuffle arm: rows must not change
+        dd.INCREMENTAL_BROADCAST_AUTO_MAX_BYTES = 0
+        auto_shuffle = sorted(
+            map(
+                tuple,
+                dd.incremental_minhash_dedup(existing, incoming, "doc_id").collect(),
+            )
+        )
+    finally:
+        dd.INCREMENTAL_BROADCAST_AUTO_MAX_BYTES = old
+    assert auto_shuffle == auto_bcast
+    # an unestimable plan falls back to the huge sentinel (shuffle arm)
+    assert dd._plan_size_bytes(None) == 1 << 62
 
 
 def test_minhash_index_bucketed_roundtrip(spark, tmp_path):

@@ -74,18 +74,22 @@ def _unpin(cp_df: DataFrame) -> None:
         pass
 
 
-def _spread_input(df: DataFrame) -> DataFrame:
-    """r11 (guide §2.5 input parallelism): the corpus tokenize+explode
-    stage runs on the scan's splits — a small single-file corpus
-    arrives as ONE split and serializes the regex split + explode on
-    one core.  Round-robin up to session parallelism first; on a
-    many-split corpus this is a no-op (no shuffle inserted), and the
-    downstream word counts are integer aggregates, so the result is
-    partitioning-invariant."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+# r12 REVERT (do not re-attempt): r11 fed the trainers' corpus
+# tokenize stage through a conditional repartition(defaultParallelism)
+# guard (`_spread_input`), on the §2.5 one-split reasoning that won
+# cosine_topk/flac_decode.  The r11 driver ground truth REFUTED it for
+# the trainers and the bpe_encode apply stage — the work per row is
+# too light and the pipelines are multi-stage, so the injected
+# partition count taxes every downstream loop iteration:
+#   unigram_train 2.7 -> 9.7 s and bpe_encode 1.9 -> 5.8 s at
+#   local[32], both exactly flat at local[8] — the regression scales
+#   with the partition count the guard itself injects (VERDICT r11).
+# Local paired A/Bs could not even reproduce a stable sign (identical
+# code spans 3.5-7.2 s across host windows; 6b7f3fd) — only the
+# driver's two-core-count runs are reproducible, and they say: no
+# spread here.  At lake scale the guard was a no-op anyway (many-split
+# scans), so removal is scale-neutral; the tokenize stage simply runs
+# on the scan's natural splits.
 
 
 def _merge_fold(a_sql: str, b_sql: str, s: str = "s") -> str:
@@ -118,7 +122,7 @@ def bpe_train_fixed(
     """
     toks = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
     words = (
-        _spread_input(df).select(F.explode(toks).alias("w"))
+        df.select(F.explode(toks).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))
@@ -251,7 +255,7 @@ def _unigram_words(df: DataFrame, text_col: str) -> DataFrame:
     cap, which only widens the DP fold)."""
     toks = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
     return (
-        _spread_input(df).select(F.explode(toks).alias("w"))
+        df.select(F.explode(toks).alias("w"))
         .where((F.col("w") != "") & (F.length("w") <= UNIGRAM_MAX_WORD_LEN))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))
@@ -265,26 +269,30 @@ def _unigram_dp_sql(max_piece_len: int) -> str:
     NULL when the word has no segmentation under the map.
 
     DP state per prefix length is ``struct(c: cost, n: n_pieces,
-    lens)``; position i's best is the least() over the <=
-    ``max_piece_len`` candidate extensions, each falling to a sentinel
-    struct (cost 10^15, above any reachable cost — pieces are <= ~4e7
-    microcosts x <= UNIGRAM_MAX_WORD_LEN of them) when the piece is
-    absent from the map.  Spark/DuckDB struct least() compares fields
-    lexicographically: (min cost, fewest pieces, lexicographically-
-    least lengths string) — EXACTLY the order of the r10 packed-string
+    lens: BIGINT base-5 pack)``; position i's best is the least() over
+    the <= ``max_piece_len`` candidate extensions, each falling to a
+    sentinel struct (cost 10^15, above any reachable cost — pieces are
+    <= ~4e7 microcosts x <= UNIGRAM_MAX_WORD_LEN of them) when the
+    piece is absent from the map.  Spark/DuckDB struct least()
+    compares fields lexicographically: (min cost, fewest pieces,
+    least lens pack) — EXACTLY the order of the r10 packed-string
     state ``lpad(cost,12) :: lpad(n,2) :: lens`` (fixed-width zero-
-    padded non-negative decimal compares as the integer; the lens tail
-    compares as the bare string; the 'Z' sentinel sat above every
-    packed state just as 10^15 sits above every reachable cost), so
-    segmentations are bit-identical — r11 regated at 3 SFs, struct-vs-
-    packed tie-break order pinned by
-    ``test_unigram_dp_struct_state_tiebreaks``.  The struct form drops
-    the three per-candidate regex ``split()``s, the string->int casts
-    and the lpad/concat packing the string state paid per extension
-    (gate-level A/B, state form toggled alone: unigram_train
-    5.52 -> 3.53 s).  The absent-piece lookup is let-bound via
-    ``transform(array(...))`` so it is evaluated once per candidate
-    (the repo-standard binding against re-evaluation)."""
+    padded non-negative decimal compares as the integer; at equal n
+    the dash-string's positionwise digit comparison IS the big-endian
+    base-5 numeric order of the pack — see the inline proof; the 'Z'
+    sentinel sat above every packed state just as 10^15 sits above
+    every reachable cost), so segmentations are bit-identical — the
+    tie-break order is pinned by
+    ``test_unigram_dp_struct_state_tiebreaks`` and regated at 3 SFs.
+    The r11 struct form dropped the three per-candidate regex
+    ``split()``s, the string->int casts and the lpad/concat packing of
+    the string state; the r12 lens pack further replaces the
+    per-extension lens string concat with one bigint multiply-add and
+    string comparisons with bigint comparisons, unpacking to the
+    public "3-1-2" form once per word in the finish lambda.  The
+    absent-piece lookup is let-bound via ``transform(array(...))`` so
+    it is evaluated once per candidate (the repo-standard binding
+    against re-evaluation)."""
 
     def cand(l: int) -> str:
         prev = f"element_at(acc, i - {l - 1})"
@@ -293,17 +301,38 @@ def _unigram_dp_sql(max_piece_len: int) -> str:
                                    THEN try_element_at(m, {piece}) END), mc ->
           CASE WHEN mc IS NOT NULL THEN
             named_struct('c', {prev}.c + mc, 'n', {prev}.n + 1,
-              'lens', CASE WHEN {prev}.lens = '' THEN '{l}'
-                      ELSE {prev}.lens || '-{l}' END)
+              'lens', {prev}.lens * 5 + {l})
           ELSE named_struct('c', CAST(1000000000000000 AS BIGINT), 'n', 99,
-                            'lens', CAST(NULL AS STRING)) END)[0]"""
+                            'lens', CAST(NULL AS BIGINT)) END)[0]"""
 
     cands = ", ".join(cand(l) for l in range(1, max_piece_len + 1))
+    # r12 lens pack (VERDICT r11 item 8): the per-extension lens STRING
+    # concat ('' branch + '||' alloc/copy per candidate) becomes one
+    # bigint multiply-add in base 5 (piece lengths are 1..4 and words
+    # cap at 12 chars, so <= 12 digits < 5^12 ~ 2.4e8 — far inside
+    # int64).  ORDER PROOF: lens only breaks ties at equal (c, n), and
+    # equal n means equal piece count means equal dash-string length
+    # (single-digit lengths), so the string comparison was positionwise
+    # digit comparison — exactly the big-endian base-5 numeric order of
+    # the packed value.  NULL (uncovered word) propagates through * and
+    # + just as it did through '||'.  The one-per-word finish lambda
+    # unpacks the digits back to the public "3-1-2" form with integer
+    # div/mod (no float pow), so every consumer sees unchanged values —
+    # re-pinned by test_unigram_dp_struct_state_tiebreaks (all-ties
+    # adversarial map) and the 3-SF oracle gates.
     return f"""aggregate(
       sequence(1, length(w)),
-      array(named_struct('c', CAST(0 AS BIGINT), 'n', 0, 'lens', '')),
+      array(named_struct('c', CAST(0 AS BIGINT), 'n', 0,
+                         'lens', CAST(0 AS BIGINT))),
       (acc, i) -> acc || array(least({cands})),
-      acc -> element_at(acc, -1).lens
+      acc -> CASE WHEN element_at(acc, -1).lens IS NULL THEN CAST(NULL AS STRING)
+             ELSE aggregate(
+               sequence(1, element_at(acc, -1).n),
+               named_struct('p', element_at(acc, -1).lens,
+                            'd', CAST(array() AS ARRAY<STRING>)),
+               (st, k) -> named_struct('p', st.p DIV 5,
+                                       'd', array_append(st.d, CAST(st.p % 5 AS STRING))),
+               st -> array_join(reverse(st.d), '-')) END
     )"""
 
 
@@ -487,9 +516,17 @@ def unigram_encode(
     # doc_words feeds TWO consumers (the distinct-word aggregation and
     # the final per-doc join), so the round-robin exchange re-executes
     # per branch and the A/B regressed 3.8 -> 5.4 s.
+    # r12 (guide §5 persist-on-reuse): those two consumers each re-ran
+    # the corpus regex split + explode — persist the narrow
+    # (doc_id, w) relation so the corpus is tokenized ONCE per encode
+    # (plan: 2 documents scans -> 1; VERDICT r11 item 6).  The relation
+    # is token-count-sized; MEMORY_AND_DISK spills at lake scale, and a
+    # 100 TB caller can swap the persist for a parquet materialization
+    # without touching the join shape.
     doc_words = df.select(
         F.col("doc_id"), F.explode(toks).alias("w")
-    ).where((F.col("w") != "") & (F.length("w") <= UNIGRAM_MAX_WORD_LEN))
+    ).where((F.col("w") != "") & (F.length("w") <= UNIGRAM_MAX_WORD_LEN)).persist()
+    register_persisted(doc_words)
     words = doc_words.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
     seg = _unigram_segment_words(words, pieces, max_piece_len).select(
         "w",
@@ -535,7 +572,7 @@ def wordpiece_train_fixed(
     start, as production WordPiece does."""
     toks = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
     words = (
-        _spread_input(df).select(F.explode(toks).alias("w"))
+        df.select(F.explode(toks).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))

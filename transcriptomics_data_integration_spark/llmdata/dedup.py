@@ -22,9 +22,10 @@ Scale notes (the reason each variant exists):
 
 from __future__ import annotations
 
+import os
 import re
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from transcriptomics_data_integration_spark.runtime import register_persisted
@@ -983,27 +984,30 @@ def connected_components(
         parent = stepped.select(
             F.col("node").alias("label"), F.col("label").alias("plabel")
         )
+        # labels only ever DECREASE, so convergence <=> sum(label) is
+        # unchanged (decimal sum: exact at any node-id magnitude).
+        # r12 (VERDICT r11 item 5): the sum rides the CHECKPOINT job as
+        # an Observation side-channel (CollectMetrics node) instead of
+        # a dedicated collect job — ONE driver-barrier job per cycle,
+        # down from two; delivery through localCheckpoint(eager=True)'s
+        # materializing action is proven by tools/r12_observe_probe.py
+        # (52 ms, value == direct aggregate) and pinned by
+        # test_connected_components_* staying green.  The checkpoint
+        # stays EAGER — the r6 negative (lazy checkpoint with the
+        # aggregate as materializer: 4.9 -> 5.2-6.2 s) fused two
+        # CONSUMERS over an unpinned plan, which is a different shape.
+        obs = Observation()
         jumped = (
             stepped.join(parent, "label", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("plabel", "label")).alias("label"),
             )
-            # eager, NOT lazy: fusing materialization into the
-            # convergence aggregate (the star-loop trick) measured
-            # SLOWER here — 4.9 -> 5.2-6.2 s at sf0.1 (r6 A/B; the
-            # label table is small and the fused job schedules worse
-            # than the dedicated checkpoint job)
+            .observe(obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
             .localCheckpoint(eager=True)
         )
         labels = jumped
-        # labels only ever DECREASE, so convergence <=> sum(label) is
-        # unchanged — one shuffle-free aggregate over the checkpointed
-        # |V| rows instead of an old-vs-new join per round (decimal sum:
-        # exact at any node-id magnitude)
-        cur_sum = jumped.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        cur_sum = obs.get["s"]
         if prev_sum is not None and cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -1493,6 +1497,29 @@ def read_minhash_index(spark, table_prefix: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+# Auto-arm bound for incremental_minhash_dedup (r12): batches whose
+# Catalyst plan-size estimate is under this take the broadcast-bloom
+# arm; larger (or unestimable) batches take the bucketed/shuffle arm.
+# Estimated TEXT bytes, not broadcast bytes — the broadcasts carry
+# ~8-byte keys per doc, so 256 MB of estimated batch corresponds to a
+# few MB on the wire.  Env-tunable for cluster profiles where bigger
+# driver/executor memories justify a higher bound.
+INCREMENTAL_BROADCAST_AUTO_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_INC_BCAST_MAX_BYTES", str(256 * 1024 * 1024))
+)
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate in bytes — plan-build
+    only, runs no job.  Unknown/unavailable estimates return a huge
+    sentinel so the caller's auto-selection falls back to the arm that
+    is safe at any size (the shuffle arm)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 1 << 62
+
+
 def incremental_minhash_dedup(
     existing: DataFrame,
     incoming: DataFrame,
@@ -1504,7 +1531,7 @@ def incremental_minhash_dedup(
     threshold: float = 0.8,
     existing_index: DataFrame | None = None,
     index_bands: DataFrame | None = None,
-    broadcast_batch: bool = True,
+    broadcast_batch: bool | None = None,
 ) -> DataFrame:
     """Incremental (cross-corpus) dedup (r8) — the OPERATIONAL dedup
     mode at 100 TB: a new crawl arrives and must be deduped against
@@ -1538,7 +1565,7 @@ def incremental_minhash_dedup(
     jaccard), match columns NULL for 'new'.
 
     Scale shape (r11 — the per-batch index-size term killed): with
-    ``broadcast_batch=True`` (default; the normal incremental regime,
+    ``broadcast_batch=True`` (the normal incremental regime,
     batch << index) the index side is never SHUFFLED — three broadcast
     semi-join prefilters cut every index-sized relation down to
     batch-matched survivors before any wide join:
@@ -1564,12 +1591,32 @@ def incremental_minhash_dedup(
     the band join then shuffles only the batch into the index's
     bucket layout.  The best-match window partitions by incoming doc
     id (per-doc candidate lists, never the corpus).
+
+    ``broadcast_batch=None`` (default, r12) SELF-SELECTS the arm at
+    plan build from Catalyst's size estimate of the batch — no job is
+    run.  The broadcast relations are ~8-byte key hashes per batch
+    doc, so the text-bearing plan estimate overstates them by ~2
+    orders of magnitude; the ``INCREMENTAL_BROADCAST_AUTO_MAX_BYTES``
+    bound (256 MB of estimated batch plan size, i.e. a few MB of
+    broadcast keys) is deliberately conservative — an unknown or huge
+    estimate falls back to the shuffle arm, which is always safe.
+    The r11 lesson motivating auto over the caller literal: a
+    corpus-RATIO rule hard-coded the shuffle arm for the gate's
+    corpus-sized-but-tiny batch, costing +0.6 s attributable at sf0.1
+    (driver, both core counts) — at small ABSOLUTE sizes the
+    broadcasts beat the shuffles regardless of the ratio, and at huge
+    batch sizes broadcasting is infeasible regardless of the ratio,
+    so absolute size is the decision variable.
     """
     inc = incoming.select(
         F.col(id_col).alias("inc_id"),
         F.col(text_col).alias("_txt"),
         content_digest(F.col(text_col)).alias("digest"),
     )
+    if broadcast_batch is None:
+        broadcast_batch = (
+            _plan_size_bytes(incoming) <= INCREMENTAL_BROADCAST_AUTO_MAX_BYTES
+        )
     if existing_index is None:
         # built in-query: cache it — ex_digest, band keys, and the
         # verify join all consume it (a stored-index caller already

@@ -315,12 +315,16 @@ def encode_png(pixels: np.ndarray) -> bytes:
             left = np.concatenate([np.zeros(3, np.int64), row[:-3]])
             filt = (row - (left + prev) // 2) % 256
         else:  # Paeth
+            # r12 (§4.2): the encoder's Paeth predictor reads only
+            # ALREADY-KNOWN rows (left = this raw row shifted, up/ul =
+            # previous raw row), so it vectorizes — same integer
+            # compares and tie-breaks as _paeth, elementwise.
             left = np.concatenate([np.zeros(3, np.int64), row[:-3]])
             ul = np.concatenate([np.zeros(3, np.int64), prev[:-3]])
-            pred = np.fromiter(
-                (_paeth(int(a), int(b), int(cc)) for a, b, cc in zip(left, prev, ul)),
-                dtype=np.int64,
-                count=w * 3,
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
             )
             filt = (row - pred) % 256
         raw.append(ft)
@@ -399,18 +403,28 @@ def decode_png_pixels(payload: bytes) -> np.ndarray | None:
             rec = row
         elif ft == 2:  # Up — vectorizable
             rec = (row + prev) % 256
-        elif ft in (1, 3, 4):  # sequential in x
-            rec = np.zeros(stride, dtype=np.int64)
-            for i in range(stride):
-                left = rec[i - nch] if i >= nch else 0
-                up = prev[i]
-                ul = prev[i - nch] if i >= nch else 0
-                if ft == 1:
-                    rec[i] = (row[i] + left) % 256
-                elif ft == 3:
-                    rec[i] = (row[i] + (left + up) // 2) % 256
-                else:
-                    rec[i] = (row[i] + _paeth(int(left), int(up), int(ul))) % 256
+        elif ft == 1:  # Sub — a per-channel-lane prefix sum (r12 §4.2):
+            # rec[i] = (row[i] + rec[i-nch]) % 256 telescopes to
+            # cumsum(row) % 256 within each lane; int64 cumsum is exact
+            # (<= 255 * w), so values are identical to the scalar loop.
+            rec = row.reshape(-1, nch).cumsum(axis=0).reshape(-1) % 256
+        elif ft in (3, 4):  # Average/Paeth — sequential in x, but the
+            # r11 loop paid a numpy SCALAR index read+write per element
+            # (~10x a plain int op); plain Python lists keep the exact
+            # same integer arithmetic at a fraction of the cost.
+            rl = row.tolist()
+            pl = prev.tolist()
+            rec_l = [0] * stride
+            if ft == 3:
+                for i in range(stride):
+                    left = rec_l[i - nch] if i >= nch else 0
+                    rec_l[i] = (rl[i] + (left + pl[i]) // 2) % 256
+            else:
+                for i in range(stride):
+                    left = rec_l[i - nch] if i >= nch else 0
+                    ul = pl[i - nch] if i >= nch else 0
+                    rec_l[i] = (rl[i] + _paeth(left, pl[i], ul)) % 256
+            rec = np.asarray(rec_l, dtype=np.int64)
         else:
             return None
         out[y] = rec.astype(np.uint8)
@@ -642,11 +656,11 @@ def _jpeg_category(v: int) -> int:
 
 
 def _encode_block(
-    w: _BitWriter, coeffs: np.ndarray, prev_dc: int, dc_codes, ac_codes
+    w: _BitWriter, zz: list, prev_dc: int, dc_codes, ac_codes
 ) -> int:
-    """Entropy-code one quantized 8x8 block (zigzag RLE); returns the
-    block's DC for the next block's predictor."""
-    zz = coeffs[_ZIG_Y, _ZIG_X].tolist()
+    """Entropy-code one quantized 8x8 block given its ZIGZAG-ordered
+    coefficient list (r12: zigzag de-scan moved to the caller's batched
+    pass); returns the block's DC for the next block's predictor."""
     diff = zz[0] - prev_dc
     s = _jpeg_category(diff)
     code, ln = dc_codes[s]
@@ -737,6 +751,21 @@ def encode_jpeg(
 
     dc_codes = _build_huffman_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _build_huffman_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    # r12 (guide §4.2): forward DCT + quantize + zigzag de-scan for ALL
+    # blocks of each plane in one batched pass (the r11 shape paid two
+    # 8x8 matmuls + a round + a fancy-index PER BLOCK — numpy call
+    # overhead, not arithmetic).  Bit-identical: same left-associated
+    # (D @ (B-128)) @ D.T per slice, same round/divide per element
+    # (pinned by test_jpeg_batched_idct_bit_identity).  The entropy
+    # loop below then reads pre-zigzagged Python lists in MCU order.
+    comp_zz = []
+    for ci in range(nc):
+        hi, vi = factors[ci]
+        by, bx = mcuy * vi, mcux * hi
+        bv = padded[ci].reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+        f = np.matmul(np.matmul(_DCT_T, bv - 128.0), _DCT_T.T)
+        q = np.round(f / quant).astype(np.int64)
+        comp_zz.append(q[:, :, _ZIG_Y, _ZIG_X].tolist())
     writer = _BitWriter()
     prev_dc = [0] * nc
     scan_parts: list[bytes] = []
@@ -752,17 +781,15 @@ def encode_jpeg(
                 prev_dc = [0] * nc
             mcu += 1
             for ci in range(nc):
-                plane = padded[ci]
                 hi, vi = factors[ci]
                 for v in range(vi):
                     for u in range(hi):
-                        y0 = (my * vi + v) * 8
-                        x0 = (mx * hi + u) * 8
-                        block = plane[y0 : y0 + 8, x0 : x0 + 8]
-                        f = _DCT_T @ (block - 128.0) @ _DCT_T.T
-                        q = np.round(f / quant).astype(np.int64)
                         prev_dc[ci] = _encode_block(
-                            writer, q, prev_dc[ci], dc_codes, ac_codes
+                            writer,
+                            comp_zz[ci][my * vi + v][mx * hi + u],
+                            prev_dc[ci],
+                            dc_codes,
+                            ac_codes,
                         )
     scan_parts.append(writer.flush())
     scan = b"".join(scan_parts)
@@ -971,6 +998,18 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
 def _decode_scan(
     payload, pos, sof, qtables, htables, scan_tables, restart_interval
 ) -> np.ndarray | None:
+    # r12 (guide §4.2 — vectorize per-task work): the entropy walk is
+    # inherently sequential (Huffman symbols gate the bit positions),
+    # but everything AFTER it is per-block linear algebra that the r11
+    # shape ran one 8x8 block at a time (np.zeros + fancy-index +
+    # two 8x8 matmuls PER BLOCK — the numpy call overhead dominated
+    # the arithmetic at this block size).  The walk now collects plain
+    # Python coefficient lists, and dequantize + zigzag de-scan + IDCT
+    # + plane placement run ONCE per component over the stacked
+    # (n_blocks, 64) array.  Bit-identical: integer dequant is exact,
+    # and the batched matmul performs the same left-associated
+    # (D.T @ C) @ D per slice in the same IEEE order (pinned by
+    # test_jpeg_batched_idct_bit_identity).
     h, w, comps = sof
     nc = len(comps)
     for cid, tq, _hi, _vi in comps:
@@ -984,10 +1023,11 @@ def _decode_scan(
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     reader = _BitReader(payload, pos)
-    planes = [
-        np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
-        for _cid, _tq, hi, vi in comps
-    ]
+    # per-component block-coefficient rows + block-grid coordinates,
+    # in walk order; materialized into planes after the walk
+    comp_zz: list[list[list[int]]] = [[] for _ in range(nc)]
+    comp_row: list[list[int]] = [[] for _ in range(nc)]
+    comp_col: list[list[int]] = [[] for _ in range(nc)]
     prev_dc = [0] * nc
     mcu = 0
     for my in range(mcuy):
@@ -1001,7 +1041,7 @@ def _decode_scan(
                 dc_lut, ac_lut = htables[(0, td)], htables[(1, ta)]
                 for v in range(vi):
                     for u in range(hi):
-                        zz = np.zeros(64, dtype=np.int64)
+                        zz = [0] * 64
                         s = _read_huffman(reader, dc_lut)
                         if s is None or s > 11:
                             return None
@@ -1032,13 +1072,21 @@ def _decode_scan(
                                 return None
                             zz[k] = _extend(bits, s)
                             k += 1
-                        coeffs = np.zeros((8, 8), dtype=np.float64)
-                        coeffs[_ZIG_Y, _ZIG_X] = zz * qtables[tq][_ZIG_Y, _ZIG_X]
-                        block = _DCT_T.T @ coeffs @ _DCT_T + 128.0
-                        y0 = (my * vi + v) * 8
-                        x0 = (mx * hi + u) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+                        comp_zz[ci].append(zz)
+                        comp_row[ci].append(my * vi + v)
+                        comp_col[ci].append(mx * hi + u)
             mcu += 1
+    planes = []
+    for ci, (cid, tq, hi, vi) in enumerate(comps):
+        by, bx = mcuy * vi, mcux * hi
+        zzq = qtables[tq][_ZIG_Y, _ZIG_X]  # quant table in zigzag order
+        zs = np.asarray(comp_zz[ci], dtype=np.int64) * zzq[None, :]
+        coeffs = np.zeros((zs.shape[0], 8, 8), dtype=np.float64)
+        coeffs[:, _ZIG_Y, _ZIG_X] = zs
+        blocks = np.matmul(np.matmul(_DCT_T.T, coeffs), _DCT_T) + 128.0
+        plane = np.zeros((by, 8, bx, 8), dtype=np.float64)
+        plane[np.asarray(comp_row[ci]), :, np.asarray(comp_col[ci]), :] = blocks
+        planes.append(plane.reshape(by * 8, bx * 8))
     # upsample subsampled components to full resolution by replication
     # (spec-legal; pairs with the encoder's box-average downsample),
     # then crop everything to (h, w)

@@ -67,7 +67,11 @@ def _dot(a: str, b: str, dim: int | None = None) -> Column:
 
     ANSI note: ``element_at`` past the array end raises — callers
     pass ``dim`` only under a fixed-width contract, where an error is
-    a loud contract violation, never a silent wrong sum."""
+    a loud contract violation, never a silent wrong sum.  The guard is
+    one-sided: arrays SHORTER than ``dim`` raise, but arrays LONGER
+    than an unrolled ``dim`` silently sum only the first ``dim`` terms
+    — the fixed-width contract covers both directions, and no repo
+    caller passes a dim below the stored width."""
     if dim is not None and dim <= _FOLD_UNROLL_MAX:
         terms = " + ".join(
             f"CAST(element_at({a}, {i}) AS DOUBLE) * "
@@ -130,7 +134,13 @@ def cosine_topk(
     """Exact top-k cosine neighbours for each query vector.
 
     ``queries`` is a (possibly filtered) subset of ``embeddings`` with
-    the same schema.  Self-matches are excluded.  Deterministic
+    the same schema, and must be SMALL — it is broadcast as the build
+    side of the exact tier's pair stage (guide §3.1), so it is subject
+    to Spark's broadcast limits (8 GB / 512 M rows) and holds driver +
+    executor memory.  For query sets beyond that (e.g. all-pairs kNN),
+    use the banded/celled tiers (:func:`cosine_neardup_pairs`,
+    ``ivf``/``pq``) or crossJoin without the hint and accept the
+    nested-loop plan.  Self-matches are excluded.  Deterministic
     tie-break on candidate id.  ``dim``: pass the fixed vector width to
     unroll/chunk the per-pair fold (see :func:`_dot` — values
     bit-identical either way).

@@ -1509,14 +1509,13 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("merge_rank")
         .collect()
     ]
-    # r11 (guide §2.5): the apply stage is per-word fold compute on the
-    # scan's splits — spread a one-split corpus (the winnow guard; at
-    # lake scale the scan splits naturally and this inserts no shuffle)
-    apply_docs = docs
-    par = spark.sparkContext.defaultParallelism
-    if apply_docs.rdd.getNumPartitions() < par:
-        apply_docs = apply_docs.repartition(par, "doc_id")
-    enc = bpe_encode(apply_docs, merges)
+    # r12 REVERT (do not re-attempt): r11 spread the apply stage via a
+    # conditional repartition(par, "doc_id") (§2.5).  Driver ground
+    # truth: bpe_encode 1.9 -> 5.8 s at local[32], exactly 1.9 s at
+    # local[8] — the fold is too light per row to amortize 32 tiny
+    # tasks' scheduling + the exchange (VERDICT r11 item 1).  At lake
+    # scale the guard was a no-op; the apply runs on the scan's splits.
+    enc = bpe_encode(docs, merges)
     toks = F.col("bpe_tokens")
     return enc.select(
         "doc_id",
@@ -5572,19 +5571,17 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("text"),
     )
-    # broadcast_batch=False (r11): the gate's batch IS corpus-sized by
-    # construction, i.e. the kernel docstring's huge-batch regime — the
-    # three broadcast-bloom prefilters (sized for batch << index) each
-    # broadcast ~the whole relation and re-scan the index for a filter
-    # that keeps almost everything.  Same-session A/B min-of-3 at
-    # sf0.1: 10.9 s (True) vs 5.8 s (False); rows identical (pytested
-    # arm equivalence + this gate's DuckDB oracle, which replays
-    # semantics, not plan).  Production incremental mode (batch <<
-    # stored index) keeps the default True arm — its flat-in-index-size
-    # ladder is pinned in PLANS.md r11.
-    out = incremental_minhash_dedup(
-        docs, incoming, "doc_id", threshold=0.8, broadcast_batch=False
-    )
+    # broadcast_batch auto (r12): r11 hard-coded False here on a
+    # batch/corpus RATIO argument, but the driver measured the
+    # broadcast arm faster at sf0.1 on BOTH core counts (3.3 s r10 vs
+    # 5.4 s r11, +0.6 s attributable) — at small ABSOLUTE batch sizes
+    # the broadcasts beat the shuffles regardless of the ratio.  The
+    # kernel now self-selects from Catalyst's plan-size estimate of
+    # the batch (no job): tiny gate batch -> broadcast arm; a lake-
+    # scale batch blows the 256 MB bound -> bucketed/shuffle arm.
+    # Rows identical either way (pytested arm equivalence + this
+    # gate's DuckDB oracle, which replays semantics, not plan).
+    out = incremental_minhash_dedup(docs, incoming, "doc_id", threshold=0.8)
     return out.select(
         "doc_id",
         "verdict",
