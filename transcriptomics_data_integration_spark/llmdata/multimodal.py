@@ -603,20 +603,23 @@ def _codes_impl(bits, vals) -> dict[int, tuple[int, int]]:
     return codes
 
 
-def _build_huffman_lut(bits, vals) -> dict[tuple[int, int], int]:
-    """Decoder side: (length, code) -> symbol.  Cached across images
-    (DHT payloads repeat across a corpus's files)."""
+def _build_huffman_lut(bits, vals) -> dict[int, int]:
+    """Decoder side: ``(length << 16) | code`` -> symbol.  Cached
+    across images (DHT payloads repeat across a corpus's files).
+    r12: int keys instead of (length, code) tuples — the walk probes
+    the dict up to 16 times per symbol, and an int key hashes without
+    allocating a tuple per probe."""
     return _lut_impl(tuple(bits), tuple(vals))
 
 
 @_functools.lru_cache(maxsize=64)
-def _lut_impl(bits, vals) -> dict[tuple[int, int], int]:
-    lut: dict[tuple[int, int], int] = {}
+def _lut_impl(bits, vals) -> dict[int, int]:
+    lut: dict[int, int] = {}
     code = 0
     k = 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
-            lut[(ln, code)] = vals[k]
+            lut[(ln << 16) | code] = vals[k]
             code += 1
             k += 1
         code <<= 1
@@ -862,13 +865,17 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int | None:
-        v = 0
-        for _ in range(n):
-            b = self.read_bit()
-            if b is None:
+        # r12: bulk extraction — buffer n bits, take them in one mask
+        # (MSB-first, so the top n buffered bits ARE the per-bit fold's
+        # value).  Bit-identical to the per-bit loop; a mid-stream fill
+        # failure returns None either way and the scan aborts whole.
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            if not self._fill():
                 return None
-            v = (v << 1) | b
-        return v
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def sync_restart(self) -> bool:
         """Consume an expected RSTn marker and realign to a byte."""
@@ -893,13 +900,37 @@ class _BitReader:
 
 
 def _read_huffman(reader: _BitReader, lut) -> int | None:
+    # r12 fast path: buffer up to the 16-bit max code length once,
+    # then walk lengths on LOCAL ints — no per-bit method call, no
+    # per-probe tuple key.  Eager buffering reads the same pre-marker
+    # bytes the lazy path would (_fill stops AT markers), so the bit
+    # sequence and marker handling are identical; consumed-bit
+    # accounting is reader.nbits only (acc keeps high bits masked out,
+    # exactly as read_bit does).
+    while reader.nbits < 16:
+        if not reader._fill():
+            break
+    nb = reader.nbits
+    if nb >= 16:
+        acc = reader.acc
+        get = lut.get
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | ((acc >> (nb - ln)) & 1)
+            sym = get((ln << 16) | code)
+            if sym is not None:
+                reader.nbits = nb - ln
+                return sym
+        return None
+    # slow tail (stream end / marker hit with < 16 buffered bits):
+    # the original per-bit walk
     code = 0
     for ln in range(1, 17):
         b = reader.read_bit()
         if b is None:
             return None
         code = (code << 1) | b
-        sym = lut.get((ln, code))
+        sym = lut.get((ln << 16) | code)
         if sym is not None:
             return sym
     return None
